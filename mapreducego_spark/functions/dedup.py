@@ -1,0 +1,326 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design constraint that shapes everything here: the driver
+hash-compares against a DuckDB oracle, so the "random" hash families
+are built from salted md5 — deterministic, engine-independent, and
+still uniformly distributed. MinHash minimizes the *hex string*
+md5(seed:shingle) lexicographically: an order-isomorphic stand-in
+for minimizing a 128-bit integer hash, so the standard MinHash
+Jaccard estimate carries over unchanged (min-wise independent up to
+md5's quality).
+
+Scale analysis (the reason LSH exists): exact all-pairs Jaccard is
+O(n^2) — dead at 100 TB. MinHash+banding is O(n * k) to sign,
+then pairs only form inside band buckets (a shuffle on band_key
+whose fan-in is the collision rate, tunable via bands x rows). The
+band bucket join IS the LSH candidate generation; exact Jaccard
+re-verification then runs only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducego_spark.functions.text import tokens_col
+from mapreducego_spark.sources.catalog import load_table
+
+# MinHash family size: NUM_BANDS bands x ROWS_PER_BAND rows.
+# 16 hashes -> s-curve threshold ~ (1/b)^(1/r) = (1/8)^(1/2) ~ 0.35.
+NUM_HASHES = 16
+NUM_BANDS = 8
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+JACCARD_THRESHOLD = 0.5
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via sha2 hash-groupBy: one row per
+    distinct content hash, keeping the smallest doc_id (the
+    canonical representative) + the duplicate count. At scale this
+    is one shuffle on a 64-hex key — the cheapest dedup there is."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.sha2(F.col("text"), 256).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content dedup: md5 over the lowercased token
+    stream, so case/punctuation/whitespace variants collapse."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.array_join(tokens_col(F.col("text")), " ")
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.md5(norm).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles_col(text: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of the token stream (JVM-side
+    higher-order functions; no UDF)."""
+    toks = tokens_col(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, gram).otherwise(F.array()))
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        shingles_col(F.col("text"), n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
+def minhash_signatures(shingled: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, seed, minhash): minhash = lexicographic min of
+    md5('<seed>:<shingle>') over the doc's shingle set. Explode +
+    groupBy keeps it all JVM-side; the aggregate is a map-side-
+    combined MIN, so the shuffle carries one row per (doc, seed)."""
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return (
+        shingled.select("doc_id", F.explode("shingles").alias("sh"))
+        .select("doc_id", "sh", F.explode(seeds).alias("seed"))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))).alias(
+                "h"
+            ),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_band_keys(signatures: DataFrame, rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """(doc_id, band, band_key): md5 of the band's concatenated
+    minhashes (seed-ordered). Equal band_key <=> identical minhash
+    rows in that band — the LSH bucket id."""
+    return (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "minhash"))
+                        ),
+                        lambda s: s["minhash"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def minhash_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Self-join band buckets -> distinct candidate pairs (a < b).
+    The join key (band, band_key) keeps the shuffle proportional to
+    bucket collisions, not n^2."""
+    a = bands.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b = bands.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
+    """Re-verify candidates with exact Jaccard on shingle sets."""
+    sa = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
+    bucket-join -> exact-Jaccard verify -> pairs over threshold."""
+    shingled = _doc_shingles(spark, sf_dir, n=2)
+    sigs = minhash_signatures(shingled)
+    bands = lsh_band_keys(sigs)
+    cands = minhash_candidate_pairs(bands)
+    return (
+        exact_jaccard(cands, shingled)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via inverted-index join (no
+    LSH approximation): explode shingles, join on shingle, count
+    shared, compute J = inter / (|A|+|B|-inter). The join on the
+    shingle key is the classic inverted-index candidate generation —
+    exact but O(sum of posting-list^2); MinHash above is its
+    at-scale replacement. Threshold keeps output small."""
+    shingled = _doc_shingles(spark, sf_dir, n=2)
+    sizes = shingled.select("doc_id", F.size("shingles").alias("n_sh"))
+    posting = shingled.select("doc_id", F.explode("shingles").alias("sh"))
+    pa = posting.select(F.col("doc_id").alias("doc_a"), "sh")
+    pb = posting.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pa.join(pb, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from md5 token hashes.
+
+    Per token: 64 bits from the first 16 hex chars of md5(token);
+    each bit contributes +1/-1 weighted by the token's occurrence
+    count. Final bit b = 1 iff the sum is > 0. Output is the 64-char
+    bit string (engine-portable; no 64-bit overflow games).
+    Construction: explode (doc, token, count) x 64 bit positions ->
+    groupBy (doc, bit) -> sign -> assemble string. All JVM
+    expressions, fully oracle-checkable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok_counts = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(tokens_col(F.col("text"))).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    hexmap = "0123456789abcdef"
+    bits = (
+        tok_counts.select(
+            "doc_id",
+            "w",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        )
+        .withColumn(
+            "hexval",
+            F.instr(
+                F.lit(hexmap),
+                F.substring(
+                    F.col("h"), (F.col("bit") / 4).cast("int") + 1, 1
+                ),
+            )
+            - 1,
+        )
+        .withColumn(
+            "contrib",
+            # shiftright() in the Python DSL needs a literal count;
+            # the SQL form takes an expression for the shift amount
+            F.when(
+                F.expr("shiftright(hexval, cast(3 - bit % 4 as int)) & 1") == 1,
+                F.col("w"),
+            ).otherwise(-F.col("w")),
+        )
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bit", "s"))),
+                    lambda x: F.when(x["s"] > 0, "1").otherwise("0"),
+                ),
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(simhashed: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by Hamming distance over SimHash, candidate-
+    generated by 16-bit band equality (a 64-bit hash split into 4
+    bands: any pair within Hamming<=3 of each other shares at least
+    one identical band by pigeonhole; wider distances probabilistic).
+    Used by tests; not oracle-wired (pairing output depends only on
+    simhash, which IS oracle-checked)."""
+    banded = simhashed.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.substring("simhash", 1 + 16 * i, 16) for i in range(4)])
+        ).alias("band_val"),
+    ).withColumn("band_pos", F.expr("row_number() over (partition by doc_id, simhash order by band_val)"))
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band_val"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band_val"
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("sh_a", ""),
+                F.split("sh_b", ""),
+                lambda x, y: x != y,
+            ),
+            lambda v: v,
+        )
+    )
+    return (
+        a.join(b, "band_val")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

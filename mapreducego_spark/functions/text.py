@@ -1,0 +1,180 @@
+"""Text analysis operators over the ``documents`` table.
+
+Generalizes the reference's single real workload — wordCount
+(reference test/wordCount.go:14-32): words are maximal runs of
+letters (split on every non-letter rune, wordCount.go:16-19), each
+occurrence counts once. Everything here is pure JVM-side
+pyspark.sql.functions — no Python UDFs in the hot path, so
+whole-stage codegen applies and the same plan scales to 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Reference split contract: every non-letter rune is a delimiter
+# (reference test/wordCount.go:16-19). We additionally lowercase so
+# counts are case-insensitive (the DuckDB oracle does the same).
+WORD_SPLIT_REGEX = "[^A-Za-z]+"
+
+# Tiny embedded stopword lists for the language-ID heuristic. A real
+# deployment would broadcast a richer lexicon; the operator shape
+# (explode -> semi-join-ish scoring -> argmax) is what matters.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "a", "in", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "que", "pour"),
+    "de": ("der", "die", "das", "und", "von", "zu", "den", "mit", "ist", "auf"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """array<string> of lowercased letter-run tokens, empties removed."""
+    return F.filter(
+        F.split(F.lower(text), WORD_SPLIT_REGEX), lambda t: F.length(t) > 0
+    )
+
+
+def wordcount(
+    spark: SparkSession, docs: DataFrame, top_k: int | None = None
+) -> DataFrame:
+    """The reference's flagship workload, completed end-to-end.
+
+    Reference intent: Map emits (word, "1") per letter-run
+    (test/wordCount.go:14-27), shuffle hash-partitions by word
+    (worker.go:142-151), Reduce counts occurrences
+    (test/wordCount.go:29-32 — never wired up there; worker.go:207-209
+    is a stub). Spark-first form: split → explode → groupBy → count.
+    The shuffle is Spark's sort-based exchange with map-side partial
+    aggregation (the combiner the reference never built).
+
+    Deterministic total order: (count desc, word asc) so top-k is
+    stable under hashing comparisons.
+    """
+    out = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+    )
+    if top_k is not None:
+        out = out.limit(top_k)
+    return out
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document stats: token count, distinct tokens, avg token
+    length, punctuation count — the quality-signal raw material."""
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        # exact integer arithmetic (sum of lengths / count) kept in
+        # double at the end: deterministic across engines
+        (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            .cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("avg_token_len"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+        )
+        .cast("long")
+        .alias("n_punct"),
+    )
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    regex (letter runs | digit runs | single punct) — the
+    pre-tokenizer shape used by GPT-style BPE vocabularies."""
+    bpe_ish = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0))
+        .cast("long")
+        .alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_ish), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID.
+
+    Scores each language by how many of its stopwords occur as tokens
+    (distinct-token containment — cheap and O(|langs| * |stopwords|)
+    per doc via array_intersect on the already-computed token array;
+    no shuffle at all, embarrassingly parallel at 100 TB).
+    Ties / zero hits → 'und'. Deterministic tie-break: language with
+    the higher score wins, then lexicographically smaller lang code.
+    """
+    toks = F.array_distinct(tokens_col(F.col("text")))
+    scored = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            ).alias(f"score_{lang}")
+            for lang, words in sorted(LANG_STOPWORDS.items())
+        ],
+    )
+    # argmax over score columns with deterministic lexicographic
+    # tie-break; all-zero -> 'und'
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first (lexicographically) max wins
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best.cast("long").alias("best_score"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality scoring à la C4/Gopher rules: length band,
+    punctuation density, stopword ratio, mean token length band.
+    Output: per-doc component flags + a 0-4 integer score (sum of
+    passed checks). All JVM-side expressions; no UDF."""
+    toks = tokens_col(F.col("text"))
+    n_toks = F.size(toks)
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    avg_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double") / F.greatest(n_toks, F.lit(1)).cast("double")
+    checks = {
+        "ok_length": (n_toks >= 10) & (n_toks <= 100000),
+        "ok_punct": n_punct.cast("double")
+        <= 0.2 * F.greatest(F.length("text"), F.lit(1)).cast("double"),
+        "ok_stopwords": stop_hits >= 2,
+        "ok_token_len": (avg_len >= 2.0) & (avg_len <= 12.0),
+    }
+    score = sum(F.when(c, 1).otherwise(0) for c in checks.values())
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[c.cast("boolean").alias(name) for name, c in checks.items()],
+        score.cast("long").alias("quality_score"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprinting: md5 over the normalized token stream
+    (case/punctuation/whitespace-insensitive), the standard exact-
+    near-dup key (c.f. token-normalized hashing in CCNet/C4
+    pipelines). Content-defined, order-sensitive."""
+    normalized = F.array_join(tokens_col(F.col("text")), " ")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(normalized).alias("fingerprint"),
+    )

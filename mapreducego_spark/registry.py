@@ -1,0 +1,649 @@
+"""Query registry: every implemented operator as a named query with
+its DuckDB oracle twin.
+
+Contract (from __spark_entry__.py): QUERIES[name](spark, sf_dir) ->
+DataFrame; ORACLES[name] = ANSI SQL DuckDB runs over the same
+parquet views. Column NAMES and VALUES must match exactly — the
+driver sorts columns by name and hash-compares values. Entries
+without an oracle (approximate / randomized operators) get a
+rows-only check.
+
+Cross-engine determinism rules used throughout (see operators/util.py):
+- integer outputs cast to BIGINT on both sides (DuckDB SUM(int) is
+  HUGEINT, Spark COUNT is long);
+- double aggregates go through exact DECIMAL sums, cast to DOUBLE;
+- timestamps surface as epoch-second BIGINTs (events.ts is ns
+  parquet: Spark truncates to us, DuckDB keeps ns);
+- every ranking has a total-order tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreducego_spark.functions import dedup as D
+from mapreducego_spark.functions import multimodal as M
+from mapreducego_spark.functions import text as T
+from mapreducego_spark.functions import vector as V
+from mapreducego_spark.operators import asof as A
+from mapreducego_spark.operators import mapreduce as MR
+from mapreducego_spark.operators import relational as R
+from mapreducego_spark.operators import timewin as TW
+from mapreducego_spark.operators import windows as W
+from mapreducego_spark.sources.catalog import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.wordcount(spark, load_table(spark, sf_dir, "documents"))
+
+
+def _mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MR.mr_wordcount(load_table(spark, sf_dir, "documents"), input_col="text")
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_count(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES: dict[str, QueryFn] = {
+    # -- flagship + faithful plugin tier
+    "wordcount": _wordcount,
+    "mr_wordcount": _mr_wordcount,
+    # -- projection / filter / scalar
+    "filter_project": R.filter_project,
+    "computed_columns": R.computed_columns,
+    "scalar_functions": R.scalar_functions,
+    "json_extract": R.json_extract,
+    # -- joins
+    "join_inner": R.join_inner,
+    "join_left_outer": R.join_left_outer,
+    "join_full_outer": R.join_full_outer,
+    "join_semi": R.join_semi,
+    "join_anti": R.join_anti,
+    "join_broadcast": R.join_broadcast,
+    "join_theta": R.join_theta,
+    "join_asof": A.join_asof,
+    # -- aggregation
+    "agg_pricing_summary": R.agg_pricing_summary,
+    "agg_basic": R.agg_basic,
+    "agg_rollup": R.agg_rollup,
+    "agg_cube": R.agg_cube,
+    "agg_grouping_sets": R.agg_grouping_sets,
+    "agg_approx_distinct": R.agg_approx_distinct,  # rows-only (HLL)
+    # -- set ops / distinct
+    "set_union": R.set_union,
+    "set_union_all_counts": R.set_union_all_counts,
+    "set_intersect": R.set_intersect,
+    "set_except": R.set_except,
+    "distinct_rows": R.distinct_rows,
+    # -- sort / top-k
+    "sort_global": R.sort_global,
+    "topk": R.topk,
+    # -- window functions
+    "window_rank": W.window_rank,
+    "window_lag_lead": W.window_lag_lead,
+    "window_running": W.window_running,
+    # -- event-time windows (batch twins of the streaming tier)
+    "window_tumbling": TW.window_tumbling,
+    "window_sliding": TW.window_sliding,
+    "window_session": TW.window_session,
+    "dedup_events": TW.dedup_events,
+    # -- text analysis
+    "text_stats": _text_stats,
+    "token_count": _token_count,
+    "lang_id": _lang_id,
+    "quality_score": _quality,
+    "fingerprint": _fingerprint,
+    # -- dedup
+    "dedup_exact": D.dedup_exact,
+    "dedup_fingerprint": D.dedup_fingerprint,
+    "dedup_minhash": D.dedup_minhash,
+    "ngram_jaccard": D.ngram_jaccard_pairs,
+    "simhash": D.simhash_docs,
+    # -- vector similarity
+    "vector_topk": V.vector_topk,
+    "vector_ann_lsh": V.vector_ann_lsh,  # rows-only (approximate)
+    "knn_label_vote": V.knn_label_vote,
+    # -- multimodal plumbing (oracle-checkable metadata slice)
+    "multimodal_meta": M.multimodal_meta,
+}
+
+
+# --- DuckDB oracle SQL ---------------------------------------------------
+
+# Shared fragments (kept as plain strings; ORACLES entries must be
+# self-contained SQL).
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0)"
+_SHINGLES2 = (
+    "CASE WHEN len(t) >= 2 THEN list_distinct("
+    "list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])"
+    ") ELSE [] END"
+)
+_EN_STOP = "['the','and','of','to','is','a','in','that','it','for']"
+_ES_STOP = "['el','la','de','que','y','en','un','los','por','con']"
+_FR_STOP = "['le','la','de','et','les','des','un','une','que','pour']"
+_DE_STOP = "['der','die','das','und','von','zu','den','mit','ist','auf']"
+
+_WORDCOUNT_SQL = f"""
+SELECT word, COUNT(*) AS cnt
+FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+GROUP BY word
+"""
+
+_MINHASH_BASE = f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SHINGLES2} AS shingles
+    FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+), shingled AS (
+    SELECT doc_id, shingles FROM toks WHERE len(shingles) > 0
+), exploded AS (
+    SELECT doc_id, unnest(shingles) AS sh FROM shingled
+), hashed AS (
+    SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+    FROM exploded, (SELECT unnest(range(16)) AS seed)
+), sigs AS (
+    SELECT doc_id, seed, MIN(h) AS minhash FROM hashed GROUP BY doc_id, seed
+), bands AS (
+    SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+           md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+    FROM sigs GROUP BY doc_id, CAST(seed // 2 AS INT)
+), cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+"""
+
+ORACLES: dict[str, str] = {
+    "wordcount": _WORDCOUNT_SQL,
+    "mr_wordcount": _WORDCOUNT_SQL,
+    "filter_project": """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+""",
+    "computed_columns": """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       p_brand AS brand,
+       upper(p_type) AS type_upper,
+       CAST(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(4,2)) AS DOUBLE) AS marked_up,
+       CAST(p_size * 2 + 1 AS BIGINT) AS size_calc
+FROM part
+WHERE ((p_size < 30 AND p_type LIKE '%BRASS%') OR p_brand IN ('Brand#1', 'Brand#2'))
+  AND p_name IS NOT NULL
+""",
+    "scalar_functions": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       lower(o_orderstatus) AS status_lower,
+       trim('  ' || o_orderpriority || ' ') AS prio_trim,
+       substr(o_orderpriority, 1, 3) AS prio_sub,
+       regexp_replace(o_orderpriority, '[0-9]', '#', 'g') AS prio_masked,
+       CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS o_month,
+       CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS o_day,
+       strftime(o_orderdate, '%Y-%m') AS o_ym,
+       round(sqrt(abs(o_totalprice)), 6) AS price_sqrt,
+       round(ln(o_totalprice + 1.0), 6) AS price_log,
+       CAST(o_orderkey % 7 AS BIGINT) AS key_mod,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 50000 THEN 'mid'
+            ELSE 'small' END AS price_band
+FROM orders
+WHERE o_orderkey < 2000
+""",
+    "json_extract": """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    "join_inner": """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    "join_left_outer": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+    "join_full_outer": """
+SELECT COALESCE(nk_c, nk_s) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM (SELECT CAST(c_nationkey AS BIGINT) AS nk_c, COUNT(*) AS n_customers
+      FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT CAST(s_nationkey AS BIGINT) AS nk_s, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey) s
+ON c.nk_c = s.nk_s
+""",
+    "join_semi": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+    "join_anti": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+    "join_broadcast": """
+SELECT p_brand,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+    "join_theta": """
+SELECT p_brand, COUNT(*) AS n_over
+FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+GROUP BY p_brand
+""",
+    "join_asof": """
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       CAST((SELECT o.o_orderkey FROM orders o
+             WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+             ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS BIGINT) AS matched_orderkey,
+       (SELECT o.o_totalprice FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS matched_price
+FROM events e
+""",
+    "agg_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "agg_basic": """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS min_price,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS max_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    "agg_rollup": """
+SELECT n_name, c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_acctbal,
+       CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+""",
+    "agg_cube": """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    "agg_grouping_sets": """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+    # agg_approx_distinct: no oracle (HLL estimate is engine-specific)
+    "set_union": """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+UNION
+SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+""",
+    "set_union_all_counts": """
+SELECT nationkey, COUNT(*) AS n_rows FROM (
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    UNION ALL
+    SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+) GROUP BY nationkey
+""",
+    "set_intersect": """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+INTERSECT
+SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+""",
+    "set_except": """
+SELECT nationkey, COUNT(*) AS n_rows FROM (
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+) GROUP BY nationkey
+""",
+    "distinct_rows": """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+""",
+    "sort_global": """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, s_acctbal
+FROM supplier
+ORDER BY s_acctbal DESC, s_suppkey ASC
+""",
+    "topk": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""",
+    "window_rank": """
+SELECT o_orderkey, o_custkey, rn, price_rank, status_drank FROM (
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS BIGINT) AS rn,
+           CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS price_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus ASC) AS BIGINT) AS status_drank
+    FROM orders
+) WHERE rn <= 3
+""",
+    "window_lag_lead": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       LAG(o_totalprice, 1) OVER w AS prev_price,
+       LEAD(o_totalprice, 1) OVER w AS next_price,
+       CAST(date_diff('day', LAG(o_orderdate, 1) OVER w, o_orderdate) AS BIGINT) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""",
+    "window_running": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER running AS DOUBLE) AS running_total,
+       COUNT(*) OVER running AS order_seq,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER moving3 AS DOUBLE)
+         / CAST(COUNT(*) OVER moving3 AS DOUBLE) AS moving_avg3
+FROM orders
+WINDOW running AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       moving3 AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    "window_tumbling": """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    "window_sliding": """
+WITH assigned AS (
+    SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS b, "value" FROM events
+), expanded AS (
+    SELECT b AS win_start, "value" FROM assigned
+    UNION ALL
+    SELECT b - 1800 AS win_start, "value" FROM assigned
+)
+SELECT win_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value
+FROM expanded
+GROUP BY win_start
+""",
+    "window_session": """
+WITH e AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id, epoch(ts) AS d, event_id FROM events
+), marked AS (
+    SELECT user_id, d,
+           CASE WHEN d - LAG(d) OVER w IS NULL OR d - LAG(d) OVER w >= 1800.0
+                THEN 1 ELSE 0 END AS new_session
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY d ASC, event_id ASC)
+), islands AS (
+    SELECT user_id, d,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY d ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM marked
+)
+SELECT user_id,
+       CAST(floor(MIN(d)) AS BIGINT) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(floor(MAX(d)) - floor(MIN(d)) AS BIGINT) AS session_seconds
+FROM islands
+GROUP BY user_id, island
+""",
+    "dedup_events": """
+SELECT event_type, COUNT(*) AS n_unique_events FROM (
+    SELECT event_type,
+           ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts ASC) AS rn
+    FROM events
+) WHERE rn = 1
+GROUP BY event_type
+""",
+    "text_stats": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+       CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+         / CAST(greatest(len(t), 1) AS DOUBLE) AS avg_token_len,
+       CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct
+FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+""",
+    "token_count": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+FROM documents
+""",
+    "lang_id": f"""
+WITH scored AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           len(list_intersect(dt, {_DE_STOP})) AS score_de,
+           len(list_intersect(dt, {_EN_STOP})) AS score_en,
+           len(list_intersect(dt, {_ES_STOP})) AS score_es,
+           len(list_intersect(dt, {_FR_STOP})) AS score_fr
+    FROM (SELECT doc_id, list_distinct({_TOKS}) AS dt FROM documents)
+)
+SELECT doc_id,
+       CASE WHEN greatest(score_de, score_en, score_es, score_fr) <= 0 THEN 'und'
+            WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+            WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+            WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       CAST(greatest(score_de, score_en, score_es, score_fr) AS BIGINT) AS best_score
+FROM scored
+""",
+    "quality_score": f"""
+WITH base AS (
+    SELECT doc_id, text, {_TOKS} AS t FROM documents
+), checksed AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           (len(t) >= 10 AND len(t) <= 100000) AS ok_length,
+           (CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+              <= 0.2 * CAST(greatest(length(text), 1) AS DOUBLE)) AS ok_punct,
+           (len(list_intersect(list_distinct(t), {_EN_STOP})) >= 2) AS ok_stopwords,
+           (CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+              / CAST(greatest(len(t), 1) AS DOUBLE) BETWEEN 2.0 AND 12.0) AS ok_token_len
+    FROM base
+)
+SELECT doc_id, ok_length, ok_punct, ok_stopwords, ok_token_len,
+       CAST((CASE WHEN ok_length THEN 1 ELSE 0 END)
+          + (CASE WHEN ok_punct THEN 1 ELSE 0 END)
+          + (CASE WHEN ok_stopwords THEN 1 ELSE 0 END)
+          + (CASE WHEN ok_token_len THEN 1 ELSE 0 END) AS BIGINT) AS quality_score
+FROM checksed
+""",
+    "fingerprint": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(array_to_string({_TOKS}, ' ')) AS fingerprint
+FROM documents
+""",
+    "dedup_exact": """
+SELECT sha256(text) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+""",
+    "dedup_fingerprint": f"""
+SELECT md5(array_to_string({_TOKS}, ' ')) AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    "dedup_minhash": _MINHASH_BASE
+    + """
+SELECT c.doc_a, c.doc_b,
+       round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / CAST(len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6) AS jaccard
+FROM cands c
+JOIN shingled sa ON sa.doc_id = c.doc_a
+JOIN shingled sb ON sb.doc_id = c.doc_b
+WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / CAST(len(sa.shingles) + len(sb.shingles)
+                   - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6) >= 0.5
+""",
+    "ngram_jaccard": f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SHINGLES2} AS shingles
+    FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+), shingled AS (
+    SELECT doc_id, shingles FROM toks WHERE len(shingles) > 0
+), posting AS (
+    SELECT doc_id, unnest(shingles) AS sh FROM shingled
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM posting a JOIN posting b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE)
+             / CAST(len(sa.shingles) + len(sb.shingles) - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN shingled sa ON sa.doc_id = doc_a
+JOIN shingled sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_inter AS DOUBLE)
+            / CAST(len(sa.shingles) + len(sb.shingles) - n_inter AS DOUBLE), 6) >= 0.5
+""",
+    "simhash": f"""
+WITH tok_counts AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, tok, COUNT(*) AS w
+    FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+    GROUP BY doc_id, tok
+), bits AS (
+    SELECT doc_id, bit,
+           SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), CAST(bit // 4 AS INT) + 1, 1)) - 1)
+                          >> CAST(3 - bit % 4 AS INT)) & 1 = 1
+                    THEN w ELSE -w END) AS s
+    FROM tok_counts, (SELECT unnest(range(64)) AS bit)
+    GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
+FROM bits
+GROUP BY doc_id
+""",
+    "vector_topk": """
+WITH emb AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 10
+), scored AS (
+    SELECT q_id, vec_id,
+           round(list_sum(list_transform(list_zip(qv, v), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                    * sqrt(list_sum(list_transform(v, x -> x * x)))), 6) AS cos_sim
+    FROM q, emb
+    WHERE vec_id != q_id
+)
+SELECT q_id, vec_id, cos_sim, rk FROM (
+    SELECT q_id, vec_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+    FROM scored
+) WHERE rk <= 5
+""",
+    # vector_ann_lsh: no oracle (approximate; recall asserted in tests)
+    "knn_label_vote": """
+WITH emb AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           CAST(label AS BIGINT) AS label
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 10
+), scored AS (
+    SELECT q_id, e.vec_id, e.label,
+           round(list_sum(list_transform(list_zip(qv, v), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                    * sqrt(list_sum(list_transform(v, x -> x * x)))), 6) AS cos_sim
+    FROM q, emb e
+    WHERE e.vec_id != q_id
+), top AS (
+    SELECT q_id, vec_id, label FROM (
+        SELECT q_id, vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+), votes AS (
+    SELECT q_id, label, COUNT(*) AS n_votes FROM top GROUP BY q_id, label
+)
+SELECT q_id, label AS pred_label, n_votes FROM (
+    SELECT q_id, label, n_votes,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label ASC) AS rk
+    FROM votes
+) WHERE rk = 1
+""",
+    "multimodal_meta": """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       COUNT(*) AS n_media,
+       CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+       CAST(MIN(octet_length(CAST(text AS BLOB))) AS BIGINT) AS min_bytes,
+       CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_bytes
+FROM documents
+GROUP BY 1
+""",
+}

@@ -1,0 +1,100 @@
+"""Table catalog over the driver-provisioned parquet fixtures.
+
+Source tier of the engine. The reference's only source is
+whole-file-into-RAM byte reads (reference mpMaster/master.go:77-89);
+here every source is a lazy, out-of-core, predicate-pushdown-capable
+Spark scan. Parquet is primary; text/JSON readers cover the
+reference's text-input and JSON-intermediate formats
+(reference mpWorker/worker.go:153-192).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-provisioned star schema + LLM-pipeline tables
+# (TESTDATA.md). One parquet file per table under <sf_dir>/.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one catalog table.
+
+    Column pruning + predicate pushdown reach the scan because this
+    returns the raw DataFrame — callers select/filter and Catalyst
+    pushes into the parquet reader (verify with
+    ``df.explain("formatted")`` → PushedFilters/ReadSchema).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
+        # rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long
+        # and truncate to microsecond timestamps — the same precision
+        # Spark would keep anyway (FIXTURES.md §F5 / SURVEY §7 risk e).
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every catalog table as a temp view for spark.sql()."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Text source: one string column ``value`` per line — the Spark
+    analog of the reference's byte-chunk map input
+    (reference mpWorker/worker.go:21)."""
+    return spark.read.text(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON source (schema optional but recommended at scale: schema
+    inference is a full extra pass over 100 TB)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet sink — the 100 TB-scale output path.
+
+    Partitioning by low-cardinality columns gives partition pruning
+    to downstream readers; at scale prefer this over the reference's
+    one-JSON-file-per-bucket rewrite loop (reference worker.go:153-192,
+    an O(n^2) I/O pattern).
+    """
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON sink — user-facing analog of the reference's intermediate
+    format (reference worker.go:153-192)."""
+    df.write.mode(mode).json(path)

@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every queries()[name] on Spark and oracle_sql()[name] on DuckDB
+at sf0.01, then compares row count, column names, and an
+order-insensitive value multiset. Reports per-query PASS/FAIL with
+first differing rows, so oracle drift is debuggable locally before
+the driver ever sees it.
+
+Usage: python tools/verify_local.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_value(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 / 0.0 and format with full precision
+        return repr(v + 0.0)
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, int):
+        return int(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    from decimal import Decimal
+
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    return str(v)
+
+
+def normalize_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(norm_value(r[i]) for i in order) for r in rows)
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+    from mapreducego_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("verify-local")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, SF_DIR)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as ex:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {ex}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(spark_rows)} rows (no oracle)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            continue
+        problems = []
+        if sorted(spark_cols) != sorted(duck_cols):
+            problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        if not problems:
+            s = normalize_rows(spark_rows, spark_cols)
+            d = normalize_rows(duck_rows, duck_cols)
+            if s != d:
+                only_s = list((s - d).items())[:3]
+                only_d = list((d - s).items())[:3]
+                problems.append(f"values spark-only={only_s} duck-only={only_d}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: " + " | ".join(problems))
+        else:
+            print(f"PASS  {name}: {len(spark_rows)} rows")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
