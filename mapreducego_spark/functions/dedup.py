@@ -2,12 +2,11 @@
 
 Design constraint that shapes everything here: the driver
 hash-compares against a DuckDB oracle, so the "random" hash families
-are built from salted md5 — deterministic, engine-independent, and
-still uniformly distributed. MinHash minimizes the *hex string*
-md5(seed:shingle) lexicographically: an order-isomorphic stand-in
-for minimizing a 128-bit integer hash, so the standard MinHash
-Jaccard estimate carries over unchanged (min-wise independent up to
-md5's quality).
+are built from md5 base hashes + fixed affine permutations —
+deterministic, engine-independent, and still uniformly distributed.
+The oracle SQL embeds the exact same coefficient family (generated
+from _minhash_coeffs in registry.py), so near-dedup is fully
+oracle-checked rather than rows-only.
 
 Scale analysis (the reason LSH exists): exact all-pairs Jaccard is
 O(n^2) — dead at 100 TB. MinHash+banding is O(n * k) to sign,
@@ -31,6 +30,22 @@ NUM_HASHES = 16
 NUM_BANDS = 8
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 JACCARD_THRESHOLD = 0.5
+
+# Affine permutation family over the 61-bit base hash: h_i(x) =
+# (A_i * (x mod P) + B_i) mod P, P = 2^31 - 1 (Mersenne prime).
+# ONE md5 per shingle total (the base hash), 16 cheap arithmetic
+# minima instead of 16 md5s — ~10x cheaper to sign at scale.
+# Constants are fixed literals so the DuckDB oracle embeds the
+# exact same family (no RNG anywhere: SURVEY §7 risk d).
+MINHASH_P = 2_147_483_647
+
+
+def _minhash_coeffs(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
+    # Deterministic Weyl-style sequence; values in [1, P-1].
+    return [
+        ((i * 2_654_435_761 + 1) % (MINHASH_P - 1) + 1, (i * 40_503 + 7) % MINHASH_P)
+        for i in range(num_hashes)
+    ]
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,12 +82,28 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingles_col(text: Column, n: int = 2) -> Column:
-    """Distinct word n-gram shingles of the token stream (JVM-side
-    higher-order functions; no UDF)."""
-    toks = tokens_col(text)
+def shingles_from_tokens(toks: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED
+    token array column (JVM-side higher-order functions; no UDF).
+
+    Must receive a real column reference, not the tokenize
+    expression itself: Catalyst inlines expression arguments into
+    every element_at inside the transform lambda, turning an O(n)
+    shingling into O(n^2) re-tokenizations per row (measured 22s ->
+    1s on 5000 docs). The caller projects tokens first."""
     if n == 1:
         return F.array_distinct(toks)
+    if n == 2:
+        # O(n) bigram: zip the array against its own 1-shift — no
+        # per-element element_at indexing at all
+        tail = F.greatest(F.size(toks) - 1, F.lit(0))
+        return F.array_distinct(
+            F.zip_with(
+                F.slice(toks, 1, tail),
+                F.slice(toks, 2, tail),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        )
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
     gram = F.transform(
         idx,
@@ -85,53 +116,66 @@ def shingles_col(text: Column, n: int = 2) -> Column:
 
 def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    tokenized = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        shingles_col(F.col("text"), n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-
-
-def minhash_signatures(shingled: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """(doc_id, seed, minhash): minhash = lexicographic min of
-    md5('<seed>:<shingle>') over the doc's shingle set. Explode +
-    groupBy keeps it all JVM-side; the aggregate is a map-side-
-    combined MIN, so the shuffle carries one row per (doc, seed)."""
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return (
-        shingled.select("doc_id", F.explode("shingles").alias("sh"))
-        .select("doc_id", "sh", F.explode(seeds).alias("seed"))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))).alias(
-                "h"
-            ),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+        tokens_col(F.col("text")).alias("toks"),
+    )
+    # Filter on token count BEFORE building shingles: a filter on
+    # size(shingles) would be predicate-pushed below the projections,
+    # re-inlining the whole tokenize tree into the condition
+    # (measured 10x slowdown). size(toks) >= n <=> len(shingles) > 0.
+    return tokenized.filter(F.size("toks") >= n).select(
+        "doc_id", shingles_from_tokens(F.col("toks"), n).alias("shingles")
     )
 
 
-def lsh_band_keys(signatures: DataFrame, rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
-    """(doc_id, band, band_key): md5 of the band's concatenated
-    minhashes (seed-ordered). Equal band_key <=> identical minhash
-    rows in that band — the LSH bucket id."""
-    return (
-        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "minhash"))
-                        ),
-                        lambda s: s["minhash"],
-                    ),
-                )
-            ).alias("band_key")
+def minhash_signatures(shingled: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, m_0..m_{k-1}): one wide signature row per doc.
+
+    Base hash: first 15 hex chars of md5(shingle) as a 60-bit int,
+    reduced mod P. Signature i = MIN over shingles of the affine
+    permutation (A_i*h + B_i) mod P. One explode, ONE md5 per
+    shingle, one map-side-combined groupBy with k min-aggregates -
+    the shuffle carries one wide row per document."""
+    h = (
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_P
+    )
+    exploded = shingled.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).withColumn("hm", h)
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hm") + F.lit(b)) % MINHASH_P).alias(f"m_{i}")
+            for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+        ]
+    )
+
+
+def lsh_band_keys(
+    signatures: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(doc_id, band, band_key): md5 of the band's comma-joined
+    minhash values. Equal band_key <=> identical minhash rows in
+    that band - the LSH bucket id. Band keys are computed columnar
+    (no collect_list) then unpivoted with posexplode."""
+    n_bands = num_hashes // rows_per_band
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m_{j}").cast("string")
+                    for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            )
         )
+        for b in range(n_bands)
+    ]
+    return signatures.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "band_key")
     )
 
 
@@ -159,9 +203,13 @@ def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    # The candidate-pair side fans out far wider than the per-doc
+    # shingle table — broadcast the doc side so the pair stream never
+    # shuffles. (At 100 TB with a shingle table too big to broadcast,
+    # drop the hint and let AQE pick the shuffle join + skew split.)
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -172,9 +220,16 @@ def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
-    bucket-join -> exact-Jaccard verify -> pairs over threshold."""
-    shingled = _doc_shingles(spark, sf_dir, n=2)
-    sigs = minhash_signatures(shingled)
+    bucket-join -> exact-Jaccard verify -> pairs over threshold.
+
+    The shingle table feeds three plan branches (signing + both
+    sides of the verify join) and the band self-join reads the
+    signature table twice — persist both, or the whole
+    tokenize+shingle+md5 subtree recomputes once per branch (4x the
+    work; measured 34s -> 9s at sf0.1). Same policy a 100 TB run
+    would use, with StorageLevel.DISK_ONLY there."""
+    shingled = _doc_shingles(spark, sf_dir, n=2).persist()
+    sigs = minhash_signatures(shingled).persist()
     bands = lsh_band_keys(sigs)
     cands = minhash_candidate_pairs(bands)
     return (

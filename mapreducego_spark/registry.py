@@ -150,6 +150,32 @@ FROM (SELECT unnest({_TOKS}) AS word FROM documents)
 GROUP BY word
 """
 
+# MinHash oracle is generated from the SAME coefficient family the
+# Spark implementation uses (functions/dedup._minhash_coeffs) —
+# parity is structural, not copied-by-hand.
+from mapreducego_spark.functions.dedup import (  # noqa: E402
+    MINHASH_P,
+    NUM_BANDS,
+    ROWS_PER_BAND,
+    _minhash_coeffs,
+)
+
+_COEFFS = _minhash_coeffs()
+_SIG_EXPRS = ",\n           ".join(
+    f"MIN(({a} * hm + {b}) % {MINHASH_P}) AS m_{i}"
+    for i, (a, b) in enumerate(_COEFFS)
+)
+_BAND_SELECTS = "\n    UNION ALL\n    ".join(
+    "SELECT doc_id, {band} AS band, md5({key}) AS band_key FROM sigs".format(
+        band=b,
+        key=" || ',' || ".join(
+            f"CAST(m_{j} AS VARCHAR)"
+            for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+        ),
+    )
+    for b in range(NUM_BANDS)
+)
+
 _MINHASH_BASE = f"""
 WITH toks AS (
     SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SHINGLES2} AS shingles
@@ -159,14 +185,14 @@ WITH toks AS (
 ), exploded AS (
     SELECT doc_id, unnest(shingles) AS sh FROM shingled
 ), hashed AS (
-    SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
-    FROM exploded, (SELECT unnest(range(16)) AS seed)
+    SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % {MINHASH_P} AS hm
+    FROM exploded
 ), sigs AS (
-    SELECT doc_id, seed, MIN(h) AS minhash FROM hashed GROUP BY doc_id, seed
+    SELECT doc_id,
+           {_SIG_EXPRS}
+    FROM hashed GROUP BY doc_id
 ), bands AS (
-    SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-           md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
-    FROM sigs GROUP BY doc_id, CAST(seed // 2 AS INT)
+    {_BAND_SELECTS}
 ), cands AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
