@@ -1,0 +1,87 @@
+"""As-of join edge semantics (things the 10k-row oracle can't pin
+down individually) and window-frame edges."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from mapreducego_spark.operators.asof import asof_join
+
+
+def _mk(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, dt.datetime(2020, 1, 10), 100, 10.0),
+            (1, dt.datetime(2020, 1, 20), 101, 20.0),
+            (1, dt.datetime(2020, 1, 20), 102, 22.0),  # same-date tie
+            (2, dt.datetime(2020, 3, 1), 200, 30.0),
+        ],
+        ["k", "t", "oid", "price"],
+    )
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2020, 1, 5), "before-any"),
+            (1, dt.datetime(2020, 1, 10), "exactly-at"),
+            (1, dt.datetime(2020, 1, 25), "after-tie"),
+            (2, dt.datetime(2020, 2, 1), "no-match-yet"),
+            (3, dt.datetime(2020, 6, 1), "no-key"),
+        ],
+        ["k", "t", "tag"],
+    )
+    return events, orders
+
+
+def test_asof_semantics(spark):
+    events, orders = _mk(spark)
+    out = {
+        r.tag: r.oid
+        for r in asof_join(
+            events,
+            orders,
+            left_on="k",
+            right_on="k",
+            left_time="t",
+            right_time="t",
+            right_values=["oid", "price"],
+            tie_break="oid",
+        ).collect()
+    }
+    assert out["before-any"] is None  # nothing at or before
+    assert out["exactly-at"] == 100  # <= includes equal timestamps
+    assert out["after-tie"] == 102  # same-date tie -> max tie_break
+    assert out["no-match-yet"] is None  # key exists, all later
+    assert out["no-key"] is None  # key absent from right side
+
+
+def test_asof_preserves_left_rowcount(spark):
+    events, orders = _mk(spark)
+    out = asof_join(
+        events,
+        orders,
+        "k",
+        "k",
+        "t",
+        "t",
+        ["oid"],
+    )
+    assert out.count() == events.count()
+    assert set(out.columns) == set(events.columns) | {"oid"}
+
+
+def test_running_window_first_row_frames(spark):
+    """rowsBetween(-2, 0) over fewer than 3 rows must average only
+    what exists (no nulls, no phantom rows)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0)], ["k", "seq", "v"]
+    )
+    w = Window.partitionBy("k").orderBy("seq").rowsBetween(-2, 0)
+    rows = (
+        df.select("seq", (F.sum("v").over(w) / F.count("v").over(w)).alias("m"))
+        .orderBy("seq")
+        .collect()
+    )
+    assert [r.m for r in rows] == [10.0, 15.0, 20.0]

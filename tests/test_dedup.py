@@ -1,0 +1,86 @@
+"""Near-dedup properties: LSH recall against exact Jaccard, SimHash
+bit-string shape and Hamming pairing, fingerprint normalization."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mapreducego_spark.functions.dedup import (
+    JACCARD_THRESHOLD,
+    _doc_shingles,
+    dedup_minhash,
+    ngram_jaccard_pairs,
+    simhash_docs,
+    simhash_near_pairs,
+)
+
+
+def test_minhash_finds_high_jaccard_pairs(spark, sf_dir):
+    """Every pair the exact inverted-index method confirms at the
+    threshold should also be surfaced by the LSH pipeline at this
+    scale (bands are generous: 8 bands x 2 rows at J>=0.5 has
+    miss probability (1 - J^2)^8 <= (1-0.25)^8 ~ 10%; the fixture's
+    confirmed pairs all sit well above the threshold)."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in dedup_minhash(spark, sf_dir).collect()}
+    assert lsh <= exact or not exact  # LSH verifies exactly -> no false positives
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall} below floor; pairs={exact}"
+
+
+def test_minhash_jaccard_values_are_exact(spark, sf_dir):
+    """The LSH pipeline re-verifies candidates with exact Jaccard, so
+    every reported value must match an independent computation."""
+    rows = dedup_minhash(spark, sf_dir).collect()
+    shingles = {
+        r.doc_id: set(r.shingles)
+        for r in _doc_shingles(spark, sf_dir, 2).collect()
+    }
+    for r in rows:
+        a, b = shingles[r.doc_a], shingles[r.doc_b]
+        expected = round(len(a & b) / len(a | b), 6)
+        assert abs(r.jaccard - expected) < 1e-9
+        assert r.jaccard >= JACCARD_THRESHOLD
+
+
+def test_simhash_shape_and_determinism(spark, sf_dir):
+    rows = simhash_docs(spark, sf_dir).collect()
+    assert all(len(r.simhash) == 64 and set(r.simhash) <= {"0", "1"} for r in rows)
+    again = simhash_docs(spark, sf_dir).collect()
+    assert {r.doc_id: r.simhash for r in rows} == {
+        r.doc_id: r.simhash for r in again
+    }
+
+
+def test_simhash_near_pairs_hamming_is_correct(spark, sf_dir):
+    sims = simhash_docs(spark, sf_dir)
+    pairs = simhash_near_pairs(sims, max_hamming=8).collect()
+    by_id = {r.doc_id: r.simhash for r in sims.collect()}
+    for r in pairs:
+        h = sum(
+            1 for x, y in zip(by_id[r.doc_a], by_id[r.doc_b]) if x != y
+        )
+        assert h == r.hamming
+        assert h <= 8
+
+
+def test_banding_pigeonhole_guarantee(spark, sf_dir):
+    """Pairs with Hamming <= 3 over 4 bands of 16 bits MUST share a
+    band (pigeonhole) — the candidate generator cannot miss them."""
+    sims = simhash_docs(spark, sf_dir)
+    rows = sims.collect()
+    by_id = {r.doc_id: r.simhash for r in rows}
+    close = [
+        (a, b)
+        for i, a in enumerate(sorted(by_id))
+        for b in sorted(by_id)[i + 1 :]
+        if sum(1 for x, y in zip(by_id[a], by_id[b]) if x != y) <= 3
+    ]
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(sims, max_hamming=3).collect()
+    }
+    assert set(close) <= found | set()

@@ -1,0 +1,54 @@
+"""The faithful Map/Reduce plugin contract (reference
+mpWorker/worker.go:21-22), including the delimiter case the
+reference's '"key:value"' wire format breaks on (worker.go:145-146)."""
+
+from __future__ import annotations
+
+from mapreducego_spark.operators.mapreduce import map_reduce
+
+
+def test_colon_values_survive(spark):
+    # The reference splits "key:value" on ':' and would corrupt this.
+    df = spark.createDataFrame([("x",), ("x",), ("y",)], ["value"])
+    out = map_reduce(
+        df,
+        lambda s: [(s, "a:b:c")],
+        lambda k, vs: "|".join(sorted(vs)),
+    ).collect()
+    got = {r.key: r.result for r in out}
+    assert got == {"x": "a:b:c|a:b:c", "y": "a:b:c"}
+
+
+def test_reduce_sees_all_values_per_key(spark):
+    df = spark.createDataFrame([(f"row{i}",) for i in range(100)], ["value"])
+    out = map_reduce(
+        df,
+        lambda s: [("k" + str(len(s) % 3), s)],
+        lambda k, vs: str(len(vs)),
+        num_partitions=4,
+        sort_within_partitions=True,
+    ).collect()
+    assert sum(int(r.result) for r in out) == 100
+
+
+def test_map_can_emit_zero_or_many(spark):
+    df = spark.createDataFrame([("ab",), ("",), ("c",)], ["value"])
+    out = map_reduce(
+        df,
+        lambda s: [(ch, "1") for ch in s],  # 0..n pairs per record
+        lambda k, vs: str(len(vs)),
+    ).collect()
+    assert {r.key: r.result for r in out} == {"a": "1", "b": "1", "c": "1"}
+
+
+def test_hash_partition_colocates_keys(spark):
+    # A5 contract (reference worker.go:142-151): equal keys land in
+    # the same partition after repartition(R, key).
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"k{i % 7}", str(i)) for i in range(200)], ["key", "value"]
+    ).repartition(5, "key")
+    parts = df.select("key", F.spark_partition_id().alias("pid")).distinct()
+    per_key = parts.groupBy("key").count().collect()
+    assert all(r["count"] == 1 for r in per_key)

@@ -1,0 +1,57 @@
+"""Sources/sinks: text + JSON + partitioned parquet round-trips, and
+partition pruning actually pruning."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from mapreducego_spark.sources.catalog import (
+    load_table,
+    read_json,
+    read_text,
+    write_json,
+    write_parquet_partitioned,
+)
+
+
+def test_text_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t.txt")
+    with open(p, "w") as f:
+        f.write("hello world\nsecond line\n")
+    df = read_text(spark, p)
+    assert [r.value for r in df.orderBy("value").collect()] == [
+        "hello world",
+        "second line",
+    ]
+
+
+def test_json_sink_then_source(spark, tmp_path):
+    out = str(tmp_path / "j")
+    src = load_table(spark, "/root/testdata/sf0.001", "nation")
+    write_json(src, out)
+    back = read_json(spark, out)
+    assert back.count() == src.count()
+    assert {r.n_name for r in back.collect()} == {
+        r.n_name for r in src.collect()
+    }
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    out = str(tmp_path / "p")
+    src = load_table(spark, "/root/testdata/sf0.001", "orders")
+    write_parquet_partitioned(src, out, ["o_orderstatus"])
+    # partition dirs exist
+    dirs = {d for d in os.listdir(out) if d.startswith("o_orderstatus=")}
+    assert len(dirs) >= 2
+    # a status filter must reach the scan as a partition filter
+    # (inputFiles() lists the whole relation pre-pruning, so assert
+    # on the executed plan instead)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1][:200]
+    assert "o_orderstatus" in pf
+    src_f = src.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == src_f

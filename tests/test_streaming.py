@@ -1,0 +1,91 @@
+"""Structured Streaming tier: each streaming pipeline, run to
+completion with trigger(availableNow) into a memory sink, must agree
+with its batch twin from operators/timewin.py."""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+import pytest
+
+from mapreducego_spark.operators.timewin import window_sliding, window_tumbling
+from mapreducego_spark.sources.catalog import load_table
+from mapreducego_spark.streaming.pipelines import (
+    dedup_stream,
+    events_stream,
+    run_to_memory,
+    session_counts,
+    sliding_avg,
+    tumbling_counts,
+    user_running_stats,
+)
+
+
+def _run(stream, spark):
+    return run_to_memory(stream, spark, name=f"t_{uuid.uuid4().hex[:8]}")
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    got = {
+        (r.win_start, r.event_type): (r.n_events, r.sum_value)
+        for r in _run(tumbling_counts(events_stream(spark, sf_dir)), spark).collect()
+    }
+    want = {
+        (r.win_start, r.event_type): (r.n_events, r.sum_value)
+        for r in window_tumbling(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_streaming_sliding_equals_batch(spark, sf_dir):
+    got = {
+        r.win_start: (r.n_events, round(r.avg_value, 9))
+        for r in _run(sliding_avg(events_stream(spark, sf_dir)), spark).collect()
+    }
+    want = {
+        r.win_start: (r.n_events, round(r.avg_value, 9))
+        for r in window_sliding(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessions_cover_all_events(spark, sf_dir):
+    rows = _run(
+        session_counts(events_stream(spark, sf_dir)), spark
+    ).collect()
+    total = sum(r.n_events for r in rows)
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_streaming_dedup_keeps_unique_ids(spark, sf_dir):
+    out = _run(dedup_stream(events_stream(spark, sf_dir)), spark)
+    n_unique = (
+        load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    )
+    assert out.count() == n_unique
+
+
+def test_stateful_running_stats_final_totals(spark, sf_dir):
+    """applyInPandasWithState: last update per user must equal the
+    batch per-user totals."""
+    out = _run(user_running_stats(events_stream(spark, sf_dir)), spark)
+    # update-mode memory sink appends every update; the max count per
+    # user is the final state
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("sum_value").alias("s"))
+        .collect()
+    )
+    want = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("s"))
+        .collect()
+    }
+    got = {r.user_id: (r.n, round(r.s, 6)) for r in final}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-3
