@@ -111,6 +111,39 @@ def wordcount_reduce(key: str, values: list[str]) -> str:
     return str(len(values))
 
 
+def sql_wordcount_udf(spark, sf_dir: str) -> DataFrame:
+    """SQL surface + plugin registration (SURVEY §2 A11, reference
+    mpClient/client.go:25-33): the wordcount Map plugin registered as
+    a SQL-callable function via spark.udf.register and invoked from
+    spark.sql over a registered view — the engine's analog of the
+    reference client shipping a .so for workers to symbol-load
+    (reference mpWorker/worker.go:77-98). Produces the exact same
+    rows as the native `wordcount` query.
+
+    Note: a registered scalar Python UDF is the row-at-a-time slow
+    path — correct for the SQL plugin contract, but the Arrow-batched
+    map_reduce() above is the hot path for bulk plugin jobs.
+    """
+    from pyspark.sql.types import ArrayType
+
+    from mapreducego_spark.sources.catalog import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_sql")
+    spark.udf.register(
+        "plugin_map_tokens",
+        lambda text: [k for k, _ in wordcount_map(text)],
+        ArrayType(StringType()),
+    )
+    return spark.sql(
+        """
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT explode(plugin_map_tokens(text)) AS word
+              FROM documents_sql)
+        GROUP BY word
+        """
+    )
+
+
 def mr_wordcount(df: DataFrame, input_col: str = "text") -> DataFrame:
     """WordCount through the faithful plugin tier. Same result as the
     DataFrame-native functions.text.wordcount, exercised both ways so

@@ -121,6 +121,24 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer: high-value orders RIGHT JOIN customer — every
+    customer preserved, null-extended where no order matches (the
+    mirror of join_left_outer; SURVEY §2.B joins row "left/right/full
+    outer"). Same scale shape as a left join: one shuffle on the key,
+    the preserved side streams."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        o.join(cu, o.o_custkey == cu.c_custkey, "right")
+        .groupBy(F.col("c_custkey").cast("long").alias("c_custkey"))
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            dsum(dec("o_totalprice", 14, 2), "total_big"),
+        )
+    )
+
+
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join of per-nation customer and supplier counts —
     nations may appear on either side only."""
@@ -410,6 +428,34 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_totalprice") > 50000, "mid")
         .otherwise("small")
         .alias("price_band"),
+    )
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar functions (SURVEY §2.B scalar row: map):
+    create_map / map_from_arrays / map_concat / map_keys / map_values
+    / element_at / size — all JVM built-ins inside codegen. Scalars
+    are extracted back out of the maps before output so the oracle
+    compares engine-portable scalar columns, not map renderings."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+    )
+    m2 = F.map_from_arrays(
+        F.array(F.lit("band")),
+        F.array(F.when(F.col("o_totalprice") > 150000, "big").otherwise("small")),
+    )
+    merged = F.map_concat(m, m2)
+    return o.filter(F.col("o_orderkey") < 1000).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.element_at(m, F.lit("status")).alias("m_status"),
+        F.element_at(m, F.lit("prio")).alias("m_prio"),
+        F.element_at(m, F.lit("missing")).alias("m_missing"),
+        F.size(merged).cast("long").alias("m_size"),
+        F.array_join(F.map_keys(merged), ",").alias("m_keys"),
+        F.array_join(F.map_values(merged), ",").alias("m_vals"),
+        F.element_at(merged, F.lit("band")).alias("m_band"),
     )
 
 

@@ -69,14 +69,17 @@ QUERIES: dict[str, QueryFn] = {
     # -- flagship + faithful plugin tier
     "wordcount": _wordcount,
     "mr_wordcount": _mr_wordcount,
+    "sql_wordcount_udf": MR.sql_wordcount_udf,
     # -- projection / filter / scalar
     "filter_project": R.filter_project,
     "computed_columns": R.computed_columns,
     "scalar_functions": R.scalar_functions,
+    "map_functions": R.map_functions,
     "json_extract": R.json_extract,
     # -- joins
     "join_inner": R.join_inner,
     "join_left_outer": R.join_left_outer,
+    "join_right_outer": R.join_right_outer,
     "join_full_outer": R.join_full_outer,
     "join_semi": R.join_semi,
     "join_anti": R.join_anti,
@@ -203,6 +206,7 @@ WITH toks AS (
 ORACLES: dict[str, str] = {
     "wordcount": _WORDCOUNT_SQL,
     "mr_wordcount": _WORDCOUNT_SQL,
+    "sql_wordcount_udf": _WORDCOUNT_SQL,
     "filter_project": """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
@@ -242,6 +246,21 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
 FROM orders
 WHERE o_orderkey < 2000
 """,
+    "map_functions": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       m['status'][1] AS m_status,
+       m['prio'][1] AS m_prio,
+       m['missing'][1] AS m_missing,
+       CAST(cardinality(merged) AS BIGINT) AS m_size,
+       array_to_string(map_keys(merged), ',') AS m_keys,
+       array_to_string(map_values(merged), ',') AS m_vals,
+       merged['band'][1] AS m_band
+FROM (SELECT o_orderkey,
+             MAP {'status': o_orderstatus, 'prio': o_orderpriority} AS m,
+             MAP {'status': o_orderstatus, 'prio': o_orderpriority,
+                  'band': CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END} AS merged
+      FROM orders WHERE o_orderkey < 1000)
+""",
     "json_extract": """
 SELECT event_type,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -267,6 +286,14 @@ SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
        COUNT(o_orderkey) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spent
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+    "join_right_outer": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       COUNT(o_orderkey) AS n_big_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_big
+FROM (SELECT * FROM orders WHERE o_totalprice > 150000) o
+RIGHT JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey
 """,
     "join_full_outer": """
