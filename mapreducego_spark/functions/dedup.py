@@ -288,56 +288,56 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions, fully oracle-checkable.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok_counts = (
-        docs.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.explode(tokens_col(F.col("text"))).alias("tok"),
-        )
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .withColumn("h", F.md5(F.col("tok")))
+    # A single parquet row group gives one input partition; the md5 +
+    # bit extraction below is the expensive map side, so spread the
+    # (tiny) doc table across the cores first when the scan is
+    # under-partitioned. At cluster scale the input has many splits
+    # and this no-ops.
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+
+    # Summing +-1 per token OCCURRENCE equals summing +-w per distinct
+    # (doc, token) with w = occurrence count, so the per-(doc,tok)
+    # count shuffle of the naive construction is dropped entirely.
+    # The 64 bits come from the first 16 hex chars of md5(token),
+    # parsed ONCE into two 32-bit int chunks (conv) — bit tests are
+    # then integer shifts, not per-bit string ops. 64 wide
+    # sum-aggregates replace the 64x row explode: the shuffle carries
+    # one 64-long partial per doc per map partition (map-side
+    # combine) instead of 64x the token stream. And since
+    # sum(+-1) = 2*sum(bit) - n, aggregating the raw bit with a
+    # count avoids 64 conditional branches per row.
+    occurrences = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokens_col(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        *[
+            F.conv(F.substring(F.md5("tok"), 1 + 8 * j, 8), 16, 10)
+            .cast("long")
+            .alias(f"c_{j}")
+            for j in range(2)
+        ],
     )
-    hexmap = "0123456789abcdef"
-    bits = (
-        tok_counts.select(
-            "doc_id",
-            "w",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        )
-        .withColumn(
-            "hexval",
-            F.instr(
-                F.lit(hexmap),
-                F.substring(
-                    F.col("h"), (F.col("bit") / 4).cast("int") + 1, 1
-                ),
-            )
-            - 1,
-        )
-        .withColumn(
-            "contrib",
-            # shiftright() in the Python DSL needs a literal count;
-            # the SQL form takes an expression for the shift amount
-            F.when(
-                F.expr("shiftright(hexval, cast(3 - bit % 4 as int)) & 1") == 1,
-                F.col("w"),
-            ).otherwise(-F.col("w")),
-        )
+
+    def bit(i: int) -> Column:
+        # chunk j holds hex chars 8j+1..8j+8 = bits 32j..32j+31,
+        # MSB first (matches the per-hex-char MSB-first definition).
+        return F.shiftright(F.col(f"c_{i // 32}"), 31 - i % 32).bitwiseAND(F.lit(1))
+
+    sums = occurrences.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(bit(i)).alias(f"b_{i}") for i in range(64)],
     )
-    return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("bit", "s"))),
-                    lambda x: F.when(x["s"] > 0, "1").otherwise("0"),
-                ),
-            ).alias("simhash")
-        )
+    return sums.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col(f"b_{i}") * 2 > F.col("n"), "1").otherwise("0")
+                for i in range(64)
+            ]
+        ).alias("simhash"),
     )
 
 

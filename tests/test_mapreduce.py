@@ -26,9 +26,27 @@ def test_reduce_sees_all_values_per_key(spark):
         lambda s: [("k" + str(len(s) % 3), s)],
         lambda k, vs: str(len(vs)),
         num_partitions=4,
-        sort_within_partitions=True,
     ).collect()
     assert sum(int(r.result) for r in out) == 100
+
+
+def test_reduce_merges_key_runs_across_arrow_batches(spark):
+    # The batched reduce walks each partition's sorted stream; a key
+    # whose run spans multiple Arrow batches must still see ALL its
+    # values in one reduce_fn call. Force tiny batches to exercise it.
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = spark.createDataFrame([(f"row{i}",) for i in range(500)], ["value"])
+        out = map_reduce(
+            df,
+            lambda s: [("only_key", s)],  # one giant key run
+            lambda k, vs: str(len(vs)),
+            num_partitions=3,
+        ).collect()
+        assert {r.key: r.result for r in out} == {"only_key": "500"}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 
 
 def test_map_can_emit_zero_or_many(spark):
