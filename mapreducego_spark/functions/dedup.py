@@ -114,8 +114,8 @@ def shingles_from_tokens(toks: Column, n: int = 2) -> Column:
     return F.array_distinct(F.when(F.size(toks) >= n, gram).otherwise(F.array()))
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def shingle_docs(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, shingles) for any (doc_id, text) DataFrame."""
     tokenized = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         tokens_col(F.col("text")).alias("toks"),
@@ -126,6 +126,32 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
     # (measured 10x slowdown). size(toks) >= n <=> len(shingles) > 0.
     return tokenized.filter(F.size("toks") >= n).select(
         "doc_id", shingles_from_tokens(F.col("toks"), n).alias("shingles")
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
+    return shingle_docs(load_table(spark, sf_dir, "documents"), n)
+
+
+def collapse_shingle_duplicates(shingled: DataFrame) -> DataFrame:
+    """Collapse docs with IDENTICAL shingle sets to one representative
+    (min doc_id) before LSH — the skew guard that matters most in real
+    corpora: 5k copies of one boilerplate page otherwise land in the
+    same (band, band_key) bucket and the candidate self-join goes
+    quadratic (C(5k,2) ~ 12.5M pairs from one bucket). Exact
+    duplicates carry zero information for NEAR-dup detection — exact
+    dedup (dedup_exact / dedup_fingerprint) is the right tool for
+    them — so the collapse is semantically better, not just faster.
+    One extra shuffle on the set fingerprint, linear in |docs|."""
+    fp = F.md5(F.array_join(F.array_sort("shingles"), "|"))
+    return (
+        shingled.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("shingles", "doc_id").alias("shingles"),
+        )
+        .drop("fp")
     )
 
 
@@ -179,10 +205,30 @@ def lsh_band_keys(
     )
 
 
-def minhash_candidate_pairs(bands: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(
+    bands: DataFrame, max_bucket_size: int | None = 4096
+) -> DataFrame:
     """Self-join band buckets -> distinct candidate pairs (a < b).
     The join key (band, band_key) keeps the shuffle proportional to
-    bucket collisions, not n^2."""
+    bucket collisions, not n^2.
+
+    ``max_bucket_size`` is the residual skew guard: with exact
+    duplicates pre-collapsed (collapse_shingle_duplicates), a bucket
+    this large means thousands of DISTINCT near-identical documents —
+    its pair count is inherently quadratic, so it is dropped from
+    candidate generation rather than letting one key stall the stage.
+    This trades recall on pathological boilerplate clusters for
+    bounded work; pass None to disable. (AQE skew-split would spread
+    the shuffle but cannot shrink the C(n,2) pair blowup itself.)"""
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("__bucket_n")
+        )
+        bands = (
+            bands.join(sizes, ["band", "band_key"])
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
+        )
     a = bands.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b = bands.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     return (
@@ -218,37 +264,88 @@ def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
-    bucket-join -> exact-Jaccard verify -> pairs over threshold.
+def minhash_pairs(
+    docs: DataFrame, max_bucket_size: int | None = 4096
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline over any (doc_id, text)
+    DataFrame: shingle -> collapse exact-duplicate shingle sets ->
+    sign -> band -> bucket-join (skew-capped) -> exact-Jaccard verify
+    -> representative pairs over threshold.
 
     The shingle table feeds three plan branches (signing + both
     sides of the verify join) and the band self-join reads the
     signature table twice — persist both, or the whole
     tokenize+shingle+md5 subtree recomputes once per branch (4x the
     work; measured 34s -> 9s at sf0.1). Same policy a 100 TB run
-    would use, with StorageLevel.DISK_ONLY there."""
-    shingled = _doc_shingles(spark, sf_dir, n=2).persist()
+    would use, with StorageLevel.DISK_ONLY there. The (small) pair
+    result is materialized via an eager localCheckpoint so both
+    caches can be unpersisted before returning — repeated calls in
+    one session leak no cached blocks."""
+    shingled = collapse_shingle_duplicates(shingle_docs(docs, n=2)).persist()
     sigs = minhash_signatures(shingled).persist()
     bands = lsh_band_keys(sigs)
-    cands = minhash_candidate_pairs(bands)
-    return (
+    cands = minhash_candidate_pairs(bands, max_bucket_size=max_bucket_size)
+    result = (
         exact_jaccard(cands, shingled)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        shingled.unpersist()
+        sigs.unpersist()
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: MinHash-LSH near-dup pairs on the documents
+    table. Pairs are between exact-duplicate-group REPRESENTATIVES
+    (min doc_id per identical shingle set); the oracle SQL applies
+    the same collapse."""
+    return minhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+MAX_POSTING_LIST = 10_000
+
+
+def ngram_pairs(
+    docs: DataFrame, max_posting: int = MAX_POSTING_LIST
+) -> DataFrame:
     """Exact n-gram Jaccard near-dup via inverted-index join (no
     LSH approximation): explode shingles, join on shingle, count
     shared, compute J = inter / (|A|+|B|-inter). The join on the
     shingle key is the classic inverted-index candidate generation —
     exact but O(sum of posting-list^2); MinHash above is its
-    at-scale replacement. Threshold keeps output small."""
-    shingled = _doc_shingles(spark, sf_dir, n=2)
+    at-scale replacement. Threshold keeps output small.
+
+    Quadratic-blowup guard: this is the exact BASELINE, so rather
+    than silently degrade it fails loudly — any shingle whose posting
+    list exceeds ``max_posting`` raises at execution time
+    (F.assert_true inside the plan; a 10k posting list alone implies
+    ~50M candidate pairs). Route such corpora through minhash_pairs,
+    whose collapse + bucket cap handle them linearly."""
+    shingled = shingle_docs(docs, n=2)
     sizes = shingled.select("doc_id", F.size("shingles").alias("n_sh"))
     posting = shingled.select("doc_id", F.explode("shingles").alias("sh"))
+    post_sizes = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("__n_post"))
+    posting = (
+        posting.join(post_sizes, "sh")
+        .filter(
+            F.when(
+                F.col("__n_post") > max_posting,
+                F.assert_true(
+                    F.lit(False),
+                    F.concat(
+                        F.lit("ngram_jaccard: posting list for shingle '"),
+                        F.col("sh"),
+                        F.lit(f"' exceeds max_posting={max_posting}; "
+                              "use minhash_pairs for this corpus"),
+                    ),
+                ).isNull(),
+            ).otherwise(F.lit(True))
+        )
+        .drop("__n_post")
+    )
     pa = posting.select(F.col("doc_id").alias("doc_a"), "sh")
     pb = posting.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
@@ -274,6 +371,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, max_posting: int = MAX_POSTING_LIST
+) -> DataFrame:
+    """Registry entry: exact n-gram Jaccard pairs on documents."""
+    return ngram_pairs(load_table(spark, sf_dir, "documents"), max_posting)
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,18 +452,28 @@ def simhash_near_pairs(simhashed: DataFrame, max_hamming: int = 8) -> DataFrame:
     one identical band by pigeonhole; wider distances probabilistic).
     Used by tests; not oracle-wired (pairing output depends only on
     simhash, which IS oracle-checked)."""
+    # posexplode carries the band index, so candidates only form
+    # between SAME-POSITION equal bands — the position-matched join
+    # the pigeonhole argument actually needs, and a tighter candidate
+    # set than value-only equality (no window, no extra sort).
     banded = simhashed.select(
         "doc_id",
         "simhash",
-        F.explode(
+        F.posexplode(
             F.array(*[F.substring("simhash", 1 + 16 * i, 16) for i in range(4)])
-        ).alias("band_val"),
-    ).withColumn("band_pos", F.expr("row_number() over (partition by doc_id, simhash order by band_val)"))
+        ).alias("band_pos", "band_val"),
+    )
     a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band_val"
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "band_pos",
+        "band_val",
     )
     b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band_val"
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "band_pos",
+        "band_val",
     )
     hamming = F.size(
         F.filter(
@@ -372,7 +486,7 @@ def simhash_near_pairs(simhashed: DataFrame, max_hamming: int = 8) -> DataFrame:
         )
     )
     return (
-        a.join(b, "band_val")
+        a.join(b, ["band_pos", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sh_a", "sh_b")
         .distinct()

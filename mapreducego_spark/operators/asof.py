@@ -33,7 +33,17 @@ def asof_join(
 ) -> DataFrame:
     """Generic as-of join: latest right row per key with
     right_time <= left_time. ``tie_break``: extra right column that
-    orders rows sharing the same right_time (highest wins)."""
+    orders rows sharing the same right_time (highest wins).
+
+    ``right_values`` must be disjoint from ``left.columns`` — the
+    merged frame carries both sides' payloads, so an overlap would
+    produce ambiguous duplicate names downstream."""
+    overlap = set(right_values) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"asof_join: right_values {sorted(overlap)} collide with left "
+            "columns; alias the right-side columns before joining"
+        )
     lt = F.col(left_time).cast("timestamp")
     rt = F.col(right_time).cast("timestamp")
     # side=0 for right rows so, at equal timestamps, the right row

@@ -183,8 +183,16 @@ _MINHASH_BASE = f"""
 WITH toks AS (
     SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SHINGLES2} AS shingles
     FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
-), shingled AS (
+), shingled0 AS (
     SELECT doc_id, shingles FROM toks WHERE len(shingles) > 0
+), shingled AS (
+    -- exact-duplicate shingle sets collapse to the min-doc_id
+    -- representative, mirroring collapse_shingle_duplicates
+    SELECT MIN(doc_id) AS doc_id, arg_min(shingles, doc_id) AS shingles
+    FROM (SELECT doc_id, shingles,
+                 md5(array_to_string(list_sort(shingles), '|')) AS fp
+          FROM shingled0)
+    GROUP BY fp
 ), exploded AS (
     SELECT doc_id, unnest(shingles) AS sh FROM shingled
 ), hashed AS (
