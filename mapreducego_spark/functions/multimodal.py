@@ -31,6 +31,17 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# Import-time probe: the real decoder activates automatically when an
+# image library is present; everywhere else the deterministic stub
+# keeps the Spark-side plumbing testable.
+try:  # pragma: no cover - container has no image libs
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -68,6 +79,36 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIME_BY_EXT = {
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "wav": "audio/wav",
+    "mp3": "audio/mpeg",
+    "mp4": "video/mp4",
+}
+
+
+def media_from_binary_files(files: DataFrame) -> DataFrame:
+    """Adapt a binaryFile scan (sources.catalog.read_binary_files)
+    to MEDIA_SCHEMA: media_id from a hash of the path (stable across
+    re-scans), mime from the file extension, payload as-is. All
+    JVM-side; no decode happens here, so mime/size filters prune
+    files before any UDF sees bytes."""
+    ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in MIME_BY_EXT.items() for x in kv]
+    )
+    return files.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("content").alias("payload"),
+        F.coalesce(
+            F.element_at(mime_map, ext), F.lit("application/octet-stream")
+        ).alias("mime"),
+        F.col("length").cast("long").alias("n_bytes"),
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     """Deterministic stand-in for a real decoder: md5-derived
     pseudo 'dimensions' + content feature hash."""
@@ -78,15 +119,28 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, str]:
     """Decode one image payload -> (width, height, feature_hash).
 
-    STUB: real decode requires an image library not present in this
-    container. The Spark-side contract (binary in, typed features
-    out, batched via Arrow) is exercised with fake=True."""
-    if not fake:
+    Real path: PIL, when importable (probed at module import) —
+    actual pixel dimensions plus an md5 of the decoded RGB bytes as
+    the content feature. Without PIL, a declared
+    NotImplementedError unless ``fake=True`` selects the
+    deterministic test double. The Spark-side contract (binary in,
+    typed features out, batched via Arrow) is identical either way."""
+    if fake:
+        return _fake_decode(payload)
+    if not HAS_PIL:
         raise NotImplementedError(
-            "image decoding requires an image library not available here; "
+            "image decoding requires PIL, which is not available here; "
             "call with fake=True for the deterministic test double"
         )
-    return _fake_decode(payload)
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as img:
+        rgb = img.convert("RGB")
+        return (
+            rgb.width,
+            rgb.height,
+            hashlib.md5(rgb.tobytes()).hexdigest(),
+        )
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:

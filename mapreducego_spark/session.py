@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # Fixture events.parquet is TIMESTAMP(NANOS), which the reader
+        # rejects without this (catalog.load_table also sets it for
+        # driver-owned sessions; it only affects reads that would
+        # otherwise fail).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Wide aggregates (simhash's 65 sum buffers, minhash's 16
         # mins) must stay inside whole-stage codegen; the default
         # 100-field limit silently drops them to interpreted row

@@ -69,6 +69,25 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source: (path, modificationTime, length, content)
+    per file via Spark's binaryFile format — the real ingestion path
+    for image/audio/video blobs (functions/multimodal.py). The
+    reference's closest analog is whole-file byte reads into master
+    RAM (reference mpMaster/master.go:77-89); this scans lazily and
+    distributes files across executors.
+
+    Scale note: binaryFile never splits a file, so per-file size skew
+    maps directly to task skew — repartition downstream before any
+    expensive decode (see multimodal.frame_sample_plan)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """JSON source (schema optional but recommended at scale: schema
     inference is a full extra pass over 100 TB)."""

@@ -39,6 +39,15 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
+def _set_mode(df: DataFrame, mode: str) -> DataFrame:
+    """Tag a streaming DataFrame with the sink output mode its plan
+    requires. Explicit declaration by each pipeline replaces the old
+    private-API plan probe (df._jdf string matching), which broke
+    under Spark Connect and across plan-name changes."""
+    df._mrg_output_mode = mode
+    return df
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (the batch fixture
     replayed as a stream). One file = one micro-batch under
@@ -47,14 +56,20 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     FileStreamSource requires a *directory* to monitor; the fixture is
     a single .parquet file, so stage a hardlink/copy into a temp dir
-    (cheap, read-only fixture stays untouched).
+    (cheap, read-only fixture stays untouched; removed at interpreter
+    exit via atexit). nanosAsLong must be session-wide — parquet nanos
+    handling is an SQLConf, not a reader option — and only affects
+    reads that would otherwise fail outright (session.get_spark sets
+    it up front; this set covers driver-owned sessions).
     """
+    import atexit
     import os
     import shutil
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = tempfile.mkdtemp(prefix="events_stream_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     src = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(stage, "events.parquet")
     try:
@@ -69,11 +84,37 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def rate_stream(spark: SparkSession, rows_per_batch: int = 1000) -> DataFrame:
+    """Rate source demo (SURVEY §7 step 3 "rate/file sources"):
+    rate-micro-batch generates a DETERMINISTIC sequence (value =
+    0..rows_per_batch-1 in batch 0), mapped here onto the events
+    schema so every downstream pipeline (tumbling_counts, dedup_stream,
+    user_running_stats) runs unchanged against a synthetic firehose —
+    the standard soak-test harness for a streaming deploy."""
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .load()
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 100).alias("user_id"),
+        F.concat(F.lit("type_"), (F.col("value") % 5).cast("string")).alias(
+            "event_type"
+        ),
+        ((F.col("value") % 1000) / F.lit(10.0)).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming twin of timewin.window_tumbling: 1-hour tumbling
     count+sum per event type, late data beyond the watermark dropped.
     State size is bounded by (|windows within watermark| x |types|)."""
-    return (
+    return _set_mode(
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -85,13 +126,14 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             "event_type",
             "n_events",
             "sum_value",
-        )
+        ),
+        "complete",
     )
 
 
 def sliding_avg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming twin of timewin.window_sliding."""
-    return (
+    return _set_mode(
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
@@ -105,13 +147,14 @@ def sliding_avg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             F.unix_timestamp(F.col("w.start")).cast("long").alias("win_start"),
             "n_events",
             "avg_value",
-        )
+        ),
+        "complete",
     )
 
 
 def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Streaming session windows (merging state) per user."""
-    return (
+    return _set_mode(
         events.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -119,7 +162,8 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "user_id",
             F.unix_timestamp(F.col("sw.start")).cast("long").alias("session_start"),
             "n_events",
-        )
+        ),
+        "complete",
     )
 
 
@@ -127,55 +171,58 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stateful dedup on event_id within the watermark horizon —
     the streaming form of timewin.dedup_events. State is purged as
     the watermark advances (bounded memory at any throughput)."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        ["event_id"]
+    return _set_mode(
+        events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        ),
+        "append",
     )
 
 
 def run_to_memory(
-    stream: DataFrame, spark: SparkSession, name: str = "mem_out"
+    stream: DataFrame,
+    spark: SparkSession,
+    name: str = "mem_out",
+    output_mode: str | None = None,
+    once: bool = False,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion with
     trigger(availableNow) into a memory sink; returns the batch
     result table. Test/demo harness — production uses parquet/Kafka
-    sinks with checkpointing."""
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(_output_mode(stream))
-        .trigger(availableNow=True)
-        .start()
-    )
+    sinks with checkpointing.
+
+    ``output_mode`` defaults to the mode the pipeline declared via
+    _set_mode (append if untagged); ``once=True`` runs exactly one
+    micro-batch instead (for unbounded sources like rate_stream)."""
+    mode = output_mode or getattr(stream, "_mrg_output_mode", "append")
+    writer = stream.writeStream.format("memory").queryName(name).outputMode(mode)
+    if once:
+        q = writer.trigger(once=True).start()
+    else:
+        q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.table(name)
-
-
-def _output_mode(df: DataFrame) -> str:
-    # Pick the sink output mode the plan requires: stateful
-    # flatMapGroupsWithState(update) demands "update"; aggregated
-    # streams need "complete" in a memory sink; plain pipelines append.
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if "FlatMapGroupsInPandasWithState" in plan:
-        return "update"
-    if "Aggregate" in plan:
-        return "complete"
-    return "append"
 
 
 # --- custom stateful operator: per-user running counters ---------------
 
 
-def user_running_stats(events: DataFrame) -> DataFrame:
+def user_running_stats(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    state_ttl_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user cumulative event count and value sum, emitted on every
     update — the stateful-operator escape hatch for semantics the
     built-in windows can't express (reference analog: the generic
     Reduce contract, mpWorker/worker.go:22).
 
-    State: one (count, sum) pair per user_id; GroupStateTimeout is
-    off because the fixture is finite — a production deployment sets
-    EventTimeTimeout to bound state.
-    """
+    State: one (count, sum) pair per user_id, bounded by
+    EventTimeTimeout — a user idle for ``state_ttl_ms`` past the
+    watermark has its state evicted, so total state is
+    O(active users), not O(all users ever seen). Without this a
+    100 TB/day stream grows state without bound."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -191,19 +238,28 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     )
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         cnt, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             cnt += len(pdf)
             total += float(pdf["value"].sum())
         state.update((cnt, total))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [cnt], "sum_value": [total]}
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return _set_mode(
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        ),
+        "update",
     )

@@ -14,6 +14,7 @@ from mapreducego_spark.sources.catalog import load_table
 from mapreducego_spark.streaming.pipelines import (
     dedup_stream,
     events_stream,
+    rate_stream,
     run_to_memory,
     session_counts,
     sliding_avg,
@@ -64,6 +65,29 @@ def test_streaming_dedup_keeps_unique_ids(spark, sf_dir):
         load_table(spark, sf_dir, "events").select("event_id").distinct().count()
     )
     assert out.count() == n_unique
+
+
+def test_rate_source_feeds_pipelines(spark):
+    """SURVEY §7 step 3 rate source: one deterministic micro-batch of
+    the synthetic firehose through the tumbling pipeline."""
+    out = run_to_memory(
+        tumbling_counts(rate_stream(spark, rows_per_batch=500)),
+        spark,
+        name=f"t_{uuid.uuid4().hex[:8]}",
+        once=True,
+    )
+    rows = out.collect()
+    assert sum(r.n_events for r in rows) == 500
+    assert {r.event_type for r in rows} == {f"type_{i}" for i in range(5)}
+
+
+def test_stateful_state_is_event_time_bounded(spark, sf_dir):
+    """user_running_stats must plan an EventTimeTimeout (bounded
+    state); NoTimeout would grow state forever on a real stream."""
+    stream = user_running_stats(events_stream(spark, sf_dir))
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeTimeout" in plan
+    assert getattr(stream, "_mrg_output_mode", None) == "update"
 
 
 def test_stateful_running_stats_final_totals(spark, sf_dir):
