@@ -12,6 +12,7 @@ MinHash dedup, vector top-k, and the Map/Reduce plugin tier.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -48,8 +49,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM + parquet footer caches so q1 doesn't pay
-    # session startup.
+    # session startup: one tiny query plus a footer-read of each
+    # fixture table (counts read metadata only, no column data).
     QUERIES["topk"](spark, SF_DIR).collect()
+    from mapreducego_spark.sources.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -64,17 +70,45 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    prev_round, prev = _latest_prev_bench()
+    if prev:
+        out["prev_round"] = prev_round
+        out["delta_vs_prev"] = {
+            q: round(t - prev[q], 3) for q, t in timings.items() if q in prev
+        }
+        prev_total = sum(v for q, v in prev.items() if q in timings)
+        out["delta_total"] = round(total - prev_total, 3)
+    print(json.dumps(out))
+
+
+def _latest_prev_bench() -> tuple[str | None, dict[str, float] | None]:
+    """Per-query timings from the newest BENCH_r*.json, so every run
+    self-reports regressions against the last recorded round."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for path in reversed(paths):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            # the round driver wraps bench.py's JSON line under "parsed"
+            if "parsed" in data and isinstance(data["parsed"], dict):
+                data = data["parsed"]
+            qs = data.get("queries")
+            if isinstance(qs, dict) and qs:
+                name = re.search(r"BENCH_(r\d+)", path)
+                return (name.group(1) if name else path), {
+                    q: float(v) for q, v in qs.items()
+                }
+        except (OSError, ValueError):
+            continue
+    return None, None
 
 
 if __name__ == "__main__":

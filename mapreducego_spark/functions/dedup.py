@@ -142,8 +142,13 @@ def collapse_shingle_duplicates(shingled: DataFrame) -> DataFrame:
     duplicates carry zero information for NEAR-dup detection — exact
     dedup (dedup_exact / dedup_fingerprint) is the right tool for
     them — so the collapse is semantically better, not just faster.
-    One extra shuffle on the set fingerprint, linear in |docs|."""
-    fp = F.md5(F.array_join(F.array_sort("shingles"), "|"))
+    One extra shuffle on the fingerprint, linear in |docs|. The
+    fingerprint is order-sensitive xxhash64 over the shingle ARRAY
+    (one cheap pass; no sort, no md5 of a multi-KB string) —
+    identical texts produce identical arrays, and same-set-but-
+    different-order docs (vanishingly rare) just stay uncollapsed,
+    which is harmless."""
+    fp = F.xxhash64(F.array_join(F.col("shingles"), "|"))
     return (
         shingled.withColumn("fp", fp)
         .groupBy("fp")

@@ -186,11 +186,13 @@ WITH toks AS (
 ), shingled0 AS (
     SELECT doc_id, shingles FROM toks WHERE len(shingles) > 0
 ), shingled AS (
-    -- exact-duplicate shingle sets collapse to the min-doc_id
-    -- representative, mirroring collapse_shingle_duplicates
+    -- exact-duplicate shingle arrays collapse to the min-doc_id
+    -- representative, mirroring collapse_shingle_duplicates (the
+    -- hash differs across engines but both group by the exact array
+    -- contents, so the groups are identical)
     SELECT MIN(doc_id) AS doc_id, arg_min(shingles, doc_id) AS shingles
     FROM (SELECT doc_id, shingles,
-                 md5(array_to_string(list_sort(shingles), '|')) AS fp
+                 md5(array_to_string(shingles, '|')) AS fp
           FROM shingled0)
     GROUP BY fp
 ), exploded AS (
