@@ -325,6 +325,108 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority, one column per order status.
+    Explicit pivot values keep the plan single-pass (without them
+    Spark first runs a distinct scan to discover columns)."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"n_{s}") for s in "FOP"],
+    )
+
+
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide part metrics to (key, metric, value)
+    long form — the inverse of pivot, one narrow scan, no shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    wide = p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    )
+    return wide.unpivot(
+        ["p_partkey"], ["size", "retailprice"], "metric", "metric_value"
+    )
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) of order value per
+    market segment. Exact percentile is a full sort per group — the
+    approx twin below is the 100 TB path."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(cu, o.o_custkey == cu.c_custkey)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("p75"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch): mergeable partial
+    sketches make this one map-side-combined shuffle of O(sketch)
+    rows — the scale answer to exact percentile's per-group sort.
+    No SQL oracle (sketch estimates are engine-specific); tests
+    assert relative error vs the exact percentiles."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias(
+            "approx_p50"
+        ),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("exact_p50"),
+    )
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING: post-aggregation predicate (a filter above
+    the Aggregate node — Catalyst cannot push it below, by design)."""
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(dec("c_acctbal", 14, 2), "sum_acctbal"),
+        )
+        .filter(F.col("n_customers") > 50)
+    )
+
+
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: orders
+    whose value exceeds 1.5x their customer's average. Catalyst
+    decorrelates this into an aggregate + join — asserted by the
+    no-cartesian plan test, and the same rewrite a user would
+    otherwise hand-write."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_custkey AS BIGINT) AS o_custkey,
+               o_totalprice
+        FROM orders_sq o
+        WHERE o_totalprice > (
+            SELECT 1.5 * AVG(o2.o_totalprice)
+            FROM orders_sq o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
 # --- set operations -----------------------------------------------------
 
 
@@ -456,6 +558,67 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.map_keys(merged), ",").alias("m_keys"),
         F.array_join(F.map_values(merged), ",").alias("m_vals"),
         F.element_at(merged, F.lit("band")).alias("m_band"),
+    )
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar coverage: split/size/contains/sort/slice/flatten/
+    sequence plus a higher-order aggregate fold — all JVM-side
+    (SURVEY §2.B scalar row: array)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    words = F.split(F.col("p_type"), " ")
+    return p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.size(words).cast("long").alias("n_words"),
+        F.array_contains(words, "BRASS").alias("has_brass"),
+        F.array_join(F.sort_array(words), ",").alias("sorted_words"),
+        F.array_join(F.slice(words, 1, 2), ",").alias("first_two"),
+        F.size(F.flatten(F.array(words, words))).cast("long").alias("n_doubled"),
+        # fold: sum 1..p_size via aggregate over sequence
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("p_size")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("tri_sum"),
+    )
+
+
+def string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string scalar coverage: pad/translate/repeat/reverse/
+    ascii/levenshtein/regexp_extract_all (SURVEY §2.B scalar row)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.translate("p_brand", "#", "-").alias("brand_trans"),
+        F.repeat(F.lit("ab"), 3).alias("rep_ab"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.ascii("p_name").cast("long").alias("name_ascii"),
+        F.levenshtein("p_brand", F.lit("Brand#00")).cast("long").alias("lev_dist"),
+        F.array_join(
+            F.regexp_extract_all("p_type", F.lit("[A-Z]+"), 0), ","
+        ).alias("caps_runs"),
+    )
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar coverage: add/diff/trunc/last_day/quarter/
+    weekofyear/dayofweek (SURVEY §2.B scalar row: date)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.date_add(d, 30).cast("string").alias("plus_30d"),
+        F.add_months(d, 2).cast("string").alias("plus_2m"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d)
+        .cast("long")
+        .alias("days_to_eoy"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.date_trunc("quarter", d).cast("date").cast("string").alias("q_start"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.dayofweek(d).cast("long").alias("dow"),
     )
 
 

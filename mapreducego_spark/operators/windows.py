@@ -69,6 +69,43 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile quartiles, percent_rank,
+    cume_dist — over each customer's orders by value. Tie-broken on
+    the key so both engines rank identically."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering: each order's trailing
+    30-day spend per customer (rangeBetween on days since epoch —
+    value-based frames, unlike the row-count frames above, include
+    ALL rows within the value interval regardless of ties)."""
+    o = load_table(spark, sf_dir, "orders")
+    day = (F.unix_timestamp(F.col("o_orderdate")) / 86400).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.sum(dec("o_totalprice", 14, 2)).over(w).cast("double").alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running sum + running count + moving average (3-row frame)
     over each customer's orders — rowsBetween frames."""

@@ -75,6 +75,9 @@ QUERIES: dict[str, QueryFn] = {
     "computed_columns": R.computed_columns,
     "scalar_functions": R.scalar_functions,
     "map_functions": R.map_functions,
+    "array_functions": R.array_functions,
+    "string_functions2": R.string_functions2,
+    "date_functions": R.date_functions,
     "json_extract": R.json_extract,
     # -- joins
     "join_inner": R.join_inner,
@@ -93,6 +96,12 @@ QUERIES: dict[str, QueryFn] = {
     "agg_cube": R.agg_cube,
     "agg_grouping_sets": R.agg_grouping_sets,
     "agg_approx_distinct": R.agg_approx_distinct,  # rows-only (HLL)
+    "agg_pivot": R.agg_pivot,
+    "agg_unpivot": R.agg_unpivot,
+    "agg_percentiles": R.agg_percentiles,
+    "agg_percentile_approx": R.agg_percentile_approx,  # rows-only (sketch)
+    "agg_having": R.agg_having,
+    "scalar_subquery": R.scalar_subquery,
     # -- set ops / distinct
     "set_union": R.set_union,
     "set_union_all_counts": R.set_union_all_counts,
@@ -106,6 +115,8 @@ QUERIES: dict[str, QueryFn] = {
     "window_rank": W.window_rank,
     "window_lag_lead": W.window_lag_lead,
     "window_running": W.window_running,
+    "window_distribution": W.window_distribution,
+    "window_range_frame": W.window_range_frame,
     # -- event-time windows (batch twins of the streaming tier)
     "window_tumbling": TW.window_tumbling,
     "window_sliding": TW.window_sliding,
@@ -271,6 +282,42 @@ FROM (SELECT o_orderkey,
                   'band': CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END} AS merged
       FROM orders WHERE o_orderkey < 1000)
 """,
+    "array_functions": """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       CAST(len(words) AS BIGINT) AS n_words,
+       list_contains(words, 'BRASS') AS has_brass,
+       array_to_string(list_sort(words), ',') AS sorted_words,
+       array_to_string(words[1:2], ',') AS first_two,
+       CAST(len(flatten([words, words])) AS BIGINT) AS n_doubled,
+       CAST(p_size * (p_size + 1) // 2 AS BIGINT) AS tri_sum
+FROM (SELECT p_partkey, p_size, string_split(p_type, ' ') AS words
+      FROM part WHERE p_partkey < 500)
+""",
+    "string_functions2": """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       lpad(p_brand, 12, '*') AS brand_lpad,
+       rpad(p_brand, 12, '.') AS brand_rpad,
+       translate(p_brand, '#', '-') AS brand_trans,
+       repeat('ab', 3) AS rep_ab,
+       reverse(p_brand) AS brand_rev,
+       CAST(ascii(p_name) AS BIGINT) AS name_ascii,
+       CAST(levenshtein(p_brand, 'Brand#00') AS BIGINT) AS lev_dist,
+       array_to_string(regexp_extract_all(p_type, '[A-Z]+'), ',') AS caps_runs
+FROM part WHERE p_partkey < 500
+""",
+    "date_functions": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(d + 30 AS VARCHAR) AS plus_30d,
+       CAST(CAST(d + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus_2m,
+       CAST(DATE '1998-12-31' - d AS BIGINT) AS days_to_eoy,
+       CAST(last_day(d) AS VARCHAR) AS month_end,
+       CAST(CAST(date_trunc('quarter', d) AS DATE) AS VARCHAR) AS q_start,
+       CAST(quarter(d) AS BIGINT) AS qtr,
+       CAST(weekofyear(d) AS BIGINT) AS iso_week,
+       CAST(dayofweek(d) + 1 AS BIGINT) AS dow
+FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+      FROM orders WHERE o_orderkey < 2000)
+""",
     "json_extract": """
 SELECT event_type,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -401,6 +448,51 @@ FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 """,
     # agg_approx_distinct: no oracle (HLL estimate is engine-specific)
+    "agg_pivot": """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
+FROM orders
+GROUP BY o_orderpriority
+""",
+    "agg_unpivot": """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, 'size' AS metric,
+       CAST(p_size AS DOUBLE) AS metric_value
+FROM part WHERE p_partkey < 500
+UNION ALL
+SELECT CAST(p_partkey AS BIGINT), 'retailprice', CAST(p_retailprice AS DOUBLE)
+FROM part WHERE p_partkey < 500
+""",
+    "agg_percentiles": """
+SELECT c_mktsegment,
+       round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    # agg_percentile_approx: no oracle (sketch estimates are
+    # engine-specific; tests assert relative error vs exact)
+    "agg_having": """
+SELECT n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+HAVING COUNT(*) > 50
+""",
+    "scalar_subquery": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       o_totalprice
+FROM orders o
+WHERE o_totalprice > (
+    SELECT 1.5 * AVG(o2.o_totalprice)
+    FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+""",
     "set_union": """
 SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
 UNION
@@ -470,6 +562,24 @@ WINDOW running AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey A
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
        moving3 AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    "window_distribution": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       round(CUME_DIST() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+""",
+    "window_range_frame": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE) AS spend_30d,
+       COUNT(*) OVER w AS n_orders_30d
+FROM (SELECT *, CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
 """,
     "window_tumbling": """
 SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
