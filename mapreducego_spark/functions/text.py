@@ -168,6 +168,103 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document (sklearn-style smooth idf:
+    ln((N+1)/(df+1)) + 1). Plan shape at scale: one groupBy for term
+    frequencies, one for document frequencies (both map-side
+    combined), a broadcast-able idf join (|vocab| rows), then the
+    per-doc top-k window. N comes from a scalar subquery-ish
+    crossJoin of a 1-row count — no collect, no driver round-trip."""
+    tf = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(tokens_col(F.col("text"))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(
+        F.countDistinct(F.col("doc_id")).alias("n_docs")
+    )
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.log(
+            (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")
+        )
+        + F.lit(1.0),
+    )
+    idf = idf.toDF("term", "idf")
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def corpus_clean(docs: DataFrame) -> DataFrame:
+    """End-to-end training-data cleaning pipeline: keep documents that
+    (a) pass all four quality checks, (b) language-ID as English, and
+    (c) are the first occurrence of their normalized fingerprint —
+    the compose-everything query a pretraining corpus run executes
+    first. Output: surviving doc ids + the metrics that admitted
+    them. Each stage is one of the already-verified operators; the
+    composition adds one fingerprint shuffle and two key joins."""
+    from pyspark.sql import Window
+
+    q = quality_score(docs).filter(F.col("quality_score") == 4)
+    lang = lang_id(docs).filter(F.col("pred_lang") == "en")
+    fp = fingerprint(docs)
+    w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
+    first_fp = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint")
+    )
+    stats = text_stats(docs).select("doc_id", "n_tokens")
+    return (
+        q.select("doc_id")
+        .join(lang.select("doc_id", "best_score"), "doc_id")
+        .join(first_fp, "doc_id")
+        .join(stats, "doc_id")
+        .select("doc_id", "best_score", "n_tokens", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+def sample_deterministic(li: DataFrame) -> DataFrame:
+    """Deterministic, engine-portable hash sampling — the
+    training-data mix primitive. Each row's fate depends only on its
+    key (md5 of the composite key, first 8 hex chars mod 1000), so
+    the sample is reproducible across runs, engines, and cluster
+    sizes — unlike rand()-seeded sampling, which depends on
+    partitioning. Stratified: 5% of F rows, 20% of others (the
+    up/down-weighting knob of a data mix). Zero shuffle: the filter
+    is a pure per-row expression that pushes to the scan."""
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 1000
+    rate = F.when(F.col("l_returnflag") == "F", 50).otherwise(200)
+    return (
+        li.filter(bucket < rate)
+        .select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            "l_returnflag",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprinting: md5 over the normalized token stream
     (case/punctuation/whitespace-insensitive), the standard exact-

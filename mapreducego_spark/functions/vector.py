@@ -162,6 +162,87 @@ def vector_ann_lsh(spark: SparkSession, sf_dir: str, dims: int = 64) -> DataFram
     )
 
 
+# --- embedding-cosine near-dedup ----------------------------------------
+
+DEDUP_COS_THRESHOLD = 0.35  # calibrated to the synthetic fixture: random
+# 64-dim embeddings peak at cosine ~0.49, so 0.35 surfaces the true
+# near-pairs; a real near-dup corpus would sit at 0.9+
+
+
+def embedding_pairs_exact(
+    emb: DataFrame, threshold: float = DEDUP_COS_THRESHOLD
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: all (a < b) with
+    cosine >= threshold. O(n^2) — the correctness baseline the LSH
+    variant below replaces at scale (same role ngram_jaccard plays
+    for MinHash). Keep the vector count bounded when calling this."""
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_pairs_lsh(
+    emb: DataFrame, dims: int = 64, threshold: float = DEDUP_COS_THRESHOLD
+) -> DataFrame:
+    """Scale path: sign-LSH bucketed near-dup — candidates only form
+    between vectors whose 6-bit sketch matches (equi-join on the
+    sketch key, linear shuffle), then exact cosine verifies. Same
+    bucket-then-verify shape as MinHash dedup: no quadratic pair
+    stream ever materializes. Precision is exact (verify step);
+    recall is the bucket collision rate ((1 - theta/pi)^6 per pair),
+    raised in production by multi-probe or more tables — asserted
+    against the exact baseline in tests."""
+    sketched = emb.withColumn("sketch", lsh_sketch(F.col("v"), dims))
+    a = sketched.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "sketch"
+    )
+    b = sketched.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "sketch"
+    )
+    return (
+        a.join(b, "sketch")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: exact embedding-cosine near-dup pairs over the
+    embeddings table (oracle-checked baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    return embedding_pairs_exact(emb)
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: LSH-bucketed embedding near-dup (the 100 TB
+    path; rows-only — recall asserted vs the exact baseline in
+    tests/test_vector.py)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    return embedding_pairs_lsh(emb)
+
+
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-label classification: majority label among the top-5
     cosine neighbors of each query vector (ties -> smaller label)."""

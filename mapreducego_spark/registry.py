@@ -65,6 +65,18 @@ def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def _tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.corpus_clean(load_table(spark, sf_dir, "documents"))
+
+
+def _sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.sample_deterministic(load_table(spark, sf_dir, "lineitem"))
+
+
 QUERIES: dict[str, QueryFn] = {
     # -- flagship + faithful plugin tier
     "wordcount": _wordcount,
@@ -128,6 +140,9 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": _lang_id,
     "quality_score": _quality,
     "fingerprint": _fingerprint,
+    "tfidf_top_terms": _tfidf,
+    "corpus_clean": _corpus_clean,
+    "sample_deterministic": _sample_det,
     # -- dedup
     "dedup_exact": D.dedup_exact,
     "dedup_fingerprint": D.dedup_fingerprint,
@@ -138,6 +153,8 @@ QUERIES: dict[str, QueryFn] = {
     "vector_topk": V.vector_topk,
     "vector_ann_lsh": V.vector_ann_lsh,  # rows-only (approximate)
     "knn_label_vote": V.knn_label_vote,
+    "dedup_embedding": V.dedup_embedding,
+    "dedup_embedding_lsh": V.dedup_embedding_lsh,  # rows-only (recall-tested)
     # -- multimodal plumbing (oracle-checkable metadata slice)
     "multimodal_meta": M.multimodal_meta,
 }
@@ -691,6 +708,82 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        md5(array_to_string({_TOKS}, ' ')) AS fingerprint
 FROM documents
 """,
+    "tfidf_top_terms": f"""
+WITH tf AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+    GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf * (ln(CAST(n_docs + 1 AS DOUBLE)
+                             / CAST(df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rk FROM (
+    SELECT doc_id, term, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rk
+    FROM scored
+) WHERE rk <= 3
+""",
+    "corpus_clean": f"""
+WITH base AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text, {_TOKS} AS t FROM documents
+), checksed AS (
+    SELECT doc_id, t,
+           (len(t) >= 10 AND len(t) <= 100000) AS ok_length,
+           (CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+              <= 0.2 * CAST(greatest(length(text), 1) AS DOUBLE)) AS ok_punct,
+           (len(list_intersect(list_distinct(t), {_EN_STOP})) >= 2) AS ok_stopwords,
+           (CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+              / CAST(greatest(len(t), 1) AS DOUBLE) BETWEEN 2.0 AND 12.0) AS ok_token_len,
+           len(list_intersect(list_distinct(t), {_DE_STOP})) AS s_de,
+           len(list_intersect(list_distinct(t), {_EN_STOP})) AS s_en,
+           len(list_intersect(list_distinct(t), {_ES_STOP})) AS s_es,
+           len(list_intersect(list_distinct(t), {_FR_STOP})) AS s_fr,
+           md5(array_to_string(t, ' ')) AS fp
+    FROM base
+), fpfirst AS (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+    FROM checksed
+)
+SELECT c.doc_id,
+       CAST(greatest(s_de, s_en, s_es, s_fr) AS BIGINT) AS best_score,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       c.fp AS fingerprint
+FROM checksed c JOIN fpfirst f ON c.doc_id = f.doc_id AND f.rn = 1
+WHERE ok_length AND ok_punct AND ok_stopwords AND ok_token_len
+  AND greatest(s_de, s_en, s_es, s_fr) > 0
+  AND s_en = greatest(s_de, s_en, s_es, s_fr)
+  AND s_de < greatest(s_de, s_en, s_es, s_fr)
+""",
+    "sample_deterministic": """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_returnflag
+FROM lineitem
+WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+           || CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+      < CASE WHEN l_returnflag = 'F' THEN 50 ELSE 200 END
+""",
+    "dedup_embedding": """
+WITH emb AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+), scored AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos_sim
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.35
+""",
+    # dedup_embedding_lsh: no oracle (bucketed recall tested vs exact)
     "dedup_exact": """
 SELECT sha256(text) AS content_hash,
        CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,

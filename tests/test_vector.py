@@ -80,3 +80,25 @@ def test_knn_vote_majority(spark, sf_dir):
         )
         assert counts[0][0] == r.n_votes
         assert -counts[0][1] == r.pred_label
+
+
+def test_embedding_dedup_lsh_subset_of_exact(spark, sf_dir):
+    """Bucketed embedding near-dup: exact verify means every emitted
+    pair must appear in the brute-force baseline with the same
+    cosine; precision is exact, only recall is approximate."""
+    from mapreducego_spark.functions.vector import (
+        dedup_embedding,
+        dedup_embedding_lsh,
+    )
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup_embedding(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup_embedding_lsh(spark, sf_dir).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, cs in lsh.items():
+        assert abs(cs - exact[pair]) < 1e-9
