@@ -58,6 +58,14 @@ def get_spark(
         # already-running JVM — set it pre-launch in cluster deploys.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Warehouse for bucketed saveAsTable demos/tests; a cluster
+        # deploy points this at its metastore-backed location.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/mapreducego_spark_warehouse"
+            ),
+        )
     )
     if master or not _active_session_exists():
         builder = builder.master(master or f"local[{cpus}]")

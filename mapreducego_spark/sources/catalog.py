@@ -113,6 +113,32 @@ def write_parquet_partitioned(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table sink — the co-located join primitive.
+
+    Hash-bucketing by the join key at WRITE time is the durable form
+    of the reference's fnv%R shuffle partitioning (reference
+    mpWorker/worker.go:142-151): two tables bucketed by the same key
+    into the same bucket count join with NO exchange at read time —
+    at 100 TB that deletes the single most expensive stage of a
+    fact-fact join pipeline that runs daily. sortBy additionally
+    pre-sorts each bucket (the reference's per-bucket sort, A6),
+    letting SortMergeJoin skip its sort too."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON sink — user-facing analog of the reference's intermediate
     format (reference worker.go:153-192)."""

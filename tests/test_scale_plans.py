@@ -72,3 +72,34 @@ def test_no_cartesian_in_registry(spark):
     for name, fn in QUERIES.items():
         plan = _plan(fn(spark, SF))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Co-located join: two tables bucketed by the join key into the
+    same bucket count must SortMergeJoin with NO shuffle Exchange —
+    the write-time partitioning IS the join shuffle, amortized across
+    every downstream join (reference analog: its fnv%R bucket files,
+    worker.go:142-151, made durable)."""
+    from mapreducego_spark.sources.catalog import write_bucketed
+
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    write_bucketed(o, "orders_b", ["o_custkey"], 8, sort_cols=["o_custkey"])
+    write_bucketed(c, "customer_b", ["c_custkey"], 8, sort_cols=["c_custkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("orders_b").join(
+            spark.table("customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # sanity: result matches the plain join
+        plain = o.join(c, o.o_custkey == c.c_custkey).count()
+        assert j.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
