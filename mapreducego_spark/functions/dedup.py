@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducego_spark.functions.text import tokens_col
+from mapreducego_spark.operators.util import spread_scan
 from mapreducego_spark.sources.catalog import load_table
 
 # MinHash family size: NUM_BANDS bands x ROWS_PER_BAND rows.
@@ -286,7 +287,9 @@ def minhash_pairs(
     result is materialized via an eager localCheckpoint so both
     caches can be unpersisted before returning — repeated calls in
     one session leak no cached blocks."""
-    shingled = collapse_shingle_duplicates(shingle_docs(docs, n=2)).persist()
+    shingled = collapse_shingle_duplicates(
+        shingle_docs(spread_scan(docs), n=2)
+    ).persist()
     sigs = minhash_signatures(shingled).persist()
     bands = lsh_band_keys(sigs)
     cands = minhash_candidate_pairs(bands, max_bucket_size=max_bucket_size)
@@ -329,7 +332,7 @@ def ngram_pairs(
     (F.assert_true inside the plan; a 10k posting list alone implies
     ~50M candidate pairs). Route such corpora through minhash_pairs,
     whose collapse + bucket cap handle them linearly."""
-    shingled = shingle_docs(docs, n=2)
+    shingled = shingle_docs(spread_scan(docs), n=2)
     sizes = shingled.select("doc_id", F.size("shingles").alias("n_sh"))
     posting = shingled.select("doc_id", F.explode("shingles").alias("sh"))
     post_sizes = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("__n_post"))
@@ -396,15 +399,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy (doc, bit) -> sign -> assemble string. All JVM
     expressions, fully oracle-checkable.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # A single parquet row group gives one input partition; the md5 +
-    # bit extraction below is the expensive map side, so spread the
-    # (tiny) doc table across the cores first when the scan is
-    # under-partitioned. At cluster scale the input has many splits
-    # and this no-ops.
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
 
     # Summing +-1 per token OCCURRENCE equals summing +-w per distinct
     # (doc, token) with w = occurrence count, so the per-(doc,tok)

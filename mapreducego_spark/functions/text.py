@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreducego_spark.operators.util import spread_scan
+
 # Reference split contract: every non-letter rune is a delimiter
 # (reference test/wordCount.go:16-19). We additionally lowercase so
 # counts are case-insensitive (the DuckDB oracle does the same).
@@ -53,7 +55,8 @@ def wordcount(
     stable under hashing comparisons.
     """
     out = (
-        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        spread_scan(docs)
+        .select(F.explode(tokens_col(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("word").asc())
@@ -176,7 +179,8 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
     per-doc top-k window. N comes from a scalar subquery-ish
     crossJoin of a 1-row count — no collect, no driver round-trip."""
     tf = (
-        docs.select(
+        spread_scan(docs)
+        .select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.explode(tokens_col(F.col("text"))).alias("term"),
         )

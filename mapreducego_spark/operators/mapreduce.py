@@ -82,8 +82,14 @@ def map_reduce(
                     vals.append(v)
             yield pd.DataFrame({"key": keys, "value": vals})
 
-    mapped = df.select(F.col(input_col).cast("string").alias(input_col)).mapInPandas(
-        run_map, schema=KV_SCHEMA
+    from mapreducego_spark.operators.util import spread_scan
+
+    # Spread an under-partitioned scan so the Map stage fans out
+    # across Python workers instead of one (reference A2/A3 chunking,
+    # done by repartition instead of a master handing out slices).
+    mapped = (
+        spread_scan(df.select(F.col(input_col).cast("string").alias(input_col)))
+        .mapInPandas(run_map, schema=KV_SCHEMA)
     )
     if num_partitions:
         mapped = mapped.repartition(num_partitions, "key")
