@@ -427,6 +427,89 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument aggregates: max_by/min_by (which row held the
+    extreme), count_if, bool_or/bool_and — one pass, map-side
+    combined, no window needed. The ordering key is a zero-padded
+    (price-cents, orderkey) string so ties resolve identically in
+    any engine (bare max_by on a tied price is nondeterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice", 14, 2) * 100).cast("bigint")
+    ordkey = F.concat(
+        F.lpad(cents.cast("string"), 12, "0"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", ordkey).cast("long").alias("best_order"),
+            F.min_by("o_orderkey", ordkey).cast("long").alias("worst_order"),
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates surfaced deterministically: sorted
+    collect_list / collect_set joined to strings (a shuffle of values
+    into one row per group — bounded here by the 5-region dimension;
+    at scale only safe for low-cardinality groups)."""
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    return (
+        na.join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.size(F.collect_set("n_name")).cast("long").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar surface: coalesce/nullif/nvl2/ifnull plus
+    null-safe equality, driven off a left join that actually produces
+    nulls (customers without qualifying orders)."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    j = cu.join(o, cu.c_custkey == o.o_custkey, "left")
+    return j.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.coalesce(F.col("n_big"), F.lit(0)).cast("long").alias("big_or_zero"),
+        F.nullif(F.coalesce(F.col("n_big"), F.lit(0)), F.lit(0))
+        .cast("long")
+        .alias("big_or_null"),
+        F.when(F.col("n_big").isNull(), "none").otherwise("some").alias("has_big"),
+        (F.col("n_big").eqNullSafe(F.lit(1))).alias("exactly_one"),
+    )
+
+
+def explode_outer_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer (lateral fan-out preserving empty arrays as one
+    null row) over the tokenized part name — vs plain explode, rows
+    with no elements survive."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    # BRASS-only words; parts without any produce an empty array
+    brass_words = F.filter(
+        F.split(F.col("p_type"), " "), lambda w: w == F.lit("BRASS")
+    )
+    return p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.explode_outer(brass_words).alias("word"),
+    )
+
+
 # --- set operations -----------------------------------------------------
 
 

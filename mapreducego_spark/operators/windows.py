@@ -106,6 +106,25 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions: first/last/nth order key in each
+    customer's full history (unbounded frame so last/nth see the
+    whole partition, not the default running frame)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.first("o_orderkey").over(w).cast("long").alias("first_order"),
+        F.last("o_orderkey").over(w).cast("long").alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).cast("long").alias("second_order"),
+    )
+
+
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running sum + running count + moving average (3-row frame)
     over each customer's orders — rowsBetween frames."""

@@ -113,7 +113,11 @@ QUERIES: dict[str, QueryFn] = {
     "agg_percentiles": R.agg_percentiles,
     "agg_percentile_approx": R.agg_percentile_approx,  # rows-only (sketch)
     "agg_having": R.agg_having,
+    "agg_minmax_by": R.agg_minmax_by,
+    "agg_collect": R.agg_collect,
     "scalar_subquery": R.scalar_subquery,
+    "null_functions": R.null_functions,
+    "explode_outer": R.explode_outer_query,
     # -- set ops / distinct
     "set_union": R.set_union,
     "set_union_all_counts": R.set_union_all_counts,
@@ -129,6 +133,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_running": W.window_running,
     "window_distribution": W.window_distribution,
     "window_range_frame": W.window_range_frame,
+    "window_value_fns": W.window_value_fns,
     # -- event-time windows (batch twins of the streaming tier)
     "window_tumbling": TW.window_tumbling,
     "window_sliding": TW.window_sliding,
@@ -499,6 +504,50 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 HAVING COUNT(*) > 50
 """,
+    "agg_minmax_by": """
+WITH o AS (
+    SELECT *,
+           lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS VARCHAR), 12, '0')
+           || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ordkey
+    FROM orders
+)
+SELECT o_orderstatus,
+       CAST(arg_max(o_orderkey, ordkey) AS BIGINT) AS best_order,
+       CAST(arg_min(o_orderkey, ordkey) AS BIGINT) AS worst_order,
+       COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+       bool_or(o_totalprice > 400000) AS any_huge,
+       bool_and(o_totalprice > 1000) AS all_over_1k
+FROM o
+GROUP BY o_orderstatus
+""",
+    "agg_collect": """
+SELECT r_name,
+       array_to_string(list_sort(list(n_name)), ',') AS nations,
+       CAST(len(list_distinct(list(n_name))) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    "null_functions": """
+WITH big AS (
+    SELECT o_custkey, COUNT(*) AS n_big
+    FROM orders WHERE o_totalprice > 300000
+    GROUP BY o_custkey
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(COALESCE(n_big, 0) AS BIGINT) AS big_or_zero,
+       CAST(NULLIF(COALESCE(n_big, 0), 0) AS BIGINT) AS big_or_null,
+       CASE WHEN n_big IS NULL THEN 'none' ELSE 'some' END AS has_big,
+       (n_big IS NOT DISTINCT FROM 1) AS exactly_one
+FROM customer LEFT JOIN big ON c_custkey = o_custkey
+""",
+    "explode_outer": """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       unnest(CASE WHEN len(brass) = 0 THEN [CAST(NULL AS VARCHAR)]
+                   ELSE brass END) AS word
+FROM (SELECT p_partkey,
+             list_filter(string_split(p_type, ' '), w -> w = 'BRASS') AS brass
+      FROM part WHERE p_partkey < 200)
+""",
     "scalar_subquery": """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        CAST(o_custkey AS BIGINT) AS o_custkey,
@@ -579,6 +628,16 @@ WINDOW running AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey A
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
        moving3 AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    "window_value_fns": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS first_order,
+       CAST(LAST_VALUE(o_orderkey) OVER w AS BIGINT) AS last_order,
+       CAST(NTH_VALUE(o_orderkey, 2) OVER w AS BIGINT) AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
     "window_distribution": """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

@@ -113,6 +113,25 @@ def write_parquet_partitioned(
     writer.parquet(path)
 
 
+def read_csv(
+    spark: SparkSession, path: str, schema=None, header: bool = True
+) -> DataFrame:
+    """CSV source. Always pass a schema at scale — inference is a
+    full extra pass, and CSV has no types to trust anyway."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (header on; for interchange, not for scale — parquet
+    is the real output format)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

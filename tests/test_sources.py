@@ -55,3 +55,46 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     assert "o_orderstatus" in pf
     src_f = src.filter(F.col("o_orderstatus") == "F").count()
     assert back.count() == src_f
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from mapreducego_spark.sources.catalog import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b,with,commas", -2.25), (3, None, 0.0)],
+        ["id", "s", "x"],
+    )
+    path = str(tmp_path / "csv_out")
+    write_csv(df, path)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("s", StringType()),
+            StructField("x", DoubleType()),
+        ]
+    )
+    back = read_csv(spark, path, schema=schema)
+    assert {(r.id, r.s, r.x) for r in back.collect()} == {
+        (1, "a", 1.5),
+        (2, "b,with,commas", -2.25),
+        (3, None, 0.0),
+    }
+
+
+def test_register_views_roundtrip(spark):
+    """Every catalog table registered as a temp view must be
+    queryable via spark.sql and agree with the DataFrame scan."""
+    from mapreducego_spark.sources.catalog import TABLES, load_table, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    for name in TABLES:
+        via_sql = spark.sql(f"SELECT COUNT(*) AS n FROM {name}").collect()[0].n
+        assert via_sql == load_table(spark, "/root/testdata/sf0.001", name).count()
