@@ -48,7 +48,9 @@ def _set_mode(df: DataFrame, mode: str) -> DataFrame:
     return df
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, stage_dir: str | None = None
+) -> DataFrame:
     """File-source stream over the events parquet (the batch fixture
     replayed as a stream). One file = one micro-batch under
     availableNow; a production deployment swaps this for Kafka with
@@ -61,6 +63,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling is an SQLConf, not a reader option — and only affects
     reads that would otherwise fail outright (session.get_spark sets
     it up front; this set covers driver-owned sessions).
+
+    ``stage_dir``: pass a stable directory when the stream runs
+    against a checkpoint — restart recovery requires the SAME source
+    path across runs (a fresh temp dir per call would invalidate the
+    checkpoint's recorded offsets).
     """
     import atexit
     import os
@@ -68,14 +75,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    if stage_dir is None:
+        stage = tempfile.mkdtemp(prefix="events_stream_")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    else:
+        stage = stage_dir
+        os.makedirs(stage, exist_ok=True)
     src = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(stage, "events.parquet")
-    try:
-        os.link(src, dst)
-    except OSError:
-        shutil.copyfile(src, dst)
+    if not os.path.exists(dst):
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
@@ -202,6 +214,81 @@ def run_to_memory(
         q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_static_enrich(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with the (batch)
+    customer dimension. The static side is broadcast per micro-batch
+    — no stream state at all, the cheapest join a stream can do; the
+    standard dimension-enrichment stage of any event pipeline."""
+    from pyspark.sql import functions as F2
+
+    dim = customers.select(
+        F2.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return _set_mode(
+        events.join(F2.broadcast(dim), "user_id", "left").select(
+            "event_id", "user_id", "event_type", "ts", "c_name", "c_mktsegment"
+        ),
+        "append",
+    )
+
+
+def stream_stream_purchase_attribution(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join with watermarks on BOTH sides:
+    attribute each purchase to the same user's clicks in the
+    preceding 30 minutes. State is bounded by the watermark + the
+    join's time-range condition (Spark evicts click state once no
+    future purchase can reach it) — the canonical funnel-attribution
+    shape."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return _set_mode(
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+            "inner",
+        ).select("purchase_id", "click_id", F.col("p_user").alias("user_id")),
+        "append",
+    )
+
+
+def run_to_parquet(
+    stream: DataFrame, path: str, checkpoint: str, output_mode: str | None = None
+) -> None:
+    """Checkpointed parquet sink, availableNow: the production write
+    path. The checkpoint directory carries source offsets + sink
+    commit log, so re-running after a crash (or on a schedule)
+    resumes exactly-once — re-invoking on fully-consumed input
+    appends nothing."""
+    mode = output_mode or getattr(stream, "_mrg_output_mode", "append")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 # --- custom stateful operator: per-user running counters ---------------

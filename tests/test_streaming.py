@@ -113,3 +113,54 @@ def test_stateful_running_stats_final_totals(spark, sf_dir):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 1e-3
+
+
+def test_stream_static_enrich_matches_batch_join(spark, sf_dir):
+    from mapreducego_spark.streaming.pipelines import stream_static_enrich
+
+    customers = load_table(spark, sf_dir, "customer")
+    out = _run(stream_static_enrich(events_stream(spark, sf_dir), customers), spark)
+    events = load_table(spark, sf_dir, "events")
+    want = events.join(
+        customers.withColumnRenamed("c_custkey", "user_id"), "user_id", "left"
+    ).count()
+    assert out.count() == want
+
+
+def test_stream_stream_join_matches_batch_twin(spark, sf_dir):
+    from mapreducego_spark.streaming.pipelines import (
+        stream_stream_purchase_attribution,
+    )
+
+    out = _run(
+        stream_stream_purchase_attribution(events_stream(spark, sf_dir)), spark
+    )
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").selectExpr(
+        "user_id AS c_user", "event_id AS click_id", "ts AS click_ts"
+    )
+    purchases = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id AS p_user", "event_id AS purchase_id", "ts AS purchase_ts"
+    )
+    want = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).count()
+    got = {(r.purchase_id, r.click_id) for r in out.collect()}
+    assert len(got) == want
+
+
+def test_checkpointed_parquet_sink_is_exactly_once(spark, sf_dir, tmp_path):
+    from mapreducego_spark.streaming.pipelines import run_to_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stage = str(tmp_path / "stage")  # stable source path across runs
+    n_events = load_table(spark, sf_dir, "events").count()
+    run_to_parquet(events_stream(spark, sf_dir, stage_dir=stage), out, ckpt)
+    assert spark.read.parquet(out).count() == n_events
+    # same checkpoint, fully-consumed source: nothing is re-appended
+    run_to_parquet(events_stream(spark, sf_dir, stage_dir=stage), out, ckpt)
+    assert spark.read.parquet(out).count() == n_events
