@@ -258,14 +258,13 @@ def sample_deterministic(li: DataFrame) -> DataFrame:
     key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
     bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 1000
     rate = F.when(F.col("l_returnflag") == "F", 50).otherwise(200)
-    return (
-        li.filter(bucket < rate)
-        .select(
-            F.col("l_orderkey").cast("long").alias("l_orderkey"),
-            F.col("l_linenumber").cast("long").alias("l_linenumber"),
-            "l_returnflag",
-        )
-        .orderBy("l_orderkey", "l_linenumber")
+    # No orderBy: the result is a set (the driver's comparison is
+    # order-insensitive) and a sort would add the query's only
+    # exchange.
+    return li.filter(bucket < rate).select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_returnflag",
     )
 
 

@@ -103,3 +103,23 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_sample_deterministic_is_shuffle_free(spark):
+    """Hash sampling is a pure per-row filter — the plan must contain
+    no Exchange at all (scan -> filter -> project)."""
+    from mapreducego_spark.functions.text import sample_deterministic
+
+    plan = _plan(sample_deterministic(load_table(spark, SF, "lineitem")))
+    assert "Exchange" not in plan, plan
+
+
+def test_simhash_has_single_aggregate_no_expand(spark):
+    """The de-exploded simhash must not contain a Generate/Expand of
+    the 64 bit positions — one groupBy(doc_id) aggregate only."""
+    from mapreducego_spark.functions.dedup import simhash_docs
+
+    plan = _plan(simhash_docs(spark, SF))
+    assert "Expand" not in plan
+    # exactly one aggregation pair (partial + final) on doc_id
+    assert plan.count("HashAggregate") == 2, plan.count("HashAggregate")
