@@ -30,14 +30,20 @@ def asof_join(
     right_time: str,
     right_values: list[str],
     tie_break: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Generic as-of join: latest right row per key with
-    right_time <= left_time. ``tie_break``: extra right column that
-    orders rows sharing the same right_time (highest wins).
+    """Generic as-of join. ``direction="backward"`` (default): latest
+    right row per key with right_time <= left_time (the kdb `aj`).
+    ``direction="forward"``: earliest right row with right_time >=
+    left_time — same union-merge construction walked in descending
+    time order, so it stays ONE |L|+|R| shuffle. ``tie_break``: extra
+    right column ordering rows that share a right_time (highest wins).
 
     ``right_values`` must be disjoint from ``left.columns`` — the
     merged frame carries both sides' payloads, so an overlap would
     produce ambiguous duplicate names downstream."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     overlap = set(right_values) & set(left.columns)
     if overlap:
         raise ValueError(
@@ -67,9 +73,14 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_values],
     )
     merged = r.unionByName(l)
+    # backward: ascending walk — the last right row seen has the
+    # largest rt <= lt. forward: descending walk — the last right row
+    # seen has the SMALLEST rt >= lt. Right rows sort before left at
+    # equal timestamps either way (<=/>= inclusive semantics).
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .orderBy(t_order, F.col("__side").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.select(
@@ -107,4 +118,29 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("long").alias("user_id"),
         F.col("o_orderkey").cast("long").alias("matched_orderkey"),
         F.col("o_totalprice").alias("matched_price"),
+    )
+
+
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each event picks the customer's NEXT order at
+    or after event time (the look-ahead twin of join_asof — e.g.
+    'did this click lead to an order?'). Same linear union-merge."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    matched = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        o.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+        direction="forward",
+    )
+    return matched.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("o_orderkey").cast("long").alias("next_orderkey"),
+        F.col("o_totalprice").alias("next_price"),
     )

@@ -101,6 +101,7 @@ QUERIES: dict[str, QueryFn] = {
     "join_broadcast": R.join_broadcast,
     "join_theta": R.join_theta,
     "join_asof": A.join_asof,
+    "join_asof_forward": A.join_asof_forward,
     # -- aggregation
     "agg_pricing_summary": R.agg_pricing_summary,
     "agg_basic": R.agg_basic,
@@ -154,6 +155,11 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash": D.dedup_minhash,
     "ngram_jaccard": D.ngram_jaccard_pairs,
     "simhash": D.simhash_docs,
+    # rows-only: pairing derives from the oracle-checked simhash;
+    # Hamming correctness + pigeonhole recall asserted in pytest
+    "simhash_pairs": lambda spark, sf_dir: D.simhash_near_pairs(
+        D.simhash_docs(spark, sf_dir), max_hamming=8
+    ),
     # -- vector similarity
     "vector_topk": V.vector_topk,
     "vector_ann_lsh": V.vector_ann_lsh,  # rows-only (approximate)
@@ -419,6 +425,17 @@ SELECT CAST(e.event_id AS BIGINT) AS event_id,
        (SELECT o.o_totalprice FROM orders o
         WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS matched_price
+FROM events e
+""",
+    "join_asof_forward": """
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       CAST((SELECT o.o_orderkey FROM orders o
+             WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+             ORDER BY o.o_orderdate ASC, o.o_orderkey DESC LIMIT 1) AS BIGINT) AS next_orderkey,
+       (SELECT o.o_totalprice FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+        ORDER BY o.o_orderdate ASC, o.o_orderkey DESC LIMIT 1) AS next_price
 FROM events e
 """,
     "agg_pricing_summary": """

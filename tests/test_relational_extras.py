@@ -36,3 +36,21 @@ def test_unpivot_is_exact_double_fanout(spark, sf_dir):
     out = agg_unpivot(spark, sf_dir)
     assert out.count() == 2 * n_parts
     assert set(out.columns) == {"p_partkey", "metric", "metric_value"}
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from mapreducego_spark.operators.skew import salted_join
+    from mapreducego_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    # salted join keys on a shared column name; align the fact side
+    li2 = li.withColumnRenamed("l_partkey", "p_partkey")
+    salted = salted_join(li2, p, "p_partkey", fact_scatter="l_orderkey", n_salt=4)
+    plain = li2.join(p, "p_partkey")
+    assert salted.count() == plain.count()
+    a = salted.groupBy("p_brand").count().collect()
+    b = plain.groupBy("p_brand").count().collect()
+    assert {(r.p_brand, r["count"]) for r in a} == {
+        (r.p_brand, r["count"]) for r in b
+    }
