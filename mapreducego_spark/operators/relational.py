@@ -405,6 +405,25 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: aggregation OVER an aggregation — customers
+    histogrammed by how many orders they placed (left join keeps
+    zero-order customers in the 0 bucket). Two shuffles, both
+    map-side combined; the classic distribution query."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cu.join(o, cu.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_orders").asc())
+    )
+
+
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery through the SQL surface: orders
     whose value exceeds 1.5x their customer's average. Catalyst
@@ -541,6 +560,17 @@ def set_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nation_keys(spark, sf_dir, "customer", "c_nationkey").intersect(
         _nation_keys(spark, sf_dir, "supplier", "s_nationkey")
+    )
+
+
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiplicity-preserving), aggregated to counts
+    so the result is hash-comparable."""
+    return (
+        _nation_keys(spark, sf_dir, "customer", "c_nationkey")
+        .intersectAll(_nation_keys(spark, sf_dir, "supplier", "s_nationkey"))
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
     )
 
 

@@ -115,6 +115,7 @@ QUERIES: dict[str, QueryFn] = {
     "agg_percentile_approx": R.agg_percentile_approx,  # rows-only (sketch)
     "agg_having": R.agg_having,
     "agg_minmax_by": R.agg_minmax_by,
+    "agg_histogram": R.agg_histogram,
     "agg_collect": R.agg_collect,
     "scalar_subquery": R.scalar_subquery,
     "null_functions": R.null_functions,
@@ -123,6 +124,7 @@ QUERIES: dict[str, QueryFn] = {
     "set_union": R.set_union,
     "set_union_all_counts": R.set_union_all_counts,
     "set_intersect": R.set_intersect,
+    "set_intersect_all": R.set_intersect_all,
     "set_except": R.set_except,
     "distinct_rows": R.distinct_rows,
     # -- sort / top-k
@@ -592,6 +594,20 @@ SELECT nationkey, COUNT(*) AS n_rows FROM (
 SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
 INTERSECT
 SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+""",
+    "set_intersect_all": """
+SELECT nationkey, COUNT(*) AS n_rows FROM (
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+) GROUP BY nationkey
+""",
+    "agg_histogram": """
+SELECT n_orders, COUNT(*) AS n_customers FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+) GROUP BY n_orders
 """,
     "set_except": """
 SELECT nationkey, COUNT(*) AS n_rows FROM (
