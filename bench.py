@@ -38,6 +38,12 @@ HEADLINE = [
     "simhash",
     "vector_topk",
     "mr_wordcount",
+    # round-2 additions (dedup_embedding_lsh, not the exact baseline:
+    # brute-force cosine is O(n^2) by design and takes ~78s at sf0.1's
+    # 5000 vectors — the bucketed path is the one that must stay fast)
+    "tfidf_top_terms",
+    "dedup_embedding_lsh",
+    "corpus_clean",
 ]
 
 
@@ -83,8 +89,12 @@ def main() -> None:
         out["delta_vs_prev"] = {
             q: round(t - prev[q], 3) for q, t in timings.items() if q in prev
         }
-        prev_total = sum(v for q, v in prev.items() if q in timings)
-        out["delta_total"] = round(total - prev_total, 3)
+        # compare like-for-like: only queries present in BOTH rounds,
+        # so adding headline queries never reads as a regression
+        both = [q for q in timings if q in prev]
+        out["delta_total"] = round(
+            sum(timings[q] for q in both) - sum(prev[q] for q in both), 3
+        )
     print(json.dumps(out))
 
 

@@ -170,14 +170,41 @@ DEDUP_COS_THRESHOLD = 0.35  # calibrated to the synthetic fixture: random
 
 
 def embedding_pairs_exact(
-    emb: DataFrame, threshold: float = DEDUP_COS_THRESHOLD
+    emb: DataFrame,
+    threshold: float = DEDUP_COS_THRESHOLD,
+    max_vectors: int = 10_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs: all (a < b) with
     cosine >= threshold. O(n^2) — the correctness baseline the LSH
     variant below replaces at scale (same role ngram_jaccard plays
-    for MinHash). Keep the vector count bounded when calling this."""
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    for MinHash; already ~78s for 5k vectors on local[32]).
+
+    Quadratic guard (same policy as ngram_jaccard): corpora over
+    ``max_vectors`` fail loudly at execution time instead of melting
+    down — route them through embedding_pairs_lsh."""
+    n = emb.agg(F.count(F.lit(1)).alias("__n"))
+    guarded = (
+        emb.crossJoin(F.broadcast(n))
+        .filter(
+            F.when(
+                F.col("__n") > max_vectors,
+                F.assert_true(
+                    F.lit(False),
+                    F.concat(
+                        F.lit("embedding_pairs_exact: corpus of "),
+                        F.col("__n"),
+                        F.lit(
+                            f" vectors exceeds max_vectors={max_vectors}; "
+                            "use embedding_pairs_lsh"
+                        ),
+                    ),
+                ).isNull(),
+            ).otherwise(F.lit(True))
+        )
+        .drop("__n")
+    )
+    a = guarded.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = guarded.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
