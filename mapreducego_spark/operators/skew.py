@@ -7,6 +7,11 @@ hot key at the source: the small side is replicated n_salt times,
 the big side scatters each hot key across n_salt subkeys, and the
 join key becomes (key, salt) — the classic hand fix when one key
 holds 10% of a 100 TB fact table.
+
+Reference parity: the reference's only partitioner is fnv32a(key)%R
+(reference mpWorker/worker.go:59-63,142-151) with no skew handling
+at all — one hot key lands every record in one bucket file. Salting
+is the capability-closure answer: refine the partition key itself.
 """
 
 from __future__ import annotations
