@@ -38,9 +38,17 @@ def spread_scan(df):
     partition, serializing the whole map side onto a single task —
     measured 3.2s -> 0.4s on the sf0.1 shingle stage. At cluster
     scale inputs have many splits and this no-ops; the repartition
-    itself only moves the raw column bytes once."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    itself only moves the raw column bytes once.
+
+    Falls back to no-op under Spark Connect, where the classic
+    sparkContext / RDD surface is unavailable — there the remote
+    cluster's input splitting governs parallelism anyway."""
+    try:
+        sc = df.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n_parts < target:
         return df.repartition(target)
     return df
