@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducego_spark.functions.text import tokens_col
-from mapreducego_spark.operators.util import spread_scan
+from mapreducego_spark.operators.util import guard_limit, spread_scan
 from mapreducego_spark.sources.catalog import load_table
 
 # MinHash family size: NUM_BANDS bands x ROWS_PER_BAND rows.
@@ -309,8 +309,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: MinHash-LSH near-dup pairs on the documents
     table. Pairs are between exact-duplicate-group REPRESENTATIVES
     (min doc_id per identical shingle set); the oracle SQL applies
-    the same collapse."""
-    return minhash_pairs(load_table(spark, sf_dir, "documents"))
+    the same collapse.
+
+    max_bucket_size=None: the DuckDB oracle has no bucket cap, so the
+    oracle-checked entry must not drop buckets either (a >cap cluster
+    of DISTINCT near-identical docs would silently diverge from the
+    oracle). Production runs keep minhash_pairs' default cap — the
+    residual-skew guard is a deliberate recall/cost trade there."""
+    return minhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_bucket_size=None
+    )
 
 
 MAX_POSTING_LIST = 10_000
@@ -339,18 +347,16 @@ def ngram_pairs(
     posting = (
         posting.join(post_sizes, "sh")
         .filter(
-            F.when(
-                F.col("__n_post") > max_posting,
-                F.assert_true(
-                    F.lit(False),
-                    F.concat(
-                        F.lit("ngram_jaccard: posting list for shingle '"),
-                        F.col("sh"),
-                        F.lit(f"' exceeds max_posting={max_posting}; "
-                              "use minhash_pairs for this corpus"),
-                    ),
-                ).isNull(),
-            ).otherwise(F.lit(True))
+            guard_limit(
+                F.col("__n_post"),
+                max_posting,
+                F.concat(
+                    F.lit("ngram_jaccard: posting list for shingle '"),
+                    F.col("sh"),
+                    F.lit(f"' exceeds max_posting={max_posting}; "
+                          "use minhash_pairs for this corpus"),
+                ),
+            )
         )
         .drop("__n_post")
     )

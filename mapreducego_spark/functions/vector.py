@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreducego_spark.operators.util import guard_limit
 from mapreducego_spark.sources.catalog import load_table
 
 N_QUERY_VECS = 10  # vec_id < 10 are the query set in the fixture queries
@@ -186,20 +187,18 @@ def embedding_pairs_exact(
     guarded = (
         emb.crossJoin(F.broadcast(n))
         .filter(
-            F.when(
-                F.col("__n") > max_vectors,
-                F.assert_true(
-                    F.lit(False),
-                    F.concat(
-                        F.lit("embedding_pairs_exact: corpus of "),
-                        F.col("__n"),
-                        F.lit(
-                            f" vectors exceeds max_vectors={max_vectors}; "
-                            "use embedding_pairs_lsh"
-                        ),
+            guard_limit(
+                F.col("__n"),
+                max_vectors,
+                F.concat(
+                    F.lit("embedding_pairs_exact: corpus of "),
+                    F.col("__n"),
+                    F.lit(
+                        f" vectors exceeds max_vectors={max_vectors}; "
+                        "use embedding_pairs_lsh"
                     ),
-                ).isNull(),
-            ).otherwise(F.lit(True))
+                ),
+            )
         )
         .drop("__n")
     )

@@ -82,13 +82,15 @@ def map_reduce(
                     vals.append(v)
             yield pd.DataFrame({"key": keys, "value": vals})
 
-    from mapreducego_spark.operators.util import spread_scan
-
-    # Spread an under-partitioned scan so the Map stage fans out
-    # across Python workers instead of one (reference A2/A3 chunking,
-    # done by repartition instead of a master handing out slices).
+    # No spread_scan before the Map stage: the mandatory
+    # repartition-by-key below already redistributes the mapped
+    # stream, and a second full exchange of the raw payload column
+    # cost more than the map fan-out saved (driver-measured +21% on
+    # mr_wordcount in round 2). On a real cluster the input arrives
+    # pre-split across many files anyway (reference A2/A3 chunking is
+    # Spark's own input splitting).
     mapped = (
-        spread_scan(df.select(F.col(input_col).cast("string").alias(input_col)))
+        df.select(F.col(input_col).cast("string").alias(input_col))
         .mapInPandas(run_map, schema=KV_SCHEMA)
     )
     if num_partitions:
@@ -97,17 +99,24 @@ def map_reduce(
         mapped = mapped.repartition("key")
     mapped = mapped.sortWithinPartitions("key")
 
+    # Distinct no-pending sentinel: None itself is a legal key (see
+    # dropna=False below), so it cannot double as "nothing pending".
+    _NO_PENDING = object()
+
     def run_reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pend_key: str | None = None
+        pend_key: object = _NO_PENDING
         pend_vals: list[str] = []
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             # C-speed grouping inside the batch; sorted input makes
-            # each key one contiguous run.
-            grouped = pdf.groupby("key", sort=False)["value"].apply(list)
+            # each key one contiguous run. dropna=False: a map_fn may
+            # legitimately emit key=None, and the Reduce(key, ALL
+            # values) contract includes it (pandas drops NaN groups
+            # by default, which would silently lose those pairs).
+            grouped = pdf.groupby("key", sort=False, dropna=False)["value"].apply(list)
             items = list(grouped.items())
-            if pend_key is not None:
+            if pend_key is not _NO_PENDING:
                 if items and items[0][0] == pend_key:
                     items[0] = (pend_key, pend_vals + items[0][1])
                 else:
@@ -123,7 +132,7 @@ def map_reduce(
                         "result": [reduce_fn(k, vs) for k, vs in done],
                     }
                 )
-        if pend_key is not None:
+        if pend_key is not _NO_PENDING:
             yield pd.DataFrame(
                 {"key": [pend_key], "result": [reduce_fn(pend_key, pend_vals)]}
             )

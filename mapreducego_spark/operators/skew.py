@@ -40,8 +40,21 @@ def salted_join(
 
     Cost model: dim side grows n_salt x (still broadcast-size by
     assumption); the fact side is untouched. Output equals the plain
-    join exactly.
+    join exactly — which is only true for fact-preserving join types:
+    a dim-preserving join (right/full) would emit every UNMATCHED dim
+    key n_salt times (once per salted replica), so those types are
+    rejected rather than silently wrong. Use a plain join (AQE skew
+    split) when dim rows must be preserved.
     """
+    # left_anti is also safe: every dim key exists under every salt,
+    # so (key, salt) membership is equivalent to key membership.
+    allowed = {"inner", "left", "leftouter", "leftsemi", "leftanti"}
+    if how.lower().replace("_", "") not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is dim-preserving; the salted dim "
+            "replicas would duplicate unmatched dim rows. Allowed: "
+            "inner / left / left_semi / left_anti."
+        )
     scatter = (
         F.col(fact_scatter) if isinstance(fact_scatter, str) else fact_scatter
     )

@@ -31,6 +31,20 @@ def davg(col: Column, alias: str) -> Column:
     return (F.sum(col).cast("double") / F.count(F.lit(1)).cast("double")).alias(alias)
 
 
+def guard_limit(n: Column, limit: int, message: Column) -> Column:
+    """In-plan quadratic-blowup guard: a boolean filter expression
+    that FAILS LOUDLY (F.assert_true at execution time) when ``n``
+    exceeds ``limit``, and passes rows through otherwise.
+
+    Used by the exact O(n^2) baselines (ngram_jaccard,
+    embedding_pairs_exact): rather than silently melting down on a
+    corpus that needs the LSH path, the plan itself raises with a
+    routing hint. Runs distributed — no driver-side count round-trip."""
+    return F.when(
+        n > limit, F.assert_true(F.lit(False), message).isNull()
+    ).otherwise(F.lit(True))
+
+
 def spread_scan(df):
     """Repartition an under-partitioned scan across the session's
     cores before CPU-heavy map-side work (tokenize/shingle/md5/

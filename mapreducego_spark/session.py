@@ -53,10 +53,12 @@ def get_spark(
         # 100-field limit silently drops them to interpreted row
         # processing (measured ~25% slower on simhash at sf0.1).
         .config("spark.sql.codegen.maxFields", "256")
-        # Honored only when THIS process launches the JVM (PySpark's
-        # gateway passes builder confs to spark-submit); a no-op on an
-        # already-running JVM — set it pre-launch in cluster deploys.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Driver memory is deliberately NOT set here: it only takes
+        # effect when set before the JVM launches, so a builder conf
+        # silently no-ops against any pre-existing session. Set it in
+        # the launch environment instead, e.g.
+        #   PYSPARK_SUBMIT_ARGS="--driver-memory 8g pyspark-shell"
+        # or spark-submit --driver-memory on a cluster.
         .config("spark.ui.enabled", "false")
         # Warehouse for bucketed saveAsTable demos/tests; a cluster
         # deploy points this at its metastore-backed location.

@@ -15,6 +15,8 @@ the batch twins (tests/test_streaming.py).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -39,17 +41,36 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
-def _set_mode(df: DataFrame, mode: str) -> DataFrame:
-    """Tag a streaming DataFrame with the sink output mode its plan
-    requires. Explicit declaration by each pipeline replaces the old
-    private-API plan probe (df._jdf string matching), which broke
-    under Spark Connect and across plan-name changes."""
-    df._mrg_output_mode = mode
-    return df
+class StreamSpec(NamedTuple):
+    """A streaming DataFrame paired with the sink output mode its
+    plan requires. Every pipeline returns one; the run_* sinks
+    consume it. (Replaces the earlier private-attribute tag on the
+    DataFrame, which would not survive DataFrame re-creation.)"""
+
+    df: DataFrame
+    mode: str
+
+
+# Watermark-flush sentinel (see events_stream(flush=True)): one
+# synthetic event far past any fixture timestamp. Under
+# trigger(availableNow) an aggregation in append mode only emits
+# windows whose end falls below the FINAL watermark — without the
+# sentinel, the last watermark-delay's worth of real windows would
+# stay in state forever and never reach the sink. The sentinel pushes
+# the closing watermark past every real window; its own rows carry
+# FLUSH_EVENT_ID / FLUSH_USER_ID / FLUSH_EVENT_TYPE so downstream
+# consumers can drop them.
+FLUSH_TS_SECONDS = 4102444800  # 2100-01-01T00:00:00Z
+FLUSH_EVENT_ID = -1
+FLUSH_USER_ID = -1
+FLUSH_EVENT_TYPE = "flush"
 
 
 def events_stream(
-    spark: SparkSession, sf_dir: str, stage_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    stage_dir: str | None = None,
+    flush: bool = False,
 ) -> DataFrame:
     """File-source stream over the events parquet (the batch fixture
     replayed as a stream). One file = one micro-batch under
@@ -68,6 +89,11 @@ def events_stream(
     against a checkpoint — restart recovery requires the SAME source
     path across runs (a fresh temp dir per call would invalidate the
     checkpoint's recorded offsets).
+
+    ``flush=True`` additionally stages a one-row sentinel file (see
+    FLUSH_TS_SECONDS above) so append-mode aggregations emit every
+    real window before the availableNow run terminates. Consumers
+    filter the sentinel back out (FLUSH_EVENT_TYPE / FLUSH_USER_ID).
     """
     import atexit
     import os
@@ -88,6 +114,27 @@ def events_stream(
             os.link(src, dst)
         except OSError:
             shutil.copyfile(src, dst)
+    if flush:
+        flush_path = os.path.join(stage, "zz_flush.parquet")
+        if not os.path.exists(flush_path):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array([FLUSH_EVENT_ID], pa.int64()),
+                        "ts": pa.array(
+                            [FLUSH_TS_SECONDS * 1_000_000_000], pa.int64()
+                        ),
+                        "user_id": pa.array([FLUSH_USER_ID], pa.int64()),
+                        "event_type": pa.array([FLUSH_EVENT_TYPE], pa.string()),
+                        "value": pa.array([0.0], pa.float64()),
+                        "props": pa.array(["{}"], pa.string()),
+                    }
+                ),
+                flush_path,
+            )
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
@@ -122,11 +169,16 @@ def rate_stream(spark: SparkSession, rows_per_batch: int = 1000) -> DataFrame:
     )
 
 
-def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> StreamSpec:
     """Streaming twin of timewin.window_tumbling: 1-hour tumbling
     count+sum per event type, late data beyond the watermark dropped.
-    State size is bounded by (|windows within watermark| x |types|)."""
-    return _set_mode(
+    State size is bounded by (|windows within watermark| x |types|).
+
+    append mode: each window emits exactly once, when the watermark
+    passes its end, and its state is purged — the mode the bounded-
+    state docstring claim requires (complete mode would retain every
+    window forever AND is rejected by the file sink)."""
+    return StreamSpec(
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -139,13 +191,14 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             "n_events",
             "sum_value",
         ),
-        "complete",
+        "append",
     )
 
 
-def sliding_avg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Streaming twin of timewin.window_sliding."""
-    return _set_mode(
+def sliding_avg(events: DataFrame, watermark: str = "1 hour") -> StreamSpec:
+    """Streaming twin of timewin.window_sliding (append mode — see
+    tumbling_counts)."""
+    return StreamSpec(
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
@@ -160,13 +213,14 @@ def sliding_avg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             "n_events",
             "avg_value",
         ),
-        "complete",
+        "append",
     )
 
 
-def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """Streaming session windows (merging state) per user."""
-    return _set_mode(
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> StreamSpec:
+    """Streaming session windows (merging state) per user (append
+    mode — sessions emit once closed by the watermark)."""
+    return StreamSpec(
         events.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -175,15 +229,15 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             F.unix_timestamp(F.col("sw.start")).cast("long").alias("session_start"),
             "n_events",
         ),
-        "complete",
+        "append",
     )
 
 
-def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> StreamSpec:
     """Stateful dedup on event_id within the watermark horizon —
     the streaming form of timewin.dedup_events. State is purged as
     the watermark advances (bounded memory at any throughput)."""
-    return _set_mode(
+    return StreamSpec(
         events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
             ["event_id"]
         ),
@@ -191,23 +245,30 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def _as_spec(stream: DataFrame | StreamSpec) -> StreamSpec:
+    if isinstance(stream, StreamSpec):
+        return stream
+    return StreamSpec(stream, "append")
+
+
 def run_to_memory(
-    stream: DataFrame,
+    stream: DataFrame | StreamSpec,
     spark: SparkSession,
     name: str = "mem_out",
     output_mode: str | None = None,
     once: bool = False,
 ) -> DataFrame:
-    """Execute a streaming DataFrame to completion with
+    """Execute a streaming pipeline to completion with
     trigger(availableNow) into a memory sink; returns the batch
     result table. Test/demo harness — production uses parquet/Kafka
     sinks with checkpointing.
 
-    ``output_mode`` defaults to the mode the pipeline declared via
-    _set_mode (append if untagged); ``once=True`` runs exactly one
+    ``output_mode`` overrides the StreamSpec's declared mode (a bare
+    DataFrame defaults to append); ``once=True`` runs exactly one
     micro-batch instead (for unbounded sources like rate_stream)."""
-    mode = output_mode or getattr(stream, "_mrg_output_mode", "append")
-    writer = stream.writeStream.format("memory").queryName(name).outputMode(mode)
+    spec = _as_spec(stream)
+    mode = output_mode or spec.mode
+    writer = spec.df.writeStream.format("memory").queryName(name).outputMode(mode)
     if once:
         q = writer.trigger(once=True).start()
     else:
@@ -216,7 +277,7 @@ def run_to_memory(
     return spark.table(name)
 
 
-def stream_static_enrich(events: DataFrame, customers: DataFrame) -> DataFrame:
+def stream_static_enrich(events: DataFrame, customers: DataFrame) -> StreamSpec:
     """Stream-static join: enrich the event stream with the (batch)
     customer dimension. The static side is broadcast per micro-batch
     — no stream state at all, the cheapest join a stream can do; the
@@ -226,7 +287,7 @@ def stream_static_enrich(events: DataFrame, customers: DataFrame) -> DataFrame:
     dim = customers.select(
         F2.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
     )
-    return _set_mode(
+    return StreamSpec(
         events.join(F2.broadcast(dim), "user_id", "left").select(
             "event_id", "user_id", "event_type", "ts", "c_name", "c_mktsegment"
         ),
@@ -234,7 +295,7 @@ def stream_static_enrich(events: DataFrame, customers: DataFrame) -> DataFrame:
     )
 
 
-def stream_stream_purchase_attribution(events: DataFrame) -> DataFrame:
+def stream_stream_purchase_attribution(events: DataFrame) -> StreamSpec:
     """Stream-stream interval join with watermarks on BOTH sides:
     attribute each purchase to the same user's clicks in the
     preceding 30 minutes. State is bounded by the watermark + the
@@ -259,7 +320,7 @@ def stream_stream_purchase_attribution(events: DataFrame) -> DataFrame:
         )
         .withWatermark("purchase_ts", "1 hour")
     )
-    return _set_mode(
+    return StreamSpec(
         purchases.join(
             clicks,
             (F.col("p_user") == F.col("c_user"))
@@ -272,16 +333,30 @@ def stream_stream_purchase_attribution(events: DataFrame) -> DataFrame:
 
 
 def run_to_parquet(
-    stream: DataFrame, path: str, checkpoint: str, output_mode: str | None = None
+    stream: DataFrame | StreamSpec,
+    path: str,
+    checkpoint: str,
+    output_mode: str | None = None,
 ) -> None:
     """Checkpointed parquet sink, availableNow: the production write
     path. The checkpoint directory carries source offsets + sink
     commit log, so re-running after a crash (or on a schedule)
     resumes exactly-once — re-invoking on fully-consumed input
-    appends nothing."""
-    mode = output_mode or getattr(stream, "_mrg_output_mode", "append")
+    appends nothing.
+
+    The file sink only supports append mode, so a StreamSpec
+    declaring anything else is rejected up front (clearer than the
+    sink's own start()-time error)."""
+    spec = _as_spec(stream)
+    mode = output_mode or spec.mode
+    if mode != "append":
+        raise ValueError(
+            f"run_to_parquet: the file sink only supports append mode, "
+            f"got {mode!r} (aggregations must be watermarked so append "
+            "emits finalized windows)"
+        )
     q = (
-        stream.writeStream.format("parquet")
+        spec.df.writeStream.format("parquet")
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .outputMode(mode)
@@ -291,6 +366,37 @@ def run_to_parquet(
     q.awaitTermination()
 
 
+def stream_tumbling_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the STREAM path itself, oracle-checked — the
+    events fixture replayed through tumbling_counts into a
+    checkpointed parquet sink (run_to_parquet, the production write
+    path), then read back as a batch DataFrame. Shares the
+    window_tumbling oracle: append mode + the watermark-flush
+    sentinel means the sink holds exactly one finalized row per
+    (window, type), identical to the batch twin.
+
+    Fresh temp output/checkpoint per call (cleaned at exit): the
+    point here is verifying the stream's RESULT, not incremental
+    resume — test_streaming.py covers checkpoint idempotence."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="stream_tumbling_sink_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    out = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+    stage = os.path.join(workdir, "stage")
+    events = events_stream(spark, sf_dir, stage_dir=stage, flush=True)
+    run_to_parquet(tumbling_counts(events), out, ckpt)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != FLUSH_EVENT_TYPE)
+        .select("win_start", "event_type", "n_events", "sum_value")
+    )
+
+
 # --- custom stateful operator: per-user running counters ---------------
 
 
@@ -298,7 +404,7 @@ def user_running_stats(
     events: DataFrame,
     watermark: str = "1 hour",
     state_ttl_ms: int = 24 * 3600 * 1000,
-) -> DataFrame:
+) -> StreamSpec:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user cumulative event count and value sum, emitted on every
     update — the stateful-operator escape hatch for semantics the
@@ -338,7 +444,7 @@ def user_running_stats(
             {"user_id": [key[0]], "n_events": [cnt], "sum_value": [total]}
         )
 
-    return _set_mode(
+    return StreamSpec(
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(

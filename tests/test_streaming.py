@@ -12,6 +12,9 @@ import pytest
 from mapreducego_spark.operators.timewin import window_sliding, window_tumbling
 from mapreducego_spark.sources.catalog import load_table
 from mapreducego_spark.streaming.pipelines import (
+    FLUSH_EVENT_TYPE,
+    FLUSH_TS_SECONDS,
+    FLUSH_USER_ID,
     dedup_stream,
     events_stream,
     rate_stream,
@@ -28,9 +31,15 @@ def _run(stream, spark):
 
 
 def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    # flush=True: in append mode windows only emit once the watermark
+    # passes them; the sentinel closes every real window, then is
+    # filtered back out of the comparison.
     got = {
         (r.win_start, r.event_type): (r.n_events, r.sum_value)
-        for r in _run(tumbling_counts(events_stream(spark, sf_dir)), spark).collect()
+        for r in _run(
+            tumbling_counts(events_stream(spark, sf_dir, flush=True)), spark
+        ).collect()
+        if r.event_type != FLUSH_EVENT_TYPE
     }
     want = {
         (r.win_start, r.event_type): (r.n_events, r.sum_value)
@@ -42,7 +51,10 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
 def test_streaming_sliding_equals_batch(spark, sf_dir):
     got = {
         r.win_start: (r.n_events, round(r.avg_value, 9))
-        for r in _run(sliding_avg(events_stream(spark, sf_dir)), spark).collect()
+        for r in _run(
+            sliding_avg(events_stream(spark, sf_dir, flush=True)), spark
+        ).collect()
+        if r.win_start < FLUSH_TS_SECONDS - 86400
     }
     want = {
         r.win_start: (r.n_events, round(r.avg_value, 9))
@@ -53,9 +65,9 @@ def test_streaming_sliding_equals_batch(spark, sf_dir):
 
 def test_streaming_sessions_cover_all_events(spark, sf_dir):
     rows = _run(
-        session_counts(events_stream(spark, sf_dir)), spark
+        session_counts(events_stream(spark, sf_dir, flush=True)), spark
     ).collect()
-    total = sum(r.n_events for r in rows)
+    total = sum(r.n_events for r in rows if r.user_id != FLUSH_USER_ID)
     assert total == load_table(spark, sf_dir, "events").count()
 
 
@@ -70,11 +82,15 @@ def test_streaming_dedup_keeps_unique_ids(spark, sf_dir):
 def test_rate_source_feeds_pipelines(spark):
     """SURVEY §7 step 3 rate source: one deterministic micro-batch of
     the synthetic firehose through the tumbling pipeline."""
+    # complete mode override: a single once-triggered batch never
+    # advances the watermark, so append would emit nothing — complete
+    # surfaces the in-flight state for inspection (memory sink only).
     out = run_to_memory(
         tumbling_counts(rate_stream(spark, rows_per_batch=500)),
         spark,
         name=f"t_{uuid.uuid4().hex[:8]}",
         once=True,
+        output_mode="complete",
     )
     rows = out.collect()
     assert sum(r.n_events for r in rows) == 500
@@ -84,10 +100,10 @@ def test_rate_source_feeds_pipelines(spark):
 def test_stateful_state_is_event_time_bounded(spark, sf_dir):
     """user_running_stats must plan an EventTimeTimeout (bounded
     state); NoTimeout would grow state forever on a real stream."""
-    stream = user_running_stats(events_stream(spark, sf_dir))
-    plan = stream._jdf.queryExecution().analyzed().toString()
+    spec = user_running_stats(events_stream(spark, sf_dir))
+    plan = spec.df._jdf.queryExecution().analyzed().toString()
     assert "EventTimeTimeout" in plan
-    assert getattr(stream, "_mrg_output_mode", None) == "update"
+    assert spec.mode == "update"
 
 
 def test_stateful_running_stats_final_totals(spark, sf_dir):
@@ -164,3 +180,32 @@ def test_checkpointed_parquet_sink_is_exactly_once(spark, sf_dir, tmp_path):
     # same checkpoint, fully-consumed source: nothing is re-appended
     run_to_parquet(events_stream(spark, sf_dir, stage_dir=stage), out, ckpt)
     assert spark.read.parquet(out).count() == n_events
+
+
+def test_stream_tumbling_sink_matches_batch_twin(spark, sf_dir):
+    """The registry's oracle-checked stream row: parquet sink
+    read-back must equal the batch tumbling window exactly."""
+    from mapreducego_spark.streaming.pipelines import stream_tumbling_sink
+
+    got = {
+        (r.win_start, r.event_type): (r.n_events, r.sum_value)
+        for r in stream_tumbling_sink(spark, sf_dir).collect()
+    }
+    want = {
+        (r.win_start, r.event_type): (r.n_events, r.sum_value)
+        for r in window_tumbling(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_run_to_parquet_rejects_non_append(spark, sf_dir, tmp_path):
+    """The file sink only supports append; a non-append StreamSpec
+    must fail fast with a clear error, not at start()."""
+    from mapreducego_spark.streaming.pipelines import (
+        run_to_parquet,
+        user_running_stats,
+    )
+
+    spec = user_running_stats(events_stream(spark, sf_dir))  # update mode
+    with pytest.raises(ValueError, match="append"):
+        run_to_parquet(spec, str(tmp_path / "o"), str(tmp_path / "c"))
