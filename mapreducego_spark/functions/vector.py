@@ -82,9 +82,31 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- scale path: sign-LSH bucketed ANN ---------------------------------
+# --- scale path: banded sign-LSH ---------------------------------------
 
-N_PLANES = 6  # 6-bit sketch -> 64 buckets; multi-probe widens recall
+# Sketch geometry. 32 planes banded as 4 x 8 bits: a candidate pair
+# forms when ANY same-position 8-bit band matches exactly — the same
+# band-OR construction as MinHash-LSH (dedup.lsh_band_keys), applied
+# to random-hyperplane signs. Per-pair collision probability at angle
+# theta is 1 - (1 - p^band_bits)^n_bands with p = 1 - theta/pi: ~90%
+# for true near-dups (cos 0.95), ~1.5% for random pairs — the s-curve
+# a fixed-width full-sketch match (the old 6-bit single bucket) does
+# not have. Width is CONFIGURABLE because the random-collision mass
+# is (n^2 x p_rand^band_bits x n_bands): size the sketch at roughly
+# log2(corpus) + 10 bits (default_n_planes) so candidates stay
+# sub-quadratic as the corpus grows, instead of every bucket holding
+# n/2^planes vectors forever.
+N_PLANES = 32
+BAND_BITS = 8
+
+
+def default_n_planes(corpus_size: int, band_bits: int = BAND_BITS) -> int:
+    """Sketch width for a given corpus: ~log2(n) + 10 bits, rounded
+    up to whole bands, floored at 32 (4 bands)."""
+    import math
+
+    want = max(32, math.ceil(math.log2(max(corpus_size, 2))) + 10)
+    return ((want + band_bits - 1) // band_bits) * band_bits
 
 
 def _plane_component(plane: int, dim: int) -> float:
@@ -109,43 +131,85 @@ def lsh_sketch(vec: Column, dims: int, n_planes: int = N_PLANES) -> Column:
     return F.concat(*bits)
 
 
-def vector_ann_lsh(spark: SparkSession, sf_dir: str, dims: int = 64) -> DataFrame:
-    """ANN top-k via sign-LSH: bucket all vectors by 12-bit sketch,
-    then rank only within the query's bucket. At 100 TB the bucket
-    join replaces the broadcast scan of brute force; recall is
-    tested against vector_topk in tests (driver check: rows-only —
-    approximate results have no SQL oracle)."""
+def lsh_band_cols(
+    sketch: Column, n_planes: int = N_PLANES, band_bits: int = BAND_BITS
+) -> list[Column]:
+    """The sketch's bands as substring columns (band b = bits
+    [b*band_bits, (b+1)*band_bits))."""
+    n_bands = n_planes // band_bits
+    return [
+        F.substring(sketch, 1 + b * band_bits, band_bits) for b in range(n_bands)
+    ]
+
+
+def sketch_bands(
+    df: DataFrame,
+    vec_col: str,
+    dims: int,
+    n_planes: int = N_PLANES,
+    band_bits: int = BAND_BITS,
+) -> DataFrame:
+    """Append (band, band_val) rows per input row: one posexplode
+    over the sketch's bands. Position-matched equality on
+    (band, band_val) is the LSH bucket key."""
+    sketched = df.withColumn("__sketch", lsh_sketch(F.col(vec_col), dims, n_planes))
+    return sketched.select(
+        *df.columns,
+        F.posexplode(F.array(*lsh_band_cols(F.col("__sketch"), n_planes, band_bits)))
+        .alias("band", "band_val"),
+    )
+
+
+def vector_ann_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    dims: int = 64,
+    n_planes: int = N_PLANES,
+    band_bits: int = BAND_BITS,
+) -> DataFrame:
+    """ANN top-k via banded sign-LSH: a corpus vector is a candidate
+    for a query when any same-position band of their sketches matches
+    (exactly, or within Hamming 1 — the multi-probe lift, applied
+    per-band on the tiny query side so the corpus is never
+    re-hashed). At 100 TB the band equi-join replaces brute force's
+    broadcast scan; recall is tested against vector_topk (driver
+    check: rows-only — approximate results have no SQL oracle)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _as_double(F.col("embedding")).alias("v"),
     )
-    sketched = emb.withColumn("sketch", lsh_sketch(F.col("v"), dims))
-    # multi-probe: each query also probes every bucket at Hamming
-    # distance 1 from its own sketch (n_planes+1 probes) — the
-    # standard recall lift that avoids re-hashing the corpus
-    probes = F.array(
-        F.col("sketch"),
+    corpus = sketch_bands(emb, "v", dims, n_planes, band_bits)
+    # query side: every band value at Hamming distance <= 1
+    # (1 + band_bits probes per band), exploded then broadcast
+    queries = sketch_bands(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        ),
+        "qv",
+        dims,
+        n_planes,
+        band_bits,
+    )
+    probe_variants = F.array(
+        F.col("band_val"),
         *[
             F.concat(
-                F.substring("sketch", 1, p),
-                F.when(F.substring("sketch", p + 1, 1) == "1", "0").otherwise("1"),
-                F.substring("sketch", p + 2, N_PLANES - p - 1),
+                F.substring("band_val", 1, p),
+                F.when(F.substring("band_val", p + 1, 1) == "1", "0").otherwise("1"),
+                F.substring("band_val", p + 2, band_bits - p - 1),
             )
-            for p in range(N_PLANES)
+            for p in range(band_bits)
         ],
     )
-    queries = (
-        sketched.filter(F.col("vec_id") < N_QUERY_VECS)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("qv"),
-            F.explode(probes).alias("sketch"),
-        )
+    probes = queries.select(
+        "q_id", "qv", "band", F.explode(probe_variants).alias("band_val")
     )
     scored = (
-        F.broadcast(queries)
-        .join(sketched, "sketch")
+        F.broadcast(probes)
+        .join(corpus, ["band", "band_val"])
         .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "qv", "v")
+        .distinct()  # a pair may collide in several bands/probes
         .select(
             "q_id",
             "vec_id",
@@ -217,27 +281,68 @@ def embedding_pairs_exact(
     )
 
 
-def embedding_pairs_lsh(
-    emb: DataFrame, dims: int = 64, threshold: float = DEDUP_COS_THRESHOLD
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    dims: int = 64,
+    n_planes: int = N_PLANES,
+    band_bits: int = BAND_BITS,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
-    """Scale path: sign-LSH bucketed near-dup — candidates only form
-    between vectors whose 6-bit sketch matches (equi-join on the
-    sketch key, linear shuffle), then exact cosine verifies. Same
-    bucket-then-verify shape as MinHash dedup: no quadratic pair
-    stream ever materializes. Precision is exact (verify step);
-    recall is the bucket collision rate ((1 - theta/pi)^6 per pair),
-    raised in production by multi-probe or more tables — asserted
-    against the exact baseline in tests."""
-    sketched = emb.withColumn("sketch", lsh_sketch(F.col("v"), dims))
-    a = sketched.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "sketch"
-    )
-    b = sketched.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "sketch"
-    )
+    """Banded sign-LSH candidate generation: distinct (vec_a < vec_b)
+    pairs whose sketches agree on at least one same-position band.
+    Same construction as dedup.minhash_candidate_pairs — position-
+    matched band equi-join, so the shuffle is proportional to bucket
+    collisions, never n^2 — including the same residual-skew guard:
+    a (band, band_val) bucket larger than ``max_bucket_size`` is
+    inherently quadratic in pair count and is dropped from candidate
+    generation rather than stalling the stage (None disables)."""
+    bands = sketch_bands(
+        emb.select("vec_id", "v"), "v", dims, n_planes, band_bits
+    ).select("vec_id", "band", "band_val")
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "band_val").agg(
+            F.count(F.lit(1)).alias("__bucket_n")
+        )
+        bands = (
+            bands.join(sizes, ["band", "band_val"])
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
+        )
+    a = bands.select("band", "band_val", F.col("vec_id").alias("vec_a"))
+    b = bands.select("band", "band_val", F.col("vec_id").alias("vec_b"))
     return (
-        a.join(b, "sketch")
+        a.join(b, ["band", "band_val"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
+def embedding_pairs_lsh(
+    emb: DataFrame,
+    dims: int = 64,
+    threshold: float = DEDUP_COS_THRESHOLD,
+    n_planes: int = N_PLANES,
+    band_bits: int = BAND_BITS,
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """Scale path: banded sign-LSH near-dup — candidates form when
+    any same-position band of the sketch matches (lsh_candidate_pairs
+    above), then exact cosine verifies. Same bucket-then-verify shape
+    as MinHash dedup: no quadratic pair stream ever materializes.
+    Precision is exact (verify step); recall per pair at angle theta
+    is 1 - (1 - p^band_bits)^n_bands, p = 1 - theta/pi — ~90% for
+    true near-dups (cos >= 0.95) at the 32/8 default, tunable via
+    band_bits (narrower bands = higher recall, more candidates).
+    Size ``n_planes`` with default_n_planes(corpus) at scale."""
+    cands = lsh_candidate_pairs(
+        emb, dims, n_planes, band_bits, max_bucket_size
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
