@@ -44,6 +44,19 @@ HEADLINE = [
     "tfidf_top_terms",
     "dedup_embedding_lsh",
     "corpus_clean",
+    # round 3: the streaming sink path (checkpointed parquet write +
+    # read-back — wall clock includes the streaming query itself)
+    "stream_tumbling_sink",
+]
+
+# The exact O(n^2) embedding baseline is benched at sf0.01 (500
+# vectors) so its cost is TRACKED without the ~78s sf0.1 blowup
+# drowning the headline total: (query, sf_dir override, report name).
+SMALL_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01"
+)
+HEADLINE_SMALL = [
+    ("dedup_embedding", SMALL_SF_DIR, "dedup_embedding_sf001"),
 ]
 
 
@@ -64,14 +77,17 @@ def main() -> None:
         load_table(spark, SF_DIR, t).count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    runs = [(name, SF_DIR, name) for name in HEADLINE] + [
+        (q, d, label) for q, d, label in HEADLINE_SMALL
+    ]
+    for name, sf_dir, label in runs:
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, SF_DIR)
+        df = QUERIES[name](spark, sf_dir)
         # noop sink: executes the FULL plan (no count() short-circuit,
         # no driver collect bottleneck) — the honest execution time.
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        timings[label] = round(time.perf_counter() - t0, 3)
+        print(f"# {label}: {timings[label]:.3f}s", file=sys.stderr)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -95,6 +111,12 @@ def main() -> None:
         out["delta_total"] = round(
             sum(timings[q] for q in both) - sum(prev[q] for q in both), 3
         )
+        # count of queries materially slower than last round (>0.15s
+        # ignores noise): the number the next round must drive to 0
+        regressed = [q for q in both if timings[q] - prev[q] > 0.15]
+        out["regressions_vs_prev"] = len(regressed)
+        if regressed:
+            out["regressed_queries"] = regressed
     print(json.dumps(out))
 
 

@@ -33,6 +33,7 @@ from mapreducego_spark.operators import relational as R
 from mapreducego_spark.operators import timewin as TW
 from mapreducego_spark.operators import windows as W
 from mapreducego_spark.sources.catalog import load_table
+from mapreducego_spark.streaming import pipelines as ST
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -77,12 +78,64 @@ def _sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.sample_deterministic(load_table(spark, sf_dir, "lineitem"))
 
 
+# ORDERING NOTE (round 3): the round driver verifies the FIRST 50
+# entries of this dict, in insertion order. Round 2's driver window
+# stopped at entry 50, leaving the tail — every dedup/vector/text/
+# event-time query, including two rewritten this round-before — with
+# stale or missing CORRECTNESS rows. The dict is therefore ordered
+# by verification NEED, not by topic: (1) entries never or stale
+# driver-checked, (2) entries whose implementation changed this
+# round, (3) the twice-green stable relational tier rotates to the
+# back. Total count unchanged except for genuinely new queries.
 QUERIES: dict[str, QueryFn] = {
-    # -- flagship + faithful plugin tier
+    # -- never/stale driver-checked (r2's unverified tail) ---------
+    # windows past the r2 cut
+    "window_range_frame": W.window_range_frame,
+    "window_value_fns": W.window_value_fns,
+    # event-time windows (batch twins of the streaming tier)
+    "window_tumbling": TW.window_tumbling,
+    "window_sliding": TW.window_sliding,
+    "window_session": TW.window_session,
+    "dedup_events": TW.dedup_events,
+    # text analysis
+    "text_stats": _text_stats,
+    "token_count": _token_count,
+    "lang_id": _lang_id,
+    "quality_score": _quality,
+    "fingerprint": _fingerprint,
+    "tfidf_top_terms": _tfidf,
+    "corpus_clean": _corpus_clean,
+    "sample_deterministic": _sample_det,
+    # dedup (minhash + simhash were rewritten in r2 after their last
+    # green row; re-verification is the point of this block)
+    "dedup_exact": D.dedup_exact,
+    "dedup_fingerprint": D.dedup_fingerprint,
+    "dedup_minhash": D.dedup_minhash,
+    "ngram_jaccard": D.ngram_jaccard_pairs,
+    "simhash": D.simhash_docs,
+    # rows-only: pairing derives from the oracle-checked simhash;
+    # Hamming correctness + pigeonhole recall asserted in pytest
+    "simhash_pairs": lambda spark, sf_dir: D.simhash_near_pairs(
+        D.simhash_docs(spark, sf_dir), max_hamming=8
+    ),
+    # vector similarity (the LSH tier was rebuilt in r3: banded)
+    "vector_topk": V.vector_topk,
+    "vector_ann_lsh": V.vector_ann_lsh,  # rows-only (approximate)
+    "knn_label_vote": V.knn_label_vote,
+    "dedup_embedding": V.dedup_embedding,
+    "dedup_embedding_lsh": V.dedup_embedding_lsh,  # rows-only (recall-tested)
+    # multimodal plumbing (oracle-checkable metadata slice)
+    "multimodal_meta": M.multimodal_meta,
+    # -- new in r3 -------------------------------------------------
+    # the streaming path itself: checkpointed parquet sink read-back,
+    # sharing the window_tumbling oracle
+    "stream_tumbling_sink": ST.stream_tumbling_sink,
+    # -- changed in r3 (spread_scan removed from the map stage) ----
     "wordcount": _wordcount,
     "mr_wordcount": _mr_wordcount,
+    # -- stable, twice-green: rotates behind the entries above -----
     "sql_wordcount_udf": MR.sql_wordcount_udf,
-    # -- projection / filter / scalar
+    # projection / filter / scalar
     "filter_project": R.filter_project,
     "computed_columns": R.computed_columns,
     "scalar_functions": R.scalar_functions,
@@ -91,7 +144,7 @@ QUERIES: dict[str, QueryFn] = {
     "string_functions2": R.string_functions2,
     "date_functions": R.date_functions,
     "json_extract": R.json_extract,
-    # -- joins
+    # joins
     "join_inner": R.join_inner,
     "join_left_outer": R.join_left_outer,
     "join_right_outer": R.join_right_outer,
@@ -102,7 +155,7 @@ QUERIES: dict[str, QueryFn] = {
     "join_theta": R.join_theta,
     "join_asof": A.join_asof,
     "join_asof_forward": A.join_asof_forward,
-    # -- aggregation
+    # aggregation
     "agg_pricing_summary": R.agg_pricing_summary,
     "agg_basic": R.agg_basic,
     "agg_rollup": R.agg_rollup,
@@ -120,56 +173,21 @@ QUERIES: dict[str, QueryFn] = {
     "scalar_subquery": R.scalar_subquery,
     "null_functions": R.null_functions,
     "explode_outer": R.explode_outer_query,
-    # -- set ops / distinct
+    # set ops / distinct
     "set_union": R.set_union,
     "set_union_all_counts": R.set_union_all_counts,
     "set_intersect": R.set_intersect,
     "set_intersect_all": R.set_intersect_all,
     "set_except": R.set_except,
     "distinct_rows": R.distinct_rows,
-    # -- sort / top-k
+    # sort / top-k
     "sort_global": R.sort_global,
     "topk": R.topk,
-    # -- window functions
+    # window functions
     "window_rank": W.window_rank,
     "window_lag_lead": W.window_lag_lead,
     "window_running": W.window_running,
     "window_distribution": W.window_distribution,
-    "window_range_frame": W.window_range_frame,
-    "window_value_fns": W.window_value_fns,
-    # -- event-time windows (batch twins of the streaming tier)
-    "window_tumbling": TW.window_tumbling,
-    "window_sliding": TW.window_sliding,
-    "window_session": TW.window_session,
-    "dedup_events": TW.dedup_events,
-    # -- text analysis
-    "text_stats": _text_stats,
-    "token_count": _token_count,
-    "lang_id": _lang_id,
-    "quality_score": _quality,
-    "fingerprint": _fingerprint,
-    "tfidf_top_terms": _tfidf,
-    "corpus_clean": _corpus_clean,
-    "sample_deterministic": _sample_det,
-    # -- dedup
-    "dedup_exact": D.dedup_exact,
-    "dedup_fingerprint": D.dedup_fingerprint,
-    "dedup_minhash": D.dedup_minhash,
-    "ngram_jaccard": D.ngram_jaccard_pairs,
-    "simhash": D.simhash_docs,
-    # rows-only: pairing derives from the oracle-checked simhash;
-    # Hamming correctness + pigeonhole recall asserted in pytest
-    "simhash_pairs": lambda spark, sf_dir: D.simhash_near_pairs(
-        D.simhash_docs(spark, sf_dir), max_hamming=8
-    ),
-    # -- vector similarity
-    "vector_topk": V.vector_topk,
-    "vector_ann_lsh": V.vector_ann_lsh,  # rows-only (approximate)
-    "knn_label_vote": V.knn_label_vote,
-    "dedup_embedding": V.dedup_embedding,
-    "dedup_embedding_lsh": V.dedup_embedding_lsh,  # rows-only (recall-tested)
-    # -- multimodal plumbing (oracle-checkable metadata slice)
-    "multimodal_meta": M.multimodal_meta,
 }
 
 
@@ -1005,3 +1023,8 @@ FROM documents
 GROUP BY 1
 """,
 }
+
+# The streaming sink read-back must equal the batch tumbling window
+# exactly (append mode + watermark-flush sentinel, filtered back out
+# in stream_tumbling_sink) — so it shares window_tumbling's oracle.
+ORACLES["stream_tumbling_sink"] = ORACLES["window_tumbling"]
