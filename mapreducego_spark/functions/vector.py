@@ -13,6 +13,8 @@ without tolerance hacks.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -58,8 +60,14 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long").alias("vec_id"),
         _as_double(F.col("embedding")).alias("v"),
     )
+    # Norms hoisted below the join (once per vector, not per pair) —
+    # float-identical to cosine()'s dot/(|a|*|b|); see
+    # embedding_pairs_exact.
+    emb = emb.withColumn("__n", l2norm(F.col("v")))
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("__n").alias("qn"),
     )
     scored = (
         F.broadcast(queries)
@@ -68,7 +76,9 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("__n")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -119,16 +129,35 @@ def _plane_component(plane: int, dim: int) -> float:
     return (int(h, 16) % 20000 - 10000) / 10000.0
 
 
+def _plane_matrix(dims: int, n_planes: int):
+    """The (dims x n_planes) hyperplane matrix as a numpy constant —
+    built driver-side from the same md5 derivation, shipped to
+    executors inside the UDF closure (a few KB)."""
+    return np.array(
+        [[_plane_component(p, d) for p in range(n_planes)] for d in range(dims)],
+        dtype="float64",
+    )
+
+
 def lsh_sketch(vec: Column, dims: int, n_planes: int = N_PLANES) -> Column:
     """Sign-sketch bit string: bit p = 1 iff dot(vec, plane_p) > 0.
-    Planes are embedded constants (broadcast-free, codegen'd)."""
-    bits = []
-    for p in range(n_planes):
-        plane = F.array(
-            *[F.lit(_plane_component(p, d)) for d in range(dims)]
-        )
-        bits.append(F.when(dot(vec, plane) > 0, "1").otherwise("0"))
-    return F.concat(*bits)
+
+    Computed as one Arrow-batched numpy matmul (batch x dims) @
+    (dims x n_planes) per vectorized-UDF batch. The n_planes dot
+    products per row are dense linear algebra — exactly the shape
+    where a BLAS matmul beats Catalyst's interpreted higher-order
+    functions (F.aggregate/zip_with lambdas are evaluated per
+    element, ~dims x n_planes lambda calls per row; the r2 32-plane
+    JVM-expression sketch cost 3x the whole r1 pipeline)."""
+    planes = _plane_matrix(dims, n_planes)
+
+    @F.pandas_udf("string")
+    def _sketch(vs: pd.Series) -> pd.Series:
+        m = np.asarray(vs.tolist(), dtype="float64").reshape(len(vs), dims)
+        bits = np.where(m @ planes > 0, "1", "0")
+        return pd.Series(["".join(row) for row in bits])
+
+    return _sketch(vec)
 
 
 def lsh_band_cols(
@@ -178,12 +207,15 @@ def vector_ann_lsh(
         F.col("vec_id").cast("long").alias("vec_id"),
         _as_double(F.col("embedding")).alias("v"),
     )
+    emb = emb.withColumn("__n", l2norm(F.col("v")))
     corpus = sketch_bands(emb, "v", dims, n_planes, band_bits)
     # query side: every band value at Hamming distance <= 1
     # (1 + band_bits probes per band), exploded then broadcast
     queries = sketch_bands(
         emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("__n").alias("qn"),
         ),
         "qv",
         dims,
@@ -202,18 +234,20 @@ def vector_ann_lsh(
         ],
     )
     probes = queries.select(
-        "q_id", "qv", "band", F.explode(probe_variants).alias("band_val")
+        "q_id", "qv", "qn", "band", F.explode(probe_variants).alias("band_val")
     )
     scored = (
         F.broadcast(probes)
         .join(corpus, ["band", "band_val"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", "qv", "v")
+        .select("q_id", "vec_id", "qv", "qn", "v", "__n")
         .distinct()  # a pair may collide in several bands/probes
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("__n")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -266,15 +300,31 @@ def embedding_pairs_exact(
         )
         .drop("__n")
     )
-    a = guarded.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = guarded.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    # Hoist the per-vector L2 norm below the join: computed once per
+    # vector (n evaluations) instead of once per pair (n^2) — the
+    # division is float-identical to cosine()'s dot/(|a|*|b|), so the
+    # oracle hash is unchanged. Per-pair work drops from three
+    # 64-element folds to one.
+    withn = guarded.withColumn("__norm", l2norm(F.col("v")))
+    a = withn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("__norm").alias("na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("__norm").alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("vec_a", "vec_b")
@@ -295,27 +345,39 @@ def lsh_candidate_pairs(
     collisions, never n^2 — including the same residual-skew guard:
     a (band, band_val) bucket larger than ``max_bucket_size`` is
     inherently quadratic in pair count and is dropped from candidate
-    generation rather than stalling the stage (None disables)."""
-    bands = sketch_bands(
-        emb.select("vec_id", "v"), "v", dims, n_planes, band_bits
-    ).select("vec_id", "band", "band_val")
+    generation rather than stalling the stage (None disables).
+
+    The sketched band table feeds three plan branches (the bucket
+    census + both sides of the self-join) — persist it or the whole
+    sketch UDF recomputes per branch (same lifecycle policy as
+    dedup.minhash_pairs: persist, eagerly materialize the small pair
+    result via localCheckpoint, unpersist before returning)."""
+    bands = (
+        sketch_bands(emb.select("vec_id", "v"), "v", dims, n_planes, band_bits)
+        .select("vec_id", "band", "band_val")
+        .persist()
+    )
     if max_bucket_size is not None:
         sizes = bands.groupBy("band", "band_val").agg(
             F.count(F.lit(1)).alias("__bucket_n")
         )
-        bands = (
-            bands.join(sizes, ["band", "band_val"])
-            .filter(F.col("__bucket_n") <= max_bucket_size)
-            .drop("__bucket_n")
+        keep = bands.join(sizes, ["band", "band_val"]).filter(
+            F.col("__bucket_n") <= max_bucket_size
         )
-    a = bands.select("band", "band_val", F.col("vec_id").alias("vec_a"))
-    b = bands.select("band", "band_val", F.col("vec_id").alias("vec_b"))
-    return (
+    else:
+        keep = bands
+    a = keep.select("band", "band_val", F.col("vec_id").alias("vec_a"))
+    b = keep.select("band", "band_val", F.col("vec_id").alias("vec_b"))
+    result = (
         a.join(b, ["band", "band_val"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .distinct()
     )
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        bands.unpersist()
 
 
 def embedding_pairs_lsh(
@@ -338,15 +400,26 @@ def embedding_pairs_lsh(
     cands = lsh_candidate_pairs(
         emb, dims, n_planes, band_bits, max_bucket_size
     )
-    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    withn = emb.withColumn("__norm", l2norm(F.col("v")))
+    va = withn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("__norm").alias("na"),
+    )
+    vb = withn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("__norm").alias("nb"),
+    )
     return (
         cands.join(va, "vec_a")
         .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("vec_a", "vec_b")
