@@ -128,8 +128,10 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_meta": M.multimodal_meta,
     # -- new in r3 -------------------------------------------------
     # the streaming path itself: checkpointed parquet sink read-back,
-    # sharing the window_tumbling oracle
+    # sharing the batch twins' oracles
     "stream_tumbling_sink": ST.stream_tumbling_sink,
+    "stream_sliding_sink": ST.stream_sliding_sink,
+    "stream_session_sink": ST.stream_session_sink,
     # -- changed in r3 (spread_scan removed from the map stage) ----
     "wordcount": _wordcount,
     "mr_wordcount": _mr_wordcount,
@@ -1024,7 +1026,9 @@ GROUP BY 1
 """,
 }
 
-# The streaming sink read-back must equal the batch tumbling window
-# exactly (append mode + watermark-flush sentinel, filtered back out
-# in stream_tumbling_sink) — so it shares window_tumbling's oracle.
+# The streaming sink read-backs must equal their batch twins exactly
+# (append mode + watermark-flush sentinel, filtered back out in each
+# stream_*_sink) — so they share the twins' oracles.
 ORACLES["stream_tumbling_sink"] = ORACLES["window_tumbling"]
+ORACLES["stream_sliding_sink"] = ORACLES["window_sliding"]
+ORACLES["stream_session_sink"] = ORACLES["window_session"]

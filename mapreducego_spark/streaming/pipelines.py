@@ -219,15 +219,28 @@ def sliding_avg(events: DataFrame, watermark: str = "1 hour") -> StreamSpec:
 
 def session_counts(events: DataFrame, gap: str = "30 minutes") -> StreamSpec:
     """Streaming session windows (merging state) per user (append
-    mode — sessions emit once closed by the watermark)."""
+    mode — sessions emit once closed by the watermark). Output schema
+    matches the batch twin timewin.window_session exactly
+    (session_start = first event ts; session_seconds = last - first)
+    so the parquet sink read-back shares its oracle."""
     return StreamSpec(
         events.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy(
+            F.session_window("ts", gap).alias("sw"),
+            F.col("user_id").cast("long").alias("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
         .select(
             "user_id",
-            F.unix_timestamp(F.col("sw.start")).cast("long").alias("session_start"),
+            F.unix_timestamp("first_ts").cast("long").alias("session_start"),
             "n_events",
+            (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts"))
+            .cast("long")
+            .alias("session_seconds"),
         ),
         "append",
     )
@@ -366,14 +379,14 @@ def run_to_parquet(
     q.awaitTermination()
 
 
-def stream_tumbling_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: the STREAM path itself, oracle-checked — the
-    events fixture replayed through tumbling_counts into a
-    checkpointed parquet sink (run_to_parquet, the production write
-    path), then read back as a batch DataFrame. Shares the
-    window_tumbling oracle: append mode + the watermark-flush
-    sentinel means the sink holds exactly one finalized row per
-    (window, type), identical to the batch twin.
+def _stream_sink_readback(spark, sf_dir, pipeline, name: str) -> DataFrame:
+    """Shared harness for the stream-sink registry entries: replay the
+    events fixture (plus the watermark-flush sentinel) through
+    ``pipeline`` into a checkpointed parquet sink (run_to_parquet, the
+    production write path), then read the sink back as a batch
+    DataFrame. Append mode + the flush sentinel means the sink holds
+    exactly one finalized row per group, identical to the batch twin
+    — so each sink entry shares its twin's DuckDB oracle.
 
     Fresh temp output/checkpoint per call (cleaned at exit): the
     point here is verifying the stream's RESULT, not incremental
@@ -383,17 +396,48 @@ def stream_tumbling_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    workdir = tempfile.mkdtemp(prefix="stream_tumbling_sink_")
+    workdir = tempfile.mkdtemp(prefix=f"{name}_")
     atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     out = os.path.join(workdir, "out")
     ckpt = os.path.join(workdir, "ckpt")
     stage = os.path.join(workdir, "stage")
     events = events_stream(spark, sf_dir, stage_dir=stage, flush=True)
-    run_to_parquet(tumbling_counts(events), out, ckpt)
+    run_to_parquet(pipeline(events), out, ckpt)
+    return spark.read.parquet(out)
+
+
+def stream_tumbling_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the STREAM path itself, oracle-checked — shares
+    the window_tumbling oracle (sentinel rows filtered out by their
+    event_type)."""
     return (
-        spark.read.parquet(out)
+        _stream_sink_readback(spark, sf_dir, tumbling_counts, "stream_tumbling_sink")
         .filter(F.col("event_type") != FLUSH_EVENT_TYPE)
         .select("win_start", "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_sliding_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: sliding-window stream through the parquet sink,
+    sharing the window_sliding oracle. The sentinel has no grouping
+    key here, so its own far-future windows are filtered by bound
+    (anything within a day of the year-2100 flush timestamp is
+    sentinel-only — real fixture events are decades earlier)."""
+    return (
+        _stream_sink_readback(spark, sf_dir, sliding_avg, "stream_sliding_sink")
+        .filter(F.col("win_start") < FLUSH_TS_SECONDS - 86400)
+        .select("win_start", "n_events", "avg_value")
+    )
+
+
+def stream_session_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: session-window stream through the parquet sink,
+    sharing the window_session oracle (sentinel rows carry
+    FLUSH_USER_ID)."""
+    return (
+        _stream_sink_readback(spark, sf_dir, session_counts, "stream_session_sink")
+        .filter(F.col("user_id") != FLUSH_USER_ID)
+        .select("user_id", "session_start", "n_events", "session_seconds")
     )
 
 

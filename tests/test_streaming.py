@@ -9,7 +9,11 @@ import uuid
 import pyspark.sql.functions as F
 import pytest
 
-from mapreducego_spark.operators.timewin import window_sliding, window_tumbling
+from mapreducego_spark.operators.timewin import (
+    window_session,
+    window_sliding,
+    window_tumbling,
+)
 from mapreducego_spark.sources.catalog import load_table
 from mapreducego_spark.streaming.pipelines import (
     FLUSH_EVENT_TYPE,
@@ -194,6 +198,34 @@ def test_stream_tumbling_sink_matches_batch_twin(spark, sf_dir):
     want = {
         (r.win_start, r.event_type): (r.n_events, r.sum_value)
         for r in window_tumbling(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_sliding_sink_matches_batch_twin(spark, sf_dir):
+    from mapreducego_spark.streaming.pipelines import stream_sliding_sink
+
+    got = {
+        r.win_start: (r.n_events, round(r.avg_value, 9))
+        for r in stream_sliding_sink(spark, sf_dir).collect()
+    }
+    want = {
+        r.win_start: (r.n_events, round(r.avg_value, 9))
+        for r in window_sliding(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_session_sink_matches_batch_twin(spark, sf_dir):
+    from mapreducego_spark.streaming.pipelines import stream_session_sink
+
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.session_seconds)
+        for r in stream_session_sink(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.session_seconds)
+        for r in window_session(spark, sf_dir).collect()
     }
     assert got == want
 
