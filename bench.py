@@ -80,13 +80,27 @@ def main() -> None:
     runs = [(name, SF_DIR, name) for name in HEADLINE] + [
         (q, d, label) for q, d, label in HEADLINE_SMALL
     ]
+    # best-of-N per query: single runs on a shared 32-thread JVM show
+    # ±0.5-1s run-to-run jitter (GC, codegen compilation, OS noise),
+    # which drowned real deltas in round 2/3 regression counts; the
+    # minimum is the standard low-variance estimator of a query's
+    # actual cost (streaming-sink queries stay single-run — their
+    # wall clock is dominated by a real checkpointed write, and
+    # re-running doubles filesystem work for no variance win).
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     for name, sf_dir, label in runs:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        # noop sink: executes the FULL plan (no count() short-circuit,
-        # no driver collect bottleneck) — the honest execution time.
-        df.write.format("noop").mode("overwrite").save()
-        timings[label] = round(time.perf_counter() - t0, 3)
+        reps = 1 if name.startswith("stream_") else n_reps
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            # noop sink: executes the FULL plan (no count()
+            # short-circuit, no driver collect bottleneck) — the
+            # honest execution time.
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[label] = round(best, 3)
         print(f"# {label}: {timings[label]:.3f}s", file=sys.stderr)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)

@@ -447,6 +447,157 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pairs_lsh(emb)
 
 
+# --- scale path 2: IVF (inverted-file) coarse quantization --------------
+
+# IVF complements sign-LSH with the other standard ANN construction:
+# partition the corpus into Voronoi cells around k coarse centroids
+# (spherical k-means), then search only the n_probe cells nearest
+# each query. Where LSH's recall is data-independent (hyperplanes are
+# random), IVF adapts its cells to the data distribution — the
+# construction behind FAISS-style IndexIVFFlat (Johnson et al.,
+# "Billion-scale similarity search with GPUs", 2017).
+IVF_N_CELLS = 16
+IVF_N_PROBE = 4
+IVF_TRAIN_SAMPLE = 4096
+IVF_ITERS = 8
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return m / norms
+
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    dims: int,
+    n_cells: int = IVF_N_CELLS,
+    sample_cap: int = IVF_TRAIN_SAMPLE,
+    iters: int = IVF_ITERS,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained driver-side on a
+    bounded deterministic sample: the ``sample_cap`` vectors with the
+    smallest md5(vec_id) (a uniform pseudo-random draw with no RNG
+    state — same device as text.sample_deterministic), fetched via
+    TakeOrderedAndProject, so training cost is O(corpus scan) +
+    O(sample_cap x n_cells x iters) driver flops REGARDLESS of corpus
+    size. At 100 TB the sample is still sample_cap x dims doubles
+    (~2 MB at the defaults): coarse-quantizer training is the one
+    deliberately non-distributed step, exactly as in IVF practice.
+
+    Deterministic: seeds are the first n_cells sample rows in hash
+    order; Lloyd iterations are pure numpy; an empty cell keeps its
+    previous centroid. Returns L2-normalized (n_cells x dims).
+    """
+    sample = (
+        emb.select("vec_id", "v")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(sample_cap)
+        .collect()
+    )
+    mat = _normalize_rows(np.array([r.v for r in sample], dtype="float64"))
+    cents = mat[: min(n_cells, len(mat))].copy()
+    if len(cents) < n_cells:  # corpus smaller than n_cells: pad by repeat
+        reps = -(-n_cells // len(cents))
+        cents = np.tile(cents, (reps, 1))[:n_cells]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize_rows(cents)
+    return cents
+
+
+def ivf_cell_udf(centroids: np.ndarray, dims: int, n_probe: int = 1):
+    """Pandas UDF: the ``n_probe`` nearest cells (by cosine = dot
+    against normalized centroids) for each vector, as array<int> in
+    descending-similarity order. One Arrow-batched matmul + argpartition
+    per batch — the same BLAS-over-lambda reasoning as lsh_sketch.
+    Centroids ride the UDF closure (n_cells x dims doubles, a few KB
+    broadcast with the task)."""
+    cents = centroids
+
+    @F.pandas_udf("array<int>")
+    def _cells(vs: pd.Series) -> pd.Series:
+        m = _normalize_rows(
+            np.asarray(vs.tolist(), dtype="float64").reshape(len(vs), dims)
+        )
+        sims = m @ cents.T
+        k = min(n_probe, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        # order probes best-first within each row
+        row_order = np.take_along_axis(
+            top, np.argsort(-np.take_along_axis(sims, top, axis=1), axis=1), axis=1
+        )
+        return pd.Series([row.astype("int32").tolist() for row in row_order])
+
+    return _cells
+
+
+def vector_ann_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    dims: int = 64,
+    n_cells: int = IVF_N_CELLS,
+    n_probe: int = IVF_N_PROBE,
+) -> DataFrame:
+    """ANN top-k via IVF: corpus vectors live in their single nearest
+    cell; each query probes its ``n_probe`` nearest cells and scores
+    exact cosine only within them.
+
+    Physical shape at scale: the corpus is scanned ONCE through the
+    assignment matmul and joined on the int cell id against the tiny
+    broadcast probe side — no corpus shuffle, no candidate pair ever
+    forms outside a probed cell, and expected scored candidates are
+    |Q| x n_probe x (n/n_cells). Scoring reuses the exact-cosine +
+    per-query top-k tail of vector_topk, so precision within probed
+    cells is exact (driver check: rows-only — approximate recall has
+    no SQL oracle; the recall floor vs brute force is pytest-asserted
+    like vector_ann_lsh)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    cents = ivf_train_centroids(emb, dims, n_cells)
+    assign1 = ivf_cell_udf(cents, dims, n_probe=1)
+    corpus = emb.withColumn("__n", l2norm(F.col("v"))).withColumn(
+        "cell", F.element_at(assign1(F.col("v")), 1)
+    )
+    probe = ivf_cell_udf(cents, dims, n_probe=n_probe)
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            l2norm(F.col("v")).alias("qn"),
+            F.explode(probe(F.col("v"))).alias("cell"),
+        )
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("__n")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", "cos_sim", F.col("rk").cast("long").alias("rk"))
+        .orderBy("q_id", "rk")
+    )
+
+
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-label classification: majority label among the top-5
     cosine neighbors of each query vector (ties -> smaller label)."""

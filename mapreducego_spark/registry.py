@@ -121,6 +121,7 @@ QUERIES: dict[str, QueryFn] = {
     # vector similarity (the LSH tier was rebuilt in r3: banded)
     "vector_topk": V.vector_topk,
     "vector_ann_lsh": V.vector_ann_lsh,  # rows-only (approximate)
+    "vector_ann_ivf": V.vector_ann_ivf,  # rows-only (approximate, r3)
     "knn_label_vote": V.knn_label_vote,
     "dedup_embedding": V.dedup_embedding,
     "dedup_embedding_lsh": V.dedup_embedding_lsh,  # rows-only (recall-tested)

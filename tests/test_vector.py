@@ -65,6 +65,53 @@ def test_ann_is_subset_scored_correctly(spark, sf_dir):
             assert abs(r.cos_sim - brute[(r.q_id, r.vec_id)]) < 1e-9
 
 
+def test_ivf_recall_floor(spark, sf_dir):
+    """IVF probing 4 of 16 cells must beat blind 25% sampling by a
+    wide margin — cells adapt to the data, so true neighbors
+    concentrate in probed cells."""
+    from mapreducego_spark.functions.vector import vector_ann_ivf
+
+    truth = _numpy_topk(spark, sf_dir)
+    ann: dict[int, set[int]] = {q: set() for q in truth}
+    for r in vector_ann_ivf(spark, sf_dir).collect():
+        ann.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = sum(len(ann[q] & set(truth[q])) for q in truth)
+    total = sum(len(truth[q]) for q in truth)
+    assert hits / total >= 0.4, f"IVF recall {hits}/{total} below floor"
+
+
+def test_ivf_is_subset_scored_correctly(spark, sf_dir):
+    """IVF results carry exact cosine values (approximation lives in
+    cell probing, never scoring) — same contract as LSH."""
+    from mapreducego_spark.functions.vector import vector_ann_ivf
+
+    brute = {
+        (r.q_id, r.vec_id): r.cos_sim for r in vector_topk(spark, sf_dir).collect()
+    }
+    for r in vector_ann_ivf(spark, sf_dir).collect():
+        if (r.q_id, r.vec_id) in brute:
+            assert abs(r.cos_sim - brute[(r.q_id, r.vec_id)]) < 1e-9
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    """Training twice yields bit-identical centroids (hash-ordered
+    sample, no RNG state) — reproducibility across runs/engines."""
+    import pyspark.sql.functions as F
+
+    from mapreducego_spark.functions.vector import (
+        _as_double,
+        ivf_train_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    c1 = ivf_train_centroids(emb, 64)
+    c2 = ivf_train_centroids(emb, 64)
+    assert (c1 == c2).all()
+
+
 def test_knn_vote_majority(spark, sf_dir):
     top = vector_topk(spark, sf_dir).collect()
     labels = {
