@@ -321,6 +321,21 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: near-dup CLUSTERS — the step after pair
+    detection a real dedup run needs. MinHash-verified pairs become
+    edges; connected components collapse them into clusters with the
+    min doc_id as representative (keep rule: drop every doc where
+    doc_id != cluster_rep). Oracle: the same components via a
+    recursive CTE over the identically-constructed pair set."""
+    from mapreducego_spark.operators.graph import connected_components
+
+    pairs = minhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_bucket_size=None
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs).orderBy("doc_id")
+
+
 MAX_POSTING_LIST = 10_000
 
 

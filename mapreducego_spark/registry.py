@@ -111,6 +111,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": D.dedup_exact,
     "dedup_fingerprint": D.dedup_fingerprint,
     "dedup_minhash": D.dedup_minhash,
+    "dedup_clusters": D.dedup_clusters,  # r3: pair->cluster collapse
     "ngram_jaccard": D.ngram_jaccard_pairs,
     "simhash": D.simhash_docs,
     # rows-only: pairing derives from the oracle-checked simhash;
@@ -923,6 +924,31 @@ JOIN shingled sb ON sb.doc_id = c.doc_b
 WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
             / CAST(len(sa.shingles) + len(sb.shingles)
                    - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6) >= 0.5
+""",
+    # same pair construction, then connected components via a
+    # recursive min-reachability CTE (WITH RECURSIVE must lead the
+    # clause, hence the replace on the shared base)
+    "dedup_clusters": _MINHASH_BASE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+, vpairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cands c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+    WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(len(sa.shingles) + len(sb.shingles)
+                       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6) >= 0.5
+), sym AS (
+    SELECT doc_a AS s, doc_b AS d FROM vpairs
+    UNION
+    SELECT doc_b AS s, doc_a AS d FROM vpairs
+), reach AS (
+    SELECT s AS id, s AS r FROM sym
+    UNION
+    SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY id
 """,
     "ngram_jaccard": f"""
 WITH toks AS (

@@ -1,0 +1,67 @@
+"""connected_components: known component structures, convergence
+guard, and agreement with a brute-force union-find."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreducego_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        (r.doc_id, r.cluster_rep)
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_chain_clique_and_pair(spark):
+    """A 4-chain, a triangle, and an isolated pair — every node must
+    carry its component's min id."""
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (10, 11), (11, 12), (10, 12),    # triangle
+        (21, 20),                        # pair (reversed order)
+    ]
+    got = _cc(spark, edges)
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_matches_union_find(spark):
+    """Pseudo-random graph vs a driver-side union-find."""
+    import hashlib
+
+    edges = []
+    for i in range(200):
+        h = int(hashlib.md5(f"e{i}".encode()).hexdigest()[:8], 16)
+        edges.append((h % 50, (h // 50) % 50))
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert _cc(spark, edges) == want
+
+
+def test_diameter_guard_fails_loudly(spark):
+    """A long chain cannot converge in 1 iteration — the guard must
+    raise, not return a wrong labeling."""
+    chain = [(i, i + 1) for i in range(10)]
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        _cc(spark, chain, max_iter=1)
