@@ -10,7 +10,7 @@ whole-stage codegen applies and the same plan scales to 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducego_spark.operators.util import spread_scan
@@ -284,4 +284,152 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.md5(normalized).alias("fingerprint"),
+    )
+
+
+def sample_stratified(docs: DataFrame, quota: int = 40) -> DataFrame:
+    """Exact per-group quota sampling: the first ``quota`` docs per
+    language in deterministic hash order — the complement of
+    sample_deterministic's rate sampling (rates give you an expected
+    fraction; quotas give you an exact per-stratum count, the shape a
+    fixed data-mix budget needs). Groups smaller than the quota are
+    taken whole.
+
+    One shuffle (window partitioned by lang); the per-group sort is
+    by md5(doc_id) so membership is reproducible across runs,
+    engines, and cluster sizes. At 100 TB the window sorts each
+    stratum — if a stratum is huge relative to quota, pre-filter
+    with a rate sample slightly above quota/|stratum| first, then
+    quota-cut the survivors (two-phase top-k, same trick as topk)."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .select("doc_id", "lang")
+    )
+
+
+def pack_shards(docs: DataFrame, shard_tokens: int = 20_000) -> DataFrame:
+    """Token-budget shard packing: assign every doc a shard_id such
+    that consecutive docs (in deterministic hash order) fill each
+    shard to ~``shard_tokens`` whitespace tokens — the write-side
+    step of a training pipeline (shards become the files a data
+    loader streams).
+
+    shard_id = floor(running_token_total_before_doc / shard_tokens),
+    a GLOBAL prefix sum — the naive form is a single-partition
+    window (one task sorts the world: dead at scale). This is the
+    distributed two-phase prefix sum instead:
+
+      1. range-repartition + sort locally by the hash key (one
+         shuffle, every partition holds a contiguous key range);
+      2. per-partition token totals -> driver (|partitions| longs),
+         cumulated into per-partition start offsets;
+      3. one mapInPandas pass adds offset + local running sum — no
+         second shuffle, integer arithmetic throughout (no float
+         cumsum drift at any corpus size).
+
+    The Python hop carries only (doc_id, n_tokens) — the narrow
+    Arrow batches, not text."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    part = (
+        base.repartitionByRange("h", "doc_id")
+        .sortWithinPartitions("h", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        totals = {
+            r.pid: r.total
+        for r in part.groupBy("pid").agg(F.sum("n_tokens").alias("total")).collect()
+        }
+        offsets: dict[int, int] = {}
+        run = 0
+        for pid in sorted(totals):
+            offsets[pid] = run
+            run += int(totals[pid] or 0)
+
+        def assign(batches):
+            state = {"cum": None}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if state["cum"] is None:
+                    state["cum"] = offsets.get(int(pdf["pid"].iloc[0]), 0)
+                before = state["cum"] + pdf["n_tokens"].cumsum() - pdf["n_tokens"]
+                state["cum"] += int(pdf["n_tokens"].sum())
+                out = pdf[["doc_id", "n_tokens"]].copy()
+                out["shard_id"] = (before // shard_tokens).astype("int64")
+                yield out
+
+        result = part.mapInPandas(
+            assign, "doc_id long, n_tokens long, shard_id long"
+        ).localCheckpoint(eager=True)
+    finally:
+        part.unpersist()
+    return result
+
+
+N_BENCH_DOCS = 5  # fixture convention: doc_id < 5 stand in for an eval set
+
+
+def _ngram_col(tokens: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; [] below n tokens."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Benchmark decontamination: drop every corpus doc that shares
+    ANY word n-gram with the benchmark set (here: doc_id <
+    N_BENCH_DOCS stand in for an eval suite) — the standard
+    contamination filter run before training (n-gram overlap against
+    held-out benchmarks, c.f. the GPT-3/PaLM appendix methodology).
+
+    Shape at scale: benchmark n-grams are SMALL by construction (an
+    eval suite, not a corpus) -> distinct + broadcast; the corpus
+    side streams through one semi-join to find contaminated doc ids,
+    then one broadcast anti-join drops them. The corpus is never
+    shuffled on n-grams."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        tokens_col(F.col("text")).alias("t"),
+    )
+    grams = toks.select(
+        "doc_id", F.explode(_ngram_col(F.col("t"), n)).alias("gram")
+    )
+    bench_grams = (
+        grams.filter(F.col("doc_id") < N_BENCH_DOCS).select("gram").distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("doc_id") >= N_BENCH_DOCS)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    # no broadcast hint on the anti join: the contaminated set is
+    # usually tiny (AQE will broadcast it at runtime) but is corpus-
+    # derived, so it has no a-priori size bound the way bench_grams
+    # does — forcing a broadcast would be a scale hazard.
+    return (
+        toks.filter(F.col("doc_id") >= N_BENCH_DOCS)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang")
     )

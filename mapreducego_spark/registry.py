@@ -78,6 +78,18 @@ def _sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.sample_deterministic(load_table(spark, sf_dir, "lineitem"))
 
 
+def _sample_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.sample_stratified(load_table(spark, sf_dir, "documents"))
+
+
+def _pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.pack_shards(load_table(spark, sf_dir, "documents"))
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.decontaminate(load_table(spark, sf_dir, "documents"))
+
+
 # ORDERING NOTE (round 3): the round driver verifies the FIRST 50
 # entries of this dict, in insertion order. Round 2's driver window
 # stopped at entry 50, leaving the tail — every dedup/vector/text/
@@ -134,6 +146,11 @@ QUERIES: dict[str, QueryFn] = {
     "stream_tumbling_sink": ST.stream_tumbling_sink,
     "stream_sliding_sink": ST.stream_sliding_sink,
     "stream_session_sink": ST.stream_session_sink,
+    # r3 training-pipeline ops: quota sampling, shard packing,
+    # benchmark decontamination (all fully oracle-checked)
+    "sample_stratified": _sample_strat,
+    "pack_shards": _pack_shards,
+    "decontaminate": _decontaminate,
     # -- changed in r3 (spread_scan removed from the map stage) ----
     "wordcount": _wordcount,
     "mr_wordcount": _mr_wordcount,
@@ -203,6 +220,11 @@ _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0
 _SHINGLES2 = (
     "CASE WHEN len(t) >= 2 THEN list_distinct("
     "list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])"
+    ") ELSE [] END"
+)
+_TRIGRAMS = (
+    "CASE WHEN len(t) >= 3 THEN list_transform("
+    "range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]"
     ") ELSE [] END"
 )
 _EN_STOP = "['the','and','of','to','is','a','in','that','it','for']"
@@ -883,6 +905,40 @@ FROM lineitem
 WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
            || CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) % 1000
       < CASE WHEN l_returnflag = 'F' THEN 50 ELSE 200 END
+""",
+    "sample_stratified": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 40
+""",
+    "pack_shards": """
+WITH t AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+                ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 20000 AS BIGINT) AS shard_id
+FROM t
+""",
+    "decontaminate": f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, {_TOKS} AS t FROM documents
+), g AS (
+    SELECT doc_id, unnest({_TRIGRAMS}) AS gram FROM toks
+), bench AS (
+    SELECT DISTINCT gram FROM g WHERE doc_id < 5
+), bad AS (
+    SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE g.doc_id >= 5
+)
+SELECT doc_id, lang FROM toks
+WHERE doc_id >= 5 AND doc_id NOT IN (SELECT doc_id FROM bad)
 """,
     "dedup_embedding": """
 WITH emb AS (
