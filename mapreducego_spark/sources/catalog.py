@@ -162,3 +162,22 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON sink — user-facing analog of the reference's intermediate
     format (reference worker.go:153-192)."""
     df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other columnar interchange format a Spark
+    warehouse meets (Hive-era tables). Same pushdown/pruning behavior
+    as parquet: predicates and column pruning reach the ORC reader."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink, optionally partitioned (same pruning story as
+    write_parquet_partitioned)."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)

@@ -98,3 +98,22 @@ def test_register_views_roundtrip(spark):
     for name in TABLES:
         via_sql = spark.sql(f"SELECT COUNT(*) AS n FROM {name}").collect()[0].n
         assert via_sql == load_table(spark, "/root/testdata/sf0.001", name).count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path, sf_dir):
+    """ORC round-trip preserves values and types; a filter on the
+    read side reaches the ORC scan as a pushed filter."""
+    from mapreducego_spark.sources.catalog import load_table, read_orc, write_orc
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "orc_out")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    assert dict(back.dtypes) == dict(src.dtypes)
+    filtered = back.filter(F.col("o_orderstatus") == "F")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split("PushedFilters:")[1][:200]
+    assert filtered.count() == src.filter(F.col("o_orderstatus") == "F").count()
