@@ -47,6 +47,12 @@ HEADLINE = [
     # round 3: the streaming sink path (checkpointed parquet write +
     # read-back — wall clock includes the streaming query itself)
     "stream_tumbling_sink",
+    # round 3: cluster collapse (minhash + connected components),
+    # IVF ANN, and the training-pipeline trio
+    "dedup_clusters",
+    "vector_ann_ivf",
+    "pack_shards",
+    "decontaminate",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

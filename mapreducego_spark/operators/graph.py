@@ -55,6 +55,12 @@ def connected_components(
         .withColumn("lab", F.least("id", "lab"))
         .localCheckpoint(eager=True)
     )
+    # Convergence detector: labels only ever DECREASE, so the label
+    # sum is strictly monotone until the fixpoint — comparing two
+    # scalar sums replaces a per-iteration join+count (one cheap agg
+    # on the already-materialized checkpoint instead of a second
+    # shuffle).
+    prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
     for _ in range(max_iter):
         # smallest label visible through one hop (F.least skips nulls,
         # so isolated-this-round nodes keep their current label)
@@ -63,23 +69,30 @@ def connected_components(
             .groupBy(F.col("d").alias("id"))
             .agg(F.min("lab").alias("nbr_lab"))
         )
-        new_labels = (
-            labels.join(nbr, "id", "left")
-            .select("id", F.least("lab", "nbr_lab").alias("lab"))
+        hopped = labels.join(nbr, "id", "left").select(
+            "id", F.least("lab", "nbr_lab").alias("lab")
+        )
+        # pointer jump: additionally adopt the label OF your label
+        # (lab <- labels[lab]) — halves the remaining distance to the
+        # component min each round, so rounds ~ log2(diameter) rather
+        # than diameter (pointer doubling, as in PRAM list ranking /
+        # the Kiveris et al. star operations). One extra equi-join of
+        # the label table with itself per round.
+        jump = hopped.select(
+            F.col("id").alias("lab"), F.col("lab").alias("jlab")
+        )
+        labels = (
+            hopped.join(jump, "lab", "left")
+            .select("id", F.least("lab", "jlab").alias("lab"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lab") < F.col("o.lab"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
+        if cur_sum == prev_sum:
             return labels.select(
                 F.col("id").cast("long").alias("doc_id"),
                 F.col("lab").cast("long").alias("cluster_rep"),
             )
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components: no fixpoint within {max_iter} iterations "
         "(graph diameter exceeds the guard) — raise max_iter or switch "

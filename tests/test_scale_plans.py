@@ -123,3 +123,21 @@ def test_simhash_has_single_aggregate_no_expand(spark):
     assert "Expand" not in plan
     # exactly one aggregation pair (partial + final) on doc_id
     assert plan.count("HashAggregate") == 2, plan.count("HashAggregate")
+
+
+def test_decontaminate_broadcasts_bench_grams(spark):
+    """The benchmark n-gram set must reach the semi join as a
+    broadcast — the corpus side is never shuffled on n-grams."""
+    from mapreducego_spark.functions.text import decontaminate
+
+    plan = _plan(decontaminate(load_table(spark, SF, "documents")))
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_ivf_probe_side_broadcasts(spark):
+    """IVF candidate generation: the exploded query-probe side is
+    broadcast; the corpus is scanned once with no shuffle on cell."""
+    from mapreducego_spark.functions.vector import vector_ann_ivf
+
+    plan = _plan(vector_ann_ivf(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
