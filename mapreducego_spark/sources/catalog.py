@@ -164,6 +164,40 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_bytes`` each; returns the output file count.
+
+    The small-files problem is the chronic failure mode of streaming
+    / incremental sinks at scale (every micro-batch appends a file;
+    a year later the table has 10^6 tiny files and every scan pays
+    10^6 opens). Compaction = read once, repartition to
+    ceil(total_bytes / target), rewrite. Sizing uses the real on-disk
+    bytes from the file index (no data scan), and the write is to a
+    NEW path — swap-on-success beats in-place rewrite (which would
+    destroy the table on a mid-job failure)."""
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    out = jvm.org.apache.hadoop.fs.Path(dst)
+    listing = fs.listStatus(out)
+    return sum(
+        1 for s in listing if s.getPath().getName().endswith(".parquet")
+    )
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source — the other columnar interchange format a Spark
     warehouse meets (Hive-era tables). Same pushdown/pruning behavior
