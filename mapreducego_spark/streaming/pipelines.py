@@ -500,3 +500,43 @@ def user_running_stats(
         ),
         "update",
     )
+
+
+# --- streaming continuous aggregate (hypertable rollup, stream side) ----
+
+
+def stream_rollup_maintenance(
+    events: DataFrame, path: str, checkpoint: str
+) -> None:
+    """Streaming side of operators/rollup.py's continuous aggregate:
+    every micro-batch is folded into the stored day-partitioned
+    hourly rollup via foreachBatch -> update_rollup (algebraic merge,
+    dynamic partition overwrite — only the touched day partitions
+    rewrite per batch).
+
+    foreachBatch is the right sink here because the write is a
+    read-modify-write against an existing table, which no built-in
+    sink expresses; the checkpoint gives at-least-once batch
+    delivery with batch_id replay detection left to the fold —
+    production would record the last applied batch_id inside the
+    table's metadata for exactly-once (documented, not implemented:
+    plain parquet has no atomic metadata slot; a table format's
+    commit log is where that belongs)."""
+    import os
+
+    from mapreducego_spark.operators.rollup import build_rollup, update_rollup
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not os.path.exists(path):
+            build_rollup(batch_df, path)
+        else:
+            update_rollup(spark, batch_df, path)
+
+    q = (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -110,3 +110,57 @@ def test_compact_parquet(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 10_000
     assert back.agg(F.sum("x")).collect()[0][0] == df.agg(F.sum("x")).collect()[0][0]
+
+
+def test_stream_rollup_matches_batch_build(spark, sf_dir, tmp_path):
+    """The foreachBatch continuous aggregate, fed the events fixture
+    split across two files (two micro-batches: one cold build + one
+    incremental fold), must equal a one-shot batch build."""
+    from mapreducego_spark.streaming.pipelines import (
+        EVENTS_RAW_SCHEMA,
+        stream_rollup_maintenance,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = str(tmp_path / "stage")
+    # two staged files in ns-long form (matching the raw fixture layout)
+    raw = ev.select(
+        "event_id",
+        (F.unix_micros("ts") * 1000).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cut = lo + (hi - lo) * 0.5
+    raw.filter(F.col("ts") <= F.lit(int(cut.timestamp() * 1e9))).coalesce(
+        1
+    ).write.parquet(stage + "/a")
+    raw.filter(F.col("ts") > F.lit(int(cut.timestamp() * 1e9))).coalesce(
+        1
+    ).write.parquet(stage + "/b")
+    import glob
+    import os
+    import shutil
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for i, f in enumerate(
+        sorted(glob.glob(stage + "/*/part-*.parquet"))
+    ):
+        shutil.copyfile(f, os.path.join(src_dir, f"{i:02d}.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    roll = str(tmp_path / "roll")
+    stream_rollup_maintenance(stream, roll, str(tmp_path / "ckpt"))
+    full = str(tmp_path / "full")
+    build_rollup(ev, full)
+    assert _snapshot(spark, roll) == _snapshot(spark, full)
