@@ -151,6 +151,9 @@ QUERIES: dict[str, QueryFn] = {
     "sample_stratified": _sample_strat,
     "pack_shards": _pack_shards,
     "decontaminate": _decontaminate,
+    # r3 multi-join analytics (TPC-H Q3/Q10 shapes)
+    "q3_shipping_priority": R.q3_shipping_priority,
+    "q10_returned_items": R.q10_returned_items,
     # -- changed in r3 (spread_scan removed from the map stage) ----
     "wordcount": _wordcount,
     "mr_wordcount": _mr_wordcount,
@@ -905,6 +908,40 @@ FROM lineitem
 WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
            || CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) % 1000
       < CASE WHEN l_returnflag = 'F' THEN 50 ELSE 200 END
+""",
+    "q3_shipping_priority": """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    "q10_returned_items": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       c_name,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+       n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
 """,
     "sample_stratified": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang

@@ -141,3 +141,14 @@ def test_ivf_probe_side_broadcasts(spark):
 
     plan = _plan(vector_ann_ivf(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q3_plan_shape(spark):
+    """Q3: filtered customer dim broadcast, fact filters pushed to
+    the scans, top-10 via TakeOrderedAndProject (no global sort)."""
+    from mapreducego_spark.operators.relational import q3_shipping_priority
+
+    plan = _plan(q3_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan.split("PushedFilters:")[1][:300]
