@@ -381,6 +381,52 @@ def pack_shards(docs: DataFrame, shard_tokens: int = 20_000) -> DataFrame:
     return result
 
 
+def heavy_hitters(docs: DataFrame, k: int = 50) -> DataFrame:
+    """EXACT heavy hitters (words with count * k > total words) via
+    the two-pass Misra-Gries candidate + recount pattern — the shape
+    a 100 TB frequency query needs when the full word->count table
+    is too big to shuffle but the answer set is tiny.
+
+    Pass 1: a Misra-Gries summary of capacity ``k`` per partition
+    (mapInPandas, batched value_counts merged under MG trim). By the
+    pigeonhole/mergeability guarantee, any word with GLOBAL count >
+    n/k has partition count > n_p/(k+1) somewhere, so it survives
+    some partition's summary — the candidate union (<= k x
+    partitions words) provably contains every true heavy hitter.
+
+    Pass 2: exact counts ONLY for candidates (broadcast semi-join,
+    so the token stream shuffles just the candidate words), then the
+    exact threshold — integer cross-multiplication, no division.
+    Result is exactly equal to the full groupBy answer (oracle-
+    checked), at the cost of shuffling |candidates| instead of
+    |vocabulary|."""
+    import pandas as pd
+
+    tokens = docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+    total = tokens.count()
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w, c in pdf["word"].value_counts().items():
+                counters[w] = counters.get(w, 0) + int(c)
+            if len(counters) > k:
+                vals = sorted(counters.values(), reverse=True)
+                sub = vals[k]
+                counters = {
+                    w: c - sub for w, c in counters.items() if c - sub > 0
+                }
+        yield pd.DataFrame({"word": list(counters)})
+
+    cands = tokens.mapInPandas(mg, "word string").distinct()
+    return (
+        tokens.join(F.broadcast(cands), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * k > F.lit(total))
+    )
+
+
 N_BENCH_DOCS = 5  # fixture convention: doc_id < 5 stand in for an eval set
 
 

@@ -90,6 +90,18 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.decontaminate(load_table(spark, sf_dir, "documents"))
 
 
+def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
+def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.extract_features(M.documents_as_media(spark, sf_dir), fake=True)
+
+
+def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.frame_sample_plan(M.documents_as_media(spark, sf_dir))
+
+
 # ORDERING NOTE (round 3): the round driver verifies the FIRST 50
 # entries of this dict, in insertion order. Round 2's driver window
 # stopped at entry 50, leaving the tail — every dedup/vector/text/
@@ -154,6 +166,13 @@ QUERIES: dict[str, QueryFn] = {
     # r3 multi-join analytics (TPC-H Q3/Q10 shapes)
     "q3_shipping_priority": R.q3_shipping_priority,
     "q10_returned_items": R.q10_returned_items,
+    # r3: exact heavy hitters (Misra-Gries candidates + recount) and
+    # the multimodal decode/frame paths promoted to oracle checks
+    # (the deterministic fake decode is md5-derived, so DuckDB can
+    # mirror it exactly; the PIL path stays pytest-covered)
+    "heavy_hitters": _heavy_hitters,
+    "multimodal_features": _mm_features,
+    "multimodal_frames": _mm_frames,
     # -- changed in r3 (spread_scan removed from the map stage) ----
     "wordcount": _wordcount,
     "mr_wordcount": _mr_wordcount,
@@ -942,6 +961,34 @@ WHERE l_returnflag = 'R'
 GROUP BY 1, 2, 3, 4
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
+""",
+    "heavy_hitters": f"""
+WITH w AS (SELECT unnest({_TOKS}) AS word FROM documents)
+SELECT word, COUNT(*) AS cnt
+FROM w GROUP BY word
+HAVING COUNT(*) * 50 > (SELECT COUNT(*) FROM w)
+""",
+    # mirrors documents_as_media + the deterministic fake decode
+    # (md5-derived pseudo-dimensions, multimodal.py:_fake_decode)
+    "multimodal_features": """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       CAST(CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1920 + 1 AS INTEGER) AS width,
+       CAST(CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1080 + 1 AS INTEGER) AS height,
+       md5(text) AS feature_hash
+FROM documents
+""",
+    "multimodal_frames": """
+SELECT media_id, n_bytes,
+       CAST(unnest(range(0, n_bytes % 300 + 1, 10)) AS INTEGER) AS frame_idx
+FROM (
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 3 = 2
+)
 """,
     "sample_stratified": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang

@@ -93,3 +93,37 @@ def test_decontaminate_sound_and_complete(spark, sf_dir):
             assert not (tris(ts) & bench), f"doc {d} kept but contaminated"
         else:
             assert tris(ts) & bench, f"doc {d} dropped but clean"
+
+
+def test_heavy_hitters_exact(spark, sf_dir):
+    """Two-pass MG+recount must equal the full groupBy answer — the
+    candidate pruning is lossless for true heavy hitters."""
+    from mapreducego_spark.functions.text import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 30
+    got = {(r.word, r.cnt) for r in heavy_hitters(docs, k=k).collect()}
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+    total = toks.count()
+    want = {
+        (r.word, r.cnt)
+        for r in toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * k > F.lit(total))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_heavy_hitters_exact_on_repartitioned_input(spark, sf_dir):
+    """Partition layout must not change the answer (MG candidates
+    differ per layout; the recount makes the result invariant)."""
+    from mapreducego_spark.functions.text import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {(r.word, r.cnt) for r in heavy_hitters(docs, k=60).collect()}
+    b = {
+        (r.word, r.cnt)
+        for r in heavy_hitters(docs.repartition(13), k=60).collect()
+    }
+    assert a == b and a
