@@ -118,6 +118,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # methodology note: per-query wall is min over n_reps runs
+        # (rounds <= r02 were single-run, so part of any r02->r03
+        # improvement is the estimator change, not just the code)
+        "timing": f"best_of_{n_reps}_noop_sink" if n_reps > 1 else "single_run_noop_sink",
     }
     prev_round, prev = _latest_prev_bench()
     if prev:
