@@ -200,3 +200,40 @@ def mr_wordcount(df: DataFrame, input_col: str = "text") -> DataFrame:
     return counted.select(
         F.col("key").alias("word"), F.col("result").cast("long").alias("cnt")
     )
+
+
+# --- end-to-end job runner (the reference's user workflow) --------------
+
+
+def run_job(
+    spark,
+    input_path: str,
+    map_fn: MapFn,
+    reduce_fn: ReduceFn,
+    output_dir: str,
+    num_reducers: int = 8,
+) -> None:
+    """The reference's complete job lifecycle, files-in to files-out:
+    read text input(s) -> Map -> shuffle into R buckets -> Reduce ->
+    R JSON part files (one per reduce partition, the analog of the
+    reference's per-reducer mr-out buckets; master.go schedules map
+    tasks per input chunk then R reduce tasks — here Spark's
+    scheduler owns both stages and the shuffle).
+
+    A user of the reference switches by passing the same two plugin
+    callables they compiled into a .so (wordcount_map/
+    wordcount_reduce above are the reference's shipped example,
+    completed). Differences that are upgrades, not drift: output goes
+    through Spark's job committer (atomic commit, no partial output
+    visible on failure — the reference appends to live files,
+    worker.go:153-192), and input splitting is Spark's own (A2/A3).
+    """
+    text = spark.read.text(input_path)
+    result = map_reduce(
+        text,
+        map_fn,
+        reduce_fn,
+        input_col="value",
+        num_partitions=num_reducers,
+    )
+    result.write.mode("overwrite").json(output_dir)

@@ -70,3 +70,52 @@ def test_hash_partition_colocates_keys(spark):
     parts = df.select("key", F.spark_partition_id().alias("pid")).distinct()
     per_key = parts.groupBy("key").count().collect()
     assert all(r["count"] == 1 for r in per_key)
+
+
+def test_run_job_files_to_files(spark, tmp_path):
+    """End-to-end job runner: text files in, R JSON bucket files out;
+    same counts as a serial reference run; each key lives in exactly
+    one bucket (the fnv%R contract, expressed via Spark's hash
+    shuffle)."""
+    import collections
+    import glob
+    import json
+    import re
+
+    from mapreducego_spark.operators.mapreduce import (
+        run_job,
+        wordcount_map,
+        wordcount_reduce,
+    )
+
+    lines = [
+        "the quick brown fox",
+        "jumps over the lazy dog",
+        "the dog barks",
+        "fox and dog and fox",
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("\n".join(lines[:2]))
+    (src / "b.txt").write_text("\n".join(lines[2:]))
+    out = str(tmp_path / "out")
+    run_job(spark, str(src), wordcount_map, wordcount_reduce, out, num_reducers=4)
+
+    serial: collections.Counter = collections.Counter()
+    for line in lines:
+        for w in re.split("[^A-Za-z]+", line):
+            if w:
+                serial[w.lower()] += 1
+
+    got: dict[str, int] = {}
+    key_files: dict[str, set] = {}
+    parts = sorted(glob.glob(out + "/part-*"))
+    assert len(parts) == 4
+    for part in parts:
+        with open(part) as fh:
+            for raw in fh:
+                row = json.loads(raw)
+                got[row["key"]] = int(row["result"])
+                key_files.setdefault(row["key"], set()).add(part)
+    assert got == dict(serial)
+    assert all(len(fs) == 1 for fs in key_files.values())
