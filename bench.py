@@ -53,6 +53,11 @@ HEADLINE = [
     "vector_ann_ivf",
     "pack_shards",
     "decontaminate",
+    # round 3, second batch: 5-way star join, binned range join,
+    # and the scan-speed quality filter
+    "q5_local_supplier",
+    "join_range_binned",
+    "quality_filter",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

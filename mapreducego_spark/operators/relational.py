@@ -829,3 +829,119 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (variance/stddev/covariance/corr) per
+    return flag, computed from the six algebraic partials
+    (n, Σx, Σx², Σy, Σy², Σxy) instead of Spark's built-in
+    var_samp/corr.
+
+    Why not the built-ins: their merge order is partition-dependent,
+    so the low bits drift run-to-run AND engine-to-engine. The
+    partials are exact DECIMAL sums (order-independent), and every
+    derived value is a fixed IEEE expression over their double casts
+    — bit-identical in Spark and DuckDB (util.py preamble). Bonus:
+    the six sums partial-aggregate map-side, so the shuffle carries
+    |flags| x |partitions| rows — the same single-pass shape the
+    built-ins use, with none of their nondeterminism.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = dec("l_quantity", 18, 2)
+    y = dec("l_extendedprice", 18, 2)
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx, sxx = F.col("sx"), F.col("sxx")
+    sy, syy = F.col("sy"), F.col("syy")
+    sxy = F.col("sxy")
+    # fixed-shape numerators: (n*Σx² - Σx*Σx) etc.; the oracle SQL
+    # spells the identical expression tree so IEEE rounding agrees
+    var_x = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    var_y = (n * syy - sy * sy) / (n * (n - F.lit(1.0)))
+    cov = (n * sxy - sx * sy) / (n * (n - F.lit(1.0)))
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return g.select(
+        "l_returnflag",
+        "n_rows",
+        (sx / n).alias("mean_qty"),
+        var_x.alias("var_qty"),
+        F.sqrt(var_x).alias("std_qty"),
+        (sy / n).alias("mean_price"),
+        var_y.alias("var_price"),
+        cov.alias("covar_qty_price"),
+        corr.alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate-then-join.
+
+    The lineitem pre-aggregation runs BEFORE any join — at 100 TB
+    that is the difference between shuffling the whole fact table
+    through a join and shuffling |qualifying orders| rows. The
+    HAVING filter lands on the agg output (Catalyst keeps it above
+    the partial agg, so the map-side combine still applies); the
+    orders join then sees only qualifying keys, and the customer
+    join is AQE-decided on the post-filter size. Top-100 is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(dec("l_quantity", 12, 2), "sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the customer and the
+    supplier share that nation. Five joins, one of them a residual
+    equality (c_nationkey = s_nationkey) that Catalyst folds into
+    the supplier join condition rather than a post-join filter.
+    nation is broadcast (25 rows); supplier and customer are left to
+    AQE. The year filter pushes to the orders scan; everything else
+    is key-pruned through the joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice", 12, 2) * (
+        F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )

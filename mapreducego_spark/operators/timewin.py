@@ -102,3 +102,95 @@ def dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique_events"))
         .orderBy("event_type")
     )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel over the event log: view -> click (after
+    the first view) -> purchase (after that click), counted per
+    stage.
+
+    Distributed shape: each stage is ONE shuffle on user_id — filter
+    the raw scan on the stage's type (pushed to the parquet reader),
+    join the previous stage's (user_id, ts) frame, keep only later
+    events, take the min. No per-user sort, no window over the whole
+    log, no state; at 100 TB the stage frames are |users| rows, tiny
+    next to the event scan, and AQE broadcasts them when they fit.
+    Timestamps compare as epoch-microsecond longs (events.ts is ns
+    parquet; both engines floor to us — see module docstring)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(name).alias("stage"), "users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionAll(stage(c, "2_click"))
+        .unionAll(stage(p, "3_purchase"))
+    )
+
+
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join, scale form: purchases landing
+    within 10 minutes after each error event.
+
+    A naive theta join (join_theta / BroadcastNestedLoopJoin) dies
+    when both sides are facts. Binning fixes it: with bin width =
+    the max interval length (10 min), an interval (t0, t0+W] overlaps
+    at most TWO bins, so the interval side explodes to <=2 rows; a
+    point belongs to exactly ONE bin, so each qualifying
+    (interval, point) pair meets in exactly one bin — an equi
+    shuffle join on the bin key plus a residual range predicate, no
+    CartesianProduct, output needs no dedup. Both sides can be
+    100 TB; the shuffle is keyed and AQE-coalesced like any other
+    equi join."""
+    W = 600_000_000  # 10 minutes in microseconds = the bin width
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("us").alias("t0"),
+        (F.col("us") + F.lit(W)).alias("t1"),
+    )
+    err_binned = err.withColumn(
+        "bin", F.explode(F.sequence(F.expr(f"t0 div {W}"), F.expr(f"t1 div {W}")))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("us").alias("tp"), F.expr(f"us div {W}").alias("bin")
+    )
+    return (
+        err_binned.join(pur, "bin")
+        .filter((F.col("tp") > F.col("t0")) & (F.col("tp") <= F.col("t1")))
+        .groupBy("err_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.min("tp").alias("first_purchase_us"),
+        )
+    )

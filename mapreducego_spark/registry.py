@@ -94,6 +94,10 @@ def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.heavy_hitters(load_table(spark, sf_dir, "documents"))
 
 
+def _quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(M.documents_as_media(spark, sf_dir), fake=True)
 
@@ -173,6 +177,17 @@ QUERIES: dict[str, QueryFn] = {
     "heavy_hitters": _heavy_hitters,
     "multimodal_features": _mm_features,
     "multimodal_frames": _mm_frames,
+    # r3 second batch: exact-partial statistics, two more TPC-H
+    # shapes, skew-safe per-group top-k, event funnel, the binned
+    # range join (the scale form of join_theta), and the Gopher-rule
+    # quality filter — all fully oracle-checked
+    "agg_stats": R.agg_stats,
+    "q5_local_supplier": R.q5_local_supplier,
+    "q18_large_orders": R.q18_large_orders,
+    "topk_per_group": W.topk_per_group,
+    "funnel_conversion": TW.funnel_conversion,
+    "join_range_binned": TW.join_range_binned,
+    "quality_filter": _quality_filter,
     # -- changed in r3 (spread_scan removed from the map stage) ----
     "wordcount": _wordcount,
     "mr_wordcount": _mr_wordcount,
@@ -1190,6 +1205,149 @@ SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
        CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_bytes
 FROM documents
 GROUP BY 1
+""",
+    # --- r3 second batch -------------------------------------------
+    # agg_stats: the same six exact-DECIMAL partials and the same
+    # IEEE expression tree as operators/relational.agg_stats — the
+    # derived doubles are bit-identical because every input to every
+    # float op is identical (see operators/util.py preamble).
+    "agg_stats": """
+WITH g AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+), gn AS (SELECT *, CAST(n_rows AS DOUBLE) AS n FROM g)
+SELECT l_returnflag, n_rows,
+       sx / n AS mean_qty,
+       (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_qty,
+       sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS std_qty,
+       sy / n AS mean_price,
+       (n * syy - sy * sy) / (n * (n - 1.0)) AS var_price,
+       (n * sxy - sx * sy) / (n * (n - 1.0)) AS covar_qty_price,
+       (n * sxy - sx * sy)
+         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+FROM gn
+ORDER BY l_returnflag
+""",
+    "q5_local_supplier": """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    "q18_large_orders": """
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 250
+)
+SELECT c_name,
+       CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice,
+       sum_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    "topk_per_group": """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+    SELECT o_orderpriority,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_totalprice,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+    FROM orders
+) WHERE rn <= 3
+""",
+    # Event-time queries compare on epoch-MICROSECOND longs: events.ts
+    # is ns parquet; Spark's loader floors ns -> us (catalog.py) and
+    # epoch_ns(ts)//1000 floors identically here.
+    "funnel_conversion": """
+WITH ev AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           epoch_ns(ts) // 1000 AS us, event_type
+    FROM events
+), v AS (
+    SELECT user_id, MIN(us) AS t_view FROM ev
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id AS user_id, MIN(e.us) AS t_click
+    FROM ev e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.us > v.t_view
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id AS user_id, MIN(e.us) AS t_purchase
+    FROM ev e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.us > c.t_click
+    GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, COUNT(*) AS users FROM v
+UNION ALL SELECT '2_click', COUNT(*) FROM c
+UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+""",
+    "join_range_binned": """
+WITH ev AS (
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           epoch_ns(ts) // 1000 AS us, event_type
+    FROM events
+)
+SELECT e.event_id AS err_id,
+       COUNT(*) AS n_purchases,
+       MIN(p.us) AS first_purchase_us
+FROM ev e JOIN ev p
+  ON e.event_type = 'error' AND p.event_type = 'purchase'
+ AND p.us > e.us AND p.us <= e.us + 600000000
+GROUP BY e.event_id
+""",
+    "quality_filter": f"""
+WITH base AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS t FROM documents
+), withg AS (
+    SELECT doc_id, t,
+           CASE WHEN len(t) >= 2 THEN list_transform(
+               range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+           ELSE [] END AS g
+    FROM base
+), metrics AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_toks,
+           CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+             / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_tok_len,
+           CAST(list_max(list_transform(list_distinct(t),
+                    x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
+             / CAST(greatest(len(t), 1) AS DOUBLE) AS top_tok_ratio,
+           CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+             / CAST(greatest(len(g), 1) AS DOUBLE) AS dup_bigram_frac
+    FROM withg
+)
+SELECT doc_id, n_toks, mean_tok_len, top_tok_ratio, dup_bigram_frac,
+       (n_toks >= 20 AND n_toks <= 100000
+        AND mean_tok_len >= 3.0 AND mean_tok_len <= 8.0
+        AND top_tok_ratio <= 0.12 AND dup_bigram_frac <= 0.20) AS keep
+FROM metrics
 """,
 }
 

@@ -1,0 +1,155 @@
+"""Round-3 second-batch operators: skew-safe per-group top-k, the
+binned range join, exact-partial statistics, the funnel, the quality
+filter, and plan gates for the Q5/Q18 shapes."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from mapreducego_spark.operators.relational import (
+    agg_stats,
+    q5_local_supplier,
+    q18_large_orders,
+)
+from mapreducego_spark.operators.timewin import (
+    funnel_conversion,
+    join_range_binned,
+)
+from mapreducego_spark.operators.windows import topk_per_group_df
+from mapreducego_spark.functions.text import quality_filter
+from mapreducego_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.01"
+SF_TINY = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topk_per_group_matches_naive_window_and_is_partition_invariant(spark):
+    o = load_table(spark, SF, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_totalprice",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    naive = sorted(
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+        .collect()
+    )
+    for n_parts in (1, 7, 32):
+        got = sorted(
+            topk_per_group_df(
+                o.repartition(n_parts),
+                "o_orderpriority",
+                "o_totalprice",
+                "o_orderkey",
+                k=3,
+            ).collect()
+        )
+        assert got == naive, f"mismatch at {n_parts} partitions"
+
+
+def test_join_range_binned_equals_theta_form(spark):
+    got = {
+        r["err_id"]: (r["n_purchases"], r["first_purchase_us"])
+        for r in join_range_binned(spark, SF_TINY).collect()
+    }
+    ev = load_table(spark, SF_TINY, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+    )
+    err = ev.filter(F.col("event_type") == "error").selectExpr(
+        "event_id AS err_id", "us AS t0"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").selectExpr("us AS tp")
+    theta = (
+        err.join(
+            pur,
+            (F.col("tp") > F.col("t0"))
+            & (F.col("tp") <= F.col("t0") + 600_000_000),
+        )
+        .groupBy("err_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("tp").alias("first"),
+        )
+        .collect()
+    )
+    want = {r["err_id"]: (r["n"], r["first"]) for r in theta}
+    assert got == want
+
+
+def test_join_range_binned_plan_has_no_nested_loop(spark):
+    plan = _plan(join_range_binned(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_agg_stats_matches_builtin_moments(spark):
+    rows = {r["l_returnflag"]: r for r in agg_stats(spark, SF).collect()}
+    builtin = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.var_samp("l_quantity").alias("v"),
+            F.stddev_samp("l_quantity").alias("s"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("c"),
+            F.corr("l_quantity", "l_extendedprice").alias("r"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(builtin) and len(rows) == 3
+    for flag, row in rows.items():
+        b = builtin[flag]
+        assert math.isclose(row["var_qty"], b["v"], rel_tol=1e-9)
+        assert math.isclose(row["std_qty"], b["s"], rel_tol=1e-9)
+        assert math.isclose(row["covar_qty_price"], b["c"], rel_tol=1e-9)
+        assert math.isclose(row["corr_qty_price"], b["r"], rel_tol=1e-9)
+        assert -1.0 <= row["corr_qty_price"] <= 1.0
+
+
+def test_funnel_stages_are_monotone(spark):
+    rows = {r["stage"]: r["users"] for r in funnel_conversion(spark, SF).collect()}
+    assert set(rows) == {"1_view", "2_click", "3_purchase"}
+    assert rows["1_view"] >= rows["2_click"] >= rows["3_purchase"] >= 0
+
+
+def test_quality_filter_metrics_and_verdict_agree(spark):
+    rows = quality_filter(load_table(spark, SF, "documents")).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0.0 <= r["top_tok_ratio"] <= 1.0
+        assert 0.0 <= r["dup_bigram_frac"] <= 1.0
+        expect = (
+            20 <= r["n_toks"] <= 100000
+            and 3.0 <= r["mean_tok_len"] <= 8.0
+            and r["top_tok_ratio"] <= 0.12
+            and r["dup_bigram_frac"] <= 0.20
+        )
+        assert r["keep"] == expect
+    kept = sum(1 for r in rows if r["keep"])
+    # the rule set must actually split the corpus, not rubber-stamp it
+    assert 0 < kept < 500
+
+
+def test_q5_broadcasts_nation_and_q18_aggregates_before_join(spark):
+    p5 = _plan(q5_local_supplier(spark, SF))
+    assert "BroadcastHashJoin" in p5
+    assert "CartesianProduct" not in p5
+    p18 = _plan(q18_large_orders(spark, SF))
+    # the HAVING filter must sit on the agg output, before any join:
+    # optimized plan reads bottom-up Aggregate -> Filter -> Join
+    opt = q18_large_orders(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.index("Join") < opt.index("Aggregate")  # agg below join
+    assert "TakeOrderedAndProject" in p18
