@@ -496,16 +496,26 @@ def quality_filter(docs: DataFrame) -> DataFrame:
     whole-stage codegen end to end; at 100 TB this runs at scan
     speed and the keep flag is what downstream stages filter on.
     Ratios are exact-integer divisions surfaced as one double
-    divide, so DuckDB reproduces them bit-for-bit."""
-    toks = tokens_col(F.col("text"))
-    grams = _ngram_col(toks, 2)
+    divide, so DuckDB reproduces them bit-for-bit.
+
+    The token/bigram arrays are MATERIALIZED in a first projection:
+    inlining tokens_col() into the nested mode-count lambda makes
+    Catalyst re-run the regex split once per distinct token per row
+    (no common-subexpression elimination inside higher-order
+    functions) — measured 11.8s -> sub-second at sf0.1."""
+    arrs = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens_col(F.col("text")).alias("t"),
+    ).select("doc_id", "t", _ngram_col(F.col("t"), 2).alias("g"))
+    toks, grams = F.col("t"), F.col("g")
     n_toks = F.size(toks).cast("long")
     sum_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
     mean_len = sum_len.cast("double") / F.greatest(n_toks, F.lit(1)).cast("double")
     # mode count via distinct x count-in-array: O(|distinct| * n)
-    # per row, fine for documents; stays JVM-side
+    # per row over the materialized array, fine for documents;
+    # stays JVM-side
     top_cnt = F.array_max(
         F.transform(
             F.array_distinct(toks),
@@ -517,8 +527,8 @@ def quality_filter(docs: DataFrame) -> DataFrame:
     dup_frac = dup_bigrams.cast("double") / F.greatest(
         F.size(grams).cast("long"), F.lit(1)
     ).cast("double")
-    out = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+    out = arrs.select(
+        "doc_id",
         n_toks.alias("n_toks"),
         mean_len.alias("mean_tok_len"),
         top_ratio.alias("top_tok_ratio"),
@@ -533,3 +543,70 @@ def quality_filter(docs: DataFrame) -> DataFrame:
         & (F.col("dup_bigram_frac") <= 0.20)
     )
     return out.withColumn("keep", keep)
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction at scan speed: emails and phone numbers ->
+    typed placeholder tokens, with per-doc redaction counts.
+
+    The fixture corpus is synthetic and PII-free, so the query first
+    PLANTS deterministic fake PII (an email and a phone number
+    derived from doc_id) and then proves the scrubber removes it —
+    plant and scrub are both mirrored in the DuckDB oracle, and the
+    output asserts zero residual matches. Pure regexp expressions,
+    no UDF, no shuffle; at 100 TB this is a map-only pass fused into
+    the scan."""
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone_re = r"\+1-555-[0-9]{4}"
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    with_p = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), planted.alias("p")
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("p"), email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return with_p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("p"), F.lit(email_re), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("p"), F.lit(phone_re), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.size(F.regexp_extract_all(scrubbed, F.lit(email_re), F.lit(0)))
+        .cast("long")
+        .alias("residual_pii"),
+    )
+
+
+def sample_weighted(docs: DataFrame) -> DataFrame:
+    """Source-mix resampling: keep each document with a per-source
+    probability — the domain-weighting knob of a training-data mix
+    (web down-weighted, curated sources kept whole).
+
+    Same engine-portable construction as sample_deterministic: the
+    keep decision is md5(doc_id)-derived, so it is reproducible
+    across runs, engines, partitionings, and cluster sizes, and the
+    filter is a pure per-row expression fused into the scan — zero
+    shuffle. Weights here: even-numbered sources 25%, odd 75%
+    (fixture sources are src0..src19; a real mix maps named domains
+    to rates)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wmix"))), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    src_num = F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("long")
+    rate = F.when(src_num % 2 == 0, 250).otherwise(750)
+    return docs.filter(bucket < rate).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "lang",
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreducego_spark.functions import dedup as D
 from mapreducego_spark.functions import multimodal as M
@@ -96,6 +97,30 @@ def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the part<->supplier bipartite graph from lineitem
+    (node ids disjoint via 2p / 2s+1; undirected = both directions)."""
+    from mapreducego_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    und = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(und, n_iter=5)
+
+
+def _sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.sample_weighted(load_table(spark, sf_dir, "documents"))
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,9 +213,15 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_conversion": TW.funnel_conversion,
     "join_range_binned": TW.join_range_binned,
     "quality_filter": _quality_filter,
+    "pii_scrub": _pii_scrub,
+    "sample_weighted": _sample_weighted,
     # -- changed in r3 (spread_scan removed from the map stage) ----
     "wordcount": _wordcount,
     "mr_wordcount": _mr_wordcount,
+    # rows-only BY DESIGN (iterative float fixpoint — contract
+    # permits omitting the oracle); pytest-verified against a serial
+    # reference implementation (tests/test_graph.py)
+    "pagerank": _pagerank,
     # -- stable, twice-green: rotates behind the entries above -----
     "sql_wordcount_udf": MR.sql_wordcount_udf,
     # projection / filter / scalar
@@ -1348,6 +1379,39 @@ SELECT doc_id, n_toks, mean_tok_len, top_tok_ratio, dup_bigram_frac,
         AND mean_tok_len >= 3.0 AND mean_tok_len <= 8.0
         AND top_tok_ratio <= 0.12 AND dup_bigram_frac <= 0.20) AS keep
 FROM metrics
+""",
+    # pii_scrub: plant deterministic fake PII, scrub it, count
+    # matches — plant and scrub mirrored exactly. DuckDB needs the
+    # 'g' flag for global regexp_replace (Spark replaces all by
+    # default).
+    "pii_scrub": """
+WITH planted AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS p
+    FROM documents
+), scrubbed AS (
+    SELECT doc_id, p,
+           regexp_replace(
+               regexp_replace(p, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                              '<EMAIL>', 'g'),
+               '\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS s
+    FROM planted
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(p, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(p, '\\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+       md5(s) AS scrubbed_md5,
+       CAST(len(regexp_extract_all(s, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS residual_pii
+FROM scrubbed
+""",
+    "sample_weighted": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wmix'), 1, 8) AS BIGINT) % 1000
+      < CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 2 = 0
+             THEN 250 ELSE 750 END
 """,
 }
 

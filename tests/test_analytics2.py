@@ -153,3 +153,36 @@ def test_q5_broadcasts_nation_and_q18_aggregates_before_join(spark):
     opt = q18_large_orders(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
     assert opt.index("Join") < opt.index("Aggregate")  # agg below join
     assert "TakeOrderedAndProject" in p18
+
+
+def test_pii_scrub_removes_all_planted_pii(spark):
+    from mapreducego_spark.functions.text import pii_scrub
+
+    rows = pii_scrub(load_table(spark, SF, "documents")).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["n_emails"] >= 1  # the planted one, at minimum
+        assert r["n_phones"] >= 1
+        assert r["residual_pii"] == 0  # nothing survives the scrub
+
+
+def test_sample_weighted_is_partition_invariant_and_rate_correct(spark):
+    from mapreducego_spark.functions.text import sample_weighted
+
+    docs = load_table(spark, SF, "documents")
+    base = sorted(r["doc_id"] for r in sample_weighted(docs).collect())
+    shuffled = sorted(
+        r["doc_id"] for r in sample_weighted(docs.repartition(13)).collect()
+    )
+    assert base == shuffled  # md5 fate: same sample at any partitioning
+    by_parity = (
+        sample_weighted(docs)
+        .groupBy((F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 2).alias("par"))
+        .count()
+        .collect()
+    )
+    counts = {r["par"]: r["count"] for r in by_parity}
+    # 250 docs per parity at sf0.01; expect ~25% of evens, ~75% of odds
+    assert counts[1] > counts[0]
+    assert 0.15 * 250 < counts[0] < 0.35 * 250
+    assert 0.65 * 250 < counts[1] < 0.85 * 250

@@ -65,3 +65,41 @@ def test_diameter_guard_fails_loudly(spark):
     chain = [(i, i + 1) for i in range(10)]
     with pytest.raises(RuntimeError, match="fixpoint"):
         _cc(spark, chain, max_iter=1)
+
+
+def test_pagerank_matches_serial_reference(spark):
+    """Distributed PageRank == a serial dict implementation of the
+    same fixed-iteration recurrence, to float tolerance; rank mass
+    sums to 1."""
+    import math
+
+    from mapreducego_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 3), (5, 4), (6, 1)]
+    # node 7 is dangling-only reachable: add 1->7 (7 has no out-edges)
+    edges.append((1, 7))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=5).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    out = {}
+    for s, d in set(edges):
+        out.setdefault(s, []).append(d)
+    ranks = {v: 1.0 / n for v in nodes}
+    damping = 0.85
+    for _ in range(5):
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        inflow = {v: 0.0 for v in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                inflow[d] += ranks[s] / len(ds)
+        ranks = {
+            v: (1 - damping) / n + damping * (inflow[v] + dangling / n)
+            for v in nodes
+        }
+
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert math.isclose(got[v], ranks[v], rel_tol=1e-9), v
+    assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)
