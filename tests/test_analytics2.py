@@ -186,3 +186,84 @@ def test_sample_weighted_is_partition_invariant_and_rate_correct(spark):
     assert counts[1] > counts[0]
     assert 0.15 * 250 < counts[0] < 0.35 * 250
     assert 0.65 * 250 < counts[1] < 0.85 * 250
+
+
+def test_scan_fused_ops_have_no_exchange(spark):
+    """quality_filter / pii_scrub / sample_weighted are pure per-row
+    passes — any Exchange in their plans is a scale regression."""
+    from mapreducego_spark.functions.text import (
+        pii_scrub,
+        quality_filter,
+        sample_weighted,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    for fn in (quality_filter, pii_scrub, sample_weighted):
+        plan = _plan(fn(docs))
+        assert "Exchange" not in plan, fn.__name__
+
+
+def test_topk_per_group_handles_ties_and_small_groups(spark):
+    """Adversarial: heavy duplicate values (ties broken by key) and
+    groups smaller than k."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (f"g{rnd.randint(0, 3)}", i, float(rnd.randint(0, 4)))  # many ties
+        for i in range(200)
+    ]
+    rows += [("lonely", 999, 42.0)]  # group with 1 member < k
+    df = spark.createDataFrame(rows, ["grp", "key", "val"]).repartition(11)
+    got = sorted(topk_per_group_df(df, "grp", "val", "key", k=3).collect())
+    w = Window.partitionBy("grp").orderBy(F.col("val").desc(), F.col("key").asc())
+    want = sorted(
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("grp", "key", "val", "rn")
+        .collect()
+    )
+    assert got == want
+
+
+def test_join_range_binned_boundary_semantics(spark):
+    """The residual predicate is (t0, t0+W]: a point exactly at t0
+    is excluded, exactly at t0+W included, and bin-edge crossings
+    (interval spanning two bins) must still match."""
+    from mapreducego_spark.operators.timewin import join_range_binned as _  # noqa: F401
+    # exercise the same construction inline on hand-picked values
+    W = 600_000_000
+    err = spark.createDataFrame(
+        [(1, 100), (2, W - 1), (3, 5 * W)], ["err_id", "t0"]
+    ).withColumn("t1", F.col("t0") + F.lit(W))
+    pts = spark.createDataFrame(
+        [
+            (100,),          # == t0 of err 1 -> excluded (strict >)
+            (100 + W,),      # == t1 of err 1 -> included (<=)
+            (W + 50,),       # crosses bin edge: inside err 2's window
+            (5 * W + 1,),    # just inside err 3
+            (6 * W + 1,),    # just past err 3's t1 -> excluded
+        ],
+        ["tp"],
+    )
+    err_b = err.withColumn(
+        "bin", F.explode(F.sequence(F.expr(f"t0 div {W}"), F.expr(f"t1 div {W}")))
+    )
+    ptsb = pts.withColumn("bin", F.expr(f"tp div {W}"))
+    got = {
+        (r["err_id"], r["tp"])
+        for r in err_b.join(ptsb, "bin")
+        .filter((F.col("tp") > F.col("t0")) & (F.col("tp") <= F.col("t1")))
+        .select("err_id", "tp")
+        .collect()
+    }
+    # W+50 and 100+W each fall inside BOTH err 1's and err 2's
+    # windows (they overlap); the strict-> edge at t0 and the
+    # inclusive <= edge at t1 behave as specified
+    assert got == {
+        (1, 100 + W),
+        (1, W + 50),
+        (2, W + 50),
+        (2, 100 + W),
+        (3, 5 * W + 1),
+    }
