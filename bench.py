@@ -98,7 +98,7 @@ def main() -> None:
     # actual cost (streaming-sink queries stay single-run — their
     # wall clock is dominated by a real checkpointed write, and
     # re-running doubles filesystem work for no variance win).
-    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     for name, sf_dir, label in runs:
         reps = 1 if name.startswith("stream_") else n_reps
         best = None

@@ -7,6 +7,11 @@ first differing rows, so oracle drift is debuggable locally before
 the driver ever sees it.
 
 Usage: python tools/verify_local.py [query ...]
+
+A full (no-argument) run also writes VERIFY_LOCAL.json at the repo
+root — the complete per-query result table, including the entries
+beyond the round driver's verification window, so full-registry
+verification is inspectable as an artifact.
 """
 
 from __future__ import annotations
@@ -69,6 +74,7 @@ def main():
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -78,9 +84,13 @@ def main():
             spark_rows = [tuple(r) for r in df.collect()]
         except Exception as ex:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": f"spark error: {ex}"}
             print(f"FAIL  {name}: spark error: {ex}")
             continue
         if name not in oracles:
+            results[name] = {
+                "status": "rows_only_by_design", "spark_rows": len(spark_rows)
+            }
             print(f"rows  {name}: {len(spark_rows)} rows (no oracle)")
             continue
         try:
@@ -89,6 +99,7 @@ def main():
             duck_rows = res.fetchall()
         except Exception as ex:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": f"duckdb error: {ex}"}
             print(f"FAIL  {name}: duckdb error: {ex}")
             continue
         problems = []
@@ -105,9 +116,29 @@ def main():
                 problems.append(f"values spark-only={only_s} duck-only={only_d}")
         if problems:
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": " | ".join(problems)}
             print(f"FAIL  {name}: " + " | ".join(problems))
         else:
+            results[name] = {
+                "status": "PASS",
+                "rows": len(spark_rows),
+                "rows_match": True,
+                "schema_match": True,
+                "hash_match": True,
+            }
             print(f"PASS  {name}: {len(spark_rows)} rows")
+    if not only:
+        import json as _json
+        import os as _os
+
+        out = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "VERIFY_LOCAL.json")
+        with open(out, "w") as fh:
+            _json.dump(
+                {"sf_dir": SF_DIR, "n_queries": len(results),
+                 "n_failures": len(failures), "results": results},
+                fh, indent=1)
+        print(f"wrote {out}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 
