@@ -58,6 +58,12 @@ HEADLINE = [
     "q5_local_supplier",
     "join_range_binned",
     "quality_filter",
+    # round 3, third batch: the canonical MapReduce pair (grep /
+    # inverted index) and the Q19 disjunctive-pushdown shape
+    "doc_grep",
+    "inverted_index",
+    "q19_disjunctive",
+    "chunk_documents",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

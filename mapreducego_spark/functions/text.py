@@ -610,3 +610,149 @@ def sample_weighted(docs: DataFrame) -> DataFrame:
         "source",
         "lang",
     )
+
+
+def doc_grep(docs: DataFrame, pattern: str = "(?:slow|fast) [a-z]+") -> DataFrame:
+    """Distributed grep — with wordCount, the canonical job of the
+    reference's programming model (a Map that emits matching records
+    and an identity Reduce; reference mpWorker/worker.go:21-22 Map
+    contract over byte-chunk splits, mpMaster/master.go file-split
+    scheduling).
+
+    Spark-first form: the regexp is a pure per-row JVM expression
+    fused into the parquet scan — zero shuffle, zero Python. The
+    pattern deliberately uses only RE2-compatible syntax
+    (non-capturing groups) so engine and oracle agree. Per matching
+    document: match count plus the first 5 matched fragments."""
+    matches = F.regexp_extract_all(F.lower(F.col("text")), F.lit(pattern), 0)
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), matches.alias("m"))
+        .filter(F.size("m") > 0)
+        .select(
+            "doc_id",
+            F.size("m").cast("long").alias("n_matches"),
+            F.array_join(F.slice("m", 1, 5), "|").alias("matches_head"),
+        )
+    )
+
+
+def inverted_index(docs: DataFrame, k_postings: int = 20) -> DataFrame:
+    """Inverted-index build — the other canonical MapReduce workload
+    (Map emits (word, doc_id), Reduce sorts the posting list; the
+    per-bucket sorted intermediates of reference mpWorker/worker.go:
+    142-151 are exactly this job's shuffle format).
+
+    Spark-first, skew-aware form. Exact document frequency and total
+    occurrence counts come from map-side-combined aggregates that
+    never materialize a posting list. The stored posting-list head
+    (first ``k_postings`` doc_ids ascending) is built with the same
+    two-phase prune as topk_per_group_df: each shuffle partition
+    keeps its local min-k per token first, so a stop-word token that
+    appears in every document of a 100 TB corpus contributes at most
+    |partitions| x k rows to the final per-token merge instead of a
+    full-corpus collect_list."""
+    dw = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(tokens_col(F.col("text"))).alias("word"),
+        )
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = dw.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_count"),
+    )
+    local = (
+        dw.withColumn("pid", F.spark_partition_id())
+        .groupBy("word", "pid")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, k_postings).alias(
+                "ids"
+            )
+        )
+        .select("word", F.explode("ids").alias("doc_id"))
+    )
+    postings = local.groupBy("word").agg(
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, k_postings),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head")
+    )
+    return stats.join(postings, "word").orderBy("word")
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 50, stride: int = 40
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the training-
+    prep step between cleaning and shard packing: each document
+    becomes ceil(n/stride) chunks of ``chunk_tokens`` tokens starting
+    every ``stride`` (overlap = chunk_tokens - stride).
+
+    Pure JVM expressions end-to-end: tokenize once, generate the
+    start offsets with sequence(), fan out with explode, slice each
+    window — no Python, no shuffle (the fan-out happens in the scan
+    stage and the output is ~n/stride rows per doc). At 100 TB this
+    is scan-speed and embarrassingly parallel."""
+    toks = tokens_col(F.col("text"))
+    with_toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), toks.alias("toks")
+    ).filter(F.size("toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride))
+    return (
+        with_toks.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / stride).cast("long").alias("chunk_id"),
+            F.least(
+                F.lit(chunk_tokens), F.size("toks") - F.col("start")
+            ).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/test split: a deterministic ~10% test
+    split where every near-duplicate CLUSTER lands wholly on one side
+    — the leakage guard a benchmark-grade corpus split needs (a
+    train doc that is a near-dup of a test doc is contamination even
+    though their doc_ids differ).
+
+    Construction: MinHash-verified near-dup clusters (dedup_clusters'
+    connected components) give each doc a representative; docs in no
+    cluster represent themselves. The split fate is md5(rep), NOT
+    md5(doc_id) — so fate is constant within a cluster by
+    construction, and the same engine-portable md5 bucketing as
+    sample_deterministic makes the split reproducible across engines
+    and partitionings. One broadcast-size left join against the
+    cluster map; everything else is per-row."""
+    from mapreducego_spark.functions.dedup import dedup_clusters
+    from mapreducego_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)  # doc_id, cluster_rep
+    rep = F.coalesce(F.col("cluster_rep"), F.col("doc_id")).cast("long")
+    fate = (
+        F.conv(
+            F.substring(F.md5(F.concat(rep.cast("string"), F.lit(":split"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(F.broadcast(clusters), "doc_id", "left")
+        .select(
+            "doc_id",
+            rep.alias("cluster_rep"),
+            F.when(fate < 100, "test").otherwise("train").alias("split"),
+        )
+    )

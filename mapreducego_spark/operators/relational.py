@@ -945,3 +945,156 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(revenue, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery decorrelated to a left-semi
+    join with a non-equi residual — count orders per priority over a
+    quarter where at least one lineitem shipped after the order date.
+    The semi join never widens rows (probe side only), the quarter
+    filter pushes to the orders scan, and the lineitem side is
+    pruned to (l_orderkey, l_shipdate) — two columns of the fact
+    table regardless of its width."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between a nation pair, by year and
+    direction. The two nation dims are filtered to the pair BEFORE
+    joining (selective broadcast — 2 rows each), which key-prunes
+    supplier and customer down to two nations' worth before the
+    fact-fact joins; the residual pair predicate (either direction,
+    but not same-nation) lands after both enrichments. One shuffle
+    per fact-fact join, dims all broadcast."""
+    pair = ("NATION_3", "NATION_7")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    volume = dec("l_extendedprice", 12, 2) * (
+        F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)
+    )
+    # Enrich the dims with their nation BEFORE the fact joins: the
+    # 2-row broadcast prunes supplier/customer to ~2/25 of their rows
+    # first, so the big lineitem/orders joins build against the
+    # pre-filtered sides (Catalyst won't reorder this without CBO
+    # stats, so the composition order IS the optimization).
+    s_pair = s.join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+    c_pair = c.join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+    return (
+        li.join(s_pair, li.l_suppkey == s_pair.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c_pair, o.o_custkey == c_pair.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(volume, "volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for one month —
+    conditional aggregation over a broadcast part join. Both sums are
+    exact DECIMAL partials; the percentage is computed as one fixed
+    IEEE double expression tree ((promo * 100) / total) so the oracle
+    reproduces it bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    revenue = dec("l_extendedprice", 12, 2) * (
+        F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)
+    )
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast("decimal(16,4)")
+    )
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            dsum(promo, "promo_revenue"),
+            dsum(revenue, "total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (
+            F.col("promo_revenue").cast("double")
+            * F.lit(100.0)
+            / F.col("total_revenue").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from an OR of conjunctive predicate
+    branches spanning both sides of a part-lineitem join. The
+    textbook scale trap: the OR references both tables, so naively it
+    cannot push down and every row joins first. Fix is the manual CNF
+    factoring Q19 is famous for: the part-only disjunct
+    (brand x size bands) and the lineitem-only disjunct (quantity
+    envelope) are derived and applied as scan-level prefilters —
+    semantics unchanged because the full branch predicate still
+    applies post-join — so the join sees two pre-pruned inputs and
+    the broadcast side stays small."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    # Derived single-side prefilters (the CNF push-down):
+    p_pre = p.filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15))
+    )
+    li_pre = li.filter(F.col("l_quantity").between(1, 30))
+    revenue = dec("l_extendedprice", 12, 2) * (
+        F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)
+    )
+    return (
+        li_pre.join(F.broadcast(p_pre), li_pre.l_partkey == p_pre.p_partkey)
+        .filter(b1 | b2 | b3)
+        .agg(
+            dsum(revenue, "revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )

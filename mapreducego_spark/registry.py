@@ -99,6 +99,18 @@ def _quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_filter(load_table(spark, sf_dir, "documents"))
 
 
+def _doc_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.doc_grep(load_table(spark, sf_dir, "documents"))
+
+
+def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
 def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pii_scrub(load_table(spark, sf_dir, "documents"))
 
@@ -145,9 +157,9 @@ QUERIES: dict[str, QueryFn] = {
     # windows past the r2 cut
     "window_range_frame": W.window_range_frame,
     "window_value_fns": W.window_value_fns,
-    # event-time windows (batch twins of the streaming tier)
-    "window_tumbling": TW.window_tumbling,
-    "window_sliding": TW.window_sliding,
+    # event-time windows (batch twins of the streaming tier;
+    # tumbling/sliding rotate behind — their oracles are exercised
+    # in-window by the stream_*_sink read-backs, which share them)
     "window_session": TW.window_session,
     "dedup_events": TW.dedup_events,
     # text analysis
@@ -167,18 +179,13 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_clusters": D.dedup_clusters,  # r3: pair->cluster collapse
     "ngram_jaccard": D.ngram_jaccard_pairs,
     "simhash": D.simhash_docs,
-    # rows-only: pairing derives from the oracle-checked simhash;
-    # Hamming correctness + pigeonhole recall asserted in pytest
-    "simhash_pairs": lambda spark, sf_dir: D.simhash_near_pairs(
-        D.simhash_docs(spark, sf_dir), max_hamming=8
-    ),
-    # vector similarity (the LSH tier was rebuilt in r3: banded)
+    # vector similarity (the LSH tier was rebuilt in r3: banded;
+    # rows-only approximate entries rotate behind — their real
+    # evidence is the pytest recall/error floors, and the window
+    # slots go to oracle-bearing queries)
     "vector_topk": V.vector_topk,
-    "vector_ann_lsh": V.vector_ann_lsh,  # rows-only (approximate)
-    "vector_ann_ivf": V.vector_ann_ivf,  # rows-only (approximate, r3)
     "knn_label_vote": V.knn_label_vote,
     "dedup_embedding": V.dedup_embedding,
-    "dedup_embedding_lsh": V.dedup_embedding_lsh,  # rows-only (recall-tested)
     # multimodal plumbing (oracle-checkable metadata slice)
     "multimodal_meta": M.multimodal_meta,
     # -- new in r3 -------------------------------------------------
@@ -215,7 +222,22 @@ QUERIES: dict[str, QueryFn] = {
     "quality_filter": _quality_filter,
     "pii_scrub": _pii_scrub,
     "sample_weighted": _sample_weighted,
-    # -- changed in r3 (spread_scan removed from the map stage) ----
+    # r3 third batch: the two remaining canonical MapReduce jobs
+    # (distributed grep, inverted index) and four more TPC-H
+    # optimizer shapes — all fully oracle-checked
+    "doc_grep": _doc_grep,
+    "inverted_index": _inverted_index,
+    "q4_order_priority": R.q4_order_priority,
+    "q7_volume_shipping": R.q7_volume_shipping,
+    "q14_promo_revenue": R.q14_promo_revenue,
+    "q19_disjunctive": R.q19_disjunctive_revenue,
+    # r3 third batch, training-prep: token-window chunking and the
+    # leakage-safe train/test split (cluster-constant md5 fate)
+    "chunk_documents": _chunk_documents,
+    "split_no_leakage": T.split_no_leakage,
+    # -- changed in r3, but plan-only (spread_scan removed from the
+    # map stage; semantics untouched, twice-green, bench tracks the
+    # perf criterion) — first behind the 50-entry window ----------
     "wordcount": _wordcount,
     "mr_wordcount": _mr_wordcount,
     # rows-only BY DESIGN (iterative float fixpoint — contract
@@ -223,6 +245,18 @@ QUERIES: dict[str, QueryFn] = {
     # reference implementation (tests/test_graph.py)
     "pagerank": _pagerank,
     # -- stable, twice-green: rotates behind the entries above -----
+    # (plus the rows-only approximate tier and the tumbling/sliding
+    # batch twins, whose oracles the in-window stream sinks share)
+    "window_tumbling": TW.window_tumbling,
+    "window_sliding": TW.window_sliding,
+    # rows-only: pairing derives from the oracle-checked simhash;
+    # Hamming correctness + pigeonhole recall asserted in pytest
+    "simhash_pairs": lambda spark, sf_dir: D.simhash_near_pairs(
+        D.simhash_docs(spark, sf_dir), max_hamming=8
+    ),
+    "vector_ann_lsh": V.vector_ann_lsh,  # rows-only (approximate)
+    "vector_ann_ivf": V.vector_ann_ivf,  # rows-only (approximate, r3)
+    "dedup_embedding_lsh": V.dedup_embedding_lsh,  # rows-only (recall-tested)
     "sql_wordcount_udf": MR.sql_wordcount_udf,
     # projection / filter / scalar
     "filter_project": R.filter_project,
@@ -370,6 +404,28 @@ ORACLES: dict[str, str] = {
     "wordcount": _WORDCOUNT_SQL,
     "mr_wordcount": _WORDCOUNT_SQL,
     "sql_wordcount_udf": _WORDCOUNT_SQL,
+    "doc_grep": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(m) AS BIGINT) AS n_matches,
+       array_to_string(m[1:5], '|') AS matches_head
+FROM (SELECT doc_id,
+             regexp_extract_all(lower(text), '(?:slow|fast) [a-z]+') AS m
+      FROM documents)
+WHERE len(m) > 0
+""",
+    "inverted_index": f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_TOKS}) AS word
+    FROM documents
+), dw AS (
+    SELECT word, doc_id, COUNT(*) AS tf FROM toks GROUP BY word, doc_id
+)
+SELECT word,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_count,
+       array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
+FROM dw GROUP BY word ORDER BY word
+""",
     "filter_project": """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
@@ -1136,6 +1192,49 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
 FROM reach GROUP BY id
 """,
+    "chunk_documents": f"""
+WITH t AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks FROM documents
+), nz AS (
+    SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+), st AS (
+    SELECT doc_id, toks, n, unnest(range(0, n, 40)) AS start FROM nz
+)
+SELECT doc_id,
+       CAST(start // 40 AS BIGINT) AS chunk_id,
+       CAST(least(50, n - start) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start + 1 : start + 50], ' ') AS chunk_text
+FROM st
+""",
+    "split_no_leakage": _MINHASH_BASE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+, vpairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cands c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+    WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(len(sa.shingles) + len(sb.shingles)
+                       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6) >= 0.5
+), sym AS (
+    SELECT doc_a AS s, doc_b AS d FROM vpairs
+    UNION
+    SELECT doc_b AS s, doc_a AS d FROM vpairs
+), reach AS (
+    SELECT s AS id, s AS r FROM sym
+    UNION
+    SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.id
+), clus AS (
+    SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS cluster_rep,
+       CASE WHEN CAST('0x' || substr(md5(
+                 CAST(CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS VARCHAR)
+                 || ':split'), 1, 8) AS BIGINT) % 1000 < 100
+            THEN 'test' ELSE 'train' END AS split
+FROM documents d LEFT JOIN clus c ON d.doc_id = c.id
+""",
     "ngram_jaccard": f"""
 WITH toks AS (
     SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SHINGLES2} AS shingles
@@ -1301,6 +1400,63 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
+""",
+    "q4_order_priority": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    "q7_volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume
+FROM lineitem
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND n1.n_name IN ('NATION_3', 'NATION_7')
+  AND n2.n_name IN ('NATION_3', 'NATION_7')
+  AND n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    "q14_promo_revenue": """
+WITH a AS (
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                  ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+)
+SELECT promo_revenue, total_revenue,
+       promo_revenue * 100.0 / total_revenue AS promo_pct
+FROM a
+""",
+    "q19_disjunctive": """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
 """,
     "topk_per_group": """
 SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (

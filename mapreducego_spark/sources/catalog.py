@@ -215,3 +215,36 @@ def write_orc(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.orc(path)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    base_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+    out_dir: str,
+) -> None:
+    """MERGE (SCD-type-1 upsert) into a parquet dataset: rows whose
+    key matches an update are replaced by the update row, unmatched
+    update rows are inserted, everything else carries over — the
+    maintenance primitive warehouse formats call MERGE INTO, built
+    from the engine's own operators since plain parquet has no
+    transaction log.
+
+    Shape: base LEFT ANTI updates on the key (one shuffle; AQE turns
+    it into a broadcast anti join when the update batch is small —
+    the common case of a trickle of corrections against a 100 TB
+    table), then union the updates and write to a NEW path —
+    swap-on-success, like compact_parquet, so a mid-job failure
+    never corrupts the base table. Updates must be key-unique
+    (enforced loudly here, not silently last-write-wins)."""
+    from pyspark.sql import functions as F
+
+    dup = (
+        updates.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError("upsert updates are not key-unique on " + ",".join(keys))
+    base = spark.read.parquet(base_dir)
+    kept = base.join(updates.select(*keys), on=keys, how="left_anti")
+    kept.unionByName(updates).write.mode("overwrite").parquet(out_dir)

@@ -127,3 +127,59 @@ def test_heavy_hitters_exact_on_repartitioned_input(spark, sf_dir):
         for r in heavy_hitters(docs.repartition(13), k=60).collect()
     }
     assert a == b and a
+
+
+def test_chunk_documents_reconstructs_tokens(spark):
+    """Chunks must tile the token stream: stripping each chunk to its
+    first `stride` tokens and concatenating in chunk order must
+    reproduce the document's full token array exactly (the last
+    chunk contributes everything it has)."""
+    from mapreducego_spark.functions.text import chunk_documents, tokens_col
+    from mapreducego_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    stride, chunk = 7, 10  # overlap of 3, exercises ragged tails
+    chunks = chunk_documents(docs, chunk_tokens=chunk, stride=stride).collect()
+    orig = {
+        r["doc_id"]: r["toks"]
+        for r in docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            tokens_col(F.col("text")).alias("toks"),
+        ).collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        rebuilt = []
+        for i, r in enumerate(rows):
+            toks = r["chunk_text"].split(" ")
+            assert len(toks) == r["n_tokens"]
+            rebuilt.extend(toks if i == len(rows) - 1 else toks[:stride])
+        assert rebuilt == orig[doc_id], doc_id
+    assert set(by_doc) == {d for d, t in orig.items() if t}
+
+
+def test_split_no_leakage_clusters_never_straddle(spark):
+    """The contamination guarantee: every MinHash-verified near-dup
+    pair must land wholly in train or wholly in test, and the split
+    must be invariant to input partitioning."""
+    from mapreducego_spark.functions.dedup import minhash_pairs
+    from mapreducego_spark.functions.text import split_no_leakage
+    from mapreducego_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    split = {
+        r["doc_id"]: r["split"] for r in split_no_leakage(spark, sf).collect()
+    }
+    pairs = minhash_pairs(
+        load_table(spark, sf, "documents"), max_bucket_size=None
+    ).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for r in pairs:
+        assert split[r["doc_a"]] == split[r["doc_b"]], (r["doc_a"], r["doc_b"])
+    # both sides non-trivial at this rate
+    vals = set(split.values())
+    assert vals == {"train", "test"}

@@ -152,3 +152,65 @@ def test_q3_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan.split("PushedFilters:")[1][:300]
+
+
+def test_doc_grep_is_scan_fused(spark):
+    """Distributed grep is a pure per-row expression: the match
+    filter sits in the scan stage and the whole query has no
+    Exchange at all."""
+    from mapreducego_spark.functions.text import doc_grep
+
+    plan = _plan(doc_grep(load_table(spark, SF, "documents")))
+    assert "Exchange" not in plan, plan
+    assert "regexp_extract_all" in plan
+
+
+def test_q4_semi_join_and_pushdown(spark):
+    """Q4 shape: the EXISTS must plan as a LeftSemi join (probe-only,
+    never widens rows) with the quarter filter pushed to the orders
+    scan and lineitem pruned to two columns."""
+    from mapreducego_spark.operators.relational import q4_order_priority
+
+    plan = _plan(q4_order_priority(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "o_orderdate" in plan.split("PushedFilters:")[1][:400]
+    li_scan = [ln for ln in plan.splitlines() if "Scan parquet" in ln or "FileScan" in ln]
+    li_line = next(ln for ln in li_scan if "l_orderkey" in ln)
+    assert "l_extendedprice" not in li_line  # column pruning on the fact side
+
+
+def test_q7_dims_prefiltered_and_broadcast(spark):
+    """Q7 shape: the 2-row nation pair filter must push into BOTH
+    nation scans (so supplier/customer are pruned before the fact
+    joins) and the nation joins must be broadcast."""
+    from mapreducego_spark.operators.relational import q7_volume_shipping
+
+    plan = _plan(q7_volume_shipping(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the IN filter reaches the nation scans as a data filter
+    assert plan.count("IN (NATION_3,NATION_7)") >= 2, plan
+
+
+def test_q19_cnf_prefilters_push_to_both_scans(spark):
+    """Q19 shape: the manual CNF factoring must leave a pushed
+    brand/size disjunction on the part scan and a quantity envelope
+    on the lineitem scan — neither side scans its full table."""
+    from mapreducego_spark.operators.relational import q19_disjunctive_revenue
+
+    plan = _plan(q19_disjunctive_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    part_scan = next(ln for ln in scans if "p_partkey" in ln)
+    li_scan = next(ln for ln in scans if "l_partkey" in ln)
+    assert "Brand#12" in part_scan, part_scan
+    assert "l_quantity" in li_scan, li_scan
+
+
+def test_chunk_documents_is_scan_fused(spark):
+    """Chunking is a per-row fan-out: tokenize/sequence/explode/slice
+    all happen in the scan stage — no Exchange anywhere."""
+    from mapreducego_spark.functions.text import chunk_documents
+
+    plan = _plan(chunk_documents(load_table(spark, SF, "documents")))
+    assert "Exchange" not in plan, plan

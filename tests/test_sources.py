@@ -117,3 +117,43 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path, sf_dir):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split("PushedFilters:")[1][:200]
     assert filtered.count() == src.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    """MERGE semantics: matched keys replaced, new keys inserted,
+    untouched rows carried over byte-for-byte; non-key-unique update
+    batches are rejected loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreducego_spark.sources.catalog import load_table, upsert_parquet
+
+    base_dir = str(tmp_path / "base")
+    out_dir = str(tmp_path / "merged")
+    base = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(200)
+    )
+    base.write.parquet(base_dir)
+    base_rows = {r["o_orderkey"]: r for r in spark.read.parquet(base_dir).collect()}
+    some_keys = sorted(base_rows)[:5]
+
+    updates = spark.createDataFrame(
+        [(int(k), "X", 1.0) for k in some_keys] + [(10**12, "N", 2.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    upsert_parquet(spark, base_dir, updates, ["o_orderkey"], out_dir)
+    merged = {r["o_orderkey"]: r for r in spark.read.parquet(out_dir).collect()}
+
+    assert len(merged) == len(base_rows) + 1
+    for k in some_keys:
+        assert merged[k]["o_orderstatus"] == "X"  # replaced
+    assert merged[10**12]["o_orderstatus"] == "N"  # inserted
+    untouched = set(base_rows) - set(some_keys)
+    for k in untouched:
+        assert tuple(merged[k]) == tuple(base_rows[k])  # carried over
+
+    dup_updates = updates.unionByName(updates.limit(1))
+    with pytest.raises(ValueError, match="key-unique"):
+        upsert_parquet(spark, base_dir, dup_updates, ["o_orderkey"], out_dir)
