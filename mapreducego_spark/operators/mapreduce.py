@@ -237,3 +237,34 @@ def run_job(
         num_partitions=num_reducers,
     )
     result.write.mode("overwrite").json(output_dir)
+
+
+def job_wordcount_files(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: the reference's COMPLETE job lifecycle,
+    oracle-checked files-in to files-out. Stages documents.text as
+    plain text part files (the reference's input format —
+    mpMaster/master.go schedules map tasks per input file chunk),
+    runs run_job with the reference's shipped wordcount plugins, and
+    reads the R JSON bucket files back as the result. Line-splitting
+    on the staging write cannot change the answer: the tokenizer
+    treats newlines as delimiters anyway. Shares the wordcount
+    oracle. Fresh temp in/out per call, cleaned at exit (same
+    harness convention as the stream-sink entries)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from mapreducego_spark.sources.catalog import load_table
+
+    workdir = tempfile.mkdtemp(prefix="job_wordcount_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    inp = os.path.join(workdir, "in")
+    out = os.path.join(workdir, "out")
+    load_table(spark, sf_dir, "documents").select(
+        F.coalesce(F.col("text"), F.lit("")).alias("text")
+    ).write.text(inp)
+    run_job(spark, inp, wordcount_map, wordcount_reduce, out)
+    return spark.read.json(out).select(
+        F.col("key").alias("word"), F.col("result").cast("long").alias("cnt")
+    )

