@@ -157,3 +157,24 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     dup_updates = updates.unionByName(updates.limit(1))
     with pytest.raises(ValueError, match="key-unique"):
         upsert_parquet(spark, base_dir, dup_updates, ["o_orderkey"], out_dir)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: a dataset written in two batches, the second
+    with an added column, reads back as the merged schema with nulls
+    for the old batch (mergeSchema) — the append-only table-evolution
+    story plain parquet supports."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(0, 10).select(
+        F.col("id"), F.lit("a").alias("tag")
+    ).write.parquet(base + "/batch=1")
+    spark.range(10, 20).select(
+        F.col("id"), F.lit("b").alias("tag"), F.lit(1.5).alias("score")
+    ).write.parquet(base + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"id", "tag", "score", "batch"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[0]["score"] is None and rows[15]["score"] == 1.5
+    assert len(rows) == 20
