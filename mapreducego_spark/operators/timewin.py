@@ -194,3 +194,34 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tp").alias("first_purchase_us"),
         )
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid — with the funnel, the other canonical
+    product-analytics query over an event log: users grouped by
+    first-activity week (their cohort), counted in each subsequent
+    week they were active.
+
+    Distributed shape: cohort assignment is one map-side-combined
+    min per user; weekly activity is one distinct over (user, week);
+    both are single shuffles on user_id, and the final aggregate
+    runs over the tiny |cohorts| x |weeks| grid. No windows, no
+    per-user sort. Week bucketing uses epoch SECONDS (exact in
+    double well past 2^53 headroom) so engine and oracle floor
+    identically."""
+    week_s = 7 * 24 * 3600
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(F.unix_timestamp("ts") / F.lit(week_s)).cast("long").alias("week"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_n"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+        .orderBy("cohort_week", "week_n")
+    )

@@ -165,7 +165,6 @@ QUERIES: dict[str, QueryFn] = {
     # text analysis
     "text_stats": _text_stats,
     "token_count": _token_count,
-    "lang_id": _lang_id,
     "quality_score": _quality,
     "tfidf_top_terms": _tfidf,
     "corpus_clean": _corpus_clean,
@@ -240,16 +239,20 @@ QUERIES: dict[str, QueryFn] = {
     # r3 third batch: the custom-AGGREGATE plugin surface (pandas
     # GROUPED_AGG UDAF; exact integer semantic so it oracle-checks)
     "udaf_revenue_cents": MR.udaf_revenue_cents,
+    # r3 third batch: cohort retention grid (the funnel's canonical
+    # sibling — two user_id shuffles, tiny final grid)
+    "cohort_retention": TW.cohort_retention,
     # -- changed in r3, but plan-only (spread_scan removed from the
     # map stage; semantics untouched, twice-green, bench tracks the
     # perf criterion) — first behind the 50-entry window ----------
     "wordcount": _wordcount,
     "mr_wordcount": _mr_wordcount,
-    # r1-green, code unchanged since; corpus_clean (in-window) uses
-    # the fingerprint construction internally, so these keep
+    # r1-green, code unchanged since; corpus_clean (in-window) calls
+    # fingerprint() and lang_id() internally, so these keep
     # transitive in-window coverage from behind the cut
     "fingerprint": _fingerprint,
     "dedup_fingerprint": D.dedup_fingerprint,
+    "lang_id": _lang_id,
     # rows-only BY DESIGN (iterative float fixpoint — contract
     # permits omitting the oracle); pytest-verified against a serial
     # reference implementation (tests/test_graph.py)
@@ -1410,6 +1413,23 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
+""",
+    "cohort_retention": """
+WITH ev AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+    FROM events
+), cohort AS (
+    SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+), active AS (
+    SELECT DISTINCT user_id, week FROM ev
+)
+SELECT c.cohort_week,
+       a.week - c.cohort_week AS week_n,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM active a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
 """,
     "udaf_revenue_cents": """
 SELECT o_orderstatus,
