@@ -225,3 +225,79 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
         .orderBy("cohort_week", "week_n")
     )
+
+
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill with last-observation-carried-forward — the
+    continuous-aggregate companion every time-series store ships
+    (missing hours materialize with n_events = 0 and the last seen
+    hourly sum carried forward).
+
+    Distributed shape: the hourly rollup is one map-side-combined
+    shuffle; the spine is generated per series with sequence() —
+    |series| x |hours| rows, no driver loop; the fill is one window
+    per series ordered by hour, bounded by the series' hour count
+    (thousands per year), not the event count — so the skew story is
+    |hours|, even when one event_type holds most of the data."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / F.lit(3600)) * 3600)
+            .cast("long")
+            .alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dsum(dec("value", 18, 6), "sum_value"),
+        )
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_filled"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the Markov-chain /
+    clickstream-path primitive): for each user's time-ordered event
+    sequence, count (current type -> next type) pairs corpus-wide.
+
+    One shuffle: a per-user window ordered by (ts, event_id) — the
+    event_id tie-break makes the sequence a total order, so the
+    result is deterministic and engine-portable — then a small
+    aggregate over the |types|^2 transition matrix. Per-user frames
+    bound the window sort; no global sort anywhere."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+        .orderBy("from_type", "next_type")
+    )

