@@ -85,3 +85,74 @@ def test_running_window_first_row_frames(spark):
         .collect()
     )
     assert [r.m for r in rows] == [10.0, 15.0, 20.0]
+
+
+def test_gapfill_locf_invariants(spark):
+    """Per series: hour spine is contiguous at 3600s steps from min
+    to max, n_events=0 exactly on gap hours, and the filled sum
+    equals the most recent real hourly sum at or before each hour."""
+    from mapreducego_spark.operators.timewin import gapfill_locf
+
+    rows = gapfill_locf(spark, "/root/testdata/sf0.001").collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    for t, rs in by_type.items():
+        hours = [r["hour"] for r in rs]
+        assert hours == list(range(min(hours), max(hours) + 1, 3600)), t
+        last_seen = None
+        for r in rs:
+            if r["n_events"] > 0:
+                last_seen = r["sum_value_filled"]
+                assert r["sum_value_filled"] is not None
+            else:
+                # carried forward unchanged through the gap
+                assert r["sum_value_filled"] == last_seen, (t, r["hour"])
+
+
+def test_event_transitions_conservation(spark):
+    """Total transition count must equal sum over users of
+    (events_for_user - 1) — every adjacent pair counted once."""
+    from pyspark.sql import functions as F
+
+    from mapreducego_spark.operators.timewin import event_transitions
+    from mapreducego_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    total = (
+        event_transitions(spark, sf)
+        .agg(F.sum("n_transitions").alias("s"))
+        .collect()[0]["s"]
+    )
+    per_user = (
+        load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .count()
+        .agg(F.sum(F.col("count") - 1).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total == per_user
+
+
+def test_cohort_retention_week0_covers_all_users(spark):
+    """Every user is active in their own cohort week, so the week_n=0
+    diagonal must sum to the total distinct user count."""
+    from pyspark.sql import functions as F
+
+    from mapreducego_spark.operators.timewin import cohort_retention
+    from mapreducego_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    grid = cohort_retention(spark, sf)
+    week0 = (
+        grid.filter(F.col("week_n") == 0)
+        .agg(F.sum("active_users").alias("s"))
+        .collect()[0]["s"]
+    )
+    n_users = (
+        load_table(spark, sf, "events").select("user_id").distinct().count()
+    )
+    assert week0 == n_users
+    # week_n is never negative (cohort week is the min by construction)
+    assert grid.filter(F.col("week_n") < 0).count() == 0
