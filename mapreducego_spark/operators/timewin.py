@@ -301,3 +301,41 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
         .orderBy("from_type", "next_type")
     )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with explicit session IDs — the
+    companion to session_window aggregation: every user's events are
+    cut into sessions at >30-minute silences, and each session
+    surfaces as one row with its ordinal, bounds, and size (the form
+    downstream attribution/joins need, which the windowed aggregate
+    alone doesn't give).
+
+    One shuffle: lag + running-sum windows over the per-user
+    (ts, event_id) total order mark and number the session starts,
+    then the per-(user, session) aggregate is map-side combined.
+    Per-user frames bound every sort; nothing global."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    new_sess = F.when(
+        F.lag("us").over(w).isNull() | (F.col("us") - F.lag("us").over(w) > gap_us),
+        1,
+    ).otherwise(0)
+    sess_n = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("session_n", sess_n.cast("long"))
+        .groupBy("user_id", "session_n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("us").alias("sess_start_us"),
+            F.max("us").alias("sess_end_us"),
+        )
+        .orderBy("user_id", "session_n")
+    )

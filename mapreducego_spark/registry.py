@@ -160,7 +160,6 @@ QUERIES: dict[str, QueryFn] = {
     # event-time windows (batch twins of the streaming tier;
     # tumbling/sliding rotate behind — their oracles are exercised
     # in-window by the stream_*_sink read-backs, which share them)
-    "window_session": TW.window_session,
     "dedup_events": TW.dedup_events,
     # text analysis
     "token_count": _token_count,
@@ -240,10 +239,11 @@ QUERIES: dict[str, QueryFn] = {
     # r3 third batch: cohort retention grid (the funnel's canonical
     # sibling — two user_id shuffles, tiny final grid)
     "cohort_retention": TW.cohort_retention,
-    # r3 third batch: time-series gap-fill (LOCF) and the
-    # clickstream transition matrix
+    # r3 third batch: time-series gap-fill (LOCF), the clickstream
+    # transition matrix, and explicit session-ID assignment
     "gapfill_locf": TW.gapfill_locf,
     "event_transitions": TW.event_transitions,
+    "sessionize": TW.sessionize,
     # -- changed in r3, but plan-only (spread_scan removed from the
     # map stage; semantics untouched, twice-green, bench tracks the
     # perf criterion) — first behind the 50-entry window ----------
@@ -267,6 +267,7 @@ QUERIES: dict[str, QueryFn] = {
     # batch twins, whose oracles the in-window stream sinks share)
     "window_tumbling": TW.window_tumbling,
     "window_sliding": TW.window_sliding,
+    "window_session": TW.window_session,
     # rows-only: pairing derives from the oracle-checked simhash;
     # Hamming correctness + pigeonhole recall asserted in pytest
     "simhash_pairs": lambda spark, sf_dir: D.simhash_near_pairs(
@@ -1418,6 +1419,34 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
+""",
+    "sessionize": """
+WITH ev AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           epoch_ns(ts) // 1000 AS us
+    FROM events
+), marked AS (
+    SELECT user_id, event_id, us,
+           CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), numbered AS (
+    SELECT user_id, us,
+           CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_n
+    FROM marked
+)
+SELECT user_id, session_n,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(us) AS sess_start_us,
+       MAX(us) AS sess_end_us
+FROM numbered GROUP BY 1, 2
+ORDER BY 1, 2
 """,
     "gapfill_locf": """
 WITH hourly AS (

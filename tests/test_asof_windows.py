@@ -156,3 +156,25 @@ def test_cohort_retention_week0_covers_all_users(spark):
     assert week0 == n_users
     # week_n is never negative (cohort week is the min by construction)
     assert grid.filter(F.col("week_n") < 0).count() == 0
+
+
+def test_sessionize_gap_invariants(spark):
+    """Per user: session ordinals are 1..k consecutive, sessions are
+    time-ordered, and consecutive sessions are separated by MORE
+    than the 30-minute gap (otherwise they'd be one session)."""
+    from mapreducego_spark.operators.timewin import sessionize
+
+    rows = sessionize(spark, "/root/testdata/sf0.001").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    gap_us = 30 * 60 * 1_000_000
+    assert by_user
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r["session_n"])
+        assert [r["session_n"] for r in rs] == list(range(1, len(rs) + 1)), u
+        for a, b in zip(rs, rs[1:]):
+            assert a["sess_end_us"] <= b["sess_start_us"], u
+            assert b["sess_start_us"] - a["sess_end_us"] > gap_us, u
+        for r in rs:
+            assert r["sess_start_us"] <= r["sess_end_us"]
