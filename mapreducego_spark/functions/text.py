@@ -756,3 +756,72 @@ def split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fate < 100, "test").otherwise("train").alias("split"),
         )
     )
+
+
+def dup_ngram_profile(
+    docs: DataFrame, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Exact cross-document substring-duplication profile — the fixed-n
+    approximation of suffix-array exact-substring dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"):
+    for every document, how much of it is word n-grams that also
+    appear in at least ``min_docs - 1`` OTHER documents. Downstream
+    filters drop or rewrite high-``dup_frac`` docs; the per-doc counts
+    are exact, not sketched.
+
+    Scale shape: n-grams are md5-hashed BEFORE the shuffle, so every
+    shuffle row carries a fixed 32-char key instead of an arbitrary-
+    length text span (at n=8 a gram can be hundreds of bytes; the
+    hash bounds shuffle width and makes the gram aggregate's key
+    fixed-size). One gram-hash shuffle computes document frequency,
+    the shared set filters it, one join back on the same key tags
+    duplicated occurrences, and the per-doc aggregate shuffles
+    doc-sized partials. Docs below n tokens surface with zero grams
+    (LEFT join), never silently vanish. md5 collisions would merge
+    grams identically in both engines (128-bit: negligible, and
+    deterministic either way)."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens_col(F.col("text")).alias("t"),
+    )
+    base = toks.select(
+        "doc_id",
+        F.when(F.size("t") >= n, F.size("t") - (n - 1))
+        .otherwise(0)
+        .cast("long")
+        .alias("n_grams"),
+    )
+    grams = toks.select(
+        "doc_id", F.explode(_ngram_col(F.col("t"), n)).alias("gram")
+    ).select("doc_id", F.md5("gram").alias("gh"))
+    shared = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    prof = (
+        grams.join(shared, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_occ"),
+            F.countDistinct("gh").cast("long").alias("n_dup_grams"),
+        )
+    )
+    return (
+        base.join(prof, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup_occ", F.lit(0)).cast("long").alias("n_dup_occ"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce("n_dup_occ", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

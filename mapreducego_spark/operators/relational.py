@@ -1098,3 +1098,115 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
+
+
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — the
+    canonical outer-join-then-re-aggregate query (reference closure:
+    a two-stage MapReduce chain, here two Catalyst aggregates).
+
+    The priority filter stands in for Q13's o_comment NOT LIKE (the
+    fixture carries no comment column) and is applied to the orders
+    side BEFORE the left outer join — equivalent to putting it in the
+    join condition, and it pushes to the parquet scan. The custkey
+    aggregate reuses the join's hash partitioning (no second
+    exchange); the distribution aggregate shuffles a |distinct
+    counts|-sized input, which is tiny at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q22_cold_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers gone cold — scalar
+    aggregate subquery + anti join. The market segments stand in for
+    Q22's phone country codes (no c_phone in the fixture), and "cold"
+    is no order since 2000 (every fixture customer has SOME order, so
+    the literal never-ordered set is empty; Q22's own semantic is
+    "no orders in 7 years").
+
+    Scale shape: the global average is ONE row computed with a
+    map-side-combined aggregate and broadcast-cross-joined into the
+    filter (no correlated re-scan per row); the "gone cold" test is a
+    left anti join shuffled on custkey against the date-pruned orders
+    scan — probe-side only, never widens. The average is an exact
+    DECIMAL sum divided once in double, so DuckDB reproduces the
+    threshold bit-for-bit."""
+    segs = ("BUILDING", "AUTOMOBILE", "MACHINERY")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(*segs)
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(davg(dec("c_acctbal", 12, 2), "avg_bal"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            dsum(dec("c_acctbal", 12, 2), "totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up a multi-supplier
+    order (late = shipped after the order date; the fixture has no
+    commit/receipt dates). The textbook form is EXISTS(another
+    supplier) AND NOT EXISTS(another LATE supplier) — two correlated
+    subqueries over the fact table.
+
+    Scale rewrite: both correlated tests collapse into ONE per-order
+    aggregate (distinct suppliers, distinct late suppliers) computed
+    with a single shuffle that REUSES the l_orderkey partitioning of
+    the orders join; qualifying orders (>=2 suppliers, exactly 1
+    late) join back to the late lines on the same key. The fact
+    table is scanned once, not three times, and nothing correlated
+    re-executes per row. The DuckDB oracle intentionally keeps the
+    textbook EXISTS/NOT-EXISTS form, so the hash match proves the
+    rewrite's equivalence."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    lines = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_orderkey").cast("long").alias("okey"),
+            F.col("l_suppkey").cast("long").alias("skey"),
+            (F.col("l_shipdate") > F.col("o_orderdate")).alias("late"),
+        )
+    )
+    per_order = lines.groupBy("okey").agg(
+        F.countDistinct("skey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("skey"))).alias("n_late_supp"),
+    )
+    sole_late = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select("okey")
+    return (
+        lines.filter(F.col("late"))
+        .join(sole_late, "okey")
+        .join(F.broadcast(s), F.col("skey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )

@@ -115,6 +115,10 @@ def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pii_scrub(load_table(spark, sf_dir, "documents"))
 
 
+def _dup_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.dup_ngram_profile(load_table(spark, sf_dir, "documents"))
+
+
 def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank on the part<->supplier bipartite graph from lineitem
     (node ids disjoint via 2p / 2s+1; undirected = both directions)."""
@@ -162,13 +166,11 @@ QUERIES: dict[str, QueryFn] = {
     # in-window by the stream_*_sink read-backs, which share them)
     "dedup_events": TW.dedup_events,
     # text analysis
-    "token_count": _token_count,
     "tfidf_top_terms": _tfidf,
     "corpus_clean": _corpus_clean,
     "sample_deterministic": _sample_det,
     # dedup (minhash + simhash were rewritten in r2 after their last
     # green row; re-verification is the point of this block)
-    "dedup_exact": D.dedup_exact,
     "dedup_minhash": D.dedup_minhash,
     "dedup_clusters": D.dedup_clusters,  # r3: pair->cluster collapse
     "ngram_jaccard": D.ngram_jaccard_pairs,
@@ -177,8 +179,6 @@ QUERIES: dict[str, QueryFn] = {
     # rows-only approximate entries rotate behind — their real
     # evidence is the pytest recall/error floors, and the window
     # slots go to oracle-bearing queries)
-    "vector_topk": V.vector_topk,
-    "knn_label_vote": V.knn_label_vote,
     "dedup_embedding": V.dedup_embedding,
     # multimodal plumbing (oracle-checkable metadata slice)
     "multimodal_meta": M.multimodal_meta,
@@ -244,6 +244,16 @@ QUERIES: dict[str, QueryFn] = {
     "gapfill_locf": TW.gapfill_locf,
     "event_transitions": TW.event_transitions,
     "sessionize": TW.sessionize,
+    # r3 fourth batch: three more TPC-H optimizer shapes (outer-join
+    # re-aggregation, scalar-subquery + anti join, and the Q21
+    # correlated-EXISTS pair rewritten as one per-order aggregate —
+    # the oracle keeps the textbook correlated form, so the hash
+    # match proves the rewrite) plus the exact cross-document
+    # substring-duplication profile — all fully oracle-checked
+    "q13_custdist": R.q13_custdist,
+    "q22_cold_customers": R.q22_cold_customers,
+    "q21_waiting_supplier": R.q21_waiting_supplier,
+    "dup_ngram_profile": _dup_ngram_profile,
     # -- changed in r3, but plan-only (spread_scan removed from the
     # map stage; semantics untouched, twice-green, bench tracks the
     # perf criterion) — first behind the 50-entry window ----------
@@ -253,6 +263,14 @@ QUERIES: dict[str, QueryFn] = {
     # fingerprint(), lang_id(), quality_score(), and text_stats()
     # internally, so these keep transitive in-window coverage from
     # behind the cut
+    # (token_count: pack_shards + chunk_documents exercise the same
+    # tokenizer in-window; dedup_exact: same single-hash-groupBy
+    # construction as dedup_fingerprint; vector_topk/knn_label_vote:
+    # dedup_embedding exercises the same exact-cosine kernel)
+    "token_count": _token_count,
+    "dedup_exact": D.dedup_exact,
+    "vector_topk": V.vector_topk,
+    "knn_label_vote": V.knn_label_vote,
     "fingerprint": _fingerprint,
     "dedup_fingerprint": D.dedup_fingerprint,
     "lang_id": _lang_id,
@@ -1447,6 +1465,91 @@ SELECT user_id, session_n,
        MAX(us) AS sess_end_us
 FROM numbered GROUP BY 1, 2
 ORDER BY 1, 2
+""",
+    "q13_custdist": """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    "q22_cold_customers": """
+WITH avg_bal AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+      AND c_acctbal > 0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+  AND CAST(c_acctbal AS DOUBLE) > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    # Intentionally the TEXTBOOK correlated form (EXISTS + NOT
+    # EXISTS re-scanning lineitem): the engine runs the one-pass
+    # per-order-aggregate rewrite, so the hash match proves the
+    # rewrite equivalent to the correlated spec.
+    "q21_waiting_supplier": """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    "dup_ngram_profile": f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS t FROM documents
+), base AS (
+    SELECT doc_id,
+           CAST(CASE WHEN len(t) >= 8 THEN len(t) - 7 ELSE 0 END AS BIGINT)
+               AS n_grams
+    FROM toks
+), g AS (
+    SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS gh
+    FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+    WHERE len(t) >= 8
+), shared AS (
+    SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+), prof AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_occ,
+           CAST(COUNT(DISTINCT gh) AS BIGINT) AS n_dup_grams
+    FROM g JOIN shared USING (gh)
+    GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_grams,
+       COALESCE(p.n_dup_occ, 0) AS n_dup_occ,
+       COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+       CASE WHEN b.n_grams > 0
+            THEN CAST(COALESCE(p.n_dup_occ, 0) AS DOUBLE)
+                 / CAST(b.n_grams AS DOUBLE)
+            ELSE 0.0 END AS dup_frac
+FROM base b LEFT JOIN prof p USING (doc_id)
+ORDER BY b.doc_id
 """,
     "gapfill_locf": """
 WITH hourly AS (

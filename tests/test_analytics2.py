@@ -267,3 +267,56 @@ def test_join_range_binned_boundary_semantics(spark):
         (2, 100 + W),
         (3, 5 * W + 1),
     }
+
+
+def test_q13_distribution_accounts_for_every_customer(spark):
+    """The left outer join must preserve order-less customers: the
+    distribution's counts sum to exactly |customer|."""
+    from mapreducego_spark.operators.relational import q13_custdist
+
+    SF = "/root/testdata/sf0.001"
+    dist = q13_custdist(spark, SF).collect()
+    n_cust = load_table(spark, SF, "customer").count()
+    assert sum(r.custdist for r in dist) == n_cust
+    assert any(r.c_count == 0 for r in dist) or all(r.c_count > 0 for r in dist)
+
+
+def test_q21_aggregate_rewrite_equals_correlated_bruteforce(spark):
+    """The one-pass per-order-aggregate rewrite must equal a serial
+    brute force of the textbook EXISTS / NOT EXISTS spec."""
+    from collections import Counter, defaultdict
+
+    from mapreducego_spark.operators.relational import q21_waiting_supplier
+
+    SF = "/root/testdata/sf0.001"
+    o = {
+        r.o_orderkey: r.o_orderdate
+        for r in load_table(spark, SF, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .collect()
+    }
+    by_order = defaultdict(list)
+    for r in (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .collect()
+    ):
+        if r.l_orderkey in o:
+            by_order[r.l_orderkey].append(
+                (r.l_suppkey, r.l_shipdate > o[r.l_orderkey])
+            )
+    s_name = {
+        r.s_suppkey: r.s_name for r in load_table(spark, SF, "supplier").collect()
+    }
+    numwait = Counter()
+    for okey, lines in by_order.items():
+        supps = {s for s, _ in lines}
+        late_supps = {s for s, late in lines if late}
+        if len(supps) >= 2 and len(late_supps) == 1:
+            (lone,) = late_supps
+            numwait[s_name[lone]] += sum(
+                1 for s, late in lines if late and s == lone
+            )
+    expect = sorted(numwait.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    got = [(r.s_name, r.numwait) for r in q21_waiting_supplier(spark, SF).collect()]
+    assert got == expect and got

@@ -183,3 +183,42 @@ def test_split_no_leakage_clusters_never_straddle(spark):
     # both sides non-trivial at this rate
     vals = set(split.values())
     assert vals == {"train", "test"}
+
+
+def test_dup_ngram_profile_matches_serial(spark, sf_dir):
+    """The distributed hash-shuffled profile must equal a plain-python
+    serial recomputation (independent third implementation next to
+    the DuckDB oracle)."""
+    from collections import Counter
+
+    from mapreducego_spark.functions.text import dup_ngram_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = {
+        r.doc_id: r.t
+        for r in docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            tokens_col(F.col("text")).alias("t"),
+        ).collect()
+    }
+    n = 8
+    grams = {
+        d: [" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)]
+        for d, ts in toks.items()
+    }
+    doc_freq = Counter()
+    for d, gs in grams.items():
+        doc_freq.update(set(gs))
+    shared = {g for g, c in doc_freq.items() if c >= 2}
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_occ, r.n_dup_grams)
+        for r in dup_ngram_profile(docs).collect()
+    }
+    assert set(got) == set(grams)
+    any_dup = False
+    for d, gs in grams.items():
+        dup_occ = sum(1 for g in gs if g in shared)
+        dup_distinct = len({g for g in gs if g in shared})
+        assert got[d] == (len(gs), dup_occ, dup_distinct), f"doc {d}"
+        any_dup = any_dup or dup_occ > 0
+    assert any_dup, "fixture has no cross-doc duplicate 8-grams; test is vacuous"
