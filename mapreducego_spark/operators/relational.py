@@ -1174,15 +1174,17 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier) AND NOT EXISTS(another LATE supplier) — two correlated
     subqueries over the fact table.
 
-    Scale rewrite: both correlated tests collapse into ONE per-order
-    aggregate (distinct suppliers, distinct late suppliers) computed
-    with a single shuffle that REUSES the l_orderkey partitioning of
-    the orders join; qualifying orders (>=2 suppliers, exactly 1
-    late) join back to the late lines on the same key. The fact
-    table is scanned once, not three times, and nothing correlated
-    re-executes per row. The DuckDB oracle intentionally keeps the
-    textbook EXISTS/NOT-EXISTS form, so the hash match proves the
-    rewrite's equivalence."""
+    Scale rewrite: both correlated tests collapse into a two-level
+    Expand-free aggregation — per-(order, supplier) partials (any
+    late? how many late lines?) then per-order counts. The naive
+    pair of countDistinct aggregates plans an Expand (2x every fact
+    row before the shuffle); the two-level form map-side combines
+    both stages instead. Qualifying orders (>=2 suppliers, exactly 1
+    late) join back to the per-pair aggregate — NOT the fact table —
+    on the same key, and both consumers hang off the one shared
+    per-pair subtree, so nothing correlated re-executes per row. The
+    DuckDB oracle intentionally keeps the textbook EXISTS/NOT-EXISTS
+    form, so the hash match proves the rewrite's equivalence."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -1194,19 +1196,23 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") > F.col("o_orderdate")).alias("late"),
         )
     )
-    per_order = lines.groupBy("okey").agg(
-        F.countDistinct("skey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("skey"))).alias("n_late_supp"),
+    per_pair = lines.groupBy("okey", "skey").agg(
+        F.max("late").alias("any_late"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).cast("long").alias("n_late_lines"),
+    )
+    per_order = per_pair.groupBy("okey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("any_late").cast("int")).alias("n_late_supp"),
     )
     sole_late = per_order.filter(
         (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     ).select("okey")
     return (
-        lines.filter(F.col("late"))
+        per_pair.filter(F.col("any_late"))
         .join(sole_late, "okey")
         .join(F.broadcast(s), F.col("skey") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(100)
     )

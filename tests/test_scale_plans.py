@@ -214,3 +214,12 @@ def test_chunk_documents_is_scan_fused(spark):
 
     plan = _plan(chunk_documents(load_table(spark, SF, "documents")))
     assert "Exchange" not in plan, plan
+
+
+def test_q21_rewrite_is_expand_free(spark):
+    """The naive countDistinct pair would plan an Expand (2x every
+    fact row pre-shuffle); the two-level per-pair/per-order rewrite
+    must stay Expand-free."""
+    from mapreducego_spark.operators.relational import q21_waiting_supplier
+
+    assert "Expand" not in _plan(q21_waiting_supplier(spark, SF))
