@@ -1216,3 +1216,94 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(100)
     )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO trade
+    volume, by order year — the widest star in the suite (lineitem x
+    part x orders x customer x supplier x nation x nation x region).
+
+    Scale shape: every dimension is broadcast; the customer side is
+    REDUCED FIRST with a left-semi against the region's nations (a
+    5-row broadcast) so the fact-fact joins build against pre-pruned
+    inputs; the two fact shuffles (orders, customer keys) are the
+    only exchanges. The share divides two exact-DECIMAL sums once in
+    double — the q14 bit-stability pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n_cust = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    n_supp = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    c_eu = c.join(F.broadcast(n_cust), c.c_nationkey == F.col("cn_key"), "left_semi")
+    volume = dec("l_extendedprice", 12, 2) * (
+        F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)
+    )
+    nation_volume = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+        F.lit(0).cast("decimal(16,4)")
+    )
+    agg = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c_eu, o.o_custkey == c_eu.c_custkey, "left_semi")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            dsum(nation_volume, "nation_volume"),
+            dsum(volume, "total_volume"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — the
+    canonical correlated AVG subquery (l_quantity < 0.2 x that part's
+    average), decorrelated to one per-part aggregate joined back.
+
+    Scale shape: the brand filter broadcasts into the fact scan
+    FIRST, so both the per-part average and the probe side run over
+    the brand's sliver of the fact table; the join-back input is
+    |brand parts| rows (AQE broadcasts it). The threshold is an
+    exact-DECIMAL sum divided once in double then scaled — the
+    correlated AVG in the DuckDB oracle uses the identical
+    expression tree, so the comparison is bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    lp = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    per_part = lp.groupBy("l_partkey").agg(
+        (
+            (
+                F.sum(dec("l_quantity", 12, 2)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            * F.lit(0.2)
+        ).alias("qty_threshold")
+    )
+    return (
+        lp.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity").cast("double") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(dec("l_extendedprice", 12, 2)).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )

@@ -161,10 +161,6 @@ QUERIES: dict[str, QueryFn] = {
     # windows past the r2 cut
     "window_range_frame": W.window_range_frame,
     "window_value_fns": W.window_value_fns,
-    # event-time windows (batch twins of the streaming tier;
-    # tumbling/sliding rotate behind — their oracles are exercised
-    # in-window by the stream_*_sink read-backs, which share them)
-    "dedup_events": TW.dedup_events,
     # text analysis
     "tfidf_top_terms": _tfidf,
     "corpus_clean": _corpus_clean,
@@ -180,8 +176,6 @@ QUERIES: dict[str, QueryFn] = {
     # evidence is the pytest recall/error floors, and the window
     # slots go to oracle-bearing queries)
     "dedup_embedding": V.dedup_embedding,
-    # multimodal plumbing (oracle-checkable metadata slice)
-    "multimodal_meta": M.multimodal_meta,
     # -- new in r3 -------------------------------------------------
     # the streaming path itself: checkpointed parquet sink read-back,
     # sharing the batch twins' oracles
@@ -254,6 +248,13 @@ QUERIES: dict[str, QueryFn] = {
     "q22_cold_customers": R.q22_cold_customers,
     "q21_waiting_supplier": R.q21_waiting_supplier,
     "dup_ngram_profile": _dup_ngram_profile,
+    # r3 fourth batch, cont.: the widest star (Q8 market share) and
+    # the correlated-AVG decorrelation (Q17); dedup_events and
+    # multimodal_meta rotate behind — both r1-green and unchanged,
+    # with their tiers exercised in-window (stream sinks / the
+    # oracle-checked multimodal decode+frame queries)
+    "q8_market_share": R.q8_market_share,
+    "q17_small_quantity": R.q17_small_quantity,
     # -- changed in r3, but plan-only (spread_scan removed from the
     # map stage; semantics untouched, twice-green, bench tracks the
     # perf criterion) — first behind the 50-entry window ----------
@@ -286,6 +287,10 @@ QUERIES: dict[str, QueryFn] = {
     "window_tumbling": TW.window_tumbling,
     "window_sliding": TW.window_sliding,
     "window_session": TW.window_session,
+    "dedup_events": TW.dedup_events,
+    # multimodal metadata slice (r1-green; the decode/frame queries
+    # in-window exercise the same ingestion + adapter)
+    "multimodal_meta": M.multimodal_meta,
     # rows-only: pairing derives from the oracle-checked simhash;
     # Hamming correctness + pigeonhole recall asserted in pytest
     "simhash_pairs": lambda spark, sf_dir: D.simhash_near_pairs(
@@ -1550,6 +1555,51 @@ SELECT b.doc_id, b.n_grams,
             ELSE 0.0 END AS dup_frac
 FROM base b LEFT JOIN prof p USING (doc_id)
 ORDER BY b.doc_id
+""",
+    "q8_market_share": """
+WITH vol AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               AS volume,
+           n2.n_name AS supp_nation
+    FROM lineitem
+    JOIN part      ON l_partkey = p_partkey
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+), a AS (
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+               AS nation_volume,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM vol GROUP BY o_year
+)
+SELECT o_year, nation_volume, total_volume,
+       nation_volume / total_volume AS mkt_share
+FROM a ORDER BY o_year
+""",
+    # The correlated AVG stays correlated here (the engine runs the
+    # decorrelated per-part-aggregate join-back; hash match proves
+    # the decorrelation). Threshold expression tree matches the
+    # engine exactly: (decimal_sum as double / count as double) * 0.2.
+    "q17_small_quantity": """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+           AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND CAST(l_quantity AS DOUBLE) < (
+      SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) * 0.2
+      FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
 """,
     "gapfill_locf": """
 WITH hourly AS (

@@ -320,3 +320,54 @@ def test_q21_aggregate_rewrite_equals_correlated_bruteforce(spark):
     expect = sorted(numwait.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
     got = [(r.s_name, r.numwait) for r in q21_waiting_supplier(spark, SF).collect()]
     assert got == expect and got
+
+
+def test_q8_dims_broadcast_and_customer_semi_pruned(spark):
+    """Q8's width is survivable only if every dim is broadcast and
+    the customer side is semi-reduced before the fact joins."""
+    from mapreducego_spark.operators.relational import q8_market_share
+
+    SF = "/root/testdata/sf0.01"
+    plan = q8_market_share(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_decorrelation_matches_serial(spark):
+    """The per-part-aggregate join-back must equal a serial recompute
+    of the correlated threshold spec."""
+    from collections import defaultdict
+
+    from mapreducego_spark.operators.relational import q17_small_quantity
+
+    SF = "/root/testdata/sf0.001"
+    brand_parts = {
+        r.p_partkey
+        for r in load_table(spark, SF, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .collect()
+    }
+    by_part = defaultdict(list)
+    for r in (
+        load_table(spark, SF, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .collect()
+    ):
+        if r.l_partkey in brand_parts:
+            by_part[r.l_partkey].append((r.l_quantity, r.l_extendedprice))
+    from decimal import Decimal
+
+    total = Decimal(0)
+    n_lines = 0
+    for pk, lines in by_part.items():
+        thresh = (
+            float(sum(Decimal(f"{q:.2f}") for q, _ in lines)) / len(lines)
+        ) * 0.2
+        for q, price in lines:
+            if q < thresh:
+                total += Decimal(f"{price:.2f}")
+                n_lines += 1
+    row = q17_small_quantity(spark, SF).collect()[0]
+    assert row.n_lines == n_lines and n_lines > 0
+    assert abs(row.avg_yearly - float(total) / 7.0) < 1e-6
