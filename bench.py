@@ -64,6 +64,11 @@ HEADLINE = [
     "inverted_index",
     "q19_disjunctive",
     "chunk_documents",
+    # round 3, fifth batch: the scan-bound Q6, the arg-max Q15, and
+    # the scan-fused within-doc repetition profile
+    "q6_forecast_revenue",
+    "q15_top_supplier",
+    "repetition_profile",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

@@ -825,3 +825,74 @@ def dup_ngram_profile(
         )
         .orderBy("doc_id")
     )
+
+
+def repetition_profile(docs: DataFrame) -> DataFrame:
+    """Within-document repetition metrics — the Gopher/Rae-et-al.
+    repetition family (top-word mass, duplicated word-n-gram
+    fraction), the standard signal for filtering degenerate or
+    boilerplate-looped training text.
+
+    Per doc: the most frequent token and the fraction of word
+    characters it accounts for (ties broken toward the
+    lexicographically smallest token, deterministic cross-engine),
+    plus the duplicated-2-gram and duplicated-3-gram fractions
+    (1 - distinct/total).
+
+    Scale shape: everything is a per-row array expression fused into
+    the scan — ZERO Exchange (plan-gated in pytest). The top-word
+    count folds ONE pass over the sorted token array with a
+    (prev, run, best, best_count) accumulator instead of exploding
+    |tokens| rows per doc into a groupBy; on 100 TB the operator
+    reads documents once and shuffles nothing.
+    """
+    toks = tokens_col(F.col("text"))
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), toks.alias("t"))
+
+    def dup_frac(grams: Column) -> Column:
+        return F.when(
+            F.size(grams) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double")
+            / F.size(grams).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    # One fold over the sorted array: run lengths of equal adjacent
+    # tokens; strict > keeps the FIRST max run, which in ascending
+    # order is the lexicographically smallest max-count token.
+    folded = F.aggregate(
+        F.array_sort("t"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit("").alias("bw"),
+            F.lit(0).alias("bc"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)) > acc.bc, x
+            )
+            .otherwise(acc.bw)
+            .alias("bw"),
+            F.greatest(
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)), acc.bc
+            ).alias("bc"),
+        ),
+    )
+    total_chars = F.aggregate("t", F.lit(0), lambda a, x: a + F.length(x))
+    return base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        folded.bw.alias("top_word"),
+        F.when(
+            total_chars > 0,
+            (folded.bc * F.length(folded.bw)).cast("double")
+            / total_chars.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_word_frac"),
+        dup_frac(_ngram_col(F.col("t"), 2)).alias("dup_2gram_frac"),
+        dup_frac(_ngram_col(F.col("t"), 3)).alias("dup_3gram_frac"),
+    ).orderBy("doc_id")

@@ -1307,3 +1307,61 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
     )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase from dropping discounts in a
+    band — the pure scan-predicate aggregate.
+
+    Scale shape: the simplest and most scan-bound query in the suite;
+    its entire point is pushdown. All three predicates reach the
+    parquet scan (plan-gated in pytest) and the only exchange is the
+    one-row partial-aggregate merge, so a 100 TB run is I/O-bound on
+    the pruned scan. Revenue is an exact-DECIMAL sum surfaced as
+    double; the discount band compares the raw doubles with identical
+    literals on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        dsum(dec("l_extendedprice", 12, 2) * dec("l_discount", 4, 2), "revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly
+    revenue — the arg-max-with-ties pattern (revenue view + scalar
+    MAX subquery in the textbook form).
+
+    Scale shape: one shuffle builds the per-supplier revenue
+    aggregate; the global MAX is a one-row aggregate over that
+    already-tiny result, broadcast back as an equi-join filter — no
+    second scan of the fact table and no single-partition global
+    window. The equality compares exact DECIMAL sums, so the
+    ties-preserved semantics are deterministic cross-engine; the
+    supplier dimension is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    volume = dec("l_extendedprice", 12, 2) * (
+        F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(volume).alias("rev_dec"))
+    mx = rev.agg(F.max("rev_dec").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_dec") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )

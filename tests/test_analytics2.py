@@ -371,3 +371,45 @@ def test_q17_decorrelation_matches_serial(spark):
     row = q17_small_quantity(spark, SF).collect()[0]
     assert row.n_lines == n_lines and n_lines > 0
     assert abs(row.avg_yearly - float(total) / 7.0) < 1e-6
+
+
+def test_q6_predicates_reach_scan(spark):
+    """Q6 is pure pushdown; all three predicates must reach the
+    parquet scan and the plan must contain exactly one exchange
+    (the one-row partial-aggregate merge)."""
+    from mapreducego_spark.operators.relational import q6_forecast_revenue
+
+    SF = "/root/testdata/sf0.01"
+    plan = (
+        q6_forecast_revenue(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_q15_argmax_matches_serial_with_ties(spark):
+    """The broadcast-max equi-join must keep EVERY supplier at the
+    max (ties preserved) and nothing else."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from mapreducego_spark.operators.relational import q15_top_supplier
+
+    SF = "/root/testdata/sf0.001"
+    rev = defaultdict(Decimal)
+    for r in (
+        load_table(spark, SF, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .collect()
+    ):
+        rev[r.l_suppkey] += Decimal(f"{r.l_extendedprice:.2f}") * (
+            1 - Decimal(f"{r.l_discount:.2f}")
+        )
+    mx = max(rev.values())
+    expect = sorted(k for k, v in rev.items() if v == mx)
+    got = q15_top_supplier(spark, SF).collect()
+    assert [r.s_suppkey for r in got] == expect
+    assert all(abs(r.total_revenue - float(mx)) < 1e-6 for r in got)

@@ -222,3 +222,67 @@ def test_dup_ngram_profile_matches_serial(spark, sf_dir):
         assert got[d] == (len(gs), dup_occ, dup_distinct), f"doc {d}"
         any_dup = any_dup or dup_occ > 0
     assert any_dup, "fixture has no cross-doc duplicate 8-grams; test is vacuous"
+
+
+def _rep_serial(text: str):
+    import re
+
+    toks = [t for t in re.split("[^a-z]+", text.lower()) if t]
+    out = {"n_tokens": len(toks)}
+    if toks:
+        counts = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        # tie-break: max count, then lexicographically smallest word
+        mc = max(counts.values())
+        best_w = min(w for w, c in counts.items() if c == mc)
+        out["top_word"] = best_w
+        out["top_word_frac"] = (mc * len(best_w)) / sum(len(t) for t in toks)
+    else:
+        out["top_word"] = ""
+        out["top_word_frac"] = 0.0
+    for n, key in ((2, "dup_2gram_frac"), (3, "dup_3gram_frac")):
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        out[key] = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
+    return out
+
+
+def test_repetition_profile_matches_serial(spark, sf_dir):
+    from mapreducego_spark.functions.text import repetition_profile
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    rows = {r.doc_id: r for r in repetition_profile(docs).collect()}
+    for t in docs.select("doc_id", "text").collect():
+        ref = _rep_serial(t.text)
+        r = rows[t.doc_id]
+        assert r.n_tokens == ref["n_tokens"]
+        assert r.top_word == ref["top_word"], (t.doc_id, r.top_word, ref["top_word"])
+        assert abs(r.top_word_frac - ref["top_word_frac"]) < 1e-12
+        assert abs(r.dup_2gram_frac - ref["dup_2gram_frac"]) < 1e-12
+        assert abs(r.dup_3gram_frac - ref["dup_3gram_frac"]) < 1e-12
+
+
+def test_repetition_profile_edge_docs_and_zero_exchange(spark):
+    from mapreducego_spark.functions.text import repetition_profile
+
+    df = spark.createDataFrame(
+        [(1, "zz aa zz aa"), (2, "!!! 123"), (3, "solo"), (4, "x x x x")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_profile(df).collect()}
+    assert got[1].top_word == "aa"  # tie -> lexicographically smallest
+    assert got[2].n_tokens == 0 and got[2].top_word == "" and got[2].top_word_frac == 0.0
+    assert got[3].dup_2gram_frac == 0.0 and got[3].dup_3gram_frac == 0.0
+    assert got[4].top_word_frac == 1.0 and got[4].dup_3gram_frac == 0.5
+    # scan-fused: no shuffle anywhere (ignore the orderBy's range
+    # exchange by planning the unsorted projection)
+    from mapreducego_spark.sources.catalog import load_table as lt
+
+    docs = lt(spark, "/root/testdata/sf0.01", "documents")
+    plan = (
+        repetition_profile(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1, plan  # only the final sort
