@@ -839,23 +839,35 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
     plus the duplicated-2-gram and duplicated-3-gram fractions
     (1 - distinct/total).
 
-    Scale shape: everything is a per-row array expression fused into
-    the scan — ZERO Exchange (plan-gated in pytest). The top-word
-    count folds ONE pass over the sorted token array with a
+    Scale shape: everything is a per-row array expression — no
+    groupBy/join shuffle anywhere (plan-gated in pytest; the only
+    exchanges are the spread_scan fan-out, a no-op on real
+    multi-split inputs, and the final presentation sort). The
+    top-word count folds ONE pass over the sorted token array with a
     (prev, run, best, best_count) accumulator instead of exploding
     |tokens| rows per doc into a groupBy; on 100 TB the operator
-    reads documents once and shuffles nothing.
-    """
-    toks = tokens_col(F.col("text"))
-    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), toks.alias("t"))
+    reads documents once and shuffles nothing but raw doc bytes.
+    spread_scan matters here: the work is CPU-heavy interpreted
+    array expressions (1.8s -> 0.9s at sf0.1 on a one-row-group
+    file).
 
-    def dup_frac(grams: Column) -> Column:
-        return F.when(
-            F.size(grams) > 0,
-            F.lit(1.0)
-            - F.size(F.array_distinct(grams)).cast("double")
-            / F.size(grams).cast("double"),
-        ).otherwise(F.lit(0.0))
+    The token/gram arrays and the fold result are MATERIALIZED in
+    staged projections (the quality_filter lesson: Catalyst has no
+    common-subexpression elimination inside higher-order functions,
+    and CollapseProject re-inlines an alias only when it is cheap or
+    single-use — so naming the expensive intermediates keeps each
+    one evaluated once; measured 4.2s -> ~1.3s at sf0.1).
+    """
+    base = spread_scan(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens_col(F.col("text")).alias("t"),
+    )
+    arrs = base.select(
+        "doc_id",
+        "t",
+        _ngram_col(F.col("t"), 2).alias("g2"),
+        _ngram_col(F.col("t"), 3).alias("g3"),
+    )
 
     # One fold over the sorted array: run lengths of equal adjacent
     # tokens; strict > keeps the FIRST max run, which in ascending
@@ -881,18 +893,34 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
             ).alias("bc"),
         ),
     )
-    total_chars = F.aggregate("t", F.lit(0), lambda a, x: a + F.length(x))
-    return base.select(
+    mid = arrs.select(
         "doc_id",
         F.size("t").cast("long").alias("n_tokens"),
-        folded.bw.alias("top_word"),
+        folded.alias("fold"),
+        F.aggregate("t", F.lit(0), lambda a, x: a + F.length(x)).alias("n_chars"),
+        F.size("g2").alias("n_g2"),
+        F.size(F.array_distinct("g2")).alias("d_g2"),
+        F.size("g3").alias("n_g3"),
+        F.size(F.array_distinct("g3")).alias("d_g3"),
+    )
+
+    def dup_frac(n: str, d: str) -> Column:
+        return F.when(
+            F.col(n) > 0,
+            F.lit(1.0) - F.col(d).cast("double") / F.col(n).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return mid.select(
+        "doc_id",
+        "n_tokens",
+        F.col("fold.bw").alias("top_word"),
         F.when(
-            total_chars > 0,
-            (folded.bc * F.length(folded.bw)).cast("double")
-            / total_chars.cast("double"),
+            F.col("n_chars") > 0,
+            (F.col("fold.bc") * F.length("fold.bw")).cast("double")
+            / F.col("n_chars").cast("double"),
         )
         .otherwise(F.lit(0.0))
         .alias("top_word_frac"),
-        dup_frac(_ngram_col(F.col("t"), 2)).alias("dup_2gram_frac"),
-        dup_frac(_ngram_col(F.col("t"), 3)).alias("dup_3gram_frac"),
+        dup_frac("n_g2", "d_g2").alias("dup_2gram_frac"),
+        dup_frac("n_g3", "d_g3").alias("dup_3gram_frac"),
     ).orderBy("doc_id")

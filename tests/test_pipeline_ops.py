@@ -274,8 +274,9 @@ def test_repetition_profile_edge_docs_and_zero_exchange(spark):
     assert got[2].n_tokens == 0 and got[2].top_word == "" and got[2].top_word_frac == 0.0
     assert got[3].dup_2gram_frac == 0.0 and got[3].dup_3gram_frac == 0.0
     assert got[4].top_word_frac == 1.0 and got[4].dup_3gram_frac == 0.5
-    # scan-fused: no shuffle anywhere (ignore the orderBy's range
-    # exchange by planning the unsorted projection)
+    # scan-fused: no aggregation/join shuffle — the only exchanges
+    # are the spread_scan fan-out (round-robin of raw bytes, no-op
+    # on multi-split inputs) and the final presentation sort
     from mapreducego_spark.sources.catalog import load_table as lt
 
     docs = lt(spark, "/root/testdata/sf0.01", "documents")
@@ -285,4 +286,5 @@ def test_repetition_profile_edge_docs_and_zero_exchange(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Exchange") <= 1, plan  # only the final sort
+    assert plan.count("Exchange") <= 2, plan
+    assert "hashpartitioning" not in plan and "Join" not in plan, plan
