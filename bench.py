@@ -69,6 +69,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q15_top_supplier",
     "repetition_profile",
+    "dedup_incremental",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

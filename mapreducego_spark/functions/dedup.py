@@ -514,3 +514,154 @@ def simhash_near_pairs(simhashed: DataFrame, max_hamming: int = 8) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted signature index — the production
+# shape for CONTINUOUS ingestion: sign each new batch once, dedup it
+# against the accumulated index (band join) and itself, then append its
+# representatives to the index. The corpus is never re-shingled.
+# ---------------------------------------------------------------------------
+
+
+def minhash_index_rows(docs: DataFrame) -> DataFrame:
+    """The persisted-index row shape: (doc_id, fp, sh_h, m_0..m_15).
+
+    fp    — xxhash64 exact-duplicate fingerprint of the shingle array;
+    sh_h  — the 60-bit md5 shingle hashes (8 bytes/shingle, ~the size
+            of the text itself; enables EXACT Jaccard verification
+            against future batches without storing or re-reading the
+            original documents);
+    m_i   — the MinHash signature, derived from sh_h with the same
+            affine family as minhash_signatures (hm = h % P), so an
+            index row is bit-identical to the one-shot pipeline's
+            signature for the same text.
+
+    Everything is computed scan-side with array expressions — the
+    signature needs NO explode/groupBy here (array_min over a
+    transform), so building index rows for a batch is shuffle-free."""
+    shingled = shingle_docs(spread_scan(docs), n=2)
+    hashed = shingled.select(
+        "doc_id",
+        F.xxhash64(F.array_join("shingles", "|")).alias("fp"),
+        F.transform(
+            "shingles",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+        ).alias("sh_h"),
+    )
+    return hashed.select(
+        "doc_id",
+        "fp",
+        "sh_h",
+        *[
+            F.array_min(
+                F.transform(
+                    "sh_h",
+                    lambda h: (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P,
+                )
+            ).alias(f"m_{i}")
+            for i, (a, b) in enumerate(_minhash_coeffs())
+        ],
+    )
+
+
+def jaccard_on_hashes(pairs: DataFrame, rows: DataFrame) -> DataFrame:
+    """exact_jaccard over the stored 60-bit shingle hashes instead of
+    the shingle strings — identical values barring a 2^-60 collision."""
+    sa = rows.select(F.col("doc_id").alias("doc_a"), F.col("sh_h").alias("sh_a"))
+    sb = rows.select(F.col("doc_id").alias("doc_b"), F.col("sh_h").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+    )
+
+
+def dedup_incremental_step(
+    batch_rows: DataFrame,
+    index_rows: DataFrame,
+    max_bucket_size: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One ingestion step: near-dup pairs for a new batch against the
+    index and itself, plus the batch's representative rows to append.
+
+    Exact-duplicate semantics mirror the one-shot pipeline's collapse
+    (collapse_shingle_duplicates) PROVIDED batches arrive in doc_id
+    order: a batch doc whose fp already exists in the index is a
+    member of an indexed group (anti-joined away — the indexed row IS
+    the global min-id representative); within the batch, min doc_id
+    per fp wins. Under that ordering the surviving representatives —
+    and therefore the emitted pair set — are IDENTICAL to running the
+    whole corpus at once (pytest + shared oracle prove it).
+
+    Scale: the new batch signs in one scan (no shuffle), the index is
+    only ever read band-wise for the bucket join and never
+    re-shingled; per-step cost is O(|batch| + collisions), not
+    O(|corpus|)."""
+    fresh = batch_rows.join(index_rows.select("fp"), "fp", "left_anti")
+    reps = (
+        fresh.groupBy("fp")
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in fresh.columns]), F.col("doc_id")
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+    bands_new = lsh_band_keys(reps)
+    internal = minhash_candidate_pairs(bands_new, max_bucket_size=max_bucket_size)
+    cross = (
+        lsh_band_keys(index_rows)
+        .select("band", "band_key", F.col("doc_id").alias("doc_a"))
+        .join(
+            bands_new.select("band", "band_key", F.col("doc_id").alias("doc_b")),
+            ["band", "band_key"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cands = internal.unionByName(cross).distinct()
+    pairs = jaccard_on_hashes(cands, index_rows.unionByName(reps)).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    return pairs, reps
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the documents table ingested as TWO doc_id-
+    ordered batches through a parquet signature index — batch 1 vs an
+    empty index, index written to disk, batch 2 vs the re-read index.
+    Returns the union of both steps' pairs, oriented a < b.
+
+    The pair set equals dedup_minhash exactly (each unordered pair
+    falls in exactly one step: both ids in batch 1, both in batch 2,
+    or split across — the cross band-join finds the split ones), so
+    this entry SHARES dedup_minhash's oracle SQL: the hash match
+    proves the incremental decomposition, not just the query."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(lo) + int(hi)) // 2
+    rows1 = minhash_index_rows(docs.filter(F.col("doc_id") <= mid))
+    rows2 = minhash_index_rows(docs.filter(F.col("doc_id") > mid))
+    empty = spark.createDataFrame([], rows1.schema)
+    tmp = tempfile.mkdtemp(prefix="mrg_minhash_index_")
+    try:
+        pairs1, reps1 = dedup_incremental_step(rows1, empty)
+        pairs1 = pairs1.localCheckpoint(eager=True)
+        reps1.write.mode("overwrite").parquet(f"{tmp}/index")
+        index = spark.read.parquet(f"{tmp}/index")
+        pairs2, _ = dedup_incremental_step(rows2, index)
+        pairs2 = pairs2.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    both = pairs1.unionByName(pairs2)
+    return both.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+        "jaccard",
+    ).orderBy("doc_a", "doc_b")

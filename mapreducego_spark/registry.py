@@ -268,6 +268,10 @@ QUERIES: dict[str, QueryFn] = {
     "q6_forecast_revenue": R.q6_forecast_revenue,
     "q15_top_supplier": R.q15_top_supplier,
     "repetition_profile": _repetition_profile,
+    # incremental ingestion through a persisted parquet signature
+    # index; SHARES dedup_minhash's oracle — the hash match proves
+    # the two-batch decomposition reproduces the one-shot pair set
+    "dedup_incremental": D.dedup_incremental,
     # -- changed in r3, but plan-only (spread_scan removed from the
     # map stage; semantics untouched, twice-green, bench tracks the
     # perf criterion) — first behind the 50-entry window ----------
@@ -1927,3 +1931,6 @@ ORACLES["stream_tumbling_sink"] = ORACLES["window_tumbling"]
 ORACLES["stream_sliding_sink"] = ORACLES["window_sliding"]
 ORACLES["stream_session_sink"] = ORACLES["window_session"]
 ORACLES["job_wordcount_files"] = _WORDCOUNT_SQL
+# The incremental decomposition must reproduce the one-shot pair set
+# bit-for-bit; sharing the SQL makes the driver's hash match prove it.
+ORACLES["dedup_incremental"] = ORACLES["dedup_minhash"]

@@ -84,3 +84,42 @@ def test_banding_pigeonhole_guarantee(spark, sf_dir):
         for r in simhash_near_pairs(sims, max_hamming=3).collect()
     }
     assert set(close) <= found | set()
+
+
+def test_incremental_equals_one_shot(spark):
+    """Two doc_id-ordered batches through the parquet signature index
+    must reproduce the one-shot pipeline's pair set exactly."""
+    from mapreducego_spark.functions.dedup import dedup_incremental, dedup_minhash
+
+    SF = "/root/testdata/sf0.01"
+    inc = [(r.doc_a, r.doc_b, r.jaccard) for r in dedup_incremental(spark, SF).collect()]
+    one = [(r.doc_a, r.doc_b, r.jaccard) for r in dedup_minhash(spark, SF).collect()]
+    assert inc == one and inc
+
+
+def test_incremental_exact_dup_semantics(spark):
+    """Cross-batch exact duplicates are anti-joined away (the indexed
+    row is the global representative — no self-pair); within-batch
+    exact dups collapse to the min doc_id; near-dups across batches
+    surface through the cross band-join."""
+    from mapreducego_spark.functions.dedup import (
+        dedup_incremental_step,
+        minhash_index_rows,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    b1 = minhash_index_rows(mk([(1, t)]))
+    empty = spark.createDataFrame([], b1.schema)
+    pairs1, reps1 = dedup_incremental_step(b1, empty)
+    assert pairs1.count() == 0 and reps1.count() == 1
+
+    b2 = minhash_index_rows(mk([(2, t), (3, near), (4, near)]))
+    pairs2, reps2 = dedup_incremental_step(b2, reps1)
+    got = {(r.doc_a, r.doc_b) for r in pairs2.collect()}
+    # 2 is an exact dup of indexed 1 -> excluded entirely;
+    # 4 is an exact dup of in-batch 3 -> collapsed to 3;
+    # (1, 3) is the only surviving near-dup pair
+    assert got == {(1, 3)}
+    assert {r.doc_id for r in reps2.collect()} == {3}
