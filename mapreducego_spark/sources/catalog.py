@@ -44,15 +44,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
-        # rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long
-        # and truncate to microsecond timestamps — the same precision
-        # Spark would keep anyway (FIXTURES.md §F5 / SURVEY §7 risk e).
+        # events.ts has shipped as TIMESTAMP(NANOS) in some fixture
+        # generations (which Spark's reader rejects outright unless
+        # nanosAsLong maps it to a long) and TIMESTAMP(MICROS) in
+        # others. Normalize both to session-zoned TimestampType at
+        # microsecond precision — identical values either way, and
+        # the session timezone is UTC so the epoch extraction the
+        # oracles use (unix_micros/epoch) agrees cross-engine
+        # (FIXTURES.md §F5 / SURVEY §7 risk e).
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes)["ts"] == "bigint":  # nanos-as-long fixture
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 
