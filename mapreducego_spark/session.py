@@ -43,10 +43,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        # Fixture events.parquet is TIMESTAMP(NANOS), which the reader
-        # rejects without this (catalog.load_table also sets it for
-        # driver-owned sessions; it only affects reads that would
-        # otherwise fail).
+        # Fixture events.parquet has shipped as TIMESTAMP(NANOS) in
+        # some generations and TIMESTAMP(MICROS) in others. NANOS is
+        # rejected by the reader without this conf; for MICROS it is a
+        # no-op. catalog.load_table sniffs the resulting dtype and
+        # normalizes both encodings to TimestampType micros (also
+        # setting this conf for driver-owned sessions); the streaming
+        # tier normalizes at stage time (streaming/pipelines.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Wide aggregates (simhash's 65 sum buffers, minhash's 16
         # mins) must stay inside whole-stage codegen; the default

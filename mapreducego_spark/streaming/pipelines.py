@@ -15,6 +15,7 @@ the batch twins (tests/test_streaming.py).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,18 +28,31 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Schema of the events table as the file-stream source sees it
-# (ts arrives as nanosecond LONG under nanosAsLong; converted below).
-EVENTS_RAW_SCHEMA = StructType(
+# Schema of the STAGED event chunks the file-stream source reads.
+# The fixture has shipped as TIMESTAMP(NANOS), TIMESTAMP(MICROS) and
+# could ship as raw int64 nanos; _normalized_events_table converts
+# every encoding to timestamp[us] at stage time, so the stream source
+# always sees one canonical TimestampType column (session tz is UTC)
+# and no per-encoding branching survives into the streaming plan.
+from pyspark.sql.types import TimestampType  # noqa: E402
+
+EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
         StructField("props", StringType()),
     ]
 )
+
+# Number of staged chunk files = number of availableNow micro-batches
+# (maxFilesPerTrigger=1). Chunks are ts-sorted, so event time advances
+# monotonically across batches and the watermark finalizes earlier
+# windows incrementally — a real multi-batch replay, not a
+# one-batch-plus-sentinel run.
+N_STREAM_CHUNKS = 8
 
 
 class StreamSpec(NamedTuple):
@@ -66,81 +80,142 @@ FLUSH_USER_ID = -1
 FLUSH_EVENT_TYPE = "flush"
 
 
+def _normalized_events_table(sf_dir: str):
+    """Read the events fixture with pyarrow and normalize ``ts`` to
+    timestamp[us], whatever encoding the fixture shipped with:
+    TIMESTAMP(MICROS) (no-op), TIMESTAMP(NANOS) (pyarrow yields
+    timestamp[ns]; cast truncates to micros exactly like the batch
+    path's ``ts div 1000``), or raw int64 nanoseconds (integer
+    divide then reinterpret as micros). Mirrors
+    ``sources.catalog.load_table``'s batch normalization so stream
+    and batch twins see bit-identical event times. Rows are sorted
+    by ts so the staged chunk files replay in event-time order."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    idx = t.schema.get_field_index("ts")
+    ts = t.column("ts")
+    if pa.types.is_integer(ts.type):  # raw int64 nanos encoding
+        ts = pc.divide(ts.cast(pa.int64()), 1000).cast(pa.timestamp("us"))
+    else:  # timestamp[ns] or timestamp[us] (tz-less, session tz UTC)
+        ts = ts.cast(pa.timestamp("us"))
+    t = t.set_column(idx, pa.field("ts", pa.timestamp("us")), ts)
+    return t.sort_by("ts")
+
+
+def _sentinel_table(schema):
+    """One flush-sentinel row with EXACTLY the staged chunks' schema
+    (a second schema in the directory would make the parquet source's
+    reads encoding-dependent — the r3 bug's shape)."""
+    import pyarrow as pa
+
+    vals = {
+        "event_id": FLUSH_EVENT_ID,
+        "user_id": FLUSH_USER_ID,
+        "event_type": FLUSH_EVENT_TYPE,
+        "value": 0.0,
+        "props": "{}",
+    }
+    arrays = []
+    for f in schema:
+        if f.name == "ts":
+            arrays.append(
+                pa.array([FLUSH_TS_SECONDS * 1_000_000], pa.int64()).cast(f.type)
+            )
+        else:
+            arrays.append(pa.array([vals[f.name]]).cast(f.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+# Deterministic staged-file mtimes (epoch seconds): FileStreamSource
+# orders files by modification time, so explicit utimes make the
+# micro-batch order a written-down contract instead of a copy-speed
+# accident. Any fixed base works — only the ordering matters.
+_STAGE_MTIME_BASE = 1_600_000_000
+
+
 def events_stream(
     spark: SparkSession,
     sf_dir: str,
     stage_dir: str | None = None,
     flush: bool = False,
+    n_chunks: int = N_STREAM_CHUNKS,
+    max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """File-source stream over the events parquet (the batch fixture
-    replayed as a stream). One file = one micro-batch under
-    availableNow; a production deployment swaps this for Kafka with
-    the same downstream pipelines.
+    replayed as a stream). The fixture is staged as ``n_chunks``
+    ts-sorted, ts-normalized (timestamp[us]) parquet files with
+    strictly increasing mtimes; with ``maxFilesPerTrigger=1`` each
+    chunk is one micro-batch under trigger(availableNow), so the
+    watermark genuinely advances across batches and windowed state is
+    finalized incrementally — the same lifecycle a Kafka deployment
+    of these pipelines would see.
 
-    FileStreamSource requires a *directory* to monitor; the fixture is
-    a single .parquet file, so stage a hardlink/copy into a temp dir
-    (cheap, read-only fixture stays untouched; removed at interpreter
-    exit via atexit). nanosAsLong must be session-wide — parquet nanos
-    handling is an SQLConf, not a reader option — and only affects
-    reads that would otherwise fail outright (session.get_spark sets
-    it up front; this set covers driver-owned sessions).
+    FileStreamSource requires a *directory* to monitor, hence the
+    staging step (read-only fixture untouched; temp dir removed at
+    interpreter exit). Normalization happens ONCE here at stage time
+    (see _normalized_events_table), so the streaming plan itself is
+    encoding-agnostic.
 
     ``stage_dir``: pass a stable directory when the stream runs
     against a checkpoint — restart recovery requires the SAME source
     path across runs (a fresh temp dir per call would invalidate the
-    checkpoint's recorded offsets).
+    checkpoint's recorded offsets). Already-staged directories are
+    reused verbatim (the ``_staged`` marker), which restart recovery
+    also requires.
 
     ``flush=True`` additionally stages a one-row sentinel file (see
-    FLUSH_TS_SECONDS above) so append-mode aggregations emit every
-    real window before the availableNow run terminates. Consumers
-    filter the sentinel back out (FLUSH_EVENT_TYPE / FLUSH_USER_ID).
-    """
+    FLUSH_TS_SECONDS above), schema-identical to the chunks and
+    mtime-ordered last, so append-mode aggregations emit every real
+    window before the availableNow run terminates. Consumers filter
+    the sentinel back out (FLUSH_EVENT_TYPE / FLUSH_USER_ID)."""
     import atexit
-    import os
+    import math
     import shutil
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import pyarrow.parquet as pq
+
     if stage_dir is None:
         stage = tempfile.mkdtemp(prefix="events_stream_")
         atexit.register(shutil.rmtree, stage, ignore_errors=True)
     else:
         stage = stage_dir
         os.makedirs(stage, exist_ok=True)
-    src = os.path.join(sf_dir, "events.parquet")
-    dst = os.path.join(stage, "events.parquet")
-    if not os.path.exists(dst):
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copyfile(src, dst)
+    marker = os.path.join(stage, "_staged")  # "_"-prefixed: invisible to Spark
+    if not os.path.exists(marker):
+        t = _normalized_events_table(sf_dir)
+        n = max(1, min(n_chunks, t.num_rows))
+        step = math.ceil(t.num_rows / n)
+        for i in range(n):
+            chunk = t.slice(i * step, step)
+            if chunk.num_rows == 0:
+                break
+            path = os.path.join(stage, f"chunk_{i:03d}.parquet")
+            pq.write_table(chunk, path)
+            os.utime(path, (_STAGE_MTIME_BASE + i, _STAGE_MTIME_BASE + i))
+        with open(marker, "w") as fh:
+            fh.write(f"{t.num_rows}\n")
     if flush:
         flush_path = os.path.join(stage, "zz_flush.parquet")
         if not os.path.exists(flush_path):
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            pq.write_table(
-                pa.table(
-                    {
-                        "event_id": pa.array([FLUSH_EVENT_ID], pa.int64()),
-                        "ts": pa.array(
-                            [FLUSH_TS_SECONDS * 1_000_000_000], pa.int64()
-                        ),
-                        "user_id": pa.array([FLUSH_USER_ID], pa.int64()),
-                        "event_type": pa.array([FLUSH_EVENT_TYPE], pa.string()),
-                        "value": pa.array([0.0], pa.float64()),
-                        "props": pa.array(["{}"], pa.string()),
-                    }
-                ),
+            chunk0 = sorted(
+                f for f in os.listdir(stage) if f.startswith("chunk_")
+            )[0]
+            schema = pq.read_schema(os.path.join(stage, chunk0))
+            pq.write_table(_sentinel_table(schema), flush_path)
+            os.utime(
                 flush_path,
+                (_STAGE_MTIME_BASE + 10_000, _STAGE_MTIME_BASE + 10_000),
             )
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .format("parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(stage)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def rate_stream(spark: SparkSession, rows_per_batch: int = 1000) -> DataFrame:
@@ -350,7 +425,7 @@ def run_to_parquet(
     path: str,
     checkpoint: str,
     output_mode: str | None = None,
-) -> None:
+):
     """Checkpointed parquet sink, availableNow: the production write
     path. The checkpoint directory carries source offsets + sink
     commit log, so re-running after a crash (or on a schedule)
@@ -359,7 +434,11 @@ def run_to_parquet(
 
     The file sink only supports append mode, so a StreamSpec
     declaring anything else is rejected up front (clearer than the
-    sink's own start()-time error)."""
+    sink's own start()-time error).
+
+    Returns the terminated StreamingQuery so callers can assert
+    execution shape (e.g. lastProgress batchId proves a multi-batch
+    replay actually happened)."""
     spec = _as_spec(stream)
     mode = output_mode or spec.mode
     if mode != "append":
@@ -377,6 +456,7 @@ def run_to_parquet(
         .start()
     )
     q.awaitTermination()
+    return q
 
 
 def _stream_sink_readback(spark, sf_dir, pipeline, name: str) -> DataFrame:

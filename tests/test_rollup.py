@@ -117,29 +117,19 @@ def test_stream_rollup_matches_batch_build(spark, sf_dir, tmp_path):
     split across two files (two micro-batches: one cold build + one
     incremental fold), must equal a one-shot batch build."""
     from mapreducego_spark.streaming.pipelines import (
-        EVENTS_RAW_SCHEMA,
+        EVENTS_STREAM_SCHEMA,
         stream_rollup_maintenance,
     )
 
     ev = load_table(spark, sf_dir, "events")
     stage = str(tmp_path / "stage")
-    # two staged files in ns-long form (matching the raw fixture layout)
-    raw = ev.select(
-        "event_id",
-        (F.unix_micros("ts") * 1000).alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
+    # two staged files in the canonical normalized form (what
+    # events_stream stages; encoding handling itself is covered by
+    # test_events_stream_ts_encoding_canary)
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
     cut = lo + (hi - lo) * 0.5
-    raw.filter(F.col("ts") <= F.lit(int(cut.timestamp() * 1e9))).coalesce(
-        1
-    ).write.parquet(stage + "/a")
-    raw.filter(F.col("ts") > F.lit(int(cut.timestamp() * 1e9))).coalesce(
-        1
-    ).write.parquet(stage + "/b")
+    ev.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(stage + "/a")
+    ev.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(stage + "/b")
     import glob
     import os
     import shutil
@@ -151,13 +141,11 @@ def test_stream_rollup_matches_batch_build(spark, sf_dir, tmp_path):
     ):
         shutil.copyfile(f, os.path.join(src_dir, f"{i:02d}.parquet"))
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .format("parquet")
         .load(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     roll = str(tmp_path / "roll")
     stream_rollup_maintenance(stream, roll, str(tmp_path / "ckpt"))

@@ -230,6 +230,89 @@ def test_stream_session_sink_matches_batch_twin(spark, sf_dir):
     assert got == want
 
 
+def test_streaming_replay_is_multi_batch(spark, sf_dir, tmp_path):
+    """The staged replay must be a REAL multi-batch run (ts-sorted
+    chunks, maxFilesPerTrigger=1), not one batch plus the sentinel —
+    otherwise watermark advancement across batches is never
+    exercised."""
+    from mapreducego_spark.streaming.pipelines import (
+        N_STREAM_CHUNKS,
+        run_to_parquet,
+    )
+
+    q = run_to_parquet(
+        events_stream(spark, sf_dir, stage_dir=str(tmp_path / "stage")),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    assert q.lastProgress["batchId"] >= N_STREAM_CHUNKS - 1
+
+
+def _write_events_fixture(dirpath, encoding):
+    """Tiny events fixture in one of the three ts encodings the
+    fixture generator has shipped (or could ship)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1)
+    rows = 6
+    t = pa.table(
+        {
+            "event_id": pa.array(range(rows), pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(minutes=40 * i) for i in range(rows)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([i % 2 for i in range(rows)], pa.int64()),
+            "event_type": pa.array(["click"] * rows),
+            "value": pa.array([float(i) for i in range(rows)], pa.float64()),
+            "props": pa.array(["{}"] * rows),
+        }
+    )
+    path = f"{dirpath}/events.parquet"
+    if encoding == "nanos":
+        t = t.set_column(
+            1, pa.field("ts", pa.timestamp("ns")), t.column("ts").cast(pa.timestamp("ns"))
+        )
+        pq.write_table(t, path, version="2.6", coerce_timestamps=None)
+    elif encoding == "int64_nanos":
+        ns = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64())
+        t = t.set_column(1, pa.field("ts", pa.int64()), ns)
+        pq.write_table(t, path)
+    else:
+        pq.write_table(t, path)
+    return path
+
+
+@pytest.mark.parametrize("encoding", ["micros", "nanos", "int64_nanos"])
+def test_events_stream_ts_encoding_canary(spark, tmp_path, encoding):
+    """Round-3 regression canary: the stream source must yield the
+    SAME event times as catalog.load_table for every ts encoding the
+    fixture has shipped with. The r3 bug (hardcoded nanos-as-long
+    schema + div 1000 against a micros fixture) collapsed all events
+    to ~1970 — this asserts real 2024 wall times per encoding."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path / encoding
+    d.mkdir()
+    _write_events_fixture(str(d), encoding)
+    out = _run(events_stream(spark, str(d)), spark)
+    got = sorted((r.event_id, r.ts) for r in out.collect())
+    want = sorted(
+        (r.event_id, r.ts)
+        for r in load_table(spark, str(d), "events").collect()
+    )
+    assert got == want
+    assert all(ts.year == 2024 for _, ts in got)
+    # the staged chunks themselves are canonical micros
+    stage = tmp_path / f"stage_{encoding}"
+    events_stream(spark, str(d), stage_dir=str(stage))
+    chunk0 = sorted(f for f in stage.iterdir() if f.name.startswith("chunk_"))[0]
+    assert str(pq.read_schema(chunk0).field("ts").type) == "timestamp[us]"
+
+
 def test_run_to_parquet_rejects_non_append(spark, sf_dir, tmp_path):
     """The file sink only supports append; a non-append StreamSpec
     must fail fast with a clear error, not at start()."""
