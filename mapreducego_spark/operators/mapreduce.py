@@ -168,20 +168,25 @@ def sql_wordcount_udf(spark, sf_dir: str) -> DataFrame:
     (reference mpWorker/worker.go:77-98). Produces the exact same
     rows as the native `wordcount` query.
 
-    Note: a registered scalar Python UDF is the row-at-a-time slow
-    path — correct for the SQL plugin contract, but the Arrow-batched
-    map_reduce() above is the hot path for bulk plugin jobs.
+    Registered as a PANDAS (Arrow-batched) UDF: spark.udf.register
+    accepts pandas_udf-decorated functions, so the SQL plugin
+    contract keeps its spark.sql surface while execution stays
+    vectorized — no row-at-a-time BatchEvalPython in the plan
+    (test_scale_plans.py asserts ArrowEvalPython here).
     """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType
 
     from mapreducego_spark.sources.catalog import load_table
 
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_sql")
-    spark.udf.register(
-        "plugin_map_tokens",
-        lambda text: [k for k, _ in wordcount_map(text)],
-        ArrayType(StringType()),
-    )
+
+    @pandas_udf(ArrayType(StringType()))
+    def plugin_map_tokens(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: [k for k, _ in wordcount_map(t)])
+
+    spark.udf.register("plugin_map_tokens", plugin_map_tokens)
     return spark.sql(
         """
         SELECT word, COUNT(*) AS cnt

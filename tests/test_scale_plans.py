@@ -216,6 +216,18 @@ def test_chunk_documents_is_scan_fused(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_sql_plugin_udf_is_arrow_batched(spark):
+    """The registered SQL-plugin UDF must execute as an Arrow-batched
+    pandas UDF (ArrowEvalPython), never as a row-at-a-time Python UDF
+    (BatchEvalPython) — the last row-UDF in the codebase was converted
+    in r4 and must not regress."""
+    from mapreducego_spark.operators.mapreduce import sql_wordcount_udf
+
+    plan = _plan(sql_wordcount_udf(spark, SF))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_q21_rewrite_is_expand_free(spark):
     """The naive countDistinct pair would plan an Expand (2x every
     fact row pre-shuffle); the two-level per-pair/per-order rewrite

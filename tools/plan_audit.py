@@ -35,16 +35,15 @@ SKIP = {
 # Red flags that are BY DESIGN, with the reason on record. A nested-
 # loop join against a bounded broadcast side (a fixed query set, a
 # 1-row scalar aggregate) is not the unbounded-cartesian failure mode
-# the flag exists for; BatchEvalPython in sql_wordcount_udf IS the
-# SQL plugin contract, documented as the slow path.
+# the flag exists for. (sql_wordcount_udf's former BatchEvalPython
+# waiver is gone: the plugin UDF is a pandas_udf since r4 and plans
+# as ArrowEvalPython.)
 WAIVED: dict[str, str] = {
     "vector_topk": "BNLJ vs broadcast bounded query set (<=100 rows)",
     "knn_label_vote": "BNLJ vs broadcast bounded query set",
     "dedup_embedding": "BNLJ vs broadcast 1-row guard aggregate; "
     "exact O(n^2) baseline is loud-fail guarded",
     "tfidf_top_terms": "BNLJ vs broadcast 1-row corpus-count aggregate",
-    "sql_wordcount_udf": "BatchEvalPython IS the registered-UDF SQL "
-    "plugin surface (documented slow path; bulk path is map_reduce)",
 }
 
 
