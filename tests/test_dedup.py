@@ -97,6 +97,22 @@ def test_incremental_equals_one_shot(spark):
     assert inc == one and inc
 
 
+def test_incremental_parquet_round_trip(spark):
+    """The durable index path (write step-1 reps to parquet, re-read
+    for step 2) must produce byte-identical pairs to the default
+    in-memory handoff — proving the bench-path optimization changes
+    nothing but the I/O."""
+    from mapreducego_spark.functions.dedup import dedup_incremental
+
+    SF = "/root/testdata/sf0.01"
+    mem = [tuple(r) for r in dedup_incremental(spark, SF).collect()]
+    disk = [
+        tuple(r)
+        for r in dedup_incremental(spark, SF, persist_index=True).collect()
+    ]
+    assert mem == disk and mem
+
+
 def test_incremental_exact_dup_semantics(spark):
     """Cross-batch exact duplicates are anti-joined away (the indexed
     row is the global representative — no self-pair); within-batch
