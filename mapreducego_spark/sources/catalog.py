@@ -256,3 +256,68 @@ def upsert_parquet(
     base = spark.read.parquet(base_dir)
     kept = base.join(updates.select(*keys), on=keys, how="left_anti")
     kept.unionByName(updates).write.mode("overwrite").parquet(out_dir)
+
+
+def _scratch_dir(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: MERGE exercised end-to-end on real data. The
+    documents fixture is written out as the base table, a
+    deterministic correction batch (every doc_id % 7 == 0 rewritten)
+    plus a backfill batch (doc_id % 13 == 0 re-inserted under new
+    ids) is merged via upsert_parquet, and the post-merge table is
+    read back. The DuckDB oracle reconstructs the same table with an
+    anti-join/UNION ALL twin, so the hash match proves the merge
+    semantics (replace matched, insert new, carry the rest)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = _scratch_dir("upsert_docs_")
+    base_dir, out_dir = f"{work}/base", f"{work}/out"
+    docs.write.parquet(base_dir)
+    corrected_text = F.concat(F.lit("corrected:"), F.col("lang"))
+    upd = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        corrected_text.alias("text"),
+        "lang",
+        F.lit("correction").alias("source"),
+        F.length(corrected_text).cast("long").alias("n_chars"),
+    )
+    ins_text = F.concat(F.lit("insert:"), F.col("doc_id").cast("string"))
+    ins = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        ins_text.alias("text"),
+        F.lit("xx").alias("lang"),
+        F.lit("backfill").alias("source"),
+        F.length(ins_text).cast("long").alias("n_chars"),
+    )
+    upsert_parquet(spark, base_dir, upd.unionByName(ins), ["doc_id"], out_dir)
+    return spark.read.parquet(out_dir).orderBy("doc_id")
+
+
+def compact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: small-file compaction exercised end-to-end —
+    the documents fixture deliberately shattered into 48 files, then
+    compact_parquet'd back to ~1 file. Loud-fails unless the file
+    count actually shrank; the oracle (SELECT * FROM documents)
+    proves the rewrite is lossless, which is the property a
+    compaction job must never trade away."""
+    docs = load_table(spark, sf_dir, "documents")
+    work = _scratch_dir("compact_docs_")
+    src, dst = f"{work}/many", f"{work}/few"
+    docs.repartition(48).write.parquet(src)
+    n_src = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    n_out = compact_parquet(spark, src, dst, target_bytes=1 << 30)
+    if n_out >= n_src:
+        raise RuntimeError(
+            f"compaction did not reduce file count: {n_src} -> {n_out}"
+        )
+    return spark.read.parquet(dst).orderBy("doc_id")

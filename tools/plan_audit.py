@@ -30,6 +30,8 @@ SKIP = {
     "stream_sliding_sink",
     "stream_session_sink",
     "job_wordcount_files",
+    "upsert_documents",
+    "compact_documents",
 }
 
 # Red flags that are BY DESIGN, with the reason on record. A nested-
