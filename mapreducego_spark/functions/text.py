@@ -545,6 +545,36 @@ def quality_filter(docs: DataFrame) -> DataFrame:
     return out.withColumn("keep", keep)
 
 
+def quality_gate_per_lang(docs: DataFrame, q: float = 0.25) -> DataFrame:
+    """Per-language adaptive quality gate: keep documents at or above
+    their OWN language's ``q``-quantile of document length — the
+    corpus-relative form of quality_filter's absolute thresholds.
+    Fixed global cutoffs systematically starve low-resource languages
+    (their length distributions differ); quantile-per-group is how a
+    multilingual training-data pipeline actually sets gates.
+
+    Shape for scale: one partial-aggregated groupBy computes the
+    per-language cutoffs (|languages| rows — tiny), broadcast back
+    onto the corpus scan, filter fuses into the scan stage. The
+    corpus is never shuffled. Exact interpolated percentile over
+    integers is engine-reproducible (dyadic-fraction interpolation
+    is exact in binary floating point), so this oracle-checks."""
+    cuts = docs.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", F.lit(q)), 6).alias("lang_cut")
+    )
+    return (
+        docs.join(F.broadcast(cuts), "lang")
+        .filter(F.col("n_chars").cast("double") >= F.col("lang_cut"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "lang_cut",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def pii_scrub(docs: DataFrame) -> DataFrame:
     """PII redaction at scan speed: emails and phone numbers ->
     typed placeholder tokens, with per-doc redaction counts.

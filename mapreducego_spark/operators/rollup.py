@@ -108,3 +108,29 @@ def read_rollup(spark: SparkSession, path: str) -> DataFrame:
         "n_events",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the continuous aggregate exercised end-to-end
+    on real data — cold build on the older half of events, then an
+    incremental update_rollup fold of the newer half (the two-phase
+    lifecycle every materialized rollup lives through), read back
+    from storage. The DuckDB oracle aggregates ALL events in one
+    shot, so the hash match proves the algebraic merge + dynamic
+    partition overwrite reproduce the full rebuild exactly — the
+    invariant that lets a 100 TB deployment maintain the rollup
+    without ever re-scanning history."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from mapreducego_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    path = tempfile.mkdtemp(prefix="rollup_inc_") + "/rollup"
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    build_rollup(ev.filter(F.col("ts") <= F.lit(cut)), path)
+    update_rollup(spark, ev.filter(F.col("ts") > F.lit(cut)), path)
+    return read_rollup(spark, path).orderBy("win_start", "event_type")

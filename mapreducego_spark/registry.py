@@ -31,6 +31,7 @@ from mapreducego_spark.functions import vector as V
 from mapreducego_spark.operators import asof as A
 from mapreducego_spark.operators import mapreduce as MR
 from mapreducego_spark.operators import relational as R
+from mapreducego_spark.operators import rollup as RU
 from mapreducego_spark.operators import timewin as TW
 from mapreducego_spark.operators import windows as W
 from mapreducego_spark.sources import catalog as CAT
@@ -144,6 +145,10 @@ def _sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.sample_weighted(load_table(spark, sf_dir, "documents"))
 
 
+def _quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_gate_per_lang(load_table(spark, sf_dir, "documents"))
+
+
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(M.documents_as_media(spark, sf_dir), fake=True)
 
@@ -185,6 +190,16 @@ QUERIES: dict[str, QueryFn] = {
     # MERGE and compaction promoted from pytest-only to oracle rows
     "upsert_documents": CAT.upsert_documents,
     "compact_documents": CAT.compact_documents,
+    # stateful dedup through the sink against an at-least-once
+    # (copies=2) replay — each event must surface exactly once
+    "stream_dedup_sink": ST.stream_dedup_sink,
+    # continuous aggregate: cold build + incremental fold vs the
+    # one-shot oracle (promoted from pytest-only)
+    "rollup_incremental": RU.rollup_incremental,
+    # per-language exact-quantile gate (corpus-relative filtering)
+    "quality_gate_per_lang": _quality_gate,
+    # XML source/sink round trip (Spark-native xml format)
+    "xml_round_trip": CAT.xml_round_trip,
     # row-UDF -> pandas_udf this round
     "sql_wordcount_udf": MR.sql_wordcount_udf,
     # step-caching + optional-persist rework this round
@@ -1913,3 +1928,43 @@ SELECT doc_id, text, lang, source, n_chars FROM (
 ORACLES["compact_documents"] = (
     "SELECT doc_id, text, lang, source, n_chars FROM documents"
 )
+
+# Exactly-once through the dedup stage: the doubled replay must
+# collapse back to the plain events table.
+ORACLES["stream_dedup_sink"] = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       epoch_ns(ts) // 1000 AS us,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type,
+       "value"
+FROM events
+"""
+
+# Incremental rollup must equal the one-shot aggregate over all
+# events (the algebraic-merge invariant).
+ORACLES["rollup_incremental"] = """
+SELECT strftime(h, '%Y-%m-%d') AS day,
+       CAST(epoch(h) AS BIGINT) AS win_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM (SELECT date_trunc('hour', ts) AS h, event_type, "value" FROM events)
+GROUP BY h, event_type
+"""
+
+ORACLES["quality_gate_per_lang"] = """
+WITH cuts AS (
+    SELECT lang, round(quantile_cont(n_chars, 0.25), 6) AS lang_cut
+    FROM documents GROUP BY lang
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+       CAST(d.n_chars AS BIGINT) AS n_chars, c.lang_cut
+FROM documents d JOIN cuts c USING (lang)
+WHERE CAST(d.n_chars AS DOUBLE) >= c.lang_cut
+"""
+
+ORACLES["xml_round_trip"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+"""

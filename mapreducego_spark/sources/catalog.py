@@ -303,6 +303,51 @@ def upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).orderBy("doc_id")
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str, schema=None) -> DataFrame:
+    """XML source (Spark's built-in xml format, 4.0+): one row per
+    ``row_tag`` element. Pass a schema at scale — XML inference is a
+    full extra pass AND type-guesses; the reader streams and splits
+    files the same as JSON lines."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str, mode: str = "overwrite"
+) -> None:
+    """XML sink — interchange with XML-consuming systems (feeds,
+    legacy ETL). Not a scale format; parquet is the real output."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def xml_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the XML source/sink proven lossless on real
+    data — the documents table's typed columns written as XML
+    (rowTag=doc), read back WITH an explicit schema, oracle-checked
+    against the original rows. (The free-text column is excluded:
+    XML whitespace normalization is lossy for arbitrary text by
+    design, which is exactly why parquet is the scale format and XML
+    is interchange-only.)"""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    work = _scratch_dir("xml_rt_")
+    write_xml(docs, f"{work}/docs_xml", row_tag="doc")
+    back = read_xml(
+        spark, f"{work}/docs_xml", row_tag="doc", schema=docs.schema
+    )
+    return back.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 def compact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: small-file compaction exercised end-to-end —
     the documents fixture deliberately shattered into 48 files, then

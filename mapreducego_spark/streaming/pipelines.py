@@ -143,6 +143,7 @@ def events_stream(
     flush: bool = False,
     n_chunks: int = N_STREAM_CHUNKS,
     max_files_per_trigger: int = 1,
+    copies: int = 1,
 ) -> DataFrame:
     """File-source stream over the events parquet (the batch fixture
     replayed as a stream). The fixture is staged as ``n_chunks``
@@ -170,7 +171,12 @@ def events_stream(
     FLUSH_TS_SECONDS above), schema-identical to the chunks and
     mtime-ordered last, so append-mode aggregations emit every real
     window before the availableNow run terminates. Consumers filter
-    the sentinel back out (FLUSH_EVENT_TYPE / FLUSH_USER_ID)."""
+    the sentinel back out (FLUSH_EVENT_TYPE / FLUSH_USER_ID).
+
+    ``copies=k`` stages every chunk k times (interleaved mtimes:
+    chunk 0 copy 0, chunk 0 copy 1, chunk 1 copy 0, ...), replaying
+    each event in k different micro-batches — the at-least-once
+    delivery a dedup stage exists to absorb (stream_dedup_sink)."""
     import atexit
     import math
     import shutil
@@ -189,13 +195,18 @@ def events_stream(
         t = _normalized_events_table(sf_dir)
         n = max(1, min(n_chunks, t.num_rows))
         step = math.ceil(t.num_rows / n)
+        seq = 0
         for i in range(n):
             chunk = t.slice(i * step, step)
             if chunk.num_rows == 0:
                 break
-            path = os.path.join(stage, f"chunk_{i:03d}.parquet")
-            pq.write_table(chunk, path)
-            os.utime(path, (_STAGE_MTIME_BASE + i, _STAGE_MTIME_BASE + i))
+            for c in range(copies):
+                path = os.path.join(stage, f"chunk_{i:03d}_{c}.parquet")
+                pq.write_table(chunk, path)
+                os.utime(
+                    path, (_STAGE_MTIME_BASE + seq, _STAGE_MTIME_BASE + seq)
+                )
+                seq += 1
         with open(marker, "w") as fh:
             fh.write(f"{t.num_rows}\n")
     if flush:
@@ -518,6 +529,40 @@ def stream_session_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stream_sink_readback(spark, sf_dir, session_counts, "stream_session_sink")
         .filter(F.col("user_id") != FLUSH_USER_ID)
         .select("user_id", "session_start", "n_events", "session_seconds")
+    )
+
+
+def stream_dedup_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: stateful streaming dedup through the parquet
+    sink, oracle-checked against the plain events table. The replay
+    is staged with ``copies=2`` — every chunk arrives in TWO
+    different micro-batches (at-least-once delivery, the condition a
+    dedup stage exists to absorb) — and dropDuplicatesWithinWatermark
+    must emit each event exactly once: a duplicate still inside the
+    watermark horizon is deduped against state, one already behind
+    the watermark is late-filtered, and either way the sink holds one
+    row per event_id. No flush sentinel needed: dedup is stateful
+    but non-aggregating, so append emits rows immediately."""
+    import atexit
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="stream_dedup_sink_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    events = events_stream(
+        spark, sf_dir, stage_dir=os.path.join(workdir, "stage"), copies=2
+    )
+    run_to_parquet(
+        dedup_stream(events),
+        os.path.join(workdir, "out"),
+        os.path.join(workdir, "ckpt"),
+    )
+    return spark.read.parquet(os.path.join(workdir, "out")).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("us"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        "value",
     )
 
 

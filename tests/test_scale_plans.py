@@ -216,6 +216,17 @@ def test_chunk_documents_is_scan_fused(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_quality_gate_broadcasts_cutoffs(spark):
+    """The per-language quantile gate must broadcast the tiny cutoff
+    table back onto the corpus — the corpus side is never shuffled
+    (no SortMergeJoin/Exchange on the documents scan)."""
+    from mapreducego_spark.functions.text import quality_gate_per_lang
+
+    plan = _plan(quality_gate_per_lang(load_table(spark, SF, "documents")))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_sql_plugin_udf_is_arrow_batched(spark):
     """The registered SQL-plugin UDF must execute as an Arrow-batched
     pandas UDF (ArrowEvalPython), never as a row-at-a-time Python UDF

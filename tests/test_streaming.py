@@ -313,6 +313,17 @@ def test_events_stream_ts_encoding_canary(spark, tmp_path, encoding):
     assert str(pq.read_schema(chunk0).field("ts").type) == "timestamp[us]"
 
 
+def test_stream_dedup_exactly_once_under_duplicated_replay(spark, sf_dir):
+    """copies=2 replays every event in two different micro-batches;
+    the dedup sink must still hold each event exactly once."""
+    from mapreducego_spark.streaming.pipelines import stream_dedup_sink
+
+    out = stream_dedup_sink(spark, sf_dir)
+    n = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n
+
+
 def test_run_to_parquet_rejects_non_append(spark, sf_dir, tmp_path):
     """The file sink only supports append; a non-append StreamSpec
     must fail fast with a clear error, not at start()."""

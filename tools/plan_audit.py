@@ -32,6 +32,9 @@ SKIP = {
     "job_wordcount_files",
     "upsert_documents",
     "compact_documents",
+    "stream_dedup_sink",
+    "rollup_incremental",
+    "xml_round_trip",
 }
 
 # Red flags that are BY DESIGN, with the reason on record. A nested-
