@@ -200,6 +200,13 @@ QUERIES: dict[str, QueryFn] = {
     "quality_gate_per_lang": _quality_gate,
     # XML source/sink round trip (Spark-native xml format)
     "xml_round_trip": CAT.xml_round_trip,
+    # the rest of the streaming tier promoted to oracle rows: custom
+    # stateful op (exact integer state), stream-static broadcast
+    # enrich, stream-stream interval join — with these, EVERY
+    # streaming surface is driver-hash-checked
+    "stream_stateful_totals": ST.stream_stateful_totals,
+    "stream_enrich_sink": ST.stream_enrich_sink,
+    "stream_join_sink": ST.stream_join_sink,
     # row-UDF -> pandas_udf this round
     "sql_wordcount_udf": MR.sql_wordcount_udf,
     # step-caching + optional-persist rework this round
@@ -1967,4 +1974,35 @@ ORACLES["xml_round_trip"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
        CAST(n_chars AS BIGINT) AS n_chars
 FROM documents
+"""
+
+# Custom stateful operator: final per-user state must equal the
+# one-shot aggregate. Integer micro-unit accumulation (floor of the
+# SAME IEEE double product on both engines) makes the comparison
+# exact regardless of batch order.
+ORACLES["stream_stateful_totals"] = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor("value" * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_micros
+FROM events
+GROUP BY user_id
+"""
+
+ORACLES["stream_enrich_sink"] = """
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       epoch_ns(e.ts) // 1000 AS us,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       e.event_type, c.c_name, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+ORACLES["stream_join_sink"] = """
+SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+       CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(p.user_id AS BIGINT) AS user_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
 """

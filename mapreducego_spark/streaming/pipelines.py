@@ -627,6 +627,140 @@ def user_running_stats(
     )
 
 
+def user_totals_exact(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    state_ttl_ms: int = 24 * 3600 * 1000,
+) -> StreamSpec:
+    """user_running_stats' oracle-checkable sibling: per-user event
+    count and value total accumulated in EXACT integer micro-units
+    (floor(value * 1e6) per event) inside applyInPandasWithState.
+    Float accumulation order across micro-batches is unobservable
+    with integer state, so the FINAL state per user is engine- and
+    schedule-independent — which is what lets a custom stateful
+    operator be hash-compared against a one-shot SQL aggregate
+    (stream_stateful_totals)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_micros", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("cnt", LongType()), StructField("micros", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cnt, micros = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            micros += int(
+                np.floor(pdf["value"].to_numpy() * 1_000_000).astype("int64").sum()
+            )
+        state.update((cnt, micros))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "sum_micros": [micros]}
+        )
+
+    return StreamSpec(
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        ),
+        "update",
+    )
+
+
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the custom stateful operator
+    (applyInPandasWithState) oracle-checked. Update mode emits one
+    row per (user, batch); the FINAL state is the row with that
+    user's max n_events (cumulative counts are strictly increasing),
+    extracted with max_by — so the result is the per-user total,
+    comparable against DuckDB's one-shot GROUP BY."""
+    import uuid
+
+    out = run_to_memory(
+        user_totals_exact(events_stream(spark, sf_dir)),
+        spark,
+        name=f"stateful_totals_{uuid.uuid4().hex[:8]}",
+    )
+    return out.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.max_by("sum_micros", "n_events").cast("long").alias("sum_micros"),
+    )
+
+
+def stream_enrich_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the stream-static broadcast join through the
+    checkpointed parquet sink, oracle-checked against the batch LEFT
+    JOIN. Append mode with no aggregation — rows flow straight
+    through; the dimension is re-broadcast per micro-batch (8 of
+    them here), exactly as a production enrichment stage would."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from mapreducego_spark.sources.catalog import load_table as _lt
+
+    workdir = tempfile.mkdtemp(prefix="stream_enrich_sink_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    events = events_stream(spark, sf_dir, stage_dir=os.path.join(workdir, "stage"))
+    run_to_parquet(
+        stream_static_enrich(events, _lt(spark, sf_dir, "customer")),
+        os.path.join(workdir, "out"),
+        os.path.join(workdir, "ckpt"),
+    )
+    return spark.read.parquet(os.path.join(workdir, "out")).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("us"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        "c_name",
+        "c_mktsegment",
+    )
+
+
+def stream_join_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the stream-stream interval join through the
+    checkpointed parquet sink, oracle-checked against the one-shot
+    SQL time-range self-join. Inner stream-stream joins emit on
+    match (no sentinel needed); the ts-sorted multi-batch replay
+    means click state is always still within the watermark horizon
+    when its purchases arrive."""
+    import atexit
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="stream_join_sink_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    events = events_stream(spark, sf_dir, stage_dir=os.path.join(workdir, "stage"))
+    run_to_parquet(
+        stream_stream_purchase_attribution(events),
+        os.path.join(workdir, "out"),
+        os.path.join(workdir, "ckpt"),
+    )
+    return spark.read.parquet(os.path.join(workdir, "out")).select(
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+
+
 # --- streaming continuous aggregate (hypertable rollup, stream side) ----
 
 

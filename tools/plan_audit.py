@@ -35,6 +35,9 @@ SKIP = {
     "stream_dedup_sink",
     "rollup_incremental",
     "xml_round_trip",
+    "stream_stateful_totals",
+    "stream_enrich_sink",
+    "stream_join_sink",
 }
 
 # Red flags that are BY DESIGN, with the reason on record. A nested-
