@@ -70,6 +70,13 @@ HEADLINE = [
     "q15_top_supplier",
     "repetition_profile",
     "dedup_incremental",
+    # round 4: MERGE, the incremental continuous aggregate, and the
+    # per-language quantile gate (stream_dedup_sink is deliberately
+    # NOT here: like the other sink entries its wall is checkpointed
+    # I/O, and one sink entry already tracks that path)
+    "upsert_documents",
+    "rollup_incremental",
+    "quality_gate_per_lang",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500
