@@ -481,7 +481,16 @@ def _stream_sink_readback(spark, sf_dir, pipeline, name: str) -> DataFrame:
 
     Fresh temp output/checkpoint per call (cleaned at exit): the
     point here is verifying the stream's RESULT, not incremental
-    resume — test_streaming.py covers checkpoint idempotence."""
+    resume — test_streaming.py covers checkpoint idempotence.
+
+    State partitioning: streaming state tasks are committed per
+    micro-batch per partition, so the multi-batch replay pays
+    |batches| x |state partitions| store commits. The batch conf's
+    32 partitions is overhead-dominated for windowed state (state
+    rows ~= |open windows|, tiny); 8 keeps the same semantics at a
+    quarter of the commit cost. A real deployment sizes this to
+    state VOLUME (it is fixed at first checkpoint), not to the batch
+    shuffle width."""
     import atexit
     import os
     import shutil
@@ -493,7 +502,12 @@ def _stream_sink_readback(spark, sf_dir, pipeline, name: str) -> DataFrame:
     ckpt = os.path.join(workdir, "ckpt")
     stage = os.path.join(workdir, "stage")
     events = events_stream(spark, sf_dir, stage_dir=stage, flush=True)
-    run_to_parquet(pipeline(events), out, ckpt)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_parquet(pipeline(events), out, ckpt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out)
 
 
