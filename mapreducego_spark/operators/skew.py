@@ -66,3 +66,41 @@ def salted_join(
     )
     out = salted_facts.join(salted_dims, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def join_skew_salted(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: the salted join oracle-checked end-to-end —
+    lineitem (fact, scattered by xxhash64(orderkey, linenumber) mod 8)
+    joined to the orders dim through 8 salted replicas, aggregated to
+    per-priority totals. The DuckDB oracle is the PLAIN join + GROUP
+    BY: the hash match proves salting changes the partitioning and
+    nothing else (the exactness claim in salted_join's contract)."""
+    from pyspark.sql import functions as F2
+
+    from mapreducego_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_extendedprice",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = salted_join(
+        li,
+        o,
+        key="o_orderkey",
+        fact_scatter=F2.xxhash64("o_orderkey", "l_linenumber"),
+        n_salt=8,
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

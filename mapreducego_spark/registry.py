@@ -32,6 +32,7 @@ from mapreducego_spark.operators import asof as A
 from mapreducego_spark.operators import mapreduce as MR
 from mapreducego_spark.operators import relational as R
 from mapreducego_spark.operators import rollup as RU
+from mapreducego_spark.operators import skew as SK
 from mapreducego_spark.operators import timewin as TW
 from mapreducego_spark.operators import windows as W
 from mapreducego_spark.sources import catalog as CAT
@@ -198,8 +199,14 @@ QUERIES: dict[str, QueryFn] = {
     "rollup_incremental": RU.rollup_incremental,
     # per-language exact-quantile gate (corpus-relative filtering)
     "quality_gate_per_lang": _quality_gate,
-    # XML source/sink round trip (Spark-native xml format)
+    # source/sink round trips: XML (Spark-native xml format) plus
+    # JSON/CSV/ORC promoted from pytest-only to oracle rows
     "xml_round_trip": CAT.xml_round_trip,
+    "json_round_trip": CAT.json_round_trip,
+    "csv_round_trip": CAT.csv_round_trip,
+    "orc_round_trip": CAT.orc_round_trip,
+    # salted skew join proven result-identical to the plain join
+    "join_skew_salted": SK.join_skew_salted,
     # the rest of the streaming tier promoted to oracle rows: custom
     # stateful op (exact integer state), stream-static broadcast
     # enrich, stream-stream interval join — with these, EVERY
@@ -1974,6 +1981,19 @@ ORACLES["xml_round_trip"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
        CAST(n_chars AS BIGINT) AS n_chars
 FROM documents
+"""
+ORACLES["json_round_trip"] = ORACLES["xml_round_trip"]
+ORACLES["csv_round_trip"] = ORACLES["xml_round_trip"]
+ORACLES["orc_round_trip"] = ORACLES["xml_round_trip"]
+
+# The salted join must be indistinguishable from the plain join.
+ORACLES["join_skew_salted"] = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
 """
 
 # Custom stateful operator: final per-user state must equal the

@@ -348,6 +348,48 @@ def xml_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _typed_docs_round_trip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Shared harness for the text-interchange round-trip entries:
+    documents' typed columns through write-then-read of ``fmt`` with
+    an explicit read schema (inference at 100 TB is a full extra
+    pass), oracle-checked lossless. Free text is excluded for csv —
+    embedded newlines/quotes are escape-dialect-dependent across
+    engines — and included nowhere for symmetry (parquet/orc cover
+    binary-faithful text round-trips in pytest)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    work = _scratch_dir(f"{fmt}_rt_")
+    path = f"{work}/docs_{fmt}"
+    docs.write.mode("overwrite").format(fmt).save(path)
+    back = spark.read.schema(docs.schema).format(fmt).load(path)
+    return back.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def json_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: JSON-lines sink/source proven lossless on the
+    documents table's typed columns (the reference's intermediate
+    format, worker.go:153-192, as a first-class oracle row)."""
+    return _typed_docs_round_trip(spark, sf_dir, "json")
+
+
+def csv_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: CSV sink/source round trip, schema-on-read."""
+    return _typed_docs_round_trip(spark, sf_dir, "csv")
+
+
+def orc_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ORC sink/source round trip."""
+    return _typed_docs_round_trip(spark, sf_dir, "orc")
+
+
 def compact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: small-file compaction exercised end-to-end —
     the documents fixture deliberately shattered into 48 files, then

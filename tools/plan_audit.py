@@ -38,6 +38,9 @@ SKIP = {
     "stream_stateful_totals",
     "stream_enrich_sink",
     "stream_join_sink",
+    "json_round_trip",
+    "csv_round_trip",
+    "orc_round_trip",
 }
 
 # Red flags that are BY DESIGN, with the reason on record. A nested-
