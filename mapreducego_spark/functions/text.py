@@ -545,6 +545,58 @@ def quality_filter(docs: DataFrame) -> DataFrame:
     return out.withColumn("keep", keep)
 
 
+def dedup_spans(docs: DataFrame, span_tokens: int = 12) -> DataFrame:
+    """Span-level exact dedup with reconstruction (the C4/Dolma
+    line-and-paragraph dedup family, over fixed token tiles since the
+    fixture corpus has no natural line structure): tile each document
+    into non-overlapping ``span_tokens``-token spans, keep only each
+    span's GLOBAL first occurrence (min (doc_id, span_id) — a total
+    order, so deterministic cross-engine), and reassemble the
+    surviving spans into a cleaned document.
+
+    Whole-document dedup misses boilerplate REPEATED INSIDE otherwise
+    distinct pages (headers, navigation, license blocks) — the thing
+    span dedup exists to remove before training.
+
+    Scale shape: two shuffles total — one on the span hash (the
+    keep-first window groups by xxhash64 of the span, a fixed 8-byte
+    key, never the raw text) and one on doc_id for reassembly. The
+    span fan-out itself is scan-fused (chunk_documents), per-group
+    state is bounded by |duplicates of one span|, and the rebuilt
+    text is array_sort + array_join, all JVM-side."""
+    from pyspark.sql import Window
+
+    tiles = chunk_documents(docs, chunk_tokens=span_tokens, stride=span_tokens)
+    wspan = Window.partitionBy(F.xxhash64("chunk_text"))
+    wdoc = Window.partitionBy("doc_id")
+    marked = tiles.withColumn(
+        "__first", F.min(F.struct("doc_id", "chunk_id")).over(wspan)
+    ).withColumn("__n_total", F.count(F.lit(1)).over(wdoc))
+    kept = marked.filter(
+        (F.col("doc_id") == F.col("__first.doc_id"))
+        & (F.col("chunk_id") == F.col("__first.chunk_id"))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            (F.first("__n_total") - F.count(F.lit(1)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def quality_gate_per_lang(docs: DataFrame, q: float = 0.25) -> DataFrame:
     """Per-language adaptive quality gate: keep documents at or above
     their OWN language's ``q``-quantile of document length — the

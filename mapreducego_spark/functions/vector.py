@@ -620,3 +620,49 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("label").alias("pred_label"), "n_votes")
         .orderBy("q_id")
     )
+
+
+def decontaminate_embedding(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Registry entry: embedding-space benchmark decontamination —
+    the semantic sibling of the n-gram `decontaminate` (paraphrased
+    contamination has no n-gram overlap; its embedding still sits
+    next to the benchmark's). Vectors with vec_id % 20 == 0 stand in
+    for the benchmark set; every other vector gets its max cosine
+    against that set and a contaminated flag at ``threshold``.
+
+    Scale shape: the benchmark set is SMALL by nature — broadcast it
+    and stream the corpus through one scan (same bounded
+    broadcast-nested-loop pattern as vector_topk, waived in the plan
+    audit); per-corpus-row state is one running max. The corpus is
+    never shuffled on vectors — the only exchange is the final
+    per-vec_id aggregate. Cosine is the same sequential-fold
+    expression as the dedup_embedding oracle (round 6), so DuckDB
+    reproduces it bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    bench = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
+    )
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        F.round(
+            dot(F.col("v"), F.col("bv"))
+            / (l2norm(F.col("v")) * l2norm(F.col("bv"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.max("cos_sim").alias("max_cos"))
+        .select(
+            "vec_id",
+            "max_cos",
+            (F.col("max_cos") >= threshold).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1365,3 +1365,52 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: one-pass-per-column table profiler — row
+    count, non-null count, exact distinct count, min/max — over a
+    representative lineitem column set (numeric, string, timestamp),
+    unioned into one uniform (col, n_rows, n_nonnull, n_distinct,
+    min_s, max_s) result. The ingestion-QA primitive every pipeline
+    runs before trusting a new drop of data.
+
+    Scale shape: one independent single-row aggregate PER COLUMN
+    (then a union of 5 one-row results) instead of one aggregate
+    with 5 count_distincts — the latter plans an Expand that
+    multiplies every scan row by the number of distinct-aggregate
+    branches before the shuffle; per-column jobs each scan exactly
+    one column (columnar pruning) and map-side-combine to one row.
+    Min/max surface as strings via DECIMAL(18,2) / yyyy-MM-dd so the
+    rendering is engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def col_profile(c: str, kind: str) -> DataFrame:
+        v = F.col(c)
+        if kind == "num":
+            mn = F.min(v).cast("decimal(18,2)").cast("string")
+            mx = F.max(v).cast("decimal(18,2)").cast("string")
+        elif kind == "ts":
+            mn = F.date_format(F.min(v), "yyyy-MM-dd")
+            mx = F.date_format(F.max(v), "yyyy-MM-dd")
+        else:
+            mn, mx = F.min(v), F.max(v)
+        return li.select(v).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(v).alias("n_nonnull"),
+            F.countDistinct(v).alias("n_distinct"),
+            mn.alias("min_s"),
+            mx.alias("max_s"),
+        ).select(F.lit(c).alias("col"), "*")
+
+    parts = [
+        col_profile("l_quantity", "num"),
+        col_profile("l_extendedprice", "num"),
+        col_profile("l_discount", "num"),
+        col_profile("l_returnflag", "str"),
+        col_profile("l_shipdate", "ts"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col")

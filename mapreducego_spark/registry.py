@@ -150,6 +150,10 @@ def _quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_gate_per_lang(load_table(spark, sf_dir, "documents"))
 
 
+def _dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.dedup_spans(load_table(spark, sf_dir, "documents"))
+
+
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(M.documents_as_media(spark, sf_dir), fake=True)
 
@@ -207,6 +211,13 @@ QUERIES: dict[str, QueryFn] = {
     "orc_round_trip": CAT.orc_round_trip,
     # salted skew join proven result-identical to the plain join
     "join_skew_salted": SK.join_skew_salted,
+    # span-level exact dedup with reconstruction (C4/Dolma family)
+    "dedup_spans": _dedup_spans,
+    # embedding-space benchmark decontamination (semantic sibling of
+    # the n-gram decontaminate)
+    "decontaminate_embedding": V.decontaminate_embedding,
+    # one-aggregate-per-column ingestion-QA profiler
+    "profile_table": R.profile_table,
     # the rest of the streaming tier promoted to oracle rows: custom
     # stateful op (exact integer state), stream-static broadcast
     # enrich, stream-stream interval join — with these, EVERY
@@ -1985,6 +1996,86 @@ FROM documents
 ORACLES["json_round_trip"] = ORACLES["xml_round_trip"]
 ORACLES["csv_round_trip"] = ORACLES["xml_round_trip"]
 ORACLES["orc_round_trip"] = ORACLES["xml_round_trip"]
+
+# Span dedup: keep each 12-token tile's global first occurrence
+# ((doc_id, span_id) is a total order → ROW_NUMBER()=1 is exactly
+# Spark's min-struct winner), rebuild docs from survivors.
+ORACLES["dedup_spans"] = f"""
+WITH t AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks FROM documents
+), nz AS (
+    SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+), st AS (
+    SELECT doc_id, toks, n, unnest(range(0, n, 12)) AS start FROM nz
+), chunks AS (
+    SELECT doc_id,
+           CAST(start // 12 AS BIGINT) AS chunk_id,
+           array_to_string(toks[start + 1 : start + 12], ' ') AS chunk_text
+    FROM st
+), ranked AS (
+    SELECT doc_id, chunk_id, chunk_text,
+           ROW_NUMBER() OVER (
+               PARTITION BY chunk_text ORDER BY doc_id, chunk_id
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n_total
+    FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(ANY_VALUE(n_total) - COUNT(*) AS BIGINT) AS n_dropped,
+       string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+"""
+
+# Same cosine expression family as the dedup_embedding oracle.
+ORACLES["decontaminate_embedding"] = """
+WITH emb AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+), scored AS (
+    SELECT c.vec_id,
+           round(list_sum(list_transform(list_zip(c.v, b.v), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
+               AS cos_sim
+    FROM emb c JOIN emb b ON b.vec_id % 20 = 0 AND c.vec_id % 20 <> 0
+)
+SELECT vec_id, MAX(cos_sim) AS max_cos,
+       MAX(cos_sim) >= 0.4 AS contaminated
+FROM scored GROUP BY vec_id
+"""
+
+_PROFILE_NUM = """
+SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(CAST(MIN({c}) AS DECIMAL(18,2)) AS VARCHAR) AS min_s,
+       CAST(CAST(MAX({c}) AS DECIMAL(18,2)) AS VARCHAR) AS max_s
+FROM lineitem
+"""
+ORACLES["profile_table"] = (
+    " UNION ALL ".join(
+        _PROFILE_NUM.format(c=c)
+        for c in ("l_quantity", "l_extendedprice", "l_discount")
+    )
+    + """
+UNION ALL
+SELECT 'l_returnflag' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(l_returnflag) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_distinct,
+       MIN(l_returnflag) AS min_s, MAX(l_returnflag) AS max_s
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(l_shipdate) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS n_distinct,
+       strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_s,
+       strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_s
+FROM lineitem
+"""
+)
 
 # The salted join must be indistinguishable from the plain join.
 ORACLES["join_skew_salted"] = """

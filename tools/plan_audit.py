@@ -57,6 +57,8 @@ WAIVED: dict[str, str] = {
     "tfidf_top_terms": "BNLJ vs broadcast 1-row corpus-count aggregate",
     "q22_cold_customers": "BNLJ vs broadcast 1-row global-average "
     "aggregate (the decorrelated scalar subquery; relational.py:1158)",
+    "decontaminate_embedding": "BNLJ vs broadcast bounded benchmark "
+    "vector set (same pattern as vector_topk)",
 }
 
 
