@@ -77,6 +77,11 @@ HEADLINE = [
     "upsert_documents",
     "rollup_incremental",
     "quality_gate_per_lang",
+    # round 4, second batch: span dedup, semantic decontamination,
+    # and the per-column profiler
+    "dedup_spans",
+    "decontaminate_embedding",
+    "profile_table",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

@@ -644,16 +644,20 @@ def decontaminate_embedding(
         F.col("vec_id").cast("long").alias("vec_id"),
         _as_double(F.col("embedding")).alias("v"),
     )
+    # Norms hoisted below the join (once per vector, not per pair —
+    # float-identical to recomputing inside the pair expression; same
+    # hoist vector_topk documents).
+    emb = emb.withColumn("__n", l2norm(F.col("v")))
     bench = emb.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("__n").alias("bn"),
     )
     corpus = emb.filter(F.col("vec_id") % 20 != 0)
     scored = corpus.crossJoin(F.broadcast(bench)).select(
         "vec_id",
         F.round(
-            dot(F.col("v"), F.col("bv"))
-            / (l2norm(F.col("v")) * l2norm(F.col("bv"))),
-            6,
+            dot(F.col("v"), F.col("bv")) / (F.col("__n") * F.col("bn")), 6
         ).alias("cos_sim"),
     )
     return (
