@@ -288,3 +288,34 @@ def test_repetition_profile_edge_docs_and_zero_exchange(spark):
     )
     assert plan.count("Exchange") <= 2, plan
     assert "hashpartitioning" not in plan and "Join" not in plan, plan
+
+
+def test_dedup_spans_keys_on_raw_text_not_a_64bit_hash(spark):
+    """Span identity must be the full span text. The r4 version keyed
+    the keep-first window on a single xxhash64: two DISTINCT spans
+    colliding in 64 bits would be treated as duplicates and one
+    silently dropped (~n^2/2^65 expected false merges — real at
+    10^12-span scale). Keying on the raw text makes a false merge
+    impossible by construction (Spark hash-partitions internally but
+    compares full keys), so the behavioral guarantee to pin is:
+    spans that differ in any way both survive, however similar."""
+    from mapreducego_spark.functions.text import dedup_spans
+
+    shared = " ".join(f"tok{i}" for i in range(12))
+    near_a = " ".join(f"aaa{i}" for i in range(11)) + " enda"
+    near_b = " ".join(f"aaa{i}" for i in range(11)) + " endb"
+    df = spark.createDataFrame(
+        [(0, f"{shared} {near_a}"), (1, f"{shared} {near_b}")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_spans(df).collect()}
+    # doc 0 keeps both spans; doc 1 loses exactly the shared span and
+    # its one-token-different span survives intact.
+    assert out[0]["n_kept"] == 2 and out[0]["n_dropped"] == 0
+    assert out[1]["n_kept"] == 1 and out[1]["n_dropped"] == 1
+    assert out[1]["clean_text"].endswith("endb")
+    # And the plan truly windows on chunk_text, not a hash surrogate.
+    plan = (
+        dedup_spans(df)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "xxhash64" not in plan, plan
