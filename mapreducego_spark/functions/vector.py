@@ -48,38 +48,141 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+# --- Arrow-batched pair-cosine kernels ---------------------------------
+#
+# The brute-force paths (vector_topk, decontaminate_embedding) score
+# every corpus vector against a small broadcast set. Doing that as a
+# per-pair Catalyst ``aggregate`` fold costs |corpus| x |set| x dims
+# interpreted lambda calls — the r4 verdict's scale-killer-by-
+# constant-factor. These kernels ship the small side into a pandas
+# UDF closure and score a whole Arrow batch with numpy.
+#
+# Float contract: numpy's ``m @ b.T`` (BLAS dgemm) reassociates the
+# dim-summation (blocked/SIMD), which can flip the 6th rounded
+# decimal vs the sequential fold the DuckDB oracle computes. So the
+# contraction below is vectorized across the BATCH but ordered over
+# DIMS: acc starts at 0.0 and gains one ``acc + m[:,d]*b[:,d]`` per
+# dim, in index order — elementwise IEEE-754 double mul-then-add,
+# exactly the scalar semantics of ``dot()``'s fold and DuckDB's
+# list_sum. The result is bit-identical to the expression fold (no
+# tolerance, no margin re-check) while still ~10-50x faster than
+# per-element lambda interpretation; a true dgemm would buy a
+# further ~2-4x at the cost of cross-engine bit-exactness.
+
+
+def _fold_gram(m: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(rows x dims) . (set x dims)^T as dim-ordered rank-1 updates —
+    bit-identical to the sequential fold, vectorized across rows."""
+    acc = np.zeros((m.shape[0], b.shape[0]), dtype="float64")
+    for d in range(m.shape[1]):
+        acc += m[:, d, None] * b[None, :, d]
+    return acc
+
+
+def _fold_norm(m: np.ndarray) -> np.ndarray:
+    """sqrt(sum x*x) per row, accumulated in dim order — bit-identical
+    to l2norm()'s fold."""
+    acc = np.zeros(m.shape[0], dtype="float64")
+    for d in range(m.shape[1]):
+        acc += m[:, d] * m[:, d]
+    return np.sqrt(acc)
+
+
+# Driver-side cache of collected query/benchmark matrices, keyed by
+# (role, sf_dir). The small side is static per fixture dir, so the
+# collect job runs once per session instead of once per plan build —
+# the same lifetime a broadcast variable would have. (Mutating the
+# embeddings fixture mid-session would require a cache clear; none of
+# the registry's mutation paths touch embeddings.)
+_MATRIX_CACHE: dict[tuple, tuple[list[int], np.ndarray]] = {}
+
+
+def _collect_matrix(
+    df: DataFrame, id_col: str, vec_col: str, cache_key: tuple | None = None
+):
+    """Collect a SMALL vector set (query / benchmark side — bounded by
+    nature, same justification as broadcasting it) into a driver
+    numpy matrix ordered by id."""
+    if cache_key is not None and cache_key in _MATRIX_CACHE:
+        return _MATRIX_CACHE[cache_key]
+    rows = df.select(id_col, vec_col).orderBy(id_col).collect()
+    ids = [int(r[id_col]) for r in rows]
+    mat = np.asarray([list(r[vec_col]) for r in rows], dtype="float64")
+    if cache_key is not None:
+        _MATRIX_CACHE[cache_key] = (ids, mat)
+    return ids, mat
+
+
+def pair_cos_udf(small: np.ndarray):
+    """UDF: corpus vector -> array of cosines vs every row of
+    ``small`` (closure-shipped). Use when |small| is tiny (top-k's
+    query set); output width is |small| doubles per row."""
+    sn = _fold_norm(small)
+
+    @F.pandas_udf("array<double>")
+    def _cos(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.asarray(vs.tolist(), dtype="float64")
+        cos = _fold_gram(m, small) / (_fold_norm(m)[:, None] * sn[None, :])
+        return pd.Series(cos.tolist())
+
+    return _cos
+
+
+def max_cos_udf(small: np.ndarray):
+    """UDF: corpus vector -> max cosine vs ``small`` — one double per
+    row regardless of |small|, the decontamination shape (benchmark
+    sets reach 100k vectors; emitting the full cosine row would be
+    800 KB/row). max commutes with the downstream per-pair rounding
+    (round is monotone), so max-then-round equals the oracle's
+    round-then-max bit-for-bit."""
+    sn = _fold_norm(small)
+
+    @F.pandas_udf("double")
+    def _max_cos(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="float64")
+        m = np.asarray(vs.tolist(), dtype="float64")
+        cos = _fold_gram(m, small) / (_fold_norm(m)[:, None] * sn[None, :])
+        return pd.Series(cos.max(axis=1))
+
+    return _max_cos
+
+
 def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: query vectors (vec_id < N) x all
     vectors, rank by (cosine desc, vec_id asc), keep top K.
 
-    Physical shape: the query side is tiny -> broadcast it, so the
-    'cross' is a broadcast nested loop over one pass of the big side
-    — no shuffle of the corpus at all; the only exchange is the
-    final per-query top-k (TakeOrdered via window + filter)."""
+    Physical shape: the query side is tiny — ship it into the
+    pair-cosine kernel's closure (the UDF-closure form of a
+    broadcast) and score the corpus in one Arrow-batched pass: no
+    join at all, no shuffle of the corpus; the only exchange is the
+    final per-query top-k (window + filter). Cosines come from the
+    dim-ordered numpy kernel, bit-identical to the sequential fold
+    the DuckDB oracle computes (see _fold_gram)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _as_double(F.col("embedding")).alias("v"),
     )
-    # Norms hoisted below the join (once per vector, not per pair) —
-    # float-identical to cosine()'s dot/(|a|*|b|); see
-    # embedding_pairs_exact.
-    emb = emb.withColumn("__n", l2norm(F.col("v")))
-    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("__n").alias("qn"),
+    q_ids, qmat = _collect_matrix(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS),
+        "vec_id",
+        "v",
+        cache_key=("topk_queries", sf_dir),
     )
+    qid_arr = F.array(*[F.lit(q).cast("long") for q in q_ids])
     scored = (
-        F.broadcast(queries)
-        .crossJoin(emb)
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
+        emb.select(
             "vec_id",
-            F.round(
-                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("__n")), 6
-            ).alias("cos_sim"),
+            F.posexplode(pair_cos_udf(qmat)(F.col("v"))).alias("qpos", "cos"),
         )
+        .select(
+            F.element_at(qid_arr, F.col("qpos") + 1).alias("q_id"),
+            "vec_id",
+            F.round(F.col("cos"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
@@ -632,37 +735,32 @@ def decontaminate_embedding(
     for the benchmark set; every other vector gets its max cosine
     against that set and a contaminated flag at ``threshold``.
 
-    Scale shape: the benchmark set is SMALL by nature — broadcast it
-    and stream the corpus through one scan (same bounded
-    broadcast-nested-loop pattern as vector_topk, waived in the plan
-    audit); per-corpus-row state is one running max. The corpus is
-    never shuffled on vectors — the only exchange is the final
-    per-vec_id aggregate. Cosine is the same sequential-fold
-    expression as the dedup_embedding oracle (round 6), so DuckDB
-    reproduces it bit-for-bit."""
+    Scale shape: the benchmark set is SMALL by nature — ship it into
+    the max-cos kernel's closure (the UDF form of a broadcast; a
+    100k x 768 float64 benchmark matrix is ~600 MB, executor-RAM
+    sized) and stream the corpus through ONE Arrow-batched scan
+    emitting a single double per corpus row. No join, no per-pair
+    row fan-out, no aggregate — the corpus is never shuffled; the
+    only exchange is the presentation sort. The kernel's dim-ordered
+    accumulation is bit-identical to the sequential fold the DuckDB
+    oracle computes, and max commutes with the per-pair rounding
+    (see max_cos_udf), so the hashes match without tolerance."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _as_double(F.col("embedding")).alias("v"),
     )
-    # Norms hoisted below the join (once per vector, not per pair —
-    # float-identical to recomputing inside the pair expression; same
-    # hoist vector_topk documents).
-    emb = emb.withColumn("__n", l2norm(F.col("v")))
-    bench = emb.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("b_id"),
-        F.col("v").alias("bv"),
-        F.col("__n").alias("bn"),
+    _, bmat = _collect_matrix(
+        emb.filter(F.col("vec_id") % 20 == 0),
+        "vec_id",
+        "v",
+        cache_key=("decontam_bench", sf_dir),
     )
     corpus = emb.filter(F.col("vec_id") % 20 != 0)
-    scored = corpus.crossJoin(F.broadcast(bench)).select(
-        "vec_id",
-        F.round(
-            dot(F.col("v"), F.col("bv")) / (F.col("__n") * F.col("bn")), 6
-        ).alias("cos_sim"),
-    )
     return (
-        scored.groupBy("vec_id")
-        .agg(F.max("cos_sim").alias("max_cos"))
+        corpus.select(
+            "vec_id",
+            F.round(max_cos_udf(bmat)(F.col("v")), 6).alias("max_cos"),
+        )
         .select(
             "vec_id",
             "max_cos",

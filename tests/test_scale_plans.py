@@ -246,3 +246,22 @@ def test_q21_rewrite_is_expand_free(spark):
     from mapreducego_spark.operators.relational import q21_waiting_supplier
 
     assert "Expand" not in _plan(q21_waiting_supplier(spark, SF))
+
+
+def test_vector_pair_kernels_are_arrow_batched(spark):
+    """The brute-force cosine paths must score through the Arrow-
+    batched numpy kernel (ArrowEvalPython) with the small side in
+    the UDF closure — no nested-loop join, no per-pair Catalyst
+    fold, no row-at-a-time Python UDF (r4 verdict: the expression
+    fold is a constant-factor scale-killer at |corpus| x |bench|)."""
+    from mapreducego_spark.functions.vector import (
+        decontaminate_embedding,
+        vector_topk,
+    )
+
+    for fn in (vector_topk, decontaminate_embedding):
+        plan = _plan(fn(spark, SF))
+        assert "ArrowEvalPython" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan

@@ -50,16 +50,15 @@ SKIP = {
 # waiver is gone: the plugin UDF is a pandas_udf since r4 and plans
 # as ArrowEvalPython.)
 WAIVED: dict[str, str] = {
-    "vector_topk": "BNLJ vs broadcast bounded query set (<=100 rows)",
-    "knn_label_vote": "BNLJ vs broadcast bounded query set",
     "dedup_embedding": "BNLJ vs broadcast 1-row guard aggregate; "
     "exact O(n^2) baseline is loud-fail guarded",
     "tfidf_top_terms": "BNLJ vs broadcast 1-row corpus-count aggregate",
     "q22_cold_customers": "BNLJ vs broadcast 1-row global-average "
     "aggregate (the decorrelated scalar subquery; relational.py:1158)",
-    "decontaminate_embedding": "BNLJ vs broadcast bounded benchmark "
-    "vector set (same pattern as vector_topk)",
 }
+# (vector_topk / knn_label_vote / decontaminate_embedding waivers are
+# gone as of r5: the query/benchmark set now ships in the pair-cosine
+# pandas-UDF closure — the plans have no nested-loop join at all.)
 
 
 def audit_plan(plan: str) -> dict:
