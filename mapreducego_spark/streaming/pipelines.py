@@ -15,6 +15,7 @@ the batch twins (tests/test_streaming.py).
 
 from __future__ import annotations
 
+import json
 import os
 from typing import NamedTuple
 
@@ -191,7 +192,25 @@ def events_stream(
         stage = stage_dir
         os.makedirs(stage, exist_ok=True)
     marker = os.path.join(stage, "_staged")  # "_"-prefixed: invisible to Spark
-    if not os.path.exists(marker):
+    if os.path.exists(marker):
+        # Reuse is only sound when the directory was staged with the
+        # SAME parameters: a caller asking for a copies=2 replay over
+        # a dir staged with copies=1 would silently get a single
+        # replay. The marker records the staging params; mismatch is
+        # an error, identical-params reuse (what checkpoint restart
+        # recovery needs) still works.
+        with open(marker) as fh:
+            staged_params = json.loads(fh.read())
+        want = {"n_chunks": n_chunks, "copies": copies}
+        have = {k: staged_params[k] for k in want}
+        if have != want:
+            raise ValueError(
+                f"stage_dir {stage} was staged with {have}, but this "
+                f"call asked for {want}; use a fresh stage_dir (or "
+                "matching parameters) — silent reuse would replay a "
+                "different stream than requested"
+            )
+    else:
         t = _normalized_events_table(sf_dir)
         n = max(1, min(n_chunks, t.num_rows))
         step = math.ceil(t.num_rows / n)
@@ -208,7 +227,11 @@ def events_stream(
                 )
                 seq += 1
         with open(marker, "w") as fh:
-            fh.write(f"{t.num_rows}\n")
+            fh.write(
+                json.dumps(
+                    {"rows": t.num_rows, "n_chunks": n_chunks, "copies": copies}
+                )
+            )
     if flush:
         flush_path = os.path.join(stage, "zz_flush.parquet")
         if not os.path.exists(flush_path):
@@ -644,7 +667,7 @@ def user_running_stats(
 def user_totals_exact(
     events: DataFrame,
     watermark: str = "1 hour",
-    state_ttl_ms: int = 24 * 3600 * 1000,
+    state_ttl_ms: int | None = None,
 ) -> StreamSpec:
     """user_running_stats' oracle-checkable sibling: per-user event
     count and value total accumulated in EXACT integer micro-units
@@ -653,7 +676,17 @@ def user_totals_exact(
     with integer state, so the FINAL state per user is engine- and
     schedule-independent — which is what lets a custom stateful
     operator be hash-compared against a one-shot SQL aggregate
-    (stream_stateful_totals)."""
+    (stream_stateful_totals).
+
+    ``state_ttl_ms`` defaults to None = GroupStateTimeout.NoTimeout:
+    the oracle compares FINAL totals against a one-shot aggregate
+    over ALL events, so evicting an idle user mid-replay would
+    silently restart their count at 0 and corrupt the comparison —
+    it only held before because every fixture user happened to
+    appear in every event-time chunk. State eviction is a
+    production-sizing concern, not an exactness one; pass a TTL (ms
+    past the watermark) to get user_running_stats' bounded-state
+    behavior when totals-since-eviction is the intended semantic."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -680,7 +713,10 @@ def user_totals_exact(
                 np.floor(pdf["value"].to_numpy() * 1_000_000).astype("int64").sum()
             )
         state.update((cnt, micros))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+        if state_ttl_ms is not None:
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + state_ttl_ms
+            )
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [cnt], "sum_micros": [micros]}
         )
@@ -693,7 +729,11 @@ def user_totals_exact(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if state_ttl_ms is None
+                else GroupStateTimeout.EventTimeTimeout
+            ),
         ),
         "update",
     )

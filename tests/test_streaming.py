@@ -335,3 +335,68 @@ def test_run_to_parquet_rejects_non_append(spark, sf_dir, tmp_path):
     spec = user_running_stats(events_stream(spark, sf_dir))  # update mode
     with pytest.raises(ValueError, match="append"):
         run_to_parquet(spec, str(tmp_path / "o"), str(tmp_path / "c"))
+
+
+def test_stage_dir_reuse_rejects_mismatched_params(spark, tmp_path):
+    """Reusing a staged directory is only sound with identical staging
+    parameters — a copies=2 replay request over a dir staged with
+    copies=1 must raise, not silently deliver a single replay."""
+    import pytest as _pytest
+
+    d = tmp_path / "fixture"
+    d.mkdir()
+    _write_events_fixture(str(d), "micros")
+    stage = tmp_path / "stage"
+    events_stream(spark, str(d), stage_dir=str(stage), n_chunks=4, copies=1)
+    # identical params: reuse is fine (checkpoint restart needs this)
+    events_stream(spark, str(d), stage_dir=str(stage), n_chunks=4, copies=1)
+    with _pytest.raises(ValueError, match="staged with"):
+        events_stream(spark, str(d), stage_dir=str(stage), n_chunks=4, copies=2)
+    with _pytest.raises(ValueError, match="staged with"):
+        events_stream(spark, str(d), stage_dir=str(stage), n_chunks=8, copies=1)
+
+
+def test_stateful_totals_state_survives_event_time_gaps(spark, tmp_path):
+    """The oracle-checked stateful operator must not let event-time
+    TTL purge a user who goes quiet: with an eviction TTL, a user
+    absent for more than the TTL of event time restarts at 0 and the
+    final total silently undercounts. user_totals_exact defaults to
+    NoTimeout, so user 1's two bursts 10 days apart must sum."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from mapreducego_spark.streaming.pipelines import user_totals_exact
+
+    base = 1_700_000_000_000_000  # 2023-11-14, micros
+    day = 86_400_000_000
+    rows = []
+    # user 1: events on day 0 and day 10; user 2 active throughout
+    for i in range(8):
+        rows.append((i, base + i * day + (0 if i in (0, 7) else 0), 2, 2.5))
+    rows.append((100, base, 1, 1.5))
+    rows.append((101, base + 10 * day, 1, 2.0))
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    d = tmp_path / "gap_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    spec = user_totals_exact(events_stream(spark, str(d), n_chunks=8))
+    out = _run(spec, spark)
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max_by("sum_micros", "n_events").alias("sum_micros"),
+            F.max("n_events").alias("n_events"),
+        )
+        .collect()
+    )
+    got = {r["user_id"]: (r["n_events"], r["sum_micros"]) for r in final}
+    assert got[1] == (2, 3_500_000), got  # both bursts counted
+    assert got[2] == (8, 20_000_000), got
