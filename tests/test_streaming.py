@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import uuid
 
+import pandas as pd
 import pyspark.sql.functions as F
 import pytest
 
@@ -400,3 +401,70 @@ def test_stateful_totals_state_survives_event_time_gaps(spark, tmp_path):
     got = {r["user_id"]: (r["n_events"], r["sum_micros"]) for r in final}
     assert got[1] == (2, 3_500_000), got  # both bursts counted
     assert got[2] == (8, 20_000_000), got
+
+
+def test_crash_mid_replay_recovers_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once under FAILURE, not just under clean availableNow
+    restarts: a poison UDF kills the query partway through the 9-file
+    replay (after several batches have committed), then the identical
+    query restarts on the same checkpoint and must (a) resume batch
+    numbering where the crash left off rather than reprocessing from
+    zero, and (b) leave the sink equal to the batch twin.
+
+    What the checkpoint protects, concretely: the offset log pins
+    which staged chunk files each committed batch consumed, the state
+    store versions let window state reload as of the last commit, and
+    the sink's _spark_metadata commit log keeps any parquet written
+    by the dying batch invisible to readers — so the crash can lose
+    in-flight work but can neither duplicate nor drop a committed
+    row."""
+    import os as _os
+
+    from mapreducego_spark.streaming.pipelines import run_to_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stage = str(tmp_path / "stage")
+    flag = str(tmp_path / "poison_flag")
+
+    ev = load_table(spark, sf_dir, "events")
+    cutover = int(
+        ev.selectExpr("percentile(unix_micros(ts), 0.6) AS p").collect()[0]["p"]
+    )
+
+    @F.pandas_udf("boolean")
+    def alive(ts_us: pd.Series) -> pd.Series:
+        if _os.path.exists(flag) and bool((ts_us >= cutover).any()):
+            raise RuntimeError("injected crash: worker dies mid-batch")
+        return pd.Series([True] * len(ts_us))
+
+    def attempt():
+        src = events_stream(spark, sf_dir, stage_dir=stage, flush=True)
+        spec = tumbling_counts(src.filter(alive(F.unix_micros("ts"))))
+        return run_to_parquet(spec, out, ckpt)
+
+    open(flag, "w").close()
+    with pytest.raises(Exception, match="injected crash"):
+        attempt()
+    committed_before = len(
+        [f for f in _os.listdir(_os.path.join(ckpt, "commits")) if f.isdigit()]
+    )
+    # the crash happened mid-replay: some batches committed, not all
+    assert 0 < committed_before < 9, committed_before
+
+    _os.remove(flag)
+    q = attempt()
+    # batch numbering continued from the checkpoint, no restart-at-0
+    assert q.lastProgress["batchId"] >= committed_before
+
+    got = {
+        (r.win_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out)
+        .filter(F.col("event_type") != FLUSH_EVENT_TYPE)
+        .collect()
+    }
+    want = {
+        (r.win_start, r.event_type): (r.n_events, r.sum_value)
+        for r in window_tumbling(spark, sf_dir).collect()
+    }
+    assert got == want
