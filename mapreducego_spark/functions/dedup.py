@@ -471,8 +471,9 @@ def simhash_near_pairs(simhashed: DataFrame, max_hamming: int = 8) -> DataFrame:
     generated by 16-bit band equality (a 64-bit hash split into 4
     bands: any pair within Hamming<=3 of each other shares at least
     one identical band by pigeonhole; wider distances probabilistic).
-    Used by tests; not oracle-wired (pairing output depends only on
-    simhash, which IS oracle-checked)."""
+    Fully deterministic given the simhash strings, so it carries its
+    own DuckDB oracle (same band join + per-position bit compare in
+    SQL) in addition to the simhash entry's."""
     # posexplode carries the band index, so candidates only form
     # between SAME-POSITION equal bands — the position-matched join
     # the pigeonhole argument actually needs, and a tighter candidate
@@ -511,7 +512,7 @@ def simhash_near_pairs(simhashed: DataFrame, max_hamming: int = 8) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sh_a", "sh_b")
         .distinct()
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -174,3 +174,81 @@ def pagerank(
     return ranks.select(
         F.col("id").cast("long").alias("id"), F.col("rank").cast("double").alias("rank")
     )
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank in fixed-point integer arithmetic (ranks in units of
+    1/``scale``, "picoranks" at the default): the same per-iteration
+    dataflow as :func:`pagerank` — one shuffle per round, dangling
+    mass via a scalar aggregate — but every quantity is a long and
+    every division is integer division, so the result after a fixed
+    round count is EXACTLY reproducible by any engine (no float
+    summation-order ambiguity). This is what lets an iterative
+    algorithm carry a DuckDB oracle instead of a tolerance pytest.
+
+    Arithmetic contract (mirrored verbatim in the SQL oracle):
+      init       = scale div N
+      share(u,v) = rank_u div deg_u              per out-edge
+      dang_each  = (sum of dangling ranks) div N
+      rank'      = (15*init) div 100 + (85*(inflow + dang_each)) div 100
+
+    The div-truncation loses < 1 unit per term — at scale=1e12 the
+    total mass drift is < N*2e-12 per round, far below any ranking-
+    relevant difference, and identically computed everywhere."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("s").alias("id"))
+        .union(e.select(F.col("d").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    init = scale // n_nodes
+    base = (15 * init) // 100
+    out_deg = e.groupBy(F.col("s").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = (
+        nodes.join(out_deg, "id", "left")
+        .select("id", "deg", F.lit(init).cast("long").alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        dangling = (
+            ranks.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long"))
+            .collect()[0][0]
+        )
+        dang_each = int(dangling) // n_nodes
+        inflow = (
+            e.join(ranks, e.s == ranks.id)
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.sum(F.expr("rank div deg")).alias("inflow"))
+        )
+        ranks = (
+            ranks.drop("rank")
+            .join(inflow, "id", "left")
+            .select(
+                "id",
+                "deg",
+                F.expr(
+                    f"{base}L + (85 * (coalesce(inflow, 0L) + {dang_each}L))"
+                    " div 100"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("rank").cast("long").alias("rank_pico"),
+    )

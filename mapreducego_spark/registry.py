@@ -128,18 +128,23 @@ def _repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank on the part<->supplier bipartite graph from lineitem
-    (node ids disjoint via 2p / 2s+1; undirected = both directions)."""
-    from mapreducego_spark.operators.graph import pagerank
+    (node ids disjoint via 2p / 2s+1; undirected = both directions).
+
+    Uses the fixed-point integer variant (ranks in 1e-12 units) so a
+    fixed 5-round run is engine-exact and carries a full DuckDB
+    oracle — the float variant (operators/graph.pagerank) matches it
+    to ~1e-10 and stays pytest-floored against a serial reference."""
+    from mapreducego_spark.operators.graph import pagerank_exact
 
     li = load_table(spark, sf_dir, "lineitem")
     fwd = li.select(
-        (F.col("l_partkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        (F.col("l_partkey") * 2).cast("long").alias("src"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
     )
     und = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank(und, n_iter=5)
+    return pagerank_exact(und, n_iter=5).orderBy("id")
 
 
 def _sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,12 +238,14 @@ QUERIES: dict[str, QueryFn] = {
     "q6_forecast_revenue": R.q6_forecast_revenue,
     "q15_top_supplier": R.q15_top_supplier,
     "repetition_profile": _repetition_profile,
-    # rows-only by design (iterative/approximate; pytest floors are
-    # the real evidence, but a driver rows-row beats no row)
+    # pagerank + simhash_pairs carry full oracles as of r5 (integer
+    # fixed-point / deterministic band+bit-string SQL twin)
     "pagerank": _pagerank,
     "simhash_pairs": lambda spark, sf_dir: D.simhash_near_pairs(
         D.simhash_docs(spark, sf_dir), max_hamming=8
     ),
+    # rows-only by design (approximate; pytest floors are the real
+    # evidence, but a driver rows-row beats no row)
     "vector_ann_ivf": V.vector_ann_ivf,  # rows-only (approximate)
     "dedup_embedding_lsh": V.dedup_embedding_lsh,  # rows-only (recall-tested)
     # -- (4) r1-only: last driver row three rounds ago -------------
@@ -2116,4 +2123,81 @@ FROM events p JOIN events c
   ON p.user_id = c.user_id
  AND p.event_type = 'purchase' AND c.event_type = 'click'
  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+"""
+
+
+def _pagerank_oracle(n_iter: int = 5, scale: int = 10**12) -> str:
+    """Unrolled SQL twin of operators/graph.pagerank_exact: the same
+    integer fixed-point arithmetic ((15*init) div 100 +
+    (85*(inflow+dang_each)) div 100, all BIGINT, all // truncation)
+    chained through one CTE pair per iteration. Integer sums are
+    order-independent, so a fixed round count is engine-exact —
+    which is the whole point of the fixed-point variant."""
+    sql = f"""
+WITH fwd AS (
+  SELECT CAST(l_partkey * 2 AS BIGINT) AS s,
+         CAST(l_suppkey * 2 + 1 AS BIGINT) AS d
+  FROM lineitem
+), e AS (
+  SELECT DISTINCT s, d
+  FROM (SELECT s, d FROM fwd UNION ALL SELECT d AS s, s AS d FROM fwd)
+), nodes AS (
+  SELECT DISTINCT id FROM (SELECT s AS id FROM e UNION ALL SELECT d FROM e)
+), deg AS (
+  SELECT s AS id, COUNT(*) AS deg FROM e GROUP BY s
+), np AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (
+  SELECT nodes.id, deg.deg,
+         CAST({scale} // (SELECT n FROM np) AS BIGINT) AS rk
+  FROM nodes LEFT JOIN deg ON nodes.id = deg.id
+)"""
+    for i in range(n_iter):
+        p, c = f"r{i}", f"r{i + 1}"
+        sql += f""",
+dang{i} AS (
+  SELECT COALESCE(SUM(rk), 0) AS dang FROM {p} WHERE deg IS NULL
+), infl{i} AS (
+  SELECT e.d AS id, SUM(r.rk // r.deg) AS inflow
+  FROM e JOIN {p} r ON e.s = r.id GROUP BY e.d
+), {c} AS (
+  SELECT p.id, p.deg,
+         (15 * ({scale} // (SELECT n FROM np))) // 100
+         + (85 * (COALESCE(i.inflow, 0)
+                  + (SELECT dang FROM dang{i}) // (SELECT n FROM np))) // 100
+         AS rk
+  FROM {p} p LEFT JOIN infl{i} i ON p.id = i.id
+)"""
+    sql += (
+        f"\nSELECT id, CAST(rk AS BIGINT) AS rank_pico FROM r{n_iter} "
+        "ORDER BY id"
+    )
+    return sql
+
+
+ORACLES["pagerank"] = _pagerank_oracle()
+
+# simhash_pairs: the band-candidate join + per-position bit compare
+# over the (already oracle-checked) simhash strings, all in SQL.
+ORACLES["simhash_pairs"] = f"""
+WITH sh AS ({ORACLES["simhash"]}),
+banded AS (
+  SELECT doc_id, simhash, CAST(bp AS INT) AS band_pos,
+         substr(simhash, 1 + 16 * CAST(bp AS INT), 16) AS band_val
+  FROM sh, (SELECT unnest(range(4)) AS bp)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a
+  JOIN banded b
+    ON a.band_pos = b.band_pos AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b,
+         CAST(len(list_filter(range(64),
+                  i -> substr(sh_a, CAST(i AS INT) + 1, 1)
+                       <> substr(sh_b, CAST(i AS INT) + 1, 1))) AS BIGINT)
+         AS hamming
+  FROM cand
+) WHERE hamming <= 8
 """

@@ -103,3 +103,31 @@ def test_pagerank_matches_serial_reference(spark):
     for v in nodes:
         assert math.isclose(got[v], ranks[v], rel_tol=1e-9), v
     assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)
+
+
+def test_pagerank_exact_matches_float_variant(spark):
+    """The fixed-point integer PageRank (oracle-checkable) must agree
+    with the float variant to within fixed-point truncation error:
+    each iteration drops <1 unit (1e-12) per integer division, so
+    after 5 rounds the two differ by well under 1e-9 per node."""
+    from pyspark.sql import functions as F
+
+    from mapreducego_spark.operators.graph import pagerank, pagerank_exact
+    from mapreducego_spark.sources.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).cast("long").alias("src"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+    )
+    und = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    exact = {r.id: r.rank_pico for r in pagerank_exact(und, n_iter=5).collect()}
+    flt = {r.id: r.rank for r in pagerank(und, n_iter=5).collect()}
+    assert set(exact) == set(flt)
+    assert max(abs(exact[i] / 1e12 - flt[i]) for i in flt) < 1e-9
+    # rank mass is conserved up to truncation: each round loses up to
+    # ~1 unit per node (the div-100s) plus the per-edge share
+    # remainders, so budget ~10 units/node/round at 1e-12 each
+    assert abs(sum(exact.values()) / 1e12 - 1.0) < len(exact) * 5 * 1e-11
