@@ -1367,13 +1367,26 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def profile_table(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """Registry entry: one-pass-per-column table profiler — row
-    count, non-null count, exact distinct count, min/max — over a
+    count, non-null count, distinct count, min/max — over a
     representative lineitem column set (numeric, string, timestamp),
     unioned into one uniform (col, n_rows, n_nonnull, n_distinct,
     min_s, max_s) result. The ingestion-QA primitive every pipeline
     runs before trusting a new drop of data.
+
+    ``approx=True`` swaps exact countDistinct for
+    approx_count_distinct (HLL++, default rsd 5%) — at 100 TB this
+    is the mode to run: exact distinct on a high-cardinality column
+    shuffles every distinct value; the HLL sketch is a fixed few KB
+    per column merged map-side, so the whole profile stays one
+    scan-plus-scalar per column at any table size. A profiler feeds
+    sanity thresholds ("distinct count dropped 40% since yesterday"),
+    not accounting, so 5% error is the right default trade; exact
+    stays available (and is what the registry's oracle row runs,
+    since a sketch has no SQL twin).
 
     Scale shape: one independent single-row aggregate PER COLUMN
     (then a union of 5 one-row results) instead of one aggregate
@@ -1384,6 +1397,7 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Min/max surface as strings via DECIMAL(18,2) / yyyy-MM-dd so the
     rendering is engine-exact."""
     li = load_table(spark, sf_dir, "lineitem")
+    n_distinct = F.approx_count_distinct if approx else F.countDistinct
 
     def col_profile(c: str, kind: str) -> DataFrame:
         v = F.col(c)
@@ -1398,7 +1412,7 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return li.select(v).agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count(v).alias("n_nonnull"),
-            F.countDistinct(v).alias("n_distinct"),
+            n_distinct(v).alias("n_distinct"),
             mn.alias("min_s"),
             mx.alias("max_s"),
         ).select(F.lit(c).alias("col"), "*")

@@ -199,6 +199,7 @@ QUERIES: dict[str, QueryFn] = {
     # -- (2) new/changed in r4 -------------------------------------
     # MERGE and compaction promoted from pytest-only to oracle rows
     "upsert_documents": CAT.upsert_documents,
+    "upsert_schema_evolution": CAT.upsert_documents_evolved,
     "compact_documents": CAT.compact_documents,
     # stateful dedup through the sink against an at-least-once
     # (copies=2) replay — each event must surface exactly once
@@ -1952,6 +1953,21 @@ SELECT doc_id, text, lang, source, n_chars FROM (
     UNION ALL
     SELECT doc_id, text, lang, source, n_chars
     FROM documents WHERE doc_id % 7 <> 0
+)
+"""
+
+# Schema-evolution MERGE twin: matched rows replaced (and carrying
+# the added quality column), everything else carried over with
+# quality null-backfilled.
+ORACLES["upsert_schema_evolution"] = """
+SELECT doc_id, text, lang, source, n_chars, quality FROM (
+    SELECT doc_id, text, lang, source, n_chars,
+           CAST(doc_id % 100 AS DOUBLE) / 100.0 AS quality
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id, text, lang, source, n_chars,
+           CAST(NULL AS DOUBLE) AS quality
+    FROM documents WHERE doc_id % 5 <> 0
 )
 """
 

@@ -231,6 +231,7 @@ def upsert_parquet(
     updates: DataFrame,
     keys: list[str],
     out_dir: str,
+    allow_schema_evolution: bool = False,
 ) -> None:
     """MERGE (SCD-type-1 upsert) into a parquet dataset: rows whose
     key matches an update are replaced by the update row, unmatched
@@ -245,7 +246,17 @@ def upsert_parquet(
     table), then union the updates and write to a NEW path —
     swap-on-success, like compact_parquet, so a mid-job failure
     never corrupts the base table. Updates must be key-unique
-    (enforced loudly here, not silently last-write-wins)."""
+    (enforced loudly here, not silently last-write-wins).
+
+    ``allow_schema_evolution=True`` accepts an update batch whose
+    schema ADDS columns (the next thing a lakehouse user hits after
+    basic MERGE): carried-over base rows get the new columns
+    null-backfilled, update rows missing dropped-from-batch base
+    columns likewise — unionByName(allowMissingColumns) semantics,
+    which is exactly what warehouse MERGE schema evolution does. The
+    default stays strict: a schema mismatch is an error, because an
+    unintended column rename silently becoming add+null-backfill is
+    a data-loss bug, not evolution."""
     from pyspark.sql import functions as F
 
     dup = (
@@ -254,8 +265,17 @@ def upsert_parquet(
     if dup:
         raise ValueError("upsert updates are not key-unique on " + ",".join(keys))
     base = spark.read.parquet(base_dir)
+    if not allow_schema_evolution and set(base.columns) != set(updates.columns):
+        raise ValueError(
+            "upsert schema mismatch: base has "
+            f"{sorted(set(base.columns) - set(updates.columns))} not in "
+            f"updates, updates add {sorted(set(updates.columns) - set(base.columns))}"
+            " — pass allow_schema_evolution=True for add-column merges"
+        )
     kept = base.join(updates.select(*keys), on=keys, how="left_anti")
-    kept.unionByName(updates).write.mode("overwrite").parquet(out_dir)
+    kept.unionByName(
+        updates, allowMissingColumns=allow_schema_evolution
+    ).write.mode("overwrite").parquet(out_dir)
 
 
 def _scratch_dir(prefix: str) -> str:
@@ -300,6 +320,34 @@ def upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(ins_text).cast("long").alias("n_chars"),
     )
     upsert_parquet(spark, base_dir, upd.unionByName(ins), ["doc_id"], out_dir)
+    return spark.read.parquet(out_dir).orderBy("doc_id")
+
+
+def upsert_documents_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: MERGE with SCHEMA EVOLUTION — an update batch
+    that ADDS a column (a deterministic quality score on every
+    doc_id % 5 == 0 row). Carried-over rows must surface the new
+    column null-backfilled; update rows keep their full payload. The
+    DuckDB oracle builds the same table with an explicit
+    NULL-as-quality anti-join/UNION twin, so the hash match proves
+    the evolution semantics, not just that the write succeeded."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = _scratch_dir("upsert_evo_")
+    base_dir, out_dir = f"{work}/base", f"{work}/out"
+    docs.write.parquet(base_dir)
+    upd = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        ((F.col("doc_id") % 100).cast("double") / 100.0).alias("quality"),
+    )
+    upsert_parquet(
+        spark, base_dir, upd, ["doc_id"], out_dir, allow_schema_evolution=True
+    )
     return spark.read.parquet(out_dir).orderBy("doc_id")
 
 

@@ -54,3 +54,29 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert {(r.p_brand, r["count"]) for r in a} == {
         (r.p_brand, r["count"]) for r in b
     }
+
+
+def test_profile_table_approx_mode(spark):
+    """profile_table(approx=True) — the 100 TB default — must agree
+    with exact mode on everything but n_distinct, stay within HLL++'s
+    5% default rsd on n_distinct (3-sigma floor: 15%), and plan NO
+    Expand (the sketch merges map-side, one scan per column)."""
+    from mapreducego_spark.operators.relational import profile_table
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["col"]: r for r in profile_table(spark, sf).collect()}
+    approx = {r["col"]: r for r in profile_table(spark, sf, approx=True).collect()}
+    assert set(exact) == set(approx)
+    for c in exact:
+        e, a = exact[c], approx[c]
+        assert (a["n_rows"], a["n_nonnull"], a["min_s"], a["max_s"]) == (
+            e["n_rows"], e["n_nonnull"], e["min_s"], e["max_s"]
+        )
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= 0.15 * e["n_distinct"]
+    plan = (
+        profile_table(spark, sf, approx=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan, plan

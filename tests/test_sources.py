@@ -178,3 +178,38 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     rows = {r["id"]: r for r in df.collect()}
     assert rows[0]["score"] is None and rows[15]["score"] == 1.5
     assert len(rows) == 20
+
+
+def test_upsert_schema_evolution_null_backfills(spark, tmp_path):
+    """MERGE schema evolution: an update batch that ADDS a column must
+    null-backfill carried-over rows and keep the new values on update
+    rows; without the opt-in flag the same batch is rejected loudly
+    (a silent rename->add+backfill is data loss, not evolution)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreducego_spark.sources.catalog import load_table, upsert_parquet
+
+    base_dir = str(tmp_path / "base")
+    out_dir = str(tmp_path / "merged")
+    base = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(100)
+    )
+    base.write.parquet(base_dir)
+    keys = sorted(r["o_orderkey"] for r in spark.read.parquet(base_dir).collect())
+    updates = spark.createDataFrame(
+        [(int(keys[0]), "X", 1.0, "gold")],
+        "o_orderkey long, o_orderstatus string, o_totalprice double, tier string",
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        upsert_parquet(spark, base_dir, updates, ["o_orderkey"], out_dir)
+    upsert_parquet(
+        spark, base_dir, updates, ["o_orderkey"], out_dir,
+        allow_schema_evolution=True,
+    )
+    merged = {r["o_orderkey"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert merged[keys[0]]["tier"] == "gold"
+    assert all(merged[k]["tier"] is None for k in keys[1:])
+    assert len(merged) == len(keys)

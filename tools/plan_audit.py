@@ -31,6 +31,7 @@ SKIP = {
     "stream_session_sink",
     "job_wordcount_files",
     "upsert_documents",
+    "upsert_schema_evolution",
     "compact_documents",
     "stream_dedup_sink",
     "rollup_incremental",
