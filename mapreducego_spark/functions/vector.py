@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreducego_spark.operators.util import guard_limit
+from mapreducego_spark.operators.util import guard_limit, spread_scan
 from mapreducego_spark.sources.catalog import load_table
 
 N_QUERY_VECS = 10  # vec_id < 10 are the query set in the fixture queries
@@ -113,6 +113,37 @@ def _collect_matrix(
     return ids, mat
 
 
+# Spread the corpus scan across cores only when the kernel work
+# justifies the repartition's extra scheduling wave: below this many
+# estimated flops a single input split finishes faster than the
+# shuffle costs (~0.2s of stage latency at local[32]).
+_SPREAD_FLOPS = 2e8
+
+
+def _spread_if_heavy(df: DataFrame, dims: int, n_small: int) -> DataFrame:
+    """spread_scan gated on estimated kernel flops. The estimate is
+    file-size based (random float32 vectors are incompressible, so
+    parquet bytes ~ rows * (4*dims + overhead)) — no Spark job, just
+    a file listing. On under-split inputs with real work this
+    repartitions to the session's cores; tiny inputs skip the extra
+    stage; well-split inputs no-op inside spread_scan either way."""
+    try:
+        paths = [
+            p[7:] if p.startswith("file://") else p for p in df.inputFiles()
+        ]
+        import os
+
+        nbytes = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+    except Exception:
+        nbytes = 0
+    if not nbytes:
+        return spread_scan(df)
+    est_rows = nbytes / (4 * dims + 16)
+    if est_rows * 2 * dims * n_small > _SPREAD_FLOPS:
+        return spread_scan(df)
+    return df
+
+
 def pair_cos_udf(small: np.ndarray):
     """UDF: corpus vector -> array of cosines vs every row of
     ``small`` (closure-shipped). Use when |small| is tiny (top-k's
@@ -173,7 +204,7 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qid_arr = F.array(*[F.lit(q).cast("long") for q in q_ids])
     scored = (
-        emb.select(
+        _spread_if_heavy(emb, qmat.shape[1], len(q_ids)).select(
             "vec_id",
             F.posexplode(pair_cos_udf(qmat)(F.col("v"))).alias("qpos", "cos"),
         )
@@ -755,7 +786,9 @@ def decontaminate_embedding(
         "v",
         cache_key=("decontam_bench", sf_dir),
     )
-    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    corpus = _spread_if_heavy(
+        emb.filter(F.col("vec_id") % 20 != 0), bmat.shape[1], bmat.shape[0]
+    )
     return (
         corpus.select(
             "vec_id",
