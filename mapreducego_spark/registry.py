@@ -368,6 +368,78 @@ QUERIES: dict[str, QueryFn] = {
     "q17_small_quantity": R.q17_small_quantity,
 }
 
+# ORDERING (round 5): the round driver verifies the FIRST 50 entries
+# in insertion order, so the dict is re-sequenced by verification
+# need each round (the categorized literal above stays grouped by
+# subject; this list is the authoritative window). r5 window =
+#   (1) the 8 entries whose implementation changed in r5 — the span
+#       dedup raw-text key, the Arrow pair-cosine kernels (topk/
+#       knn/decontaminate), the new pagerank/simhash_pairs oracles,
+#       the schema-evolution MERGE, and the NoTimeout stateful op;
+#   (2) all 42 entries whose last driver row is from r2 (the agg_*/
+#       join_*/window_*/set_*/scalar blocks) — after r5 no entry's
+#       driver row is older than r3.
+# Behind the window: r4-green entries first (freshest last), then
+# r3-green. profile_table's approx param default leaves its driver
+# path byte-identical, so it stays behind the window (r4-green).
+_R5_WINDOW = [
+    # (1) changed in r5
+    "upsert_schema_evolution",
+    "dedup_spans",
+    "vector_topk",
+    "knn_label_vote",
+    "decontaminate_embedding",
+    "pagerank",
+    "simhash_pairs",
+    "stream_stateful_totals",
+    # (2) r2-stale, alphabetical
+    "agg_approx_distinct",
+    "agg_basic",
+    "agg_collect",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_histogram",
+    "agg_minmax_by",
+    "agg_percentile_approx",
+    "agg_percentiles",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_unpivot",
+    "computed_columns",
+    "distinct_rows",
+    "explode_outer",
+    "filter_project",
+    "join_anti",
+    "join_asof",
+    "join_broadcast",
+    "join_full_outer",
+    "join_inner",
+    "join_left_outer",
+    "join_semi",
+    "join_theta",
+    "json_extract",
+    "mr_wordcount",
+    "null_functions",
+    "scalar_functions",
+    "scalar_subquery",
+    "set_except",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union",
+    "set_union_all_counts",
+    "sort_global",
+    "topk",
+    "window_distribution",
+    "window_lag_lead",
+    "window_rank",
+    "window_running",
+    "wordcount",
+]
+assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R5_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R5_WINDOW)
+}
 
 
 # --- DuckDB oracle SQL ---------------------------------------------------

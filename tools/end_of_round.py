@@ -1,0 +1,71 @@
+"""End-of-round artifact regeneration — run AFTER the round's last
+source commit, as the literal final step.
+
+Regenerates, in order:
+  1. VERIFY_LOCAL.json  (tools/verify_local.py, full registry)
+  2. PLAN_AUDIT.json    (tools/plan_audit.py, full registry)
+
+then verifies and PRINTS that both artifact mtimes are newer than the
+last non-doc commit — the r3/r4 lesson, twice learned: a verification
+artifact produced before the last change is evidence of nothing
+(r3: stale VERIFY_LOCAL; r4: PLAN_AUDIT 10 min older than a
+plan-affecting commit). One script, one ordering, no third repeat.
+
+Runs the two generators as separate processes so their Spark sessions
+never coexist with a benchmark JVM (bench hygiene note, NOTES_r04).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def last_source_commit_epoch() -> tuple[str, int]:
+    """Committer timestamp of the newest commit touching anything
+    outside the round artifacts/docs (the artifacts this script
+    writes must postdate it)."""
+    out = subprocess.run(
+        [
+            "git", "log", "-1", "--format=%H %ct", "--",
+            ".", ":(exclude)VERIFY_LOCAL.json", ":(exclude)PLAN_AUDIT.json",
+            ":(exclude)BENCH_r*.json", ":(exclude)CORRECTNESS_r*.json",
+            ":(exclude)NOTES_r*.md", ":(exclude)VERDICT.md",
+            ":(exclude)ADVICE.md", ":(exclude)bench_stderr.txt",
+        ],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    return out[0], int(out[1])
+
+
+def main() -> None:
+    for script in ("verify_local.py", "plan_audit.py"):
+        print(f"== regenerating via tools/{script} ==", flush=True)
+        r = subprocess.run(
+            [sys.executable, os.path.join(HERE, script)], cwd=REPO
+        )
+        if r.returncode != 0:
+            sys.exit(f"tools/{script} failed (rc={r.returncode})")
+
+    sha, commit_ts = last_source_commit_epoch()
+    ok = True
+    for artifact in ("VERIFY_LOCAL.json", "PLAN_AUDIT.json"):
+        mtime = int(os.path.getmtime(os.path.join(REPO, artifact)))
+        fresh = mtime >= commit_ts
+        ok = ok and fresh
+        print(
+            f"{artifact}: mtime {mtime} vs last source commit "
+            f"{sha[:9]} at {commit_ts} -> "
+            + ("FRESH" if fresh else "STALE (regenerate after committing!)")
+        )
+    if not ok:
+        sys.exit(1)
+    print("end-of-round artifacts are fresh relative to the last source commit")
+
+
+if __name__ == "__main__":
+    main()
