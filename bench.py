@@ -82,6 +82,8 @@ HEADLINE = [
     "dedup_spans",
     "decontaminate_embedding",
     "profile_table",
+    # round 5: CCNet-style unigram log-prob quality scoring
+    "perplexity_score",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

@@ -223,6 +223,61 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
     )
 
 
+def perplexity_score(docs: DataFrame, threshold_nats: float = 9.0) -> DataFrame:
+    """CCNet-style unigram log-prob quality score: each document's
+    mean negative log-likelihood under the corpus's OWN unigram
+    distribution — the perplexity-filtering step (Wenzek et al.,
+    CCNet) that ranks fluent text above keyboard mash and boilerplate
+    without any external model. ``keep`` flags docs at or below
+    ``threshold_nats`` mean NLL.
+
+    Engine-exactness: the per-document aggregation is the float trap
+    here (SUM of doubles is order-dependent across partitions), so
+    each token's log-prob is quantized ONCE per vocab term to integer
+    micro-nats (floor(ln(cnt/total)*1e6) — one deterministic scalar
+    per term) and documents sum LONGS, which no engine can reorder
+    into a different answer. The mean converts back to double at the
+    end with a fixed division order.
+
+    Scale shape: one groupBy for the vocab (map-side combined), a
+    1-row total broadcast, the token stream joined to the vocab on
+    term (the same shuffle tfidf_top_terms pays; AQE broadcasts the
+    vocab side when it fits), one map-side-combined per-doc sum. No
+    window, no collect."""
+    toks = spread_scan(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokens_col(F.col("text"))).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    per_doc = (
+        toks.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("s_micro"),
+        )
+    )
+    mean_nll = F.round(
+        (-F.col("s_micro")).cast("double") / F.col("n_tokens") / F.lit(1e6), 6
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        mean_nll.alias("mean_nll"),
+        (mean_nll <= threshold_nats).alias("keep"),
+    ).orderBy("doc_id")
+
+
 def corpus_clean(docs: DataFrame) -> DataFrame:
     """End-to-end training-data cleaning pipeline: keep documents that
     (a) pass all four quality checks, (b) language-ID as English, and

@@ -209,6 +209,11 @@ QUERIES: dict[str, QueryFn] = {
     "rollup_incremental": RU.rollup_incremental,
     # per-language exact-quantile gate (corpus-relative filtering)
     "quality_gate_per_lang": _quality_gate,
+    # CCNet-style unigram log-prob (perplexity) quality score — new
+    # in r5, first in line for the r6 driver window
+    "perplexity_score": lambda spark, sf_dir: T.perplexity_score(
+        load_table(spark, sf_dir, "documents")
+    ),
     # source/sink round trips: XML (Spark-native xml format) plus
     # JSON/CSV/ORC promoted from pytest-only to oracle rows
     "xml_round_trip": CAT.xml_round_trip,
@@ -2070,6 +2075,33 @@ SELECT strftime(h, '%Y-%m-%d') AS day,
        CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM (SELECT date_trunc('hour', ts) AS h, event_type, "value" FROM events)
 GROUP BY h, event_type
+"""
+
+# Unigram log-prob scoring: per-term micro-nat quantization makes the
+# per-doc sum exact-integer (order-independent), so the only float
+# step shared with Spark is one ln() per vocab term.
+ORACLES["perplexity_score"] = f"""
+WITH t AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks FROM documents
+), tok AS (
+    SELECT doc_id, unnest(toks) AS term FROM t WHERE len(toks) > 0
+), vocab AS (
+    SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+), tot AS (SELECT COUNT(*) AS total FROM tok),
+lp AS (
+    SELECT term,
+           CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE))
+                      * 1000000) AS BIGINT) AS lp_micro
+    FROM vocab
+), per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp_micro) AS s_micro
+    FROM tok JOIN lp USING (term) GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(-s_micro AS DOUBLE) / n_tokens / 1000000.0, 6) AS mean_nll,
+       round(CAST(-s_micro AS DOUBLE) / n_tokens / 1000000.0, 6) <= 9.0 AS keep
+FROM per_doc
 """
 
 ORACLES["quality_gate_per_lang"] = """

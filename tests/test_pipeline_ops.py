@@ -327,3 +327,39 @@ def test_dedup_spans_keys_on_raw_text_not_a_64bit_hash(spark):
     assert span_specs, plan
     for s in span_specs:
         assert "chunk_text" in s, s  # hash may assist, never key alone
+
+
+def test_perplexity_score_matches_serial_reference(spark):
+    """Mean unigram NLL must equal a serial Python computation exactly
+    (the micro-nat integer quantization makes the per-doc sum order-
+    independent), and rarer-token docs must score higher NLL."""
+    import math
+    import re as _re
+
+    from mapreducego_spark.functions.text import perplexity_score
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    tok = {
+        d: [t for t in _re.split(r"[^a-z]+", txt.lower()) if t]
+        for d, txt in rows
+    }
+    from collections import Counter
+
+    vocab = Counter(t for ts in tok.values() for t in ts)
+    total = sum(vocab.values())
+    lp = {t: math.floor(math.log(c / total) * 1_000_000) for t, c in vocab.items()}
+    want = {
+        d: round(-sum(lp[t] for t in ts) / len(ts) / 1e6, 6)
+        for d, ts in tok.items()
+        if ts
+    }
+    got = {
+        r["doc_id"]: r["mean_nll"] for r in perplexity_score(docs).collect()
+    }
+    assert got == want
+    # a doc made of hapaxes must score above the corpus median
+    med = sorted(want.values())[len(want) // 2]
+    hapax_docs = [d for d, ts in tok.items() if ts and all(vocab[t] == 1 for t in ts)]
+    for d in hapax_docs:
+        assert got[d] > med
