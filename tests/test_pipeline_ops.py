@@ -363,3 +363,44 @@ def test_perplexity_score_matches_serial_reference(spark):
     hapax_docs = [d for d, ts in tok.items() if ts and all(vocab[t] == 1 for t in ts)]
     for d in hapax_docs:
         assert got[d] > med
+
+
+def test_dedup_spans_reconstruction_is_lossless_without_dups(spark):
+    """Property: when every span in the corpus is globally unique,
+    span dedup must be the identity — clean_text re-joins the exact
+    token tiling of each document and n_dropped is 0 everywhere."""
+    from mapreducego_spark.functions.text import dedup_spans, tokens_col
+
+    from mapreducego_spark.functions.text import tokens_col as _tc
+
+    # suffix EVERY token with a doc-unique letter string (digits
+    # mapped to letters — the tokenizer strips non-letters), so every
+    # span in the corpus is globally unique by construction
+    tag = F.translate(F.col("doc_id").cast("string"), "0123456789", "abcdefghij")
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .limit(40)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    _tc(F.col("text")),
+                    lambda t: F.concat(t, F.lit("x"), tag),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    out = {r["doc_id"]: r for r in dedup_spans(docs).collect()}
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            tokens_col(F.col("text")).alias("t"),
+        ).collect()
+    }
+    for d, ts in toks.items():
+        if not ts:
+            continue
+        assert out[d]["n_dropped"] == 0, d
+        assert out[d]["clean_text"] == " ".join(ts), d

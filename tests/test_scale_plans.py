@@ -265,3 +265,36 @@ def test_vector_pair_kernels_are_arrow_batched(spark):
         assert "BatchEvalPython" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """At 100 TB the selective-dim regime where the dim is too big to
+    broadcast is exactly where runtime Bloom-filter pruning pays: the
+    optimizer injects might_contain(bloom(dim keys)) into the FACT
+    scan's filter, dropping most fact rows before the shuffle. The
+    fixture's dims all broadcast (so the regime never arises
+    naturally); this gate forces the shuffle-join regime via confs
+    and asserts Spark 4's runtime filter actually lands in the scan."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan.lower() or "BloomFilter" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
