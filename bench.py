@@ -114,6 +114,11 @@ SCALE_SET = [
     "tfidf_top_terms",
     "vector_topk",
     "decontaminate_embedding",
+    "perplexity_score",
+    # streaming scale point: 10x events through the checkpointed sink
+    # — state volume tracks |open windows|, not |rows|, so the ratio
+    # should stay well under the data growth
+    "stream_tumbling_sink",
 ]
 SUPERLINEAR_RATIO = 12.0
 
