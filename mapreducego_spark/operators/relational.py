@@ -230,14 +230,21 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)
     )
     charge = disc_price * (F.lit(1).cast("decimal(4,2)") + dec("l_tax", 4, 2))
+    # The two product sums carry scale 4/6 decimals; their exact sums
+    # are engine-identical, but DECIMAL->DOUBLE conversion is only
+    # correctly rounded by every engine while the scaled integer fits
+    # 2^53 — at sf1 a scale-6 sum is 17 digits and DuckDB's int/10^6
+    # conversion drifts one ulp from Spark's. Rounding the SUM to
+    # cents first keeps the conversion a single exact-integer/100
+    # division everywhere (sound up to sums of ~9e13).
     return (
         li.filter(F.col("l_shipdate") <= "2001-06-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(dec("l_quantity", 12, 2), "sum_qty"),
             dsum(dec("l_extendedprice", 12, 2), "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             davg(dec("l_quantity", 12, 2), "avg_qty"),
             davg(dec("l_extendedprice", 12, 2), "avg_price"),
             davg(dec("l_discount", 4, 2), "avg_disc"),

@@ -33,6 +33,19 @@ def get_spark(
     into query code.
     """
     cpus = DEFAULT_CPUS
+    # In local mode the driver JVM hosts every executor thread, so the
+    # default 1g heap is the box's real memory ceiling — sf1-scale
+    # runs (12M-edge pagerank checkpoints, 6M-row shuffles) OOM-kill
+    # the JVM at 1g. Driver memory only takes effect before the JVM
+    # launches, hence the env var (a builder conf would silently
+    # no-op): set a box-appropriate default unless the caller already
+    # chose one. On a cluster spark-submit owns this knob.
+    if not _active_session_exists():
+        os.environ.setdefault(
+            "PYSPARK_SUBMIT_ARGS",
+            f"--driver-memory {os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g')}"
+            " pyspark-shell",
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -56,12 +69,6 @@ def get_spark(
         # 100-field limit silently drops them to interpreted row
         # processing (measured ~25% slower on simhash at sf0.1).
         .config("spark.sql.codegen.maxFields", "256")
-        # Driver memory is deliberately NOT set here: it only takes
-        # effect when set before the JVM launches, so a builder conf
-        # silently no-ops against any pre-existing session. Set it in
-        # the launch environment instead, e.g.
-        #   PYSPARK_SUBMIT_ARGS="--driver-memory 8g pyspark-shell"
-        # or spark-submit --driver-memory on a cluster.
         .config("spark.ui.enabled", "false")
         # Warehouse for bucketed saveAsTable demos/tests; a cluster
         # deploy points this at its metastore-backed location.

@@ -24,7 +24,13 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+# Overridable so correctness (not just wall clock) can be spot-checked
+# at other scales — e.g. SPARK_GRAFT_VERIFY_SF=/tmp/spark_graft_sf1
+# runs the same oracle compare on the 10x amplified dataset. The
+# VERIFY_LOCAL.json artifact is only written for default-dir full runs.
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -127,7 +133,7 @@ def main():
                 "hash_match": True,
             }
             print(f"PASS  {name}: {len(spark_rows)} rows")
-    if not only:
+    if not only and SF_DIR.endswith("sf0.01"):
         import json as _json
         import os as _os
 
