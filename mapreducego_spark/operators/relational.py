@@ -44,7 +44,7 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount").between(0.02, 0.06))
         & (F.col("l_quantity") < 24)
     ).agg(
-        dsum(dec("l_extendedprice", 12, 2) * dec("l_discount", 4, 2), "revenue"),
+        dsum(dec("l_extendedprice", 12, 2) * dec("l_discount", 4, 2), "revenue", cents=True),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -99,6 +99,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dec("l_extendedprice", 12, 2)
                 * (F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)),
                 "revenue",
+                cents=True,
             ),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
@@ -786,7 +787,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(revenue, "revenue"))
+        .agg(dsum(revenue, "revenue", cents=True))
         .select(
             F.col("l_orderkey").cast("long").alias("l_orderkey"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -825,7 +826,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum(revenue, "revenue"))
+        .agg(dsum(revenue, "revenue", cents=True))
         .select(
             F.col("c_custkey").cast("long").alias("c_custkey"),
             "c_name",
@@ -949,7 +950,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(dsum(revenue, "revenue"))
+        .agg(dsum(revenue, "revenue", cents=True))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -1020,7 +1021,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(dsum(volume, "volume"))
+        .agg(dsum(volume, "volume", cents=True))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -1044,8 +1045,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            dsum(promo, "promo_revenue"),
-            dsum(revenue, "total_revenue"),
+            dsum(promo, "promo_revenue", cents=True),
+            dsum(revenue, "total_revenue", cents=True),
         )
     )
     return agg.select(
@@ -1101,7 +1102,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li_pre.join(F.broadcast(p_pre), li_pre.l_partkey == p_pre.p_partkey)
         .filter(b1 | b2 | b3)
         .agg(
-            dsum(revenue, "revenue"),
+            dsum(revenue, "revenue", cents=True),
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
@@ -1266,8 +1267,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_supp), s.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            dsum(nation_volume, "nation_volume"),
-            dsum(volume, "total_volume"),
+            dsum(nation_volume, "nation_volume", cents=True),
+            dsum(volume, "total_volume", cents=True),
         )
     )
     return agg.select(
@@ -1336,7 +1337,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return f.agg(
-        dsum(dec("l_extendedprice", 12, 2) * dec("l_discount", 4, 2), "revenue"),
+        dsum(dec("l_extendedprice", 12, 2) * dec("l_discount", 4, 2), "revenue", cents=True),
         F.count(F.lit(1)).cast("long").alias("n_lines"),
     )
 

@@ -20,9 +20,19 @@ def dec(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
     return c.cast(f"decimal({precision},{scale})")
 
 
-def dsum(col: Column, alias: str) -> Column:
-    """Exact decimal SUM surfaced as double (bit-stable cross-engine)."""
-    return F.sum(col).cast("double").alias(alias)
+def dsum(col: Column, alias: str, cents: bool = False) -> Column:
+    """Exact decimal SUM surfaced as double (bit-stable cross-engine).
+
+    ``cents=True`` rounds the decimal sum to scale 2 BEFORE the
+    double cast — required for product decimals (scale 4/6): the sum
+    itself is engine-exact at any size, but DECIMAL->DOUBLE is only
+    correctly rounded by every engine while the scaled integer fits
+    2^53. At scale 2 that bound is ~2^51 cents (~$22 trillion) per
+    group — beyond any per-group revenue at 100 TB — where a scale-6
+    sum blows past it at ~$9 billion (observed: one-ulp oracle drift
+    at sf1). Use for every monetary product sum."""
+    s = F.round(F.sum(col), 2) if cents else F.sum(col)
+    return s.cast("double").alias(alias)
 
 
 def davg(col: Column, alias: str) -> Column:

@@ -560,7 +560,7 @@ SELECT word,
 FROM dw GROUP BY word ORDER BY word
 """,
     "filter_project": """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -658,7 +658,7 @@ GROUP BY event_type
 """,
     "join_inner": """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1167,8 +1167,8 @@ WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
 SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -1184,8 +1184,8 @@ SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
        c_name,
        CAST(c_acctbal AS DOUBLE) AS c_acctbal,
        n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1502,8 +1502,8 @@ ORDER BY l_returnflag
 """,
     "q5_local_supplier": """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1667,10 +1667,10 @@ WITH vol AS (
       AND o_orderdate <  TIMESTAMP '1998-01-01'
 ), a AS (
     SELECT o_year,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                         ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+           CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(16,4)) END), 2) AS DOUBLE)
                AS nation_volume,
-           CAST(SUM(volume) AS DOUBLE) AS total_volume
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS total_volume
     FROM vol GROUP BY o_year
 )
 SELECT o_year, nation_volume, total_volume,
@@ -1693,8 +1693,8 @@ WHERE p_brand = 'Brand#23'
       FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
 """,
     "q6_forecast_revenue": """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -1841,8 +1841,8 @@ ORDER BY o_orderpriority
     "q7_volume_shipping": """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS volume
 FROM lineitem
 JOIN supplier  ON l_suppkey = s_suppkey
 JOIN nation n1 ON s_nationkey = n1.n_nationkey
@@ -1859,12 +1859,12 @@ ORDER BY supp_nation, cust_nation, l_year
 """,
     "q14_promo_revenue": """
 WITH a AS (
-    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+    SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
                   THEN CAST(l_extendedprice AS DECIMAL(12,2))
                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                  ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) AS promo_revenue,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+                  ELSE CAST(0 AS DECIMAL(16,4)) END), 2) AS DOUBLE) AS promo_revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01'
       AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -1874,8 +1874,8 @@ SELECT promo_revenue, total_revenue,
 FROM a
 """,
     "q19_disjunctive": """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
