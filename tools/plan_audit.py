@@ -54,6 +54,8 @@ WAIVED: dict[str, str] = {
     "dedup_embedding": "BNLJ vs broadcast 1-row guard aggregate; "
     "exact O(n^2) baseline is loud-fail guarded",
     "tfidf_top_terms": "BNLJ vs broadcast 1-row corpus-count aggregate",
+    "perplexity_score": "BNLJ vs broadcast 1-row token-total aggregate "
+    "(same pattern as tfidf_top_terms)",
     "q22_cold_customers": "BNLJ vs broadcast 1-row global-average "
     "aggregate (the decorrelated scalar subquery; relational.py:1158)",
 }
