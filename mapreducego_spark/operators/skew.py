@@ -104,3 +104,84 @@ def join_skew_salted(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def salted_distinct_agg(
+    df: DataFrame,
+    keys: list[str],
+    distinct_col: str,
+    partials: dict[str, tuple[Column, str]],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-phase SALTED aggregation for holistic aggregates on hot
+    grouping keys — the aggregation-side sibling of salted_join.
+
+    Why salting matters here and NOT for plain sums: algebraic
+    aggregates (count/sum/min/max) are already skew-immune — Catalyst
+    inserts a map-side partial HashAggregate, so the final shuffle
+    carries one row per (map task x group) no matter how hot the key.
+    A HOLISTIC aggregate like exact COUNT(DISTINCT x) is different:
+    every distinct x of a group must meet in one place, so a key that
+    owns 10% of a 100 TB table funnels 10 TB of distinct values into
+    a single reducer. The fix: shard the DISTINCT SET, not the rows —
+    salt = hash(x) % n_salt, count distinct within (key, salt), SUM
+    the per-salt counts. Same x always lands in the same salt, so the
+    per-salt distinct sets partition the group's distinct set and the
+    summed count is EXACT. (Spark's own count-distinct rewrite uses
+    an Expand over the full rows; the salt pre-shard bounds every
+    reducer at 1/n_salt of the hottest group's distinct set.)
+
+    ``partials``: algebraic companions computed alongside — name ->
+    (expr, op) with op in {"count", "sum", "min", "max"}; their
+    phase-1 partials merge with SUM/SUM/MIN/MAX in phase 2.
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salt)).cast("int")
+    )
+    phase1: list[Column] = [
+        F.countDistinct(F.col(distinct_col)).alias("__nd_part")
+    ]
+    phase2: list[Column] = [F.sum("__nd_part").cast("long").alias("n_distinct")]
+    merge_op = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    for name, (expr, op) in partials.items():
+        if op not in merge_op:
+            raise ValueError(f"salted_distinct_agg: unsupported op {op!r}")
+        part = F.count(F.lit(1)) if op == "count" else getattr(F, op)(expr)
+        phase1.append(part.alias(name))
+        phase2.append(getattr(F, merge_op[op])(F.col(name)).alias(name))
+    return (
+        salted.groupBy(*keys, "__salt").agg(*phase1).groupBy(*keys).agg(*phase2)
+    )
+
+
+def agg_skew_salted(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: exact per-event-type distinct-user counts via
+    the salted two-phase plan, oracle-checked against DuckDB's plain
+    COUNT(DISTINCT) GROUP BY. events.event_type is the hot-key regime
+    by construction (~5 types over the whole table): the plain plan
+    co-locates every distinct user of a type on one reducer; the
+    salted plan bounds each reducer at 1/16 of that. The hash match
+    proves the sharded distinct count changes the partitioning and
+    nothing else."""
+    from mapreducego_spark.operators.util import dec
+    from mapreducego_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_distinct_agg(
+        ev,
+        keys=["event_type"],
+        distinct_col="user_id",
+        partials={
+            "n_events": (F.lit(1), "count"),
+            "sum_value": (dec("value", 18, 6), "sum"),
+            "max_value": (F.col("value"), "max"),
+        },
+        n_salt=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_distinct").alias("n_users"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("max_value").alias("max_value"),
+    ).orderBy("event_type")

@@ -371,6 +371,12 @@ QUERIES: dict[str, QueryFn] = {
     "dup_ngram_profile": _dup_ngram_profile,
     "q8_market_share": R.q8_market_share,
     "q17_small_quantity": R.q17_small_quantity,
+    # -- (6) new in r5 (post-window; first in line for the r6
+    # window together with perplexity_score) ----------------------
+    # salted two-phase exact COUNT(DISTINCT) — the aggregation-side
+    # sibling of join_skew_salted (holistic aggs are the ones plain
+    # map-side partials cannot de-skew)
+    "agg_skew_salted": SK.agg_skew_salted,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2320,4 +2326,18 @@ SELECT doc_a, doc_b, hamming FROM (
          AS hamming
   FROM cand
 ) WHERE hamming <= 8
+"""
+
+# Salted holistic aggregation must equal the plain COUNT(DISTINCT)
+# GROUP BY — the "changes partitioning, nothing else" invariant,
+# same contract as join_skew_salted.
+ORACLES["agg_skew_salted"] = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       MAX("value") AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
 """

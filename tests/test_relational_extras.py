@@ -56,6 +56,43 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     }
 
 
+def test_salted_distinct_agg_equals_plain(spark):
+    """The salted two-phase exact COUNT(DISTINCT) must equal the
+    plain plan on a deliberately hot key: one group owning 90% of
+    the rows with a large distinct set, plus users deliberately
+    shared across groups (a user in two groups must count once in
+    EACH — the per-group salting must not conflate groups)."""
+    from pyspark.sql import functions as F2
+
+    from mapreducego_spark.operators.skew import salted_distinct_agg
+
+    rows = [("hot", i % 700) for i in range(9000)]
+    rows += [("cold_a", i % 37) for i in range(500)]
+    rows += [("cold_b", i % 11) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "user"]).withColumn(
+        "v", (F2.col("user") * 3).cast("double")
+    )
+    salted = salted_distinct_agg(
+        df,
+        keys=["k"],
+        distinct_col="user",
+        partials={
+            "n_rows": (F2.lit(1), "count"),
+            "min_v": (F2.col("v"), "min"),
+        },
+        n_salt=8,
+    )
+    plain = df.groupBy("k").agg(
+        F2.countDistinct("user").alias("n_distinct"),
+        F2.count(F2.lit(1)).alias("n_rows"),
+        F2.min("v").alias("min_v"),
+    )
+    got = {r.k: (r.n_distinct, r.n_rows, r.min_v) for r in salted.collect()}
+    want = {r.k: (r.n_distinct, r.n_rows, r.min_v) for r in plain.collect()}
+    assert got == want
+    assert got["hot"][0] == 700
+
+
 def test_profile_table_approx_mode(spark):
     """profile_table(approx=True) — the 100 TB default — must agree
     with exact mode on everything but n_distinct, stay within HLL++'s
