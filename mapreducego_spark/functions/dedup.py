@@ -18,6 +18,8 @@ re-verification then runs only on candidates.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -686,3 +688,128 @@ def dedup_incremental(
         F.greatest("doc_a", "doc_b").alias("doc_b"),
         "jaccard",
     ).orderBy("doc_a", "doc_b")
+
+
+# --- Bloom-gated reference dedup -----------------------------------------
+#
+# "Have we already trained on this?" — dedup a NEW corpus against a
+# persisted REFERENCE corpus. The broadcast-join answer dies first at
+# scale (1B reference hashes ~ 8+ GB as a join side); the Bloom
+# filter packs the same membership test into bits_per_item bits
+# (~1.2 GB at 1B items, 10 bits/item, fpp ~ 1%). The filter is built
+# DISTRIBUTED (bit_or over packed 64-bit words, one bounded sparse
+# collect of <= m/64 rows), probed JVM->Arrow (positions computed by
+# xxhash64 in the scan, the Python side only indexes a numpy bitset),
+# and false positives are removed by an EXACT anti-join that touches
+# bloom-positives only — so the result is exact for ANY fpp, and the
+# expensive shuffle is proportional to the true duplicate rate, not
+# the corpus size. Bloom-negatives never shuffle at all.
+
+BLOOM_NUM_HASHES = 4
+
+
+def bloom_positions(col: Column, k: int, m: int) -> list[Column]:
+    """k seeded bit positions in [0, m): pmod(xxhash64(value, seed)).
+    Seeding via the extra hashed literal keeps everything JVM-side
+    and deterministic across build and probe."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)).alias(f"__bp{i}")
+        for i in range(k)
+    ]
+
+
+def build_bloom_bitset(
+    df: DataFrame, col: Column, m: int, k: int = BLOOM_NUM_HASHES
+):
+    """Distributed Bloom build: explode the k positions, pack into
+    (word_index, bit_or(bit)) 64-bit words map-side, collect the
+    sparse word list (<= m/64 rows — the ONLY driver materialization,
+    bounded by the filter size the caller chose, never by |df|).
+    Returns a numpy uint64 bitset of m/64 words."""
+    if m % 64 or m <= 0:
+        raise ValueError("bloom m must be a positive multiple of 64")
+    if m > (1 << 34):
+        raise ValueError("bloom m over 2^34 bits (~2 GiB) — size it down")
+    words = (
+        df.select(F.explode(F.array(*bloom_positions(col, k, m))).alias("p"))
+        .select(
+            F.floor(F.col("p") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+        .collect()
+    )
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    for r in words:
+        bits[r.w] = np.uint64(r.word & 0xFFFFFFFFFFFFFFFF)
+    return bits
+
+
+def bloom_probe_udf(bits, k: int):
+    """pandas_udf: array of k positions -> bloom membership boolean.
+    The bitset rides the UDF closure to every worker once (Arrow
+    batches carry only the k longs per row)."""
+
+    @F.pandas_udf("boolean")
+    def _probe(pos: pd.Series) -> pd.Series:
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        arr = np.asarray(pos.tolist(), dtype=np.int64)
+        words = bits[arr >> 6]
+        mask = np.uint64(1) << (arr & 63).astype(np.uint64)
+        return pd.Series(((words & mask) != 0).all(axis=1))
+
+    return _probe
+
+
+def dedup_vs_reference(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    m: int = 1 << 16,
+    k: int = BLOOM_NUM_HASHES,
+) -> DataFrame:
+    """Rows of ``new_docs`` whose ``text_col`` content does not occur
+    in ``ref_docs`` — exact, with the Bloom pre-filter routing:
+
+      bloom-negative  -> definitely novel, passes through (no shuffle)
+      bloom-positive  -> exact anti-join on sha2-256 vs the reference
+
+    The output is EXACT regardless of m/k (false positives only cost
+    an anti-join probe; there are no false negatives). Size m at
+    ~10 bits per expected reference item for ~1% fpp."""
+    probe = bloom_probe_udf(build_bloom_bitset(ref_docs, F.col(text_col), m, k), k)
+    flagged = new_docs.withColumn(
+        "__bloom_hit", probe(F.array(*bloom_positions(F.col(text_col), k, m)))
+    )
+    negatives = flagged.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
+    positives = flagged.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+    ref_hashes = ref_docs.select(
+        F.sha2(F.col(text_col), 256).alias("__rh")
+    ).distinct()
+    survivors = (
+        positives.withColumn("__rh", F.sha2(F.col(text_col), 256))
+        .join(ref_hashes, "__rh", "left_anti")
+        .drop("__rh")
+    )
+    return negatives.unionByName(survivors)
+
+
+def dedup_against_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: documents split into an overlapping reference
+    (doc_id % 3 in (0,1)) and new batch (doc_id % 3 in (1,2)); the
+    %3==1 docs are in BOTH, so the bloom-positive -> anti-join path
+    must remove every one of them, while %3==2 docs survive unless
+    their text duplicates a reference doc. Oracle is the plain
+    NOT IN anti-join on raw text."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    ref = docs.filter((F.col("doc_id") % 3).isin(0, 1))
+    new = docs.filter((F.col("doc_id") % 3).isin(1, 2))
+    out = dedup_vs_reference(new, ref, m=1 << 14)
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")

@@ -377,6 +377,9 @@ QUERIES: dict[str, QueryFn] = {
     # sibling of join_skew_salted (holistic aggs are the ones plain
     # map-side partials cannot de-skew)
     "agg_skew_salted": SK.agg_skew_salted,
+    # Bloom-gated dedup of a new batch against a reference corpus —
+    # exact for any fpp (negatives pass, positives exact-anti-join)
+    "dedup_vs_reference": D.dedup_against_reference,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2340,4 +2343,14 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 ORDER BY event_type
+"""
+
+# Bloom-gated reference dedup must equal the plain text anti-join —
+# the "pre-filter changes routing, not results" invariant.
+ORACLES["dedup_vs_reference"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE doc_id % 3 IN (1, 2)
+  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 IN (0, 1))
+ORDER BY doc_id
 """

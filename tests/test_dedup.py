@@ -139,3 +139,41 @@ def test_incremental_exact_dup_semantics(spark):
     # (1, 3) is the only surviving near-dup pair
     assert got == {(1, 3)}
     assert {r.doc_id for r in reps2.collect()} == {3}
+
+
+def test_bloom_reference_dedup_exact_at_any_fpp(spark):
+    """dedup_vs_reference must return exactly new-minus-reference
+    regardless of bloom sizing: with m=64 (near-100% fpp) every doc
+    routes through the anti-join and the result is unchanged."""
+    from mapreducego_spark.functions.dedup import (
+        bloom_positions,
+        bloom_probe_udf,
+        build_bloom_bitset,
+        dedup_vs_reference,
+    )
+    from pyspark.sql import functions as F
+
+    ref = spark.createDataFrame(
+        [(i, f"ref doc number {i}") for i in range(50)], ["doc_id", "text"]
+    )
+    dup_texts = [f"ref doc number {i}" for i in range(0, 50, 5)]  # 10 dups
+    new = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(dup_texts)]
+        + [(200 + i, f"novel doc {i}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    want = set(range(200, 240))
+    for m in (64, 1 << 12, 1 << 16):
+        got = {r.doc_id for r in dedup_vs_reference(new, ref, m=m).collect()}
+        assert got == want, m
+
+    # A sanely-sized filter must actually prune: most novel docs are
+    # bloom-negative, every true dup is bloom-positive.
+    m = 1 << 12
+    probe = bloom_probe_udf(build_bloom_bitset(ref, F.col("text"), m), 4)
+    flagged = new.withColumn(
+        "hit", probe(F.array(*bloom_positions(F.col("text"), 4, m)))
+    )
+    hits = {r.doc_id for r in flagged.filter("hit").collect()}
+    assert set(range(100, 110)) <= hits          # no false negatives
+    assert len(hits) < 20                        # novel docs mostly pruned
