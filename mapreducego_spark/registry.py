@@ -29,6 +29,7 @@ from mapreducego_spark.functions import multimodal as M
 from mapreducego_spark.functions import text as T
 from mapreducego_spark.functions import vector as V
 from mapreducego_spark.operators import asof as A
+from mapreducego_spark.operators import fuzzy as FZ
 from mapreducego_spark.operators import mapreduce as MR
 from mapreducego_spark.operators import relational as R
 from mapreducego_spark.operators import rollup as RU
@@ -380,6 +381,9 @@ QUERIES: dict[str, QueryFn] = {
     # Bloom-gated dedup of a new batch against a reference corpus —
     # exact for any fpp (negatives pass, positives exact-anti-join)
     "dedup_vs_reference": D.dedup_against_reference,
+    # blocked entity resolution: Levenshtein verify inside nation
+    # blocks (codegen, no UDF; length triangle-bound prefilter)
+    "fuzzy_match_blocked": FZ.fuzzy_match_customers,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2353,4 +2357,16 @@ FROM documents
 WHERE doc_id % 3 IN (1, 2)
   AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 IN (0, 1))
 ORDER BY doc_id
+"""
+
+# Blocked fuzzy match: same blocked self-join + levenshtein in
+# DuckDB — both engines implement standard edit distance.
+ORACLES["fuzzy_match_blocked"] = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
 """

@@ -117,3 +117,41 @@ def test_profile_table_approx_mode(spark):
         .toString()
     )
     assert "Expand" not in plan, plan
+
+
+def test_blocked_fuzzy_pairs_semantics_and_guard(spark):
+    from mapreducego_spark.operators.fuzzy import blocked_fuzzy_pairs
+
+    rows = [
+        (1, "jon smith", "a"),
+        (2, "john smith", "a"),    # dist 1 from jon smith
+        (3, "john smyth", "a"),    # dist 1 from john smith, 2 from jon
+        (4, "jon smith", "b"),     # identical text, other block -> no pair
+        (5, "completely other", "a"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "blk"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", ["blk"], max_dist=1
+        ).collect()
+    }
+    assert got == {(1, 2, 1), (2, 3, 1)}
+
+    # dist 2 admits the (1,3) pair too
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", ["blk"], max_dist=2
+        ).collect()
+    }
+    assert (1, 3) in got2 and (1, 4) not in got2
+
+    # oversized block fails loudly instead of going quadratic
+    big = spark.createDataFrame(
+        [(i, f"name {i}", "hot") for i in range(50)], ["id", "name", "blk"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="finer blocking key"):
+        blocked_fuzzy_pairs(big, "id", "name", ["blk"], max_block=10).collect()
