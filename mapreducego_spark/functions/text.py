@@ -1070,3 +1070,104 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
         dup_frac("n_g2", "d_g2").alias("dup_2gram_frac"),
         dup_frac("n_g3", "d_g3").alias("dup_3gram_frac"),
     ).orderBy("doc_id")
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame, threshold: float = 0.8, max_posting: int = 5_000
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity between all document pairs
+    above ``threshold`` — the classic MapReduce pairwise-similarity
+    operator (Elsayed/Lin/Oard 2008): the dot product of two sparse
+    vectors only has support on SHARED terms, so an inverted-index
+    self-join on term generates exactly the nonzero contributions
+    and no pair of documents with disjoint vocabularies is ever
+    materialized.
+
+    Engine-exactness: idf is quantized ONCE per term to integer
+    milli-nats (floor(ln(N/df) * 1000)), so per-doc weights are
+    LONGs, norms and dots are order-independent LONG sums, and the
+    final cosine is sqrt/division on exact integers — IEEE-correctly
+    rounded identically in any engine. (A float idf would make every
+    sum order-dependent and the oracle a tolerance game.) Bounds:
+    weights fit 2^53 up to tf*idf ~ 9e15 — ln(1e9)*1000 * tf 400 is
+    ~9e9, comfortably inside.
+
+    Scale path: posting lists are the cost driver (sum of df^2
+    candidate pairs). Terms with df == N carry idf 0 and drop out
+    for free (the stopword effect, exact); beyond that, production
+    all-pairs similarity cuts high-df terms (df-cut, Elsayed et al.)
+    or applies prefix filtering (Bayardo et al. 2007). Here a
+    posting list over ``max_posting`` raises in-plan via guard_limit
+    with that routing hint rather than silently going quadratic."""
+    from mapreducego_spark.operators.util import guard_limit
+
+    toks = spread_scan(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokens_col(F.col("text"))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(
+                        F.col("n_docs").cast("double") / F.col("df").cast("double")
+                    )
+                    * 1000
+                ).cast("long")
+            ).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    sizes = w.groupBy("term").agg(F.count(F.lit(1)).alias("__n_post"))
+    w = (
+        w.join(sizes, "term")
+        .filter(
+            guard_limit(
+                F.col("__n_post"),
+                max_posting,
+                F.concat(
+                    F.lit("tfidf_cosine_pairs: posting list for term '"),
+                    F.col("term"),
+                    F.lit(
+                        f"' exceeds max_posting={max_posting}; apply a "
+                        "df-cut or prefix filtering for this corpus"
+                    ),
+                ),
+            )
+        )
+        .drop("__n_post")
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2_b"))
+    cosine = F.round(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("n2_a").cast("double"))
+            * F.sqrt(F.col("n2_b").cast("double"))
+        ),
+        6,
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

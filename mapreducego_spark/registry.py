@@ -384,6 +384,11 @@ QUERIES: dict[str, QueryFn] = {
     # blocked entity resolution: Levenshtein verify inside nation
     # blocks (codegen, no UDF; length triangle-bound prefilter)
     "fuzzy_match_blocked": FZ.fuzzy_match_customers,
+    # sparse pairwise TF-IDF cosine via inverted-index join
+    # (Elsayed et al.), integer milli-nat idf for engine exactness
+    "tfidf_cosine_pairs": lambda spark, sf_dir: T.tfidf_cosine_pairs(
+        load_table(spark, sf_dir, "documents")
+    ),
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2369,4 +2374,36 @@ FROM customer a JOIN customer b
 WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
   AND levenshtein(a.c_name, b.c_name) <= 1
 ORDER BY id_a, id_b
+"""
+
+# Pairwise TF-IDF cosine: identical integer idf quantization and
+# exact LONG dot/norm sums; sqrt and division are IEEE-identical.
+ORACLES["tfidf_cosine_pairs"] = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), stats AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * CAST(floor(ln(CAST(n_docs AS DOUBLE)/CAST(df AS DOUBLE)) * 1000) AS BIGINT) AS w
+  FROM tf JOIN stats ON tf.term = stats.term, n
+), wnz AS (SELECT * FROM w WHERE w > 0),
+norms AS (SELECT doc_id, SUM(w*w) AS n2 FROM wnz GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w*b.w) AS dot
+  FROM wnz a JOIN wnz b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+       AS cosine
+FROM dots
+JOIN norms na ON doc_a = na.doc_id
+JOIN norms nb ON doc_b = nb.doc_id
+WHERE round(CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.8
+ORDER BY doc_a, doc_b
 """

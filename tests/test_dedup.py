@@ -177,3 +177,59 @@ def test_bloom_reference_dedup_exact_at_any_fpp(spark):
     hits = {r.doc_id for r in flagged.filter("hit").collect()}
     assert set(range(100, 110)) <= hits          # no false negatives
     assert len(hits) < 20                        # novel docs mostly pruned
+
+
+def test_tfidf_cosine_pairs_properties(spark):
+    """Near-identical docs score ~1, disjoint-vocab docs never pair,
+    and the result agrees with a serial numpy reference computed
+    with the same integer idf quantization."""
+    import math
+
+    import numpy as np
+
+    from mapreducego_spark.functions.text import tfidf_cosine_pairs
+
+    rows = [
+        (0, "alpha beta gamma delta alpha"),
+        (1, "alpha beta gamma delta alpha"),      # exact dup of 0
+        (2, "alpha beta gamma delta epsilon"),    # near dup
+        (3, "zeta eta theta iota kappa"),         # disjoint vocab
+        (4, "zeta eta theta iota lambda"),        # near dup of 3
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_pairs(docs, threshold=0.0).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    # cross-cluster pairs share no nonzero term -> absent entirely
+    assert not any(a <= 2 and b_ >= 3 for (a, b_) in got)
+
+    # serial reference with identical quantization
+    texts = {i: t.split() for i, t in rows}
+    vocab = sorted({w for t in texts.values() for w in t})
+    n = len(texts)
+    df_ = {w: sum(w in t for t in texts.values()) for w in vocab}
+    idf = {w: math.floor(math.log(n / df_[w]) * 1000) for w in vocab}
+    vecs = {
+        i: np.array([t.count(w) * idf[w] for w in vocab], dtype=np.int64)
+        for i, t in texts.items()
+    }
+    for (a, b_), c in got.items():
+        va, vb = vecs[a], vecs[b_]
+        want = float(va @ vb) / (
+            math.sqrt(float(va @ va)) * math.sqrt(float(vb @ vb))
+        )
+        assert abs(c - round(want, 6)) < 2e-6, (a, b_, c, want)
+
+    # posting guard fails loudly on a hot term. NB: the term must be
+    # hot-but-not-universal — df == N means idf 0, and those terms
+    # drop for free BEFORE the guard (the stopword effect).
+    hot = spark.createDataFrame(
+        [(i, ("common " if i else "rare ") + f"word{i}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="df-cut"):
+        tfidf_cosine_pairs(hot, threshold=0.0, max_posting=10).collect()
