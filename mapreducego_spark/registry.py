@@ -389,6 +389,9 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_cosine_pairs": lambda spark, sf_dir: T.tfidf_cosine_pairs(
         load_table(spark, sf_dir, "documents")
     ),
+    # streaming MERGE (foreachBatch LWW upsert) under an
+    # at-least-once replay; versioned-dir commit protocol
+    "stream_upsert_sink": ST.stream_upsert_sink,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2406,4 +2409,18 @@ JOIN norms nb ON doc_b = nb.doc_id
 WHERE round(CAST(dot AS DOUBLE)
             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.8
 ORDER BY doc_a, doc_b
+"""
+
+# Streaming LWW upsert table == the batch per-user argmax.
+ORACLES["stream_upsert_sink"] = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       epoch_ns(ts) // 1000 AS us,
+       CAST(event_id AS BIGINT) AS event_id,
+       event_type,
+       "value"
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+) = 1
+ORDER BY user_id
 """

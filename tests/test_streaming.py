@@ -468,3 +468,65 @@ def test_crash_mid_replay_recovers_exactly_once(spark, sf_dir, tmp_path):
         for r in window_tumbling(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_upsert_crash_recovers_and_gcs_versions(spark, sf_dir, tmp_path):
+    """The foreachBatch MERGE under failure: a poison UDF kills the
+    replay mid-run; the restart must replay the crashed batch (LWW
+    merge makes the rewrite idempotent), _CURRENT must never point
+    at a partial table, and the final table equals the batch argmax.
+    Also pins the version GC: at most 2 v* dirs retained."""
+    import os as _os
+
+    from mapreducego_spark.streaming.pipelines import (
+        _latest_per_user,
+        events_stream,
+        stream_upsert_maintenance,
+    )
+
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    stage = str(tmp_path / "stage")
+    flag = str(tmp_path / "poison_flag")
+
+    ev = load_table(spark, sf_dir, "events")
+    cutover = int(
+        ev.selectExpr("percentile(unix_micros(ts), 0.6) AS p").collect()[0]["p"]
+    )
+
+    @F.pandas_udf("boolean")
+    def alive(ts_us: pd.Series) -> pd.Series:
+        if _os.path.exists(flag) and bool((ts_us >= cutover).any()):
+            raise RuntimeError("injected crash: worker dies mid-batch")
+        return pd.Series([True] * len(ts_us))
+
+    def attempt():
+        src = events_stream(spark, sf_dir, stage_dir=stage)
+        stream_upsert_maintenance(
+            src.filter(alive(F.unix_micros("ts"))), table, ckpt
+        )
+
+    open(flag, "w").close()
+    with pytest.raises(Exception, match="injected crash"):
+        attempt()
+    committed = len(
+        [f for f in _os.listdir(_os.path.join(ckpt, "commits")) if f.isdigit()]
+    )
+    assert committed > 0  # mid-replay, not instant death
+    # _CURRENT points at a fully-written version even after the crash
+    cur = open(_os.path.join(table, "_CURRENT")).read().strip()
+    assert _os.path.exists(_os.path.join(table, cur, "_SUCCESS"))
+
+    _os.remove(flag)
+    attempt()
+
+    got = {
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(
+            _os.path.join(table, open(_os.path.join(table, "_CURRENT")).read())
+        ).collect()
+    }
+    want = {(r.user_id, r.event_id) for r in _latest_per_user(ev).collect()}
+    assert got == want
+    versions = [d for d in _os.listdir(table) if d.startswith("v")]
+    assert len(versions) <= 2, versions
