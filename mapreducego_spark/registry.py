@@ -168,6 +168,12 @@ def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample_plan(M.documents_as_media(spark, sf_dir))
 
 
+def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducego_spark.operators.graph import triangle_count_suppliers
+
+    return triangle_count_suppliers(spark, sf_dir)
+
+
 # ORDERING NOTE (round 4): the round driver verifies the FIRST 50
 # entries of this dict, in insertion order; the dict is ordered by
 # verification NEED so every entry earns a driver row at most ~2
@@ -392,6 +398,8 @@ QUERIES: dict[str, QueryFn] = {
     # streaming MERGE (foreachBatch LWW upsert) under an
     # at-least-once replay; versioned-dir commit protocol
     "stream_upsert_sink": ST.stream_upsert_sink,
+    # exact per-node triangle counts, degree-ordered orientation
+    "triangle_count": _triangle_count,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2423,4 +2431,30 @@ QUALIFY row_number() OVER (
     PARTITION BY user_id ORDER BY ts DESC, event_id DESC
 ) = 1
 ORDER BY user_id
+"""
+
+# Triangle counts are orientation-invariant: the oracle enumerates
+# canonical u<v<w triangles with a plain 3-way join and must match
+# the degree-ordered Spark plan node-for-node.
+ORACLES["triangle_count"] = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+  FROM lineitem WHERE l_quantity = 1
+), edges AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+), tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST(node AS BIGINT) AS node, COUNT(*) AS n_triangles
+FROM (
+  SELECT a AS node FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+)
+GROUP BY node
+ORDER BY node
 """

@@ -131,3 +131,25 @@ def test_pagerank_exact_matches_float_variant(spark):
     # ~1 unit per node (the div-100s) plus the per-edge share
     # remainders, so budget ~10 units/node/round at 1e-12 each
     assert abs(sum(exact.values()) / 1e12 - 1.0) < len(exact) * 5 * 1e-11
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles (each node in 3); a pendant path adds none;
+    duplicate and reversed input edges must not change counts."""
+    from mapreducego_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + k4  # reversed + duplicated
+    noisy += [(3, 10), (10, 11)]  # pendant path, no new triangle
+    noisy += [(5, 5)]  # self-loop ignored
+    edges = spark.createDataFrame(noisy, ["src", "dst"])
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # a star (hub with leaves, no closing edges) has no triangles at
+    # all — the degree-ordered orientation must not invent wedge
+    # closures
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 20)], ["src", "dst"]
+    )
+    assert triangle_count(star).count() == 0
