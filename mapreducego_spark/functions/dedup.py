@@ -813,3 +813,79 @@ def dedup_against_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter((F.col("doc_id") % 3).isin(1, 2))
     out = dedup_vs_reference(new, ref, m=1 << 14)
     return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_posting: int = MAX_POSTING_LIST,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (Broder 1997: |A∩B| / |A|) —
+    the doc-inside-doc detector Jaccard structurally misses: a
+    paragraph quoted verbatim inside a 100x-longer page has
+    containment ~1.0 but Jaccard ~0.01, so resemblance-based dedup
+    (minhash/ngram_jaccard) never pairs them. Containment is what
+    catches wire-syndication wraps, quote farms, and
+    boilerplate-plus-payload pages.
+
+    Same inverted-index candidate generation (and the same loud
+    posting-list guard) as ngram_pairs; the verify step just divides
+    the shared-shingle count by EACH side's size. Pairs survive when
+    either direction reaches ``threshold``. At scale the LSH
+    replacement is the same minhash pipeline with a containment
+    re-verify on candidates — candidate recall for high-containment/
+    low-Jaccard pairs then depends on banding aimed at the smaller
+    doc, which is why production systems sign fixed-length CHUNKS
+    (dedup_spans) rather than whole docs."""
+    shingled = shingle_docs(spread_scan(docs), n=2)
+    sizes = shingled.select("doc_id", F.size("shingles").alias("n_sh"))
+    posting = shingled.select("doc_id", F.explode("shingles").alias("sh"))
+    post_sizes = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("__n_post"))
+    posting = (
+        posting.join(post_sizes, "sh")
+        .filter(
+            guard_limit(
+                F.col("__n_post"),
+                max_posting,
+                F.concat(
+                    F.lit("containment_pairs: posting list for shingle '"),
+                    F.col("sh"),
+                    F.lit(f"' exceeds max_posting={max_posting}; "
+                          "use chunked span dedup for this corpus"),
+                ),
+            )
+        )
+        .drop("__n_post")
+    )
+    pa = posting.select(F.col("doc_id").alias("doc_a"), "sh")
+    pb = posting.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pa.join(pb, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    c_a = F.round(F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 6)
+    c_b = F.round(F.col("n_inter").cast("double") / F.col("n_b").cast("double"), 6)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: containment pairs on documents."""
+    return containment_pairs(load_table(spark, sf_dir, "documents"))

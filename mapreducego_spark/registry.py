@@ -400,6 +400,8 @@ QUERIES: dict[str, QueryFn] = {
     "stream_upsert_sink": ST.stream_upsert_sink,
     # exact per-node triangle counts, degree-ordered orientation
     "triangle_count": _triangle_count,
+    # asymmetric shingle containment (doc-inside-doc detector)
+    "ngram_containment": D.containment_pairs_docs,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2457,4 +2459,30 @@ FROM (
 )
 GROUP BY node
 ORDER BY node
+"""
+
+# Containment shares ngram_jaccard's candidate generation; only the
+# verify arithmetic differs (divide by EACH side's size).
+ORACLES["ngram_containment"] = f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SHINGLES2} AS shingles
+    FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+), sh AS (
+    SELECT doc_id, shingles, len(shingles) AS n
+    FROM toks WHERE len(shingles) > 0
+), ex AS (
+    SELECT doc_id, unnest(shingles) AS s, n FROM sh
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n AS n_a, b.n AS n_b, COUNT(*) AS n_inter
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS containment_a,
+       round(CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS containment_b
+FROM inter
+WHERE round(CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE), 6) >= 0.5
+   OR round(CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE), 6) >= 0.5
+ORDER BY doc_a, doc_b
 """

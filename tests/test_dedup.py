@@ -233,3 +233,35 @@ def test_tfidf_cosine_pairs_properties(spark):
 
     with _pytest.raises(Exception, match="df-cut"):
         tfidf_cosine_pairs(hot, threshold=0.0, max_posting=10).collect()
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    """A short doc quoted verbatim inside a much longer one must pair
+    with containment_a ~1.0 even though Jaccard is far below the
+    near-dup threshold — the case resemblance-based dedup misses."""
+    from mapreducego_spark.functions.dedup import (
+        containment_pairs,
+        ngram_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    # letter-only words: the tokenizer treats digits as delimiters
+    filler = " ".join(
+        f"w{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(120)
+    )
+    rows = [
+        (1, quote),
+        (2, f"{filler} {quote} more trailing words here"),
+        (3, "totally unrelated content stream"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): (r.containment_a, r.containment_b)
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert list(got) == [(1, 2)]
+    ca, cb = got[(1, 2)]
+    assert ca == 1.0 and cb < 0.1  # asymmetry is the point
+
+    # and Jaccard indeed misses it at its own threshold
+    assert ngram_pairs(docs).count() == 0
