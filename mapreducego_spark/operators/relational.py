@@ -1436,3 +1436,57 @@ def profile_table(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col")
+
+
+def nest_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested denormalization: one row per order embedding its line
+    items as a DETERMINISTICALLY ordered array — the write-side shape
+    for document stores, feature stores, and training-example
+    assembly (an order + its lines as one JSON-able record).
+
+    The correctness trap this entry pins down: collect_list's element
+    order is whatever order the shuffle delivered — nondeterministic
+    across runs, partitionings, and task retries — so any
+    hash-compared, content-addressed, or diff-able nested output MUST
+    impose its own order. sort_array over structs whose first field
+    is the intended sort key does that entirely JVM-side. The array
+    is serialized to a flat "ln:qty,..." string so the oracle compare
+    is byte-exact (engines disagree on nested-value rendering, not on
+    strings)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    nested = (
+        li.select(
+            F.col("l_orderkey").cast("long").alias("o_orderkey"),
+            F.struct(
+                F.col("l_linenumber").cast("int").alias("ln"),
+                F.col("l_quantity").cast("long").alias("qty"),
+            ).alias("item"),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("item.qty")).alias("total_qty"),
+            F.sort_array(F.collect_list("item")).alias("items_arr"),
+        )
+    )
+    items = F.array_join(
+        F.transform(
+            F.col("items_arr"),
+            lambda x: F.concat_ws(
+                ":", x["ln"].cast("string"), x["qty"].cast("string")
+            ),
+        ),
+        ",",
+    )
+    return (
+        nested.join(o, "o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+            items.alias("items"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -402,6 +402,8 @@ QUERIES: dict[str, QueryFn] = {
     "triangle_count": _triangle_count,
     # asymmetric shingle containment (doc-inside-doc detector)
     "ngram_containment": D.containment_pairs_docs,
+    # nested denormalization with imposed element order
+    "nest_order_lines": R.nest_order_lines,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2485,4 +2487,21 @@ FROM inter
 WHERE round(CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE), 6) >= 0.5
    OR round(CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE), 6) >= 0.5
 ORDER BY doc_a, doc_b
+"""
+
+# Nested array serialized to a flat string; string_agg ORDER BY is
+# the oracle's equivalent of sort_array(collect_list(struct)).
+ORACLES["nest_order_lines"] = """
+SELECT CAST(l.l_orderkey AS BIGINT) AS o_orderkey,
+       o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       string_agg(
+           CAST(l_linenumber AS VARCHAR) || ':' ||
+           CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+           ',' ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)
+       ) AS items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+ORDER BY 1
 """

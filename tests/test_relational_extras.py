@@ -155,3 +155,23 @@ def test_blocked_fuzzy_pairs_semantics_and_guard(spark):
 
     with _pytest.raises(Exception, match="finer blocking key"):
         blocked_fuzzy_pairs(big, "id", "name", ["blk"], max_block=10).collect()
+
+
+def test_nest_order_lines_is_deterministic_and_sorted(spark, sf_dir):
+    """The nested items string must be identical across two runs with
+    different shuffle widths (the collect_list nondeterminism the
+    sort_array exists to kill) and internally sorted."""
+    from mapreducego_spark.operators.relational import nest_order_lines
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = {r.o_orderkey: r.items for r in nest_order_lines(spark, sf_dir).collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = {r.o_orderkey: r.items for r in nest_order_lines(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b and a
+    for items in list(a.values())[:50]:
+        pairs = [tuple(map(int, p.split(":"))) for p in items.split(",")]
+        assert pairs == sorted(pairs)
