@@ -404,6 +404,9 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_containment": D.containment_pairs_docs,
     # nested denormalization with imposed element order
     "nest_order_lines": R.nest_order_lines,
+    # LEFT OUTER stream-stream interval join (null emission from
+    # state on watermark passage)
+    "stream_left_join_sink": ST.stream_left_join_sink,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2504,4 +2507,17 @@ SELECT CAST(l.l_orderkey AS BIGINT) AS o_orderkey,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2
 ORDER BY 1
+"""
+
+# Left-outer stream-stream join == the batch left join twin;
+# unmatched purchases carry NULL click_id.
+ORACLES["stream_left_join_sink"] = """
+SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+       CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(p.user_id AS BIGINT) AS user_id
+FROM events p LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase'
 """

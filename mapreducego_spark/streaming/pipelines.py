@@ -106,7 +106,7 @@ def _normalized_events_table(sf_dir: str):
     return t.sort_by("ts")
 
 
-def _sentinel_table(schema):
+def _sentinel_table(schema, ts_seconds: int = FLUSH_TS_SECONDS):
     """One flush-sentinel row with EXACTLY the staged chunks' schema
     (a second schema in the directory would make the parquet source's
     reads encoding-dependent — the r3 bug's shape)."""
@@ -123,7 +123,7 @@ def _sentinel_table(schema):
     for f in schema:
         if f.name == "ts":
             arrays.append(
-                pa.array([FLUSH_TS_SECONDS * 1_000_000], pa.int64()).cast(f.type)
+                pa.array([ts_seconds * 1_000_000], pa.int64()).cast(f.type)
             )
         else:
             arrays.append(pa.array([vals[f.name]]).cast(f.type))
@@ -963,4 +963,113 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("long").alias("event_id"),
         "event_type",
         "value",
+    )
+
+
+def stream_stream_attribution_outer(events: DataFrame) -> StreamSpec:
+    """Stream-stream LEFT OUTER interval join: every purchase emits —
+    joined to each preceding-30-min click when one exists, with NULL
+    click columns otherwise. The outer side is the genuinely
+    different streaming capability vs the inner join: an unmatched
+    purchase can only be DECLARED unmatched once the watermark
+    proves no in-window click can still arrive, so null rows emit on
+    watermark passage, from state, not on data arrival.
+
+    Watermark subtlety this encodes: the flush sentinel must reach
+    the EventTimeWatermark operator on BOTH join branches, or the
+    final watermark never passes the last real purchases and their
+    null rows stay in state forever. Filtering to the role's
+    event_type alone does NOT guarantee that — the optimizer pushes
+    non-event-time predicates BELOW the watermark node, silently
+    dropping the sentinel before its timestamp is observed (the
+    watermark then sticks an hour behind the last REAL event, which
+    is exactly what the first cut of this operator did). So each
+    role filter explicitly admits the sentinel; it can only ever
+    join its own user (-1) and the readback drops those rows."""
+    wm = events.withWatermark("ts", "1 hour")
+    clicks = wm.filter(
+        F.col("event_type").isin("click", FLUSH_EVENT_TYPE)
+    ).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = wm.filter(
+        F.col("event_type").isin("purchase", FLUSH_EVENT_TYPE)
+    ).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left_outer",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    return StreamSpec(joined, "append")
+
+
+def _stage_watermark_heartbeat(stage_dir: str) -> None:
+    """Stage one more sentinel (ts = flush + 1h, latest mtime) into an
+    already-staged directory. Why a SECOND sentinel: a batch's data
+    advances the watermark only for SUBSEQUENT batches, and
+    stream-stream outer-join state flushes on watermark passage
+    during a batch — so the null-side rows guarded by the first
+    sentinel's watermark need one more batch to run under it.
+    availableNow stops at end-of-data without such a batch (unlike
+    aggregations, join eviction gets no closing no-data batch), which
+    is exactly the heartbeat-event workaround streaming deployments
+    use on quiet sources."""
+    import pyarrow.parquet as pq
+
+    chunk0 = sorted(
+        f for f in os.listdir(stage_dir) if f.startswith("chunk_")
+    )[0]
+    schema = pq.read_schema(os.path.join(stage_dir, chunk0))
+    path = os.path.join(stage_dir, "zz_flush2.parquet")
+    if not os.path.exists(path):
+        pq.write_table(
+            _sentinel_table(schema, ts_seconds=FLUSH_TS_SECONDS + 3600), path
+        )
+        os.utime(
+            path, (_STAGE_MTIME_BASE + 10_001, _STAGE_MTIME_BASE + 10_001)
+        )
+
+
+def stream_left_join_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the LEFT OUTER stream-stream join through the
+    checkpointed sink, oracle-checked against the batch left join —
+    unmatched purchases must surface exactly once with NULL click_id
+    (proving watermark-driven null emission works under the
+    multi-batch availableNow replay). Runs availableNow twice: the
+    second run consumes the heartbeat sentinel so the final
+    watermark actually evicts (and emits) the last unmatched
+    purchases — see _stage_watermark_heartbeat."""
+    import atexit
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="stream_left_join_sink_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    stage = os.path.join(workdir, "stage")
+    out = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+    events = events_stream(spark, sf_dir, stage_dir=stage, flush=True)
+    run_to_parquet(stream_stream_attribution_outer(events), out, ckpt)
+    _stage_watermark_heartbeat(stage)
+    events2 = events_stream(spark, sf_dir, stage_dir=stage, flush=True)
+    run_to_parquet(stream_stream_attribution_outer(events2), out, ckpt)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)  # drop sentinel self-joins
+        .select(
+            F.col("purchase_id").cast("long").alias("purchase_id"),
+            F.col("click_id").cast("long").alias("click_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+        )
     )

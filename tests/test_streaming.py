@@ -530,3 +530,54 @@ def test_stream_upsert_crash_recovers_and_gcs_versions(spark, sf_dir, tmp_path):
     assert got == want
     versions = [d for d in _os.listdir(table) if d.startswith("v")]
     assert len(versions) <= 2, versions
+
+
+def test_stream_left_outer_join_emits_unmatched_purchases(spark, sf_dir):
+    """The left-outer interval join must emit every purchase exactly
+    once — matched ones per click, unmatched ones with NULL click_id,
+    INCLUDING purchases inside the final watermark horizon (the rows
+    that vanish if the sentinel is predicate-pushed below the
+    watermark node or no post-watermark batch runs)."""
+    from mapreducego_spark.streaming.pipelines import stream_left_join_sink
+
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in stream_left_join_sink(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (p.u == c.cu)
+            & (c.cts <= p.pts)
+            & (c.cts >= p.pts - F.expr("INTERVAL 30 MINUTES")),
+            "left_outer",
+        ).collect()
+    }
+    assert got == want
+    # the horizon rows specifically: unmatched purchases within the
+    # last watermark-delay of event time must be present
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = {
+        pid
+        for (pid, cid) in want
+        if cid is None
+    } & {
+        r.purchase_id
+        for r in p.filter(
+            F.col("pts") >= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+        ).collect()
+    }
+    got_unmatched = {pid for (pid, cid) in got if cid is None}
+    assert horizon <= got_unmatched
