@@ -407,6 +407,8 @@ QUERIES: dict[str, QueryFn] = {
     # LEFT OUTER stream-stream interval join (null emission from
     # state on watermark passage)
     "stream_left_join_sink": ST.stream_left_join_sink,
+    # CDC-style snapshot diff (insert/update/delete classification)
+    "snapshot_diff": CAT.snapshot_diff_documents,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2520,4 +2522,27 @@ FROM events p LEFT JOIN events c
  AND p.user_id = c.user_id
  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
 WHERE p.event_type = 'purchase'
+"""
+
+# Snapshot diff: same deterministic old/new construction, classified
+# in SQL. %7==1 keys insert, %7==2 delete, lang-rewritten %5==0
+# survivors update.
+ORACLES["snapshot_diff"] = """
+WITH old AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 <> 1
+), new AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+         source, n_chars
+  FROM documents WHERE doc_id % 7 <> 2
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'insert'
+            WHEN n.doc_id IS NULL THEN 'delete'
+            WHEN o.lang <> n.lang THEN 'update'
+       END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.lang <> n.lang
+ORDER BY doc_id
 """

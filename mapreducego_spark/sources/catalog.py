@@ -456,3 +456,70 @@ def compact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"compaction did not reduce file count: {n_src} -> {n_out}"
         )
     return spark.read.parquet(dst).orderBy("doc_id")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC-style diff of two table snapshots: one row per key whose
+    state changed, tagged insert / update / delete — the primitive
+    behind incremental syncs, audit trails, and "what did this
+    pipeline run change" reviews when the storage layer has no
+    change log of its own (plain parquet).
+
+    One full-outer join on the key: key only in ``new`` -> insert,
+    only in ``old`` -> delete, in both with any differing compare
+    column -> update; identical rows are dropped (the common case,
+    so the output is |changes|, not |table|). Comparison is
+    null-safe struct equality — a column going NULL -> value or
+    value -> NULL is an update, not a match. At scale this is one
+    co-partitionable shuffle; with both snapshots bucketed on the
+    key it is shuffle-free."""
+    from pyspark.sql import functions as F
+
+    cmp_cols = compare_cols or [c for c in old.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in cmp_cols]).alias("__old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in cmp_cols]).alias("__new"),
+    )
+    cond = [o[f"__k_{k}"].eqNullSafe(n[f"__k_{k}"]) for k in keys]
+    j = o.join(n, cond, "full_outer")
+    change = (
+        F.when(o["__old"].isNull(), F.lit("insert"))
+        .when(n["__new"].isNull(), F.lit("delete"))
+        .when(~o["__old"].eqNullSafe(n["__new"]), F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(o[f"__k_{k}"], n[f"__k_{k}"]).alias(k) for k in keys
+    ]
+    return (
+        j.select(*out_keys, change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: diff two deterministic document snapshots —
+    old drops doc_id % 7 == 1 (those become inserts), new drops
+    % 7 == 2 (deletes), and new rewrites lang for % 5 == 0 survivors
+    (updates). The oracle classifies the same three sets with plain
+    SQL."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    old = docs.filter(F.col("doc_id") % 7 != 1)
+    new = docs.filter(F.col("doc_id") % 7 != 2).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("xx")).otherwise(F.col("lang")),
+    )
+    return snapshot_diff(old, new, keys=["doc_id"]).orderBy("doc_id")

@@ -213,3 +213,35 @@ def test_upsert_schema_evolution_null_backfills(spark, tmp_path):
     assert merged[keys[0]]["tier"] == "gold"
     assert all(merged[k]["tier"] is None for k in keys[1:])
     assert len(merged) == len(keys)
+
+
+def test_snapshot_diff_classification_and_null_safety(spark):
+    from pyspark.sql import Row
+
+    from mapreducego_spark.sources.catalog import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=None),   # unchanged
+            Row(k=2, a="y", b="v"),    # updated (b changes)
+            Row(k=3, a="z", b="w"),    # deleted
+            Row(k=5, a=None, b="q"),   # updated (a NULL -> value)
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=None),
+            Row(k=2, a="y", b="V2"),
+            Row(k=4, a="new", b=None),  # inserted
+            Row(k=5, a="now", b="q"),
+        ]
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {2: "update", 3: "delete", 4: "insert", 5: "update"}
+
+    # restricting compare_cols makes the b-only change invisible
+    got_a = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"], compare_cols=["a"]).collect()
+    }
+    assert 2 not in got_a and got_a[5] == "update"
