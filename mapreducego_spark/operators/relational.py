@@ -1490,3 +1490,66 @@ def nest_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+def copurchase_pairs(
+    spark: SparkSession, sf_dir: str, minsup: int = 3, max_basket: int = 1_000
+) -> DataFrame:
+    """Frequent co-purchase pairs (market-basket analysis, the
+    A-priori first join): parts appearing together in at least
+    ``minsup`` distinct orders. The classic MapReduce association
+    primitive, and the recommendation backbone ("bought together").
+
+    Scale shape: the within-basket self-join costs sum-of-C(b,2)
+    over basket sizes b — bounded here two ways. (1) Downward
+    closure (A-priori): an item in fewer than ``minsup`` baskets
+    cannot appear in any frequent pair, so infrequent items are
+    pruned BEFORE pair generation — exact, and on long-tailed real
+    catalogs it removes most of the candidate space. (2) A basket
+    over ``max_basket`` items raises in-plan via guard_limit (a
+    10k-item basket alone is 50M pairs) rather than melting down."""
+    from mapreducego_spark.operators.util import guard_limit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    # (1) A-priori item prefilter: exact by downward closure
+    freq_items = (
+        baskets.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .filter(F.col("__sup") >= minsup)
+        .select("p")
+    )
+    baskets = baskets.join(freq_items, "p")
+    # (2) loud basket-size guard
+    sizes = baskets.groupBy("o").agg(F.count(F.lit(1)).alias("__bn"))
+    baskets = (
+        baskets.join(sizes, "o")
+        .filter(
+            guard_limit(
+                F.col("__bn"),
+                max_basket,
+                F.lit(
+                    f"copurchase_pairs: basket over {max_basket} items goes "
+                    "quadratic; cap or sample hot baskets"
+                ),
+            )
+        )
+        .drop("__bn")
+    )
+    a = baskets.select("o", F.col("p").alias("part_a"))
+    b = baskets.select(F.col("o").alias("o2"), F.col("p").alias("part_b"))
+    return (
+        a.join(b, a.o == b.o2)
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= minsup)
+        .select(
+            F.col("part_a").cast("long").alias("part_a"),
+            F.col("part_b").cast("long").alias("part_b"),
+            F.col("support").cast("long").alias("support"),
+        )
+        .orderBy("part_a", "part_b")
+    )

@@ -409,6 +409,8 @@ QUERIES: dict[str, QueryFn] = {
     "stream_left_join_sink": ST.stream_left_join_sink,
     # CDC-style snapshot diff (insert/update/delete classification)
     "snapshot_diff": CAT.snapshot_diff_documents,
+    # frequent co-purchase pairs (A-priori first join)
+    "copurchase_pairs": R.copurchase_pairs,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2545,4 +2547,22 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.lang <> n.lang
 ORDER BY doc_id
+"""
+
+# Co-purchase pairs: the oracle skips the A-priori item prefilter —
+# downward closure guarantees it cannot change the answer, which is
+# exactly what the hash match proves.
+ORACLES["copurchase_pairs"] = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+)
+SELECT CAST(part_a AS BIGINT) AS part_a,
+       CAST(part_b AS BIGINT) AS part_b,
+       COUNT(*) AS support
+FROM pairs
+GROUP BY part_a, part_b
+HAVING COUNT(*) >= 3
+ORDER BY part_a, part_b
 """

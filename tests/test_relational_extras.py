@@ -175,3 +175,34 @@ def test_nest_order_lines_is_deterministic_and_sorted(spark, sf_dir):
     for items in list(a.values())[:50]:
         pairs = [tuple(map(int, p.split(":"))) for p in items.split(",")]
         assert pairs == sorted(pairs)
+
+
+def test_copurchase_prefilter_is_exact_and_guard_trips(spark):
+    """The A-priori item prefilter must not change the pair set
+    (downward closure), and an oversized basket fails loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    from mapreducego_spark.operators.relational import copurchase_pairs
+
+    out = copurchase_pairs(spark, "/root/testdata/sf0.001", minsup=2)
+    rows = {(r.part_a, r.part_b): r.support for r in out.collect()}
+    # brute-force reference without any prefilter
+    from mapreducego_spark.sources.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    op = li.select(F2.col("l_orderkey").alias("o"), F2.col("l_partkey").alias("p")).distinct()
+    a = op.select("o", F2.col("p").alias("pa"))
+    b = op.select(F2.col("o").alias("o2"), F2.col("p").alias("pb"))
+    ref = (
+        a.join(b, a.o == b.o2)
+        .filter(F2.col("pa") < F2.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F2.count(F2.lit(1)).alias("s"))
+        .filter(F2.col("s") >= 2)
+    )
+    want = {(r.pa, r.pb): r.s for r in ref.collect()}
+    assert rows == want
+
+    with _pytest.raises(Exception, match="quadratic"):
+        copurchase_pairs(spark, "/root/testdata/sf0.001", minsup=1, max_basket=2).collect()
