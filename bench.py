@@ -84,6 +84,16 @@ HEADLINE = [
     "profile_table",
     # round 5: CCNet-style unigram log-prob quality scoring
     "perplexity_score",
+    # round 5, post-verdict batch: salted holistic agg, bloom-gated
+    # reference dedup, degree-ordered triangles, market-basket pairs,
+    # nested denormalization, CDC snapshot diff (the new streaming
+    # sinks are not here — one sink entry already tracks that path)
+    "agg_skew_salted",
+    "dedup_vs_reference",
+    "triangle_count",
+    "copurchase_pairs",
+    "nest_order_lines",
+    "snapshot_diff",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500
@@ -94,6 +104,13 @@ SMALL_SF_DIR = os.environ.get(
 )
 HEADLINE_SMALL = [
     ("dedup_embedding", SMALL_SF_DIR, "dedup_embedding_sf001"),
+    # exact quadratic-within-block / full-posting baselines, tracked
+    # at sf0.01 like dedup_embedding (their sf0.1 cost is the
+    # documented O(sum block^2) / O(sum df^2) blowup by design; the
+    # scale paths are PassJoin-style segment keys and df-cut/LSH)
+    ("fuzzy_match_blocked", SMALL_SF_DIR, "fuzzy_match_sf001"),
+    ("tfidf_cosine_pairs", SMALL_SF_DIR, "tfidf_cosine_sf001"),
+    ("ngram_containment", SMALL_SF_DIR, "ngram_containment_sf001"),
 ]
 
 # Scaling evidence (r4 verdict #2): the top operators re-run at

@@ -295,12 +295,17 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     lo_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # The oriented edge list feeds three plan branches (both wedge
+    # sides + the closing join); checkpoint it eagerly so the
+    # canonicalize/degree subtree runs once, not three times — the
+    # same lineage hygiene as connected_components/pagerank. Size is
+    # |E| rows of 4 longs, safely materializable.
     oriented = ranked.select(
         F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(lo_first, F.col("du")).otherwise(F.col("dv")).alias("ra_deg"),
         F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("rb_deg"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = oriented.select("a", F.col("b").alias("m"), F.col("rb_deg").alias("dm"))
     o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("n"),
                          F.col("rb_deg").alias("dn"))

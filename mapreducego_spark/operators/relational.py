@@ -1538,6 +1538,10 @@ def copurchase_pairs(
         )
         .drop("__bn")
     )
+    # Both self-join sides read the pruned baskets; materialize once
+    # (|surviving basket rows|, bounded) instead of recomputing the
+    # distinct + two joins per side.
+    baskets = baskets.localCheckpoint(eager=True)
     a = baskets.select("o", F.col("p").alias("part_a"))
     b = baskets.select(F.col("o").alias("o2"), F.col("p").alias("part_b"))
     return (
