@@ -42,6 +42,8 @@ SKIP = {
     "json_round_trip",
     "csv_round_trip",
     "orc_round_trip",
+    "stream_upsert_sink",
+    "stream_left_join_sink",
 }
 
 # Red flags that are BY DESIGN, with the reason on record. A nested-
@@ -58,6 +60,8 @@ WAIVED: dict[str, str] = {
     "(same pattern as tfidf_top_terms)",
     "q22_cold_customers": "BNLJ vs broadcast 1-row global-average "
     "aggregate (the decorrelated scalar subquery; relational.py:1158)",
+    "tfidf_cosine_pairs": "BNLJ vs broadcast 1-row corpus-count "
+    "aggregate (same pattern as tfidf_top_terms/perplexity_score)",
 }
 # (vector_topk / knn_label_vote / decontaminate_embedding waivers are
 # gone as of r5: the query/benchmark set now ships in the pair-cosine
