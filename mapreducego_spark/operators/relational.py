@@ -1557,3 +1557,49 @@ def copurchase_pairs(
         )
         .orderBy("part_a", "part_b")
     )
+
+
+def outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profiling per group — the standard
+    data-cleaning sweep (flag values outside [p25 - 1.5*IQR,
+    p75 + 1.5*IQR]) run as the two-pass plan that survives scale:
+    pass 1 computes exact per-group quartiles (|groups| rows), pass 2
+    re-scans the fact with the fences broadcast-joined back — the
+    same shape as quality_gate_per_lang, so the big table is never
+    shuffled for the second pass.
+
+    Determinism: quartiles are rounded to 6 decimals BEFORE fence
+    arithmetic, so both engines compare against bit-identical
+    bounds; all counts are longs."""
+    ev = load_table(spark, sf_dir, "events")
+    fences = (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+        )
+        .select(
+            "event_type",
+            "p25",
+            "p75",
+            (F.col("p25") - 1.5 * (F.col("p75") - F.col("p25"))).alias("lo"),
+            (F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))).alias("hi"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "p25", "p75", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+                .cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type", "p25", "p75", "lo", "hi",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

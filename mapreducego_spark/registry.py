@@ -411,6 +411,8 @@ QUERIES: dict[str, QueryFn] = {
     "snapshot_diff": CAT.snapshot_diff_documents,
     # frequent co-purchase pairs (A-priori first join)
     "copurchase_pairs": R.copurchase_pairs,
+    # Tukey-fence outlier profile (two-pass, fences broadcast back)
+    "outlier_iqr": R.outlier_iqr,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2565,4 +2567,26 @@ FROM pairs
 GROUP BY part_a, part_b
 HAVING COUNT(*) >= 3
 ORDER BY part_a, part_b
+"""
+
+# Tukey fences: same rounded-quartile arithmetic on both engines.
+ORACLES["outlier_iqr"] = """
+WITH fences AS (
+  SELECT event_type,
+         round(quantile_cont("value", 0.25), 6) AS p25,
+         round(quantile_cont("value", 0.75), 6) AS p75
+  FROM events GROUP BY event_type
+), f AS (
+  SELECT event_type, p25, p75,
+         p25 - 1.5 * (p75 - p25) AS lo,
+         p75 + 1.5 * (p75 - p25) AS hi
+  FROM fences
+)
+SELECT e.event_type, p25, p75, lo, hi,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN e."value" < lo OR e."value" > hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM events e JOIN f ON e.event_type = f.event_type
+GROUP BY e.event_type, p25, p75, lo, hi
+ORDER BY e.event_type
 """

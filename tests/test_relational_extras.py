@@ -206,3 +206,31 @@ def test_copurchase_prefilter_is_exact_and_guard_trips(spark):
 
     with _pytest.raises(Exception, match="quadratic"):
         copurchase_pairs(spark, "/root/testdata/sf0.001", minsup=1, max_basket=2).collect()
+
+
+def test_outlier_iqr_flags_known_outliers(spark, tmp_path):
+    """A synthetic group with two planted extreme values must report
+    exactly those as outliers; a uniform group reports none."""
+    import pandas as pd
+
+    from mapreducego_spark.operators.relational import outlier_iqr
+
+    rows = [("a", float(v)) for v in range(1, 101)]  # uniform 1..100
+    rows += [("a", 10_000.0), ("a", -10_000.0)]      # planted outliers
+    rows += [("b", 5.0)] * 50                        # constant: IQR 0
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": 1,
+            "event_type": [r[0] for r in rows],
+            "value": [r[1] for r in rows],
+            "props": "{}",
+        }
+    )
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/events.parquet")
+    got = {r.event_type: r for r in outlier_iqr(spark, sf).collect()}
+    assert got["a"].n_outliers == 2
+    assert got["b"].n_outliers == 0  # IQR 0 -> fences collapse to 5.0
+    assert got["a"].lo < 1 and got["a"].hi > 100
