@@ -413,6 +413,8 @@ QUERIES: dict[str, QueryFn] = {
     "copurchase_pairs": R.copurchase_pairs,
     # Tukey-fence outlier profile (two-pass, fences broadcast back)
     "outlier_iqr": R.outlier_iqr,
+    # Morton/z-order clustering key (multi-dim layout optimization)
+    "zorder_key": CAT.zorder_events,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2589,4 +2591,17 @@ SELECT e.event_type, p25, p75, lo, hi,
 FROM events e JOIN f ON e.event_type = f.event_type
 GROUP BY e.event_type, p25, p75, lo, hi
 ORDER BY e.event_type
+"""
+
+# Z-order key: the identical unrolled bit interleave in SQL.
+ORACLES["zorder_key"] = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST((((u >> 0) & 1) << 0) | (((v >> 0) & 1) << 1) | (((u >> 1) & 1) << 2) | (((v >> 1) & 1) << 3) | (((u >> 2) & 1) << 4) | (((v >> 2) & 1) << 5) | (((u >> 3) & 1) << 6) | (((v >> 3) & 1) << 7) | (((u >> 4) & 1) << 8) | (((v >> 4) & 1) << 9) | (((u >> 5) & 1) << 10) | (((v >> 5) & 1) << 11) | (((u >> 6) & 1) << 12) | (((v >> 6) & 1) << 13) | (((u >> 7) & 1) << 14) | (((v >> 7) & 1) << 15) | (((u >> 8) & 1) << 16) | (((v >> 8) & 1) << 17) | (((u >> 9) & 1) << 18) | (((v >> 9) & 1) << 19) | (((u >> 10) & 1) << 20) | (((v >> 10) & 1) << 21) | (((u >> 11) & 1) << 22) | (((v >> 11) & 1) << 23) AS BIGINT) AS zvalue
+FROM (
+  SELECT event_id,
+         CAST(user_id AS BIGINT) AS u,
+         CAST(floor("value" * 100) AS BIGINT) AS v
+  FROM events
+)
+ORDER BY event_id
 """

@@ -523,3 +523,70 @@ def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 5 == 0, F.lit("xx")).otherwise(F.col("lang")),
     )
     return snapshot_diff(old, new, keys=["doc_id"]).orderBy("doc_id")
+
+
+def zorder_value(x, y, bits: int = 16):
+    """Z-order (Morton) curve value for two non-negative columns:
+    interleave the low ``bits`` bits of each (x in even positions, y
+    in odd) — the space-filling-curve key behind multi-dimensional
+    data clustering (the OPTIMIZE ZORDER BY of lakehouse table
+    formats, Morton 1966). Sorting by z clusters rows that are close
+    in BOTH dimensions, so per-file min/max ranges become tight 2-D
+    bounding boxes and a query filtering on either (or both) columns
+    prunes most files — where a 1-D sort only ever prunes on its
+    leading column.
+
+    Pure unrolled JVM bit arithmetic (2*bits shift-mask-or terms in
+    one codegen expression): no UDF, engine-portable, and exactly
+    reproducible in the DuckDB oracle. Callers bucket real values
+    into [0, 2^bits) first (quantile or fixed-width binning)."""
+    from pyspark.sql import functions as F
+
+    xc = x if not isinstance(x, str) else F.col(x)
+    yc = y if not isinstance(y, str) else F.col(y)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        # Column.__or__ is boolean OR in PySpark; bit math needs the
+        # explicit bitwiseOR
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xc.cast("long"), i) % 2, 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(yc.cast("long"), i) % 2, 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df, path: str, x: str, y: str, bits: int = 16, n_files: int = 16
+) -> None:
+    """Write ``df`` as parquet clustered along the z-curve of
+    (x, y): range-partition on the z-value (contiguous curve
+    segments per file, the layout that makes footer min/max stats
+    selective in both dimensions), sort within partitions, drop the
+    helper column. One range-exchange; at 100 TB this is the
+    periodic OPTIMIZE job, not a per-query cost."""
+    (
+        df.withColumn("__z", zorder_value(x, y, bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the z-values themselves for the events table
+    over (user_id, value scaled to ints) — deterministic bit
+    arithmetic, oracle-checked against the identical unrolled
+    interleave in SQL."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("u"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return ev.select(
+        "event_id", zorder_value("u", "v", bits=12).alias("zvalue")
+    ).orderBy("event_id")

@@ -245,3 +245,78 @@ def test_snapshot_diff_classification_and_null_safety(spark):
         for r in snapshot_diff(old, new, ["k"], compare_cols=["a"]).collect()
     }
     assert 2 not in got_a and got_a[5] == "update"
+
+
+def test_zorder_layout_tightens_2d_bounding_boxes(spark, tmp_path):
+    """The point of z-ordering: per-file footer min/max must be
+    selective in BOTH dimensions. Write the same rows (a) sorted by
+    u alone and (b) z-ordered by (u, v); the z layout's per-file v
+    spans must collapse (u-sorted files each cover ~the whole v
+    range) and a 2-D box query must overlap fewer files."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mapreducego_spark.sources.catalog import write_zordered, zorder_value
+
+    n = 1 << 14
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 128).alias("u"),
+            F.floor(F.col("id") / 128).alias("v"),
+        )
+    )
+    sorted_dir = str(tmp_path / "sorted")
+    z_dir = str(tmp_path / "zorder")
+    (
+        df.repartitionByRange(16, "u")
+        .sortWithinPartitions("u")
+        .write.mode("overwrite")
+        .parquet(sorted_dir)
+    )
+    write_zordered(df, z_dir, "u", "v", bits=7, n_files=16)
+
+    def file_boxes(d):
+        import glob
+
+        boxes = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.read_metadata(f)
+            us, vs = [], []
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                cols = {row.column(i).path_in_schema: row.column(i)
+                        for i in range(row.num_columns)}
+                us += [cols["u"].statistics.min, cols["u"].statistics.max]
+                vs += [cols["v"].statistics.min, cols["v"].statistics.max]
+            if us:
+                boxes.append((min(us), max(us), min(vs), max(vs)))
+        return boxes
+
+    sb, zb = file_boxes(sorted_dir), file_boxes(z_dir)
+    span_v_sorted = sum(b[3] - b[2] for b in sb) / len(sb)
+    span_v_z = sum(b[3] - b[2] for b in zb) / len(zb)
+    assert span_v_z < span_v_sorted / 2, (span_v_z, span_v_sorted)
+
+    # 2-D box query: u in [10, 20], v in [10, 20]
+    def overlapping(boxes):
+        return sum(
+            1
+            for (ulo, uhi, vlo, vhi) in boxes
+            if not (uhi < 10 or ulo > 20 or vhi < 10 or vlo > 20)
+        )
+
+    assert overlapping(zb) < overlapping(sb), (zb, sb)
+
+    # and the z key itself is the documented interleave
+    got = (
+        df.select(zorder_value("u", "v", bits=7).alias("z"), "u", "v")
+        .limit(100)
+        .collect()
+    )
+    for r in got:
+        want = 0
+        for i in range(7):
+            want |= ((int(r.u) >> i) & 1) << (2 * i)
+            want |= ((int(r.v) >> i) & 1) << (2 * i + 1)
+        assert r.z == want
