@@ -136,6 +136,12 @@ SCALE_SET = [
     # — state volume tracks |open windows|, not |rows|, so the ratio
     # should stay well under the data growth
     "stream_tumbling_sink",
+    # round 5 post-verdict: the salted holistic agg (skew IS the
+    # scale story), the degree-ordered triangle kernel (graph joins
+    # on a 10x-denser co-supply graph), and the CDC diff
+    "agg_skew_salted",
+    "triangle_count",
+    "snapshot_diff",
 ]
 SUPERLINEAR_RATIO = 12.0
 

@@ -20,7 +20,7 @@ a quadratic stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducego_spark.operators.util import guard_limit
@@ -102,3 +102,79 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["c_nationkey"],
         max_dist=1,
     ).orderBy("id_a", "id_b")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sort_key,
+    window: int = 5,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Sorted-neighborhood method (Hernandez & Stolfo 1995): the
+    OTHER classic candidate generator. Sort all records by a fuzzy
+    key, slide a window of ``window`` positions, verify only pairs
+    within the window. Complements hash blocking: blocking misses
+    matches whose blocking key disagrees (a typo IN the key);
+    SNM tolerates key typos as long as the sort still lands the
+    records near each other, and its candidate count is exactly
+    n * (window-1) — linear, no skew, no hot-block blowup.
+
+    Spark shape: ranks come from row_number over a global ORDER BY,
+    which Spark plans as a single partition — fine at dimension-table
+    size; at fact-table scale swap in the two-phase rank
+    (per-partition counts -> broadcast offsets) that text.pack_shards
+    already implements, with identical downstream plan. Pairs join on
+    rank difference 1..w-1 — one equi-join per offset, unioned, so no
+    range join and no skew (every rank has at most w-1 partners)."""
+    ranked = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(text_col).alias("txt"),
+        sort_key.alias("__sk"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("__sk"), F.col("id"))),
+    )
+    a = ranked.select(
+        F.col("id").alias("id_a"), F.col("txt").alias("txt_a"), "rn"
+    )
+    parts = []
+    for off in range(1, window):
+        b = ranked.select(
+            F.col("id").alias("id_b"),
+            F.col("txt").alias("txt_b"),
+            (F.col("rn") - off).alias("rn"),
+        )
+        parts.append(a.join(b, "rn"))
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+    return (
+        cands.withColumn("dist", F.levenshtein("txt_a", "txt_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+def snm_match_customers(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: sorted-neighborhood over customer names sorted
+    by name REVERSED — the canonical SNM key trick (typos cluster at
+    the end of these formulaic names, so reversing sorts look-alikes
+    adjacent). Window 6, edit distance <= 1, oracle = the same
+    ranked self-join in SQL."""
+    cust = load_table(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(
+        cust,
+        id_col="c_custkey",
+        text_col="c_name",
+        sort_key=F.reverse(F.col("c_name")),
+        window=6,
+        max_dist=1,
+    )

@@ -415,6 +415,8 @@ QUERIES: dict[str, QueryFn] = {
     "outlier_iqr": R.outlier_iqr,
     # Morton/z-order clustering key (multi-dim layout optimization)
     "zorder_key": CAT.zorder_events,
+    # sorted-neighborhood entity resolution (window-based candidates)
+    "fuzzy_match_snm": FZ.snm_match_customers,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2604,4 +2606,22 @@ FROM (
   FROM events
 )
 ORDER BY event_id
+"""
+
+# Sorted-neighborhood: identical rank + offset-join construction.
+ORACLES["fuzzy_match_snm"] = """
+WITH ranked AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS txt,
+         row_number() OVER (ORDER BY reverse(c_name), c_custkey) AS rn
+  FROM customer
+), cand AS (
+  SELECT a.id AS ia, b.id AS ib,
+         levenshtein(a.txt, b.txt) AS dist
+  FROM ranked a JOIN ranked b
+    ON b.rn - a.rn BETWEEN 1 AND 5
+)
+SELECT DISTINCT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+       CAST(dist AS BIGINT) AS dist
+FROM cand WHERE dist <= 1
+ORDER BY id_a, id_b
 """

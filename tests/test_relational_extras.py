@@ -234,3 +234,40 @@ def test_outlier_iqr_flags_known_outliers(spark, tmp_path):
     assert got["a"].n_outliers == 2
     assert got["b"].n_outliers == 0  # IQR 0 -> fences collapse to 5.0
     assert got["a"].lo < 1 and got["a"].hi > 100
+
+
+def test_snm_catches_cross_block_matches(spark):
+    """The complementarity claim: a near-dup pair whose BLOCKING key
+    disagrees (dirty key) is invisible to hash blocking but caught by
+    the sorted neighborhood, and SNM candidates are linear (<= n*(w-1)
+    verifications by construction)."""
+    from pyspark.sql import functions as F2
+
+    from mapreducego_spark.operators.fuzzy import (
+        blocked_fuzzy_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "ackermann", "de"),
+        (2, "ackermanm", "DE "),   # same person, typo'd block key
+        (3, "becker", "de"),
+        (4, "becker", "fr"),       # identical name, different block
+        (5, "zimmer", "fr"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "country"])
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", ["country"], max_dist=1
+        ).collect()
+    }
+    assert (1, 2) not in blocked  # dirty key hides it from blocking
+    snm = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df, "id", "name", sort_key=F2.col("name"), window=3, max_dist=1
+        ).collect()
+    }
+    assert (1, 2) in snm
+    assert (3, 4) in snm  # cross-block identical names too
