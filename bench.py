@@ -94,6 +94,8 @@ HEADLINE = [
     "copurchase_pairs",
     "nest_order_lines",
     "snapshot_diff",
+    # the end-to-end corpus-prep composition (flagship pipeline)
+    "prepare_corpus",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

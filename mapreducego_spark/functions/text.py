@@ -1171,3 +1171,39 @@ def tfidf_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def prepare_corpus(docs: DataFrame) -> DataFrame:
+    """END-TO-END training-corpus preparation as one oracle-checked
+    query — the composition a pretraining data run actually executes,
+    chaining three already-verified stages over one pass of the
+    corpus:
+
+      1. corpus_clean — Gopher-style quality gates, English lang-ID,
+         normalized-fingerprint exact dedup (keep-first);
+      2. decontaminate — drop any document sharing a token trigram
+         with the benchmark set (doc_id < 5 in the fixture), the
+         n-gram decontamination step;
+      3. pack_shards — token-budget shard assignment over the
+         SURVIVORS in deterministic hash order (two-phase prefix
+         sum), the write-side layout for the training run.
+
+    Output: one row per surviving document with its language score,
+    token count, and shard assignment. Every stage keeps its own
+    oracle elsewhere in the registry; this entry's oracle chains the
+    same CTEs, so the hash match proves the stages compose without
+    interference (the subtle failure: dedup or packing computed over
+    the UNFILTERED corpus — survivors must be selected before the
+    prefix sum, or shard budgets count dropped documents)."""
+    cleaned = corpus_clean(docs)
+    decon_ids = decontaminate(docs).select("doc_id")
+    survivors = cleaned.join(decon_ids, "doc_id")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).join(survivors.select("doc_id"), "doc_id")
+    packed = pack_shards(base).select("doc_id", "shard_id")
+    return (
+        survivors.join(packed, "doc_id")
+        .select("doc_id", "best_score", "n_tokens", "shard_id")
+        .orderBy("doc_id")
+    )

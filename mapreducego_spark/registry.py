@@ -417,6 +417,11 @@ QUERIES: dict[str, QueryFn] = {
     "zorder_key": CAT.zorder_events,
     # sorted-neighborhood entity resolution (window-based candidates)
     "fuzzy_match_snm": FZ.snm_match_customers,
+    # the end-to-end corpus-prep composition (clean -> dedup ->
+    # decontaminate -> pack), oracle-checked as ONE query
+    "prepare_corpus": lambda spark, sf_dir: T.prepare_corpus(
+        load_table(spark, sf_dir, "documents")
+    ),
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2624,4 +2629,65 @@ SELECT DISTINCT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
        CAST(dist AS BIGINT) AS dist
 FROM cand WHERE dist <= 1
 ORDER BY id_a, id_b
+"""
+
+# prepare_corpus: the composed pipeline oracle — corpus_clean's
+# CTEs, decontaminate's trigram drop, and pack_shards' prefix sum
+# computed over the SURVIVOR set.
+ORACLES["prepare_corpus"] = f"""
+WITH base AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text, {_TOKS} AS t FROM documents
+), checksed AS (
+    SELECT doc_id, t,
+           (len(t) >= 10 AND len(t) <= 100000) AS ok_length,
+           (CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+              <= 0.2 * CAST(greatest(length(text), 1) AS DOUBLE)) AS ok_punct,
+           (len(list_intersect(list_distinct(t), {_EN_STOP})) >= 2) AS ok_stopwords,
+           (CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+              / CAST(greatest(len(t), 1) AS DOUBLE) BETWEEN 2.0 AND 12.0) AS ok_token_len,
+           len(list_intersect(list_distinct(t), {_DE_STOP})) AS s_de,
+           len(list_intersect(list_distinct(t), {_EN_STOP})) AS s_en,
+           len(list_intersect(list_distinct(t), {_ES_STOP})) AS s_es,
+           len(list_intersect(list_distinct(t), {_FR_STOP})) AS s_fr,
+           md5(array_to_string(t, ' ')) AS fp
+    FROM base
+), fpfirst AS (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+    FROM checksed
+), cleaned AS (
+    SELECT c.doc_id,
+           CAST(greatest(s_de, s_en, s_es, s_fr) AS BIGINT) AS best_score,
+           CAST(len(t) AS BIGINT) AS n_tokens
+    FROM checksed c JOIN fpfirst f ON c.doc_id = f.doc_id AND f.rn = 1
+    WHERE ok_length AND ok_punct AND ok_stopwords AND ok_token_len
+      AND greatest(s_de, s_en, s_es, s_fr) > 0
+      AND s_en = greatest(s_de, s_en, s_es, s_fr)
+      AND s_de < greatest(s_de, s_en, s_es, s_fr)
+), g AS (
+    SELECT doc_id, unnest({_TRIGRAMS}) AS gram
+    FROM (SELECT doc_id, t FROM base)
+), bench AS (
+    SELECT DISTINCT gram FROM g WHERE doc_id < 5
+), bad AS (
+    SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE g.doc_id >= 5
+), survivors AS (
+    SELECT * FROM cleaned
+    WHERE doc_id >= 5 AND doc_id NOT IN (SELECT doc_id FROM bad)
+), pt AS (
+    SELECT d.doc_id,
+           CAST(len(list_filter(string_split_regex(d.text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
+           md5(CAST(d.doc_id AS VARCHAR)) AS h
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents) d
+    JOIN survivors s ON d.doc_id = s.doc_id
+), packed AS (
+    SELECT doc_id,
+           CAST(COALESCE(SUM(ws_tokens) OVER (
+                    ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 20000 AS BIGINT) AS shard_id
+    FROM pt
+)
+SELECT s.doc_id, s.best_score, s.n_tokens, p.shard_id
+FROM survivors s JOIN packed p ON s.doc_id = p.doc_id
+ORDER BY s.doc_id
 """

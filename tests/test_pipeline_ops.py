@@ -404,3 +404,38 @@ def test_dedup_spans_reconstruction_is_lossless_without_dups(spark):
             continue
         assert out[d]["n_dropped"] == 0, d
         assert out[d]["clean_text"] == " ".join(ts), d
+
+
+def test_prepare_corpus_composes_without_interference(spark):
+    """Survivors = corpus_clean ∩ decontaminate; shards are packed
+    over the SURVIVOR set (contiguous ids from 0, budget respected),
+    not the raw corpus."""
+    from mapreducego_spark.functions.text import (
+        corpus_clean,
+        decontaminate,
+        pack_shards,
+        prepare_corpus,
+    )
+    from mapreducego_spark.sources.catalog import load_table
+
+    SF = "/root/testdata/sf0.01"
+    docs = load_table(spark, SF, "documents")
+    out = prepare_corpus(docs).collect()
+    got_ids = {r.doc_id for r in out}
+    clean_ids = {r.doc_id for r in corpus_clean(docs).collect()}
+    decon_ids = {r.doc_id for r in decontaminate(docs).collect()}
+    assert got_ids == (clean_ids & decon_ids) and got_ids
+
+    # contiguous shard ids starting at 0
+    shards = sorted({r.shard_id for r in out})
+    assert shards == list(range(len(shards)))
+
+    # packing over the raw corpus would assign different shards for
+    # at least one survivor — the interference the composition must
+    # avoid
+    raw_pack = {
+        r.doc_id: r.shard_id for r in pack_shards(docs).collect()
+    }
+    assert any(
+        raw_pack.get(r.doc_id) != r.shard_id for r in out
+    )
