@@ -801,3 +801,198 @@ def decontaminate_embedding(
         )
         .orderBy("vec_id")
     )
+
+
+# --- product quantization (PQ / ADC) -----------------------------------
+#
+# The third ANN family next to sign-LSH and IVF: compress each vector
+# to m one-byte codes (one per dims/m subspace, nearest of k per-
+# subspace centroids) and score queries against CODES via
+# asymmetric-distance lookup tables (Jegou/Douze/Schmid 2011). The
+# scan reads m bytes per vector instead of dims doubles — a 64x
+# memory-bandwidth cut at the defaults — which is what makes
+# billion-vector search fit a cluster's RAM at all. Exactness
+# contract: approximate by construction (quantization distortion), so
+# the registry row is rows-only and the evidence is the pytest recall
+# floor vs the exact brute force, same policy as IVF/LSH.
+
+PQ_M = 16
+PQ_K = 256
+PQ_ITERS = 8
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    dims: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample_cap: int = IVF_TRAIN_SAMPLE,
+    iters: int = PQ_ITERS,
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means on the SAME bounded deterministic
+    sample device as ivf_train_centroids (smallest md5(vec_id) rows,
+    no RNG): training is O(scan) + driver flops independent of corpus
+    size. Vectors are L2-normalized first so ADC L2 distances order
+    like cosine (||q-x||^2 = 2 - 2cos on the unit sphere). Returns
+    (m, k, dims//m) codebooks; empty cells keep their previous
+    centroid (deterministic)."""
+    if dims % m:
+        raise ValueError(f"pq: dims={dims} not divisible by m={m}")
+    sub = dims // m
+    sample = (
+        emb.select("vec_id", "v")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(sample_cap)
+        .collect()
+    )
+    mat = _normalize_rows(np.array([r.v for r in sample], dtype="float64"))
+    books = np.zeros((m, k, sub))
+    for j in range(m):
+        s = mat[:, j * sub : (j + 1) * sub]
+        cents = s[: min(k, len(s))].copy()
+        if len(cents) < k:
+            cents = np.tile(cents, (-(-k // len(cents)), 1))[:k]
+        for _ in range(iters):
+            d2 = ((s[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = s[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode_udf(books: np.ndarray, dims: int):
+    """Pandas UDF: vector -> m uint8-range codes (nearest centroid
+    per subspace). One Arrow batch = m small cdist problems in
+    numpy; codebooks ride the closure (m*k*sub doubles, ~KBs)."""
+    m, k, sub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def _encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = _normalize_rows(
+            np.asarray(vs.tolist(), dtype="float64").reshape(len(vs), dims)
+        )
+        codes = np.zeros((len(vs), m), dtype=np.int64)
+        for j in range(m):
+            s = mat[:, j * sub : (j + 1) * sub]
+            # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2; argmin over c
+            d2 = (
+                (s**2).sum(axis=1, keepdims=True)
+                - 2.0 * (s @ books[j].T)
+                + (books[j] ** 2).sum(axis=1)[None, :]
+            )
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return _encode
+
+
+def pq_adc_udf(books: np.ndarray, qmat: np.ndarray):
+    """Pandas UDF: codes -> array of ADC distances, one per query.
+    The per-query lookup tables (m x k: exact distance from the
+    query subvector to EVERY centroid) are precomputed ONCE driver-side;
+    the scan then does m integer gathers + adds per (vector, query)
+    — no float vector math touches the corpus at all."""
+    m, k, sub = books.shape
+    q = _normalize_rows(qmat)
+    # lut[qi, j, c] = ||q_sub - c||^2
+    lut = np.zeros((len(q), m, k))
+    for j in range(m):
+        qs = q[:, j * sub : (j + 1) * sub]
+        lut[:, j, :] = (
+            (qs**2).sum(axis=1, keepdims=True)
+            - 2.0 * (qs @ books[j].T)
+            + (books[j] ** 2).sum(axis=1)[None, :]
+        )
+
+    @F.pandas_udf("array<double>")
+    def _adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        c = np.asarray(codes.tolist(), dtype=np.int64)  # (rows, m)
+        # gather: dist[r, qi] = sum_j lut[qi, j, c[r, j]]
+        dist = np.zeros((len(c), len(q)))
+        for j in range(m):
+            dist += lut[:, j, :][:, c[:, j]].T
+        return pd.Series([row.tolist() for row in dist])
+
+    return _adc
+
+
+def vector_ann_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    dims: int = 64,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    shortlist: int = 5,
+) -> DataFrame:
+    """ANN top-k via PQ/ADC with exact re-ranking — the production
+    two-stage shape (Jegou et al. §V / FAISS "ADC + refine"): encode
+    the corpus to m-byte codes, ADC-score queries against lookup
+    tables to a per-query shortlist of ``shortlist * TOP_K``
+    candidates, then re-rank ONLY the shortlist with exact cosine.
+    Output schema matches vector_topk (exact cos_sim values), so the
+    only approximation left is shortlist recall — measured as a
+    pytest floor, rows-only in the driver (same policy as IVF/LSH).
+
+    Physical shape at scale: one encode scan (Arrow, codebooks in
+    closure); every search scans CODES only — m bytes per vector,
+    a dims*8/m memory-bandwidth cut — with LUTs in the task
+    closure; the exact stage touches |Q| x shortlist rows. IVF-PQ
+    (probe cells, ADC within) is the composition of this with
+    vector_ann_ivf's coarse quantizer."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    books = pq_train_codebooks(emb, dims, m, k_codes)
+    q_ids, qmat = _collect_matrix(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS),
+        "vec_id",
+        "v",
+        cache_key=("topk_queries", sf_dir),
+    )
+    coded = _spread_if_heavy(emb, dims, len(q_ids)).select(
+        "vec_id", pq_encode_udf(books, dims)(F.col("v")).alias("codes")
+    )
+    qid_arr = F.array(*[F.lit(q).cast("long") for q in q_ids])
+    scored = (
+        coded.select(
+            "vec_id",
+            F.posexplode(pq_adc_udf(books, qmat)(F.col("codes"))).alias(
+                "qpos", "adc"
+            ),
+        )
+        .select(
+            F.element_at(qid_arr, F.col("qpos") + 1).alias("q_id"),
+            "vec_id",
+            F.round(F.col("adc"), 6).alias("adc_dist"),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    wa = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        scored.withColumn("rk0", F.row_number().over(wa))
+        .filter(F.col("rk0") <= shortlist * TOP_K)
+        .select("q_id", "vec_id")
+    )
+    cand = short.join(emb, "vec_id")
+    qpos = F.array_position(qid_arr, F.col("q_id")).cast("int")
+    cos = F.round(F.element_at(pair_cos_udf(qmat)(F.col("v")), qpos), 6)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("cos_sim", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", "cos_sim", F.col("rk").cast("long").alias("rk"))
+        .orderBy("q_id", "rk")
+    )

@@ -260,6 +260,7 @@ QUERIES: dict[str, QueryFn] = {
     # rows-only by design (approximate; pytest floors are the real
     # evidence, but a driver rows-row beats no row)
     "vector_ann_ivf": V.vector_ann_ivf,  # rows-only (approximate)
+    "vector_ann_pq": V.vector_ann_pq,  # rows-only (PQ/ADC + exact re-rank)
     "dedup_embedding_lsh": V.dedup_embedding_lsh,  # rows-only (recall-tested)
     # -- (4) r1-only: last driver row three rounds ago -------------
     "token_count": _token_count,

@@ -238,3 +238,36 @@ def test_embedding_lsh_bucket_cap_bounds_candidates(spark):
     uncapped = lsh_candidate_pairs(emb, dims=16, max_bucket_size=None).count()
     assert uncapped == 300 * 299 / 2
     assert capped == 0
+
+
+def test_pq_adc_rerank_recall_floor_and_determinism(spark):
+    """PQ/ADC shortlist + exact re-rank: recall@10 vs the exact
+    brute force must clear a floor on both fixtures (uniform random
+    vectors are PQ's worst case — no cluster structure — so the
+    floor is meaningful), values must be EXACT cosines (the re-rank
+    contract), and two runs must be identical (no RNG anywhere)."""
+    from mapreducego_spark.functions.vector import vector_ann_pq, vector_topk
+
+    for sf, mean_floor in (("/root/testdata/sf0.001", 0.9), ("/root/testdata/sf0.01", 0.95)):
+        exact_rows = vector_topk(spark, sf).collect()
+        exact = {}
+        exact_vals = {}
+        for r in exact_rows:
+            exact.setdefault(r.q_id, set()).add(r.vec_id)
+            exact_vals[(r.q_id, r.vec_id)] = r.cos_sim
+        got_rows = vector_ann_pq(spark, sf).collect()
+        got = {}
+        for r in got_rows:
+            got.setdefault(r.q_id, set()).add(r.vec_id)
+            # any returned pair that IS in the exact top-k must carry
+            # the exact cosine — re-ranking uses true distances
+            if (r.q_id, r.vec_id) in exact_vals:
+                assert r.cos_sim == exact_vals[(r.q_id, r.vec_id)]
+        recalls = [
+            len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact
+        ]
+        assert sum(recalls) / len(recalls) >= mean_floor, (sf, recalls)
+        assert min(recalls) >= 0.6, (sf, recalls)
+
+        again = vector_ann_pq(spark, sf).collect()
+        assert [tuple(r) for r in again] == [tuple(r) for r in got_rows]
