@@ -996,3 +996,91 @@ def vector_ann_pq(
         .select("q_id", "vec_id", "cos_sim", F.col("rk").cast("long").alias("rk"))
         .orderBy("q_id", "rk")
     )
+
+
+def vector_ann_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    dims: int = 64,
+    n_cells: int = IVF_N_CELLS,
+    n_probe: int = IVF_N_PROBE,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    shortlist: int = 5,
+) -> DataFrame:
+    """IVF-PQ: the full billion-scale index shape — IVF's coarse
+    quantizer routes each query to ``n_probe`` cells, PQ codes stand
+    in for vectors INSIDE the probed cells (ADC lookup-table scan),
+    and a per-query shortlist is re-ranked with exact cosine. This
+    is the composition FAISS calls IVFx,PQy: memory per vector is m
+    bytes + a cell id, and a query touches n_probe/n_cells of the
+    codes, not the corpus.
+
+    Built by composing the two existing quantizers (ivf_train_
+    centroids / pq_train_codebooks, both trained on the same bounded
+    deterministic sample) — no new moving parts, which is the point:
+    the pieces were designed to stack. Approximation now compounds
+    (cell-routing recall x quantization recall), so the pytest floor
+    is the evidence; rows-only in the driver."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    cents = ivf_train_centroids(emb, dims, n_cells)
+    books = pq_train_codebooks(emb, dims, m, k_codes)
+    assign1 = ivf_cell_udf(cents, dims, n_probe=1)
+    corpus = _spread_if_heavy(emb, dims, N_QUERY_VECS).select(
+        "vec_id",
+        F.element_at(assign1(F.col("v")), 1).alias("cell"),
+        pq_encode_udf(books, dims)(F.col("v")).alias("codes"),
+    )
+    q_ids, qmat = _collect_matrix(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS),
+        "vec_id",
+        "v",
+        cache_key=("topk_queries", sf_dir),
+    )
+    qid_arr = F.array(*[F.lit(q).cast("long") for q in q_ids])
+    probe = ivf_cell_udf(cents, dims, n_probe=n_probe)
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(probe(F.col("v"))).alias("cell"),
+        )
+    )
+    adc = pq_adc_udf(books, qmat)
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.element_at(
+                adc(F.col("codes")),
+                F.array_position(qid_arr, F.col("q_id")).cast("int"),
+            ).alias("adc_dist"),
+        )
+    )
+    wa = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        scored.withColumn("rk0", F.row_number().over(wa))
+        .filter(F.col("rk0") <= shortlist * TOP_K)
+        .select("q_id", "vec_id")
+    )
+    cand = short.join(emb, "vec_id")
+    qpos = F.array_position(qid_arr, F.col("q_id")).cast("int")
+    cos = F.round(F.element_at(pair_cos_udf(qmat)(F.col("v")), qpos), 6)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("cos_sim", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", "cos_sim", F.col("rk").cast("long").alias("rk"))
+        .orderBy("q_id", "rk")
+    )

@@ -261,6 +261,7 @@ QUERIES: dict[str, QueryFn] = {
     # evidence, but a driver rows-row beats no row)
     "vector_ann_ivf": V.vector_ann_ivf,  # rows-only (approximate)
     "vector_ann_pq": V.vector_ann_pq,  # rows-only (PQ/ADC + exact re-rank)
+    "vector_ann_ivfpq": V.vector_ann_ivfpq,  # rows-only (IVF routing x PQ)
     "dedup_embedding_lsh": V.dedup_embedding_lsh,  # rows-only (recall-tested)
     # -- (4) r1-only: last driver row three rounds ago -------------
     "token_count": _token_count,

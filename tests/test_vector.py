@@ -271,3 +271,29 @@ def test_pq_adc_rerank_recall_floor_and_determinism(spark):
 
         again = vector_ann_pq(spark, sf).collect()
         assert [tuple(r) for r in again] == [tuple(r) for r in got_rows]
+
+
+def test_ivfpq_recall_floor_and_exact_rerank_values(spark):
+    """IVF-PQ compounds cell-routing recall with quantization recall,
+    so its floor sits below the standalone stages' (IVF alone floors
+    at 0.4 here); re-ranked values must still be exact cosines."""
+    from mapreducego_spark.functions.vector import vector_ann_ivfpq, vector_topk
+
+    sf = "/root/testdata/sf0.01"
+    exact_rows = vector_topk(spark, sf).collect()
+    exact = {}
+    vals = {}
+    for r in exact_rows:
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+        vals[(r.q_id, r.vec_id)] = r.cos_sim
+    got_rows = vector_ann_ivfpq(spark, sf).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+        if (r.q_id, r.vec_id) in vals:
+            assert r.cos_sim == vals[(r.q_id, r.vec_id)]
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.45, recalls
+    assert [tuple(r) for r in vector_ann_ivfpq(spark, sf).collect()] == [
+        tuple(r) for r in got_rows
+    ]
