@@ -424,6 +424,8 @@ QUERIES: dict[str, QueryFn] = {
     "prepare_corpus": lambda spark, sf_dir: T.prepare_corpus(
         load_table(spark, sf_dir, "documents")
     ),
+    # CDC round trip: apply(diff(old, new), old) == new
+    "cdc_apply": CAT.cdc_apply_documents,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2692,4 +2694,14 @@ WITH base AS (
 SELECT s.doc_id, s.best_score, s.n_tokens, p.shard_id
 FROM survivors s JOIN packed p ON s.doc_id = p.doc_id
 ORDER BY s.doc_id
+"""
+
+# CDC apply round trip: the oracle constructs NEW directly — the
+# hash match proves diff + apply reconstructs it exactly.
+ORACLES["cdc_apply"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 7 <> 2
+ORDER BY doc_id
 """

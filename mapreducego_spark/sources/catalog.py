@@ -477,31 +477,10 @@ def snapshot_diff(
     null-safe struct equality — a column going NULL -> value or
     value -> NULL is an update, not a match. At scale this is one
     co-partitionable shuffle; with both snapshots bucketed on the
-    key it is shuffle-free."""
-    from pyspark.sql import functions as F
-
-    cmp_cols = compare_cols or [c for c in old.columns if c not in keys]
-    o = old.select(
-        *[F.col(k).alias(f"__k_{k}") for k in keys],
-        F.struct(*[F.col(c) for c in cmp_cols]).alias("__old"),
-    )
-    n = new.select(
-        *[F.col(k).alias(f"__k_{k}") for k in keys],
-        F.struct(*[F.col(c) for c in cmp_cols]).alias("__new"),
-    )
-    cond = [o[f"__k_{k}"].eqNullSafe(n[f"__k_{k}"]) for k in keys]
-    j = o.join(n, cond, "full_outer")
-    change = (
-        F.when(o["__old"].isNull(), F.lit("insert"))
-        .when(n["__new"].isNull(), F.lit("delete"))
-        .when(~o["__old"].eqNullSafe(n["__new"]), F.lit("update"))
-    )
-    out_keys = [
-        F.coalesce(o[f"__k_{k}"], n[f"__k_{k}"]).alias(k) for k in keys
-    ]
-    return (
-        j.select(*out_keys, change.alias("change_type"))
-        .filter(F.col("change_type").isNotNull())
+    key it is shuffle-free. (Payload-carrying variant:
+    snapshot_diff_rows below.)"""
+    return snapshot_diff_rows(old, new, keys, compare_cols).select(
+        *keys, "change_type"
     )
 
 
@@ -590,3 +569,83 @@ def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", zorder_value("u", "v", bits=12).alias("zvalue")
     ).orderBy("event_id")
+
+
+def snapshot_diff_rows(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """snapshot_diff with PAYLOAD: insert/update rows carry the new
+    values (delete rows carry nulls) — the shape a change FEED needs
+    so a downstream replica can be maintained without re-reading the
+    source (see cdc_apply)."""
+    from pyspark.sql import functions as F
+
+    cmp_cols = compare_cols or [c for c in old.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in cmp_cols]).alias("__old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in cmp_cols]).alias("__new"),
+    )
+    cond = [o[f"__k_{k}"].eqNullSafe(n[f"__k_{k}"]) for k in keys]
+    j = o.join(n, cond, "full_outer")
+    change = (
+        F.when(o["__old"].isNull(), F.lit("insert"))
+        .when(n["__new"].isNull(), F.lit("delete"))
+        .when(~o["__old"].eqNullSafe(n["__new"]), F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(o[f"__k_{k}"], n[f"__k_{k}"]).alias(k) for k in keys
+    ]
+    payload = [n["__new"][c].alias(c) for c in cmp_cols]
+    return (
+        j.select(*out_keys, change.alias("change_type"), *payload)
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
+def cdc_apply(base: DataFrame, changes: DataFrame, keys: list[str]) -> DataFrame:
+    """Apply a snapshot_diff_rows change feed to a replica of the OLD
+    snapshot: drop every changed key from the base (delete and
+    update alike), then append the insert/update payload rows. The
+    round-trip law — cdc_apply(old, snapshot_diff_rows(old, new)) ==
+    new — is what the oracle entry checks, and it is the invariant
+    any CDC replication pipeline lives or dies by. One anti-join on
+    the (small) change feed + a union: the replica table is scanned
+    once, never shuffled when changes broadcast."""
+    from pyspark.sql import functions as F
+
+    keep = base.join(changes.select(*keys), keys, "left_anti")
+    upserts = changes.filter(F.col("change_type") != "delete").select(
+        *keys, *[c for c in base.columns if c not in keys]
+    )
+    return keep.unionByName(upserts)
+
+
+def cdc_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the CDC round trip on the same deterministic
+    old/new snapshots as snapshot_diff — diff the snapshots, apply
+    the feed to old, and the result must hash-equal the directly
+    constructed NEW snapshot (the oracle reads new straight from the
+    fixture)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    old = docs.filter(F.col("doc_id") % 7 != 1)
+    new = docs.filter(F.col("doc_id") % 7 != 2).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("xx")).otherwise(F.col("lang")),
+    )
+    feed = snapshot_diff_rows(old, new, keys=["doc_id"])
+    applied = cdc_apply(old, feed, keys=["doc_id"])
+    return applied.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    ).orderBy("doc_id")

@@ -320,3 +320,25 @@ def test_zorder_layout_tightens_2d_bounding_boxes(spark, tmp_path):
             want |= ((int(r.u) >> i) & 1) << (2 * i)
             want |= ((int(r.v) >> i) & 1) << (2 * i + 1)
         assert r.z == want
+
+
+def test_cdc_round_trip_law(spark):
+    """cdc_apply(old, snapshot_diff_rows(old, new)) must equal new
+    exactly, including NULL transitions and pure inserts/deletes."""
+    from pyspark.sql import Row
+
+    from mapreducego_spark.sources.catalog import cdc_apply, snapshot_diff_rows
+
+    old = spark.createDataFrame(
+        [Row(k=1, a="x", b=None), Row(k=2, a="y", b="v"), Row(k=3, a="z", b="w")]
+    )
+    new = spark.createDataFrame(
+        [Row(k=1, a="x", b=None), Row(k=2, a="y", b=None), Row(k=4, a="n", b="q")]
+    )
+    feed = snapshot_diff_rows(old, new, ["k"])
+    applied = cdc_apply(old, feed, ["k"])
+    assert {tuple(r) for r in applied.collect()} == {
+        tuple(r) for r in new.collect()
+    }
+    # the feed itself is minimal: unchanged key 1 is absent
+    assert {r.k for r in feed.collect()} == {2, 3, 4}
