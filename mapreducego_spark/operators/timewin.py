@@ -339,3 +339,51 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_n")
     )
+
+
+def trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend over daily event counts — the
+    capacity-planning / anomaly-baseline query every metrics
+    warehouse runs. OLS needs only five algebraic sums (n, Σt, Σy,
+    Σtt, Σty), so the whole fit is two map-side-combined aggregates
+    (daily rollup, then per-group sums) — no window, no iteration,
+    and it would shuffle |groups|x|days| rows at any corpus size.
+
+    Engine-exactness: t is an integer day index (datediff from a
+    fixed epoch) and y an integer count, so all five sums are exact
+    LONGs; slope's numerator/denominator stay integer to the final
+    ONE double division, and intercept/forecast reuse slope through
+    a fixed IEEE expression tree mirrored verbatim in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("t"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.max("t").alias("tmax"),
+    )
+    num = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("st").cast("double")
+    ) / F.col("n").cast("double")
+    forecast = intercept + slope * (F.col("tmax") + 1).cast("double")
+    return (
+        sums.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+            F.round(forecast, 6).alias("forecast_next"),
+        )
+        .orderBy("event_type")
+    )

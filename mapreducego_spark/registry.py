@@ -426,6 +426,8 @@ QUERIES: dict[str, QueryFn] = {
     ),
     # CDC round trip: apply(diff(old, new), old) == new
     "cdc_apply": CAT.cdc_apply_documents,
+    # per-group OLS trend from five exact algebraic sums
+    "trend_fit": TW.trend_fit,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2704,4 +2706,38 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_chars AS BIGINT) AS n_chars
 FROM documents WHERE doc_id % 7 <> 2
 ORDER BY doc_id
+"""
+
+# OLS from exact integer sums; one double division, mirrored trees.
+ORACLES["trend_fit"] = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), sums AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(t) AS st, SUM(y) AS sy,
+         SUM(t * t) AS stt, SUM(t * y) AS sty,
+         MAX(t) AS tmax
+  FROM daily GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       round(CAST(n * sty - st * sy AS DOUBLE)
+             / CAST(n * stt - st * st AS DOUBLE), 6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sty - st * sy AS DOUBLE)
+                 / CAST(n * stt - st * st AS DOUBLE)) * CAST(st AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept,
+       round(((CAST(sy AS DOUBLE)
+              - (CAST(n * sty - st * sy AS DOUBLE)
+                 / CAST(n * stt - st * st AS DOUBLE)) * CAST(st AS DOUBLE))
+             / CAST(n AS DOUBLE))
+             + (CAST(n * sty - st * sy AS DOUBLE)
+                / CAST(n * stt - st * st AS DOUBLE)) * CAST(tmax + 1 AS DOUBLE),
+             6) AS forecast_next
+FROM sums
+ORDER BY event_type
 """

@@ -178,3 +178,39 @@ def test_sessionize_gap_invariants(spark):
             assert b["sess_start_us"] - a["sess_end_us"] > gap_us, u
         for r in rs:
             assert r["sess_start_us"] <= r["sess_end_us"]
+
+
+def test_trend_fit_recovers_planted_slope(spark, tmp_path):
+    """A synthetic table with an exact linear daily count (y = 5t +
+    40) must fit slope 5, intercept 40, forecast the next day
+    exactly; a flat series fits slope 0."""
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for t in range(10):
+        for _ in range(5 * t + 40):           # linear group
+            rows.append(("lin", t)); eid += 1
+        for _ in range(7):                    # flat group
+            rows.append(("flat", t)); eid += 1
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [
+                pd.Timestamp("2024-01-01") + pd.Timedelta(days=t)
+                for _, t in rows
+            ],
+            "user_id": 1,
+            "event_type": [g for g, _ in rows],
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+    from mapreducego_spark.operators.timewin import trend_fit
+
+    got = {r.event_type: r for r in trend_fit(spark, str(tmp_path)).collect()}
+    assert got["lin"].slope == 5.0
+    assert got["lin"].intercept == 40.0
+    assert got["lin"].forecast_next == 5.0 * 10 + 40.0
+    assert got["flat"].slope == 0.0 and got["flat"].forecast_next == 7.0
