@@ -387,3 +387,51 @@ def trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def session_paths(spark: SparkSession, sf_dir: str, top_n: int = 20) -> DataFrame:
+    """Top-N session PATHS: the ordered event-type sequence of each
+    gap-based session, counted across all sessions — the product
+    question behind funnel design ("what do users actually do in a
+    visit?"). Reuses sessionize's lag/cumsum construction for the
+    session ids, then builds each path with the order-imposed
+    nested-collect pattern (sort_array over (ts, event_id)-keyed
+    structs — collect_list alone is shuffle-order-nondeterministic,
+    the nest_order_lines trap) and counts paths.
+
+    Scale shape: one user_id shuffle for the windows, one path
+    shuffle for the count (paths are short strings), top-N via the
+    count ordering with a path tie-break for determinism."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    new_sess = F.when(
+        F.lag("us").over(w).isNull() | (F.col("us") - F.lag("us").over(w) > gap_us),
+        1,
+    ).otherwise(0)
+    sess_n = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    path = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("us", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    return (
+        ev.withColumn("session_n", sess_n)
+        .groupBy("user_id", "session_n")
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(top_n)
+    )

@@ -428,6 +428,8 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_apply": CAT.cdc_apply_documents,
     # per-group OLS trend from five exact algebraic sums
     "trend_fit": TW.trend_fit,
+    # top session paths (ordered event-type sequences per session)
+    "session_paths": TW.session_paths,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2740,4 +2742,37 @@ SELECT event_type,
              6) AS forecast_next
 FROM sums
 ORDER BY event_type
+"""
+
+# Session paths: same lag/cumsum session ids + ordered string_agg.
+ORACLES["session_paths"] = """
+WITH ev AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(event_id AS BIGINT) AS event_id,
+         event_type,
+         epoch_ns(ts) // 1000 AS us
+  FROM events
+), marked AS (
+  SELECT *,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sessions AS (
+  SELECT *,
+         SUM(new_sess) OVER (
+             PARTITION BY user_id ORDER BY us, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_n
+  FROM marked
+), paths AS (
+  SELECT user_id, session_n,
+         string_agg(event_type, '>' ORDER BY us, event_id) AS path
+  FROM sessions GROUP BY user_id, session_n
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
 """

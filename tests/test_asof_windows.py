@@ -214,3 +214,36 @@ def test_trend_fit_recovers_planted_slope(spark, tmp_path):
     assert got["lin"].intercept == 40.0
     assert got["lin"].forecast_next == 5.0 * 10 + 40.0
     assert got["flat"].slope == 0.0 and got["flat"].forecast_next == 7.0
+
+
+def test_session_paths_orders_within_session(spark, tmp_path):
+    """Paths must follow event-time order within each session and cut
+    at >30-min gaps."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1, session 1: view > click > purchase
+        (1, base, "view"), (1, base + pd.Timedelta("5min"), "click"),
+        (1, base + pd.Timedelta("10min"), "purchase"),
+        # user 1, session 2 (after 2h): view
+        (1, base + pd.Timedelta("3h"), "view"),
+        # user 2: same 3-step path
+        (2, base, "view"), (2, base + pd.Timedelta("1min"), "click"),
+        (2, base + pd.Timedelta("2min"), "purchase"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [t for _, t, _ in rows],
+            "user_id": [u for u, _, _ in rows],
+            "event_type": [e for _, _, e in rows],
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+    from mapreducego_spark.operators.timewin import session_paths
+
+    got = {r.path: r.n_sessions for r in session_paths(spark, str(tmp_path)).collect()}
+    assert got == {"view>click>purchase": 2, "view": 1}
