@@ -435,3 +435,44 @@ def session_paths(spark: SparkSession, sf_dir: str, top_n: int = 20) -> DataFram
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(top_n)
     )
+
+
+def active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day active users (WAU) beside daily actives
+    (DAU) — the growth dashboard's headline pair. Exact rolling
+    DISTINCT does not decompose algebraically (you cannot merge two
+    days' distinct counts), so the scalable exact construction is
+    contribution explosion: each (user, day) activity row fans out
+    to the <=7 window-days it can appear in, then one distinct +
+    count per window-day. Cost is a bounded 7x row fan-out of the
+    ALREADY-DEDUPED (user, day) table — |users x days|, not |events|
+    — which beats a per-day window over raw events by the event
+    multiplicity, and sketches (HLL merge) are the approximate
+    fallback when even that is too wide."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+    )
+    du = ev.distinct()
+    max_day = du.agg(F.max("day").alias("mx"))
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = (
+        du.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+        )
+        .crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") <= F.col("mx"))
+        .select("user_id", "day")
+        .distinct()
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau7"))
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            F.col("wau7").cast("long").alias("wau7"),
+        )
+        .orderBy("day")
+    )

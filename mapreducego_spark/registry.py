@@ -430,6 +430,8 @@ QUERIES: dict[str, QueryFn] = {
     "trend_fit": TW.trend_fit,
     # top session paths (ordered event-type sequences per session)
     "session_paths": TW.session_paths,
+    # exact rolling 7-day active users via contribution explosion
+    "active_users_rolling": TW.active_users_rolling,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2775,4 +2777,27 @@ FROM paths
 GROUP BY path
 ORDER BY n_sessions DESC, path ASC
 LIMIT 20
+"""
+
+# Rolling actives: same explode-contributions construction in SQL.
+ORACLES["active_users_rolling"] = """
+WITH du AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+), mx AS (SELECT MAX(day) AS mx FROM du),
+dau AS (
+  SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day
+), contrib AS (
+  SELECT DISTINCT user_id, day + off AS day
+  FROM du, (SELECT unnest(range(7)) AS off), mx
+  WHERE day + off <= mx
+), wau AS (
+  SELECT day, COUNT(DISTINCT user_id) AS wau7 FROM contrib GROUP BY day
+)
+SELECT CAST(w.day AS BIGINT) AS day,
+       CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+       CAST(w.wau7 AS BIGINT) AS wau7
+FROM wau w LEFT JOIN dau d ON w.day = d.day
+ORDER BY day
 """

@@ -247,3 +247,35 @@ def test_session_paths_orders_within_session(spark, tmp_path):
 
     got = {r.path: r.n_sessions for r in session_paths(spark, str(tmp_path)).collect()}
     assert got == {"view>click>purchase": 2, "view": 1}
+
+
+def test_rolling_actives_window_semantics(spark, tmp_path):
+    """WAU(d) = distinct users active in [d-6, d]: a user active on
+    day 0 only counts toward days 0..6; two users on disjoint days
+    inside one window both count."""
+    import pandas as pd
+
+    rows = [(1, 0), (2, 3), (3, 10)]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [
+                pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)
+                for _, d in rows
+            ],
+            "user_id": [u for u, _ in rows],
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+    from mapreducego_spark.operators.timewin import active_users_rolling
+
+    got = {r.day: (r.dau, r.wau7) for r in active_users_rolling(spark, str(tmp_path)).collect()}
+    assert got[0] == (1, 1)
+    assert got[3] == (1, 2)      # users 1 and 2 both in [−3..3]
+    assert got[6] == (0, 2)      # no activity day 6, window still holds both
+    assert got[7] == (0, 1)      # user 1 aged out
+    assert got[10] == (1, 1)
+    assert max(got) == 10        # trimmed at max day
