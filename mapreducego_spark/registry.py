@@ -432,6 +432,8 @@ QUERIES: dict[str, QueryFn] = {
     "session_paths": TW.session_paths,
     # exact rolling 7-day active users via contribution explosion
     "active_users_rolling": TW.active_users_rolling,
+    # schema-on-read evolution (mergeSchema null-backfill)
+    "parquet_merge_schema": CAT.parquet_schema_merge,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2800,4 +2802,12 @@ SELECT CAST(w.day AS BIGINT) AS day,
        CAST(w.wau7 AS BIGINT) AS wau7
 FROM wau w LEFT JOIN dau d ON w.day = d.day
 ORDER BY day
+"""
+
+# mergeSchema read == union with null-backfilled added column.
+ORACLES["parquet_merge_schema"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars AS BIGINT) END AS n_chars
+FROM documents
+ORDER BY doc_id
 """

@@ -649,3 +649,37 @@ def cdc_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return applied.select(
         "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
     ).orderBy("doc_id")
+
+
+def parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: schema-on-read evolution for plain parquet —
+    two batches of one logical table land with different schemas
+    (the second adds a column, the universal lakehouse drift), and
+    ``mergeSchema=true`` reads them as one table with the missing
+    column null-backfilled. This is the READ-side twin of
+    upsert_parquet's schema evolution: no rewrite of old files, the
+    union happens at scan time. Cost note for 100 TB: mergeSchema
+    reads EVERY file footer at planning (that is why it is off by
+    default); production pins the merged schema in a metastore and
+    passes it explicitly — the .schema(...) path also shown here
+    would then replace the merge flag."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    out = _scratch_dir("schema_merge_")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "batch=0"))
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
+        os.path.join(out, "batch=1")
+    )
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+    )
+    return merged.select("doc_id", "lang", "n_chars").orderBy("doc_id")

@@ -342,3 +342,15 @@ def test_cdc_round_trip_law(spark):
     }
     # the feed itself is minimal: unchanged key 1 is absent
     assert {r.k for r in feed.collect()} == {2, 3, 4}
+
+
+def test_parquet_merge_schema_null_backfills(spark, sf_dir):
+    from mapreducego_spark.sources.catalog import parquet_schema_merge
+
+    out = parquet_schema_merge(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        if r.doc_id % 2 == 0:
+            assert r.n_chars is None  # old-schema batch backfilled
+        else:
+            assert r.n_chars is not None
