@@ -62,6 +62,8 @@ WAIVED: dict[str, str] = {
     "aggregate (the decorrelated scalar subquery; relational.py:1158)",
     "tfidf_cosine_pairs": "BNLJ vs broadcast 1-row corpus-count "
     "aggregate (same pattern as tfidf_top_terms/perplexity_score)",
+    "active_users_rolling": "BNLJ vs broadcast 1-row max-day "
+    "aggregate (trims trailing window days; same 1-row pattern)",
 }
 # (vector_topk / knn_label_vote / decontaminate_embedding waivers are
 # gone as of r5: the query/benchmark set now ships in the pair-cosine
