@@ -434,6 +434,9 @@ QUERIES: dict[str, QueryFn] = {
     "active_users_rolling": TW.active_users_rolling,
     # schema-on-read evolution (mergeSchema null-backfill)
     "parquet_merge_schema": CAT.parquet_schema_merge,
+    # ordered-funnel state machine (3rd custom stateful op) — shares
+    # funnel_conversion's oracle: incremental == one-shot min-chain
+    "stream_funnel_sink": ST.stream_funnel_sink,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2811,3 +2814,5 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
 FROM documents
 ORDER BY doc_id
 """
+
+ORACLES["stream_funnel_sink"] = ORACLES["funnel_conversion"]

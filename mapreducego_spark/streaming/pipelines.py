@@ -1073,3 +1073,131 @@ def stream_left_join_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("long").alias("user_id"),
         )
     )
+
+
+# --- custom stateful operator #3: ordered-funnel state machine ---------
+
+
+def user_funnel_stream(events: DataFrame) -> StreamSpec:
+    """Per-user ordered-funnel STATE MACHINE in streaming: track the
+    earliest view, the earliest click strictly after it, and the
+    earliest purchase strictly after that — the incremental form of
+    operators/timewin.funnel_conversion, whose one-shot min-chain
+    the greedy rule reproduces exactly WHEN events are processed in
+    event-time order: the first view seen sets t_view, the first
+    click with ts > t_view is by construction the minimum such
+    click, and likewise the purchase. Order is guaranteed here by
+    (a) the staged replay's ts-sorted chunks across batches and
+    (b) an explicit (ts, event_id) sort within each batch; all
+    comparisons are strict, so equal-timestamp permutations cannot
+    change the outcome.
+
+    State is three nullable epoch-micro longs — O(1) per user
+    forever, the selling point of the state-machine form over
+    re-running the batch funnel: at 100 TB of history the batch
+    form re-scans everything nightly, this touches each event
+    once."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("t_view", LongType()),
+            StructField("t_click", LongType()),
+            StructField("t_purchase", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("t_view", LongType()),
+            StructField("t_click", LongType()),
+            StructField("t_purchase", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        tv, tc, tp = state.get if state.exists else (None, None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["us", "event_id"])
+            for us, etype in zip(pdf["us"], pdf["event_type"]):
+                us = int(us)
+                if etype == "view":
+                    if tv is None:
+                        tv = us
+                elif etype == "click":
+                    if tv is not None and us > tv and tc is None:
+                        tc = us
+                elif etype == "purchase":
+                    if tc is not None and us > tc and tp is None:
+                        tp = us
+        state.update((tv, tc, tp))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "t_view": [tv],
+                "t_click": [tc],
+                "t_purchase": [tp],
+            }
+        )
+
+    prepped = events.filter(F.col("user_id") != FLUSH_USER_ID).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+    )
+    return StreamSpec(
+        prepped.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        ),
+        "update",
+    )
+
+
+def stream_funnel_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the streaming funnel state machine reduced to
+    per-stage user counts — SHARES funnel_conversion's oracle, so
+    the hash match proves the incremental state machine computes
+    exactly the one-shot min-chain. Final per-user state = the row
+    from the last emitting batch (stage times only ever move from
+    NULL to a value, so max_by on the filled-stage count is the
+    final state)."""
+    import uuid
+
+    out = run_to_memory(
+        user_funnel_stream(events_stream(spark, sf_dir)),
+        spark,
+        name=f"funnel_state_{uuid.uuid4().hex[:8]}",
+    )
+    filled = (
+        F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+    )
+    final = (
+        out.withColumn("__filled", filled)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("t_view", "__filled").alias("t_view"),
+            F.max_by("t_click", "__filled").alias("t_click"),
+            F.max_by("t_purchase", "__filled").alias("t_purchase"),
+        )
+    )
+
+    def stage(col: str, name: str) -> DataFrame:
+        return (
+            final.filter(F.col(col).isNotNull())
+            .agg(F.count(F.lit(1)).alias("users"))
+            .select(F.lit(name).alias("stage"), "users")
+        )
+
+    return (
+        stage("t_view", "1_view")
+        .unionAll(stage("t_click", "2_click"))
+        .unionAll(stage("t_purchase", "3_purchase"))
+    )

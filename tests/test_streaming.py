@@ -581,3 +581,49 @@ def test_stream_left_outer_join_emits_unmatched_purchases(spark, sf_dir):
     }
     got_unmatched = {pid for (pid, cid) in got if cid is None}
     assert horizon <= got_unmatched
+
+
+def test_stream_funnel_state_machine_equals_batch(spark, sf_dir):
+    """The greedy per-user state machine must equal the one-shot
+    min-chain funnel on the fixture, and respect STRICT ordering on
+    a crafted stream (a click at exactly t_view must not count)."""
+    from mapreducego_spark.operators.timewin import funnel_conversion
+    from mapreducego_spark.streaming.pipelines import (
+        run_to_memory,
+        stream_funnel_sink,
+        user_funnel_stream,
+    )
+
+    got = {r.stage: r.users for r in stream_funnel_sink(spark, sf_dir).collect()}
+    want = {r.stage: r.users for r in funnel_conversion(spark, sf_dir).collect()}
+    assert got == want and want["1_view"] > 0
+
+    # strictness: click at t == t_view is NOT after the view
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "ts": [base, base, base + pd.Timedelta("1min")],
+            "user_id": [1, 1, 1],
+            "event_type": ["view", "click", "purchase"],
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="funnel_strict_")
+    pdf.to_parquet(f"{d}/events.parquet")
+    from mapreducego_spark.streaming.pipelines import events_stream
+
+    out = run_to_memory(
+        user_funnel_stream(events_stream(spark, d, n_chunks=1)),
+        spark,
+        name="funnel_strict",
+    ).collect()
+    final = out[-1]
+    assert final.t_view is not None
+    assert final.t_click is None  # same-ts click rejected (strict >)
+    assert final.t_purchase is None  # no click -> purchase unreachable

@@ -44,6 +44,7 @@ SKIP = {
     "orc_round_trip",
     "stream_upsert_sink",
     "stream_left_join_sink",
+    "stream_funnel_sink",
 }
 
 # Red flags that are BY DESIGN, with the reason on record. A nested-
