@@ -437,6 +437,9 @@ QUERIES: dict[str, QueryFn] = {
     # ordered-funnel state machine (3rd custom stateful op) — shares
     # funnel_conversion's oracle: incremental == one-shot min-chain
     "stream_funnel_sink": ST.stream_funnel_sink,
+    # rolling distinct from a stored HLL sketch table (approximate;
+    # rows-only — pytest floors it against the exact operator)
+    "sketch_active_users": RU.sketch_active_users,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries

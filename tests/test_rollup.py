@@ -152,3 +152,42 @@ def test_stream_rollup_matches_batch_build(spark, sf_dir, tmp_path):
     full = str(tmp_path / "full")
     build_rollup(ev, full)
     assert _snapshot(spark, roll) == _snapshot(spark, full)
+
+
+def test_sketch_actives_tracks_exact_and_merges_lawfully(spark):
+    """The sketch-table estimate must track the exact rolling
+    distinct within HLL tolerance on every day, be run-to-run
+    deterministic, and satisfy the mergeability law (union of daily
+    sketches == one sketch over the whole range)."""
+    from pyspark.sql import functions as F2
+
+    from mapreducego_spark.operators.rollup import sketch_active_users
+    from mapreducego_spark.operators.timewin import active_users_rolling
+    from mapreducego_spark.sources.catalog import load_table
+
+    SF = "/root/testdata/sf0.01"
+    est = {r.day: r.wau7_est for r in sketch_active_users(spark, SF).collect()}
+    exact = {r.day: r.wau7 for r in active_users_rolling(spark, SF).collect()}
+    assert set(est) == set(exact)
+    for d in exact:
+        assert abs(est[d] - exact[d]) <= max(3, 0.05 * exact[d]), (d, est[d], exact[d])
+
+    again = {r.day: r.wau7_est for r in sketch_active_users(spark, SF).collect()}
+    assert again == est
+
+    # mergeability: union of per-day sketches over ALL days ==
+    # estimate of one sketch built over all events
+    ev = load_table(spark, SF, "events").select(
+        F2.col("user_id").cast("long").alias("user_id"),
+        F2.datediff(F2.to_date("ts"), F2.lit("2024-01-01")).alias("day"),
+    )
+    merged = (
+        ev.groupBy("day")
+        .agg(F2.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F2.hll_sketch_estimate(F2.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    direct = ev.agg(
+        F2.hll_sketch_estimate(F2.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0]["e"]
+    assert merged == direct

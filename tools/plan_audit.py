@@ -65,6 +65,8 @@ WAIVED: dict[str, str] = {
     "aggregate (same pattern as tfidf_top_terms/perplexity_score)",
     "active_users_rolling": "BNLJ vs broadcast 1-row max-day "
     "aggregate (trims trailing window days; same 1-row pattern)",
+    "sketch_active_users": "BNLJ vs broadcast 1-row max-day "
+    "aggregate (same trim as active_users_rolling)",
 }
 # (vector_topk / knn_label_vote / decontaminate_embedding waivers are
 # gone as of r5: the query/benchmark set now ships in the pair-cosine
