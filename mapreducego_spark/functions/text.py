@@ -1207,3 +1207,36 @@ def prepare_corpus(docs: DataFrame) -> DataFrame:
         .select("doc_id", "best_score", "n_tokens", "shard_id")
         .orderBy("doc_id")
     )
+
+
+def kfold_no_leakage(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """K-fold cross-validation assignment with the same leakage guard
+    as split_no_leakage: the fold is md5(cluster representative) mod
+    k, so every near-duplicate cluster lands wholly in one fold —
+    rotating any fold out as validation never leaks a near-dup of a
+    validation doc into training. Deterministic across engines,
+    partitionings, and runs (no RNG); fold sizes are binomially
+    balanced rather than exactly equal, the standard trade for a
+    stateless content-keyed assignment (exact balance would need a
+    global sort or a greedy packer, both of which break pure
+    per-row reproducibility)."""
+    from mapreducego_spark.functions.dedup import dedup_clusters
+    from mapreducego_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    rep = F.coalesce(F.col("cluster_rep"), F.col("doc_id")).cast("long")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.concat(rep.cast("string"), F.lit(":fold"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % k
+    )
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(F.broadcast(clusters), "doc_id", "left")
+        .select("doc_id", rep.alias("cluster_rep"), fold.alias("fold"))
+        .orderBy("doc_id")
+    )

@@ -440,6 +440,8 @@ QUERIES: dict[str, QueryFn] = {
     # rolling distinct from a stored HLL sketch table (approximate;
     # rows-only — pytest floors it against the exact operator)
     "sketch_active_users": RU.sketch_active_users,
+    # k-fold CV assignment, near-dup-cluster-coherent
+    "kfold_split": lambda spark, sf_dir: T.kfold_no_leakage(spark, sf_dir),
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2819,3 +2821,35 @@ ORDER BY doc_id
 """
 
 ORACLES["stream_funnel_sink"] = ORACLES["funnel_conversion"]
+
+# K-fold: same cluster CTEs as split_no_leakage, fold arithmetic.
+ORACLES["kfold_split"] = _MINHASH_BASE.replace(
+    "WITH toks", "WITH RECURSIVE toks", 1
+) + """
+, vpairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cands c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+    WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(len(sa.shingles) + len(sb.shingles)
+                       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6) >= 0.5
+), sym AS (
+    SELECT doc_a AS s, doc_b AS d FROM vpairs
+    UNION
+    SELECT doc_b AS s, doc_a AS d FROM vpairs
+), reach AS (
+    SELECT s AS id, s AS r FROM sym
+    UNION
+    SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.id
+), clus AS (
+    SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS cluster_rep,
+       CAST('0x' || substr(md5(
+            CAST(CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS VARCHAR)
+            || ':fold'), 1, 8) AS BIGINT) % 5 AS fold
+FROM documents d LEFT JOIN clus c ON d.doc_id = c.id
+ORDER BY doc_id
+"""

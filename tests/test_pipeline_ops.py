@@ -439,3 +439,20 @@ def test_prepare_corpus_composes_without_interference(spark):
     assert any(
         raw_pack.get(r.doc_id) != r.shard_id for r in out
     )
+
+
+def test_kfold_clusters_never_straddle_folds(spark):
+    """Every near-dup cluster must sit wholly in one fold, folds must
+    cover 0..k-1, and sizes must be roughly balanced."""
+    from collections import Counter
+
+    from mapreducego_spark.functions.text import kfold_no_leakage
+
+    rows = kfold_no_leakage(spark, "/root/testdata/sf0.01", k=5).collect()
+    by_rep = {}
+    for r in rows:
+        by_rep.setdefault(r.cluster_rep, set()).add(r.fold)
+    assert all(len(folds) == 1 for folds in by_rep.values())
+    sizes = Counter(r.fold for r in rows)
+    assert set(sizes) == set(range(5))
+    assert max(sizes.values()) < 2.2 * min(sizes.values()), sizes
