@@ -371,3 +371,78 @@ def triangle_count_suppliers(spark, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Single-source BFS hop distances over an undirected edge list —
+    the fourth graph kernel (after components, PageRank, triangles),
+    and the one whose distributed form IS frontier expansion: each
+    round joins the current frontier to the edge list, keeps only
+    NEWLY reached nodes (left anti against the settled set), and
+    stops when a round discovers nothing. Rounds = eccentricity of
+    the source, each one shuffle; settled/frontier tables are eagerly
+    checkpointed so lineage stays flat (the connected_components
+    policy). Unreachable nodes are absent from the output —
+    distances are exact hop counts, fully deterministic."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    settled = (
+        e.sparkSession.createDataFrame([(source, 0)], ["id", "dist"])
+        .select(F.col("id").cast("long"), F.col("dist").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+    for hop in range(1, max_iter + 1):
+        reached = (
+            frontier.join(e, frontier.id == e.s)
+            .select(F.col("d").alias("id"))
+            .distinct()
+            .join(settled, "id", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        n_new = reached.count()  # bounded scalar per round
+        if n_new == 0:
+            return settled.orderBy("id")
+        settled = settled.unionByName(reached).localCheckpoint(eager=True)
+        frontier = reached
+    raise RuntimeError(
+        f"shortest_paths: frontier still growing after {max_iter} rounds "
+        "(source eccentricity exceeds the guard) — raise max_iter"
+    )
+
+
+def shortest_paths_suppliers(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: BFS hop distances from the smallest supplier
+    in the quantity-1 co-supply graph (same graph as triangle_count).
+    Oracle: DuckDB recursive CTE taking the MIN hop per node —
+    identical distances by BFS optimality."""
+    from mapreducego_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") == 1)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = ps.select("p", F.col("s").alias("src"))
+    b = ps.select(F.col("p").alias("p2"), F.col("s").alias("dst"))
+    edges = (
+        a.join(b, a.p == b.p2)
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    source = edges.agg(F.min(F.least("src", "dst"))).collect()[0][0]
+    return shortest_paths(edges, int(source))

@@ -153,3 +153,26 @@ def test_triangle_count_known_graph(spark):
         [(0, i) for i in range(1, 20)], ["src", "dst"]
     )
     assert triangle_count(star).count() == 0
+
+
+def test_shortest_paths_known_graph(spark):
+    """Hop distances on a crafted graph: path 0-1-2-3 plus shortcut
+    0-3 gives dist(3)=1, dist(2)=2 via 3; disconnected node absent;
+    reversed/duplicate edges harmless."""
+    from mapreducego_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3), (3, 0), (0, 1), (7, 8)],
+        ["src", "dst"],
+    )
+    got = {r.id: r.dist for r in shortest_paths(edges, 0).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2}
+
+    # eccentricity guard fails loudly on a chain longer than max_iter
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["src", "dst"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="eccentricity"):
+        shortest_paths(chain, 0, max_iter=3)
