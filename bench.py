@@ -96,6 +96,15 @@ HEADLINE = [
     "snapshot_diff",
     # the end-to-end corpus-prep composition (flagship pipeline)
     "prepare_corpus",
+    # round 5, third batch: BFS, rolling actives (exact + sketch),
+    # OLS trend, session paths, Tukey outliers, the z-order key
+    "shortest_paths",
+    "active_users_rolling",
+    "sketch_active_users",
+    "trend_fit",
+    "session_paths",
+    "outlier_iqr",
+    "zorder_key",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500
@@ -144,6 +153,8 @@ SCALE_SET = [
     "agg_skew_salted",
     "triangle_count",
     "snapshot_diff",
+    # BFS on the 10x co-supply graph (iterative-kernel scale point)
+    "shortest_paths",
 ]
 SUPERLINEAR_RATIO = 12.0
 
