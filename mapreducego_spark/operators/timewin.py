@@ -476,3 +476,62 @@ def active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line maximum concurrency per event type: treat each
+    event as an interval [ts, ts + value seconds) and report, per
+    type, the peak number of simultaneously open intervals and the
+    earliest instant that peak is reached — the capacity question
+    ("how many X are in flight at once?") behind connection-pool
+    sizing, ad-slot pacing, and concurrent-viewer dashboards.
+
+    Classic sweep: each interval emits (+1 at start, -1 at end),
+    the stream is ordered by (time, delta) — ends sort BEFORE
+    starts at the same instant, so half-open [a,b) touching
+    intervals never count as concurrent — and a running sum walks
+    the timeline; its max is the answer. The running sum is a
+    window per event_type, so the sort is bounded per type and all
+    types sweep in parallel. For one giant key the two-phase form
+    (per-partition prefix sums + exclusive-scan offsets broadcast —
+    the pack_shards construction, text.py) replaces the window; the
+    multiset of prefix values is invariant to ordering within equal
+    (time, delta) groups, so max and argmin-time are deterministic
+    without a per-row total order.
+
+    Engine exactness: interval ends are floor(value * 1e6) micro-
+    second offsets (one explicit floor — Spark CASTs truncate where
+    DuckDB's round, so never cast a fractional double directly) and
+    the peak/argmin are integer max/min over LONG prefix sums."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.floor(F.col("value") * 1e6).cast("long")).alias(
+            "e_us"
+        ),
+    )
+    return sweep_max_concurrency(ev)
+
+
+def sweep_max_concurrency(ev: DataFrame) -> DataFrame:
+    """Core sweep over (event_type, s_us, e_us) interval rows; see
+    concurrent_events for the semantics and scale notes."""
+    deltas = ev.selectExpr(
+        "event_type", "s_us AS t_us", "CAST(1 AS BIGINT) AS delta"
+    ).unionAll(
+        ev.selectExpr("event_type", "e_us AS t_us", "CAST(-1 AS BIGINT) AS delta")
+    )
+    w = Window.partitionBy("event_type").orderBy("t_us", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = deltas.withColumn("open_now", F.sum("delta").over(w))
+    peaks = run.groupBy("event_type").agg(
+        F.max("open_now").cast("long").alias("max_concurrent")
+    )
+    return (
+        run.join(peaks, "event_type")
+        .filter(F.col("open_now") == F.col("max_concurrent"))
+        .groupBy("event_type", "max_concurrent")
+        .agg(F.min("t_us").cast("long").alias("peak_at_us"))
+        .orderBy("event_type")
+    )

@@ -450,6 +450,10 @@ QUERIES: dict[str, QueryFn] = {
     "kfold_split": lambda spark, sf_dir: T.kfold_no_leakage(spark, sf_dir),
     # single-source BFS hop distances (4th graph kernel)
     "shortest_paths": _shortest_paths,
+    # sweep-line peak concurrency per event type
+    "concurrent_events": TW.concurrent_events,
+    # SCD Type 2 dimension history from snapshot series
+    "scd2_history": CAT.scd2_documents,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2883,4 +2887,81 @@ SELECT CAST(id AS BIGINT) AS id, CAST(MIN(dist) AS BIGINT) AS dist
 FROM walk
 GROUP BY id
 ORDER BY id
+"""
+
+# Sweep-line concurrency: same (+1/-1, ends-before-starts) ordering;
+# the prefix-value multiset is permutation-invariant within equal
+# (t, delta) groups, so max/argmin need no per-row tie-break.
+ORACLES["concurrent_events"] = """
+WITH iv AS (
+  SELECT event_type,
+         epoch_us(ts) AS s_us,
+         epoch_us(ts) + CAST(floor(value * 1e6) AS BIGINT) AS e_us
+  FROM events
+), deltas AS (
+  SELECT event_type, s_us AS t_us, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT event_type, e_us AS t_us, CAST(-1 AS BIGINT) AS delta FROM iv
+), run AS (
+  SELECT event_type, t_us,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t_us, delta
+                          ROWS UNBOUNDED PRECEDING) AS open_now
+  FROM deltas
+), peaks AS (
+  SELECT event_type, MAX(open_now) AS max_concurrent FROM run GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(p.max_concurrent AS BIGINT) AS max_concurrent,
+       CAST(MIN(r.t_us) AS BIGINT) AS peak_at_us
+FROM run r JOIN peaks p
+  ON r.event_type = p.event_type AND r.open_now = p.max_concurrent
+GROUP BY r.event_type, p.max_concurrent
+ORDER BY r.event_type
+"""
+
+# SCD-2: identical snapshot construction, SQL windows for segment
+# cuts (first appearance / gap / attribute change).
+ORACLES["scd2_history"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source FROM documents
+), v1 AS (
+  SELECT doc_id, lang, source, CAST(1 AS BIGINT) AS version
+  FROM d WHERE doc_id % 11 != 3
+), v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+         source, CAST(2 AS BIGINT) AS version
+  FROM d
+), v3 AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 3 = 0 THEN 'web2' ELSE source END AS source,
+         CAST(3 AS BIGINT) AS version
+  FROM v2 WHERE doc_id % 7 != 2
+), tagged AS (
+  SELECT doc_id, lang, source, version FROM v1
+  UNION ALL SELECT doc_id, lang, source, version FROM v2
+  UNION ALL SELECT doc_id, lang, source, CAST(3 AS BIGINT) FROM v3
+), marked AS (
+  SELECT *,
+         CASE WHEN lag(version) OVER w IS NULL
+                OR lag(version) OVER w != version - 1
+                OR lag(lang) OVER w IS DISTINCT FROM lang
+                OR lag(source) OVER w IS DISTINCT FROM source
+              THEN 1 ELSE 0 END AS new_seg
+  FROM tagged
+  WINDOW w AS (PARTITION BY doc_id ORDER BY version)
+), segs AS (
+  SELECT *,
+         SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY version
+                            ROWS UNBOUNDED PRECEDING) AS seg
+  FROM marked
+)
+SELECT doc_id, lang, source,
+       CAST(MIN(version) AS BIGINT) AS valid_from,
+       CASE WHEN MAX(version) = 3 THEN NULL
+            ELSE CAST(MAX(version) AS BIGINT) END AS valid_to,
+       MAX(version) = 3 AS is_current
+FROM segs
+GROUP BY doc_id, seg, lang, source
+ORDER BY doc_id, valid_from
 """

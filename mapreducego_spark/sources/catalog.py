@@ -683,3 +683,100 @@ def parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return merged.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+def scd2_history(
+    snapshots: list[DataFrame], key: str, attrs: list[str]
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history rebuilt from a
+    sequence of table snapshots: one output row per (key, unbroken
+    run of identical attribute values), carrying valid_from /
+    valid_to version bounds and an is_current flag — the dimension
+    shape every warehouse keeps so facts can join to "the customer
+    as they were then" rather than "as they are now" (Kimball SCD
+    Type 2; the MERGE-based SCD-1 sibling is upsert_parquet).
+
+    Construction: union the snapshots tagged with their version
+    ordinal, then per key in version order a row OPENS a new history
+    segment when (a) it is the key's first appearance, (b) the key
+    was ABSENT from the previous snapshot (delete + re-insert is two
+    segments, never a merged one), or (c) any tracked attribute
+    changed. One lag window + running-sum segment numbering + one
+    per-segment aggregate — two shuffles on the key, both bounded
+    per key, no iteration. At 100 TB the rebuild-from-snapshots form
+    here is the backfill path; steady state applies one
+    snapshot_diff feed per version to the open segments instead
+    (touching |changes|, not |table| x |versions|).
+
+    valid_to is NULL on open (current) segments; closed segments
+    carry the last version the run was still visible in."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tagged = None
+    for i, snap in enumerate(snapshots):
+        t = snap.select(
+            F.col(key), *[F.col(a) for a in attrs],
+            F.lit(i + 1).cast("long").alias("version"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    last_version = len(snapshots)
+    w = Window.partitionBy(key).orderBy("version")
+    attr_struct = F.struct(*[F.col(a) for a in attrs])
+    new_seg = (
+        F.lag("version").over(w).isNull()
+        | (F.lag("version").over(w) != F.col("version") - 1)
+        | ~F.lag(attr_struct).over(w).eqNullSafe(attr_struct)
+    ).cast("long")
+    seg = F.sum(new_seg).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = (
+        tagged.withColumn("__seg", seg)
+        .groupBy(key, "__seg", *attrs)
+        .agg(
+            F.min("version").alias("valid_from"),
+            F.max("version").alias("__last_seen"),
+        )
+    )
+    is_current = F.col("__last_seen") == F.lit(last_version)
+    return hist.select(
+        key,
+        *attrs,
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.when(is_current, F.lit(None).cast("long"))
+        .otherwise(F.col("__last_seen"))
+        .alias("valid_to"),
+        is_current.alias("is_current"),
+    )
+
+
+def scd2_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: SCD-2 history over three deterministic
+    document snapshots — v1 lacks doc_id % 11 == 3 (late inserts),
+    v2 rewrites lang for % 5 == 0, v3 deletes % 7 == 2 and rewrites
+    source for % 3 == 0 — exercising first-appearance, change,
+    delete, and absent-then-present segment cuts. The oracle builds
+    the same segments with SQL windows."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    )
+    v1 = docs.filter(F.col("doc_id") % 11 != 3)
+    v2 = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("xx")).otherwise(F.col("lang")),
+    )
+    v3 = (
+        v2.filter(F.col("doc_id") % 7 != 2)
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("web2"))
+            .otherwise(F.col("source")),
+        )
+    )
+    return (
+        scd2_history([v1, v2, v3], key="doc_id", attrs=["lang", "source"])
+        .orderBy("doc_id", "valid_from")
+    )

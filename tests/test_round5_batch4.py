@@ -1,0 +1,80 @@
+"""Round-5 fourth-batch operators: sweep-line concurrency, SCD-2
+history, rule-based validation/quarantine, integer naive Bayes,
+reciprocal-rank fusion, count-min sketch, and the prefix-filter
+similarity join."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.01"
+SF_TINY = "/root/testdata/sf0.001"
+
+
+def test_sweep_max_concurrency_counts_overlaps_not_touches(spark):
+    from mapreducego_spark.operators.timewin import sweep_max_concurrency
+
+    # [0,10) and [10,20) touch: never concurrent. [5,15) overlaps both.
+    iv = spark.createDataFrame(
+        [
+            ("a", 0, 10),
+            ("a", 10, 20),
+            ("a", 5, 15),
+            ("b", 0, 100),
+            ("b", 1, 2),
+            ("b", 3, 4),
+            ("b", 3, 4),
+        ],
+        "event_type string, s_us long, e_us long",
+    )
+    got = {r["event_type"]: (r["max_concurrent"], r["peak_at_us"]) for r in
+           sweep_max_concurrency(iv).collect()}
+    # a: at t=5 two open ([0,10)+[5,15)); the touch at 10 closes one
+    # before opening the next, so the peak stays 2 and is first hit at 5.
+    assert got["a"] == (2, 5)
+    # b: the long interval plus both copies of [3,4) -> 3 open at t=3.
+    assert got["b"] == (3, 3)
+
+
+def test_sweep_is_partition_invariant(spark):
+    from mapreducego_spark.operators.timewin import concurrent_events
+    from mapreducego_spark.operators.timewin import sweep_max_concurrency
+    from mapreducego_spark.sources.catalog import load_table
+
+    base = sorted(map(tuple, concurrent_events(spark, SF_TINY).collect()))
+    ev = load_table(spark, SF_TINY, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.floor(F.col("value") * 1e6).cast("long"))
+        .alias("e_us"),
+    )
+    for n in (1, 13):
+        got = sorted(
+            map(tuple, sweep_max_concurrency(ev.repartition(n)).collect())
+        )
+        assert got == base, f"partition count {n} changed the sweep"
+
+
+def test_scd2_delete_then_reinsert_splits_segments(spark):
+    from mapreducego_spark.sources.catalog import scd2_history
+
+    # key 1: stable attrs but ABSENT from v2 -> two segments, never
+    # merged across the gap. key 2: attr change at v3. key 3: only in
+    # the last snapshot (late insert, open segment).
+    mk = lambda rows: spark.createDataFrame(rows, "id long, color string")
+    v1 = mk([(1, "red"), (2, "blue")])
+    v2 = mk([(2, "blue")])
+    v3 = mk([(1, "red"), (2, "green"), (3, "white")])
+    got = sorted(
+        map(tuple, scd2_history([v1, v2, v3], "id", ["color"]).collect())
+    )
+    assert got == [
+        (1, "red", 1, 1, False),
+        (1, "red", 3, None, True),
+        (2, "blue", 1, 2, False),
+        (2, "green", 3, None, True),
+        (3, "white", 3, None, True),
+    ]
+    # exactly one current row per surviving key
+    cur = [r for r in got if r[4]]
+    assert [r[0] for r in cur] == [1, 2, 3]
