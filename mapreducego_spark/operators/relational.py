@@ -1603,3 +1603,92 @@ def outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def validate_rules(df: DataFrame, rules: dict[str, F.Column]) -> DataFrame:
+    """Rule-based data validation report: each rule is a boolean
+    Column (True = row VALID); the report is one row per rule with
+    its violation count, plus ``__quarantined__`` (rows failing ANY
+    rule — the rows an ingestion pipeline would divert to a
+    quarantine table for repair) and ``__clean__``. This is the
+    expectation-suite pattern of ingestion QA (Great Expectations /
+    dbt tests shape), run as ONE plan.
+
+    Scale shape: a single scan computes every rule flag as a column
+    and ONE map-side-combined aggregate sums them all — per-rule
+    passes would scan the fact |rules| times. The per-rule layout is
+    then an unpivot of that 1-row aggregate (constant-size), so the
+    fact is read once, shuffled never.
+
+    Three-valued-logic trap: a rule evaluating to NULL (e.g.
+    ``col > 0`` on a NULL) is NOT satisfied, so it must count as a
+    violation — a plain ``(~rule)`` sum would silently skip those
+    rows (SUM ignores NULL)."""
+    flags = df.select(
+        *[
+            F.when(r, F.lit(0)).otherwise(F.lit(1)).alias(f"__v_{name}")
+            for name, r in rules.items()
+        ]
+    )
+    names = list(rules)
+    any_bad = None
+    for name in names:
+        c = F.col(f"__v_{name}") > 0
+        any_bad = c if any_bad is None else (any_bad | c)
+    agg = flags.select(
+        *[F.col(f"__v_{n}") for n in names],
+        any_bad.cast("long").alias("__v___quarantined__"),
+        (~any_bad).cast("long").alias("__v___clean__"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(f"__v_{n}").alias(n)
+            for n in names + ["__quarantined__", "__clean__"]
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{n}', {n}" for n in names + ["__quarantined__", "__clean__"]
+    )
+    return agg.selectExpr(
+        f"stack({len(names) + 2}, {stack_args}) AS (rule, n_violations)",
+        "n_rows",
+    ).select(
+        "rule",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+def validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the validation suite over a deterministically
+    dirtied lineitem (negative quantities planted at
+    l_orderkey % 101 == 7, discount blowout at % 103 == 11, invalid
+    return flag at % 107 == 13 — the corruption classes a feed
+    actually ships: sign flips, unit confusion, domain drift). Six
+    domain rules; the oracle recomputes the same planted dirt and
+    counts with plain SQL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dirty = li.select(
+        F.col("l_orderkey").cast("long").alias("k"),
+        F.when(F.col("l_orderkey") % 101 == 7, F.lit(-1.0))
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+        F.when(F.col("l_orderkey") % 103 == 11, F.lit(0.9))
+        .otherwise(F.col("l_discount"))
+        .alias("l_discount"),
+        F.when(F.col("l_orderkey") % 107 == 13, F.lit("Z"))
+        .otherwise(F.col("l_returnflag"))
+        .alias("l_returnflag"),
+        "l_tax",
+        "l_extendedprice",
+        "l_shipdate",
+    )
+    rules = {
+        "quantity_in_range": F.col("l_quantity").between(1.0, 50.0),
+        "discount_in_range": F.col("l_discount").between(0.0, 0.1),
+        "tax_in_range": F.col("l_tax").between(0.0, 0.08),
+        "price_positive": F.col("l_extendedprice") > 0.0,
+        "returnflag_domain": F.col("l_returnflag").isin("R", "A", "N"),
+        "shipdate_present": F.col("l_shipdate").isNotNull(),
+    }
+    return validate_rules(dirty, rules).orderBy("rule")

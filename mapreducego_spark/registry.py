@@ -454,6 +454,8 @@ QUERIES: dict[str, QueryFn] = {
     "concurrent_events": TW.concurrent_events,
     # SCD Type 2 dimension history from snapshot series
     "scd2_history": CAT.scd2_documents,
+    # rule-suite validation + quarantine counts (ingestion QA)
+    "validate_quarantine": R.validate_quarantine,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -2964,4 +2966,47 @@ SELECT doc_id, lang, source,
 FROM segs
 GROUP BY doc_id, seg, lang, source
 ORDER BY doc_id, valid_from
+"""
+
+# Validation suite: identical planted dirt, per-rule counts via
+# FILTER aggregates, stacked to the same (rule, n_violations, n_rows)
+# layout. NULL rule results count as violations on both sides
+# (COALESCE(rule, FALSE) here = the when/otherwise in validate_rules);
+# the fixture columns are non-null, but the contract must agree
+# before the data does.
+ORACLES["validate_quarantine"] = """
+WITH dirty AS (
+  SELECT CASE WHEN l_orderkey % 101 = 7 THEN -1.0 ELSE l_quantity END AS q,
+         CASE WHEN l_orderkey % 103 = 11 THEN 0.9 ELSE l_discount END AS d,
+         CASE WHEN l_orderkey % 107 = 13 THEN 'Z' ELSE l_returnflag END AS rf,
+         l_tax AS t, l_extendedprice AS p, l_shipdate AS sd
+  FROM lineitem
+), agg AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(*) FILTER (NOT COALESCE(q BETWEEN 1.0 AND 50.0, FALSE)) AS v_quantity,
+         COUNT(*) FILTER (NOT COALESCE(d BETWEEN 0.0 AND 0.1, FALSE)) AS v_discount,
+         COUNT(*) FILTER (NOT COALESCE(t BETWEEN 0.0 AND 0.08, FALSE)) AS v_tax,
+         COUNT(*) FILTER (NOT COALESCE(p > 0.0, FALSE)) AS v_price,
+         COUNT(*) FILTER (NOT COALESCE(rf IN ('R','A','N'), FALSE)) AS v_rf,
+         COUNT(*) FILTER (sd IS NULL) AS v_sd,
+         COUNT(*) FILTER (NOT COALESCE(q BETWEEN 1.0 AND 50.0, FALSE)
+                          OR NOT COALESCE(d BETWEEN 0.0 AND 0.1, FALSE)
+                          OR NOT COALESCE(t BETWEEN 0.0 AND 0.08, FALSE)
+                          OR NOT COALESCE(p > 0.0, FALSE)
+                          OR NOT COALESCE(rf IN ('R','A','N'), FALSE)
+                          OR sd IS NULL) AS v_any
+  FROM dirty
+)
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_rows AS BIGINT) AS n_rows
+FROM agg, LATERAL (VALUES
+  ('quantity_in_range', v_quantity),
+  ('discount_in_range', v_discount),
+  ('tax_in_range', v_tax),
+  ('price_positive', v_price),
+  ('returnflag_domain', v_rf),
+  ('shipdate_present', v_sd),
+  ('__quarantined__', v_any),
+  ('__clean__', n_rows - v_any)) AS r(rule, n_violations)
+ORDER BY rule
 """

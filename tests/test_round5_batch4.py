@@ -78,3 +78,41 @@ def test_scd2_delete_then_reinsert_splits_segments(spark):
     # exactly one current row per surviving key
     cur = [r for r in got if r[4]]
     assert [r[0] for r in cur] == [1, 2, 3]
+
+
+def test_validate_rules_counts_and_single_scan(spark):
+    from mapreducego_spark.operators.relational import (
+        validate_quarantine,
+        validate_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, 200.0), (4, None)], "id long, v double"
+    )
+    rep = {
+        r["rule"]: r["n_violations"]
+        for r in validate_rules(
+            df,
+            {
+                "v_positive": F.col("v") > 0,
+                "v_le_100": (F.col("v") <= 100) | F.col("v").isNull(),
+                "v_present": F.col("v").isNotNull(),
+            },
+        ).collect()
+    }
+    # NULL > 0 is NULL -> not True -> a violation of v_positive: 2.
+    assert rep == {
+        "v_positive": 2,
+        "v_le_100": 1,
+        "v_present": 1,
+        "__quarantined__": 3,
+        "__clean__": 1,
+    }
+    # the whole suite is one scan of the fact
+    plan = (
+        validate_quarantine(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
