@@ -1240,3 +1240,130 @@ def kfold_no_leakage(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         .select("doc_id", rep.alias("cluster_rep"), fold.alias("fold"))
         .orderBy("doc_id")
     )
+
+
+def nb_classify(docs: DataFrame) -> DataFrame:
+    """Multinomial naive Bayes language classifier, trained and
+    scored entirely in the engine — the classic supervised text
+    classifier (McCallum & Nigam 1998) as a pure DataFrame plan:
+    docs with doc_id % 5 != 0 train per-language unigram models
+    (add-one smoothing), docs with % 5 == 0 are scored by
+    argmax_lang [log prior + sum log p(term|lang)].
+
+    Engine-exactness (the float trap, solved as in
+    perplexity_score): every log-probability is quantized ONCE to
+    integer micro-nats — floor(ln(x)*1e6) of one deterministic
+    double per (term, lang) — and per-doc scores are LONG sums, so
+    partition order cannot move a decision boundary. Ties break to
+    the lexicographically smallest language.
+
+    Scale shape: the model is the sparse (term, lang) count table
+    (map-side combined) plus a 1-row-per-lang prior/default table
+    that BROADCASTS; scoring is the test token stream fanned out
+    |langs| ways (a bounded 5x here), one left join against the
+    sparse model, one per-(doc, lang) LONG sum, one per-doc window
+    max. OOV terms (absent from the train vocab) are dropped — the
+    standard choice, and the one a SQL twin can mirror exactly.
+    Docs whose every token is OOV still score: prior-only rows are
+    seeded from the doc x lang grid, not from token joins."""
+    base = spread_scan(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        tokens_col(F.col("text")).alias("toks"),
+    )
+    train = base.filter(F.col("doc_id") % 5 != 0)
+    test = base.filter(F.col("doc_id") % 5 == 0)
+
+    train_toks = train.select("lang", F.explode("toks").alias("term"))
+    counts = train_toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vocab = counts.select("term").distinct()
+    v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
+    lang_tot = train_toks.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    n_train = train.agg(F.count(F.lit(1)).alias("n"))
+    priors = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "lang",
+            F.floor(
+                F.log(F.col("n_docs").cast("double") / F.col("n").cast("double"))
+                * 1_000_000
+            ).cast("long").alias("prior_micro"),
+        )
+    )
+    # per-lang smoothing denominator and the unseen-term default
+    lang_model = (
+        lang_tot.crossJoin(F.broadcast(v_size))
+        .select(
+            "lang",
+            (F.col("tot") + F.col("v")).alias("den"),
+            F.floor(
+                F.log(F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double"))
+                * 1_000_000
+            ).cast("long").alias("default_micro"),
+        )
+    )
+    lp = counts.join(lang_model.select("lang", "den"), "lang").select(
+        "lang",
+        "term",
+        F.floor(
+            F.log((F.col("cnt") + 1).cast("double") / F.col("den").cast("double"))
+            * 1_000_000
+        ).cast("long").alias("lp_micro"),
+    )
+
+    test_toks = (
+        test.select("doc_id", F.explode("toks").alias("term"))
+        .join(vocab, "term", "left_semi")
+    )
+    langs = priors.select("lang")
+    contrib = (
+        test_toks.crossJoin(F.broadcast(langs.withColumnRenamed("lang", "L")))
+        .join(
+            lp.select(F.col("lang").alias("L"), "term", "lp_micro"),
+            ["L", "term"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                lang_model.select(F.col("lang").alias("L"), "default_micro")
+            ),
+            "L",
+        )
+        .groupBy("doc_id", "L")
+        .agg(
+            F.sum(F.coalesce(F.col("lp_micro"), F.col("default_micro"))).alias(
+                "tok_micro"
+            )
+        )
+    )
+    grid = test.select("doc_id", "lang").crossJoin(
+        F.broadcast(
+            priors.select(F.col("lang").alias("L"), "prior_micro")
+        )
+    )
+    scores = grid.join(contrib, ["doc_id", "L"], "left").select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        "L",
+        (F.col("prior_micro") + F.coalesce(F.col("tok_micro"), F.lit(0))).alias(
+            "score_micro"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("L").asc()
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("L").alias("pred_lang"),
+            "true_lang",
+            (F.col("L") == F.col("true_lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )

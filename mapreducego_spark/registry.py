@@ -456,6 +456,10 @@ QUERIES: dict[str, QueryFn] = {
     "scd2_history": CAT.scd2_documents,
     # rule-suite validation + quarantine counts (ingestion QA)
     "validate_quarantine": R.validate_quarantine,
+    # integer-exact multinomial naive Bayes language classifier
+    "nb_classify": lambda spark, sf_dir: T.nb_classify(
+        load_table(spark, sf_dir, "documents")
+    ),
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -3009,4 +3013,65 @@ FROM agg, LATERAL (VALUES
   ('__quarantined__', v_any),
   ('__clean__', n_rows - v_any)) AS r(rule, n_violations)
 ORDER BY rule
+"""
+
+# Naive Bayes: same micro-nat quantization contract as
+# perplexity_score (floor(ln * 1e6) of identical double operands);
+# OOV test terms dropped on both sides; ties to smallest lang.
+ORACLES["nb_classify"] = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> len(x) > 0) AS toks
+  FROM documents
+), train AS (SELECT * FROM base WHERE doc_id % 5 != 0),
+test AS (SELECT * FROM base WHERE doc_id % 5 = 0),
+train_toks AS (SELECT lang, unnest(toks) AS term FROM train),
+counts AS (SELECT lang, term, COUNT(*) AS cnt FROM train_toks GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT term FROM counts),
+vsize AS (SELECT COUNT(*) AS v FROM vocab),
+lang_tot AS (SELECT lang, COUNT(*) AS tot FROM train_toks GROUP BY 1),
+ntrain AS (SELECT COUNT(*) AS n FROM train),
+priors AS (
+  SELECT lang,
+         CAST(floor(ln(CAST(COUNT(*) AS DOUBLE)
+                       / CAST((SELECT n FROM ntrain) AS DOUBLE)) * 1000000)
+              AS BIGINT) AS prior_micro
+  FROM train GROUP BY lang
+), lang_model AS (
+  SELECT lang, tot + (SELECT v FROM vsize) AS den,
+         CAST(floor(ln(1.0 / CAST(tot + (SELECT v FROM vsize) AS DOUBLE))
+                    * 1000000) AS BIGINT) AS default_micro
+  FROM lang_tot
+), lp AS (
+  SELECT c.lang, c.term,
+         CAST(floor(ln(CAST(c.cnt + 1 AS DOUBLE) / CAST(m.den AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lp_micro
+  FROM counts c JOIN lang_model m USING (lang)
+), test_toks AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, unnest(toks) AS term FROM test) t
+  WHERE t.term IN (SELECT term FROM vocab)
+), contrib AS (
+  SELECT tt.doc_id, L.lang AS l,
+         SUM(COALESCE(lp.lp_micro, m.default_micro)) AS tok_micro
+  FROM test_toks tt
+  CROSS JOIN (SELECT lang FROM priors) L
+  LEFT JOIN lp ON lp.lang = L.lang AND lp.term = tt.term
+  JOIN lang_model m ON m.lang = L.lang
+  GROUP BY tt.doc_id, L.lang
+), scores AS (
+  SELECT t.doc_id, t.lang AS true_lang, p.lang AS l,
+         p.prior_micro + COALESCE(c.tok_micro, 0) AS score_micro
+  FROM test t
+  CROSS JOIN priors p
+  LEFT JOIN contrib c ON c.doc_id = t.doc_id AND c.l = p.lang
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, l ASC) AS rn
+  FROM scores
+)
+SELECT doc_id, l AS pred_lang, true_lang, l = true_lang AS correct
+FROM ranked WHERE rn = 1
+ORDER BY doc_id
 """

@@ -116,3 +116,29 @@ def test_validate_rules_counts_and_single_scan(spark):
         .toString()
     )
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_nb_classify_separates_disjoint_vocabularies(spark):
+    from mapreducego_spark.functions.text import nb_classify
+
+    # Two classes with disjoint vocabularies; doc_id % 5 == 0 rows are
+    # the scored test set and must classify perfectly.
+    rows = []
+    for i in range(40):
+        lang = "aa" if i % 2 == 0 else "bb"
+        word = "apple banana cherry" if lang == "aa" else "xray yankee zulu"
+        rows.append((i, f"{word} {word}", lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = nb_classify(docs).collect()
+    assert len(out) == 8  # doc_id 0,5,...,35
+    assert all(r["correct"] for r in out)
+    # every test doc present exactly once, even an all-OOV doc
+    docs2 = spark.createDataFrame(
+        rows + [(100, "qqq zzz9 unknownword", "aa")],
+        "doc_id long, text string, lang string",
+    )
+    out2 = {r["doc_id"]: r for r in nb_classify(docs2).collect()}
+    assert 100 in out2
+    # all-OOV doc falls back to the prior argmax; both classes have
+    # equal priors here so the tie breaks to the smaller lang
+    assert out2[100]["pred_lang"] == "aa"
