@@ -24,7 +24,7 @@ Scale notes (100 TB posture), applied throughout:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducego_spark.operators.util import davg, dec, dsum
@@ -1692,3 +1692,74 @@ def validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shipdate_present": F.col("l_shipdate").isNotNull(),
     }
     return validate_rules(dirty, rules).orderBy("rule")
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str, k: int = 60, depth: int = 100,
+               top_n: int = 20) -> DataFrame:
+    """Reciprocal-rank fusion of two document rankings (Cormack,
+    Clarke & Buettcher 2009) — the standard hybrid-retrieval merge a
+    RAG stack runs over its lexical and vector ranker outputs:
+    fused(d) = sum over lists of 1/(k + rank_d). Here list A ranks
+    documents by BPE-ish token count and list B by distinct-term
+    count (two cheap, fully deterministic engine-side rankers; in
+    production these slots hold BM25 and ANN scores).
+
+    Engine-exactness: 1/(k+rank) is NOT double-safe across engines
+    at the margins, so contributions are integer-scaled —
+    1e12 div (k + rank) with INTEGER division on both sides — and
+    fused scores are LONG sums. Ranks tie-break on doc_id.
+
+    Scale shape: each ranker is orderBy().limit(depth) — Spark
+    executes that as TakeOrderedAndProject, a distributed per-
+    partition top-k merged on the driver, NOT a global sort-shuffle
+    — and only the <=depth-row lists (constant size) see a window
+    for rank numbering. The fusion join touches 2*depth rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe_ish = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    feats = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_ish), 0))
+        .cast("long")
+        .alias("n_tok"),
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"[^a-z]+"),
+                    lambda t: F.length(t) > 0,
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_distinct"),
+    )
+
+    def ranked(order_col: str) -> DataFrame:
+        top = feats.orderBy(
+            F.col(order_col).desc(), F.col("doc_id").asc()
+        ).limit(depth)
+        w = Window.orderBy(F.col(order_col).desc(), F.col("doc_id").asc())
+        return top.select(
+            "doc_id", F.row_number().over(w).cast("long").alias("rank")
+        )
+
+    ra = ranked("n_tok").withColumnRenamed("rank", "rank_a")
+    rb = ranked("n_distinct").withColumnRenamed("rank", "rank_b")
+    fused = (
+        ra.join(rb, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_a",
+            "rank_b",
+            (
+                F.coalesce(
+                    F.expr(f"1000000000000L div ({k} + rank_a)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000000000L div ({k} + rank_b)"), F.lit(0)
+                )
+            ).cast("long").alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    ).limit(top_n)

@@ -460,6 +460,8 @@ QUERIES: dict[str, QueryFn] = {
     "nb_classify": lambda spark, sf_dir: T.nb_classify(
         load_table(spark, sf_dir, "documents")
     ),
+    # reciprocal-rank fusion of two rankers (hybrid retrieval merge)
+    "rrf_fusion": R.rrf_fusion,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -3074,4 +3076,34 @@ priors AS (
 SELECT doc_id, l AS pred_lang, true_lang, l = true_lang AS correct
 FROM ranked WHERE rn = 1
 ORDER BY doc_id
+"""
+
+# RRF: integer-scaled 1e12 // (k + rank) contributions, LONG sums.
+ORACLES["rrf_fusion"] = """
+WITH feats AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(list_filter(
+              string_split_regex(lower(text), '[^a-z]+'),
+              x -> len(x) > 0))) AS BIGINT) AS n_distinct
+  FROM documents
+), ra AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id ASC)
+                      AS BIGINT) AS rank_a
+  FROM feats ORDER BY n_tok DESC, doc_id ASC LIMIT 100
+), rb AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY n_distinct DESC, doc_id ASC)
+                      AS BIGINT) AS rank_b
+  FROM feats ORDER BY n_distinct DESC, doc_id ASC LIMIT 100
+), fused AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, rank_a, rank_b,
+         COALESCE(1000000000000 // (60 + rank_a), 0)
+         + COALESCE(1000000000000 // (60 + rank_b), 0) AS rrf_score
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, rank_a, rank_b, CAST(rrf_score AS BIGINT) AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 20
 """

@@ -142,3 +142,20 @@ def test_nb_classify_separates_disjoint_vocabularies(spark):
     # all-OOV doc falls back to the prior argmax; both classes have
     # equal priors here so the tie breaks to the smaller lang
     assert out2[100]["pred_lang"] == "aa"
+
+
+def test_rrf_fusion_formula_and_distributed_topk_plan(spark):
+    from mapreducego_spark.operators.relational import rrf_fusion
+
+    df = rrf_fusion(spark, SF)
+    rows = df.collect()
+    assert len(rows) == 20
+    # spot-check the integer formula on a row present in both lists
+    both = next(r for r in rows if r["rank_a"] and r["rank_b"])
+    expect = 10**12 // (60 + both["rank_a"]) + 10**12 // (60 + both["rank_b"])
+    assert both["rrf_score"] == expect
+    # single-list docs still score (coalesce path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # ranker top-k must be the distributed TakeOrderedAndProject,
+    # not a global Sort over the corpus
+    assert "TakeOrderedAndProject" in plan, plan
