@@ -1367,3 +1367,92 @@ def nb_classify(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame, depth: int = 4, width: int = 1024, k: int = 50
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) built as a
+    DataFrame aggregate, then queried for the exact top-k tokens —
+    the oracle-checkable face of the sketch tier: unlike the HLL /
+    approx-percentile entries (engine-internal randomness, rows-only
+    checks), this CMS is built from engine-PORTABLE hashing (md5 →
+    first-8-hex int, then depth pairwise-independent affine maps
+    mod p mod width), so DuckDB reproduces every counter and the
+    driver hash-compares estimates exactly.
+
+    Sketch shape: the token stream fans out ``depth`` ways (bounded
+    4x) into one map-side-combined groupBy over (row, bucket) —
+    the sketch is depth x width LONG counters (32 KB here) however
+    large the corpus is, the whole point at 100 TB: it broadcasts,
+    merges by addition, and answers point queries with
+    est(t) = min_j counter[j][h_j(t)] >= true, within eps*N with
+    probability 1 - delta (eps = e/width, delta = e^-depth).
+
+    Output per exact-top-k token: true count, CMS estimate, and the
+    never-underestimates flag (the CMS guarantee; a pytest asserts
+    it over the WHOLE vocab, not just the top-k)."""
+    p = 2_147_483_647  # 2^31 - 1, Mersenne
+    toks = spread_scan(docs).select(
+        F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    base_h = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    rows = toks.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("j"),
+                        (
+                            ((base_h * (2 * j + 3) + (7 * j + 1)) % p) % width
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("term", F.col("rb.j").alias("j"), F.col("rb.bucket").alias("bucket"))
+    sketch = rows.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("term").asc())
+        .limit(k)
+    )
+    probes = exact.select(
+        "term",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("j"),
+                        (
+                            ((base_h * (2 * j + 3) + (7 * j + 1)) % p) % width
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(
+        "term", "true_cnt", F.col("rb.j").alias("j"),
+        F.col("rb.bucket").alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("term", "true_cnt")
+        .agg(F.min("counter").alias("cms_est"))
+        .select(
+            "term",
+            F.col("true_cnt").cast("long").alias("true_cnt"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") >= F.col("true_cnt")).alias("never_under"),
+        )
+        .orderBy(F.col("true_cnt").desc(), F.col("term").asc())
+    )

@@ -462,6 +462,11 @@ QUERIES: dict[str, QueryFn] = {
     ),
     # reciprocal-rank fusion of two rankers (hybrid retrieval merge)
     "rrf_fusion": R.rrf_fusion,
+    # count-min sketch with portable hashing: the oracle-checkable
+    # sketch (every counter reproduced by DuckDB)
+    "cms_heavy_hitters": lambda spark, sf_dir: T.cms_heavy_hitters(
+        load_table(spark, sf_dir, "documents")
+    ),
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -3106,4 +3111,39 @@ SELECT doc_id, rank_a, rank_b, CAST(rrf_score AS BIGINT) AS rrf_score
 FROM fused
 ORDER BY rrf_score DESC, doc_id ASC
 LIMIT 20
+"""
+
+# CMS: identical md5-affine hashing, counters rebuilt in SQL; the
+# estimate is min over depth counters.
+ORACLES["cms_heavy_hitters"] = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                x -> len(x) > 0)) AS term
+  FROM documents
+), hashed AS (
+  SELECT term,
+         CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) AS h
+  FROM toks
+), rows_ AS (
+  SELECT term, j.j,
+         ((h * (2 * j.j + 3) + (7 * j.j + 1)) % 2147483647) % 1024 AS bucket
+  FROM hashed, (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) AS j(j)
+), sketch AS (
+  SELECT j, bucket, COUNT(*) AS counter FROM rows_ GROUP BY j, bucket
+), exact AS (
+  SELECT term, COUNT(*) AS true_cnt FROM toks GROUP BY term
+  ORDER BY true_cnt DESC, term ASC LIMIT 50
+), probes AS (
+  SELECT e.term, e.true_cnt, j.j,
+         ((CAST('0x' || substr(md5(e.term), 1, 8) AS BIGINT) * (2 * j.j + 3)
+           + (7 * j.j + 1)) % 2147483647) % 1024 AS bucket
+  FROM exact e, (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) AS j(j)
+)
+SELECT p.term,
+       CAST(p.true_cnt AS BIGINT) AS true_cnt,
+       CAST(MIN(s.counter) AS BIGINT) AS cms_est,
+       MIN(s.counter) >= p.true_cnt AS never_under
+FROM probes p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+GROUP BY p.term, p.true_cnt
+ORDER BY true_cnt DESC, term ASC
 """
