@@ -889,3 +889,115 @@ def containment_pairs(
 def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: containment pairs on documents."""
     return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact Jaccard similarity join via PREFIX FILTERING (AllPairs,
+    Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08) — the
+    at-scale replacement for ngram_pairs' full inverted-index join.
+    Same output contract (all pairs with J >= threshold, rounded to
+    6), so the registry entry shares ngram_jaccard's oracle and the
+    driver hash match IS the proof that the filter loses no pairs.
+
+    Why it scales where the full index join doesn't: a pair with
+    J >= t must share at least one shingle within the FIRST
+    |s| - ceil(t*|s|) + 1 shingles of each doc's canonically-sorted
+    shingle list (sorted rarest-first, ties lexical). So only that
+    prefix is indexed — posting lists shrink by ~(1-t) and, because
+    prefixes start at the RAREST shingles, the quadratic head of the
+    frequency distribution (ngram_pairs' guard_limit failure mode)
+    mostly disappears from the index. Candidates then pass the
+    length filter (t*|A| <= |B|) and are verified EXACTLY on the
+    full shingle arrays (array_intersect on the pair row — touches
+    candidates only, never all pairs).
+
+    Canonical order is by (document frequency asc, shingle asc),
+    computed per doc by sorting struct(df, sh) arrays — no global
+    rank assignment, no window, no driver state."""
+    shingled = shingle_docs(spread_scan(docs), n=2)
+    posting = shingled.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    df_tab = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc shingle list sorted rarest-first (df asc, sh asc)
+    sorted_docs = (
+        posting.join(df_tab, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "sh"))),
+                lambda s: s["sh"],
+            ).alias("sorted_sh")
+        )
+        .select(
+            "doc_id",
+            "sorted_sh",
+            F.size("sorted_sh").alias("n_sh"),
+            # prefix length: |s| - ceil(t*|s|) + 1
+            (
+                F.col("n_sh")
+                - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
+                + 1
+            ).alias("pref_len"),
+        )
+    )
+    pref = sorted_docs.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.slice("sorted_sh", 1, F.col("pref_len"))).alias("sh"),
+    )
+    pa = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "sh"
+    )
+    pb = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "sh"
+    )
+    cands = (
+        pa.join(pb, "sh")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: t*|A| <= |B| <= |A|/t (A smaller side)
+            & (F.col("n_b") * F.lit(threshold) <= F.col("n_a"))
+            & (F.col("n_a") * F.lit(threshold) <= F.col("n_b"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.orderBy("doc_a", "doc_b")
+
+
+def jaccard_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: prefix-filtered exact Jaccard pairs; shares
+    ngram_jaccard's oracle — equality proves zero lost pairs."""
+    return jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))

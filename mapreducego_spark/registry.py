@@ -467,6 +467,9 @@ QUERIES: dict[str, QueryFn] = {
     "cms_heavy_hitters": lambda spark, sf_dir: T.cms_heavy_hitters(
         load_table(spark, sf_dir, "documents")
     ),
+    # prefix-filtered (AllPairs/PPJoin) exact Jaccard join; shares
+    # ngram_jaccard's oracle -> hash equality proves no lost pairs
+    "jaccard_prefix_join": D.jaccard_prefix_docs,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -3147,3 +3150,5 @@ FROM probes p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
 GROUP BY p.term, p.true_cnt
 ORDER BY true_cnt DESC, term ASC
 """
+
+ORACLES["jaccard_prefix_join"] = ORACLES["ngram_jaccard"]

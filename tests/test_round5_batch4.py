@@ -184,3 +184,53 @@ def test_cms_never_underestimates_under_forced_collisions(spark):
     # must actually collide somewhere; depth=4 min usually saves it,
     # so just assert the sketch is not trivially exact everywhere
     # OR exact (both legal) — the guarantee above is the contract.
+
+
+def test_prefix_filter_equals_full_join_and_indexes_fewer_postings(spark):
+    from mapreducego_spark.functions.dedup import (
+        jaccard_prefix_pairs,
+        ngram_pairs,
+    )
+    from mapreducego_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    full = sorted(map(tuple, ngram_pairs(docs).collect()))
+    pref = sorted(map(tuple, jaccard_prefix_pairs(docs).collect()))
+    assert pref == full and len(full) > 0
+    # the point of the filter: the prefix index is strictly smaller
+    # than the full inverted index
+    from mapreducego_spark.functions.dedup import shingle_docs
+    from mapreducego_spark.operators.util import spread_scan
+
+    sh = shingle_docs(spread_scan(docs), n=2)
+    full_postings = sh.select(F.explode("shingles")).count()
+    t = 0.5
+    pref_postings = sh.select(
+        (
+            F.size("shingles")
+            - F.ceil(F.lit(t) * F.size("shingles")).cast("int")
+            + 1
+        ).alias("plen")
+    ).agg(F.sum("plen")).collect()[0][0]
+    assert pref_postings < full_postings * 0.6
+
+
+def test_prefix_filter_threshold_boundary(spark):
+    from mapreducego_spark.functions.dedup import jaccard_prefix_pairs
+
+    # doc 1/2: 3 shared bigrams of 4+4 -> J = 3/5 = 0.6 >= 0.5 (kept)
+    # doc 3/4: 1 shared of 3+3 -> J = 1/5 = 0.2 (dropped)
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee"),
+            (2, "aa bb cc dd ff"),
+            (3, "gg hh ii jj"),
+            (4, "gg hh xx yy"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_prefix_pairs(docs).collect()
+    ]
+    assert got == [(1, 2, 0.6)]
