@@ -303,3 +303,53 @@ def udaf_revenue_cents(spark, sf_dir: str) -> DataFrame:
         .agg(revenue_cents("o_totalprice").alias("revenue_cents"))
         .orderBy("o_orderstatus")
     )
+
+
+def udtf_sentences(spark, sf_dir: str) -> DataFrame:
+    """Python USER-DEFINED TABLE FUNCTION (Spark 4's UDTF surface —
+    the set-returning plugin slot that completes the UDF tier:
+    scalar/pandas UDFs, mapInPandas, applyInPandas, grouped-agg
+    UDAF, and now one-row-to-many-rows table functions usable from
+    SQL as a lateral source). The UDTF splits each document into
+    sentences (deterministic [.!?]+ boundaries) and emits one
+    (doc_id, sentence_idx, sentence) row per non-empty fragment —
+    the per-sentence grain LLM-corpus filters and aligners work at.
+
+    The splitting itself could be done engine-side (explode over
+    regexp split — which is exactly what the DuckDB oracle does, so
+    the comparison proves the UDTF plumbing is value-faithful);
+    the entry exists to pin the UDTF register/invoke path, eval
+    semantics, and schema contract. Scale: UDTFs stream row
+    batches through Python workers like any Python UDF — keep them
+    off the hot path unless the logic genuinely needs Python."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    from mapreducego_spark.sources.catalog import load_table
+
+    @udtf(returnType="sentence_idx: long, sentence: string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for frag in re.split(r"[.!?]+", text):
+                frag = frag.strip()
+                if frag:
+                    yield idx, frag
+                    idx += 1
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               s.sentence_idx, s.sentence
+        FROM __udtf_docs d,
+             LATERAL split_sentences(d.text) s
+        ORDER BY doc_id, sentence_idx
+        """
+    )

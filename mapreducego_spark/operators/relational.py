@@ -1763,3 +1763,35 @@ def rrf_fusion(spark: SparkSession, sf_dir: str, k: int = 60, depth: int = 100,
     return fused.orderBy(
         F.col("rrf_score").desc(), F.col("doc_id").asc()
     ).limit(top_n)
+
+
+def hist_equi_depth(spark: SparkSession, sf_dir: str, bins: int = 10) -> DataFrame:
+    """Equal-frequency (equi-depth) histogram of event values per
+    type — the optimizer-statistics / data-profiling companion to
+    agg_histogram's equal-WIDTH bins: each bin holds ~1/bins of the
+    rows, so boundaries track the distribution's shape (tight where
+    data is dense, wide in the tails), which is what makes equi-depth
+    the standard form for selectivity estimation.
+
+    ntile() assigns bins over a per-group total order — (value,
+    event_id) so ties are deterministic — then one aggregate per
+    (group, bin) emits count and [lo, hi]. The window sorts within
+    each event_type partition only; with one giant group the
+    two-phase quantile route (approx boundaries + broadcast) is the
+    fallback, and Spark's ntile itself is the exact form."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("bin", F.ntile(bins).over(w).cast("long"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("event_type", "bin")
+    )

@@ -178,3 +178,50 @@ def sketch_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (insert-only
+    delta-join rule): with V = O |><| C, arriving deltas dO and dC
+    maintain V without rescanning the join of the full tables —
+    V' = V + dO|><|C + O|><|dC + dO|><|dC (Blakeley et al. 1986;
+    the join-view sibling of rollup_incremental's aggregate IVM).
+
+    The registry entry splits orders/customer into base + held-out
+    deltas (o_orderkey % 10 == 7, c_custkey % 9 == 4), applies the
+    three delta joins, and returns the maintained view; the oracle
+    simply joins the FULL tables — hash equality proves
+    incremental == rebuild, the IVM contract.
+
+    Scale shape: each delta join is |delta| x matching rows — the
+    deltas broadcast when small (a micro-batch), the big tables are
+    scanned once each and never joined to each other again. At
+    100 TB the base view V is a stored table; here it is the base
+    join, which the oracle-equality argument doesn't depend on."""
+    from mapreducego_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_totalprice",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_mktsegment",
+    )
+    base_o = orders.filter(F.col("o_orderkey") % 10 != 7)
+    d_o = orders.filter(F.col("o_orderkey") % 10 == 7)
+    base_c = cust.filter(F.col("c_custkey") % 9 != 4)
+    d_c = cust.filter(F.col("c_custkey") % 9 == 4)
+
+    on = orders["o_custkey"]  # noqa: F841 (documentation of the key)
+    j = lambda o, c: o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
+    )
+    v0 = j(base_o, base_c)
+    maintained = (
+        v0.unionByName(j(d_o, base_c))
+        .unionByName(j(base_o, d_c))
+        .unionByName(j(d_o, d_c))
+    )
+    return maintained.orderBy("o_orderkey")

@@ -470,6 +470,14 @@ QUERIES: dict[str, QueryFn] = {
     # prefix-filtered (AllPairs/PPJoin) exact Jaccard join; shares
     # ngram_jaccard's oracle -> hash equality proves no lost pairs
     "jaccard_prefix_join": D.jaccard_prefix_docs,
+    # equi-depth histogram (optimizer-statistics profile)
+    "hist_equi_depth": R.hist_equi_depth,
+    # insert-only delta-join IVM: incremental == rebuild for a join
+    # view (the oracle is the full-table join)
+    "ivm_join_view": RU.ivm_join_view,
+    # Python UDTF (Spark 4 table function): sentence splitting as a
+    # lateral source — completes the UDF surface
+    "udtf_sentences": MR.udtf_sentences,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -3152,3 +3160,53 @@ ORDER BY true_cnt DESC, term ASC
 """
 
 ORACLES["jaccard_prefix_join"] = ORACLES["ngram_jaccard"]
+
+# Equi-depth histogram: ntile over the same (value, event_id) total
+# order; both engines define ntile identically (larger buckets first).
+ORACLES["hist_equi_depth"] = """
+WITH binned AS (
+  SELECT event_type, value,
+         CAST(ntile(10) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS BIGINT) AS bin
+  FROM events
+)
+SELECT event_type, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM binned
+GROUP BY event_type, bin
+ORDER BY event_type, bin
+"""
+
+# IVM join view: the oracle is the straight full-table join — hash
+# equality IS the incremental == rebuild proof.
+ORACLES["ivm_join_view"] = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       o_totalprice, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey
+"""
+
+# UDTF: the oracle does the same split engine-side (regexp split,
+# trim, drop empties, 0-based index) — proving the UDTF plumbing is
+# value-faithful.
+ORACLES["udtf_sentences"] = """
+WITH frags AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                                    x -> trim(x)),
+                     x -> len(x) > 0) AS sentences
+  FROM documents
+)
+SELECT doc_id,
+       CAST(x['i'] AS BIGINT) AS sentence_idx,
+       x['s'] AS sentence
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(len(sentences)),
+                i -> struct_pack(i := i, s := sentences[i + 1]))) AS x
+  FROM frags
+)
+ORDER BY doc_id, sentence_idx
+"""

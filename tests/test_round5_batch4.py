@@ -234,3 +234,79 @@ def test_prefix_filter_threshold_boundary(spark):
         for r in jaccard_prefix_pairs(docs).collect()
     ]
     assert got == [(1, 2, 0.6)]
+
+
+def test_hist_equi_depth_bins_are_balanced_and_ordered(spark):
+    from mapreducego_spark.operators.relational import hist_equi_depth
+
+    rows = hist_equi_depth(spark, SF).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, bins in by_type.items():
+        assert [b["bin"] for b in bins] == list(range(1, 11))
+        counts = [b["n_rows"] for b in bins]
+        # ntile balance: bucket sizes differ by at most 1
+        assert max(counts) - min(counts) <= 1, (et, counts)
+        # boundaries are non-decreasing across bins
+        for a, b in zip(bins, bins[1:]):
+            assert a["hi"] <= b["lo"] or abs(a["hi"] - b["lo"]) < 1e-12
+
+
+def test_ivm_join_view_incremental_equals_rebuild(spark):
+    from mapreducego_spark.operators.rollup import ivm_join_view
+    from mapreducego_spark.sources.catalog import load_table
+
+    got = sorted(map(tuple, ivm_join_view(spark, SF_TINY).collect()))
+    o = load_table(spark, SF_TINY, "orders")
+    c = load_table(spark, SF_TINY, "customer")
+    full = sorted(
+        map(
+            tuple,
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .selectExpr(
+                "CAST(o_orderkey AS LONG)", "CAST(o_custkey AS LONG)",
+                "o_totalprice", "c_mktsegment",
+            )
+            .collect(),
+        )
+    )
+    assert got == full and len(full) > 0
+
+
+def test_udtf_emits_multiple_ordered_sentences(spark):
+    from pyspark.sql.functions import udtf
+
+    import re
+
+    @udtf(returnType="sentence_idx: long, sentence: string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for frag in re.split(r"[.!?]+", text):
+                frag = frag.strip()
+                if frag:
+                    yield idx, frag
+                    idx += 1
+
+    spark.udtf.register("split_sentences_t", SplitSentences)
+    spark.createDataFrame(
+        [(1, "Hello there. How are you? Fine!"), (2, "..."), (3, None)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("__udtf_test_docs")
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            """SELECT doc_id, s.sentence_idx, s.sentence
+               FROM __udtf_test_docs d, LATERAL split_sentences_t(d.text) s
+               ORDER BY doc_id, sentence_idx"""
+        ).collect()
+    ]
+    # doc 2 (only punctuation) and doc 3 (NULL) emit nothing
+    assert got == [
+        (1, 0, "Hello there"),
+        (1, 1, "How are you"),
+        (1, 2, "Fine"),
+    ]
