@@ -535,3 +535,64 @@ def sweep_max_concurrency(ev: DataFrame) -> DataFrame:
         .agg(F.min("t_us").cast("long").alias("peak_at_us"))
         .orderBy("event_type")
     )
+
+
+def attribution_last_touch(
+    spark: SparkSession, sf_dir: str, lookback_days: int = 7
+) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited
+    to the user's most recent preceding non-purchase touchpoint
+    within a lookback window — the default conversion-attribution
+    model of every ads/analytics warehouse. Purchases with no
+    touchpoint in the window land in the 'direct' bucket (the
+    all-models-must-sum-to-total invariant; a pytest pins it).
+
+    One pass, no self-join: per user the event stream is scanned in
+    (ts, event_id) order and the last non-purchase touch is carried
+    forward with last(..., ignorenulls) over an unbounded-preceding
+    frame — the LOCF construction (gapfill_locf) applied to
+    attribution. The lookback cut then compares carried timestamp
+    to purchase timestamp. Revenue is credited in integer cents
+    (floor(value*100), the udaf_revenue_cents contract) so sums are
+    engine-exact.
+
+    Scale: one user_id shuffle; frames are bounded per user. The
+    self-join alternative (purchases x touches) would shuffle the
+    event table twice and blow up on power users."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(F.col("event_type") != "purchase",
+                   F.struct("us", "event_type"))
+    carried = ev.select(
+        "user_id", "event_id", "event_type", "us", "value",
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    lookback_us = lookback_days * 86_400 * 1_000_000
+    purchases = carried.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("last_touch").isNotNull()
+            & (F.col("us") - F.col("last_touch.us") <= lookback_us),
+            F.col("last_touch.event_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("credited_to"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        purchases.groupBy("credited_to")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("credited_to")
+    )

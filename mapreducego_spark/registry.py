@@ -478,6 +478,8 @@ QUERIES: dict[str, QueryFn] = {
     # Python UDTF (Spark 4 table function): sentence splitting as a
     # lateral source — completes the UDF surface
     "udtf_sentences": MR.udtf_sentences,
+    # last-touch conversion attribution (LOCF carry, no self-join)
+    "attribution_last_touch": TW.attribution_last_touch,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -3209,4 +3211,35 @@ FROM (
   FROM frags
 )
 ORDER BY doc_id, sentence_idx
+"""
+
+# Attribution: same LOCF carry via a filtered last_value window;
+# cents are floor(value*100) on both sides.
+ORACLES["attribution_last_touch"] = """
+WITH ev AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(event_id AS BIGINT) AS event_id,
+         event_type, epoch_us(ts) AS us, value
+  FROM events
+), carried AS (
+  SELECT *,
+         last_value(CASE WHEN event_type != 'purchase'
+                         THEN struct_pack(us := us, et := event_type) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_touch
+  FROM ev
+), purchases AS (
+  SELECT CASE WHEN last_touch IS NOT NULL
+               AND us - last_touch['us'] <= CAST(7 AS BIGINT) * 86400 * 1000000
+              THEN last_touch['et'] ELSE 'direct' END AS credited_to,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM carried WHERE event_type = 'purchase'
+)
+SELECT credited_to,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM purchases
+GROUP BY credited_to
+ORDER BY credited_to
 """

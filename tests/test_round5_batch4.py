@@ -310,3 +310,27 @@ def test_udtf_emits_multiple_ordered_sentences(spark):
         (1, 1, "How are you"),
         (1, 2, "Fine"),
     ]
+
+
+def test_attribution_sums_to_total_purchases_and_respects_lookback(spark):
+    from mapreducego_spark.operators.timewin import attribution_last_touch
+    from mapreducego_spark.sources.catalog import load_table
+
+    rows = attribution_last_touch(spark, SF).collect()
+    total = sum(r["n_purchases"] for r in rows)
+    n_purch = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    # every purchase is attributed exactly once (incl. 'direct')
+    assert total == n_purch
+    # purchase itself is never a touchpoint
+    assert all(r["credited_to"] != "purchase" for r in rows)
+    # a tiny lookback forces everything to 'direct'
+    tight = attribution_last_touch(spark, SF, lookback_days=0).collect()
+    direct = next(r for r in tight if r["credited_to"] == "direct")
+    assert sum(r["n_purchases"] for r in tight) == n_purch
+    assert direct["n_purchases"] >= next(
+        r for r in rows if r["credited_to"] == "direct"
+    )["n_purchases"]
