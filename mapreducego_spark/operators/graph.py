@@ -446,3 +446,86 @@ def shortest_paths_suppliers(spark, sf_dir: str) -> DataFrame:
     )
     source = edges.agg(F.min(F.least("src", "dst"))).collect()[0][0]
     return shortest_paths(edges, int(source))
+
+
+def bellman_ford_bounded(
+    edges: DataFrame,
+    source: int,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Hop-bounded single-source WEIGHTED shortest paths — the fifth
+    graph kernel, completing the pair with BFS (shortest_paths):
+    after k rounds of Bellman-Ford relaxation, dist(v) is exactly
+    the minimum total weight over paths of <= k edges, the
+    "cheapest route within k legs" question of logistics/network
+    planning, and (with k = |V|-1) full Bellman-Ford 1958.
+
+    Each round relaxes EVERY edge once: candidates = dist |><| edges
+    (one shuffle), then min per node over old dist + candidates (one
+    map-side-combined aggregate). Integer weights keep every cost a
+    LONG, so min() is engine-exact and the fixed-round unrolled SQL
+    twin reproduces each table bit-for-bit. localCheckpoint per
+    round keeps lineage flat (the connected_components policy; swap
+    for checkpoint(dir) on clusters with executor churn)."""
+    e = (
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .union(
+            edges.select(
+                F.col(dst).alias("s"), F.col(src).alias("d"),
+                F.col(weight).cast("long").alias("w"),
+            )
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        e.sparkSession.createDataFrame([(source, 0)], ["id", "cost"])
+        .select(F.col("id").cast("long"), F.col("cost").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        cand = dist.join(e, dist.id == e.s).select(
+            F.col("d").alias("id"), (F.col("cost") + F.col("w")).alias("cost")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.orderBy("id")
+
+
+def weighted_paths_suppliers(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: 6-round Bellman-Ford from the smallest
+    supplier over the quantity-1 co-supply graph with deterministic
+    integer weights w = 1 + (src + dst) % 7. Oracle: the same six
+    relaxations unrolled as chained CTEs (the pagerank_exact
+    pattern) — bit-identical LONG arithmetic, no float, no
+    tolerance."""
+    from mapreducego_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") == 1)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = ps.select("p", F.col("s").alias("src"))
+    b = ps.select(F.col("p").alias("p2"), F.col("s").alias("dst"))
+    edges = (
+        a.join(b, a.p == b.p2)
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .withColumn("w", (1 + (F.col("src") + F.col("dst")) % 7).cast("long"))
+    )
+    source = edges.agg(F.min(F.least("src", "dst"))).collect()[0][0]
+    return bellman_ford_bounded(edges, int(source), rounds=6)

@@ -174,6 +174,12 @@ def _shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_paths_suppliers(spark, sf_dir)
 
 
+def _weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducego_spark.operators.graph import weighted_paths_suppliers
+
+    return weighted_paths_suppliers(spark, sf_dir)
+
+
 def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducego_spark.operators.graph import triangle_count_suppliers
 
@@ -480,6 +486,8 @@ QUERIES: dict[str, QueryFn] = {
     "udtf_sentences": MR.udtf_sentences,
     # last-touch conversion attribution (LOCF carry, no self-join)
     "attribution_last_touch": TW.attribution_last_touch,
+    # hop-bounded Bellman-Ford weighted shortest paths (5th kernel)
+    "weighted_paths": _weighted_paths,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -3242,4 +3250,59 @@ SELECT credited_to,
 FROM purchases
 GROUP BY credited_to
 ORDER BY credited_to
+"""
+
+# Bellman-Ford: six relaxation rounds unrolled as chained CTEs,
+# LONG-exact min arithmetic (the pagerank_exact pattern).
+ORACLES["weighted_paths"] = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+  FROM lineitem WHERE l_quantity = 1
+), e0 AS (
+  SELECT DISTINCT a.s AS u, b.s AS v,
+         CAST(1 + (a.s + b.s) % 7 AS BIGINT) AS w
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+), edges AS (
+  SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0
+), d0 AS (
+  SELECT CAST((SELECT MIN(u) FROM edges) AS BIGINT) AS id,
+         CAST(0 AS BIGINT) AS cost
+), d1 AS (
+  SELECT id, MIN(cost) AS cost FROM (
+    SELECT id, cost FROM d0
+    UNION ALL
+    SELECT e.v AS id, d.cost + e.w FROM d0 d JOIN edges e ON e.u = d.id
+  ) GROUP BY id
+), d2 AS (
+  SELECT id, MIN(cost) AS cost FROM (
+    SELECT id, cost FROM d1
+    UNION ALL
+    SELECT e.v AS id, d.cost + e.w FROM d1 d JOIN edges e ON e.u = d.id
+  ) GROUP BY id
+), d3 AS (
+  SELECT id, MIN(cost) AS cost FROM (
+    SELECT id, cost FROM d2
+    UNION ALL
+    SELECT e.v AS id, d.cost + e.w FROM d2 d JOIN edges e ON e.u = d.id
+  ) GROUP BY id
+), d4 AS (
+  SELECT id, MIN(cost) AS cost FROM (
+    SELECT id, cost FROM d3
+    UNION ALL
+    SELECT e.v AS id, d.cost + e.w FROM d3 d JOIN edges e ON e.u = d.id
+  ) GROUP BY id
+), d5 AS (
+  SELECT id, MIN(cost) AS cost FROM (
+    SELECT id, cost FROM d4
+    UNION ALL
+    SELECT e.v AS id, d.cost + e.w FROM d4 d JOIN edges e ON e.u = d.id
+  ) GROUP BY id
+), d6 AS (
+  SELECT id, MIN(cost) AS cost FROM (
+    SELECT id, cost FROM d5
+    UNION ALL
+    SELECT e.v AS id, d.cost + e.w FROM d5 d JOIN edges e ON e.u = d.id
+  ) GROUP BY id
+)
+SELECT id, cost FROM d6 ORDER BY id
 """

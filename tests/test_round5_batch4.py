@@ -334,3 +334,38 @@ def test_attribution_sums_to_total_purchases_and_respects_lookback(spark):
     assert direct["n_purchases"] >= next(
         r for r in rows if r["credited_to"] == "direct"
     )["n_purchases"]
+
+
+def test_bellman_ford_matches_serial_dijkstra_within_hop_bound(spark):
+    import heapq
+
+    from mapreducego_spark.operators.graph import bellman_ford_bounded
+
+    edges = [(0, 1, 4), (0, 2, 1), (2, 1, 1), (1, 3, 1), (2, 3, 6), (4, 5, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["id"]: r["cost"] for r in
+           bellman_ford_bounded(df, 0, rounds=5).collect()}
+    # serial reference: Dijkstra on the undirected graph
+    adj = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1 << 60):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    # nodes 4,5 are a separate component: absent from both
+    assert got == dist
+    # shortest path 0->1 is via 2 (cost 2), not the direct edge (4)
+    assert got[1] == 2
+    # hop bound semantics: with rounds=1 only direct edges are usable
+    one = {r["id"]: r["cost"] for r in
+           bellman_ford_bounded(df, 0, rounds=1).collect()}
+    assert one[1] == 4 and one[2] == 1
