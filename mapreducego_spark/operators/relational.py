@@ -1795,3 +1795,68 @@ def hist_equi_depth(spark: SparkSession, sf_dir: str, bins: int = 10) -> DataFra
         )
         .orderBy("event_type", "bin")
     )
+
+
+def skyline_2d(
+    points: DataFrame, minimize: str, maximize: str
+) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier; Borzsonyi et al. ICDE 2001):
+    the points not DOMINATED by any other — here "dominates" means
+    <= on the minimized column and >= on the maximized one, with at
+    least one strict. The classic "best offers" operator (cheapest
+    price vs largest quantity) no single ORDER BY can answer.
+
+    Distributed shape exploits the skyline-algebra identity
+    skyline(A u B) = skyline(skyline(A) u skyline(B)): phase 1
+    computes each partition's LOCAL skyline independently (for 2-D,
+    one sort + a running-max sweep inside the partition — O(n log n)
+    per partition, no shuffle); phase 2 runs the same sweep over the
+    union of local skylines, which is tiny (local skylines of random
+    partitions overlap heavily), coalesced to one task. The
+    quadratic dominance anti-join exists only in the ORACLE — the
+    engine never compares all pairs.
+
+    The 2-D sweep: sort by (min-col asc, max-col desc); a point is
+    in the skyline iff its max-col strictly exceeds every earlier
+    point's — a running max comparison. Window form keeps it
+    engine-side; phase 1's window partitions by spark_partition_id
+    (arbitrary slices are fine: the identity above needs no
+    co-location)."""
+    from pyspark.sql import Window
+
+    def sweep(df: DataFrame, part_col) -> DataFrame:
+        w = (
+            Window.partitionBy(part_col)
+            .orderBy(F.col(minimize).asc(), F.col(maximize).desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        run_max = F.max(maximize).over(w)
+        return df.withColumn("__rm", run_max).filter(
+            F.col("__rm").isNull() | (F.col(maximize) > F.col("__rm"))
+        ).drop("__rm")
+
+    local = sweep(
+        points.withColumn("__pid", F.spark_partition_id()), "__pid"
+    ).drop("__pid")
+    return sweep(
+        local.coalesce(1).withColumn("__one", F.lit(1)), "__one"
+    ).drop("__one")
+
+
+def skyline_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: skyline of distinct (price_cents asc,
+    quantity desc) offer points from lineitem — no other offer is
+    both cheaper-or-equal and larger-or-equal (one strict). Oracle:
+    the literal NOT EXISTS dominance query (quadratic is fine at
+    oracle scale; the engine runs the two-phase sweep)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-03-01")
+        & (F.col("l_shipdate") < "1995-04-01")
+    )
+    pts = li.select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("quantity"),
+    ).distinct()
+    return skyline_2d(pts, minimize="price_cents", maximize="quantity").orderBy(
+        "price_cents"
+    )

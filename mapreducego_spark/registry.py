@@ -488,6 +488,8 @@ QUERIES: dict[str, QueryFn] = {
     "attribution_last_touch": TW.attribution_last_touch,
     # hop-bounded Bellman-Ford weighted shortest paths (5th kernel)
     "weighted_paths": _weighted_paths,
+    # 2-D skyline (Pareto frontier), partition-local sweep + merge
+    "skyline_offers": R.skyline_offers,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -3305,4 +3307,23 @@ WITH ps AS (
   ) GROUP BY id
 )
 SELECT id, cost FROM d6 ORDER BY id
+"""
+
+# Skyline: the literal NOT EXISTS dominance definition — independent
+# of the engine's two-phase sweep algorithm.
+ORACLES["skyline_offers"] = """
+WITH pts AS (
+  SELECT DISTINCT CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(l_quantity AS BIGINT) AS quantity
+  FROM lineitem
+  WHERE l_shipdate >= '1995-03-01' AND l_shipdate < '1995-04-01'
+)
+SELECT price_cents, quantity
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price_cents <= p.price_cents AND q.quantity >= p.quantity
+    AND (q.price_cents < p.price_cents OR q.quantity > p.quantity)
+)
+ORDER BY price_cents
 """

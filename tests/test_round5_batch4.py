@@ -369,3 +369,37 @@ def test_bellman_ford_matches_serial_dijkstra_within_hop_bound(spark):
     one = {r["id"]: r["cost"] for r in
            bellman_ford_bounded(df, 0, rounds=1).collect()}
     assert one[1] == 4 and one[2] == 1
+
+
+def test_skyline_matches_bruteforce_and_is_partition_invariant(spark):
+    import random
+
+    from mapreducego_spark.operators.relational import skyline_2d
+
+    rng = random.Random(7)
+    pts = list({(rng.randrange(100), rng.randrange(100)) for _ in range(400)})
+    brute = sorted(
+        p for p in pts
+        if not any(
+            q[0] <= p[0] and q[1] >= p[1] and q != p for q in pts
+        )
+    )
+    df = spark.createDataFrame(pts, "price long, qty long")
+    for n in (1, 5, 32):
+        got = sorted(
+            (r["price"], r["qty"])
+            for r in skyline_2d(
+                df.repartition(n), minimize="price", maximize="qty"
+            ).collect()
+        )
+        assert got == brute, f"partition count {n}"
+    # tie handling: same price, larger qty dominates; same qty,
+    # cheaper price dominates
+    tie = spark.createDataFrame(
+        [(1, 5), (1, 9), (3, 9), (2, 7)], "price long, qty long"
+    )
+    got = sorted(
+        (r["price"], r["qty"])
+        for r in skyline_2d(tie, minimize="price", maximize="qty").collect()
+    )
+    assert got == [(1, 9)]
