@@ -105,6 +105,22 @@ HEADLINE = [
     "session_paths",
     "outlier_iqr",
     "zorder_key",
+    # round 5, fourth batch: the sweep-line concurrency walk, SCD-2
+    # history build, single-scan validation suite, integer naive
+    # Bayes, prefix-filtered Jaccard (the at-scale exact similarity
+    # join), CMS point queries, delta-join IVM, last-touch
+    # attribution, and the Bellman-Ford kernel
+    "concurrent_events",
+    "scd2_history",
+    "validate_quarantine",
+    "nb_classify",
+    "jaccard_prefix_join",
+    "cms_heavy_hitters",
+    "ivm_join_view",
+    "attribution_last_touch",
+    "weighted_paths",
+    "hist_equi_depth",
+    "rrf_fusion",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500
@@ -155,6 +171,10 @@ SCALE_SET = [
     "snapshot_diff",
     # BFS on the 10x co-supply graph (iterative-kernel scale point)
     "shortest_paths",
+    # round 5 fourth batch: the prefix-filter join (its selectivity
+    # argument is exactly a scale claim) and the sweep-line walk
+    "jaccard_prefix_join",
+    "concurrent_events",
 ]
 SUPERLINEAR_RATIO = 12.0
 
