@@ -1084,3 +1084,51 @@ def vector_ann_ivfpq(
         .select("q_id", "vec_id", "cos_sim", F.col("rk").cast("long").alias("rk"))
         .orderBy("q_id", "rk")
     )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the elementwise-mean
+    aggregate behind class prototypes, k-means iterations, and
+    nearest-centroid classification, in the only form that is both
+    distributed AND engine-exact: each float component is quantized
+    once to integer micro-units (floor(x*1e6)), posexplode fans the
+    vectors out to (label, dim, micro) rows, and one map-side-
+    combined LONG sum per (label, dim) accumulates — integer
+    addition commutes, so partition order cannot move a centroid
+    (a double sum would drift per shuffle layout; the reason naive
+    mean-of-floats is not oracle-able). The mean re-enters double
+    space once, at the end, with a fixed division order.
+
+    Scale: the fan-out is |rows| x dims — dims is a small constant
+    (64 here), so this is a bounded row multiply feeding a
+    |labels| x dims aggregate; the alternative (array-valued
+    partial sums via aggregate-merge UDAF) saves the fan-out but
+    costs a Python UDAF. Output is the long (label, dim) table —
+    the shape a broadcast join wants for assignment steps."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"),
+        )).alias("dim", "micro"),
+    )
+    return (
+        emb.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("micro").alias("sum_micro"),
+        )
+        .select(
+            "label", "dim", "n_vecs", "sum_micro",
+            # floor of the double quotient: long/long division is
+            # correctly rounded and floor boundaries sit on exact
+            # integers, so this is tie-free across engines — where
+            # round(q, 6) straddles .5 half-boundaries (observed:
+            # sum=-713702, n=44 -> exactly -16220.5 micro)
+            F.floor(
+                F.col("sum_micro").cast("double")
+                / F.col("n_vecs").cast("double")
+            ).cast("long").alias("centroid_micro"),
+        )
+        .orderBy("label", "dim")
+    )

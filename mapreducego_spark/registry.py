@@ -490,6 +490,8 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_paths": _weighted_paths,
     # 2-D skyline (Pareto frontier), partition-local sweep + merge
     "skyline_offers": R.skyline_offers,
+    # per-label embedding centroids, integer-exact elementwise mean
+    "label_centroids": V.label_centroids,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -3326,4 +3328,26 @@ WHERE NOT EXISTS (
     AND (q.price_cents < p.price_cents OR q.quantity > p.quantity)
 )
 ORDER BY price_cents
+"""
+
+# Centroids: same micro-unit quantization; DuckDB fans out with the
+# struct_pack ordinal-unnest (no WITH ORDINALITY in DuckDB).
+ORACLES["label_centroids"] = """
+WITH fan AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(list_transform(range(len(embedding)),
+                i -> struct_pack(d := i,
+                     m := CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                                     * 1000000) AS BIGINT)))) AS x
+  FROM embeddings
+)
+SELECT label,
+       CAST(x['d'] AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(x['m']) AS BIGINT) AS sum_micro,
+       CAST(floor(CAST(SUM(x['m']) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         AS centroid_micro
+FROM fan
+GROUP BY label, x['d']
+ORDER BY label, dim
 """
