@@ -596,3 +596,83 @@ def attribution_last_touch(
         )
         .orderBy("credited_to")
     )
+
+
+def gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill with LINEAR interpolation — gapfill_locf's
+    companion for continuous measures (LOCF suits step-wise state;
+    interpolation suits rates/levels, the timeseries-store
+    ``interpolate()`` verb). Missing hours between two present
+    hours get v0 + (v1-v0)*(h-h0)/(h1-h0); leading/trailing gaps
+    (no neighbor on one side) stay NULL rather than invent data.
+
+    Engine exactness: hourly sums are exact LONG cents
+    (floor(value*100) per event), and the interpolation expression
+    is one fixed double tree over those longs — identical operands
+    and operator order on both engines, then floor() back to cents
+    (floor, not round: round's half-boundary is the cross-engine
+    trap, label_centroids' lesson). Two windows per series (carry
+    prev/next observation), both bounded by |hours|, same scale
+    story as LOCF."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / F.lit(3600)) * 3600)
+            .cast("long")
+            .alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("v_cents"),
+        )
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs = F.when(
+        F.col("v_cents").isNotNull(), F.struct("hour", "v_cents")
+    )
+    marked = joined.select(
+        "event_type",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "v_cents",
+        F.last(obs, ignorenulls=True).over(wb).alias("prev"),
+        F.first(obs, ignorenulls=True).over(wf).alias("nxt"),
+    )
+    interp = (
+        F.col("prev.v_cents").cast("double")
+        + (F.col("nxt.v_cents") - F.col("prev.v_cents")).cast("double")
+        * (F.col("hour") - F.col("prev.hour")).cast("double")
+        / (F.col("nxt.hour") - F.col("prev.hour")).cast("double")
+    )
+    filled = (
+        F.when(F.col("v_cents").isNotNull(), F.col("v_cents"))
+        .when(
+            F.col("prev").isNotNull() & F.col("nxt").isNotNull(),
+            F.floor(interp).cast("long"),
+        )
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return marked.select(
+        "event_type", "hour", "n_events", filled.alias("filled_cents")
+    ).orderBy("event_type", "hour")

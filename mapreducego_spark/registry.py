@@ -492,6 +492,8 @@ QUERIES: dict[str, QueryFn] = {
     "skyline_offers": R.skyline_offers,
     # per-label embedding centroids, integer-exact elementwise mean
     "label_centroids": V.label_centroids,
+    # linear-interpolation gap-fill (LOCF's continuous companion)
+    "gapfill_linear": TW.gapfill_linear,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -3350,4 +3352,47 @@ SELECT label,
 FROM fan
 GROUP BY label, x['d']
 ORDER BY label, dim
+"""
+
+# Linear gap-fill: identical fixed double expression tree over LONG
+# cents, floor back to cents (tie-free).
+ORACLES["gapfill_linear"] = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT event_type, unnest(range(h0, h1 + 3600, 3600)) AS hour
+  FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM hourly GROUP BY 1)
+), joined AS (
+  SELECT s.event_type, s.hour,
+         COALESCE(h.n_events, 0) AS n_events, h.v_cents
+  FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+), marked AS (
+  SELECT *,
+         last_value(CASE WHEN v_cents IS NOT NULL
+                         THEN struct_pack(hour := hour, v := v_cents) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hour
+                 ROWS UNBOUNDED PRECEDING) AS prev,
+         first_value(CASE WHEN v_cents IS NOT NULL
+                          THEN struct_pack(hour := hour, v := v_cents) END
+                     IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+  FROM joined
+)
+SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events,
+       CASE WHEN v_cents IS NOT NULL THEN v_cents
+            WHEN prev IS NOT NULL AND nxt IS NOT NULL THEN
+              CAST(floor(CAST(prev['v'] AS DOUBLE)
+                   + CAST(nxt['v'] - prev['v'] AS DOUBLE)
+                     * CAST(hour - prev['hour'] AS DOUBLE)
+                     / CAST(nxt['hour'] - prev['hour'] AS DOUBLE)) AS BIGINT)
+            ELSE NULL END AS filled_cents
+FROM marked
+ORDER BY event_type, hour
 """

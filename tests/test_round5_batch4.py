@@ -433,3 +433,38 @@ def test_label_centroids_match_numpy_and_partition_invariant(spark):
     # the operator reads via load_table, so just rerun and compare
     again = sorted(map(tuple, label_centroids(spark, SF_TINY).collect()))
     assert base == again
+
+
+def test_gapfill_linear_interpolates_interior_gaps_exactly(spark):
+    import math
+
+    from mapreducego_spark.operators.timewin import gapfill_linear
+
+    rows = gapfill_linear(spark, SF_TINY).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    n_gaps = 0
+    for et, series in by_type.items():
+        series.sort(key=lambda r: r["hour"])
+        present = [
+            (r["hour"], r["filled_cents"]) for r in series if r["n_events"] > 0
+        ]
+        lookup = dict(present)
+        for r in series:
+            if r["n_events"] > 0:
+                continue
+            prevs = [p for p in present if p[0] < r["hour"]]
+            nxts = [p for p in present if p[0] > r["hour"]]
+            if prevs and nxts:
+                (h0, v0), (h1, v1) = prevs[-1], nxts[0]
+                expect = math.floor(
+                    float(v0) + float(v1 - v0) * float(r["hour"] - h0)
+                    / float(h1 - h0)
+                )
+                assert r["filled_cents"] == expect, (et, r["hour"])
+                n_gaps += 1
+            else:
+                assert r["filled_cents"] is None
+    # fixture actually exercises interpolation
+    assert n_gaps > 0
