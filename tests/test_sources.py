@@ -298,15 +298,20 @@ def test_zorder_layout_tightens_2d_bounding_boxes(spark, tmp_path):
     span_v_z = sum(b[3] - b[2] for b in zb) / len(zb)
     assert span_v_z < span_v_sorted / 2, (span_v_z, span_v_sorted)
 
-    # 2-D box query: u in [10, 20], v in [10, 20]
+    # v-constrained query (v in [10, 20], any u): every u-sorted file
+    # spans ~the whole v range so ALL overlap; z-ordered files have
+    # tight v boxes so only a few do. (A u-tight 2-D box is NOT a
+    # robust discriminator: the u-sorted layout prunes it on u alone
+    # and repartitionByRange's sampled boundaries make the count
+    # jitter — observed 2 vs 2 tie.)
     def overlapping(boxes):
         return sum(
-            1
-            for (ulo, uhi, vlo, vhi) in boxes
-            if not (uhi < 10 or ulo > 20 or vhi < 10 or vlo > 20)
+            1 for (_ulo, _uhi, vlo, vhi) in boxes
+            if not (vhi < 10 or vlo > 20)
         )
 
-    assert overlapping(zb) < overlapping(sb), (zb, sb)
+    assert overlapping(sb) == len(sb), sb
+    assert overlapping(zb) <= len(zb) // 2, (zb, sb)
 
     # and the z key itself is the documented interleave
     got = (
