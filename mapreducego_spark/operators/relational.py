@@ -1860,3 +1860,77 @@ def skyline_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(pts, minimize="price_cents", maximize="quantity").orderBy(
         "price_cents"
     )
+
+
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B conversion analysis — the experiment
+    readout every product-analytics stack computes: users are
+    deterministically assigned to arms (md5 of user_id, the
+    sample_weighted reproducibility idiom), conversion = "made >= 14
+    purchases" (~median of the fixture's ~13 purchases/user, so both
+    outcomes occur at every sf — "ever purchased" is 100% here and
+    a 100% pooled rate zeroes the Wald SE), and the output is
+    per-arm conversion plus
+    absolute lift and the pooled two-proportion z-score
+    (Wald test with pooled variance).
+
+    Exactness: numerators/denominators are exact LONG user counts;
+    rate/lift/z re-enter double space through ONE fixed expression
+    tree mirrored verbatim in the oracle (the trend_fit contract) —
+    identical operands, identical operator order, so the doubles
+    hash-match with no tolerance. Scale: two map-side-combined
+    aggregates over |users| rows; nothing beyond a 2-row result ever
+    leaves the executors."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            (
+                F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+            ).cast("int").alias("converted")
+        )
+        .select(
+            "user_id",
+            "converted",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("user_id").cast("string"),
+                                       F.lit(":ab"))), 1, 8
+                    ),
+                    16, 10,
+                ).cast("long") % 2
+            ).alias("arm"),
+        )
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("c_a")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("c_b")
+    )
+    j = a.crossJoin(b)  # 1x1
+    p_a = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return j.select(
+        "n_a", "c_a", "n_b", "c_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(p_b - p_a, 6).alias("lift_abs"),
+        F.round((p_b - p_a) / se, 6).alias("z_score"),
+    )

@@ -676,3 +676,68 @@ def gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.select(
         "event_type", "hour", "n_events", filled.alias("filled_cents")
     ).orderBy("event_type", "hour")
+
+
+def running_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running balance with a clamp at zero — purchases
+    credit floor(value*100) cents, clicks debit it, and the balance
+    can never go negative (prepaid-wallet / inventory-on-hand
+    semantics): b_i = max(b_{i-1} + delta_i, 0).
+
+    This fold is NON-ASSOCIATIVE (max-with-floor does not decompose
+    into partial aggregates: clamp(a+b) != clamp(a)+clamp(b)), so
+    no window frame, no two-phase combine, and no SQL aggregate can
+    express it — it is the textbook case for applyInPandas: group
+    by the entity, Arrow-ship each user's ordered ledger to Python
+    once, run the sequential scan vectorized-per-group, return one
+    summary row. Parallelism is ACROSS users (the shuffle key);
+    within a user the scan is inherently sequential — that's the
+    semantics, not a missed optimization.
+
+    The oracle reproduces the fold with a recursive CTE stepping
+    row-by-row per user (set-based across users), so the driver
+    hash match proves the Python fold against pure SQL."""
+    import pandas as pd
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.unix_micros("ts").alias("us"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100),
+            )
+            .otherwise(-F.floor(F.col("value") * 100))
+            .cast("long")
+            .alias("delta_cents"),
+        )
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"])
+        bal, clamps = 0, 0
+        for d in pdf["delta_cents"]:
+            bal += int(d)
+            if bal < 0:
+                bal = 0
+                clamps += 1
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "final_balance_cents": [bal],
+                "n_clamped": [clamps],
+                "n_tx": [len(pdf)],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            fold,
+            "user_id long, final_balance_cents long, n_clamped long, n_tx long",
+        )
+        .orderBy("user_id")
+    )

@@ -494,6 +494,11 @@ QUERIES: dict[str, QueryFn] = {
     "label_centroids": V.label_centroids,
     # linear-interpolation gap-fill (LOCF's continuous companion)
     "gapfill_linear": TW.gapfill_linear,
+    # two-proportion A/B conversion readout (pooled z-score)
+    "ab_test_lift": R.ab_test_lift,
+    # clamp-at-zero running balance: the non-associative fold
+    # (applyInPandas vs a recursive-CTE oracle)
+    "running_balance": TW.running_balance_floor,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -3395,4 +3400,72 @@ SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events,
             ELSE NULL END AS filled_cents
 FROM marked
 ORDER BY event_type, hour
+"""
+
+# A/B readout: identical md5 arm assignment and ONE fixed double
+# expression tree for rate/lift/z.
+ORACLES["ab_test_lift"] = """
+WITH users AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS converted,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 8)
+              AS BIGINT) % 2 AS arm
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM users GROUP BY arm
+), j AS (
+  SELECT a.n_users AS n_a, a.n_converted AS c_a,
+         b.n_users AS n_b, b.n_converted AS c_b
+  FROM (SELECT * FROM arms WHERE arm = 0) a,
+       (SELECT * FROM arms WHERE arm = 1) b
+)
+SELECT n_a, c_a, n_b, c_b,
+       round(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       round(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       round(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+             - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS lift_abs,
+       round((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+              - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+             / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / CAST(n_a AS DOUBLE)
+                       + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z_score
+FROM j
+"""
+
+# Running balance: recursive CTE steps the clamp fold row-by-row per
+# user (set-based across users).
+ORACLES["running_balance"] = """
+WITH RECURSIVE led AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(CASE WHEN event_type = 'purchase'
+                   THEN floor(value * 100)
+                   ELSE -floor(value * 100) END AS BIGINT) AS delta_cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+), steps AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS bal,
+         CAST(0 AS BIGINT) AS clamps
+  FROM (SELECT DISTINCT user_id FROM led)
+  UNION ALL
+  SELECT s.user_id, s.rn + 1,
+         CASE WHEN s.bal + l.delta_cents < 0 THEN 0
+              ELSE s.bal + l.delta_cents END,
+         s.clamps + CASE WHEN s.bal + l.delta_cents < 0 THEN 1 ELSE 0 END
+  FROM steps s JOIN led l ON l.user_id = s.user_id AND l.rn = s.rn + 1
+), last AS (
+  SELECT user_id, MAX(rn) AS max_rn FROM steps GROUP BY user_id
+)
+SELECT s.user_id,
+       s.bal AS final_balance_cents,
+       s.clamps AS n_clamped,
+       s.rn AS n_tx
+FROM steps s JOIN last x ON x.user_id = s.user_id AND s.rn = x.max_rn
+ORDER BY s.user_id
 """
