@@ -1456,3 +1456,99 @@ def cms_heavy_hitters(
         )
         .orderBy(F.col("true_cnt").desc(), F.col("term").asc())
     )
+
+
+def perplexity_bigram(docs: DataFrame, threshold_nats: float = 6.0) -> DataFrame:
+    """Bigram-LM perplexity with stupid backoff (Brants et al. 2007)
+    — the next rung above perplexity_score's unigram model: each
+    token is scored by p(t_i | t_{i-1}) when the bigram was seen in
+    the corpus, else alpha * p_unigram(t_i) with alpha = 0.4, the
+    large-corpus backoff that needs no discounting mass bookkeeping
+    (exactly why web-scale LMs used it). Lower mean NLL = more
+    predictable text; the gap vs the unigram score isolates local
+    word-order fluency, which unigram scoring cannot see.
+
+    Engine exactness (the perplexity_score contract, extended):
+    both the conditional and the backed-off log-probs are quantized
+    ONCE per (bigram) / (unigram) to integer micro-nats —
+    floor(ln(x)*1e6), with ln(0.4) folded into the backoff constant
+    BEFORE flooring so each path is ONE floor of one double — and
+    per-doc sums are LONG. First tokens have no predecessor and are
+    scored by the unigram model (no backoff penalty).
+
+    Scale: two vocab tables (unigram + bigram counts, both
+    map-side combined), the token-bigram stream joined to each once
+    — same join/broadcast shape as tfidf; no window, no collect."""
+    base = spread_scan(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens_col(F.col("text")).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    # (doc, prev, cur) pairs; prev NULL for the first token
+    pairs = base.select(
+        "doc_id",
+        F.posexplode("toks").alias("pos", "cur"),
+    ).join(
+        base.select(
+            "doc_id",
+            F.posexplode("toks").alias("pos_prev", "prev"),
+        ).withColumn("pos", F.col("pos_prev") + 1).drop("pos_prev"),
+        ["doc_id", "pos"],
+        "left",
+    )
+    uni = pairs.groupBy("cur").agg(F.count(F.lit(1)).alias("ucnt"))
+    total = pairs.agg(F.count(F.lit(1)).alias("total"))
+    bi = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+    # context totals: occurrences of w as a predecessor
+    ctx = bi.groupBy("prev").agg(F.sum("bcnt").alias("ccnt"))
+    lp_uni = uni.crossJoin(F.broadcast(total)).select(
+        F.col("cur").alias("u_term"),
+        F.floor(
+            F.log(F.col("ucnt").cast("double") / F.col("total").cast("double"))
+            * 1_000_000
+        ).cast("long").alias("lp_u"),
+        F.floor(
+            (
+                F.log(
+                    F.col("ucnt").cast("double") / F.col("total").cast("double")
+                )
+                + F.log(F.lit(0.4))
+            )
+            * 1_000_000
+        ).cast("long").alias("lp_u_backoff"),
+    )
+    lp_bi = bi.join(ctx, "prev").select(
+        "prev",
+        "cur",
+        F.floor(
+            F.log(F.col("bcnt").cast("double") / F.col("ccnt").cast("double"))
+            * 1_000_000
+        ).cast("long").alias("lp_b"),
+    )
+    scored = (
+        pairs.join(lp_bi, ["prev", "cur"], "left")
+        .join(lp_uni, pairs["cur"] == lp_uni["u_term"])
+        .select(
+            "doc_id",
+            F.when(F.col("lp_b").isNotNull(), F.col("lp_b"))
+            .when(F.col("prev").isNotNull(), F.col("lp_u_backoff"))
+            .otherwise(F.col("lp_u"))
+            .alias("lp_micro"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp_micro").alias("s_micro"),
+    )
+    mean_nll = F.round(
+        (-F.col("s_micro")).cast("double") / F.col("n_tokens") / F.lit(1e6), 6
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        mean_nll.alias("mean_nll_bigram"),
+        (mean_nll <= threshold_nats).alias("keep"),
+    ).orderBy("doc_id")

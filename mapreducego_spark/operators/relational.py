@@ -1934,3 +1934,59 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_b - p_a, 6).alias("lift_abs"),
         F.round((p_b - p_a) / se, 6).alias("z_score"),
     )
+
+
+def skew_report(spark: SparkSession, sf_dir: str, top_n: int = 5) -> DataFrame:
+    """Join-key skew diagnostics — the planning report you run
+    BEFORE a big join to decide between plain shuffle, AQE skew
+    splitting, and manual salting (operators/skew.py): per candidate
+    key column, the row count, distinct-key count, the heaviest
+    key's share, and the suggested salt factor
+    ceil(max_key_rows / avg_key_rows) — 1 means uniform, large
+    values mean the biggest key alone overflows an average
+    partition's share.
+
+    All counts are exact LONGs from one map-side-combined aggregate
+    per key column (the per-key count table), reduced to a 1-row
+    profile each — the |keys|-row intermediates never reach the
+    driver. Shares are a fixed double tree rounded at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    profiles = []
+    for name, df, col in [
+        ("lineitem.l_orderkey", li, "l_orderkey"),
+        ("lineitem.l_partkey", li, "l_partkey"),
+        ("lineitem.l_suppkey", li, "l_suppkey"),
+        ("events.user_id", ev, "user_id"),
+        ("events.event_type", ev, "event_type"),
+    ]:
+        per_key = df.groupBy(F.col(col).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        prof = per_key.agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_key_rows"),
+        ).select(
+            F.lit(name).alias("key_col"),
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            F.round(
+                F.col("max_key_rows").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("max_share"),
+            F.ceil(
+                F.col("max_key_rows").cast("double")
+                / (
+                    F.col("n_rows").cast("double")
+                    / F.col("n_keys").cast("double")
+                )
+            ).cast("long").alias("salt_factor"),
+        )
+        profiles.append(prof)
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("key_col")

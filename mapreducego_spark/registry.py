@@ -499,6 +499,12 @@ QUERIES: dict[str, QueryFn] = {
     # clamp-at-zero running balance: the non-associative fold
     # (applyInPandas vs a recursive-CTE oracle)
     "running_balance": TW.running_balance_floor,
+    # bigram-LM perplexity with stupid backoff (micro-nat exact)
+    "perplexity_bigram": lambda spark, sf_dir: T.perplexity_bigram(
+        load_table(spark, sf_dir, "documents")
+    ),
+    # join-key skew diagnostics (salt-factor planning report)
+    "skew_report": R.skew_report,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -3468,4 +3474,105 @@ SELECT s.user_id,
        s.rn AS n_tx
 FROM steps s JOIN last x ON x.user_id = s.user_id AND s.rn = x.max_rn
 ORDER BY s.user_id
+"""
+
+# Bigram perplexity: same micro-nat contract; ln(0.4) folded before
+# the single floor on the backoff path.
+ORACLES["perplexity_bigram"] = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> len(x) > 0) AS toks
+  FROM documents
+), pairs AS (
+  SELECT doc_id,
+         CAST(x['p'] AS BIGINT) AS pos,
+         x['c'] AS cur,
+         CASE WHEN x['p'] = 0 THEN NULL ELSE toks[x['p']] END AS prev
+  FROM (
+    SELECT doc_id, toks,
+           unnest(list_transform(range(len(toks)),
+                  i -> struct_pack(p := i, c := toks[i + 1]))) AS x
+    FROM base WHERE len(toks) > 0
+  )
+), uni AS (
+  SELECT cur, COUNT(*) AS ucnt FROM pairs GROUP BY cur
+), tot AS (SELECT COUNT(*) AS total FROM pairs),
+bi AS (
+  SELECT prev, cur, COUNT(*) AS bcnt FROM pairs
+  WHERE prev IS NOT NULL GROUP BY prev, cur
+), ctx AS (
+  SELECT prev, SUM(bcnt) AS ccnt FROM bi GROUP BY prev
+), lp_uni AS (
+  SELECT cur AS u_term,
+         CAST(floor(ln(CAST(ucnt AS DOUBLE)
+                       / CAST((SELECT total FROM tot) AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lp_u,
+         CAST(floor((ln(CAST(ucnt AS DOUBLE)
+                        / CAST((SELECT total FROM tot) AS DOUBLE))
+                     + ln(0.4)) * 1000000) AS BIGINT) AS lp_u_backoff
+  FROM uni
+), lp_bi AS (
+  SELECT b.prev, b.cur,
+         CAST(floor(ln(CAST(b.bcnt AS DOUBLE) / CAST(c.ccnt AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lp_b
+  FROM bi b JOIN ctx c USING (prev)
+), scored AS (
+  SELECT p.doc_id,
+         CASE WHEN lb.lp_b IS NOT NULL THEN lb.lp_b
+              WHEN p.prev IS NOT NULL THEN lu.lp_u_backoff
+              ELSE lu.lp_u END AS lp_micro
+  FROM pairs p
+  LEFT JOIN lp_bi lb ON lb.prev = p.prev AND lb.cur = p.cur
+  JOIN lp_uni lu ON lu.u_term = p.cur
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp_micro) AS s_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(-s_micro AS DOUBLE) / n_tokens / 1000000.0, 6)
+         AS mean_nll_bigram,
+       round(CAST(-s_micro AS DOUBLE) / n_tokens / 1000000.0, 6) <= 6.0
+         AS keep
+FROM per_doc
+ORDER BY doc_id
+"""
+
+# Skew report: identical per-key count -> profile reduction per column.
+ORACLES["skew_report"] = """
+WITH profs AS (
+  SELECT 'lineitem.l_orderkey' AS key_col, COUNT(*) AS n_rows,
+         COUNT(DISTINCT l_orderkey) AS n_keys,
+         MAX(c) AS max_key_rows
+  FROM (SELECT l_orderkey, COUNT(*) OVER (PARTITION BY l_orderkey) AS c
+        FROM lineitem)
+  UNION ALL
+  SELECT 'lineitem.l_partkey', COUNT(*), COUNT(DISTINCT l_partkey), MAX(c)
+  FROM (SELECT l_partkey, COUNT(*) OVER (PARTITION BY l_partkey) AS c
+        FROM lineitem)
+  UNION ALL
+  SELECT 'lineitem.l_suppkey', COUNT(*), COUNT(DISTINCT l_suppkey), MAX(c)
+  FROM (SELECT l_suppkey, COUNT(*) OVER (PARTITION BY l_suppkey) AS c
+        FROM lineitem)
+  UNION ALL
+  SELECT 'events.user_id', COUNT(*), COUNT(DISTINCT user_id), MAX(c)
+  FROM (SELECT user_id, COUNT(*) OVER (PARTITION BY user_id) AS c
+        FROM events)
+  UNION ALL
+  SELECT 'events.event_type', COUNT(*), COUNT(DISTINCT event_type), MAX(c)
+  FROM (SELECT event_type, COUNT(*) OVER (PARTITION BY event_type) AS c
+        FROM events)
+)
+SELECT key_col,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(max_key_rows AS BIGINT) AS max_key_rows,
+       round(CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         AS max_share,
+       CAST(ceil(CAST(max_key_rows AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)))
+            AS BIGINT) AS salt_factor
+FROM profs
+ORDER BY key_col
 """

@@ -501,3 +501,25 @@ def test_running_balance_clamps_and_never_goes_negative(spark):
     # at least one clamped user (else the clamp never fired and the
     # fixture doesn't exercise the operator)
     assert any(r["n_clamped"] > 0 for r in rows)
+
+
+def test_bigram_perplexity_rewards_word_order(spark):
+    from mapreducego_spark.functions.text import perplexity_bigram
+
+    # a corpus with a rigid bigram structure: "alpha beta" always
+    # adjacent. The coherent doc repeats seen bigrams; the shuffled
+    # doc uses the same unigrams in unseen orders and must score
+    # WORSE under the bigram model (backoff penalty), which the
+    # unigram model cannot distinguish.
+    train = [
+        (i, "alpha beta gamma delta alpha beta gamma delta", "en")
+        for i in range(10)
+    ]
+    coherent = (100, "alpha beta gamma delta", "en")
+    shuffled = (101, "beta alpha delta gamma", "en")
+    docs = spark.createDataFrame(
+        train + [coherent, shuffled], "doc_id long, text string, lang string"
+    )
+    got = {r["doc_id"]: r["mean_nll_bigram"]
+           for r in perplexity_bigram(docs).collect()}
+    assert got[100] < got[101]
