@@ -328,7 +328,10 @@ def udtf_sentences(spark, sf_dir: str) -> DataFrame:
 
     from mapreducego_spark.sources.catalog import load_table
 
-    @udtf(returnType="sentence_idx: long, sentence: string")
+    # useArrow: Spark 4's arrow-optimized UDTF path — the plan shows
+    # ArrowEvalPythonUDTF (batched) instead of row-at-a-time
+    # BatchEvalPythonUDTF, the same upgrade pandas_udf gives scalar UDFs
+    @udtf(returnType="sentence_idx: long, sentence: string", useArrow=True)
     class SplitSentences:
         def eval(self, text: str):
             if text is None:

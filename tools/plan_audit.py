@@ -67,6 +67,13 @@ WAIVED: dict[str, str] = {
     "aggregate (trims trailing window days; same 1-row pattern)",
     "sketch_active_users": "BNLJ vs broadcast 1-row max-day "
     "aggregate (same trim as active_users_rolling)",
+    "nb_classify": "BNLJ vs broadcast 1-row train-count/vocab-size "
+    "aggregates and the |langs|-row (5) class grid — all bounded "
+    "broadcasts (same pattern as perplexity_score)",
+    "ab_test_lift": "BNLJ is the 1x1 arm-profile crossJoin "
+    "(two 1-row aggregates composed into the readout row)",
+    "perplexity_bigram": "BNLJ vs broadcast 1-row token-total "
+    "aggregate (same pattern as perplexity_score)",
 }
 # (vector_topk / knn_label_vote / decontaminate_embedding waivers are
 # gone as of r5: the query/benchmark set now ships in the pair-cosine
