@@ -529,3 +529,74 @@ def weighted_paths_suppliers(spark, sf_dir: str) -> DataFrame:
     )
     source = edges.agg(F.min(F.least("src", "dst"))).collect()[0][0]
     return bellman_ford_bounded(edges, int(source), rounds=6)
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node — how close each node's
+    neighborhood is to a clique: C(v) = 2*T(v) / (d(v)*(d(v)-1)),
+    the standard small-world / community-structure statistic (Watts
+    & Strogatz 1998) and the natural consumer of triangle_count's
+    kernel output.
+
+    Exactness: T and d are exact LONGs (triangle kernel + degree
+    aggregate); the coefficient surfaces as the INTEGER pair
+    (2T, d(d-1)) plus one double division rounded at the end, so
+    the driver hash-compares without float drift. Degree-1 nodes
+    (denominator 0) report coefficient 0 by convention. One extra
+    full-outer join over the triangle output — the kernel dominates
+    the cost."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_count(e, src="u", dst="v")
+    joined = deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )
+    den = F.col("degree") * (F.col("degree") - 1)
+    return joined.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(den > 0,
+               F.round(
+                   (2 * F.col("n_triangles")).cast("double")
+                   / den.cast("double"), 6)
+               ).otherwise(F.lit(0.0)).alias("coefficient"),
+    ).orderBy("node")
+
+
+def clustering_coefficient_suppliers(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: local clustering coefficients over the
+    quantity-1 co-supply graph (triangle_count's graph)."""
+    from mapreducego_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") == 1)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = ps.select("p", F.col("s").alias("src"))
+    b = ps.select(F.col("p").alias("p2"), F.col("s").alias("dst"))
+    edges = (
+        a.join(b, a.p == b.p2)
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return clustering_coefficient(edges)

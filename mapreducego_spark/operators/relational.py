@@ -1990,3 +1990,64 @@ def skew_report(spark: SparkSession, sf_dir: str, top_n: int = 5) -> DataFrame:
     for p in profiles[1:]:
         out = out.unionByName(p)
     return out.orderBy("key_col")
+
+
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-group measurements onto the
+    POOLED distribution (the rank-based batch-effect remover of
+    bioinformatics/feature pipelines, Bolstad et al. 2003, in its
+    unequal-group-size form): each value's within-group relative
+    rank picks the pooled sorted value at the matching position, so
+    after normalization every group has (a resampling of) the same
+    marginal distribution while each row keeps its rank within its
+    group.
+
+    Engine exactness: within-group rank rn and group size n are
+    exact ints from one window; the pooled index is pure integer
+    arithmetic idx = ((2*rn - 1) * N) // (2*n) + 1 (the midpoint
+    rank mapped into 1..N, integer division on both engines —
+    DuckDB ``//``, Spark ``div``); the lookup is an equi join on
+    idx against the pooled order statistics. No float enters until
+    the (exact, copied) value itself.
+
+    Scale: the per-group window is bounded per group; the pooled
+    order-statistics table needs a GLOBAL rank — here one
+    range-partitioned window, at 100 TB the two-phase count+offset
+    construction (pack_shards) or an approx-quantile sketch grid
+    replaces it. The join on idx is an equi shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+    )
+    wg = Window.partitionBy("event_type").orderBy("value", "event_id")
+    grouped = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(wg).cast("long").alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n"),
+    )
+    wp = Window.orderBy("value", "event_id")
+    pooled = ev.select(
+        F.row_number().over(wp).cast("long").alias("idx"),
+        F.col("value").alias("pooled_value"),
+    )
+    n_total = ev.count()  # bounded scalar (one long)
+    idx = (
+        F.expr(f"((2 * rn - 1) * {n_total}L) div (2 * n)") + F.lit(1)
+    ).cast("long")
+    return (
+        grouped.withColumn("idx", idx)
+        .join(pooled, "idx")
+        .select(
+            "event_type", "event_id", "value",
+            F.col("pooled_value").alias("normalized_value"),
+        )
+        .orderBy("event_type", "event_id")
+    )

@@ -174,6 +174,14 @@ def _shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_paths_suppliers(spark, sf_dir)
 
 
+def _clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducego_spark.operators.graph import (
+        clustering_coefficient_suppliers,
+    )
+
+    return clustering_coefficient_suppliers(spark, sf_dir)
+
+
 def _weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducego_spark.operators.graph import weighted_paths_suppliers
 
@@ -505,6 +513,10 @@ QUERIES: dict[str, QueryFn] = {
     ),
     # join-key skew diagnostics (salt-factor planning report)
     "skew_report": R.skew_report,
+    # quantile normalization onto the pooled distribution
+    "quantile_normalize": R.quantile_normalize,
+    # local clustering coefficient (triangle kernel consumer)
+    "clustering_coefficient": _clustering_coeff,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -3575,4 +3587,62 @@ SELECT key_col,
             AS BIGINT) AS salt_factor
 FROM profs
 ORDER BY key_col
+"""
+
+# Quantile normalization: same integer midpoint-rank index mapping;
+# DuckDB // == Spark div for the positive operands here.
+ORACLES["quantile_normalize"] = """
+WITH ev AS (
+  SELECT event_type, CAST(event_id AS BIGINT) AS event_id, value FROM events
+), grouped AS (
+  SELECT event_type, event_id, value,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY value, event_id) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM ev
+), pooled AS (
+  SELECT CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS idx,
+         value AS pooled_value
+  FROM ev
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ev)
+SELECT g.event_type, g.event_id, g.value, p.pooled_value AS normalized_value
+FROM grouped g
+JOIN pooled p
+  ON p.idx = ((2 * g.rn - 1) * (SELECT n_total FROM tot)) // (2 * g.n) + 1
+ORDER BY g.event_type, g.event_id
+"""
+
+# Clustering coefficient: triangle CTE + degrees, same convention
+# (degree<2 -> 0.0).
+ORACLES["clustering_coefficient"] = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+  FROM lineitem WHERE l_quantity = 1
+), edges AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY node
+), tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+), tcount AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris)
+  GROUP BY node
+)
+SELECT CAST(d.node AS BIGINT) AS node, d.degree,
+       COALESCE(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree * (d.degree - 1) > 0 THEN
+         round(CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+               / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+       ELSE 0.0 END AS coefficient
+FROM deg d LEFT JOIN tcount t ON t.node = d.node
+ORDER BY node
 """

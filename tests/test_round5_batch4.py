@@ -523,3 +523,49 @@ def test_bigram_perplexity_rewards_word_order(spark):
     got = {r["doc_id"]: r["mean_nll_bigram"]
            for r in perplexity_bigram(docs).collect()}
     assert got[100] < got[101]
+
+
+def test_quantile_normalize_equalizes_group_distributions(spark):
+    from mapreducego_spark.operators.relational import quantile_normalize
+    from mapreducego_spark.sources.catalog import load_table
+
+    rows = quantile_normalize(spark, SF_TINY).collect()
+    ev_n = load_table(spark, SF_TINY, "events").count()
+    assert len(rows) == ev_n  # bijection: every event normalized once
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    import statistics
+
+    medians = {
+        et: statistics.median(r["normalized_value"] for r in v)
+        for et, v in by_type.items()
+    }
+    raw_medians = {
+        et: statistics.median(r["value"] for r in v)
+        for et, v in by_type.items()
+    }
+    # after normalization the group medians collapse toward each
+    # other (pooled reference), much tighter than the raw spread
+    spread = max(medians.values()) - min(medians.values())
+    raw_spread = max(raw_medians.values()) - min(raw_medians.values())
+    assert spread <= raw_spread
+    # rank preservation within each group
+    for et, v in by_type.items():
+        v.sort(key=lambda r: (r["value"], r["event_id"]))
+        norm = [r["normalized_value"] for r in v]
+        assert norm == sorted(norm)
+
+
+def test_clustering_coefficient_on_known_graph(spark):
+    from mapreducego_spark.operators.graph import clustering_coefficient
+
+    # triangle 1-2-3 plus pendant 4 attached to 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "src long, dst long"
+    )
+    got = {r["node"]: (r["degree"], r["n_triangles"], r["coefficient"])
+           for r in clustering_coefficient(edges).collect()}
+    assert got[2] == (2, 1, 1.0) and got[3] == (2, 1, 1.0)
+    assert got[1] == (3, 1, round(2 / 6, 6))
+    assert got[4] == (1, 0, 0.0)
