@@ -2051,3 +2051,97 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index distinct counting: per day, the distinct-user
+    count computed by OR-ing fixed-width bitmaps (word = id div 64,
+    bit = id mod 64) and popcounting — the roaring-bitmap/BITMAP
+    column technique OLAP stores use because bitmaps MERGE (bit_or
+    is associative/commutative — map-side combinable, mergeable
+    across segments) where exact DISTINCT sets must shuffle raw
+    values. Words hold 63 ids (bits 0..62): bit 63 of a signed
+    BIGINT is the sign — DuckDB rejects 1<<63 and Spark wraps
+    negative, so the portable word width is 63.
+    The same output carries countDistinct so the entry
+    PROVES bitmap == exact on every row.
+
+    Scale: |days| x |user-words| intermediate (words are 64 users
+    each); the per-word OR combines map-side, the popcount sum is a
+    LONG. Sparse-word storage here (groupBy word) is exactly the
+    roaring trick; engine-portable via identical div/mod/bit_count
+    on both sides."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+        .cast("long")
+        .alias("day"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+    words = (
+        ev.select(
+            "day",
+            F.expr("user_id div 63").alias("word"),
+            # shiftleft needs an expr: the pyspark wrapper only takes a
+            # literal shift amount
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+            .alias("bit"),
+        )
+        .groupBy("day", "word")
+        .agg(F.expr("bit_or(bit)").alias("bitmap"))
+    )
+    bm = words.groupBy("day").agg(
+        F.sum(F.expr("bit_count(bitmap)")).cast("long").alias("bitmap_distinct")
+    )
+    exact = ev.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        bm.join(exact, "day")
+        .select(
+            "day", "bitmap_distinct", "exact_distinct",
+            (F.col("bitmap_distinct") == F.col("exact_distinct")).alias(
+                "bitmap_equals_exact"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+def ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge in the
+    fixture star schema — the completeness half of ingestion QA
+    (validate_quarantine covers domains; this covers joins): for
+    each child->parent edge, how many child rows reference a parent
+    key that does not exist. Healthy TPC-H data reports zeros; a
+    broken incremental load shows up here before any query silently
+    drops rows through an inner join.
+
+    Each edge is one left-anti join (broadcastable parent key list
+    when small, shuffle-keyed otherwise — Catalyst picks); counts
+    are exact LONGs; the report is |edges| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    edges = [
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"),
+        ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        ("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        ("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey"),
+        ("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in edges:
+        orphans = child.join(
+            parent.select(F.col(pk).alias(ck)), ck, "left_anti"
+        )
+        row = orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans")).select(
+            F.lit(name).alias("fk_edge"), "n_orphans"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")

@@ -517,6 +517,10 @@ QUERIES: dict[str, QueryFn] = {
     "quantile_normalize": R.quantile_normalize,
     # local clustering coefficient (triangle kernel consumer)
     "clustering_coefficient": _clustering_coeff,
+    # bitmap-index distinct counting, proven equal to exact
+    "bitmap_distinct": R.bitmap_distinct,
+    # referential-integrity orphan audit over every FK edge
+    "ri_orphans": R.ri_orphans,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -3645,4 +3649,64 @@ SELECT CAST(d.node AS BIGINT) AS node, d.degree,
        ELSE 0.0 END AS coefficient
 FROM deg d LEFT JOIN tcount t ON t.node = d.node
 ORDER BY node
+"""
+
+# Bitmap distinct: identical word/bit packing; DuckDB bit_or +
+# bit_count on BIGINT words.
+ORACLES["bitmap_distinct"] = """
+WITH ev AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day,
+         CAST(user_id AS BIGINT) AS user_id
+  FROM events
+), words AS (
+  SELECT day, user_id // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS bitmap
+  FROM ev GROUP BY day, user_id // 63
+), bm AS (
+  SELECT day, CAST(SUM(bit_count(bitmap)) AS BIGINT) AS bitmap_distinct
+  FROM words GROUP BY day
+), exact AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM ev GROUP BY day
+)
+SELECT b.day, b.bitmap_distinct, e.exact_distinct,
+       b.bitmap_distinct = e.exact_distinct AS bitmap_equals_exact
+FROM bm b JOIN exact e USING (day)
+ORDER BY day
+"""
+
+# RI audit: NOT EXISTS per FK edge.
+ORACLES["ri_orphans"] = """
+SELECT fk_edge, CAST(n_orphans AS BIGINT) AS n_orphans FROM (
+  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+         AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+         (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+          (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation',
+         (SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
+          (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+  UNION ALL
+  SELECT 'nation.n_regionkey->region',
+         (SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+          (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+)
+ORDER BY fk_edge
 """

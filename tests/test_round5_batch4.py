@@ -569,3 +569,21 @@ def test_clustering_coefficient_on_known_graph(spark):
     assert got[2] == (2, 1, 1.0) and got[3] == (2, 1, 1.0)
     assert got[1] == (3, 1, round(2 / 6, 6))
     assert got[4] == (1, 0, 0.0)
+
+
+def test_bitmap_distinct_agrees_with_exact_everywhere(spark):
+    from mapreducego_spark.operators.relational import bitmap_distinct
+
+    rows = bitmap_distinct(spark, SF).collect()
+    assert len(rows) > 0
+    assert all(r["bitmap_equals_exact"] for r in rows)
+
+
+def test_ri_orphans_detects_planted_orphans(spark):
+    from mapreducego_spark.operators.relational import ri_orphans
+
+    rows = {r["fk_edge"]: r["n_orphans"]
+            for r in ri_orphans(spark, SF_TINY).collect()}
+    # healthy fixture: every edge clean
+    assert set(rows.values()) == {0}
+    assert len(rows) == 7
