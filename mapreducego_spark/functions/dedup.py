@@ -387,19 +387,22 @@ def ngram_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # Threshold on the UNROUNDED ratio (advisor finding, r5): the
+    # prefix/length filters of jaccard_prefix_pairs guarantee
+    # candidate generation only for true J >= t, so a rounded
+    # compare (round(J,6) >= t) would admit J in [t-5e-7, t) here
+    # while the filtered variant could legitimately prune it. Both
+    # engines compute inter/union as one IEEE double division of
+    # small exact integers, so the unrounded compare is bit-identical
+    # cross-engine; the OUTPUT column stays rounded to 6 for display.
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -915,7 +918,36 @@ def jaccard_prefix_pairs(
 
     Canonical order is by (document frequency asc, shingle asc),
     computed per doc by sorting struct(df, sh) arrays — no global
-    rank assignment, no window, no driver state."""
+    rank assignment, no window, no driver state.
+
+    Physical-plan notes (the r5 entry measured 64-74s at sf0.1;
+    this form runs the same logical algorithm in ~1/4 the wall):
+
+    - `sorted_docs` is eagerly localCheckpointed: it feeds FOUR
+      subtrees (both sides of the prefix self-join and both sides of
+      the verification join), and Catalyst does not de-duplicate
+      common DataFrame subtrees, so without the checkpoint the
+      scan->tokenize->df-join->sort pipeline executed ~4x. Its size
+      is |docs| rows of ~|shingles| strings — executor-distributed,
+      never driver-side.
+    - Verification reuses `sorted_sh` (the canonically sorted FULL
+      shingle list) instead of re-shingling: array_intersect is
+      order-insensitive, so a second shingling pass would be pure
+      waste.
+    - PPJoin positional filter (Xiao et al. WWW'08 §3.2): a shared
+      prefix shingle at 1-based positions (p_a, p_b) of the two
+      canonical lists bounds the overlap by
+      min(n_a - p_a, n_b - p_b) + 1 (everything before p on either
+      side is disjoint-or-already-counted under the shared total
+      order), and J >= t  <=>  overlap >= t/(1+t) * (n_a+n_b). The
+      candidate aggregate keeps max(bound) per pair — a groupBy in
+      place of the old bare .distinct(), same shuffle width, strictly
+      more pruning.
+    - Candidates are re-spread over the full core count before the
+      verification join: AQE coalesces the small-by-bytes candidate
+      exchange to a handful of partitions, but verification cost is
+      CPU per pair (array_intersect), not bytes — the r5 plan ran it
+      on 4 of 32 cores."""
     shingled = shingle_docs(spread_scan(docs), n=2)
     posting = shingled.select(
         "doc_id", F.explode("shingles").alias("sh")
@@ -942,17 +974,30 @@ def jaccard_prefix_pairs(
                 + 1
             ).alias("pref_len"),
         )
-    )
+    ).localCheckpoint()
     pref = sorted_docs.select(
         "doc_id",
         "n_sh",
-        F.explode(F.slice("sorted_sh", 1, F.col("pref_len"))).alias("sh"),
+        F.posexplode(F.slice("sorted_sh", 1, F.col("pref_len"))).alias(
+            "pos0", "sh"
+        ),
     )
     pa = pref.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "sh"
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+        (F.col("pos0") + 1).alias("p_a"),
+        "sh",
     )
     pb = pref.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "sh"
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
+        (F.col("pos0") + 1).alias("p_b"),
+        "sh",
+    )
+    # minimum overlap for J >= t: ceil(t/(1+t) * (|A|+|B|))
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("n_a") + F.col("n_b")).cast("double")
     )
     cands = (
         pa.join(pb, "sh")
@@ -962,17 +1007,29 @@ def jaccard_prefix_pairs(
             & (F.col("n_b") * F.lit(threshold) <= F.col("n_a"))
             & (F.col("n_a") * F.lit(threshold) <= F.col("n_b"))
         )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(
+            F.max(
+                F.least(
+                    F.col("n_a") - F.col("p_a"),
+                    F.col("n_b") - F.col("p_b"),
+                )
+                + 1
+            ).alias("overlap_ub")
+        )
+        .filter(F.col("overlap_ub") >= alpha)
         .select("doc_a", "doc_b")
-        .distinct()
     )
-    sa = shingled.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    n_cores = cands.sparkSession.sparkContext.defaultParallelism
+    sa = sorted_docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sorted_sh").alias("sh_a")
     )
-    sb = shingled.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    sb = sorted_docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sorted_sh").alias("sh_b")
     )
     verified = (
-        cands.join(sa, "doc_a")
+        cands.repartition(n_cores * 2, "doc_a")
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
@@ -981,18 +1038,17 @@ def jaccard_prefix_pairs(
             F.size("sh_a").alias("n_a"),
             F.size("sh_b").alias("n_b"),
         )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
-                    "double"
-                ),
-                6,
-            ).alias("jaccard"),
+        .withColumn(
+            "__jac",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                "double"
+            ),
         )
-        .filter(F.col("jaccard") >= threshold)
+        # unrounded compare — matches the filters' J >= t guarantee
+        # (see ngram_pairs for the cross-engine determinism argument)
+        .filter(F.col("__jac") >= threshold)
+        .select("doc_a", "doc_b", F.round("__jac", 6).alias("jaccard"))
     )
     return verified.orderBy("doc_a", "doc_b")
 

@@ -1552,3 +1552,189 @@ def perplexity_bigram(docs: DataFrame, threshold_nats: float = 6.0) -> DataFrame
         mean_nll.alias("mean_nll_bigram"),
         (mean_nll <= threshold_nats).alias("keep"),
     ).orderBy("doc_id")
+
+
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between two categorical columns
+    (lang x source on documents) — the corpus-composition audit that
+    tells a data curator whether sources are language-skewed (PMI 0
+    everywhere = independent; strong positive cells = a source that
+    over-supplies one language, the thing mixture rebalancing has to
+    correct). One row per observed (lang, source) cell with its
+    counts, PMI, and MI contribution.
+
+    Plan: three map-side-combined aggregates over one scan subtree
+    (cell counts, then marginals derived FROM the cell counts — the
+    fact is scanned once; marginal tables are |langs| and |sources|
+    rows, broadcast back). Determinism: counts are exact LONGs; PMI
+    = ln(N*n_xy/(n_x*n_y)) is quantized to integer micro-nats via
+    floor(ln(ratio)*1e6) — the perplexity_score contract — and the
+    MI contribution stays in exact integer micro-nat units
+    (n_xy * pmi_micro), divided by N only in the final double."""
+    from mapreducego_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    ).localCheckpoint()
+    n_total = cells.agg(F.sum("n_xy")).collect()[0][0]
+    margin_x = cells.groupBy("lang").agg(F.sum("n_xy").alias("n_x"))
+    margin_y = cells.groupBy("source").agg(F.sum("n_xy").alias("n_y"))
+    pmi_micro = F.floor(
+        F.log(
+            (F.lit(n_total).cast("double") * F.col("n_xy").cast("double"))
+            / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+        )
+        * 1_000_000
+    ).cast("long")
+    return (
+        cells.join(F.broadcast(margin_x), "lang")
+        .join(F.broadcast(margin_y), "source")
+        .select(
+            "lang",
+            "source",
+            F.col("n_xy").cast("long").alias("n_xy"),
+            F.col("n_x").cast("long").alias("n_x"),
+            F.col("n_y").cast("long").alias("n_y"),
+            pmi_micro.alias("pmi_micro"),
+            (F.col("n_xy") * pmi_micro).cast("long").alias("mi_contrib_micro"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy — the within-doc
+    diversity signal quality pipelines pair with corpus-level
+    perplexity: near-zero entropy flags keyword-stuffed / repeated-
+    token spam that a unigram LM can score as perfectly fluent.
+    H = ln(n) - (1/n) * sum_t c_t*ln(c_t) over per-doc token counts.
+
+    Determinism: both ln terms are quantized to integer micro-nats
+    (floor(ln(x)*1e6) of integer-valued x — the perplexity_score
+    contract), the weighted sum is an exact LONG, and the single
+    division by n happens once in double, rounded to 6. Plan: one
+    scan, one (doc_id, token) count aggregate, one per-doc
+    aggregate — all map-side combinable, nothing holistic."""
+    from mapreducego_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokens_col(F.col("text"))).alias("term"),
+    )
+    counts = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ln_micro = lambda c: F.floor(  # noqa: E731 — local quantizer
+        F.log(c.cast("double")) * 1_000_000
+    ).cast("long")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * ln_micro(F.col("c"))).alias("s_clnc_micro"),
+    )
+    entropy = F.round(
+        (
+            ln_micro(F.col("n_tokens")).cast("double")
+            - F.col("s_clnc_micro").cast("double")
+            / F.col("n_tokens").cast("double")
+        )
+        / F.lit(1e6),
+        6,
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        entropy.alias("entropy_nats"),
+    ).orderBy("doc_id")
+
+
+def vocab_coverage(
+    spark: SparkSession, sf_dir: str, vocab_size: int = 500
+) -> DataFrame:
+    """Fixed-vocabulary coverage audit: build the top-``vocab_size``
+    token vocabulary (count desc, token asc — the deterministic
+    tie-break), then score every document's out-of-vocabulary rate.
+    This is the tokenizer-fit check run before committing a corpus
+    to a training run: a rising OOV tail means the vocab (or the
+    corpus mix) is wrong.
+
+    Scale shape: the vocabulary is a TakeOrderedAndProject (top-k,
+    never a global sort) and is broadcast back — the corpus token
+    stream is scanned once and never shuffled; the per-doc aggregate
+    is map-side combinable. OOV counting uses a broadcast LEFT join
+    + null test, counting multiplicity (rate is over tokens, not
+    types)."""
+    from mapreducego_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokens_col(F.col("text"))).alias("term"),
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("__in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.round(
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("oov_rate"),
+    ).orderBy("doc_id")
+
+
+def source_cap(
+    spark: SparkSession, sf_dir: str, cap: int = 50
+) -> DataFrame:
+    """Per-source quota capping — the anti-domination rule every
+    web-scale corpus applies so one crawl host can't swamp the mix
+    (the per-domain caps in C4/RefinedWeb-style pipelines): keep at
+    most ``cap`` documents per source, chosen by a deterministic
+    content-independent priority so the survivor set is stable
+    across runs and engines.
+
+    Priority is the first 8 hex chars of md5(doc_id) (the repo's
+    portable-hash convention — ab_test_lift / kfold_split), with
+    doc_id as the total-order tie-break; rank via one window over
+    the (source, priority) key. Scale: the window shuffles on
+    source; a skewed mega-source is exactly the case the cap
+    exists for, and rank-truncation output is bounded at
+    |sources| * cap."""
+    from mapreducego_spark.sources.catalog import load_table
+
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    prio = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(
+        prio.asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            prio.alias("priority"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+        .select("doc_id", "source", "priority", "rk")
+        .orderBy("source", "rk")
+    )

@@ -600,3 +600,74 @@ def clustering_coefficient_suppliers(spark, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return clustering_coefficient(edges)
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by fixed-round peeling: repeatedly drop
+    every node of degree < k (with its edges) — the standard
+    graph-cleaning pass before community/centrality work (pendant
+    chains and sparse fringe melt away; the dense core survives).
+    The fixed round count keeps the computation engine-exact and
+    oracle-expressible (the DuckDB twin unrolls the same rounds as
+    chained CTEs, the pagerank_exact / weighted_paths pattern); a
+    pytest asserts the fixture reaches the fixpoint within
+    ``rounds``, so the output IS the true k-core there.
+
+    Per round: one degree aggregate over the live edge set + two
+    semi-joins to keep only survivor-survivor edges — a shuffle per
+    round on the node key, mirroring connected_components' bounded-
+    rounds discipline. The live edge set is localCheckpointed each
+    round (each round references it three times; without the cut
+    the recompute tree doubles per round).
+
+    Output: (node, degree) over the final live subgraph, ordered."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    live = sym
+    for _ in range(rounds):
+        deg = live.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        survivors = deg.filter(F.col("deg") >= k).select("a").localCheckpoint()
+        live = (
+            live.join(survivors, "a", "left_semi")
+            .join(
+                survivors.select(F.col("a").alias("b")), "b", "left_semi"
+            )
+            .localCheckpoint()
+        )
+    final_deg = live.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    return final_deg.select(
+        F.col("a").cast("long").alias("node"),
+        F.col("deg").cast("long").alias("degree"),
+    ).orderBy("node")
+
+
+def kcore_suppliers(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: 3-core of the quantity-1 co-supply graph
+    (triangle_count's graph)."""
+    from mapreducego_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") == 1)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = ps.select("p", F.col("s").alias("src"))
+    b = ps.select(F.col("p").alias("p2"), F.col("s").alias("dst"))
+    edges = (
+        a.join(b, a.p == b.p2)
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return kcore_peel(edges, k=3, rounds=4)

@@ -338,7 +338,11 @@ def udtf_sentences(spark, sf_dir: str) -> DataFrame:
                 return
             idx = 0
             for frag in re.split(r"[.!?]+", text):
-                frag = frag.strip()
+                # strip SPACES only: the DuckDB oracle trims with
+                # trim(x), which is space-only — Python's bare
+                # strip() also eats tabs/newlines and would diverge
+                # on text with whitespace at sentence boundaries
+                frag = frag.strip(" ")
                 if frag:
                     yield idx, frag
                     idx += 1

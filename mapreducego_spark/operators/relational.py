@@ -24,6 +24,8 @@ Scale notes (100 TB posture), applied throughout:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1605,6 +1607,120 @@ def outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's bounded numeric
+    measures (quantity, discount, tax) — the feature-screening /
+    ingestion-QA pass ("which measures co-move?") run as ONE
+    map-side-combined aggregate: every pairwise r comes from the five
+    algebraic sums (n, Sx, Sy, Sxy, Sxx, Syy), so the fact is
+    scanned once and shuffled never (the aggregate collapses to a
+    single row). That single-pass shape is exactly how it survives
+    100 TB; a per-pair corr() call would re-scan per pair.
+
+    Cross-engine determinism: the measures are integerized first
+    (quantity is integer-valued; discount/tax become percent points
+    via round(x*100)), so every sum is an exact LONG; r's numerator
+    n*Sxy - Sx*Sy (~1e16 at sf1) is computed IN LONG (exact), and
+    only then converted to double. LONG->double conversion and IEEE
+    sqrt/divide are correctly rounded in both engines, so the final
+    round(r, 6) hashes identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {
+        "quantity": F.round(F.col("l_quantity")).cast("long"),
+        "discount_pct": F.round(F.col("l_discount") * 100).cast("long"),
+        "tax_pct": F.round(F.col("l_tax") * 100).cast("long"),
+    }
+    names = list(cols)
+    proj = li.select(*[c.alias(n) for n, c in cols.items()])
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for n in names:
+        aggs.append(F.sum(n).alias(f"s_{n}"))
+        aggs.append(F.sum(F.col(n) * F.col(n)).alias(f"ss_{n}"))
+    pairs = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    stats = proj.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        num = (
+            F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        ).cast("double")
+        var_a = (
+            F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        ).cast("double")
+        var_b = (
+            F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        ).cast("double")
+        rows.append(
+            stats.select(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").cast("long").alias("n"),
+                F.round(num / (F.sqrt(var_a) * F.sqrt(var_b)), 6).alias("corr"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("col_x", "col_y")
+
+
+def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median / MAD) outlier profiling per group — the
+    heavy-tail-safe sibling of outlier_iqr: Tukey fences move with
+    extreme values, the median absolute deviation doesn't, which is
+    why data-cleaning sweeps over skewed telemetry use MAD z-scores
+    (|x - med| > 3 * 1.4826 * MAD, 1.4826 scaling MAD to sigma under
+    normality). Three passes, all group-bounded: exact per-group
+    median (|groups| rows), exact MAD over the deviation (broadcast
+    the medians back, never shuffling the fact for the join), then
+    a broadcast-join recount. Determinism: median and MAD are
+    rounded to 6 decimals BEFORE the fence arithmetic (the
+    outlier_iqr contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)),
+                6,
+            ).alias("mad")
+        )
+    )
+    fenced = mad.select(
+        "event_type",
+        "med",
+        "mad",
+        (F.lit(3.0 * 1.4826) * F.col("mad")).alias("cut"),
+    )
+    return (
+        ev.join(F.broadcast(fenced), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("med")) > F.col("cut")).cast(
+                    "long"
+                )
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "med",
+            "mad",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def validate_rules(df: DataFrame, rules: dict[str, F.Column]) -> DataFrame:
     """Rule-based data validation report: each rule is a boolean
     Column (True = row VALID); the report is one row per rule with
@@ -1624,6 +1740,15 @@ def validate_rules(df: DataFrame, rules: dict[str, F.Column]) -> DataFrame:
     ``col > 0`` on a NULL) is NOT satisfied, so it must count as a
     violation — a plain ``(~rule)`` sum would silently skip those
     rows (SUM ignores NULL)."""
+    if not rules:
+        raise ValueError("validate_rules: rules dict must be non-empty")
+    # rule names land in a stack() selectExpr and as column aliases —
+    # restrict to identifier-safe names rather than emitting broken SQL
+    bad = [n for n in rules if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n)]
+    if bad:
+        raise ValueError(
+            f"validate_rules: rule names must be SQL identifiers: {bad}"
+        )
     flags = df.select(
         *[
             F.when(r, F.lit(0)).otherwise(F.lit(1)).alias(f"__v_{name}")

@@ -182,6 +182,12 @@ def _clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient_suppliers(spark, sf_dir)
 
 
+def _kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducego_spark.operators.graph import kcore_suppliers
+
+    return kcore_suppliers(spark, sf_dir)
+
+
 def _weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducego_spark.operators.graph import weighted_paths_suppliers
 
@@ -521,6 +527,23 @@ QUERIES: dict[str, QueryFn] = {
     "bitmap_distinct": R.bitmap_distinct,
     # referential-integrity orphan audit over every FK edge
     "ri_orphans": R.ri_orphans,
+    # --- round 6 ---
+    # Pearson correlation matrix from one pass of exact LONG sums
+    "corr_matrix": R.corr_matrix,
+    # median/MAD robust outlier profile (outlier_iqr's heavy-tail twin)
+    "outlier_mad": R.outlier_mad,
+    # lang x source pointwise mutual information (micro-nat exact)
+    "mutual_information": T.mutual_information,
+    # per-doc token-distribution entropy (micro-nat exact)
+    "entropy_score": T.entropy_score,
+    # top-500 vocabulary coverage / OOV-rate audit
+    "vocab_coverage": T.vocab_coverage,
+    # per-source quota cap (md5-priority deterministic survivors)
+    "source_cap": T.source_cap,
+    # incremental SCD-2 apply: apply(history(v1..3), v4) == history(v1..4)
+    "scd2_apply": CAT.scd2_apply_documents,
+    # fixed-round k-core peeling over the co-supply graph
+    "kcore_peel": _kcore,
 }
 
 # ORDERING (round 5): the round driver verifies the FIRST 50 entries
@@ -1537,8 +1560,11 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN shingled sa ON sa.doc_id = doc_a
 JOIN shingled sb ON sb.doc_id = doc_b
-WHERE round(CAST(n_inter AS DOUBLE)
-            / CAST(len(sa.shingles) + len(sb.shingles) - n_inter AS DOUBLE), 6) >= 0.5
+-- unrounded threshold compare, matching the Spark side (the prefix
+-- filter's guarantee is in true-J space; round-at-6 would admit
+-- J in [t-5e-7, t) that the filter may prune)
+WHERE CAST(n_inter AS DOUBLE)
+      / CAST(len(sa.shingles) + len(sb.shingles) - n_inter AS DOUBLE) >= 0.5
 """,
     "simhash": f"""
 WITH tok_counts AS (
@@ -3709,4 +3735,238 @@ SELECT fk_edge, CAST(n_orphans AS BIGINT) AS n_orphans FROM (
           (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
 )
 ORDER BY fk_edge
+"""
+
+# --- round 6 oracles ------------------------------------------------------
+
+# Pearson correlations from the SAME exact-LONG algebra: integerized
+# measures, n*Sxy - Sx*Sy computed in BIGINT (exact), converted to
+# double only for the final sqrt/divide (IEEE-deterministic).
+ORACLES["corr_matrix"] = """
+WITH m AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         CAST(round(l_tax * 100) AS BIGINT) AS t
+  FROM lineitem
+), s AS (
+  SELECT COUNT(*) AS n,
+         SUM(q) AS s_q, SUM(d) AS s_d, SUM(t) AS s_t,
+         SUM(q*q) AS ss_q, SUM(d*d) AS ss_d, SUM(t*t) AS ss_t,
+         SUM(q*d) AS sp_qd, SUM(q*t) AS sp_qt, SUM(d*t) AS sp_dt
+  FROM m
+)
+SELECT * FROM (
+  SELECT 'discount_pct' AS col_x, 'tax_pct' AS col_y, CAST(n AS BIGINT) AS n,
+         round(CAST(n*sp_dt - s_d*s_t AS DOUBLE)
+               / (sqrt(CAST(n*ss_d - s_d*s_d AS DOUBLE))
+                  * sqrt(CAST(n*ss_t - s_t*s_t AS DOUBLE))), 6) AS corr
+  FROM s
+  UNION ALL
+  SELECT 'quantity', 'discount_pct', CAST(n AS BIGINT),
+         round(CAST(n*sp_qd - s_q*s_d AS DOUBLE)
+               / (sqrt(CAST(n*ss_q - s_q*s_q AS DOUBLE))
+                  * sqrt(CAST(n*ss_d - s_d*s_d AS DOUBLE))), 6)
+  FROM s
+  UNION ALL
+  SELECT 'quantity', 'tax_pct', CAST(n AS BIGINT),
+         round(CAST(n*sp_qt - s_q*s_t AS DOUBLE)
+               / (sqrt(CAST(n*ss_q - s_q*s_q AS DOUBLE))
+                  * sqrt(CAST(n*ss_t - s_t*s_t AS DOUBLE))), 6)
+  FROM s
+)
+ORDER BY col_x, col_y
+"""
+
+# median/MAD fences: quantile_cont matches Spark's exact
+# interpolating percentile (the outlier_iqr contract); both engines
+# round med and MAD to 6 before the fence arithmetic.
+ORACLES["outlier_mad"] = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, m.med,
+         round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type, m.med
+)
+SELECT e.event_type, m.med, m.mad,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN abs(e.value - m.med) > 3.0 * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN mad m USING (event_type)
+GROUP BY e.event_type, m.med, m.mad
+ORDER BY e.event_type
+"""
+
+# PMI in integer micro-nats (floor(ln(ratio)*1e6), the
+# perplexity_score quantization contract); marginals derived from
+# the cell counts exactly as the Spark plan does.
+ORACLES["mutual_information"] = """
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n_xy FROM documents GROUP BY lang, source
+), mx AS (SELECT lang, SUM(n_xy) AS n_x FROM cells GROUP BY lang),
+my AS (SELECT source, SUM(n_xy) AS n_y FROM cells GROUP BY source),
+tot AS (SELECT SUM(n_xy) AS n FROM cells)
+SELECT c.lang, c.source,
+       CAST(c.n_xy AS BIGINT) AS n_xy,
+       CAST(mx.n_x AS BIGINT) AS n_x,
+       CAST(my.n_y AS BIGINT) AS n_y,
+       CAST(floor(ln(CAST((SELECT n FROM tot) AS DOUBLE) * CAST(c.n_xy AS DOUBLE)
+                     / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS pmi_micro,
+       CAST(c.n_xy * CAST(floor(ln(CAST((SELECT n FROM tot) AS DOUBLE) * CAST(c.n_xy AS DOUBLE)
+                     / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS BIGINT) AS mi_contrib_micro
+FROM cells c JOIN mx USING (lang) JOIN my USING (source)
+ORDER BY lang, source
+"""
+
+# Token entropy: H = ln(n) - (1/n) * sum c*ln(c), both ln terms
+# floor-quantized to micro-nats, weighted sum exact BIGINT.
+ORACLES["entropy_score"] = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_TOKS}) AS term
+  FROM documents
+), counts AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term
+), per_doc AS (
+  SELECT doc_id, SUM(c) AS n_tokens,
+         SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS s
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round((CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+              - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 1000000.0,
+             6) AS entropy_nats
+FROM per_doc
+ORDER BY doc_id
+"""
+
+# Top-500 vocabulary by (cnt desc, term asc); OOV counts
+# multiplicity. The LIMIT mirrors Spark's TakeOrderedAndProject.
+ORACLES["vocab_coverage"] = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_TOKS}) AS term
+  FROM documents
+), vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+    ORDER BY cnt DESC, term LIMIT 500)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       round(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v USING (term)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+# Per-source cap: md5-hex priority (the ab_test_lift / kfold_split
+# portable-hash idiom) with doc_id tie-break, row_number <= 50.
+ORACLES["source_cap"] = """
+WITH ranked AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(CAST('0x' || substr(md5(CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8)
+              AS BIGINT) AS BIGINT) AS priority,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY CAST('0x' || substr(md5(CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) AS BIGINT),
+                      doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, priority, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 50
+ORDER BY source, rk
+"""
+
+# Incremental SCD-2 apply == rebuild from all four snapshots: the
+# scd2_history oracle extended with v4 (re-insert of the %7==2
+# deletes + lang rewrite %13==1 -> 'yy').
+ORACLES["scd2_apply"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source FROM documents
+), v1 AS (
+  SELECT doc_id, lang, source, CAST(1 AS BIGINT) AS version
+  FROM d WHERE doc_id % 11 != 3
+), v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+         source, CAST(2 AS BIGINT) AS version
+  FROM d
+), v3 AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 3 = 0 THEN 'web2' ELSE source END AS source,
+         CAST(3 AS BIGINT) AS version
+  FROM v2 WHERE doc_id % 7 != 2
+), v4 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 1 THEN 'yy' ELSE lang END AS lang,
+         CASE WHEN doc_id % 3 = 0 THEN 'web2' ELSE source END AS source,
+         CAST(4 AS BIGINT) AS version
+  FROM v2
+), tagged AS (
+  SELECT doc_id, lang, source, version FROM v1
+  UNION ALL SELECT doc_id, lang, source, version FROM v2
+  UNION ALL SELECT doc_id, lang, source, version FROM v3
+  UNION ALL SELECT doc_id, lang, source, version FROM v4
+), marked AS (
+  SELECT *,
+         CASE WHEN lag(version) OVER w IS NULL
+                OR lag(version) OVER w != version - 1
+                OR lag(lang) OVER w IS DISTINCT FROM lang
+                OR lag(source) OVER w IS DISTINCT FROM source
+              THEN 1 ELSE 0 END AS new_seg
+  FROM tagged
+  WINDOW w AS (PARTITION BY doc_id ORDER BY version)
+), segs AS (
+  SELECT *,
+         SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY version
+                            ROWS UNBOUNDED PRECEDING) AS seg
+  FROM marked
+)
+SELECT doc_id, lang, source,
+       CAST(MIN(version) AS BIGINT) AS valid_from,
+       CASE WHEN MAX(version) = 4 THEN NULL
+            ELSE CAST(MAX(version) AS BIGINT) END AS valid_to,
+       MAX(version) = 4 AS is_current
+FROM segs
+GROUP BY doc_id, seg, lang, source
+ORDER BY doc_id, valid_from
+"""
+
+# Fixed-round k-core peel, unrolled (the pagerank_exact /
+# weighted_paths pattern): 4 rounds of drop-degree-<3 over the
+# quantity-1 co-supply graph, then final degrees.
+ORACLES["kcore_peel"] = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+  FROM lineitem WHERE l_quantity = 1
+), und AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+), sym AS (
+  SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und
+), d1 AS (SELECT a, COUNT(*) AS c FROM sym GROUP BY a),
+s1 AS (SELECT a FROM d1 WHERE c >= 3),
+e1 AS (SELECT sym.a, sym.b FROM sym
+       JOIN s1 x ON sym.a = x.a JOIN s1 y ON sym.b = y.a),
+d2 AS (SELECT a, COUNT(*) AS c FROM e1 GROUP BY a),
+s2 AS (SELECT a FROM d2 WHERE c >= 3),
+e2 AS (SELECT e1.a, e1.b FROM e1
+       JOIN s2 x ON e1.a = x.a JOIN s2 y ON e1.b = y.a),
+d3 AS (SELECT a, COUNT(*) AS c FROM e2 GROUP BY a),
+s3 AS (SELECT a FROM d3 WHERE c >= 3),
+e3 AS (SELECT e2.a, e2.b FROM e2
+       JOIN s3 x ON e2.a = x.a JOIN s3 y ON e2.b = y.a),
+d4 AS (SELECT a, COUNT(*) AS c FROM e3 GROUP BY a),
+s4 AS (SELECT a FROM d4 WHERE c >= 3),
+e4 AS (SELECT e3.a, e3.b FROM e3
+       JOIN s4 x ON e3.a = x.a JOIN s4 y ON e3.b = y.a)
+SELECT CAST(a AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM e4 GROUP BY a
+ORDER BY node
 """

@@ -751,6 +751,118 @@ def scd2_history(
     )
 
 
+def scd2_apply(
+    history: DataFrame,
+    snapshot: DataFrame,
+    key: str,
+    attrs: list[str],
+    version: int,
+) -> DataFrame:
+    """Incremental SCD-2 maintenance: apply ONE new snapshot to an
+    existing Type-2 history — the steady-state path the
+    scd2_history docstring promises (rebuild-from-snapshots is the
+    backfill; a warehouse applies each day's snapshot to the open
+    segments, touching |open segments| + |snapshot|, never
+    |table| x |versions|).
+
+    Semantics (the replication law, oracle-checked):
+        scd2_apply(scd2_history(v1..vn), v_{n+1}, n+1)
+            == scd2_history(v1..v_{n+1})
+    Case analysis on (open segment, snapshot row) per key:
+    - both present, attrs equal  -> segment stays open (no-op),
+    - both present, attrs differ -> close at version-1, open new,
+    - only history (key deleted) -> close at version-1,
+    - only snapshot (insert or re-insert after a delete) -> open new.
+    Closed segments pass through untouched. One full-outer join on
+    the key between the OPEN slice and the snapshot — the closed
+    majority of the history is filter-split and unioned back without
+    a shuffle."""
+    from pyspark.sql import functions as F
+
+    closed = history.filter(~F.col("is_current"))
+    open_segs = history.filter(F.col("is_current")).select(
+        F.col(key).alias("__k"),
+        *[F.col(a).alias(f"__h_{a}") for a in attrs],
+        "valid_from",
+    )
+    snap = snapshot.select(
+        F.col(key).alias("__k"), *[F.col(a) for a in attrs]
+    )
+    # presence probe that survives all-null attr values: tag each
+    # side explicitly rather than sniffing attr nullness
+    j = open_segs.withColumn("__in_h", F.lit(True)).join(
+        snap.withColumn("__in_s", F.lit(True)), "__k", "full_outer"
+    )
+    in_hist = F.col("__in_h").eqNullSafe(F.lit(True))
+    in_snap = F.col("__in_s").eqNullSafe(F.lit(True))
+    same = F.struct(*[F.col(f"__h_{a}") for a in attrs]).eqNullSafe(
+        F.struct(*[F.col(a) for a in attrs])
+    )
+    unchanged = j.filter(in_hist & in_snap & same).select(
+        F.col("__k").alias(key),
+        *[F.col(f"__h_{a}").alias(a) for a in attrs],
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed_now = j.filter(in_hist & (~in_snap | ~same)).select(
+        F.col("__k").alias(key),
+        *[F.col(f"__h_{a}").alias(a) for a in attrs],
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.lit(version - 1).cast("long").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = j.filter(in_snap & (~in_hist | ~same)).select(
+        F.col("__k").alias(key),
+        *attrs,
+        F.lit(version).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        closed.unionByName(unchanged)
+        .unionByName(closed_now)
+        .unionByName(opened)
+    )
+
+
+def scd2_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: incremental SCD-2 — build the v1..v3 history
+    (scd2_documents' snapshots), then APPLY a fourth snapshot that
+    re-inserts the v3-deleted keys (doc_id % 7 == 2, a delete-then-
+    re-insert must open a NEW segment, not extend the old one) and
+    rewrites lang to 'yy' for doc_id % 13 == 1. The oracle rebuilds
+    from all four snapshots — equality IS the replication law
+    apply(history(v1..v3), v4) == history(v1..v4)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    )
+    v1 = docs.filter(F.col("doc_id") % 11 != 3)
+    v2 = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("xx")).otherwise(F.col("lang")),
+    )
+    v3 = v2.filter(F.col("doc_id") % 7 != 2).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("web2"))
+        .otherwise(F.col("source")),
+    )
+    v4 = v2.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("web2"))
+        .otherwise(F.col("source")),
+    ).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 13 == 1, F.lit("yy")).otherwise(F.col("lang")),
+    )
+    hist = scd2_history([v1, v2, v3], key="doc_id", attrs=["lang", "source"])
+    return scd2_apply(
+        hist, v4, key="doc_id", attrs=["lang", "source"], version=4
+    ).orderBy("doc_id", "valid_from")
+
+
 def scd2_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: SCD-2 history over three deterministic
     document snapshots — v1 lacks doc_id % 11 == 3 (late inserts),

@@ -118,6 +118,50 @@ def test_validate_rules_counts_and_single_scan(spark):
     assert plan.count("Scan parquet") == 1, plan
 
 
+def test_validate_rules_rejects_empty_and_unsafe_names(spark):
+    import pytest as _pytest
+
+    from mapreducego_spark.operators.relational import validate_rules
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError, match="non-empty"):
+        validate_rules(df, {})
+    with _pytest.raises(ValueError, match="identifiers"):
+        validate_rules(df, {"bad name; --": F.col("id") > 0})
+
+
+def test_udtf_strips_spaces_only_matching_oracle_trim(spark):
+    """Advisor finding (r5): the UDTF used Python str.strip() (all
+    whitespace) while the DuckDB oracle trims spaces only — text with
+    tabs/newlines at sentence boundaries would diverge. Both sides
+    now share the space-only definition; a tab-adjacent fragment must
+    keep its tab."""
+    import duckdb
+
+    from mapreducego_spark.operators.mapreduce import udtf_sentences
+
+    tmp = SF  # reuse fixture dir for the registry entry's signature
+    spark.createDataFrame(
+        [(1, "alpha beta.\tgamma delta. last bit")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("__ws_docs")
+    # run the registered UDTF on the crafted doc via the same SQL shape
+    udtf_sentences(spark, tmp)  # registers split_sentences
+    got = spark.sql(
+        """SELECT s.sentence FROM __ws_docs d,
+           LATERAL split_sentences(d.text) s ORDER BY s.sentence_idx"""
+    ).collect()
+    duck = duckdb.sql(
+        r"""SELECT trim(frag) AS sentence FROM (
+              SELECT unnest(regexp_split_to_array(
+                  'alpha beta.' || chr(9) || 'gamma delta. last bit',
+                  '[.!?]+')) AS frag)
+            WHERE trim(frag) != ''"""
+    ).fetchall()
+    assert [r[0] for r in got] == [r[0] for r in duck]
+    assert got[1][0].startswith("\t")  # the tab survived on both sides
+
+
 def test_nb_classify_separates_disjoint_vocabularies(spark):
     from mapreducego_spark.functions.text import nb_classify
 

@@ -13,10 +13,20 @@ has realistic 10x fan-out instead of degenerate key collisions:
 - region/nation stay fixed (TPC-H dims that do not scale),
 - customer/orders/part/supplier/lineitem/events: 10 key-shifted
   copies, non-key attributes verbatim,
-- documents: copies k>0 get a per-copy suffix token appended so the
-  dedup tier sees 10x DISTINCT documents (verbatim copies would
-  collapse under exact dedup and measure nothing); n_chars is
-  recomputed to stay consistent,
+- documents: copies k>0 interleave a per-copy marker token after
+  every 3rd token (plus a per-copy suffix token, which alone keeps
+  short docs distinct). The r5 amplifier appended ONLY a suffix
+  token, which left cross-copy bigram Jaccard at ~n/(n+2) >= 0.97 —
+  every doc's 10 copies were mutual near-dups, so the TRUE pair
+  output of any exact similarity join grew ~C(10,2)=45x-100x on 10x
+  docs and the sf1 bench misread that output-bound growth as
+  algorithmic superlinearity (jaccard_prefix_join was flagged at
+  17.3x in r5). Interleaving destroys 1/3 of each copy's original
+  bigrams and adds copy-specific ones, pushing cross-copy Jaccard
+  to ~1/3 < the 0.5 threshold while within-copy document
+  relationships (the thing being scaled) are preserved: 10x docs
+  now means ~10x true near-dup pairs, i.e. linear work for a
+  linear-work algorithm. n_chars is recomputed to stay consistent,
 - embeddings: key-shifted verbatim copies; the vec_id<10 query set
   stays fixed while corpus and (vec_id%20==0) benchmark set grow
   10x — the realistic scaling direction for the cosine kernels.
@@ -33,6 +43,9 @@ import os
 SRC = "/root/testdata/sf0.1"
 DEFAULT_OUT = "/tmp/spark_graft_sf1"
 COPIES = 10
+# bump when the amplification recipe changes: a stale on-disk sf1
+# (e.g. the r5 suffix-only documents) must regenerate, not be reused
+VERSION = 3
 
 # key column -> per-copy shift (disjoint id spaces; all BIGINT)
 K_CUST = 10_000_000
@@ -80,16 +93,30 @@ def _amplified_sql(table: str) -> str:
                    user_id + {k} * {K_CUST} AS user_id,
                    event_type, value, props
             FROM {src}, {copies}""",
+        # The copy marker must be LETTERS-ONLY and distinct per copy:
+        # the engine tokenizer splits on [^a-z]+, so a digit suffix
+        # ('copyvariant1') tokenizes to the SAME token for every copy
+        # and the copies stay token-identical (the r5 bug, round 2).
+        # chr(97+k) gives 'copyvarianta' ... 'copyvariantj'.
         "documents": f"""
-            SELECT doc_id + {k} * {K_DOC} AS doc_id,
-                   CASE WHEN k.range = 0 THEN text
-                        ELSE text || ' copyvariant' || CAST(k.range AS VARCHAR)
-                   END AS text,
-                   lang, source,
-                   CAST(length(CASE WHEN k.range = 0 THEN text
-                        ELSE text || ' copyvariant' || CAST(k.range AS VARCHAR)
-                   END) AS BIGINT) AS n_chars
-            FROM {src}, {copies}""",
+            WITH amp AS (
+                SELECT doc_id + {k} * {K_DOC} AS doc_id,
+                       CASE WHEN k.range = 0 THEN text
+                            ELSE array_to_string(list_transform(
+                                     string_split(text, ' '),
+                                     (tok, i) -> CASE WHEN i % 3 = 0
+                                         THEN tok || ' copyvariant'
+                                              || chr(97 + CAST(k.range AS INT))
+                                         ELSE tok END), ' ')
+                                 || ' copyvariant'
+                                 || chr(97 + CAST(k.range AS INT))
+                       END AS text,
+                       lang, source
+                FROM {src}, {copies}
+            )
+            SELECT doc_id, text, lang, source,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM amp""",
         "embeddings": f"""
             SELECT vec_id + {k} * {K_VEC} AS vec_id, embedding, label
             FROM {src}, {copies}""",
@@ -103,8 +130,12 @@ def ensure_sf1(out_dir: str | None = None) -> str:
 
     out = out_dir or os.environ.get("SPARK_GRAFT_SF1_DIR", DEFAULT_OUT)
     marker = os.path.join(out, "_done")
+    stamp = f"v{VERSION}: amplified {COPIES}x from {SRC}\n"
     if os.path.exists(marker):
-        return out
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return out
+        os.remove(marker)  # recipe changed: regenerate in place
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in (
@@ -117,7 +148,7 @@ def ensure_sf1(out_dir: str | None = None) -> str:
         )
     con.close()
     with open(marker, "w") as fh:
-        fh.write(f"amplified {COPIES}x from {SRC}\n")
+        fh.write(stamp)
     return out
 
 
