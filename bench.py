@@ -121,6 +121,13 @@ HEADLINE = [
     "weighted_paths",
     "hist_equi_depth",
     "rrf_fusion",
+    # round 6: single-pass Pearson matrix, vocab/OOV audit, MAD
+    # outliers, fixed-round k-core, incremental SCD-2 apply
+    "corr_matrix",
+    "vocab_coverage",
+    "outlier_mad",
+    "kcore_peel",
+    "scd2_apply",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

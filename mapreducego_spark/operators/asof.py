@@ -31,6 +31,7 @@ def asof_join(
     right_values: list[str],
     tie_break: str | None = None,
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Generic as-of join. ``direction="backward"`` (default): latest
     right row per key with right_time <= left_time (the kdb `aj`).
@@ -38,6 +39,12 @@ def asof_join(
     left_time — same union-merge construction walked in descending
     time order, so it stays ONE |L|+|R| shuffle. ``tie_break``: extra
     right column ordering rows that share a right_time (highest wins).
+    ``tolerance_seconds`` (pandas merge_asof's ``tolerance``): a match
+    farther than this from the left timestamp is treated as no match
+    (values null) — the guard against stale quotes in market-data /
+    sensor joins. Implemented by carrying the matched right TIME
+    through the same last(ignorenulls) walk and nulling the payload
+    where the gap exceeds the bound, so it adds zero shuffles.
 
     ``right_values`` must be disjoint from ``left.columns`` — the
     merged frame carries both sides' payloads, so an overlap would
@@ -83,16 +90,33 @@ def asof_join(
         .orderBy(t_order, F.col("__side").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carried = list(right_values)
+    merged = merged.withColumn(
+        "__rt", F.when(F.col("__side") == 0, F.col("__t"))
+    )
+    carried.append("__rt")
     filled = merged.select(
         "*",
         *[
             F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in right_values
+            for c in carried
         ],
     )
-    keep = [c for c in left.columns] + [
-        F.col(f"__asof_{c}").alias(c) for c in right_values
-    ]
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_timestamp(F.col("__t"))
+            - F.unix_timestamp(F.col("__asof___rt"))
+        )
+        ok = F.col("__asof___rt").isNotNull() & (
+            gap <= F.lit(int(tolerance_seconds))
+        )
+        keep = [c for c in left.columns] + [
+            F.when(ok, F.col(f"__asof_{c}")).alias(c) for c in right_values
+        ]
+    else:
+        keep = [c for c in left.columns] + [
+            F.col(f"__asof_{c}").alias(c) for c in right_values
+        ]
     return filled.filter(F.col("__side") == 1).select(*keep)
 
 
@@ -143,4 +167,32 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("long").alias("user_id"),
         F.col("o_orderkey").cast("long").alias("next_orderkey"),
         F.col("o_totalprice").alias("next_price"),
+    )
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded backward as-of: each event picks the
+    customer's latest order at event time ONLY if it is within 30
+    days — a match staler than the bound is no match (nulls), the
+    merge_asof(tolerance=...) contract. Same single-shuffle
+    union-merge as join_asof; the tolerance is applied to the
+    carried match time, not with an extra join."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    matched = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        o.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+        tolerance_seconds=30 * 86400,
+    )
+    return matched.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("o_orderkey").cast("long").alias("matched_orderkey"),
+        F.col("o_totalprice").alias("matched_price"),
     )

@@ -1642,7 +1642,11 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a, b in pairs:
         aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
     stats = proj.agg(*aggs)
-    rows = []
+    # one row per pair via explode of a struct array over the SINGLE
+    # 1-row aggregate — a unionByName of per-pair selects would
+    # re-execute the full-scan aggregate once per pair (Catalyst does
+    # not de-duplicate common subtrees)
+    structs = []
     for a, b in pairs:
         num = (
             F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
@@ -1653,18 +1657,21 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_b = (
             F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
         ).cast("double")
-        rows.append(
-            stats.select(
+        structs.append(
+            F.struct(
                 F.lit(a).alias("col_x"),
                 F.lit(b).alias("col_y"),
                 F.col("n").cast("long").alias("n"),
-                F.round(num / (F.sqrt(var_a) * F.sqrt(var_b)), 6).alias("corr"),
+                F.round(num / (F.sqrt(var_a) * F.sqrt(var_b)), 6).alias(
+                    "corr"
+                ),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("col_x", "col_y")
+    return (
+        stats.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy("col_x", "col_y")
+    )
 
 
 def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:

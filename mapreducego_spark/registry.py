@@ -544,22 +544,85 @@ QUERIES: dict[str, QueryFn] = {
     "scd2_apply": CAT.scd2_apply_documents,
     # fixed-round k-core peeling over the co-supply graph
     "kcore_peel": _kcore,
+    # tolerance-bounded as-of (merge_asof(tolerance=...) semantics)
+    "join_asof_tolerance": A.join_asof_tolerance,
 }
 
-# ORDERING (round 5): the round driver verifies the FIRST 50 entries
+# ORDERING (round 6): the round driver verifies the FIRST 50 entries
 # in insertion order, so the dict is re-sequenced by verification
 # need each round (the categorized literal above stays grouped by
-# subject; this list is the authoritative window). r5 window =
-#   (1) the 8 entries whose implementation changed in r5 — the span
-#       dedup raw-text key, the Arrow pair-cosine kernels (topk/
-#       knn/decontaminate), the new pagerank/simhash_pairs oracles,
-#       the schema-evolution MERGE, and the NoTimeout stateful op;
-#   (2) all 42 entries whose last driver row is from r2 (the agg_*/
-#       join_*/window_*/set_*/scalar blocks) — after r5 no entry's
-#       driver row is older than r3.
-# Behind the window: r4-green entries first (freshest last), then
-# r3-green. profile_table's approx param default leaves its driver
-# path byte-identical, so it stays behind the window (r4-green).
+# subject; this list is the authoritative window). r6 window =
+#   (1) the 8 NEW r6 entries + the 4 whose implementation changed in
+#       r6 (jaccard_prefix_join plan rewrite + unrounded threshold,
+#       ngram_jaccard unrounded threshold, udtf_sentences space-only
+#       strip, validate_quarantine input guards);
+#   (2) 37 of the 46 entries whose last driver row is from r3 — the
+#       9 deferred to r7 (sample_weighted, sessionize, simhash,
+#       split_no_leakage, tfidf_top_terms, topk_per_group,
+#       udaf_revenue_cents, window_range_frame, window_value_fns)
+#       are the only entries that will then be older than r4.
+_R6_WINDOW = [
+    # (1) new in r6
+    "corr_matrix",
+    "outlier_mad",
+    "mutual_information",
+    "entropy_score",
+    "vocab_coverage",
+    "source_cap",
+    "scd2_apply",
+    "kcore_peel",
+    "join_asof_tolerance",
+    # (1) changed in r6
+    "jaccard_prefix_join",
+    "ngram_jaccard",
+    "udtf_sentences",
+    "validate_quarantine",
+    # (2) r3-stale, alphabetical
+    "agg_stats",
+    "chunk_documents",
+    "cohort_retention",
+    "corpus_clean",
+    "decontaminate",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_minhash",
+    "doc_grep",
+    "dup_ngram_profile",
+    "event_transitions",
+    "funnel_conversion",
+    "gapfill_locf",
+    "heavy_hitters",
+    "inverted_index",
+    "job_wordcount_files",
+    "join_range_binned",
+    "multimodal_features",
+    "multimodal_frames",
+    "pack_shards",
+    "pii_scrub",
+    "q10_returned_items",
+    "q13_custdist",
+    "q14_promo_revenue",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q21_waiting_supplier",
+    "q22_cold_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "quality_filter",
+    "sample_deterministic",
+    "sample_stratified",
+]
+assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R6_WINDOW)
+}
+
+
+# r5 window kept for the record (see NOTES_r05.md)
 _R5_WINDOW = [
     # (1) changed in r5
     "upsert_schema_evolution",
@@ -615,9 +678,6 @@ _R5_WINDOW = [
     "wordcount",
 ]
 assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
-QUERIES = {name: QUERIES[name] for name in _R5_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_R5_WINDOW)
-}
 
 
 # --- DuckDB oracle SQL ---------------------------------------------------
@@ -3936,6 +3996,24 @@ SELECT doc_id, lang, source,
 FROM segs
 GROUP BY doc_id, seg, lang, source
 ORDER BY doc_id, valid_from
+"""
+
+# Tolerance-bounded as-of: join_asof's correlated-subquery oracle
+# with the 30-day staleness lower bound. Session TZ is UTC on the
+# Spark side, so the unix-seconds gap equals DuckDB's calendar
+# interval exactly (no DST skew).
+ORACLES["join_asof_tolerance"] = """
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       CAST((SELECT o.o_orderkey FROM orders o
+             WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+               AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+             ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS BIGINT) AS matched_orderkey,
+       (SELECT o.o_totalprice FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+          AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS matched_price
+FROM events e
 """
 
 # Fixed-round k-core peel, unrolled (the pagerank_exact /

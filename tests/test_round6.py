@@ -224,6 +224,32 @@ def test_scd2_apply_equals_rebuild(spark):
     assert reinserted and all(seg_counts[d] >= 2 for d in reinserted)
 
 
+def test_asof_tolerance_nulls_stale_matches_only(spark):
+    """tolerance=0 forces every non-exact-timestamp match to null;
+    a huge tolerance must reproduce the unbounded join exactly."""
+    from mapreducego_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "2024-01-10 00:00:00"), (2, 100, "2024-03-01 00:00:00")],
+        "id long, k long, t string",
+    )
+    right = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00", 7.0)], "k2 long, rt string, v double"
+    )
+    def run(tol):
+        return {
+            r["id"]: r["v"]
+            for r in asof_join(
+                left, right, "k", "k2", "t", "rt", ["v"],
+                tolerance_seconds=tol,
+            ).collect()
+        }
+    # 9 days late: inside a 10-day tolerance, outside a 1-day one
+    assert run(10 * 86400) == {1: 7.0, 2: None}
+    assert run(86400) == {1: None, 2: None}
+    assert run(None) == {1: 7.0, 2: 7.0}
+
+
 def test_kcore_reaches_fixpoint_and_degrees_are_core(spark):
     from mapreducego_spark.operators.graph import kcore_peel
     from mapreducego_spark.sources.catalog import load_table

@@ -45,7 +45,7 @@ DEFAULT_OUT = "/tmp/spark_graft_sf1"
 COPIES = 10
 # bump when the amplification recipe changes: a stale on-disk sf1
 # (e.g. the r5 suffix-only documents) must regenerate, not be reused
-VERSION = 3
+VERSION = 4
 
 # key column -> per-copy shift (disjoint id spaces; all BIGINT)
 K_CUST = 10_000_000
@@ -93,11 +93,19 @@ def _amplified_sql(table: str) -> str:
                    user_id + {k} * {K_CUST} AS user_id,
                    event_type, value, props
             FROM {src}, {copies}""",
-        # The copy marker must be LETTERS-ONLY and distinct per copy:
-        # the engine tokenizer splits on [^a-z]+, so a digit suffix
-        # ('copyvariant1') tokenizes to the SAME token for every copy
-        # and the copies stay token-identical (the r5 bug, round 2).
-        # chr(97+k) gives 'copyvarianta' ... 'copyvariantj'.
+        # Copy markers must be (a) LETTERS-ONLY — the engine tokenizer
+        # splits on [^a-z]+, so a digit suffix ('copyvariant1')
+        # tokenizes identically for every copy and the copies stay
+        # token-identical (the r5 bug) — and (b) POSITION-DEPENDENT:
+        # a constant per-copy marker ('copyvarianta') forms bigrams
+        # keyed by a SINGLE common token ('group copyvarianta',
+        # df ~ 2k within a copy), which flooded the rarest-first
+        # prefixes of the similarity join with semi-common shingles
+        # (sum C(df,2) hit 1.4e9 candidates at sf1). Encoding the
+        # insertion ordinal in base-26 letters keeps each marker
+        # bigram as rare as the original bigrams it replaces, so the
+        # amplified corpus keeps a heavy-tailed shingle-frequency
+        # shape — the regime real web corpora are in.
         "documents": f"""
             WITH amp AS (
                 SELECT doc_id + {k} * {K_DOC} AS doc_id,
@@ -105,11 +113,13 @@ def _amplified_sql(table: str) -> str:
                             ELSE array_to_string(list_transform(
                                      string_split(text, ' '),
                                      (tok, i) -> CASE WHEN i % 3 = 0
-                                         THEN tok || ' copyvariant'
+                                         THEN tok || ' cv'
                                               || chr(97 + CAST(k.range AS INT))
+                                              || chr(97 + CAST((i // 3) % 26 AS INT))
+                                              || chr(97 + CAST((i // 78) % 26 AS INT))
                                          ELSE tok END), ' ')
-                                 || ' copyvariant'
-                                 || chr(97 + CAST(k.range AS INT))
+                                 || ' cv' || chr(97 + CAST(k.range AS INT))
+                                 || 'zz'
                        END AS text,
                        lang, source
                 FROM {src}, {copies}
