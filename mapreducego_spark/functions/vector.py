@@ -1132,3 +1132,53 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+RANGE_RADIUS = 0.25
+
+
+def vector_range_search(
+    spark: SparkSession, sf_dir: str, radius: float = RANGE_RADIUS
+) -> DataFrame:
+    """Cosine RANGE search (all corpus vectors within a similarity
+    radius of each query) — top-k's threshold sibling, the retrieval
+    primitive behind "find everything at least this similar"
+    (dedup-by-radius, recall-oriented retrieval). Same physical shape
+    as vector_topk: the query matrix ships in the Arrow kernel's
+    closure, the corpus is scored in one batched pass with no join
+    and no corpus shuffle; the selective radius filter runs BEFORE
+    the only exchange (the final ordering), so the shuffle carries
+    |matches|, not |corpus| x |queries|.
+
+    The rounded cosine (6 dp) is compared on both engines — the
+    kernel is bit-identical to the oracle's sequential fold
+    (_fold_gram's dim-ordered rank-1 accumulation), so the compare
+    carries no filter asymmetry."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    q_ids, qmat = _collect_matrix(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS),
+        "vec_id",
+        "v",
+        cache_key=("topk_queries", sf_dir),
+    )
+    qid_arr = F.array(*[F.lit(q).cast("long") for q in q_ids])
+    return (
+        _spread_if_heavy(emb, qmat.shape[1], len(q_ids))
+        .select(
+            "vec_id",
+            F.posexplode(pair_cos_udf(qmat)(F.col("v"))).alias("qpos", "cos"),
+        )
+        .select(
+            F.element_at(qid_arr, F.col("qpos") + 1).alias("q_id"),
+            "vec_id",
+            F.round(F.col("cos"), 6).alias("cos_sim"),
+        )
+        .filter(
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("cos_sim") >= F.lit(radius))
+        )
+        .orderBy("q_id", "vec_id")
+    )

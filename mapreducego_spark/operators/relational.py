@@ -2277,3 +2277,80 @@ def ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fk_edge")
+
+
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization report: clip values at the exact
+    [p01, p99] quantiles and report clip counts plus the winsorized
+    sum — the tail-taming transform applied before training on
+    telemetry-derived features (a handful of sensor glitches
+    otherwise dominate a mean). Same two-pass shape as outlier_iqr:
+    exact per-group quantiles (|groups| rows) broadcast back over one
+    fact re-scan; the fact is never shuffled.
+
+    Determinism: quantiles rounded to 6 before clipping (the
+    outlier_iqr contract); the winsorized sum is rounded to cents in
+    LONG before the double cast (sums of ~1e7 values need the
+    DECIMAL->DOUBLE 2^53 discipline from the r5 Q1 finding)."""
+    ev = load_table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.01)), 6).alias("p01"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+    clipped = ev.join(F.broadcast(fences), "event_type").select(
+        "event_type",
+        "p01",
+        "p99",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias(
+            "w"
+        ),
+        (F.col("value") < F.col("p01")).cast("long").alias("lo"),
+        (F.col("value") > F.col("p99")).cast("long").alias("hi"),
+    )
+    return (
+        clipped.groupBy("event_type", "p01", "p99")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("lo").alias("n_clipped_lo"),
+            F.sum("hi").alias("n_clipped_hi"),
+            F.round(F.sum(F.round(F.col("w") * 100).cast("long")) / 100.0, 2)
+            .alias("sum_winsorized"),
+        )
+        .select(
+            "event_type",
+            "p01",
+            "p99",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_clipped_lo").cast("long").alias("n_clipped_lo"),
+            F.col("n_clipped_hi").cast("long").alias("n_clipped_hi"),
+            "sum_winsorized",
+        )
+        .orderBy("event_type")
+    )
+
+
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with a total-order tie-break: each user's
+    dominant event_type (count desc, event_type asc) — the
+    categorical summary feature engineering reaches for constantly,
+    and a HOLISTIC aggregate (no map-side partial over the final
+    grain), so the scalable plan is count-then-rank: one combinable
+    (user, event_type) count, then a row_number over the tiny
+    per-user group — never a collect_list of raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_type").alias("mode_event"),
+            F.col("cnt").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

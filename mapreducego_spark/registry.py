@@ -546,6 +546,12 @@ QUERIES: dict[str, QueryFn] = {
     "kcore_peel": _kcore,
     # tolerance-bounded as-of (merge_asof(tolerance=...) semantics)
     "join_asof_tolerance": A.join_asof_tolerance,
+    # cosine range search (top-k's threshold sibling, same kernel)
+    "vector_range": V.vector_range_search,
+    # per-group winsorization report (tail clipping at exact p01/p99)
+    "winsorize": R.winsorize_events,
+    # exact per-group mode, count-then-rank (holistic made combinable)
+    "mode_per_group": R.mode_per_group,
 }
 
 # ORDERING (round 6): the round driver verifies the FIRST 50 entries
@@ -556,8 +562,9 @@ QUERIES: dict[str, QueryFn] = {
 #       r6 (jaccard_prefix_join plan rewrite + unrounded threshold,
 #       ngram_jaccard unrounded threshold, udtf_sentences space-only
 #       strip, validate_quarantine input guards);
-#   (2) 37 of the 46 entries whose last driver row is from r3 — the
-#       9 deferred to r7 (sample_weighted, sessionize, simhash,
+#   (2) 34 of the 46 entries whose last driver row is from r3 — the
+#       12 deferred to r7 (quality_filter, sample_deterministic,
+#       sample_stratified, sample_weighted, sessionize, simhash,
 #       split_no_leakage, tfidf_top_terms, topk_per_group,
 #       udaf_revenue_cents, window_range_frame, window_value_fns)
 #       are the only entries that will then be older than r4.
@@ -572,6 +579,9 @@ _R6_WINDOW = [
     "scd2_apply",
     "kcore_peel",
     "join_asof_tolerance",
+    "vector_range",
+    "winsorize",
+    "mode_per_group",
     # (1) changed in r6
     "jaccard_prefix_join",
     "ngram_jaccard",
@@ -612,9 +622,6 @@ _R6_WINDOW = [
     "q5_local_supplier",
     "q7_volume_shipping",
     "q8_market_share",
-    "quality_filter",
-    "sample_deterministic",
-    "sample_stratified",
 ]
 assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {
@@ -4047,4 +4054,57 @@ e4 AS (SELECT e3.a, e3.b FROM e3
 SELECT CAST(a AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS degree
 FROM e4 GROUP BY a
 ORDER BY node
+"""
+
+# Cosine range search: vector_topk's scored CTE with the radius
+# threshold on the SAME rounded cosine both engines compute
+# bit-identically (sequential-fold kernel).
+ORACLES["vector_range"] = """
+WITH emb AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 10
+)
+SELECT q_id, vec_id, cos_sim FROM (
+    SELECT q_id, vec_id,
+           round(list_sum(list_transform(list_zip(qv, v), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                    * sqrt(list_sum(list_transform(v, x -> x * x)))), 6) AS cos_sim
+    FROM q, emb
+    WHERE vec_id != q_id
+) WHERE cos_sim >= 0.25
+ORDER BY q_id, vec_id
+"""
+
+# Winsorization: quantile_cont == Spark's exact interpolating
+# percentile; cents-rounded LONG sum before the double cast.
+ORACLES["winsorize"] = """
+WITH fences AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.01), 6) AS p01,
+         round(quantile_cont(value, 0.99), 6) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, f.p01, f.p99,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN e.value < f.p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(SUM(CASE WHEN e.value > f.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       round(SUM(CAST(round(least(greatest(e.value, f.p01), f.p99) * 100) AS BIGINT)) / 100.0, 2) AS sum_winsorized
+FROM events e JOIN fences f USING (event_type)
+GROUP BY e.event_type, f.p01, f.p99
+ORDER BY e.event_type
+"""
+
+# Exact mode with (count desc, value asc) tie-break.
+ORACLES["mode_per_group"] = """
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS mode_event,
+       CAST(cnt AS BIGINT) AS n_events
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type ASC) AS rk
+  FROM events GROUP BY user_id, event_type
+) WHERE rk = 1
+ORDER BY user_id
 """

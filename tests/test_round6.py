@@ -250,6 +250,75 @@ def test_asof_tolerance_nulls_stale_matches_only(spark):
     assert run(None) == {1: 7.0, 2: 7.0}
 
 
+def test_vector_range_agrees_with_topk_scores(spark):
+    """Range search and top-k share the kernel; every top-k hit with
+    cos >= radius must appear in the range result with the SAME
+    rounded score, and every range hit must satisfy the radius."""
+    from mapreducego_spark.functions.vector import (
+        RANGE_RADIUS,
+        vector_range_search,
+        vector_topk,
+    )
+
+    rng = {
+        (r["q_id"], r["vec_id"]): r["cos_sim"]
+        for r in vector_range_search(spark, SF_TINY).collect()
+    }
+    assert rng and all(c >= RANGE_RADIUS for c in rng.values())
+    for r in vector_topk(spark, SF_TINY).collect():
+        if r["cos_sim"] >= RANGE_RADIUS:
+            assert rng[(r["q_id"], r["vec_id"])] == r["cos_sim"]
+
+
+def test_winsorize_conserves_rows_and_bounds_sum(spark):
+    import numpy as np
+
+    from mapreducego_spark.operators.relational import winsorize_events
+    from mapreducego_spark.sources.catalog import load_table
+
+    got = {r["event_type"]: r for r in winsorize_events(spark, SF_TINY).collect()}
+    by_type: dict[str, list[float]] = {}
+    for r in (
+        load_table(spark, SF_TINY, "events")
+        .select("event_type", "value")
+        .collect()
+    ):
+        by_type.setdefault(r[0], []).append(r[1])
+    for et, vals in by_type.items():
+        g = got[et]
+        p01 = round(float(np.percentile(vals, 1)), 6)
+        p99 = round(float(np.percentile(vals, 99)), 6)
+        assert (g["p01"], g["p99"]) == (p01, p99)
+        assert g["n_events"] == len(vals)
+        assert g["n_clipped_lo"] == sum(1 for v in vals if v < p01)
+        assert g["n_clipped_hi"] == sum(1 for v in vals if v > p99)
+        ref = round(
+            sum(round(min(max(v, p01), p99) * 100) for v in vals) / 100.0, 2
+        )
+        assert abs(g["sum_winsorized"] - ref) < 1e-9
+
+
+def test_mode_per_group_tie_break_is_total(spark):
+    from mapreducego_spark.operators.relational import mode_per_group
+    from mapreducego_spark.sources.catalog import load_table
+
+    got = {
+        r["user_id"]: (r["mode_event"], r["n_events"])
+        for r in mode_per_group(spark, SF_TINY).collect()
+    }
+    counts: dict[int, Counter] = {}
+    for r in (
+        load_table(spark, SF_TINY, "events")
+        .select("user_id", "event_type")
+        .collect()
+    ):
+        counts.setdefault(r[0], Counter())[r[1]] += 1
+    assert set(got) == set(counts)
+    for u, c in counts.items():
+        best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[u] == (best[0], best[1]), u
+
+
 def test_kcore_reaches_fixpoint_and_degrees_are_core(spark):
     from mapreducego_spark.operators.graph import kcore_peel
     from mapreducego_spark.sources.catalog import load_table
