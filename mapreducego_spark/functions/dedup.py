@@ -1057,3 +1057,60 @@ def jaccard_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: prefix-filtered exact Jaccard pairs; shares
     ngram_jaccard's oracle — equality proves zero lost pairs."""
     return jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality audit: MinHash-LSH near-dup pairs measured against
+    the EXACT prefix-filtered Jaccard join over the same
+    representative set — the recall/precision readout a pipeline
+    owner checks before trusting an approximate dedup tier at scale
+    (banding theory promises ~s-curve recall at the threshold; this
+    entry measures it instead of assuming it).
+
+    Ground truth: exact pairs (J >= threshold) restricted to
+    exact-duplicate-group representatives — the same collapse
+    minhash_pairs applies, so both sides see the identical pair
+    universe. FP is structurally zero (LSH candidates are verified
+    with the same exact-Jaccard arithmetic); FN counts true pairs
+    whose signatures never collided in any band. One summary row:
+    counts + recall (a ratio of small exact integers, rounded to 6).
+
+    Scale shape: both pipelines are the bucketed/prefix-filtered
+    at-scale forms; the final compare is a full-outer join on the
+    bounded pair sets, not on the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    reps = (
+        collapse_shingle_duplicates(shingle_docs(spread_scan(docs), n=2))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    ex = (
+        jaccard_prefix_pairs(docs)
+        .select("doc_a", "doc_b")
+        .join(reps.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi")
+        .join(reps.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi")
+        .withColumn("__ex", F.lit(1))
+    )
+    mh = (
+        minhash_pairs(docs, max_bucket_size=None)
+        .select("doc_a", "doc_b")
+        .withColumn("__mh", F.lit(1))
+    )
+    j = ex.join(mh, ["doc_a", "doc_b"], "full_outer")
+    tp = F.sum((F.col("__ex").isNotNull() & F.col("__mh").isNotNull()).cast("long"))
+    fn = F.sum((F.col("__ex").isNotNull() & F.col("__mh").isNull()).cast("long"))
+    fp = F.sum((F.col("__ex").isNull() & F.col("__mh").isNotNull()).cast("long"))
+    return j.agg(
+        tp.alias("tp"), fn.alias("fn"), fp.alias("fp")
+    ).select(
+        (F.col("tp") + F.col("fn")).cast("long").alias("n_exact"),
+        (F.col("tp") + F.col("fp")).cast("long").alias("n_lsh"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("fp").cast("long").alias("fp"),
+        F.round(
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double"),
+            6,
+        ).alias("recall"),
+    )

@@ -552,6 +552,8 @@ QUERIES: dict[str, QueryFn] = {
     "winsorize": R.winsorize_events,
     # exact per-group mode, count-then-rank (holistic made combinable)
     "mode_per_group": R.mode_per_group,
+    # LSH recall audit: MinHash pairs vs the exact join (one row)
+    "dedup_eval": D.dedup_eval,
 }
 
 # ORDERING (round 6): the round driver verifies the FIRST 50 entries
@@ -4107,4 +4109,36 @@ FROM (
   FROM events GROUP BY user_id, event_type
 ) WHERE rk = 1
 ORDER BY user_id
+"""
+
+# LSH recall audit: both pipelines' oracles composed — exact pairs
+# restricted to exact-duplicate-group representatives (the same
+# collapse the MinHash side applies), full-outer compared.
+ORACLES["dedup_eval"] = f"""
+WITH mh AS (SELECT doc_a, doc_b FROM ({ORACLES["dedup_minhash"]})),
+ex_all AS (SELECT doc_a, doc_b FROM ({ORACLES["ngram_jaccard"]})),
+__toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS t FROM documents),
+__sh AS (SELECT doc_id, {_SHINGLES2} AS shingles FROM __toks),
+__reps AS (
+  SELECT MIN(doc_id) AS r
+  FROM (SELECT doc_id, shingles FROM __sh WHERE len(shingles) > 0)
+  GROUP BY array_to_string(shingles, '|')
+),
+ex AS (
+  SELECT doc_a, doc_b FROM ex_all
+  WHERE doc_a IN (SELECT r FROM __reps) AND doc_b IN (SELECT r FROM __reps)
+),
+j AS (
+  SELECT e.doc_a IS NOT NULL AS in_ex, m.doc_a IS NOT NULL AS in_mh
+  FROM ex e FULL OUTER JOIN mh m
+    ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
+)
+SELECT CAST(SUM(CASE WHEN in_ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+       CAST(SUM(CASE WHEN in_ex AND in_mh THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN in_ex AND NOT in_mh THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN NOT in_ex AND in_mh THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       round(CAST(SUM(CASE WHEN in_ex AND in_mh THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN in_ex THEN 1 ELSE 0 END) AS DOUBLE), 6) AS recall
+FROM j
 """

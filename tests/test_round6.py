@@ -319,6 +319,19 @@ def test_mode_per_group_tie_break_is_total(spark):
         assert got[u] == (best[0], best[1]), u
 
 
+def test_dedup_eval_fp_zero_and_recall_floor(spark):
+    """LSH verification makes false positives structurally impossible
+    (candidates re-checked with the exact arithmetic); banding theory
+    puts recall near 1 at the fixture's pair strengths."""
+    from mapreducego_spark.functions.dedup import dedup_eval
+
+    r = dedup_eval(spark, SF).collect()[0]
+    assert r["fp"] == 0
+    assert r["tp"] + r["fn"] == r["n_exact"]
+    assert r["n_exact"] > 0
+    assert r["recall"] >= 0.9
+
+
 def test_kcore_reaches_fixpoint_and_degrees_are_core(spark):
     from mapreducego_spark.operators.graph import kcore_peel
     from mapreducego_spark.sources.catalog import load_table
