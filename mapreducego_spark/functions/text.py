@@ -1738,3 +1738,87 @@ def source_cap(
         .select("doc_id", "source", "priority", "rk")
         .orderBy("source", "rk")
     )
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = 3
+) -> DataFrame:
+    """BPE tokenizer training, the real thing at word-count grain:
+    pre-segment the corpus into a (word, count) table (exactly how
+    production BPE trainers avoid touching the raw stream per merge),
+    split words into space-joined character symbols, then repeat:
+    count adjacent symbol pairs weighted by word count, merge the
+    most frequent pair (ties lexical), rewrite the words. The learned
+    merge list IS the tokenizer.
+
+    Engine-portable determinism: pair counts are exact LONGs; the
+    argmax tie-break is (count desc, pair asc); merges apply through
+    string replace(sym_str, 'a b', 'ab'), whose left-to-right
+    non-overlapping semantics are identical in Spark and DuckDB and
+    equal BPE's greedy-left application order.
+
+    Scale shape: the corpus is scanned ONCE (word counts — map-side
+    combinable); every merge round then works on the |vocab| word
+    table, not the corpus, with one combinable pair aggregate and a
+    1-row argmax collect (the repo's bounded-scalar pattern) per
+    round. Output: (step, pair, merged, pair_count) — one row per
+    learned merge."""
+    from mapreducego_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            # 'h e l l o' — split to chars, join with single spaces
+            # (filter the empty tail Java's limit=-1 split appends)
+            F.array_join(
+                F.filter(F.split(F.col("w"), ""), lambda c: F.length(c) > 0),
+                " ",
+            ).alias("syms"),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            words.select(
+                "cnt",
+                F.split(F.col("syms"), " ").alias("arr"),
+            )
+            .select(
+                "cnt",
+                F.explode(
+                    F.when(
+                        F.size("arr") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("arr") - 2),
+                            lambda i: F.concat_ws(
+                                " ",
+                                F.element_at(F.col("arr"), (i + 1).cast("int")),
+                                F.element_at(F.col("arr"), (i + 2).cast("int")),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        best = pairs.orderBy(F.col("pc").desc(), F.col("pair").asc()).limit(1).collect()
+        if not best:
+            break
+        pair, pc = best[0]["pair"], int(best[0]["pc"])
+        merged = pair.replace(" ", "")
+        merges.append((step, pair, merged, pc))
+        words = words.select(
+            F.replace(
+                F.col("syms"), F.lit(pair), F.lit(merged)
+            ).alias("syms"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step long, pair string, merged string, pair_count long"
+    ).orderBy("step")

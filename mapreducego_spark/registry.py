@@ -554,6 +554,8 @@ QUERIES: dict[str, QueryFn] = {
     "mode_per_group": R.mode_per_group,
     # LSH recall audit: MinHash pairs vs the exact join (one row)
     "dedup_eval": D.dedup_eval,
+    # BPE tokenizer training (3 merge rounds, word-count grain)
+    "bpe_train": T.bpe_train,
 }
 
 # ORDERING (round 6): the round driver verifies the FIRST 50 entries
@@ -4142,3 +4144,44 @@ SELECT CAST(SUM(CASE WHEN in_ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
              / CAST(SUM(CASE WHEN in_ex THEN 1 ELSE 0 END) AS DOUBLE), 6) AS recall
 FROM j
 """
+
+# BPE training oracle: the same 3 merge rounds unrolled. Word-count
+# presegmentation, pair counts weighted by word count, argmax with
+# (count desc, pair asc) ties, replace() left-to-right application —
+# all engine-portable (see functions/text.bpe_train).
+def _bpe_oracle(n_merges: int = 3) -> str:
+    head = f"""
+WITH w0 AS (
+  SELECT array_to_string(list_filter(string_split(w, ''), x -> len(x) > 0), ' ') AS syms,
+         COUNT(*) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS w FROM (SELECT text FROM documents))
+  GROUP BY 1
+)"""
+    parts = [head]
+    selects = []
+    for i in range(1, n_merges + 1):
+        prev = f"w{i-1}"
+        parts.append(f""",
+p{i} AS (
+  SELECT pair, SUM(cnt) AS pc FROM (
+    SELECT cnt,
+           unnest(CASE WHEN len(a) >= 2
+                  THEN list_transform(range(len(a) - 1), j -> a[j+1] || ' ' || a[j+2])
+                  ELSE [] END) AS pair
+    FROM (SELECT string_split(syms, ' ') AS a, cnt FROM {prev})
+  ) GROUP BY pair
+),
+b{i} AS (SELECT pair, pc FROM p{i} ORDER BY pc DESC, pair ASC LIMIT 1),
+w{i} AS (
+  SELECT replace(syms, (SELECT pair FROM b{i}),
+                 replace((SELECT pair FROM b{i}), ' ', '')) AS syms, cnt
+  FROM {prev}
+)""")
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS step, pair, "
+            f"replace(pair, ' ', '') AS merged, CAST(pc AS BIGINT) AS pair_count FROM b{i}"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY step"
+
+
+ORACLES["bpe_train"] = _bpe_oracle()

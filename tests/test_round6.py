@@ -319,6 +319,43 @@ def test_mode_per_group_tie_break_is_total(spark):
         assert got[u] == (best[0], best[1]), u
 
 
+def test_bpe_train_matches_serial_reference(spark):
+    """The learned merge list must equal a straightforward serial BPE
+    over the same word counts (greedy-left replace, lexical ties)."""
+    import re as _re
+
+    from mapreducego_spark.functions.text import bpe_train
+    from mapreducego_spark.sources.catalog import load_table
+
+    got = [
+        (r["step"], r["pair"], r["merged"], r["pair_count"])
+        for r in bpe_train(spark, SF_TINY).collect()
+    ]
+    base = Counter()
+    for r in load_table(spark, SF_TINY, "documents").select("text").collect():
+        for w in _re.split("[^a-z]+", r["text"].lower()):
+            if w:
+                base[" ".join(w)] += 1
+    ref = []
+    words = Counter(base)
+    for step in range(1, 4):
+        pc = Counter()
+        for syms, c in words.items():
+            arr = syms.split(" ")
+            for a, b in zip(arr, arr[1:]):
+                pc[f"{a} {b}"] += c
+        if not pc:
+            break
+        pair, cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merged = pair.replace(" ", "")
+        ref.append((step, pair, merged, cnt))
+        nxt = Counter()
+        for syms, c in words.items():
+            nxt[syms.replace(pair, merged)] += c
+        words = nxt
+    assert got == ref
+
+
 def test_dedup_eval_fp_zero_and_recall_floor(spark):
     """LSH verification makes false positives structurally impossible
     (candidates re-checked with the exact arithmetic); banding theory
