@@ -1822,3 +1822,53 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step long, pair string, merged string, pair_count long"
     ).orderBy("step")
+
+
+def bpe_apply(
+    spark: SparkSession, sf_dir: str, n_merges: int = 3
+) -> DataFrame:
+    """Tokenize the corpus with the merges bpe_train just learned —
+    the consumer half of the tokenizer story (train on word counts,
+    apply to every document): per doc, the symbol count before any
+    merge (= character count of its letter tokens) and after applying
+    the merge list in order, plus the compression ratio. Token counts
+    are what shard packing / cost estimation budget by, so the apply
+    path is a first-class pipeline op, not a demo.
+
+    The merge list is tiny (n_merges rows) and is applied as a chain
+    of literal replace() calls built into the plan (the closure-
+    broadcast pattern); the corpus is scanned once, never shuffled —
+    the per-doc aggregate is map-side combinable."""
+    from mapreducego_spark.sources.catalog import load_table
+
+    merges = [
+        (r["pair"], r["merged"])
+        for r in bpe_train(spark, sf_dir, n_merges).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokens_col(F.col("text"))).alias("w"),
+    )
+    syms = F.array_join(
+        F.filter(F.split(F.col("w"), ""), lambda c: F.length(c) > 0), " "
+    )
+    for pair, merged in merges:
+        syms = F.replace(syms, F.lit(pair), F.lit(merged))
+    per_doc = toks.select(
+        "doc_id",
+        F.length("w").alias("n_chars"),
+        (F.size(F.split(syms, " "))).alias("n_syms"),
+    ).groupBy("doc_id").agg(
+        F.sum("n_chars").alias("chars"),
+        F.sum("n_syms").alias("bpe_tokens"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("chars").cast("long").alias("chars"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+        F.round(
+            F.col("bpe_tokens").cast("double") / F.col("chars").cast("double"),
+            6,
+        ).alias("compression"),
+    ).orderBy("doc_id")

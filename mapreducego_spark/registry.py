@@ -556,6 +556,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_eval": D.dedup_eval,
     # BPE tokenizer training (3 merge rounds, word-count grain)
     "bpe_train": T.bpe_train,
+    # apply the learned merges: per-doc BPE token counts
+    "bpe_apply": T.bpe_apply,
 }
 
 # ORDERING (round 6): the round driver verifies the FIRST 50 entries
@@ -4185,3 +4187,40 @@ w{i} AS (
 
 
 ORACLES["bpe_train"] = _bpe_oracle()
+
+
+def _bpe_apply_oracle(n_merges: int = 3) -> str:
+    base = _bpe_oracle(n_merges)
+    # reuse the training CTE chain, replace the final merge-list
+    # SELECT with the per-doc apply
+    head = base[: base.rindex("\nSELECT CAST(1 AS BIGINT)")]
+    expr = (
+        "array_to_string(list_filter(string_split(w, ''), "
+        "x -> len(x) > 0), ' ')"
+    )
+    for i in range(1, n_merges + 1):
+        expr = (
+            f"replace({expr}, (SELECT pair FROM b{i}), "
+            f"(SELECT replace(pair, ' ', '') FROM b{i}))"
+        )
+    return head + f""",
+__tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_TOKS}) AS w
+  FROM documents
+),
+__applied AS (
+  SELECT doc_id, len(w) AS n_chars,
+         len(string_split({expr}, ' ')) AS n_syms
+  FROM __tok
+)
+SELECT doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(SUM(n_syms) AS BIGINT) AS bpe_tokens,
+       round(CAST(SUM(n_syms) AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE), 6)
+           AS compression
+FROM __applied
+GROUP BY doc_id
+ORDER BY doc_id"""
+
+
+ORACLES["bpe_apply"] = _bpe_apply_oracle()
