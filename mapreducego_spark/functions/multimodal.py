@@ -196,3 +196,45 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_bytes").alias("min_bytes"),
         F.max("n_bytes").alias("max_bytes"),
     ).orderBy("mime")
+
+
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY payload column — the first pass
+    every multimodal ingest runs (identical bytes re-crawled under
+    different ids): group by (sha2(payload), n_bytes), keep the min
+    media_id, report copy counts. The digest is computed JVM-side on
+    the binary column (payloads never route through Python) and the
+    shuffle key is the 64-hex digest, never the payload itself — the
+    same never-shuffle-blobs discipline as the rest of this module.
+
+    The fixture has no byte-identical blobs, so deterministic
+    duplicates are planted: every media_id % 97 == 0 payload is
+    replaced by one constant byte string (the re-crawled-asset
+    scenario); the oracle plants the identical dirt. Only duplicate
+    groups (n_copies >= 2) are emitted."""
+    media = documents_as_media(spark, sf_dir)
+    planted = media.withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") % 97 == 0,
+            F.lit("duplicated-asset-bytes").cast("binary"),
+        ).otherwise(F.col("payload")),
+    ).withColumn("n_bytes", F.length("payload").cast("long"))
+    return (
+        planted.groupBy(
+            F.sha2(F.col("payload"), 256).alias("payload_sha256"),
+            "n_bytes",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("keep_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .select(
+            "payload_sha256",
+            "n_bytes",
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.col("keep_id").cast("long").alias("keep_id"),
+        )
+        .orderBy("payload_sha256")
+    )

@@ -558,6 +558,8 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_train": T.bpe_train,
     # apply the learned merges: per-doc BPE token counts
     "bpe_apply": T.bpe_apply,
+    # exact dedup over the binary payload column (multimodal tier)
+    "multimodal_dedup": M.multimodal_dedup,
 }
 
 # ORDERING (round 6): the round driver verifies the FIRST 50 entries
@@ -4224,3 +4226,26 @@ ORDER BY doc_id"""
 
 
 ORACLES["bpe_apply"] = _bpe_apply_oracle()
+
+# Binary-payload exact dedup: identical planted dirt (constant bytes
+# for media_id % 97 == 0), sha256 over the text bytes (the payload IS
+# the utf-8 text in the fixture adapter).
+ORACLES["multimodal_dedup"] = """
+WITH media AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CASE WHEN doc_id % 97 = 0 THEN 'duplicated-asset-bytes'
+              ELSE text END AS payload
+  FROM documents
+)
+SELECT sha256(payload) AS payload_sha256,
+       -- byte length, not char length: Spark's length(binary) counts
+       -- utf-8 BYTES (fixture text is ASCII today; stay correct if
+       -- that changes)
+       CAST(octet_length(CAST(payload AS BLOB)) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(media_id) AS BIGINT) AS keep_id
+FROM media
+GROUP BY sha256(payload), octet_length(CAST(payload AS BLOB))
+HAVING COUNT(*) >= 2
+ORDER BY payload_sha256
+"""
