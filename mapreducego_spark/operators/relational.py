@@ -2354,3 +2354,99 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def copurchase_triples(
+    spark: SparkSession, sf_dir: str, minsup: int = 2, max_basket: int = 1_000
+) -> DataFrame:
+    """Frequent co-purchase TRIPLES — A-priori level 3, the step that
+    separates a real market-basket implementation from the pair demo.
+    Downward closure does the heavy lifting twice: (L1) items in
+    < minsup baskets are pruned before any join, and (L2) a triple
+    {a,b,c} can only be frequent if ALL THREE of its pairs are, so
+    candidate triples are generated by joining frequent pairs sharing
+    their smallest item and verified against the pair set — never by
+    a three-way basket self-join over the raw catalog.
+
+    Counting then touches only candidate triples: baskets join
+    candidates on the (a) leg and confirm b, c membership via two
+    more semi-style joins on the SAME order — each join keyed on
+    (order, part), so the shuffles are basket-sized, not C(b,3).
+    Output: (part_a < part_b < part_c, support >= minsup)."""
+    from mapreducego_spark.operators.util import guard_limit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    freq_items = (
+        baskets.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .filter(F.col("__sup") >= minsup)
+        .select("p")
+    )
+    baskets = baskets.join(freq_items, "p")
+    sizes = baskets.groupBy("o").agg(F.count(F.lit(1)).alias("__bn"))
+    baskets = (
+        baskets.join(sizes, "o")
+        .filter(
+            guard_limit(
+                F.col("__bn"),
+                max_basket,
+                F.lit(
+                    f"copurchase_triples: basket over {max_basket} items "
+                    "goes cubic; cap or sample hot baskets"
+                ),
+            )
+        )
+        .drop("__bn")
+        .localCheckpoint(eager=True)
+    )
+    a = baskets.select("o", F.col("p").alias("pa"))
+    b = baskets.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, a.o == b.o2)
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup2"))
+        .filter(F.col("sup2") >= minsup)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
+    # L2 candidate generation: join frequent pairs on the first item,
+    # then require the closing pair (pb, pc) to be frequent too
+    cand = (
+        pairs.alias("x")
+        .join(
+            pairs.alias("y"),
+            (F.col("x.pa") == F.col("y.pa")) & (F.col("x.pb") < F.col("y.pb")),
+        )
+        .select(
+            F.col("x.pa").alias("ta"),
+            F.col("x.pb").alias("tb"),
+            F.col("y.pb").alias("tc"),
+        )
+        .join(
+            pairs.select(F.col("pa").alias("ta2"), F.col("pb").alias("tb2")),
+            (F.col("tb") == F.col("ta2")) & (F.col("tc") == F.col("tb2")),
+            "left_semi",
+        )
+    )
+    # support counting over candidates only: three keyed basket joins
+    ba = baskets.select(F.col("o").alias("oa"), F.col("p").alias("ta"))
+    bb = baskets.select(F.col("o").alias("ob"), F.col("p").alias("pb2"))
+    bc = baskets.select(F.col("o").alias("oc"), F.col("p").alias("pc2"))
+    counted = (
+        cand.join(ba, "ta")
+        .join(bb, (F.col("oa") == F.col("ob")) & (F.col("pb2") == F.col("tb")))
+        .join(bc, (F.col("oa") == F.col("oc")) & (F.col("pc2") == F.col("tc")))
+        .groupBy("ta", "tb", "tc")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= minsup)
+    )
+    return counted.select(
+        F.col("ta").cast("long").alias("part_a"),
+        F.col("tb").cast("long").alias("part_b"),
+        F.col("tc").cast("long").alias("part_c"),
+        F.col("support").cast("long").alias("support"),
+    ).orderBy("part_a", "part_b", "part_c")

@@ -560,6 +560,8 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_apply": T.bpe_apply,
     # exact dedup over the binary payload column (multimodal tier)
     "multimodal_dedup": M.multimodal_dedup,
+    # A-priori level-3 frequent triples (pairs -> candidate join -> count)
+    "copurchase_triples": R.copurchase_triples,
 }
 
 # ORDERING (round 6): the round driver verifies the FIRST 50 entries
@@ -4248,4 +4250,27 @@ FROM media
 GROUP BY sha256(payload), octet_length(CAST(payload AS BLOB))
 HAVING COUNT(*) >= 2
 ORDER BY payload_sha256
+"""
+
+# Frequent triples: the oracle counts ALL within-basket triples
+# directly (no candidate pruning) — hash equality proves the
+# A-priori L2 prune lost no frequent triple.
+ORACLES["copurchase_triples"] = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), fi AS (
+  SELECT p FROM baskets GROUP BY p HAVING COUNT(*) >= 2
+), b AS (
+  SELECT o, p FROM baskets WHERE p IN (SELECT p FROM fi)
+)
+SELECT CAST(x.p AS BIGINT) AS part_a,
+       CAST(y.p AS BIGINT) AS part_b,
+       CAST(z.p AS BIGINT) AS part_c,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM b x
+JOIN b y ON x.o = y.o AND x.p < y.p
+JOIN b z ON x.o = z.o AND y.p < z.p
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 2
+ORDER BY 1, 2, 3
 """
