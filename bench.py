@@ -131,6 +131,12 @@ HEADLINE = [
     "vector_range",
     "winsorize",
     "mode_per_group",
+    # round 6, second batch: tokenizer training+apply, binary dedup,
+    # A-priori triples (dedup_eval is NOT here: it re-runs both the
+    # minhash and exact-jaccard pipelines, each already tracked)
+    "bpe_apply",
+    "multimodal_dedup",
+    "copurchase_triples",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500
@@ -185,6 +191,12 @@ SCALE_SET = [
     # argument is exactly a scale claim) and the sweep-line walk
     "jaccard_prefix_join",
     "concurrent_events",
+    # round 6: tokenizer training+apply (vocab grows sublinearly in
+    # corpus size), the iterative k-core kernel on the 10x-denser
+    # co-supply graph, and the A-priori triple join
+    "bpe_apply",
+    "kcore_peel",
+    "copurchase_triples",
 ]
 SUPERLINEAR_RATIO = 12.0
 

@@ -319,6 +319,38 @@ def test_mode_per_group_tie_break_is_total(spark):
         assert got[u] == (best[0], best[1]), u
 
 
+def test_round6_single_scan_plan_gates(spark):
+    """Single-pass claims, plan-asserted: corr_matrix reads lineitem
+    once; mutual_information and entropy_score read documents once."""
+    from mapreducego_spark.functions.text import entropy_score, mutual_information
+    from mapreducego_spark.operators.relational import corr_matrix
+
+    for df, n_scans in [
+        (corr_matrix(spark, SF_TINY), 1),
+        (mutual_information(spark, SF_TINY), 1),
+        (entropy_score(spark, SF_TINY), 1),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") <= n_scans, plan[:2000]
+
+
+def test_source_cap_partition_invariant(spark):
+    """The md5-priority + doc_id tie-break is a total order, so the
+    survivor set cannot depend on physical partitioning."""
+    from mapreducego_spark.functions.text import source_cap
+
+    base = {(r["doc_id"], r["rk"]) for r in source_cap(spark, SF).collect()}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = {
+            (r["doc_id"], r["rk"]) for r in source_cap(spark, SF).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == again
+
+
 def test_bpe_train_matches_serial_reference(spark):
     """The learned merge list must equal a straightforward serial BPE
     over the same word counts (greedy-left replace, lexical ties)."""
