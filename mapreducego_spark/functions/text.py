@@ -1740,6 +1740,32 @@ def source_cap(
     )
 
 
+def _bpe_merge_fold(syms_col, a: str, b: str):
+    """Apply ONE learned BPE merge (a, b) -> a+b to a space-joined
+    symbol string, symbol-boundary-exact: rebuild the string with a
+    left fold over the symbol ARRAY, concatenating ``b`` onto the
+    accumulator (no separator) exactly when the accumulator's last
+    whole symbol equals ``a``. This is canonical greedy-left BPE
+    (Sennrich et al. 2016) — unlike a raw substring
+    replace(syms, 'a b', 'ab'), it can never match across symbol
+    boundaries (rule ``h e`` must not fire inside symbols
+    ``[th, e]`` whose joined form 'th e' contains the substring
+    'h e'). Pure JVM expression (no UDF); the DuckDB oracle mirrors
+    it with list_reduce and the identical CASE."""
+    arr = F.split(syms_col, " ")
+    return F.aggregate(
+        arr,
+        F.lit(""),
+        lambda acc, x: F.when(acc == F.lit(""), x)
+        .when(
+            (x == F.lit(b))
+            & ((acc == F.lit(a)) | acc.endswith(F.lit(" " + a))),
+            F.concat(acc, x),
+        )
+        .otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+
+
 def bpe_train(
     spark: SparkSession, sf_dir: str, n_merges: int = 3
 ) -> DataFrame:
@@ -1753,9 +1779,9 @@ def bpe_train(
 
     Engine-portable determinism: pair counts are exact LONGs; the
     argmax tie-break is (count desc, pair asc); merges apply through
-    string replace(sym_str, 'a b', 'ab'), whose left-to-right
-    non-overlapping semantics are identical in Spark and DuckDB and
-    equal BPE's greedy-left application order.
+    the boundary-exact symbol-array fold (_bpe_merge_fold), whose
+    left-to-right non-overlapping semantics are identical in Spark
+    and DuckDB and equal BPE's greedy-left application order.
 
     Scale shape: the corpus is scanned ONCE (word counts — map-side
     combinable); every merge round then works on the |vocab| word
@@ -1812,11 +1838,10 @@ def bpe_train(
             break
         pair, pc = best[0]["pair"], int(best[0]["pc"])
         merged = pair.replace(" ", "")
+        pa, pb = pair.split(" ")
         merges.append((step, pair, merged, pc))
         words = words.select(
-            F.replace(
-                F.col("syms"), F.lit(pair), F.lit(merged)
-            ).alias("syms"),
+            _bpe_merge_fold(F.col("syms"), pa, pb).alias("syms"),
             "cnt",
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
@@ -1836,9 +1861,10 @@ def bpe_apply(
     path is a first-class pipeline op, not a demo.
 
     The merge list is tiny (n_merges rows) and is applied as a chain
-    of literal replace() calls built into the plan (the closure-
-    broadcast pattern); the corpus is scanned once, never shuffled —
-    the per-doc aggregate is map-side combinable."""
+    of boundary-exact symbol folds built into the plan (the closure-
+    broadcast pattern; see _bpe_merge_fold); the corpus is scanned
+    once, never shuffled — the per-doc aggregate is map-side
+    combinable."""
     from mapreducego_spark.sources.catalog import load_table
 
     merges = [
@@ -1853,8 +1879,9 @@ def bpe_apply(
     syms = F.array_join(
         F.filter(F.split(F.col("w"), ""), lambda c: F.length(c) > 0), " "
     )
-    for pair, merged in merges:
-        syms = F.replace(syms, F.lit(pair), F.lit(merged))
+    for pair, _merged in merges:
+        pa, pb = pair.split(" ")
+        syms = _bpe_merge_fold(syms, pa, pb)
     per_doc = toks.select(
         "doc_id",
         F.length("w").alias("n_chars"),

@@ -4153,8 +4153,26 @@ FROM j
 
 # BPE training oracle: the same 3 merge rounds unrolled. Word-count
 # presegmentation, pair counts weighted by word count, argmax with
-# (count desc, pair asc) ties, replace() left-to-right application —
-# all engine-portable (see functions/text.bpe_train).
+# (count desc, pair asc) ties, and the boundary-exact symbol-array
+# fold for merge application (list_reduce mirror of Spark's
+# _bpe_merge_fold: concat b onto the accumulator iff the
+# accumulator's last WHOLE symbol equals a — a raw substring
+# replace can falsely fire across symbol boundaries).
+def _bpe_merge_fold_sql(
+    syms_expr: str, a_col: str, b_col: str, lvl: int = 0
+) -> str:
+    # a_col/b_col must be plain column references (DuckDB lambdas
+    # reject subqueries) — the callers cross-join the 1-row b{i} CTE.
+    # lvl uniquifies the lambda parameter names so the folds can nest
+    # (bpe_apply chains one fold per learned merge).
+    ac, xv = f"acc{lvl}", f"x{lvl}"
+    return f"""list_reduce(string_split({syms_expr}, ' '), ({ac}, {xv}) ->
+      CASE WHEN {xv} = {b_col}
+                AND ({ac} = {a_col}
+                     OR right({ac}, len({a_col}) + 1) = ' ' || {a_col})
+           THEN {ac} || {xv} ELSE {ac} || ' ' || {xv} END)"""
+
+
 def _bpe_oracle(n_merges: int = 3) -> str:
     head = f"""
 WITH w0 AS (
@@ -4177,11 +4195,12 @@ p{i} AS (
     FROM (SELECT string_split(syms, ' ') AS a, cnt FROM {prev})
   ) GROUP BY pair
 ),
-b{i} AS (SELECT pair, pc FROM p{i} ORDER BY pc DESC, pair ASC LIMIT 1),
+b{i} AS (SELECT pair, pc, string_split(pair, ' ')[1] AS pa,
+                string_split(pair, ' ')[2] AS pb
+         FROM p{i} ORDER BY pc DESC, pair ASC LIMIT 1),
 w{i} AS (
-  SELECT replace(syms, (SELECT pair FROM b{i}),
-                 replace((SELECT pair FROM b{i}), ' ', '')) AS syms, cnt
-  FROM {prev}
+  SELECT {_bpe_merge_fold_sql('syms', f'b{i}.pa', f'b{i}.pb')} AS syms, cnt
+  FROM {prev}, b{i}
 )""")
         selects.append(
             f"SELECT CAST({i} AS BIGINT) AS step, pair, "
@@ -4203,10 +4222,8 @@ def _bpe_apply_oracle(n_merges: int = 3) -> str:
         "x -> len(x) > 0), ' ')"
     )
     for i in range(1, n_merges + 1):
-        expr = (
-            f"replace({expr}, (SELECT pair FROM b{i}), "
-            f"(SELECT replace(pair, ' ', '') FROM b{i}))"
-        )
+        expr = _bpe_merge_fold_sql(expr, f"b{i}.pa", f"b{i}.pb", lvl=i)
+    bs = ", ".join(f"b{i}" for i in range(1, n_merges + 1))
     return head + f""",
 __tok AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_TOKS}) AS w
@@ -4215,7 +4232,7 @@ __tok AS (
 __applied AS (
   SELECT doc_id, len(w) AS n_chars,
          len(string_split({expr}, ' ')) AS n_syms
-  FROM __tok
+  FROM __tok, {bs}
 )
 SELECT doc_id,
        CAST(SUM(n_chars) AS BIGINT) AS chars,

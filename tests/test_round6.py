@@ -351,9 +351,23 @@ def test_source_cap_partition_invariant(spark):
     assert base == again
 
 
+def _serial_bpe_merge(arr, a, b):
+    """Canonical greedy-left BPE merge of pair (a, b) over a symbol
+    list (Sennrich et al.) — whole-symbol compares only, never the
+    substring-replace shortcut that can merge across boundaries."""
+    out = []
+    for x in arr:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
 def test_bpe_train_matches_serial_reference(spark):
     """The learned merge list must equal a straightforward serial BPE
-    over the same word counts (greedy-left replace, lexical ties)."""
+    over the same word counts (greedy-left whole-symbol merge,
+    lexical ties)."""
     import re as _re
 
     from mapreducego_spark.functions.text import bpe_train
@@ -381,11 +395,42 @@ def test_bpe_train_matches_serial_reference(spark):
         pair, cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merged = pair.replace(" ", "")
         ref.append((step, pair, merged, cnt))
+        pa, pb = pair.split(" ")
         nxt = Counter()
         for syms, c in words.items():
-            nxt[syms.replace(pair, merged)] += c
+            nxt[" ".join(_serial_bpe_merge(syms.split(" "), pa, pb))] += c
         words = nxt
     assert got == ref
+
+
+def test_bpe_merge_fold_is_boundary_exact(spark):
+    """The merge fold must NOT fire across symbol boundaries: rule
+    (h, e) applied to symbols [th, e] (joined 'th e', which CONTAINS
+    the substring 'h e') must leave the word untouched — the exact
+    case where raw substring replace deviates from canonical BPE.
+    Also pins greedy-left non-overlap on repeats."""
+    from mapreducego_spark.functions.text import _bpe_merge_fold
+
+    cases = [
+        # (syms, a, b, expected)
+        ("th e", "h", "e", "th e"),   # cross-boundary: must NOT merge
+        ("x h e", "h", "e", "x he"),  # genuine adjacency: must merge
+        ("h e h e", "h", "e", "he he"),
+        ("a a a", "a", "a", "aa a"),  # greedy-left, non-overlapping
+        ("he r", "e", "r", "he r"),   # suffix of a merged symbol
+        ("q", "h", "e", "q"),         # single symbol untouched
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _, _, _) in enumerate(cases)], "i long, syms string"
+    )
+    for i, (syms, a, b, want) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(_bpe_merge_fold(F.col("syms"), a, b).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert got == want, (syms, a, b, got, want)
+        assert _serial_bpe_merge(syms.split(" "), a, b) == want.split(" ")
 
 
 def test_dedup_eval_fp_zero_and_recall_floor(spark):
