@@ -268,6 +268,11 @@ def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
             "doc_a",
             "doc_b",
             F.round(inter / union, 6).alias("jaccard"),
+            # unrounded ratio for threshold compares: round-at-6
+            # would admit J in [t-5e-7, t) that the exact tier
+            # (ngram_pairs / jaccard_prefix_pairs, both unrounded)
+            # legitimately excludes — see the ngram_pairs note
+            (inter / union).alias("__jac_raw"),
         )
     )
 
@@ -297,7 +302,8 @@ def minhash_pairs(
     cands = minhash_candidate_pairs(bands, max_bucket_size=max_bucket_size)
     result = (
         exact_jaccard(cands, shingled)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("__jac_raw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
     try:
@@ -581,7 +587,13 @@ def jaccard_on_hashes(pairs: DataFrame, rows: DataFrame) -> DataFrame:
     return (
         pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+            # unrounded for the threshold compare (see exact_jaccard)
+            (inter / union).alias("__jac_raw"),
+        )
     )
 
 
@@ -635,8 +647,10 @@ def dedup_incremental_step(
         .distinct()
     )
     cands = internal.unionByName(cross).distinct()
-    pairs = jaccard_on_hashes(cands, index_rows.unionByName(reps)).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
+    pairs = (
+        jaccard_on_hashes(cands, index_rows.unionByName(reps))
+        .filter(F.col("__jac_raw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
     )
     return pairs, reps
 
@@ -948,6 +962,15 @@ def jaccard_prefix_pairs(
       exchange to a handful of partitions, but verification cost is
       CPU per pair (array_intersect), not bytes — the r5 plan ran it
       on 4 of 32 cores."""
+    # Exact rational form of the threshold so every PPJoin bound is
+    # integer arithmetic: a float ceil/multiply can land an ulp above
+    # the true rational value and falsely PRUNE a true pair (advisor
+    # finding, r6 — safe at the default 0.5 but not for arbitrary t).
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    t_num, t_den = frac.numerator, frac.denominator
+
     shingled = shingle_docs(spread_scan(docs), n=2)
     posting = shingled.select(
         "doc_id", F.explode("shingles").alias("sh")
@@ -967,10 +990,14 @@ def jaccard_prefix_pairs(
             "doc_id",
             "sorted_sh",
             F.size("sorted_sh").alias("n_sh"),
-            # prefix length: |s| - ceil(t*|s|) + 1
+            # prefix length: |s| - ceil(t*|s|) + 1, with
+            # ceil(t*n) = (t_num*n + t_den - 1) div t_den exactly
             (
                 F.col("n_sh")
-                - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
+                - F.floor(
+                    (F.col("n_sh") * F.lit(t_num) + F.lit(t_den - 1))
+                    / F.lit(t_den)
+                ).cast("int")
                 + 1
             ).alias("pref_len"),
         )
@@ -994,18 +1021,14 @@ def jaccard_prefix_pairs(
         (F.col("pos0") + 1).alias("p_b"),
         "sh",
     )
-    # minimum overlap for J >= t: ceil(t/(1+t) * (|A|+|B|))
-    alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold))
-        * (F.col("n_a") + F.col("n_b")).cast("double")
-    )
     cands = (
         pa.join(pb, "sh")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            # length filter: t*|A| <= |B| <= |A|/t (A smaller side)
-            & (F.col("n_b") * F.lit(threshold) <= F.col("n_a"))
-            & (F.col("n_a") * F.lit(threshold) <= F.col("n_b"))
+            # length filter t*|A| <= |B| <= |A|/t by exact integer
+            # cross-multiplication (t = t_num/t_den)
+            & (F.col("n_b") * F.lit(t_num) <= F.col("n_a") * F.lit(t_den))
+            & (F.col("n_a") * F.lit(t_num) <= F.col("n_b") * F.lit(t_den))
         )
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(
@@ -1017,7 +1040,12 @@ def jaccard_prefix_pairs(
                 + 1
             ).alias("overlap_ub")
         )
-        .filter(F.col("overlap_ub") >= alpha)
+        # minimum overlap for J >= t: overlap >= t/(1+t)*(|A|+|B|),
+        # cross-multiplied to integers (no float ceil overshoot)
+        .filter(
+            F.col("overlap_ub") * F.lit(t_num + t_den)
+            >= (F.col("n_a") + F.col("n_b")) * F.lit(t_num)
+        )
         .select("doc_a", "doc_b")
     )
     n_cores = cands.sparkSession.sparkContext.defaultParallelism
@@ -1108,9 +1136,16 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tp").cast("long").alias("tp"),
         F.col("fn").cast("long").alias("fn"),
         F.col("fp").cast("long").alias("fp"),
-        F.round(
-            F.col("tp").cast("double")
-            / (F.col("tp") + F.col("fn")).cast("double"),
-            6,
+        # zero-denominator guard: Spark's non-ANSI divide yields NULL
+        # on 0/0 while DuckDB yields NaN — pin NULL explicitly on
+        # both sides (oracle uses NULLIF) so an empty exact-pair set
+        # can't hash-diverge cross-engine
+        F.when(
+            (F.col("tp") + F.col("fn")) > 0,
+            F.round(
+                F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fn")).cast("double"),
+                6,
+            ),
         ).alias("recall"),
     )

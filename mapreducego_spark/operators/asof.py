@@ -103,12 +103,16 @@ def asof_join(
         ],
     )
     if tolerance_seconds is not None:
+        # microsecond-exact gap: unix_timestamp truncates to whole
+        # seconds, which would admit matches up to ~1s staler than
+        # the bound on sub-second timestamps (and diverge from an
+        # INTERVAL compare, which is microsecond-exact)
         gap = F.abs(
-            F.unix_timestamp(F.col("__t"))
-            - F.unix_timestamp(F.col("__asof___rt"))
+            F.unix_micros(F.col("__t"))
+            - F.unix_micros(F.col("__asof___rt"))
         )
         ok = F.col("__asof___rt").isNotNull() & (
-            gap <= F.lit(int(tolerance_seconds))
+            gap <= F.lit(int(tolerance_seconds) * 1_000_000)
         )
         keep = [c for c in left.columns] + [
             F.when(ok, F.col(f"__asof_{c}")).alias(c) for c in right_values

@@ -1546,9 +1546,9 @@ SELECT c.doc_a, c.doc_b,
 FROM cands c
 JOIN shingled sa ON sa.doc_id = c.doc_a
 JOIN shingled sb ON sb.doc_id = c.doc_b
-WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
             / CAST(len(sa.shingles) + len(sb.shingles)
-                   - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6) >= 0.5
+                   - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) >= 0.5
 """,
     # same pair construction, then connected components via a
     # recursive min-reachability CTE (WITH RECURSIVE must lead the
@@ -1560,9 +1560,9 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
     FROM cands c
     JOIN shingled sa ON sa.doc_id = c.doc_a
     JOIN shingled sb ON sb.doc_id = c.doc_b
-    WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
                 / CAST(len(sa.shingles) + len(sb.shingles)
-                       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6) >= 0.5
+                       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) >= 0.5
 ), sym AS (
     SELECT doc_a AS s, doc_b AS d FROM vpairs
     UNION
@@ -1596,9 +1596,9 @@ FROM st
     FROM cands c
     JOIN shingled sa ON sa.doc_id = c.doc_a
     JOIN shingled sb ON sb.doc_id = c.doc_b
-    WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
                 / CAST(len(sa.shingles) + len(sb.shingles)
-                       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6) >= 0.5
+                       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) >= 0.5
 ), sym AS (
     SELECT doc_a AS s, doc_b AS d FROM vpairs
     UNION
@@ -3013,9 +3013,9 @@ ORACLES["kfold_split"] = _MINHASH_BASE.replace(
     FROM cands c
     JOIN shingled sa ON sa.doc_id = c.doc_a
     JOIN shingled sb ON sb.doc_id = c.doc_b
-    WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
                 / CAST(len(sa.shingles) + len(sb.shingles)
-                       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6) >= 0.5
+                       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) >= 0.5
 ), sym AS (
     SELECT doc_a AS s, doc_b AS d FROM vpairs
     UNION
@@ -4147,7 +4147,7 @@ SELECT CAST(SUM(CASE WHEN in_ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
        CAST(SUM(CASE WHEN in_ex AND NOT in_mh THEN 1 ELSE 0 END) AS BIGINT) AS fn,
        CAST(SUM(CASE WHEN NOT in_ex AND in_mh THEN 1 ELSE 0 END) AS BIGINT) AS fp,
        round(CAST(SUM(CASE WHEN in_ex AND in_mh THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(SUM(CASE WHEN in_ex THEN 1 ELSE 0 END) AS DOUBLE), 6) AS recall
+             / CAST(NULLIF(SUM(CASE WHEN in_ex THEN 1 ELSE 0 END), 0) AS DOUBLE), 6) AS recall
 FROM j
 """
 
