@@ -20,7 +20,7 @@ a quadratic stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducego_spark.operators.util import guard_limit
@@ -121,20 +121,22 @@ def sorted_neighborhood_pairs(
     records near each other, and its candidate count is exactly
     n * (window-1) — linear, no skew, no hot-block blowup.
 
-    Spark shape: ranks come from row_number over a global ORDER BY,
-    which Spark plans as a single partition — fine at dimension-table
-    size; at fact-table scale swap in the two-phase rank
-    (per-partition counts -> broadcast offsets) that text.pack_shards
-    already implements, with identical downstream plan. Pairs join on
-    rank difference 1..w-1 — one equi-join per offset, unioned, so no
-    range join and no skew (every rank has at most w-1 partners)."""
-    ranked = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(text_col).alias("txt"),
-        sort_key.alias("__sk"),
-    ).withColumn(
-        "rn",
-        F.row_number().over(Window.orderBy(F.col("__sk"), F.col("id"))),
+    Spark shape: ranks come from the distributed two-phase rank
+    (operators.twophase — range-repartition, per-partition counts to
+    driver offsets, local position; never a single-partition global
+    window, so the generator holds at fact-table scale). Pairs join
+    on rank difference 1..w-1 — one equi-join per offset, unioned,
+    so no range join and no skew (every rank has at most w-1
+    partners)."""
+    from mapreducego_spark.operators.twophase import two_phase_global_rank
+
+    ranked = two_phase_global_rank(
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(text_col).alias("txt"),
+            sort_key.alias("__sk"),
+        ),
+        ["__sk", "id"],
     )
     a = ranked.select(
         F.col("id").alias("id_a"), F.col("txt").alias("txt_a"), "rn"

@@ -2143,11 +2143,14 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (exact, copied) value itself.
 
     Scale: the per-group window is bounded per group; the pooled
-    order-statistics table needs a GLOBAL rank — here one
-    range-partitioned window, at 100 TB the two-phase count+offset
-    construction (pack_shards) or an approx-quantile sketch grid
-    replaces it. The join on idx is an equi shuffle."""
+    order-statistics table needs a GLOBAL rank — built with the
+    distributed two-phase count+offset rank (operators.twophase,
+    the pack_shards scheme: range-repartition, per-partition counts
+    to driver, offset + local position), NOT a single-partition
+    ORDER BY window. The join on idx is an equi shuffle."""
     from pyspark.sql import Window
+
+    from mapreducego_spark.operators.twophase import two_phase_global_rank
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
@@ -2165,11 +2168,9 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n"),
     )
-    wp = Window.orderBy("value", "event_id")
-    pooled = ev.select(
-        F.row_number().over(wp).cast("long").alias("idx"),
-        F.col("value").alias("pooled_value"),
-    )
+    pooled = two_phase_global_rank(
+        ev.select("value", "event_id"), ["value", "event_id"], rank_col="idx"
+    ).select("idx", F.col("value").alias("pooled_value"))
     n_total = ev.count()  # bounded scalar (one long)
     idx = (
         F.expr(f"((2 * rn - 1) * {n_total}L) div (2 * n)") + F.lit(1)

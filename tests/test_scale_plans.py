@@ -348,3 +348,33 @@ def test_bucket_pruning_scans_single_bucket(spark):
     m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m, plan[:2000]
     assert int(m.group(1)) == 1 and int(m.group(2)) == 16
+
+
+def test_no_single_partition_global_window(spark):
+    """quantile_normalize and the sorted-neighborhood generator use
+    the two-phase count+offset rank — their plans must contain NO
+    unpartitioned window (Spark plans `row_number() OVER (ORDER BY
+    ...)` with no PARTITION BY as a single partition: one task sorts
+    the world, dead at 100 TB)."""
+    import re
+
+    from mapreducego_spark.operators.fuzzy import snm_match_customers
+    from mapreducego_spark.operators.relational import quantile_normalize
+
+    for df in [quantile_normalize(spark, SF), snm_match_customers(spark, SF)]:
+        plan = _plan(df)
+        for line in plan.splitlines():
+            if "Window" not in line or "windowspecdefinition" not in line:
+                continue
+            # every windowspecdefinition must name at least one
+            # partition column before the frame spec — an ORDER-BY-
+            # only spec starts with the sort column list directly,
+            # so require a partitionBy column list prefix:
+            # windowspecdefinition(col#1, col#2 ASC ... would be
+            # partitioned; windowspecdefinition(col#2 ASC ... is not
+            m = re.search(r"windowspecdefinition\(([^,]+),", line)
+            assert m is not None, line
+            first_arg = m.group(1)
+            assert " ASC" not in first_arg and " DESC" not in first_arg, (
+                "unpartitioned global window found: " + line.strip()[:200]
+            )
