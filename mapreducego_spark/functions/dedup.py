@@ -931,8 +931,11 @@ def jaccard_prefix_pairs(
     candidates only, never all pairs).
 
     Canonical order is by (document frequency asc, shingle asc),
-    computed per doc by sorting struct(df, sh) arrays — no global
-    rank assignment, no window, no driver state.
+    materialized as DENSE INTEGER shingle ids via the distributed
+    two-phase rank (operators.twophase) — ascending sid IS the
+    canonical order, per-doc lists are plain sorted long arrays, and
+    exact verification intersects longs instead of strings (~3x
+    cheaper on the intersect stage, zero collision caveat).
 
     Physical-plan notes (the r5 entry measured 64-74s at sf0.1;
     this form runs the same logical algorithm in ~1/4 the wall):
@@ -953,15 +956,30 @@ def jaccard_prefix_pairs(
       canonical lists bounds the overlap by
       min(n_a - p_a, n_b - p_b) + 1 (everything before p on either
       side is disjoint-or-already-counted under the shared total
-      order), and J >= t  <=>  overlap >= t/(1+t) * (n_a+n_b). The
-      candidate aggregate keeps max(bound) per pair — a groupBy in
-      place of the old bare .distinct(), same shuffle width, strictly
-      more pruning.
+      order), and J >= t  <=>  overlap >= t/(1+t) * (n_a+n_b).
+      Applied PER CONTRIBUTION ROW inside the join's codegen stage
+      (a pair survives groupBy+max+filter iff any row passes, so the
+      surviving set is identical) — the distinct then shuffles only
+      the surviving rows, half the aggregate-first width.
     - Candidates are re-spread over the full core count before the
       verification join: AQE coalesces the small-by-bytes candidate
       exchange to a handful of partitions, but verification cost is
       CPU per pair (array_intersect), not bytes — the r5 plan ran it
-      on 4 of 32 cores."""
+      on 4 of 32 cores.
+    - Indexing-prefix (mid-prefix) asymmetry (Bayardo et al. WWW'07
+      §3.1 / Xiao et al. WWW'08): orient every pair so A is the
+      SMALLER record ((n, id) order); then O(A,B) >= t/(1+t) *
+      (n_a+n_b) >= 2t/(1+t)*n_a, and the FIRST common shingle under
+      the shared total order must sit within A's first
+      n_a - ceil(2t/(1+t)*n_a) + 1 positions (all O shared shingles
+      sit at or after it, and they cannot all fit in the
+      ceil(2t/(1+t)*n_a) - 1 < O tail slots) while also sitting in
+      B's ordinary probe prefix (O >= t*n_b via the length filter).
+      So the A side explodes only the mid-prefix — one third shorter
+      at t=0.5 — provably losing no pairs. (A document-frequency
+      ceiling cut would NOT be lossless here: a true pair whose only
+      shared prefix shingle is frequent would vanish; the mid-prefix
+      is the exact lever from the same literature.)"""
     # Exact rational form of the threshold so every PPJoin bound is
     # integer arithmetic: a float ceil/multiply can land an ulp above
     # the true rational value and falsely PRUNE a true pair (advisor
@@ -971,26 +989,33 @@ def jaccard_prefix_pairs(
     frac = Fraction(str(threshold))
     t_num, t_den = frac.numerator, frac.denominator
 
+    from mapreducego_spark.operators.twophase import two_phase_global_rank
+
     shingled = shingle_docs(spread_scan(docs), n=2)
     posting = shingled.select(
         "doc_id", F.explode("shingles").alias("sh")
     )
     df_tab = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    # per-doc shingle list sorted rarest-first (df asc, sh asc)
+    # Dense integer shingle ids in the canonical (df asc, sh asc)
+    # order, via the distributed two-phase rank: ascending sid IS the
+    # canonical order, so per-doc lists sort on a plain long array
+    # and — the real win — verification intersects LONG arrays
+    # instead of strings (~same 3.5M-candidate set on the dense
+    # fixture, one third the intersect CPU), exactly (no hash
+    # collisions, unlike a 64-bit-hash verify).
+    sids = two_phase_global_rank(
+        df_tab, ["df", "sh"], rank_col="sid"
+    ).select("sh", "sid")
+    # per-doc shingle-id list sorted rarest-first (df asc, sh asc)
     sorted_docs = (
-        posting.join(df_tab, "sh")
+        posting.join(sids, "sh")
         .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("df", "sh"))),
-                lambda s: s["sh"],
-            ).alias("sorted_sh")
-        )
+        .agg(F.sort_array(F.collect_list("sid")).alias("sorted_sh"))
         .select(
             "doc_id",
             "sorted_sh",
             F.size("sorted_sh").alias("n_sh"),
-            # prefix length: |s| - ceil(t*|s|) + 1, with
+            # probe prefix: |s| - ceil(t*|s|) + 1, with
             # ceil(t*n) = (t_num*n + t_den - 1) div t_den exactly
             (
                 F.col("n_sh")
@@ -1000,53 +1025,76 @@ def jaccard_prefix_pairs(
                 ).cast("int")
                 + 1
             ).alias("pref_len"),
+            # indexing (mid) prefix for the smaller pair side:
+            # |s| - ceil(2t/(1+t)*|s|) + 1
+            (
+                F.col("n_sh")
+                - F.floor(
+                    (
+                        F.col("n_sh") * F.lit(2 * t_num)
+                        + F.lit(t_num + t_den - 1)
+                    )
+                    / F.lit(t_num + t_den)
+                ).cast("int")
+                + 1
+            ).alias("mid_len"),
         )
     ).localCheckpoint()
-    pref = sorted_docs.select(
-        "doc_id",
-        "n_sh",
+    # A side (the smaller record of each pair) explodes only the
+    # mid-prefix; B side (larger) the full probe prefix
+    pa = sorted_docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+        F.posexplode(F.slice("sorted_sh", 1, F.col("mid_len"))).alias(
+            "pos0", "sh"
+        ),
+    ).select("doc_a", "n_a", (F.col("pos0") + 1).alias("p_a"), "sh")
+    pb = sorted_docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
         F.posexplode(F.slice("sorted_sh", 1, F.col("pref_len"))).alias(
             "pos0", "sh"
         ),
-    )
-    pa = pref.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("n_sh").alias("n_a"),
-        (F.col("pos0") + 1).alias("p_a"),
-        "sh",
-    )
-    pb = pref.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("n_sh").alias("n_b"),
-        (F.col("pos0") + 1).alias("p_b"),
-        "sh",
-    )
+    ).select("doc_b", "n_b", (F.col("pos0") + 1).alias("p_b"), "sh")
     cands = (
         pa.join(pb, "sh")
         .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            # length filter t*|A| <= |B| <= |A|/t by exact integer
+            # orient: A strictly the smaller record ((n, id) order) —
+            # each unordered pair is generated exactly once
+            (
+                (F.col("n_a") < F.col("n_b"))
+                | (
+                    (F.col("n_a") == F.col("n_b"))
+                    & (F.col("doc_a") < F.col("doc_b"))
+                )
+            )
+            # length filter t*|B| <= |A| (<= |B|) by exact integer
             # cross-multiplication (t = t_num/t_den)
             & (F.col("n_b") * F.lit(t_num) <= F.col("n_a") * F.lit(t_den))
-            & (F.col("n_a") * F.lit(t_num) <= F.col("n_b") * F.lit(t_den))
-        )
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(
-            F.max(
-                F.least(
-                    F.col("n_a") - F.col("p_a"),
-                    F.col("n_b") - F.col("p_b"),
+            # positional filter applied PER CONTRIBUTION ROW, before
+            # any aggregation: a shared prefix shingle at positions
+            # (p_a, p_b) bounds the overlap by min(n_a-p_a, n_b-p_b)
+            # + 1, and the pair needs overlap >= t/(1+t)*(n_a+n_b)
+            # (cross-multiplied to integers). A pair survives the
+            # old groupBy+max+filter iff ANY of its rows passes this
+            # predicate — same surviving set, but the filter runs in
+            # the join's codegen stage and halves the distinct's
+            # shuffle input instead of aggregating every
+            # contribution first.
+            & (
+                (
+                    F.least(
+                        F.col("n_a") - F.col("p_a"),
+                        F.col("n_b") - F.col("p_b"),
+                    )
+                    + 1
                 )
-                + 1
-            ).alias("overlap_ub")
-        )
-        # minimum overlap for J >= t: overlap >= t/(1+t)*(|A|+|B|),
-        # cross-multiplied to integers (no float ceil overshoot)
-        .filter(
-            F.col("overlap_ub") * F.lit(t_num + t_den)
-            >= (F.col("n_a") + F.col("n_b")) * F.lit(t_num)
+                * F.lit(t_num + t_den)
+                >= (F.col("n_a") + F.col("n_b")) * F.lit(t_num)
+            )
         )
         .select("doc_a", "doc_b")
+        .distinct()
     )
     n_cores = cands.sparkSession.sparkContext.defaultParallelism
     sa = sorted_docs.select(
@@ -1076,7 +1124,13 @@ def jaccard_prefix_pairs(
         # unrounded compare — matches the filters' J >= t guarantee
         # (see ngram_pairs for the cross-engine determinism argument)
         .filter(F.col("__jac") >= threshold)
-        .select("doc_a", "doc_b", F.round("__jac", 6).alias("jaccard"))
+        # pairs were oriented smaller-first for the mid-prefix; the
+        # output contract is doc_a < doc_b by id
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            F.round("__jac", 6).alias("jaccard"),
+        )
     )
     return verified.orderBy("doc_a", "doc_b")
 
