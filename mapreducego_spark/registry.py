@@ -560,6 +560,9 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_apply": T.bpe_apply,
     # exact dedup over the binary payload column (multimodal tier)
     "multimodal_dedup": M.multimodal_dedup,
+    # REAL bytes->pixels: staged PNG files, binaryFile scan, pure-
+    # stdlib decode (zlib + unfiltering) in one mapInPandas pass
+    "multimodal_decode": M.multimodal_decode,
     # A-priori level-3 frequent triples (pairs -> candidate join -> count)
     "copurchase_triples": R.copurchase_triples,
 }
@@ -4267,6 +4270,37 @@ FROM media
 GROUP BY sha256(payload), octet_length(CAST(payload AS BLOB))
 HAVING COUNT(*) >= 2
 ORDER BY payload_sha256
+"""
+
+# Real PNG decode: the staged fixture's pixel content is the md5
+# digest of str(media_id) tiled to w*h*3 bytes, so the oracle
+# reconstructs the decoded dimensions, the byte sum, and the md5 of
+# the pixel hex string with pure VARCHAR/integer arithmetic — a hash
+# match proves the stdlib decoder (zlib inflate + unfiltering)
+# recovered the exact bytes that were encoded.
+ORACLES["multimodal_decode"] = """
+WITH m AS (SELECT unnest(range(240)) AS media_id),
+d AS (
+  SELECT media_id,
+         CAST(media_id % 13 + 1 AS INT) AS width,
+         CAST(media_id % 11 + 2 AS INT) AS height,
+         md5(CAST(media_id AS VARCHAR)) AS hx
+  FROM m
+),
+e AS (
+  SELECT media_id, width, height, hx,
+         width * height * 3 AS npx,
+         list_transform(
+           range(16), j -> CAST(('0x' || substr(hx, 2*j+1, 2)) AS BIGINT)
+         ) AS db
+  FROM d
+)
+SELECT CAST(media_id AS BIGINT) AS media_id, width, height,
+       CAST((npx // 16) * list_sum(db)
+            + COALESCE(list_sum(db[1 : npx % 16]), 0) AS BIGINT) AS px_sum,
+       md5(substr(repeat(hx, npx // 16 + 1), 1, npx * 2)) AS feature_hash
+FROM e
+ORDER BY media_id
 """
 
 # Frequent triples: the oracle counts ALL within-basket triples

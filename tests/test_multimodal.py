@@ -141,3 +141,119 @@ def test_real_decode_branch_via_injected_shim(monkeypatch):
     w, h, fh = M.decode_image(PNG_1X1)
     assert (w, h) == (1, 1)
     assert fh == hashlib.md5(b"\x00\x00\x00").hexdigest()
+
+
+def _filter_scanline(ftype, line, prev, bpp):
+    """Reference PNG filter (spec §9, encoder direction) used to
+    craft test vectors for every filter type."""
+    out = bytearray([ftype])
+    for x in range(len(line)):
+        a = line[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            v = line[x]
+        elif ftype == 1:
+            v = (line[x] - a) & 0xFF
+        elif ftype == 2:
+            v = (line[x] - b) & 0xFF
+        elif ftype == 3:
+            v = (line[x] - ((a + b) >> 1)) & 0xFF
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            v = (line[x] - pr) & 0xFF
+        out.append(v)
+    return bytes(out)
+
+
+def _build_png(width, height, color_type, pixels, filter_types):
+    """Hand-assembled PNG with a chosen filter type per scanline —
+    exercises decoder paths the filter-0-only writer never emits."""
+    import struct
+    import zlib
+
+    from mapreducego_spark.functions.multimodal import PNG_MAGIC, _png_chunk
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        raw.extend(_filter_scanline(filter_types[y], line, prev, channels))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_all_filter_types():
+    """decode_png must invert every scanline filter (None/Sub/Up/
+    Average/Paeth), not just the filter-0 lines our writer emits."""
+    import hashlib as _h
+
+    from mapreducego_spark.functions.multimodal import decode_png
+
+    width, height = 5, 5
+    px = bytes(
+        (_h.md5(b"png-filter-vector").digest() * 8)[: width * height * 3]
+    )
+    png = _build_png(width, height, 2, px, [0, 1, 2, 3, 4])
+    w, h, rgb = decode_png(png)
+    assert (w, h) == (width, height)
+    assert rgb == px
+
+
+def test_png_decoder_gray_and_rgba():
+    from mapreducego_spark.functions.multimodal import decode_png
+
+    gray = bytes(range(6))  # 3x2 grayscale
+    w, h, rgb = decode_png(_build_png(3, 2, 0, gray, [1, 4]))
+    assert (w, h) == (3, 2)
+    assert rgb == bytes(v for g in gray for v in (g, g, g))
+
+    rgba = bytes(range(2 * 2 * 4))  # 2x2 RGBA
+    w, h, rgb = decode_png(_build_png(2, 2, 6, rgba, [2, 3]))
+    assert (w, h) == (2, 2)
+    assert rgb == bytes(rgba[i] for i in range(16) if i % 4 != 3)
+
+
+def test_png_encode_decode_roundtrip_and_real_path():
+    """Writer -> decoder round trip, and decode_image's real (non-
+    fake) path must take the stdlib PNG branch without PIL."""
+    from mapreducego_spark.functions.multimodal import (
+        decode_png,
+        encode_png_rgb,
+    )
+
+    px = bytes((7 * i + 3) % 256 for i in range(4 * 3 * 3))
+    png = encode_png_rgb(4, 3, px)
+    assert decode_png(png) == (4, 3, px)
+    w, h, fh = decode_image(png, fake=False)
+    assert (w, h) == (4, 3)
+    assert fh == hashlib.md5(px).hexdigest()
+
+
+def test_multimodal_decode_matches_serial_reference(spark):
+    """The distributed decode entry must reproduce the per-image
+    serial decode of the same staged files."""
+    from mapreducego_spark.functions.multimodal import (
+        _png_fixture_dims,
+        _png_fixture_pixels,
+        multimodal_decode,
+    )
+
+    rows = multimodal_decode(spark, "/root/testdata/sf0.001", n=24).collect()
+    assert len(rows) == 24
+    for r in rows:
+        w, h = _png_fixture_dims(r["media_id"])
+        px = _png_fixture_pixels(r["media_id"], w, h)
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["px_sum"] == sum(px)
+        assert r["feature_hash"] == hashlib.md5(px.hex().encode()).hexdigest()
