@@ -567,10 +567,89 @@ QUERIES: dict[str, QueryFn] = {
     "copurchase_triples": R.copurchase_triples,
 }
 
-# ORDERING (round 6): the round driver verifies the FIRST 50 entries
+# ORDERING (round 7): the round driver verifies the FIRST 50 entries
 # in insertion order, so the dict is re-sequenced by verification
-# need each round (the categorized literal above stays grouped by
-# subject; this list is the authoritative window). r6 window =
+# need each round. r7 closes the driver-evidence gap: 53 registry
+# entries had NO CORRECTNESS_r* row anywhere (window rotation math;
+# verified against the union of CORRECTNESS_r01-r06 keys). The r7
+# window =
+#   (1) multimodal_decode (new in r7: real stdlib PNG decode);
+#   (2) the 17 entries the r6 verdict flagged as never-driver-checked
+#       AND absent from the committed VERIFY_LOCAL;
+#   (3) the 6 entries whose implementation changed in r7
+#       (jaccard_prefix_join mid-prefix/integer-id rewrite;
+#       join_asof_tolerance microsecond gap; the minhash family's
+#       unrounded threshold compare: dedup_minhash, dedup_clusters,
+#       dedup_incremental, split_no_leakage — kfold_split, also
+#       threshold-touched, is already in (4); quantile_normalize and
+#       fuzzy_match_snm, two-phase-rank rewrites, are in (2)/(4));
+#   (4) 24 more never-checked entries, alphabetical.
+# Deferred to r8 (the only never-checked entries left after this
+# window): vector_ann_pq, vector_ann_ivfpq, sketch_active_users
+# (rows-only by design, pinned by recall/error-floor pytests) and
+# fuzzy_match_blocked, tfidf_cosine_pairs, ngram_containment,
+# nest_order_lines, stream_left_join_sink, stream_funnel_sink (all
+# green in the committed full VERIFY_LOCAL regenerated this round).
+_R7_WINDOW = [
+    # (1) new in r7
+    "multimodal_decode",
+    # (2) the 17 never-checked flagged by the r6 verdict
+    "bpe_train",
+    "bpe_apply",
+    "dedup_eval",
+    "multimodal_dedup",
+    "copurchase_triples",
+    "nb_classify",
+    "cms_heavy_hitters",
+    "shortest_paths",
+    "weighted_paths",
+    "scd2_history",
+    "hist_equi_depth",
+    "ivm_join_view",
+    "rrf_fusion",
+    "attribution_last_touch",
+    "concurrent_events",
+    "skyline_offers",
+    "ab_test_lift",
+    # (3) changed in r7
+    "jaccard_prefix_join",
+    "join_asof_tolerance",
+    "dedup_minhash",
+    "dedup_clusters",
+    "dedup_incremental",
+    "split_no_leakage",
+    # (2)/(4) never-checked, rewritten in r7
+    "quantile_normalize",
+    "fuzzy_match_snm",
+    # (4) never-checked, alphabetical
+    "active_users_rolling",
+    "agg_skew_salted",
+    "bitmap_distinct",
+    "cdc_apply",
+    "clustering_coefficient",
+    "copurchase_pairs",
+    "dedup_vs_reference",
+    "gapfill_linear",
+    "kfold_split",
+    "label_centroids",
+    "outlier_iqr",
+    "parquet_merge_schema",
+    "perplexity_bigram",
+    "perplexity_score",
+    "prepare_corpus",
+    "ri_orphans",
+    "running_balance",
+    "session_paths",
+    "skew_report",
+    "snapshot_diff",
+    "stream_upsert_sink",
+    "trend_fit",
+    "triangle_count",
+    "zorder_key",
+]
+assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
+
+# r6 window kept for the record (see NOTES_r06.md). r6 window =
 #   (1) the 8 NEW r6 entries + the 4 whose implementation changed in
 #       r6 (jaccard_prefix_join plan rewrite + unrounded threshold,
 #       ngram_jaccard unrounded threshold, udtf_sentences space-only
@@ -637,8 +716,8 @@ _R6_WINDOW = [
     "q8_market_share",
 ]
 assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
-QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_R6_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R7_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R7_WINDOW)
 }
 
 
