@@ -1740,6 +1740,105 @@ def source_cap(
     )
 
 
+def curriculum_mix(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.5,
+    budget: int = 300,
+) -> DataFrame:
+    """Temperature-scaled source mixing — the data-recipe step every
+    large LM pretraining pipeline applies (multinomial source
+    sampling with exponent ``alpha`` < 1, the GPT-3/PaLM/mT5 rule):
+    flatten the raw source-size distribution by weighting each source
+    n_s^alpha, apportion an exact integer document ``budget`` across
+    sources by those weights, and select each source's quota
+    deterministically.
+
+    Engine-exact apportionment (no float-sum drift): per-source
+    integer micro-shares s_s = floor(n_s^alpha * 1e6) (one IEEE pow
+    per source — bit-identical cross-engine for the same long input),
+    exact LONG total S = sum(s_s), base quota floor(budget*s_s/S) by
+    integer division, and the remainder seats distributed largest-
+    remainder (Hamilton): by (budget*s_s) mod S desc, source asc.
+    Selection within a source reuses source_cap's deterministic
+    md5(doc_id) priority. Output: one row per SELECTED doc with its
+    source quota attached.
+
+    Scale: one groupBy(source) for counts (map-side combinable), the
+    quota table is |sources| rows (broadcast join), the per-source
+    rank is the same bounded window source_cap uses; nothing global,
+    nothing driver-side but the tiny quota arithmetic — which stays
+    IN PLAN (windows over the |sources|-row aggregate), not in
+    Python."""
+    from mapreducego_spark.sources.catalog import load_table
+
+    micro = 1_000_000
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # alpha=0.5 routes through sqrt, which IEEE 754 requires to be
+    # CORRECTLY ROUNDED (so Spark and DuckDB agree bit-for-bit);
+    # pow's faithful-rounding guarantee is weaker, so generic alphas
+    # are honest-but-heuristic for cross-engine hashing
+    n_dbl = F.col("n_docs").cast("double")
+    powed = (
+        F.sqrt(n_dbl)
+        if float(alpha) == 0.5
+        else F.pow(n_dbl, F.lit(float(alpha)))
+    )
+    shares = counts.select(
+        "source",
+        "n_docs",
+        F.floor(powed * micro).cast("long").alias("share_micro"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_rem = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("rem").desc(), F.col("source").asc()
+    )
+    quotas = (
+        shares.withColumn("total", F.sum("share_micro").over(w_all))
+        .withColumn(
+            "base",
+            F.expr(f"(share_micro * {int(budget)}L) div total").cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "rem", (F.col("share_micro") * budget) % F.col("total")
+        )
+        .withColumn("base_sum", F.sum("base").over(w_all))
+        .withColumn("rk_rem", F.row_number().over(w_rem))
+        .select(
+            "source",
+            "n_docs",
+            "share_micro",
+            (
+                F.col("base")
+                + F.when(
+                    F.col("rk_rem") <= budget - F.col("base_sum"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    prio = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w_src = Window.partitionBy("source").orderBy(
+        prio.asc(), F.col("doc_id").asc()
+    )
+    picked = (
+        docs.withColumn("rk", F.row_number().over(w_src).cast("long"))
+        .join(F.broadcast(quotas), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+    )
+    return picked.select(
+        "doc_id", "source", "rk", "quota", "n_docs", "share_micro"
+    ).orderBy("source", "rk")
+
+
 def _bpe_merge_fold(syms_col, a: str, b: str):
     """Apply ONE learned BPE merge (a, b) -> a+b to a space-joined
     symbol string, symbol-boundary-exact: rebuild the string with a

@@ -174,6 +174,76 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of: each event picks the customer's order
+    CLOSEST in time, before or after (pandas merge_asof
+    direction='nearest') — the missing third member of the as-of
+    family (backward/forward/nearest). Ties on |gap| prefer the
+    backward match; ties within a direction at equal timestamps take
+    the largest order key (the same contract as join_asof /
+    join_asof_forward).
+
+    Shape: two single-shuffle union-merge passes (the backward and
+    forward walks), joined on the unique event id to pick the smaller
+    microsecond gap — no range join, no per-row subquery; cost is
+    exactly 2x the one-directional as-of. Gap arithmetic is
+    unix_micros (whole-second truncation would misorder sub-second
+    ties)."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    rv = ["o_orderkey", "o_totalprice", "o_orderdate"]
+    kw = dict(
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=rv,
+        tie_break="o_orderkey",
+    )
+    left = ev.select("event_id", "user_id", "ts", "event_type")
+    back = asof_join(left, o.select("o_custkey", *rv), **kw).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts"),
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_totalprice").alias("b_price"),
+        F.col("o_orderdate").cast("timestamp").alias("b_date"),
+    )
+    fwd = asof_join(
+        left, o.select("o_custkey", *rv), direction="forward", **kw
+    ).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("f_key"),
+        F.col("o_totalprice").alias("f_price"),
+        F.col("o_orderdate").cast("timestamp").alias("f_date"),
+    )
+    j = back.join(fwd, "event_id")
+    gap_b = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("b_date")
+    )
+    gap_f = F.unix_micros(F.col("f_date")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    take_back = F.col("b_key").isNotNull() & (
+        F.col("f_key").isNull() | (gap_b <= gap_f)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(take_back, F.col("b_key"))
+        .otherwise(F.col("f_key"))
+        .cast("long")
+        .alias("nearest_orderkey"),
+        F.when(take_back, F.col("b_price"))
+        .otherwise(F.col("f_price"))
+        .alias("nearest_price"),
+        F.when(take_back, gap_b)
+        .otherwise(gap_f)
+        .cast("long")
+        .alias("nearest_gap_us"),
+    ).orderBy("event_id")
+
+
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tolerance-bounded backward as-of: each event picks the
     customer's latest order at event time ONLY if it is within 30

@@ -563,6 +563,12 @@ QUERIES: dict[str, QueryFn] = {
     # REAL bytes->pixels: staged PNG files, binaryFile scan, pure-
     # stdlib decode (zlib + unfiltering) in one mapInPandas pass
     "multimodal_decode": M.multimodal_decode,
+    # temperature-scaled source mixing (n^alpha apportionment, exact
+    # integer micro-shares + largest-remainder seats)
+    "curriculum_mix": T.curriculum_mix,
+    # nearest-direction as-of (backward/forward walks joined on the
+    # unique event id, microsecond gap compare)
+    "join_asof_nearest": A.join_asof_nearest,
     # A-priori level-3 frequent triples (pairs -> candidate join -> count)
     "copurchase_triples": R.copurchase_triples,
 }
@@ -4380,6 +4386,77 @@ SELECT CAST(media_id AS BIGINT) AS media_id, width, height,
        md5(substr(repeat(hx, npx // 16 + 1), 1, npx * 2)) AS feature_hash
 FROM e
 ORDER BY media_id
+"""
+
+# Temperature-scaled source mixing: identical exact-integer
+# apportionment (micro-shares via one IEEE pow, integer-division base
+# quotas, largest-remainder seats by (rem desc, source asc)), then
+# the md5-priority selection source_cap uses.
+ORACLES["curriculum_mix"] = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), shares AS (
+  SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+             AS share_micro
+  FROM counts
+), tot AS (
+  SELECT SUM(share_micro) AS total FROM shares
+), based AS (
+  SELECT s.source, s.n_docs, s.share_micro,
+         (s.share_micro * 300) // t.total AS base,
+         (s.share_micro * 300) % t.total AS rem
+  FROM shares s, tot t
+), sums AS (
+  SELECT SUM(base) AS base_sum FROM based
+), quotas AS (
+  SELECT b.source, b.n_docs, b.share_micro, b.base, m.base_sum,
+         row_number() OVER (ORDER BY b.rem DESC, b.source ASC) AS rk_rem
+  FROM based b, sums m
+), q AS (
+  SELECT source, n_docs, share_micro,
+         CAST(base + CASE WHEN rk_rem <= 300 - base_sum THEN 1 ELSE 0 END
+              AS BIGINT) AS quota
+  FROM quotas
+), ranked AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY CAST('0x' || substr(md5(CAST(CAST(doc_id AS BIGINT)
+                           AS VARCHAR)), 1, 8) AS BIGINT),
+                      doc_id) AS BIGINT) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.rk, q.quota, q.n_docs, q.share_micro
+FROM ranked r JOIN q USING (source)
+WHERE r.rk <= q.quota
+ORDER BY r.source, r.rk
+"""
+
+# Nearest-direction as-of: one lateral argmin over |gap| with the
+# same tie order the two-pass engine implements (backward preferred
+# on equal gaps; largest order key within a timestamp).
+ORACLES["join_asof_nearest"] = """
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       CAST((SELECT o.o_orderkey FROM orders o
+             WHERE o.o_custkey = e.user_id
+             ORDER BY abs(epoch_us(e.ts - CAST(o.o_orderdate AS TIMESTAMP))) ASC,
+                      (CAST(o.o_orderdate AS TIMESTAMP) > e.ts) ASC,
+                      o.o_orderkey DESC LIMIT 1) AS BIGINT) AS nearest_orderkey,
+       (SELECT o.o_totalprice FROM orders o
+        WHERE o.o_custkey = e.user_id
+        ORDER BY abs(epoch_us(e.ts - CAST(o.o_orderdate AS TIMESTAMP))) ASC,
+                 (CAST(o.o_orderdate AS TIMESTAMP) > e.ts) ASC,
+                 o.o_orderkey DESC LIMIT 1) AS nearest_price,
+       CAST((SELECT abs(epoch_us(e.ts - CAST(o.o_orderdate AS TIMESTAMP)))
+             FROM orders o
+             WHERE o.o_custkey = e.user_id
+             ORDER BY abs(epoch_us(e.ts - CAST(o.o_orderdate AS TIMESTAMP))) ASC,
+                      (CAST(o.o_orderdate AS TIMESTAMP) > e.ts) ASC,
+                      o.o_orderkey DESC LIMIT 1) AS BIGINT) AS nearest_gap_us
+FROM events e
+ORDER BY event_id
 """
 
 # Frequent triples: the oracle counts ALL within-basket triples
