@@ -62,6 +62,44 @@ def main() -> None:
             f"{sha[:9]} at {commit_ts} -> "
             + ("FRESH" if fresh else "STALE (regenerate after committing!)")
         )
+
+    # Content-level freshness (the r6 lesson: a VERIFY_LOCAL that
+    # predates the round's registry additions has the right mtime
+    # shape but the wrong COVERAGE): both artifacts must report
+    # exactly the live registry's query count, and the working tree
+    # must be clean of uncommitted source edits (artifacts over
+    # uncommitted code certify nothing the next clone can see).
+    import json
+
+    sys.path.insert(0, REPO)
+    from mapreducego_spark.registry import QUERIES
+
+    n_live = len(QUERIES)
+    for artifact in ("VERIFY_LOCAL.json", "PLAN_AUDIT.json"):
+        with open(os.path.join(REPO, artifact)) as fh:
+            n_art = json.load(fh)["n_queries"]
+        match = n_art == n_live
+        ok = ok and match
+        print(
+            f"{artifact}: n_queries {n_art} vs live registry {n_live} -> "
+            + ("MATCH" if match else "MISMATCH (stale coverage!)")
+        )
+    with open(os.path.join(REPO, "VERIFY_LOCAL.json")) as fh:
+        n_fail = json.load(fh)["n_failures"]
+    print(f"VERIFY_LOCAL.json: n_failures {n_fail}")
+    ok = ok and n_fail == 0
+
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--",
+         ".", ":(exclude)VERIFY_LOCAL.json", ":(exclude)PLAN_AUDIT.json",
+         ":(exclude)BENCH_r*.json", ":(exclude)BENCH_DETAIL.json",
+         ":(exclude)NOTES_r*.md", ":(exclude)bench_stderr.txt"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    if dirty:
+        print("UNCOMMITTED source changes:\n" + dirty)
+        ok = False
+
     if not ok:
         sys.exit(1)
     print("end-of-round artifacts are fresh relative to the last source commit")
