@@ -1839,30 +1839,36 @@ def curriculum_mix(
     ).orderBy("source", "rk")
 
 
-def _bpe_merge_fold(syms_col, a: str, b: str):
-    """Apply ONE learned BPE merge (a, b) -> a+b to a space-joined
-    symbol string, symbol-boundary-exact: rebuild the string with a
-    left fold over the symbol ARRAY, concatenating ``b`` onto the
-    accumulator (no separator) exactly when the accumulator's last
-    whole symbol equals ``a``. This is canonical greedy-left BPE
-    (Sennrich et al. 2016) — unlike a raw substring
-    replace(syms, 'a b', 'ab'), it can never match across symbol
-    boundaries (rule ``h e`` must not fire inside symbols
-    ``[th, e]`` whose joined form 'th e' contains the substring
-    'h e'). Pure JVM expression (no UDF); the DuckDB oracle mirrors
-    it with list_reduce and the identical CASE."""
-    arr = F.split(syms_col, " ")
-    return F.aggregate(
-        arr,
-        F.lit(""),
-        lambda acc, x: F.when(acc == F.lit(""), x)
-        .when(
-            (x == F.lit(b))
-            & ((acc == F.lit(a)) | acc.endswith(F.lit(" " + a))),
-            F.concat(acc, x),
-        )
-        .otherwise(F.concat(acc, F.lit(" "), x)),
+def _bpe_syms_col(word_col) -> "F.Column":
+    """Boundary-safe symbol-string representation: symbols joined by
+    TWO spaces, the whole string wrapped in single spaces —
+    ' h  e  y '. Every symbol is then delimited by whitespace on both
+    sides, so the literal pattern ' a  b ' can only match WHOLE
+    adjacent symbols (rule ``h e`` cannot fire inside ``[th, e]``),
+    and because each replacement emits a trailing single space while
+    the double separator donates one, consecutive occurrences keep a
+    leading space for the next left-to-right match — making one
+    literal replace() exactly canonical greedy-left BPE (Sennrich et
+    al. 2016). Literal replace has identical non-overlapping
+    left-to-right semantics in Spark, DuckDB, and Python, and stays
+    in whole-stage codegen (an F.aggregate fold is interpreted and
+    measured ~5x slower at sf1)."""
+    chars = F.filter(F.split(word_col, ""), lambda c: F.length(c) > 0)
+    return F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
+
+
+def _bpe_merge_replace(syms_col, a: str, b: str):
+    """Apply ONE learned BPE merge (a, b) -> a+b on the double-space
+    representation (see _bpe_syms_col): replace ' a  b ' with
+    ' ab ' — symbol-boundary-exact and greedy-left by construction."""
+    return F.replace(
+        syms_col, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
     )
+
+
+def _bpe_split_col(syms_col) -> "F.Column":
+    """Symbol array back out of the double-space representation."""
+    return F.split(F.trim(syms_col), "  ")
 
 
 def bpe_train(
@@ -1878,9 +1884,10 @@ def bpe_train(
 
     Engine-portable determinism: pair counts are exact LONGs; the
     argmax tie-break is (count desc, pair asc); merges apply through
-    the boundary-exact symbol-array fold (_bpe_merge_fold), whose
-    left-to-right non-overlapping semantics are identical in Spark
-    and DuckDB and equal BPE's greedy-left application order.
+    the boundary-exact double-space literal replace
+    (_bpe_merge_replace), whose left-to-right non-overlapping
+    semantics are identical in Spark and DuckDB and equal BPE's
+    greedy-left application order.
 
     Scale shape: the corpus is scanned ONCE (word counts — map-side
     combinable); every merge round then works on the |vocab| word
@@ -1896,12 +1903,9 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
-            # 'h e l l o' — split to chars, join with single spaces
-            # (filter the empty tail Java's limit=-1 split appends)
-            F.array_join(
-                F.filter(F.split(F.col("w"), ""), lambda c: F.length(c) > 0),
-                " ",
-            ).alias("syms"),
+            # ' h  e  l  l  o ' — the boundary-safe double-space
+            # representation (_bpe_syms_col)
+            _bpe_syms_col(F.col("w")).alias("syms"),
             "cnt",
         )
         .localCheckpoint(eager=True)
@@ -1911,7 +1915,7 @@ def bpe_train(
         pairs = (
             words.select(
                 "cnt",
-                F.split(F.col("syms"), " ").alias("arr"),
+                _bpe_split_col(F.col("syms")).alias("arr"),
             )
             .select(
                 "cnt",
@@ -1940,7 +1944,7 @@ def bpe_train(
         pa, pb = pair.split(" ")
         merges.append((step, pair, merged, pc))
         words = words.select(
-            _bpe_merge_fold(F.col("syms"), pa, pb).alias("syms"),
+            _bpe_merge_replace(F.col("syms"), pa, pb).alias("syms"),
             "cnt",
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
@@ -1960,9 +1964,9 @@ def bpe_apply(
     path is a first-class pipeline op, not a demo.
 
     The merge list is tiny (n_merges rows) and is applied as a chain
-    of boundary-exact symbol folds built into the plan (the closure-
-    broadcast pattern; see _bpe_merge_fold); the corpus is scanned
-    once, never shuffled — the per-doc aggregate is map-side
+    of boundary-exact literal replaces built into the plan (the
+    closure-broadcast pattern; see _bpe_merge_replace); the corpus is
+    scanned once, never shuffled — the per-doc aggregate is map-side
     combinable."""
     from mapreducego_spark.sources.catalog import load_table
 
@@ -1975,16 +1979,14 @@ def bpe_apply(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(tokens_col(F.col("text"))).alias("w"),
     )
-    syms = F.array_join(
-        F.filter(F.split(F.col("w"), ""), lambda c: F.length(c) > 0), " "
-    )
+    syms = _bpe_syms_col(F.col("w"))
     for pair, _merged in merges:
         pa, pb = pair.split(" ")
-        syms = _bpe_merge_fold(syms, pa, pb)
+        syms = _bpe_merge_replace(syms, pa, pb)
     per_doc = toks.select(
         "doc_id",
         F.length("w").alias("n_chars"),
-        (F.size(F.split(syms, " "))).alias("n_syms"),
+        (F.size(_bpe_split_col(syms))).alias("n_syms"),
     ).groupBy("doc_id").agg(
         F.sum("n_chars").alias("chars"),
         F.sum("n_syms").alias("bpe_tokens"),

@@ -4241,30 +4241,18 @@ FROM j
 
 # BPE training oracle: the same 3 merge rounds unrolled. Word-count
 # presegmentation, pair counts weighted by word count, argmax with
-# (count desc, pair asc) ties, and the boundary-exact symbol-array
-# fold for merge application (list_reduce mirror of Spark's
-# _bpe_merge_fold: concat b onto the accumulator iff the
-# accumulator's last WHOLE symbol equals a — a raw substring
-# replace can falsely fire across symbol boundaries).
-def _bpe_merge_fold_sql(
-    syms_expr: str, a_col: str, b_col: str, lvl: int = 0
-) -> str:
-    # a_col/b_col must be plain column references (DuckDB lambdas
-    # reject subqueries) — the callers cross-join the 1-row b{i} CTE.
-    # lvl uniquifies the lambda parameter names so the folds can nest
-    # (bpe_apply chains one fold per learned merge).
-    ac, xv = f"acc{lvl}", f"x{lvl}"
-    return f"""list_reduce(string_split({syms_expr}, ' '), ({ac}, {xv}) ->
-      CASE WHEN {xv} = {b_col}
-                AND ({ac} = {a_col}
-                     OR right({ac}, len({a_col}) + 1) = ' ' || {a_col})
-           THEN {ac} || {xv} ELSE {ac} || ' ' || {xv} END)"""
-
-
+# (count desc, pair asc) ties, and the boundary-exact DOUBLE-SPACE
+# representation for merge application (mirror of Spark's
+# _bpe_syms_col/_bpe_merge_replace: symbols joined by two spaces,
+# string wrapped in single spaces, merge = literal
+# replace(' a  b ' -> ' ab ') — whole-symbol matches only, and the
+# leftover separator space keeps consecutive occurrences matchable,
+# so one replace IS greedy-left BPE; a raw single-space replace can
+# falsely fire across symbol boundaries).
 def _bpe_oracle(n_merges: int = 3) -> str:
     head = f"""
 WITH w0 AS (
-  SELECT array_to_string(list_filter(string_split(w, ''), x -> len(x) > 0), ' ') AS syms,
+  SELECT ' ' || array_to_string(list_filter(string_split(w, ''), x -> len(x) > 0), '  ') || ' ' AS syms,
          COUNT(*) AS cnt
   FROM (SELECT unnest({_TOKS}) AS w FROM (SELECT text FROM documents))
   GROUP BY 1
@@ -4280,14 +4268,15 @@ p{i} AS (
            unnest(CASE WHEN len(a) >= 2
                   THEN list_transform(range(len(a) - 1), j -> a[j+1] || ' ' || a[j+2])
                   ELSE [] END) AS pair
-    FROM (SELECT string_split(syms, ' ') AS a, cnt FROM {prev})
+    FROM (SELECT string_split(trim(syms), '  ') AS a, cnt FROM {prev})
   ) GROUP BY pair
 ),
 b{i} AS (SELECT pair, pc, string_split(pair, ' ')[1] AS pa,
                 string_split(pair, ' ')[2] AS pb
          FROM p{i} ORDER BY pc DESC, pair ASC LIMIT 1),
 w{i} AS (
-  SELECT {_bpe_merge_fold_sql('syms', f'b{i}.pa', f'b{i}.pb')} AS syms, cnt
+  SELECT replace(syms, ' ' || b{i}.pa || '  ' || b{i}.pb || ' ',
+                 ' ' || b{i}.pa || b{i}.pb || ' ') AS syms, cnt
   FROM {prev}, b{i}
 )""")
         selects.append(
@@ -4306,11 +4295,14 @@ def _bpe_apply_oracle(n_merges: int = 3) -> str:
     # SELECT with the per-doc apply
     head = base[: base.rindex("\nSELECT CAST(1 AS BIGINT)")]
     expr = (
-        "array_to_string(list_filter(string_split(w, ''), "
-        "x -> len(x) > 0), ' ')"
+        "' ' || array_to_string(list_filter(string_split(w, ''), "
+        "x -> len(x) > 0), '  ') || ' '"
     )
     for i in range(1, n_merges + 1):
-        expr = _bpe_merge_fold_sql(expr, f"b{i}.pa", f"b{i}.pb", lvl=i)
+        expr = (
+            f"replace({expr}, ' ' || b{i}.pa || '  ' || b{i}.pb || ' ', "
+            f"' ' || b{i}.pa || b{i}.pb || ' ')"
+        )
     bs = ", ".join(f"b{i}" for i in range(1, n_merges + 1))
     return head + f""",
 __tok AS (
@@ -4319,7 +4311,7 @@ __tok AS (
 ),
 __applied AS (
   SELECT doc_id, len(w) AS n_chars,
-         len(string_split({expr}, ' ')) AS n_syms
+         len(string_split(trim({expr}), '  ')) AS n_syms
   FROM __tok, {bs}
 )
 SELECT doc_id,

@@ -403,34 +403,41 @@ def test_bpe_train_matches_serial_reference(spark):
     assert got == ref
 
 
-def test_bpe_merge_fold_is_boundary_exact(spark):
-    """The merge fold must NOT fire across symbol boundaries: rule
-    (h, e) applied to symbols [th, e] (joined 'th e', which CONTAINS
-    the substring 'h e') must leave the word untouched — the exact
-    case where raw substring replace deviates from canonical BPE.
-    Also pins greedy-left non-overlap on repeats."""
-    from mapreducego_spark.functions.text import _bpe_merge_fold
+def test_bpe_merge_replace_is_boundary_exact(spark):
+    """The double-space-representation merge must NOT fire across
+    symbol boundaries: rule (h, e) applied to symbols [th, e] must
+    leave the word untouched — the exact case where a single-space
+    substring replace deviates from canonical BPE. Also pins
+    greedy-left non-overlap on repeats and CONSECUTIVE occurrences
+    (the case a boundary-wrapped single replace misses because the
+    first match consumes the next match's leading space)."""
+    from mapreducego_spark.functions.text import _bpe_merge_replace
+
+    def rep(symbols):  # list -> ' a  b  c '
+        return " " + "  ".join(symbols) + " "
 
     cases = [
-        # (syms, a, b, expected)
-        ("th e", "h", "e", "th e"),   # cross-boundary: must NOT merge
-        ("x h e", "h", "e", "x he"),  # genuine adjacency: must merge
-        ("h e h e", "h", "e", "he he"),
-        ("a a a", "a", "a", "aa a"),  # greedy-left, non-overlapping
-        ("he r", "e", "r", "he r"),   # suffix of a merged symbol
-        ("q", "h", "e", "q"),         # single symbol untouched
+        # (symbols, a, b, expected symbols)
+        (["th", "e"], "h", "e", ["th", "e"]),  # cross-boundary: no merge
+        (["x", "h", "e"], "h", "e", ["x", "he"]),
+        (["h", "e", "h", "e"], "h", "e", ["he", "he"]),  # consecutive
+        (["a", "a", "a"], "a", "a", ["aa", "a"]),  # greedy-left
+        (["he", "r"], "e", "r", ["he", "r"]),  # suffix of a merged sym
+        (["q"], "h", "e", ["q"]),
     ]
     df = spark.createDataFrame(
-        [(i, s) for i, (s, _, _, _) in enumerate(cases)], "i long, syms string"
+        [(i, rep(s)) for i, (s, _, _, _) in enumerate(cases)],
+        "i long, syms string",
     )
     for i, (syms, a, b, want) in enumerate(cases):
         got = (
             df.filter(F.col("i") == i)
-            .select(_bpe_merge_fold(F.col("syms"), a, b).alias("m"))
+            .select(_bpe_merge_replace(F.col("syms"), a, b).alias("m"))
             .collect()[0]["m"]
         )
-        assert got == want, (syms, a, b, got, want)
-        assert _serial_bpe_merge(syms.split(" "), a, b) == want.split(" ")
+        assert got == rep(want), (syms, a, b, got, want)
+        # the independent serial list-fold agrees
+        assert _serial_bpe_merge(syms, a, b) == want
 
 
 def test_dedup_eval_fp_zero_and_recall_floor(spark):
