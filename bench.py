@@ -137,6 +137,14 @@ HEADLINE = [
     "bpe_apply",
     "multimodal_dedup",
     "copurchase_triples",
+    # round 7: real stdlib PNG decode, temperature-scaled source
+    # mixing, nearest-direction as-of, and the two operators
+    # de-weakened off the single-partition global window
+    "multimodal_decode",
+    "curriculum_mix",
+    "join_asof_nearest",
+    "quantile_normalize",
+    "fuzzy_match_snm",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500
@@ -197,6 +205,12 @@ SCALE_SET = [
     "bpe_apply",
     "kcore_peel",
     "copurchase_triples",
+    # round 7: the two operators de-weakened off the single-partition
+    # global window (their scale claim IS the two-phase rank) and the
+    # temperature mixer (one groupBy + broadcast quota join)
+    "quantile_normalize",
+    "fuzzy_match_snm",
+    "curriculum_mix",
 ]
 SUPERLINEAR_RATIO = 12.0
 
