@@ -243,3 +243,108 @@ def test_shortest_paths_match_brute_bfs(spark, edges, source):
     ).filter("src is not null")
     got = {r.id: r.dist for r in shortest_paths(df, source).collect()}
     assert got == want
+
+
+# --- round 7: BPE merge-representation equivalence (pure Python) ---
+
+_syms = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=3), min_size=1, max_size=8
+)
+_pair = st.tuples(
+    st.text(alphabet="abcd", min_size=1, max_size=3),
+    st.text(alphabet="abcd", min_size=1, max_size=3),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(syms=_syms, pair=_pair)
+def test_bpe_double_space_replace_equals_list_fold(syms, pair):
+    """The double-space literal replace (what the engine and oracle
+    run) must equal the canonical greedy-left whole-symbol list fold
+    for EVERY symbol sequence and merge pair — the law that makes
+    one replace() a correct BPE merge step."""
+    a, b = pair
+    # canonical fold
+    out = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    # double-space representation replace
+    s = " " + "  ".join(syms) + " "
+    replaced = s.replace(f" {a}  {b} ", f" {a}{b} ")
+    assert replaced.strip().split("  ") == out, (syms, pair)
+
+
+# --- round 7: PNG codec roundtrip under every filter type ---
+
+_png_dims = st.tuples(
+    st.integers(min_value=1, max_value=9), st.integers(min_value=1, max_value=7)
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    dims=_png_dims,
+    seed=st.integers(min_value=0, max_value=2**31),
+    filters=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=7, max_size=7
+    ),
+)
+def test_png_decode_inverts_every_filter_randomized(dims, seed, filters):
+    """decode_png must invert arbitrary per-scanline filter choices
+    on arbitrary pixel data — the spec property, not just the
+    filter-0 images our writer emits."""
+    import hashlib as _h
+    import struct
+    import zlib
+
+    from mapreducego_spark.functions.multimodal import (
+        PNG_MAGIC,
+        _png_chunk,
+        decode_png,
+    )
+
+    w, h = dims
+    npx = w * h * 3
+    px = (_h.md5(str(seed).encode()).digest() * (npx // 16 + 1))[:npx]
+    stride = w * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = px[y * stride : (y + 1) * stride]
+        f = filters[y % len(filters)]
+        out = bytearray([f])
+        for x in range(stride):
+            aa = line[x - 3] if x >= 3 else 0
+            bb = prev[x]
+            cc = prev[x - 3] if x >= 3 else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = (line[x] - aa) & 0xFF
+            elif f == 2:
+                v = (line[x] - bb) & 0xFF
+            elif f == 3:
+                v = (line[x] - ((aa + bb) >> 1)) & 0xFF
+            else:
+                p = aa + bb - cc
+                pa, pb, pc = abs(p - aa), abs(p - bb), abs(p - cc)
+                pr = (
+                    aa
+                    if pa <= pb and pa <= pc
+                    else (bb if pb <= pc else cc)
+                )
+                v = (line[x] - pr) & 0xFF
+            out.append(v)
+        raw.extend(out)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(png) == (w, h, px)
