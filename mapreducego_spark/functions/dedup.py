@@ -1103,10 +1103,17 @@ def jaccard_prefix_pairs(
     sb = sorted_docs.select(
         F.col("doc_id").alias("doc_b"), F.col("sorted_sh").alias("sh_b")
     )
+    # Broadcast the per-doc array side: Spark cannot size-estimate a
+    # localCheckpointed frame, so it planned BOTH verify joins as
+    # SortMergeJoin — two extra exchanges + sorts of the multi-
+    # million-row candidate stream for a doc table of a few MB.
+    # (Same trade as exact_jaccard: at 100 TB with an
+    # unbroadcastable doc table, drop the hint and AQE picks the
+    # shuffle join + skew split.)
     verified = (
         cands.repartition(n_cores * 2, "doc_a")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -1131,6 +1138,14 @@ def jaccard_prefix_pairs(
             F.greatest("doc_a", "doc_b").alias("doc_b"),
             F.round("__jac", 6).alias("jaccard"),
         )
+        # Materialize the (bounded: surviving pairs only) result
+        # before the global ORDER BY: the range partitioner runs a
+        # SAMPLING job over its child, and with the broadcast verify
+        # joins there is no shuffle boundary between the sort and
+        # the expensive intersect stage — without this checkpoint
+        # the entire verification executes twice (measured 2x the
+        # query wall at sf0.1).
+        .localCheckpoint(eager=True)
     )
     return verified.orderBy("doc_a", "doc_b")
 
