@@ -1740,19 +1740,16 @@ def source_cap(
     )
 
 
-def curriculum_mix(
-    spark: SparkSession,
-    sf_dir: str,
-    alpha: float = 0.5,
-    budget: int = 300,
+def mix_sources(
+    docs: DataFrame, alpha: float = 0.5, budget: int = 300
 ) -> DataFrame:
-    """Temperature-scaled source mixing — the data-recipe step every
-    large LM pretraining pipeline applies (multinomial source
-    sampling with exponent ``alpha`` < 1, the GPT-3/PaLM/mT5 rule):
-    flatten the raw source-size distribution by weighting each source
-    n_s^alpha, apportion an exact integer document ``budget`` across
-    sources by those weights, and select each source's quota
-    deterministically.
+    """Temperature-scaled source mixing over any (doc_id, source)
+    DataFrame — the data-recipe step every large LM pretraining
+    pipeline applies (multinomial source sampling with exponent
+    ``alpha`` < 1, the GPT-3/PaLM/mT5 rule): flatten the raw
+    source-size distribution by weighting each source n_s^alpha,
+    apportion an exact integer document ``budget`` across sources by
+    those weights, and select each source's quota deterministically.
 
     Engine-exact apportionment (no float-sum drift): per-source
     integer micro-shares s_s = floor(n_s^alpha * 1e6) (one IEEE pow
@@ -1770,10 +1767,8 @@ def curriculum_mix(
     nothing driver-side but the tiny quota arithmetic — which stays
     IN PLAN (windows over the |sources|-row aggregate), not in
     Python."""
-    from mapreducego_spark.sources.catalog import load_table
-
     micro = 1_000_000
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), "source"
     )
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1837,6 +1832,53 @@ def curriculum_mix(
     return picked.select(
         "doc_id", "source", "rk", "quota", "n_docs", "share_micro"
     ).orderBy("source", "rk")
+
+
+def curriculum_mix(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.5,
+    budget: int = 300,
+) -> DataFrame:
+    """Registry entry: mix_sources over the documents table."""
+    from mapreducego_spark.sources.catalog import load_table
+
+    return mix_sources(
+        load_table(spark, sf_dir, "documents"), alpha=alpha, budget=budget
+    )
+
+
+def prepare_corpus_mixed(docs: DataFrame, budget: int = 200) -> DataFrame:
+    """prepare_corpus with the data-recipe mixing stage in the real
+    pipeline order: clean -> decontaminate -> TEMPERATURE-MIX ->
+    pack. The mix quotas are computed over the SURVIVOR source
+    distribution (not the raw corpus — mixing before filtering would
+    apportion budget to documents that are about to be dropped), and
+    only the picked documents enter the shard prefix sum, so shard
+    budgets count exactly the docs a training run would read. The
+    oracle chains the same CTEs, proving the four stages compose."""
+    cleaned = corpus_clean(docs)
+    decon_ids = decontaminate(docs).select("doc_id")
+    survivors = cleaned.join(decon_ids, "doc_id")
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    mixed = mix_sources(
+        survivors.select("doc_id").join(src, "doc_id"), budget=budget
+    ).select("doc_id", "source", "rk", "quota")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).join(mixed.select("doc_id"), "doc_id")
+    packed = pack_shards(base).select("doc_id", "shard_id")
+    return (
+        survivors.join(mixed, "doc_id")
+        .join(packed, "doc_id")
+        .select(
+            "doc_id", "source", "best_score", "n_tokens", "rk", "quota",
+            "shard_id",
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _bpe_syms_col(word_col) -> "F.Column":

@@ -566,6 +566,11 @@ QUERIES: dict[str, QueryFn] = {
     # temperature-scaled source mixing (n^alpha apportionment, exact
     # integer micro-shares + largest-remainder seats)
     "curriculum_mix": T.curriculum_mix,
+    # the full data-recipe composition: clean -> decontaminate ->
+    # temperature-mix -> pack, oracle-checked as ONE query
+    "prepare_corpus_mixed": lambda spark, sf_dir: T.prepare_corpus_mixed(
+        load_table(spark, sf_dir, "documents")
+    ),
     # nearest-direction as-of (backward/forward walks joined on the
     # unique event id, microsecond gap compare)
     "join_asof_nearest": A.join_asof_nearest,
@@ -4347,6 +4352,74 @@ FROM media
 GROUP BY sha256(payload), octet_length(CAST(payload AS BLOB))
 HAVING COUNT(*) >= 2
 ORDER BY payload_sha256
+"""
+
+# prepare_corpus_mixed: the prepare_corpus CTE chain up to
+# `survivors`, then the curriculum_mix apportionment computed over
+# the SURVIVOR source distribution, then the shard prefix sum over
+# only the picked documents — the four-stage composition as one
+# query.
+_pc = ORACLES["prepare_corpus"]
+_pc_head = _pc[: _pc.index("), pt AS (")] + ")"
+ORACLES["prepare_corpus_mixed"] = _pc_head + """
+, svc AS (
+    SELECT s.doc_id, s.best_score, s.n_tokens, d.source
+    FROM survivors s
+    JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+          FROM documents) d ON s.doc_id = d.doc_id
+), mcounts AS (
+    SELECT source, COUNT(*) AS n_docs FROM svc GROUP BY source
+), mshares AS (
+    SELECT source,
+           CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               AS share_micro
+    FROM mcounts
+), mtot AS (SELECT SUM(share_micro) AS total FROM mshares
+), mbased AS (
+    SELECT s.source, s.share_micro,
+           (s.share_micro * 200) // t.total AS base,
+           (s.share_micro * 200) % t.total AS rem
+    FROM mshares s, mtot t
+), msums AS (SELECT SUM(base) AS base_sum FROM mbased
+), mquotas AS (
+    SELECT b.source, b.base, m.base_sum,
+           row_number() OVER (ORDER BY b.rem DESC, b.source ASC) AS rk_rem
+    FROM mbased b, msums m
+), mq AS (
+    SELECT source,
+           CAST(base + CASE WHEN rk_rem <= 200 - base_sum THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM mquotas
+), mranked AS (
+    SELECT doc_id, source, best_score, n_tokens,
+           CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT), doc_id) AS BIGINT) AS rk
+    FROM svc
+), picks AS (
+    SELECT r.doc_id, r.source, r.best_score, r.n_tokens, r.rk, mq.quota
+    FROM mranked r JOIN mq USING (source)
+    WHERE r.rk <= mq.quota
+), pt AS (
+    SELECT d.doc_id,
+           CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+                x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
+           md5(CAST(d.doc_id AS VARCHAR)) AS h
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents) d
+    JOIN picks s ON d.doc_id = s.doc_id
+), packed AS (
+    SELECT doc_id,
+           CAST(COALESCE(SUM(ws_tokens) OVER (
+                    ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 20000 AS BIGINT) AS shard_id
+    FROM pt
+)
+SELECT s.doc_id, s.source, s.best_score, s.n_tokens, s.rk, s.quota,
+       p.shard_id
+FROM picks s JOIN packed p ON s.doc_id = p.doc_id
+ORDER BY s.doc_id
 """
 
 # Real PNG decode: the staged fixture's pixel content is the md5

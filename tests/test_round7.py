@@ -153,3 +153,48 @@ def test_join_asof_nearest_picks_the_smaller_gap(spark):
             assert okey == fwd[eid], (eid, okey, fwd[eid])
         checked += 1
     assert checked > 100
+
+
+def test_prepare_corpus_mixed_composition_laws(spark):
+    """The four-stage composition must (a) pick only prepare_corpus
+    survivors, (b) fill each source to exactly min(quota, available
+    survivors), and (c) pack shards over exactly the picked set (the
+    max shard id implied by the picked token mass)."""
+    from mapreducego_spark.functions.text import (
+        prepare_corpus,
+        prepare_corpus_mixed,
+    )
+    from mapreducego_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    surv = {r["doc_id"] for r in prepare_corpus(docs).collect()}
+    rows = prepare_corpus_mixed(docs).collect()
+    assert {r["doc_id"] for r in rows} <= surv
+
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                             "source").collect()
+    }
+    avail = Counter(src_of[d] for d in surv)
+    picked = Counter(r["source"] for r in rows)
+    quota = {r["source"]: r["quota"] for r in rows}
+    for s, q in quota.items():
+        assert picked[s] == min(q, avail[s]), (s, picked[s], q, avail[s])
+
+    # shard ids are a prefix-sum over ONLY the picked docs: the top
+    # shard id must match total picked whitespace tokens // 20000
+    ws = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.length(t) > 0,
+                )
+            ).alias("n"),
+        ).collect()
+    }
+    total = sum(ws[r["doc_id"]] for r in rows)
+    assert max(r["shard_id"] for r in rows) <= total // 20000
