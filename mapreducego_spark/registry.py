@@ -571,6 +571,9 @@ QUERIES: dict[str, QueryFn] = {
     "prepare_corpus_mixed": lambda spark, sf_dir: T.prepare_corpus_mixed(
         load_table(spark, sf_dir, "documents")
     ),
+    # PERMISSIVE JSON ingest with corrupt-record rescue (deterministic
+    # planted corruption, id recovered from the raw line)
+    "json_rescue": CAT.json_rescue,
     # nearest-direction as-of (backward/forward walks joined on the
     # unique event id, microsecond gap compare)
     "join_asof_nearest": A.join_asof_nearest,
@@ -3088,6 +3091,18 @@ ORDER BY day
 """
 
 # mergeSchema read == union with null-backfilled added column.
+# PERMISSIVE JSON rescue: good lines keep their fields, corrupt
+# lines (planted: doc_id % 13 == 0) null every schema field and set
+# the rescue flag; the id itself is recovered from the raw line.
+ORACLES["json_rescue"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+       CASE WHEN doc_id % 13 = 0 THEN NULL ELSE source END AS source,
+       doc_id % 13 = 0 AS rescued
+FROM documents
+ORDER BY doc_id
+"""
+
 ORACLES["parquet_merge_schema"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
        CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars AS BIGINT) END AS n_chars

@@ -428,6 +428,63 @@ def json_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _typed_docs_round_trip(spark, sf_dir, "json")
 
 
+def json_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read resilience: PERMISSIVE JSON-lines ingestion
+    with a corrupt-record rescue column — the path every production
+    ingest needs when a fraction of upstream lines are malformed
+    (truncated writes, encoding damage). A JSONL staging of the
+    documents table is written with DETERMINISTIC corruption (every
+    doc_id % 13 == 0 line loses its closing brace); the read uses an
+    explicit schema + columnNameOfCorruptRecord, so good lines parse
+    normally while corrupt lines land raw in the rescue column
+    instead of killing the job (FAILFAST) or silently vanishing
+    (DROPMALFORMED). The id of a rescued line is recovered from the
+    raw text — the triage step before re-ingestion.
+
+    Scale: the staging write/read are both distributed; PERMISSIVE
+    parsing is per-row with no cross-row state; the rescue column
+    adds one string only on corrupt rows."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    )
+    work = _scratch_dir("json_rescue_")
+    path = f"{work}/staged.jsonl"
+    # deterministic staging: corrupt every 13th id by dropping the
+    # closing brace (driver-side fixture write, like the PNG staging;
+    # in production the malformed lines arrive malformed)
+    with open(path, "w") as fh:
+        for r in docs.orderBy("doc_id").collect():
+            line = _json.dumps(
+                {"doc_id": r["doc_id"], "lang": r["lang"],
+                 "source": r["source"]},
+                sort_keys=True,
+            )
+            if r["doc_id"] % 13 == 0:
+                line = line.rstrip("}")
+            fh.write(line + "\n")
+    back = (
+        spark.read.schema("doc_id long, lang string, source string, _raw string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_raw")
+        .json(path)
+    )
+    return back.select(
+        F.coalesce(
+            F.col("doc_id"),
+            F.regexp_extract(F.col("_raw"), r'"doc_id": (\d+)', 1).cast(
+                "long"
+            ),
+        ).alias("doc_id"),
+        "lang",
+        "source",
+        F.col("_raw").isNotNull().alias("rescued"),
+    ).orderBy("doc_id")
+
+
 def csv_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: CSV sink/source round trip, schema-on-read."""
     return _typed_docs_round_trip(spark, sf_dir, "csv")

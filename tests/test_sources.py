@@ -359,3 +359,23 @@ def test_parquet_merge_schema_null_backfills(spark, sf_dir):
             assert r.n_chars is None  # old-schema batch backfilled
         else:
             assert r.n_chars is not None
+
+
+def test_json_rescue_permissive_vs_dropmalformed(spark, sf_dir):
+    """PERMISSIVE+rescue must keep EVERY line (corrupt ones nulled,
+    flagged, id-recovered); DROPMALFORMED on the same staging silently
+    loses exactly the corrupt lines — the failure mode the rescue
+    column exists to prevent."""
+    import pyspark.sql.functions as F
+
+    from mapreducego_spark.sources.catalog import json_rescue, load_table
+
+    rows = json_rescue(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    rescued = [r for r in rows if r["rescued"]]
+    assert rescued and all(r["doc_id"] % 13 == 0 for r in rescued)
+    assert all(r["lang"] is None and r["source"] is None for r in rescued)
+    assert all(r["doc_id"] is not None for r in rows)  # ids recovered
+    good = [r for r in rows if not r["rescued"]]
+    assert all(r["lang"] is not None for r in good)
