@@ -581,9 +581,75 @@ QUERIES: dict[str, QueryFn] = {
     "copurchase_triples": R.copurchase_triples,
 }
 
-# ORDERING (round 7): the round driver verifies the FIRST 50 entries
+# ORDERING (round 8): the round driver verifies the FIRST 50 entries
 # in insertion order, so the dict is re-sequenced by verification
-# need each round. r7 closes the driver-evidence gap: 53 registry
+# need each round. The r8 window is tools/staleness.py's proposal
+# taken VERBATIM (the r7 verdict's demand): the 13 entries that have
+# never had a driver CORRECTNESS row (incl. json_rescue and
+# prepare_corpus_mixed, which the r7 deferral note below omitted —
+# both new in r7, neither in _R7_WINDOW), then all 11 r3-stale
+# entries, then the 26 oldest r4-stale entries alphabetically.
+# After this window the max staleness is r4 and nothing is
+# never-checked.
+_R8_WINDOW = [
+    # (1) the 13 never-driver-checked entries (r7 verdict item 1)
+    "vector_ann_pq",
+    "vector_ann_ivfpq",
+    "fuzzy_match_blocked",
+    "tfidf_cosine_pairs",
+    "ngram_containment",
+    "nest_order_lines",
+    "stream_left_join_sink",
+    "stream_funnel_sink",
+    "sketch_active_users",
+    "curriculum_mix",
+    "prepare_corpus_mixed",
+    "json_rescue",
+    "join_asof_nearest",
+    # (2) the 11 r3-stale entries
+    "quality_filter",
+    "sample_deterministic",
+    "sample_stratified",
+    "sample_weighted",
+    "sessionize",
+    "simhash",
+    "tfidf_top_terms",
+    "topk_per_group",
+    "udaf_revenue_cents",
+    "window_range_frame",
+    "window_value_fns",
+    # (3) the 26 oldest r4-stale entries, alphabetical
+    "agg_pivot",
+    "array_functions",
+    "compact_documents",
+    "csv_round_trip",
+    "date_functions",
+    "dedup_embedding_lsh",
+    "dedup_events",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "fingerprint",
+    "join_asof_forward",
+    "join_right_outer",
+    "join_skew_salted",
+    "json_round_trip",
+    "lang_id",
+    "map_functions",
+    "multimodal_meta",
+    "orc_round_trip",
+    "profile_table",
+    "q15_top_supplier",
+    "q6_forecast_revenue",
+    "quality_gate_per_lang",
+    "quality_score",
+    "repetition_profile",
+    "rollup_incremental",
+    "sql_wordcount_udf",
+]
+assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
+
+# r7 window kept for the record (see NOTES_r07.md). r7 closed most of
+# the driver-evidence gap: 53 registry
 # entries had NO CORRECTNESS_r* row anywhere (window rotation math;
 # verified against the union of CORRECTNESS_r01-r06 keys). The r7
 # window =
@@ -730,8 +796,8 @@ _R6_WINDOW = [
     "q8_market_share",
 ]
 assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
-QUERIES = {name: QUERIES[name] for name in _R7_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_R7_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R8_WINDOW)
 }
 
 
