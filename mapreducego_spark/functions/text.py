@@ -1765,8 +1765,20 @@ def mix_sources(
     quota table is |sources| rows (broadcast join), the per-source
     rank is the same bounded window source_cap uses; nothing global,
     nothing driver-side but the tiny quota arithmetic — which stays
-    IN PLAN (windows over the |sources|-row aggregate), not in
-    Python."""
+    IN PLAN: the whole apportionment runs inside ONE single-row array
+    of |sources| structs via higher-order functions (aggregate /
+    array_sort-with-comparator / transform / inline), so there is no
+    unpartitioned window anywhere and no "No Partition Defined"
+    WindowExec stage.
+
+    Contract note (upper bound): a source whose largest-remainder
+    quota exceeds its n_docs keeps only n_docs rows and the freed
+    seats are NOT reallocated — ``budget`` is an upper bound, exact
+    whenever every quota <= its source's size (true for the fixture
+    and any corpus where no source is smaller than its share).
+    Reallocation would be an iterative fixpoint (clamping one source
+    can overflow another); callers needing exact totals should lower
+    alpha or budget instead."""
     micro = 1_000_000
     docs = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), "source"
@@ -1787,35 +1799,56 @@ def mix_sources(
         "n_docs",
         F.floor(powed * micro).cast("long").alias("share_micro"),
     )
-    w_all = Window.partitionBy(F.lit(1))
-    w_rem = Window.partitionBy(F.lit(1)).orderBy(
-        F.col("rem").desc(), F.col("source").asc()
-    )
+    # Hamilton apportionment entirely inside one |sources|-struct
+    # array on a single row — aggregate() for the exact LONG totals,
+    # array_sort() with an explicit (rem desc, source asc) comparator
+    # for the largest-remainder order (a total order, so the
+    # collect_list's arbitrary order cannot leak through), and
+    # inline() to restore one row per source. No window is involved,
+    # partitioned or otherwise.
+    b = int(budget)
     quotas = (
-        shares.withColumn("total", F.sum("share_micro").over(w_all))
+        shares.groupBy()
+        .agg(
+            F.collect_list(
+                F.struct("source", "n_docs", "share_micro")
+            ).alias("xs")
+        )
         .withColumn(
-            "base",
-            F.expr(f"(share_micro * {int(budget)}L) div total").cast(
-                "long"
+            "total",
+            F.expr("aggregate(xs, 0L, (a, x) -> a + x.share_micro)"),
+        )
+        .withColumn(
+            "ranked",
+            F.expr(
+                f"""array_sort(
+                      transform(xs, x -> struct(
+                        x.source AS source,
+                        x.n_docs AS n_docs,
+                        x.share_micro AS share_micro,
+                        (x.share_micro * {b}L) div total AS base,
+                        (x.share_micro * {b}L) % total AS rem)),
+                      (l, r) -> CASE
+                        WHEN l.rem > r.rem THEN -1
+                        WHEN l.rem < r.rem THEN 1
+                        WHEN l.source < r.source THEN -1
+                        WHEN l.source > r.source THEN 1
+                        ELSE 0 END)"""
             ),
         )
         .withColumn(
-            "rem", (F.col("share_micro") * budget) % F.col("total")
+            "seats",
+            F.expr(f"{b}L - aggregate(ranked, 0L, (a, x) -> a + x.base)"),
         )
-        .withColumn("base_sum", F.sum("base").over(w_all))
-        .withColumn("rk_rem", F.row_number().over(w_rem))
         .select(
-            "source",
-            "n_docs",
-            "share_micro",
-            (
-                F.col("base")
-                + F.when(
-                    F.col("rk_rem") <= budget - F.col("base_sum"), 1
-                ).otherwise(0)
+            F.expr(
+                """inline(transform(ranked, (x, i) -> struct(
+                     x.source AS source,
+                     x.n_docs AS n_docs,
+                     x.share_micro AS share_micro,
+                     CAST(x.base + IF(i < seats, 1, 0) AS LONG)
+                       AS quota)))"""
             )
-            .cast("long")
-            .alias("quota"),
         )
     )
     prio = F.conv(

@@ -34,6 +34,13 @@ def two_phase_global_rank(
     """Append a global 1-based dense row number ``rank_col`` ordered
     by ``order_cols`` (must be a total order for determinism),
     computed distributed — never a single-partition window."""
+    for reserved in (rank_col, "__pid"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"two_phase_global_rank: input already has a column "
+                f"named {reserved!r} — rename it or pass a different "
+                f"rank_col (withColumn would silently overwrite it)"
+            )
     part = (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)

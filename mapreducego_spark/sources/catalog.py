@@ -441,47 +441,53 @@ def json_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DROPMALFORMED). The id of a rescued line is recovered from the
     raw text — the triage step before re-ingestion.
 
-    Scale: the staging write/read are both distributed; PERMISSIVE
+    Scale: the staging write/read are both distributed (the JSON line
+    and the every-13th-id corruption are column expressions fed to
+    ``df.write.text`` — no driver-side collect anywhere); PERMISSIVE
     parsing is per-row with no cross-row state; the rescue column
     adds one string only on corrupt rows."""
-    import json as _json
-
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
     )
     work = _scratch_dir("json_rescue_")
-    path = f"{work}/staged.jsonl"
-    # deterministic staging: corrupt every 13th id by dropping the
-    # closing brace (driver-side fixture write, like the PNG staging;
-    # in production the malformed lines arrive malformed)
-    with open(path, "w") as fh:
-        for r in docs.orderBy("doc_id").collect():
-            line = _json.dumps(
-                {"doc_id": r["doc_id"], "lang": r["lang"],
-                 "source": r["source"]},
-                sort_keys=True,
-            )
-            if r["doc_id"] % 13 == 0:
-                line = line.rstrip("}")
-            fh.write(line + "\n")
+    path = f"{work}/staged"
+    # deterministic staging, fully distributed: serialize each row to
+    # a JSON line with to_json, then corrupt every 13th id by
+    # dropping the closing brace — a pure per-row column transform,
+    # partition-invariant by construction (in production the
+    # malformed lines arrive malformed)
+    line = F.to_json(F.struct("doc_id", "lang", "source"))
+    docs.select(
+        F.when(
+            F.col("doc_id") % 13 == 0, F.regexp_replace(line, r"\}$", "")
+        )
+        .otherwise(line)
+        .alias("value")
+    ).write.text(path)
     back = (
         spark.read.schema("doc_id long, lang string, source string, _raw string")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_raw")
         .json(path)
     )
+    # Null lang/source on rescued rows EXPLICITLY rather than relying
+    # on the parser zeroing all fields of a corrupt record: Spark's
+    # partial-result JSON parsing (SPARK-40646 lineage) may retain
+    # fields parsed before the failure point in some versions, which
+    # would otherwise leak lang/source onto rescued rows.
+    rescued = F.col("_raw").isNotNull()
     return back.select(
         F.coalesce(
             F.col("doc_id"),
-            F.regexp_extract(F.col("_raw"), r'"doc_id": (\d+)', 1).cast(
+            F.regexp_extract(F.col("_raw"), r'"doc_id":\s*(\d+)', 1).cast(
                 "long"
             ),
         ).alias("doc_id"),
-        "lang",
-        "source",
-        F.col("_raw").isNotNull().alias("rescued"),
+        F.when(~rescued, F.col("lang")).alias("lang"),
+        F.when(~rescued, F.col("source")).alias("source"),
+        rescued.alias("rescued"),
     ).orderBy("doc_id")
 
 

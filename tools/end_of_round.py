@@ -75,7 +75,13 @@ def main() -> None:
     from mapreducego_spark.registry import QUERIES
 
     n_live = len(QUERIES)
-    for artifact in ("VERIFY_LOCAL.json", "PLAN_AUDIT.json"):
+    # DETERMINISM.json is regenerated on demand (it is slow — every
+    # query twice), but its COVERAGE must still match the live
+    # registry: the r7 lesson was a query added after the audit ran
+    # staying invisible to this gate for a whole round.
+    for artifact in (
+        "VERIFY_LOCAL.json", "PLAN_AUDIT.json", "DETERMINISM.json",
+    ):
         with open(os.path.join(REPO, artifact)) as fh:
             n_art = json.load(fh)["n_queries"]
         match = n_art == n_live

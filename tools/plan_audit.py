@@ -8,6 +8,18 @@ scan-level pushdown happened, whole-stage-codegen span count, and
 the red flags (CartesianProduct / BroadcastNestedLoopJoin /
 row-at-a-time BatchEvalPython in the plan).
 
+Eagerly-checkpointed intermediates (r7 verdict item 3): pipelines
+that `localCheckpoint(eager=True)` mid-build (PPJoin's candidate
+join, the graph iteration rounds, dedup_incremental's per-step band
+joins) execute their heavy plans during query CONSTRUCTION, so the
+tail plan the audit used to inspect showed almost nothing. The audit
+now wraps DataFrame.localCheckpoint for the duration of the run and
+captures the executed plan of every intermediate immediately before
+it is checkpointed, keyed by call site (file:line). Each entry gets
+an `intermediates` map with the same per-plan statistics, and
+intermediate red flags feed the SAME red-flag/waiver accounting as
+the tail plan — nothing hides behind a checkpoint.
+
 Usage: python tools/plan_audit.py [query ...]
 """
 
@@ -109,11 +121,68 @@ def audit_plan(plan: str) -> dict:
     }
 
 
+# (tag, plan-text) pairs captured by the localCheckpoint wrapper
+# while the current query's DataFrame is being constructed.
+_INTERMEDIATES: list[tuple[str, str]] = []
+
+
+def _install_checkpoint_capture() -> None:
+    """Wrap DataFrame.localCheckpoint so the audit sees the executed
+    plan of every eagerly-checkpointed intermediate — the plans that
+    run during query construction and are invisible in the tail."""
+    import inspect
+
+    # PySpark 4: pyspark.sql.DataFrame is the abstract base; runtime
+    # instances are the classic subclass, whose own localCheckpoint
+    # would shadow a patch on the base — patch the concrete class.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older layout
+        from pyspark.sql import DataFrame
+
+    orig = DataFrame.localCheckpoint
+
+    def capturing(self, eager: bool = True):
+        caller = inspect.stack()[1]
+        tag = f"{os.path.basename(caller.filename)}:{caller.lineno}"
+        try:
+            plan = self._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            plan = f"<plan unavailable: {ex}>"
+        _INTERMEDIATES.append((tag, plan))
+        return orig(self, eager)
+
+    DataFrame.localCheckpoint = capturing
+
+
+def _merge_intermediates() -> dict[str, dict]:
+    """Collapse the captured (tag, plan) list into one audit entry
+    per call site: loop pipelines (graph rounds, incremental steps)
+    hit the same line many times with near-identical plans, so the
+    artifact keeps the first occurrence's statistics, an occurrence
+    count, and the UNION of joins/red flags across occurrences."""
+    merged: dict[str, dict] = {}
+    for tag, plan in _INTERMEDIATES:
+        entry = audit_plan(plan)
+        if tag not in merged:
+            merged[tag] = entry | {"occurrences": 1}
+        else:
+            m = merged[tag]
+            m["occurrences"] += 1
+            m["joins"] = sorted(set(m["joins"]) | set(entry["joins"]))
+            m["red_flags"] = sorted(
+                set(m["red_flags"]) | set(entry["red_flags"])
+            )
+            m["exchanges"] = max(m["exchanges"], entry["exchanges"])
+    return merged
+
+
 def main() -> None:
     only = set(sys.argv[1:])
     from mapreducego_spark.registry import QUERIES
     from mapreducego_spark.session import get_spark
 
+    _install_checkpoint_capture()
     spark = get_spark("plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
     # Static plan view: with AQE on, pre-execution plans are wrapped
@@ -128,12 +197,22 @@ def main() -> None:
         if name in SKIP:
             out[name] = {"skipped": "executes a full job to build its result"}
             continue
+        _INTERMEDIATES.clear()
         try:
             plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         except Exception as ex:  # noqa: BLE001
             out[name] = {"error": str(ex)[:200]}
             continue
         entry = audit_plan(plan)
+        inter = _merge_intermediates()
+        if inter:
+            entry["intermediates"] = inter
+            # intermediate red flags are the query's red flags: the
+            # checkpointed plan EXECUTES when the query is built
+            entry["red_flags"] = sorted(
+                set(entry["red_flags"])
+                | {f for m in inter.values() for f in m["red_flags"]}
+            )
         if entry["red_flags"] and name in WAIVED:
             entry["red_flags_waived"] = {
                 "flags": entry["red_flags"], "reason": WAIVED[name]
