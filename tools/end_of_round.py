@@ -4,6 +4,7 @@ source commit, as the literal final step.
 Regenerates, in order:
   1. VERIFY_LOCAL.json  (tools/verify_local.py, full registry)
   2. PLAN_AUDIT.json    (tools/plan_audit.py, full registry)
+  3. STREAM_PLANS.json  (tools/stream_plans.py, the PLAN_AUDIT SKIP set)
 
 then verifies and PRINTS that both artifact mtimes are newer than the
 last non-doc commit — the r3/r4 lesson, twice learned: a verification
@@ -33,6 +34,8 @@ def last_source_commit_epoch() -> tuple[str, int]:
         [
             "git", "log", "-1", "--format=%H %ct", "--",
             ".", ":(exclude)VERIFY_LOCAL.json", ":(exclude)PLAN_AUDIT.json",
+            ":(exclude)STREAM_PLANS.json", ":(exclude)DETERMINISM.json",
+            ":(exclude)VERIFY_SF1.json",
             ":(exclude)BENCH_r*.json", ":(exclude)CORRECTNESS_r*.json",
             ":(exclude)NOTES_r*.md", ":(exclude)VERDICT.md",
             ":(exclude)ADVICE.md", ":(exclude)bench_stderr.txt",
@@ -43,7 +46,7 @@ def last_source_commit_epoch() -> tuple[str, int]:
 
 
 def main() -> None:
-    for script in ("verify_local.py", "plan_audit.py"):
+    for script in ("verify_local.py", "plan_audit.py", "stream_plans.py"):
         print(f"== regenerating via tools/{script} ==", flush=True)
         r = subprocess.run(
             [sys.executable, os.path.join(HERE, script)], cwd=REPO
@@ -53,7 +56,9 @@ def main() -> None:
 
     sha, commit_ts = last_source_commit_epoch()
     ok = True
-    for artifact in ("VERIFY_LOCAL.json", "PLAN_AUDIT.json"):
+    for artifact in (
+        "VERIFY_LOCAL.json", "PLAN_AUDIT.json", "STREAM_PLANS.json",
+    ):
         mtime = int(os.path.getmtime(os.path.join(REPO, artifact)))
         fresh = mtime >= commit_ts
         ok = ok and fresh
@@ -95,9 +100,28 @@ def main() -> None:
     print(f"VERIFY_LOCAL.json: n_failures {n_fail}")
     ok = ok and n_fail == 0
 
+    # STREAM_PLANS covers the PLAN_AUDIT SKIP set, not the whole
+    # registry — its coverage gate is |SKIP ∩ registry| (and SKIP
+    # must not name queries the registry no longer has).
+    from tools.plan_audit import SKIP
+
+    n_skip_live = len(SKIP & set(QUERIES))
+    with open(os.path.join(REPO, "STREAM_PLANS.json")) as fh:
+        sp = json.load(fh)
+    sp_ok = sp["n_queries"] == n_skip_live == len(SKIP)
+    ok = ok and sp_ok and sp["n_with_red_flags"] == 0
+    print(
+        f"STREAM_PLANS.json: n_queries {sp['n_queries']} vs live SKIP "
+        f"set {n_skip_live} (declared {len(SKIP)}), red flags "
+        f"{sp['n_with_red_flags']} -> "
+        + ("MATCH" if sp_ok else "MISMATCH (stale coverage!)")
+    )
+
     dirty = subprocess.run(
         ["git", "status", "--porcelain", "--",
          ".", ":(exclude)VERIFY_LOCAL.json", ":(exclude)PLAN_AUDIT.json",
+         ":(exclude)STREAM_PLANS.json", ":(exclude)DETERMINISM.json",
+         ":(exclude)VERIFY_SF1.json",
          ":(exclude)BENCH_r*.json", ":(exclude)BENCH_DETAIL.json",
          ":(exclude)NOTES_r*.md", ":(exclude)bench_stderr.txt"],
         cwd=REPO, capture_output=True, text=True, check=True,

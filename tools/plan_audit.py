@@ -36,7 +36,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 # Streaming-sink and files-staging entries execute real jobs just to
 # build their result DataFrame; their interesting plans are the
-# in-stream ones (covered by tests), so the audit skips them.
+# in-stream ones. The audit skips them HERE, and tools/stream_plans.py
+# captures each one's pre-start + last-execution plans (same red-flag
+# scan) into STREAM_PLANS.json — nothing is plan-unaudited.
 SKIP = {
     "stream_tumbling_sink",
     "stream_sliding_sink",
@@ -195,7 +197,10 @@ def main() -> None:
         if only and name not in only:
             continue
         if name in SKIP:
-            out[name] = {"skipped": "executes a full job to build its result"}
+            out[name] = {
+                "skipped": "executes a full job to build its result; "
+                "plans captured in STREAM_PLANS.json"
+            }
             continue
         _INTERMEDIATES.clear()
         try:

@@ -1,0 +1,90 @@
+"""sf1 correctness spot-check (r7 verdict item 8).
+
+The driver's oracle gate runs at sf0.01; the bench's sf1 block
+measures only WALL CLOCK at 10x rows. That leaves a gap: an operator
+whose guards are size-dependent (hot-bucket caps, band-bucket limits,
+prefix-density behavior, sampling floors) could stay hash-green at
+sf0.01 while silently changing RESULTS at scale. This tool closes it:
+the heaviest / most size-sensitive queries run the full DuckDB oracle
+compare on the 10x amplified dataset (tools/make_sf1.py, the same
+fixture the bench scaling block uses) and the per-query outcome is
+committed as VERIFY_SF1.json.
+
+Query selection: the bench's most expensive entries plus the worst
+sf1-scaling ratios from BENCH_r07's probe (dedup_minhash 5.11x,
+tfidf_top_terms 4.56x, dedup_clusters 4.32x, perplexity_score 4.18x)
+— exactly the ones whose scale behavior is least like their sf0.01
+behavior — plus the two corpus-prep compositions (every stage's guard
+fires in one hash).
+
+Usage: python tools/verify_sf1.py  (writes VERIFY_SF1.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+QUERIES = [
+    "dedup_minhash",
+    "tfidf_top_terms",
+    "dedup_clusters",
+    "perplexity_score",
+    "jaccard_prefix_join",
+    "dedup_incremental",
+    "prepare_corpus",
+    "copurchase_pairs",
+    "bpe_apply",
+    "prepare_corpus_mixed",
+]
+
+
+def main() -> None:
+    from tools.make_sf1 import ensure_sf1
+
+    sf1_dir = ensure_sf1()
+    env = dict(os.environ, SPARK_GRAFT_VERIFY_SF=sf1_dir)
+    r = subprocess.run(
+        [sys.executable, os.path.join(HERE, "verify_local.py"), *QUERIES],
+        cwd=REPO, env=env, capture_output=True, text=True,
+    )
+    sys.stderr.write(r.stderr[-2000:])
+    print(r.stdout)
+    results: dict[str, dict] = {}
+    for line in r.stdout.splitlines():
+        # Spark progress bars prepend to stdout lines; match anywhere
+        for status in ("PASS", "FAIL", "rows"):
+            marker = f"{status}  "
+            if marker in line:
+                rest = line.split(marker, 1)[1]
+                name = rest.split(":", 1)[0].strip()
+                if name in QUERIES:
+                    results[name] = {
+                        "status": status,
+                        "detail": rest.split(":", 1)[1].strip()[:300],
+                    }
+    missing = [q for q in QUERIES if q not in results]
+    out = {
+        "sf_dir": sf1_dir,
+        "n_queries": len(QUERIES),
+        "n_pass": sum(1 for v in results.values() if v["status"] == "PASS"),
+        "n_fail": sum(1 for v in results.values() if v["status"] == "FAIL")
+        + len(missing),
+        "missing": missing,
+        "results": results,
+    }
+    path = os.path.join(REPO, "VERIFY_SF1.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(f"wrote {path}: {out['n_pass']}/{out['n_queries']} PASS")
+    sys.exit(1 if out["n_fail"] else 0)
+
+
+if __name__ == "__main__":
+    main()
