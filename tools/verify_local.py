@@ -71,11 +71,25 @@ def main():
     only = set(sys.argv[1:])
     spark = get_spark("verify-local")
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+    def fresh_con():
+        """One DuckDB connection PER QUERY, tuned for the sf1 runs:
+        out-of-core spill + a hard memory cap (the box also hosts the
+        Spark JVM) + a thread cap (32 threads multiply the peak of
+        the list-heavy dedup oracles). Per-query isolation matters:
+        an oracle that exhausts a shared connection poisons every
+        later query on it ('failed to allocate 4096 bytes' cascades,
+        observed in the first sf1 run). preserve_insertion_order off
+        is free — the comparator is order-insensitive."""
+        c = duckdb.connect()
+        c.execute("SET memory_limit='80GB'")
+        c.execute("SET temp_directory='/tmp/duckdb_verify_spill'")
+        c.execute("SET preserve_insertion_order=false")
+        c.execute("SET threads=8")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            )
+        return c
 
     qs = E.queries()
     oracles = E.oracle_sql()
@@ -100,9 +114,13 @@ def main():
             print(f"rows  {name}: {len(spark_rows)} rows (no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            con = fresh_con()
+            try:
+                res = con.execute(oracles[name])
+                duck_cols = [d[0] for d in res.description]
+                duck_rows = res.fetchall()
+            finally:
+                con.close()
         except Exception as ex:  # noqa: BLE001
             failures.append(name)
             results[name] = {"status": "FAIL", "err": f"duckdb error: {ex}"}
