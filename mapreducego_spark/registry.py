@@ -4627,3 +4627,22 @@ GROUP BY 1, 2, 3
 HAVING COUNT(*) >= 2
 ORDER BY 1, 2, 3
 """
+
+
+def _materialize_ctes(sql: str) -> str:
+    """Add DuckDB `AS MATERIALIZED` hints to the heavy shared CTEs of
+    the recursive (connected-components) oracles. Pure planner hint —
+    results are identical; without it DuckDB inlines the CTE chain
+    into the recursive `reach` term and re-evaluates the ENTIRE
+    minhash pipeline on every iteration, which exhausts its buffer
+    manager at sf1-scale (the 10x oracle spot-check: tiny allocations
+    fail while RSS sits at ~10 GB). Applied only to the oracles with
+    a recursive consumer; the non-recursive minhash oracles evaluate
+    each CTE once already."""
+    for name in ("shingled", "bands", "cands", "vpairs", "sym"):
+        sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
+    return sql
+
+
+for _name in ("dedup_clusters", "split_no_leakage", "kfold_split"):
+    ORACLES[_name] = _materialize_ctes(ORACLES[_name])

@@ -50,25 +50,32 @@ def main() -> None:
 
     sf1_dir = ensure_sf1()
     env = dict(os.environ, SPARK_GRAFT_VERIFY_SF=sf1_dir)
-    r = subprocess.run(
-        [sys.executable, os.path.join(HERE, "verify_local.py"), *QUERIES],
-        cwd=REPO, env=env, capture_output=True, text=True,
-    )
-    sys.stderr.write(r.stderr[-2000:])
-    print(r.stdout)
     results: dict[str, dict] = {}
-    for line in r.stdout.splitlines():
-        # Spark progress bars prepend to stdout lines; match anywhere
-        for status in ("PASS", "FAIL", "rows"):
-            marker = f"{status}  "
-            if marker in line:
-                rest = line.split(marker, 1)[1]
-                name = rest.split(":", 1)[0].strip()
-                if name in QUERIES:
-                    results[name] = {
-                        "status": status,
-                        "detail": rest.split(":", 1)[1].strip()[:300],
-                    }
+    # ONE SUBPROCESS PER QUERY: the first combined run showed that a
+    # single oracle exhausting DuckDB's buffer manager poisons every
+    # later allocation in the same process ('failed to allocate 8
+    # bytes' cascades) even across fresh connections — process exit
+    # is the only reliable reclaim. Costs one Spark session startup
+    # per query; correctness evidence is worth the ~30s each.
+    for query in QUERIES:
+        r = subprocess.run(
+            [sys.executable, os.path.join(HERE, "verify_local.py"), query],
+            cwd=REPO, env=env, capture_output=True, text=True,
+        )
+        for line in r.stdout.splitlines():
+            # Spark progress bars prepend to stdout lines
+            for status in ("PASS", "FAIL", "rows"):
+                marker = f"{status}  "
+                if marker in line:
+                    rest = line.split(marker, 1)[1]
+                    name = rest.split(":", 1)[0].strip()
+                    if name == query:
+                        results[name] = {
+                            "status": status,
+                            "detail": rest.split(":", 1)[1].strip()[:300],
+                        }
+        print(query, results.get(query, {}).get("status", "NO OUTPUT"),
+              flush=True)
     missing = [q for q in QUERIES if q not in results]
     out = {
         "sf_dir": sf1_dir,
