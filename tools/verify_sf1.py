@@ -44,6 +44,21 @@ QUERIES = [
     "prepare_corpus_mixed",
 ]
 
+# Queries whose ORACLE cannot reach sf1 on this box, checked at the
+# largest scale the single-node comparator can evaluate instead. The
+# engine side is not the limit — that asymmetry is the point of the
+# whole exercise.
+FALLBACK_SF = {
+    # ngram_jaccard's naive inverted-index oracle generates the full
+    # sum-C(df,2) pair stream with no prefix filter; at sf1 its
+    # DuckDB out-of-core grouping exceeded the box's free disk
+    # (>80 GB spill, 'No space left on device'). sf0.1 is still 10x
+    # the driver gate, and the ENGINE's sf1 behavior is covered by
+    # the bench scaling probe (3.6x wall at 10x rows) + the shared-
+    # oracle equality at every scale the oracle can reach.
+    "jaccard_prefix_join": "/root/testdata/sf0.1",
+}
+
 
 def main() -> None:
     from tools.make_sf1 import ensure_sf1
@@ -58,9 +73,11 @@ def main() -> None:
     # is the only reliable reclaim. Costs one Spark session startup
     # per query; correctness evidence is worth the ~30s each.
     for query in QUERIES:
+        q_dir = FALLBACK_SF.get(query, sf1_dir)
+        q_env = dict(env, SPARK_GRAFT_VERIFY_SF=q_dir)
         r = subprocess.run(
             [sys.executable, os.path.join(HERE, "verify_local.py"), query],
-            cwd=REPO, env=env, capture_output=True, text=True,
+            cwd=REPO, env=q_env, capture_output=True, text=True,
         )
         for line in r.stdout.splitlines():
             # Spark progress bars prepend to stdout lines
@@ -72,13 +89,15 @@ def main() -> None:
                     if name == query:
                         results[name] = {
                             "status": status,
+                            "sf_dir": q_dir,
                             "detail": rest.split(":", 1)[1].strip()[:300],
                         }
         print(query, results.get(query, {}).get("status", "NO OUTPUT"),
-              flush=True)
+              f"({q_dir})", flush=True)
     missing = [q for q in QUERIES if q not in results]
     out = {
         "sf_dir": sf1_dir,
+        "oracle_scale_fallbacks": FALLBACK_SF,
         "n_queries": len(QUERIES),
         "n_pass": sum(1 for v in results.values() if v["status"] == "PASS"),
         "n_fail": sum(1 for v in results.values() if v["status"] == "FAIL")
