@@ -145,6 +145,9 @@ HEADLINE = [
     "join_asof_nearest",
     "quantile_normalize",
     "fuzzy_match_snm",
+    # round 8: BM25 retrieval and with-replacement epoch mixing
+    "bm25_topk",
+    "curriculum_oversample",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

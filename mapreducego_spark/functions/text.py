@@ -1777,12 +1777,30 @@ def mix_sources(
     whenever every quota <= its source's size (true for the fixture
     and any corpus where no source is smaller than its share).
     Reallocation would be an iterative fixpoint (clamping one source
-    can overflow another); callers needing exact totals should lower
-    alpha or budget instead."""
-    micro = 1_000_000
+    can overflow another); callers needing exact totals use
+    ``oversample_sources``, whose with-replacement epochs absorb any
+    overflow and hit the budget exactly."""
     docs = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), "source"
     )
+    quotas = _source_quotas(docs, alpha, budget)
+    picked = (
+        _source_ranked(docs)
+        .join(F.broadcast(quotas), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+    )
+    return picked.select(
+        "doc_id", "source", "rk", "quota", "n_docs", "share_micro"
+    ).orderBy("source", "rk")
+
+
+def _source_quotas(
+    docs: DataFrame, alpha: float, budget: int
+) -> DataFrame:
+    """Shared Hamilton apportionment for the mixing operators: one
+    row per source with its exact-integer quota (see mix_sources'
+    docstring for the arithmetic and the window-free HOF design)."""
+    micro = 1_000_000
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     # alpha=0.5 routes through sqrt, which IEEE 754 requires to be
     # CORRECTLY ROUNDED (so Spark and DuckDB agree bit-for-bit);
@@ -1807,7 +1825,7 @@ def mix_sources(
     # inline() to restore one row per source. No window is involved,
     # partitioned or otherwise.
     b = int(budget)
-    quotas = (
+    return (
         shares.groupBy()
         .agg(
             F.collect_list(
@@ -1851,20 +1869,72 @@ def mix_sources(
             )
         )
     )
+
+
+def _source_ranked(docs: DataFrame) -> DataFrame:
+    """Deterministic within-source priority rank (source_cap's
+    md5(doc_id) fate), shared by the mixing operators."""
     prio = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
     w_src = Window.partitionBy("source").orderBy(
         prio.asc(), F.col("doc_id").asc()
     )
-    picked = (
-        docs.withColumn("rk", F.row_number().over(w_src).cast("long"))
-        .join(F.broadcast(quotas), "source")
-        .filter(F.col("rk") <= F.col("quota"))
+    return docs.withColumn("rk", F.row_number().over(w_src).cast("long"))
+
+
+def oversample_sources(
+    docs: DataFrame, alpha: float = 0.5, budget: int = 900
+) -> DataFrame:
+    """Temperature-scaled source mixing WITH REPLACEMENT — the epoch
+    form of `mix_sources` for the regime real LM data recipes run in
+    when the token budget EXCEEDS a flattened source's size (GPT-3
+    trained its up-weighted sources for multiple epochs while
+    CommonCrawl saw <1): each source's Hamilton quota (same
+    apportionment, same exact-integer arithmetic) is realized as
+    n_repeats per document instead of a keep/drop bit —
+    full epochs = quota div n_docs for every document, plus one extra
+    repeat for the quota % n_docs documents with the best
+    deterministic md5 priority. sum(n_repeats) == budget EXACTLY, for
+    ANY budget — the overflow that makes mix_sources' budget an upper
+    bound is absorbed by repetition, which is precisely what
+    oversampling is for.
+
+    Output: one row per document with n_repeats >= 1 (documents of a
+    source whose quota < n_docs keep the same selection rule as
+    mix_sources, so budget <= corpus reduces to it). Scale shape is
+    identical to mix_sources: |sources|-row broadcast quota table,
+    per-source partitioned rank window, no shuffle of the corpus
+    beyond the rank."""
+    docs = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
     )
-    return picked.select(
-        "doc_id", "source", "rk", "quota", "n_docs", "share_micro"
-    ).orderBy("source", "rk")
+    quotas = _source_quotas(docs, alpha, budget).select(
+        "source",
+        "n_docs",
+        "quota",
+        F.expr("quota div n_docs").alias("epochs"),
+        (F.col("quota") % F.col("n_docs")).alias("extra"),
+    )
+    out = (
+        _source_ranked(docs)
+        .join(F.broadcast(quotas), "source")
+        .select(
+            "doc_id",
+            "source",
+            "rk",
+            (
+                F.col("epochs")
+                + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_repeats"),
+            "quota",
+            "n_docs",
+        )
+        .filter(F.col("n_repeats") > 0)
+    )
+    return out.orderBy("source", "rk")
 
 
 def curriculum_mix(
@@ -2075,3 +2145,151 @@ def bpe_apply(
             6,
         ).alias("compression"),
     ).orderBy("doc_id")
+
+
+# Fixed literal retrieval benchmark: 4 queries over the fixture's
+# query-engine vocabulary. A production deployment would broadcast a
+# real query table; the operator takes any [(qid, [terms])] list.
+BM25_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["hash", "join"]),
+    (2, ["slow", "scan", "filter"]),
+    (3, ["stream", "window", "agg"]),
+    (4, ["vector", "batch"]),
+]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]] | None = None,
+    top_k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval (Robertson/Walker, TREC-3) over a
+    broadcast query set — the lexical ranker `rrf_fusion`'s docstring
+    reserves a slot for, now first-class: score(q, d) =
+    sum over t in q of idf(t) * tf * (k1+1) / (tf + k1 * (1 - b +
+    b * dl/avgdl)), with the standard k1 = 1.2, b = 0.75 and the
+    LUCENE idf variant ln(1 + (N - df + 0.5)/(df + 0.5)) — always
+    positive (the raw Robertson idf goes negative for df > N/2,
+    which both drops very common terms in a surprising way AND would
+    make cross-engine integer-division sign semantics load-bearing;
+    the deployed Lucene/Elasticsearch form has neither problem).
+
+    Engine-exactness (the perplexity_score / tfidf contract, adapted):
+    idf is quantized once per term to integer milli-nats
+    (floor(ln(1 + (N - df + 0.5)/(df + 0.5)) * 1000)); avgdl is quantized
+    to integer MILLI-TOKENS (avgdl_milli = (1000 * total_len) div N),
+    which bounds every product by document-length statistics rather
+    than corpus size; and each term's contribution is ONE integer
+    division — with k1 = 6/5, b = 3/4 exactly:
+
+        num = idf_milli * tf * 22 * avgdl_milli
+        den = 10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl
+        contribution = num div den     -- == idf*tf*(k1+1)/(tf+k1*(..))
+                                       -- scaled by 10*avgdl_milli/10
+    so scores are order-independent LONG sums of deterministic
+    integer divisions — bit-identical in any engine. Overflow head-
+    room: idf_milli <= ~2e4, tf <= 1e4, avgdl_milli ~ 1e5-1e6 ->
+    num <= ~5e15 < 2^63, independent of corpus size.
+
+    Scale shape: doc lengths are a scan-fused column (size of the
+    token array, no explode); tf explodes ONLY terms in the broadcast
+    query vocabulary (the isin filter runs inside the scan stage);
+    df and the 1-row (N, avgdl) aggregate are |vocab|- and 1-row
+    broadcasts (the waived scalar-BNLJ pattern); final top-k is a
+    window PARTITIONED by query id. The corpus is scanned twice
+    (lengths + tf) and never shuffled except for the per-(doc, term)
+    tf aggregate on the vocabulary subset."""
+    queries = BM25_QUERIES if queries is None else queries
+    spark = docs.sparkSession
+    q_rows = [(qid, t) for qid, terms in queries for t in set(terms)]
+    q_df = spark.createDataFrame(q_rows, "query_id int, term string")
+    vocab = sorted({t for _, t in q_rows})
+
+    base = spread_scan(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens_col(F.col("text")).alias("toks"),
+    )
+    lens = base.select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("(1000 * sum(dl)) div count(1)").alias("avgdl_milli"),
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(vocab))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(q_df), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.floor(
+                    F.log(
+                        F.lit(1.0)
+                        + (
+                            F.col("n_docs").cast("double")
+                            - F.col("df").cast("double")
+                            + F.lit(0.5)
+                        )
+                        / (F.col("df").cast("double") + F.lit(0.5))
+                    )
+                    * 1000
+                ).cast("long")
+                * F.col("tf")
+                * F.lit(22)
+                * F.col("avgdl_milli")
+            ).alias("num"),
+            (
+                F.lit(10) * F.col("tf") * F.col("avgdl_milli")
+                + F.lit(3) * F.col("avgdl_milli")
+                + F.lit(9000) * F.col("dl")
+            ).alias("den"),
+        )
+        # Lucene idf > 0 and den > 0, so num div den is a plain
+        # positive integer division — no sign-semantics caveat
+        .withColumn("contrib", F.expr("num div den"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score_milli"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_milli").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "rank", "score_milli")
+        .orderBy("query_id", "rank")
+    )
+
+
+def bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: BM25 top-10 per benchmark query over the
+    documents table."""
+    from mapreducego_spark.sources.catalog import load_table
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+def curriculum_oversample(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.5,
+    budget: int = 900,
+) -> DataFrame:
+    """Registry entry: with-replacement epoch mixing over the
+    documents table, budget deliberately larger than the flattened
+    small sources so the multi-epoch path actually exercises."""
+    from mapreducego_spark.sources.catalog import load_table
+
+    return oversample_sources(
+        load_table(spark, sf_dir, "documents"), alpha=alpha, budget=budget
+    )

@@ -566,6 +566,12 @@ QUERIES: dict[str, QueryFn] = {
     # temperature-scaled source mixing (n^alpha apportionment, exact
     # integer micro-shares + largest-remainder seats)
     "curriculum_mix": T.curriculum_mix,
+    # With-replacement epoch mixing: quotas realized as n_repeats,
+    # sum(n_repeats) == budget exactly even when quotas exceed n_docs
+    "curriculum_oversample": T.curriculum_oversample,
+    # Okapi BM25 (Lucene idf) top-10 per benchmark query, exact
+    # integer milli-nat scoring
+    "bm25_topk": T.bm25_docs,
     # the full data-recipe composition: clean -> decontaminate ->
     # temperature-mix -> pack, oracle-checked as ONE query
     "prepare_corpus_mixed": lambda spark, sf_dir: T.prepare_corpus_mixed(
@@ -589,8 +595,13 @@ QUERIES: dict[str, QueryFn] = {
 # prepare_corpus_mixed, which the r7 deferral note below omitted —
 # both new in r7, neither in _R7_WINDOW), then all 11 r3-stale
 # entries, then the 26 oldest r4-stale entries alphabetically.
-# After this window the max staleness is r4 and nothing is
-# never-checked.
+# After this window the max staleness is r4 and nothing shipped
+# BEFORE r8 is never-checked. Deferred to the r9 window (the ONLY
+# never-driver-checked entries after this round, stated here so the
+# staleness report and prose cannot diverge again): bm25_topk and
+# curriculum_oversample, both NEW in r8 after the window was frozen —
+# each oracle-green in the regenerated full VERIFY_LOCAL and pinned
+# by a serial-reference / algebraic-law pytest.
 _R8_WINDOW = [
     # (1) the 13 never-driver-checked entries (r7 verdict item 1)
     "vector_ann_pq",
@@ -4646,3 +4657,107 @@ def _materialize_ctes(sql: str) -> str:
 
 for _name in ("dedup_clusters", "split_no_leakage", "kfold_split"):
     ORACLES[_name] = _materialize_ctes(ORACLES[_name])
+
+
+# BM25 oracle: the query VALUES list is generated from the SAME
+# literal benchmark set the engine uses (term de-dup included), so
+# the two can never drift.
+_BM25_VALUES = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, terms in T.BM25_QUERIES
+    for t in sorted(set(terms))
+)
+ORACLES["bm25_topk"] = f"""
+WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS t FROM documents
+), lens AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks WHERE len(t) > 0
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         (1000 * SUM(dl)) // COUNT(*) AS avgdl_milli
+  FROM lens
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         (CAST(floor(ln(1 + (CAST(s.n_docs AS DOUBLE)
+                             - CAST(d.df AS DOUBLE) + 0.5)
+                            / (CAST(d.df AS DOUBLE) + 0.5)) * 1000)
+               AS BIGINT)
+          * tf.tf * 22 * s.avgdl_milli)
+         // (10 * tf.tf * s.avgdl_milli + 3 * s.avgdl_milli
+             + 9000 * l.dl) AS c
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq d USING (term)
+  JOIN lens l USING (doc_id), stats s
+), scored AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_milli
+  FROM contrib GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, doc_id, score_milli,
+         CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, rank, score_milli
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+# Epoch oversampling: curriculum_mix's quota CTEs at budget 900, then
+# quota realized as epochs + largest-remainder extras per document.
+ORACLES["curriculum_oversample"] = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), shares AS (
+  SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+             AS share_micro
+  FROM counts
+), tot AS (
+  SELECT SUM(share_micro) AS total FROM shares
+), based AS (
+  SELECT s.source, s.n_docs, s.share_micro,
+         (s.share_micro * 900) // t.total AS base,
+         (s.share_micro * 900) % t.total AS rem
+  FROM shares s, tot t
+), sums AS (
+  SELECT SUM(base) AS base_sum FROM based
+), quotas AS (
+  SELECT b.source, b.n_docs, b.base, m.base_sum,
+         row_number() OVER (ORDER BY b.rem DESC, b.source ASC) AS rk_rem
+  FROM based b, sums m
+), q AS (
+  SELECT source, n_docs,
+         CAST(base + CASE WHEN rk_rem <= 900 - base_sum THEN 1 ELSE 0 END
+              AS BIGINT) AS quota
+  FROM quotas
+), q2 AS (
+  SELECT source, n_docs, quota,
+         quota // n_docs AS epochs, quota % n_docs AS extra
+  FROM q
+), ranked AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY CAST('0x' || substr(md5(CAST(CAST(doc_id AS BIGINT)
+                           AS VARCHAR)), 1, 8) AS BIGINT),
+                      doc_id) AS BIGINT) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.rk,
+       CAST(q2.epochs + CASE WHEN r.rk <= q2.extra THEN 1 ELSE 0 END
+            AS BIGINT) AS n_repeats,
+       q2.quota, q2.n_docs
+FROM ranked r JOIN q2 USING (source)
+WHERE q2.epochs + CASE WHEN r.rk <= q2.extra THEN 1 ELSE 0 END > 0
+ORDER BY r.source, r.rk
+"""

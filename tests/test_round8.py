@@ -97,3 +97,91 @@ def test_json_rescue_staging_is_distributed_and_nulls_fields(spark):
             assert r["lang"] is None and r["source"] is None
         else:
             assert r["lang"] is not None
+
+
+def test_oversample_hits_budget_exactly_and_reduces_to_mix(spark):
+    """Algebraic laws of the epoch mixer: (1) sum(n_repeats) ==
+    budget EXACTLY for any budget, including budgets far beyond the
+    corpus (the regime mix_sources can only upper-bound); (2) for a
+    budget where every quota <= n_docs, the n_repeats==1 row set is
+    exactly mix_sources' selection (with-replacement reduces to
+    without-replacement when no source overflows)."""
+    from mapreducego_spark.functions.text import (
+        mix_sources,
+        oversample_sources,
+    )
+
+    rows = [(i, "big") for i in range(1000)] + [
+        (10_000 + i, "tiny") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    for budget in (50, 300, 1010, 5000):
+        out = oversample_sources(docs, alpha=0.5, budget=budget).collect()
+        assert sum(r["n_repeats"] for r in out) == budget, budget
+    # reduction law at a small budget (quotas provably under n_docs)
+    o = oversample_sources(docs, alpha=0.5, budget=50).collect()
+    m = mix_sources(docs, alpha=0.5, budget=50).collect()
+    assert all(r["n_repeats"] == 1 for r in o)
+    assert {(r["doc_id"], r["source"]) for r in o} == {
+        (r["doc_id"], r["source"]) for r in m
+    }
+
+
+def test_bm25_matches_serial_reference(spark):
+    """BM25 scores match a serial Python implementation of the SAME
+    integer contract (Lucene idf in milli-nats, milli-token avgdl,
+    one integer division per term) on a crafted corpus — pinning the
+    arithmetic independently of the DuckDB oracle."""
+    import math
+    from collections import Counter
+
+    from mapreducego_spark.functions.text import bm25_topk
+
+    corpus = {
+        1: "fast join fast join hash",
+        2: "hash join table scan scan scan",
+        3: "slow scan filter filter",
+        4: "window agg stream stream window",
+        5: "join",
+    }
+    docs = spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in corpus.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    queries = [(7, ["hash", "join"]), (8, ["scan", "filter"])]
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score_milli"])
+        for r in bm25_topk(docs, queries=queries, top_k=10).collect()
+    }
+
+    toks = {k: v.split() for k, v in corpus.items()}
+    n_docs = len(toks)
+    lens = {k: len(v) for k, v in toks.items()}
+    avgdl_milli = (1000 * sum(lens.values())) // n_docs
+    tf = {k: Counter(v) for k, v in toks.items()}
+    want = {}
+    for qid, terms in queries:
+        scores = {}
+        for d in toks:
+            s = 0
+            for t in set(terms):
+                if tf[d][t] == 0:
+                    continue
+                df = sum(1 for dd in toks if tf[dd][t] > 0)
+                idf_milli = math.floor(
+                    math.log(1 + (n_docs - df + 0.5) / (df + 0.5)) * 1000
+                )
+                num = idf_milli * tf[d][t] * 22 * avgdl_milli
+                den = (
+                    10 * tf[d][t] * avgdl_milli
+                    + 3 * avgdl_milli
+                    + 9000 * lens[d]
+                )
+                s += num // den
+            if s:
+                scores[d] = s
+        for rank, d in enumerate(
+            sorted(scores, key=lambda d: (-scores[d], d)), start=1
+        ):
+            want[(qid, d)] = (rank, scores[d])
+    assert got == want

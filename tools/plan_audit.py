@@ -88,6 +88,8 @@ WAIVED: dict[str, str] = {
     "(two 1-row aggregates composed into the readout row)",
     "perplexity_bigram": "BNLJ vs broadcast 1-row token-total "
     "aggregate (same pattern as perplexity_score)",
+    "bm25_topk": "BNLJ vs broadcast 1-row (n_docs, avgdl_milli) "
+    "corpus-stats aggregate (same pattern as tfidf_top_terms)",
 }
 # (vector_topk / knn_label_vote / decontaminate_embedding waivers are
 # gone as of r5: the query/benchmark set now ships in the pair-cosine
