@@ -164,9 +164,11 @@ def test_bm25_matches_serial_reference(spark):
         scores = {}
         for d in toks:
             s = 0
+            matched = False
             for t in set(terms):
                 if tf[d][t] == 0:
                     continue
+                matched = True
                 df = sum(1 for dd in toks if tf[dd][t] > 0)
                 idf_milli = math.floor(
                     math.log(1 + (n_docs - df + 0.5) / (df + 0.5)) * 1000
@@ -178,7 +180,10 @@ def test_bm25_matches_serial_reference(spark):
                     + 9000 * lens[d]
                 )
                 s += num // den
-            if s:
+            # the engine ranks every doc containing >= 1 query term,
+            # INCLUDING docs whose contributions all floor to 0
+            # (idf_milli == 0 when df ~ N) — mirror that, don't drop
+            if matched:
                 scores[d] = s
         for rank, d in enumerate(
             sorted(scores, key=lambda d: (-scores[d], d)), start=1

@@ -69,12 +69,16 @@ _REGISTRY_PLANS: dict[str, str] = {}
 def _registry_plans(spark) -> dict[str, str]:
     """Build (once per test session) the executed plan of every
     registry query at SF — shared by the registry-wide plan sweeps so
-    the 212 query constructions are paid a single time."""
-    if not _REGISTRY_PLANS:
-        from mapreducego_spark.registry import QUERIES
+    the query constructions are paid a single time. Built into a
+    LOCAL dict and published only when complete: if a query raises
+    mid-build, a partially-populated module cache would make the
+    OTHER sweep silently pass on a prefix of the registry."""
+    from mapreducego_spark.registry import QUERIES
 
-        for name, fn in QUERIES.items():
-            _REGISTRY_PLANS[name] = _plan(fn(spark, SF))
+    if len(_REGISTRY_PLANS) != len(QUERIES):
+        built = {name: _plan(fn(spark, SF)) for name, fn in QUERIES.items()}
+        _REGISTRY_PLANS.clear()
+        _REGISTRY_PLANS.update(built)
     return _REGISTRY_PLANS
 
 

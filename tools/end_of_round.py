@@ -108,13 +108,18 @@ def main() -> None:
     n_skip_live = len(SKIP & set(QUERIES))
     with open(os.path.join(REPO, "STREAM_PLANS.json")) as fh:
         sp = json.load(fh)
-    sp_ok = sp["n_queries"] == n_skip_live == len(SKIP)
+    # an {"error": ...} entry has no red_flags key and would count as
+    # covered-and-clean — require explicitly zero capture errors too
+    sp_ok = (
+        sp["n_queries"] == n_skip_live == len(SKIP)
+        and sp.get("n_errors", 0) == 0
+    )
     ok = ok and sp_ok and sp["n_with_red_flags"] == 0
     print(
         f"STREAM_PLANS.json: n_queries {sp['n_queries']} vs live SKIP "
         f"set {n_skip_live} (declared {len(SKIP)}), red flags "
-        f"{sp['n_with_red_flags']} -> "
-        + ("MATCH" if sp_ok else "MISMATCH (stale coverage!)")
+        f"{sp['n_with_red_flags']}, errors {sp.get('n_errors', 0)} -> "
+        + ("MATCH" if sp_ok else "MISMATCH (stale coverage or errors!)")
     )
 
     dirty = subprocess.run(

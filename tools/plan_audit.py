@@ -67,6 +67,13 @@ SKIP = {
 # the flag exists for. (sql_wordcount_udf's former BatchEvalPython
 # waiver is gone: the plugin UDF is a pandas_udf since r4 and plans
 # as ArrowEvalPython.)
+#
+# SCOPE: every reason below describes a BroadcastNestedLoopJoin, so a
+# waiver clears ONLY that flag (_WAIVABLE_FLAGS). A CartesianProduct
+# or BatchEvalPython appearing in a waived query — e.g. via a newly
+# captured checkpoint intermediate — stays red; a blanket wipe would
+# let the intermediates mechanism be bypassed for every waived name.
+_WAIVABLE_FLAGS = {"BroadcastNestedLoopJoin"}
 WAIVED: dict[str, str] = {
     "dedup_embedding": "BNLJ vs broadcast 1-row guard aggregate; "
     "exact O(n^2) baseline is loud-fail guarded",
@@ -221,10 +228,16 @@ def main() -> None:
                 | {f for m in inter.values() for f in m["red_flags"]}
             )
         if entry["red_flags"] and name in WAIVED:
-            entry["red_flags_waived"] = {
-                "flags": entry["red_flags"], "reason": WAIVED[name]
-            }
-            entry["red_flags"] = []
+            waivable = [
+                f for f in entry["red_flags"] if f in _WAIVABLE_FLAGS
+            ]
+            if waivable:
+                entry["red_flags_waived"] = {
+                    "flags": waivable, "reason": WAIVED[name]
+                }
+            entry["red_flags"] = [
+                f for f in entry["red_flags"] if f not in _WAIVABLE_FLAGS
+            ]
         out[name] = entry
         print(name, json.dumps(entry))
     if not only:

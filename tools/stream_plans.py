@@ -12,17 +12,25 @@ This tool closes that gap. For each skipped entry it runs the query
 for real and captures, into STREAM_PLANS.json:
 
   * every `DataStreamWriter.start()` call's PRE-START plan (the
-    optimized streaming plan, tagged by the pipelines.py call site) —
-    captured by wrapping the writer class for the duration;
+    optimized LOGICAL streaming plan — Spark refuses to physically
+    plan a streaming source before start, so this capture is scanned
+    with LOGICAL-node patterns: the join-type list and a cross-join
+    red flag; physical-only statistics here would be structurally
+    zero and read as false-green), tagged by the pipelines.py call
+    site — captured by wrapping the writer class for the duration;
   * the same query's LAST-EXECUTION physical plan after the stream
     drains (`StreamingQuery.explainInternal`), which is where the
     stateful operators (StateStoreSave/Restore, session windows,
-    flatMapGroupsWithState) actually appear;
-  * the returned batch DataFrame's executed tail plan;
+    flatMapGroupsWithState) actually appear — THIS is the plan that
+    carries the full audit_plan statistics + red-flag scan;
+  * the returned batch DataFrame's executed tail plan (AQE disabled
+    for the session, same as plan_audit, so codegen/exchange counts
+    are comparable across the two artifacts);
 
-each run through the SAME audit_plan statistics + red-flag scan as
-PLAN_AUDIT (plus a state-store operator count for the streaming
-plans), with the same explicit waiver mechanism.
+with the same explicit waiver mechanism as PLAN_AUDIT. A query whose
+construction or capture ERRORS is recorded, counted in `n_errors`,
+and fails the run (non-zero exit) — an error entry is missing
+evidence, not a green row.
 
 Usage: python tools/stream_plans.py [query ...]
 """
@@ -76,10 +84,27 @@ def _audit(plan: str) -> dict:
     return entry
 
 
+def _audit_logical(plan: str) -> dict:
+    """Red-flag scan for a LOGICAL plan (the only form available for
+    a streaming DataFrame pre-start): logical joins print as
+    'Join <Type>', so physical-node patterns (CartesianProduct,
+    BatchEvalPython, Exchange) would match nothing and certify
+    nothing. Scans what logical plans can actually show: the join
+    types (Cross = the cartesian failure mode) and Python-eval
+    logical nodes."""
+    import re
+
+    joins = sorted(set(re.findall(r"\bJoin (\w+)", plan)))
+    flags = []
+    if "Cross" in joins or "Join Cross" in plan:
+        flags.append("CrossJoin(logical)")
+    return {"plan_form": "logical", "joins": joins, "red_flags": flags}
+
+
 def _drain_starts() -> list[dict]:
     out = []
     for tag, pre, q in _STARTS:
-        item: dict = {"start_site": tag, "pre_start": _audit(pre)}
+        item: dict = {"start_site": tag, "pre_start": _audit_logical(pre)}
         try:
             # the last micro-batch's physical plan — valid after the
             # availableNow drain even though the query has stopped
@@ -99,6 +124,12 @@ def main() -> None:
     _install_start_capture()
     spark = get_spark("stream_plans")
     spark.sparkContext.setLogLevel("ERROR")
+    # Same static-plan view as plan_audit: with AQE on, tail plans
+    # are AdaptiveSparkPlan(isFinalPlan=false) wrappers with zero
+    # codegen spans — not comparable with PLAN_AUDIT's statistics.
+    # (The in-stream micro-batch plans are unaffected: structured
+    # streaming plans its batches outside AQE.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     names = [n for n in QUERIES if n in SKIP and (not only or n in only)]
     out: dict[str, dict] = {}
     for name in names:
@@ -141,23 +172,39 @@ def main() -> None:
             ),
             flush=True,
         )
+    # An error anywhere is MISSING EVIDENCE, not a green row: count
+    # query-level construction errors and per-stream last_execution
+    # capture errors, and fail the run on either (so end_of_round's
+    # regeneration step fails loudly instead of committing a gate
+    # that silently stopped inspecting a query).
+    n_errors = sum(1 for v in out.values() if "error" in v) + sum(
+        1
+        for v in out.values()
+        for s in v.get("streams", [])
+        if "error" in s.get("last_execution", {})
+    )
+    n_flag = sum(1 for v in out.values() if v.get("red_flags"))
     if not only:
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "STREAM_PLANS.json",
         )
-        n_flag = sum(1 for v in out.values() if v.get("red_flags"))
         with open(path, "w") as fh:
             json.dump(
                 {
                     "sf_dir": SF_DIR,
                     "n_queries": len(out),
                     "n_with_red_flags": n_flag,
+                    "n_errors": n_errors,
                     "plans": out,
                 },
                 fh, indent=1, sort_keys=True,
             )
-        print(f"wrote {path} ({n_flag} queries with red flags)")
+        print(
+            f"wrote {path} ({n_flag} queries with red flags, "
+            f"{n_errors} capture errors)"
+        )
+    sys.exit(1 if n_errors else 0)
 
 
 if __name__ == "__main__":

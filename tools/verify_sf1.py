@@ -95,13 +95,17 @@ def main() -> None:
         print(query, results.get(query, {}).get("status", "NO OUTPUT"),
               f"({q_dir})", flush=True)
     missing = [q for q in QUERIES if q not in results]
+    n_pass = sum(1 for v in results.values() if v["status"] == "PASS")
     out = {
         "sf_dir": sf1_dir,
         "oracle_scale_fallbacks": FALLBACK_SF,
         "n_queries": len(QUERIES),
-        "n_pass": sum(1 for v in results.values() if v["status"] == "PASS"),
-        "n_fail": sum(1 for v in results.values() if v["status"] == "FAIL")
-        + len(missing),
+        "n_pass": n_pass,
+        # anything that is not an explicit oracle PASS fails the gate:
+        # a 'rows' outcome means the query LOST its oracle (rename /
+        # refactor) and the spot-check silently stopped checking it —
+        # that is a failure of the gate's purpose, not a third state
+        "n_fail": len(QUERIES) - n_pass,
         "missing": missing,
         "results": results,
     }
