@@ -587,10 +587,80 @@ QUERIES: dict[str, QueryFn] = {
     "copurchase_triples": R.copurchase_triples,
 }
 
-# ORDERING (round 8): the round driver verifies the FIRST 50 entries
+# ORDERING (round 9): the round driver verifies the FIRST 50 entries
 # in insertion order, so the dict is re-sequenced by verification
-# need each round. The r8 window is tools/staleness.py's proposal
-# taken VERBATIM (the r7 verdict's demand): the 13 entries that have
+# need each round. The r9 window is tools/staleness.py's proposal
+# taken VERBATIM (the r8 verdict's demand #1): the 2 entries that
+# have never had a driver CORRECTNESS row (bm25_topk and
+# curriculum_oversample, both new in r8 after that round's window
+# froze — the r8 deferral note below named exactly these two), then
+# all 16 r4-stale entries, then the 32 oldest r5-stale entries
+# alphabetically. After this window the max staleness is r5
+# (scalar_functions) and nothing shipped before r9 is never-checked.
+# Entries NEW IN R9 (added after this window froze, first in line
+# for the r10 window; each oracle-green in the regenerated
+# VERIFY_LOCAL and pinned by pytests until then) are listed at the
+# r10-deferral note next to the reorder statement below.
+_R9_WINDOW = [
+    # (1) the 2 never-driver-checked entries (r8 verdict item 1)
+    "curriculum_oversample",
+    "bm25_topk",
+    # (2) the 16 r4-stale entries, alphabetical
+    "stream_dedup_sink",
+    "stream_enrich_sink",
+    "stream_join_sink",
+    "stream_session_sink",
+    "stream_sliding_sink",
+    "stream_tumbling_sink",
+    "string_functions2",
+    "text_stats",
+    "token_count",
+    "upsert_documents",
+    "vector_ann_ivf",
+    "vector_ann_lsh",
+    "window_session",
+    "window_sliding",
+    "window_tumbling",
+    "xml_round_trip",
+    # (3) the 32 oldest r5-stale entries, alphabetical
+    "agg_approx_distinct",
+    "agg_basic",
+    "agg_collect",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_histogram",
+    "agg_minmax_by",
+    "agg_percentile_approx",
+    "agg_percentiles",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_unpivot",
+    "computed_columns",
+    "decontaminate_embedding",
+    "dedup_spans",
+    "distinct_rows",
+    "explode_outer",
+    "filter_project",
+    "join_anti",
+    "join_asof",
+    "join_broadcast",
+    "join_full_outer",
+    "join_inner",
+    "join_left_outer",
+    "join_semi",
+    "join_theta",
+    "json_extract",
+    "knn_label_vote",
+    "mr_wordcount",
+    "null_functions",
+    "pagerank",
+]
+assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
+
+# r8 window kept for the record (see NOTES_r08.md). The r8 window was
+# tools/staleness.py's proposal taken VERBATIM (the r7 verdict's
+# demand): the 13 entries that have
 # never had a driver CORRECTNESS row (incl. json_rescue and
 # prepare_corpus_mixed, which the r7 deferral note below omitted —
 # both new in r7, neither in _R7_WINDOW), then all 11 r3-stale
@@ -807,8 +877,14 @@ _R6_WINDOW = [
     "q8_market_share",
 ]
 assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
-QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_R8_WINDOW)
+# r10-deferral note (kept in ONE place so staleness report and prose
+# cannot diverge): entries NEW IN R9, added after _R9_WINDOW froze,
+# are first in line for the r10 window. As of end-of-round 9 that
+# list is: multimodal_jpeg_meta. Each is oracle-green in the
+# regenerated full VERIFY_LOCAL and pinned by pytests until its
+# driver row lands.
+QUERIES = {name: QUERIES[name] for name in _R9_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R9_WINDOW)
 }
 
 
