@@ -18,6 +18,57 @@ from mapreducego_spark.sources.catalog import load_table
 SF = "/root/testdata/sf0.01"
 
 
+def _window_spec_first_args(plan_line: str) -> list[str]:
+    """Full first argument of every windowspecdefinition(...) on the
+    line, with balanced-paren awareness: a naive split at the first
+    comma truncates function-call sort expressions (e.g.
+    `coalesce(a, b) ASC` -> `coalesce(a`), mis-classifying an
+    order-only window as partitioned (r8 ADVICE). The first argument
+    ends at the first comma at paren depth 0."""
+    out = []
+    marker = "windowspecdefinition("
+    start = 0
+    while True:
+        i = plan_line.find(marker, start)
+        if i < 0:
+            return out
+        depth = 0
+        arg_start = i + len(marker)
+        for j in range(arg_start, len(plan_line)):
+            ch = plan_line[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:  # spec closed before any comma
+                    out.append(plan_line[arg_start:j])
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append(plan_line[arg_start:j])
+                break
+        else:
+            out.append(plan_line[arg_start:])
+        start = arg_start
+
+
+def _is_sort_expr(first_arg: str) -> bool:
+    """True when the spec's first argument is itself a sort item
+    (` ASC`/` DESC` outside parens) — i.e. the window has NO
+    partition columns."""
+    depth = 0
+    for tok_start in range(len(first_arg)):
+        ch = first_arg[tok_start]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and first_arg.startswith(
+            (" ASC", " DESC"), tok_start
+        ):
+            return True
+    return False
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -120,8 +171,6 @@ def test_no_unpartitioned_window_in_registry(spark):
     folds away — as a SINGLE partition: one task sorts the world,
     dead at 100 TB. Waivers (bounded-input) are an explicit dict
     with the bounding argument on record."""
-    import re
-
     violations = []
     for name, plan in _registry_plans(spark).items():
         if name in _UNPARTITIONED_WINDOW_WAIVERS:
@@ -132,13 +181,13 @@ def test_no_unpartitioned_window_in_registry(spark):
             # an ORDER-BY-only spec starts with the sort column list
             # directly: windowspecdefinition(col#1, col#2 ASC ...) is
             # partitioned; windowspecdefinition(col#2 ASC ...) is not
-            m = re.search(r"windowspecdefinition\(([^,]+),", line)
-            if m is None:
+            args = _window_spec_first_args(line)
+            if not args:
                 violations.append(f"{name}: unparsable spec: {line}")
                 continue
-            first_arg = m.group(1)
-            if " ASC" in first_arg or " DESC" in first_arg:
-                violations.append(f"{name}: {line.strip()[:160]}")
+            for first_arg in args:
+                if _is_sort_expr(first_arg):
+                    violations.append(f"{name}: {line.strip()[:160]}")
     assert not violations, (
         f"{len(violations)} unpartitioned global window(s):\n"
         + "\n".join(violations)
@@ -427,8 +476,6 @@ def test_no_single_partition_global_window(spark):
     unpartitioned window (Spark plans `row_number() OVER (ORDER BY
     ...)` with no PARTITION BY as a single partition: one task sorts
     the world, dead at 100 TB)."""
-    import re
-
     from mapreducego_spark.operators.fuzzy import snm_match_customers
     from mapreducego_spark.operators.relational import quantile_normalize
 
@@ -443,9 +490,10 @@ def test_no_single_partition_global_window(spark):
             # so require a partitionBy column list prefix:
             # windowspecdefinition(col#1, col#2 ASC ... would be
             # partitioned; windowspecdefinition(col#2 ASC ... is not
-            m = re.search(r"windowspecdefinition\(([^,]+),", line)
-            assert m is not None, line
-            first_arg = m.group(1)
-            assert " ASC" not in first_arg and " DESC" not in first_arg, (
-                "unpartitioned global window found: " + line.strip()[:200]
-            )
+            args = _window_spec_first_args(line)
+            assert args, line
+            for first_arg in args:
+                assert not _is_sort_expr(first_arg), (
+                    "unpartitioned global window found: "
+                    + line.strip()[:200]
+                )

@@ -153,7 +153,10 @@ def _install_checkpoint_capture() -> None:
 
     orig = DataFrame.localCheckpoint
 
-    def capturing(self, eager: bool = True):
+    # *args/**kwargs: PySpark 4.x localCheckpoint also accepts
+    # storageLevel — forward everything so a call site using it
+    # doesn't TypeError only under audit.
+    def capturing(self, *args, **kwargs):
         caller = inspect.stack()[1]
         tag = f"{os.path.basename(caller.filename)}:{caller.lineno}"
         try:
@@ -161,7 +164,7 @@ def _install_checkpoint_capture() -> None:
         except Exception as ex:  # noqa: BLE001
             plan = f"<plan unavailable: {ex}>"
         _INTERMEDIATES.append((tag, plan))
-        return orig(self, eager)
+        return orig(self, *args, **kwargs)
 
     DataFrame.localCheckpoint = capturing
 

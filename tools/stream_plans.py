@@ -90,15 +90,40 @@ def _audit_logical(plan: str) -> dict:
     'Join <Type>', so physical-node patterns (CartesianProduct,
     BatchEvalPython, Exchange) would match nothing and certify
     nothing. Scans what logical plans can actually show: the join
-    types (Cross = the cartesian failure mode) and Python-eval
-    logical nodes."""
+    types (Cross = the cartesian red flag) and, INFORMATIONALLY, the
+    Python-eval LOGICAL nodes (MapInPandas /
+    FlatMapGroupsInPandas[WithState] / FlatMapCoGroupsInPandas /
+    PythonMapInArrow). Those are recorded in `python_eval_nodes`,
+    NOT red-flagged: the repo's discipline (plan_audit.audit_plan)
+    reds only row-at-a-time BatchEvalPython, which is a PHYSICAL
+    node a logical plan cannot show — deciding batch-vs-arrow is
+    the last-execution physical scan's job, and scalar UDFs
+    registered under arbitrary names can hide from the logical scan
+    anyway. This field exists so a Python-eval node appearing in a
+    pre-start plan is visible in the artifact rather than silently
+    unexamined (r8 ADVICE)."""
     import re
 
     joins = sorted(set(re.findall(r"\bJoin (\w+)", plan)))
     flags = []
     if "Cross" in joins or "Join Cross" in plan:
         flags.append("CrossJoin(logical)")
-    return {"plan_form": "logical", "joins": joins, "red_flags": flags}
+    py_nodes = sorted(
+        set(
+            re.findall(
+                r"\b(MapInPandas|FlatMapGroupsInPandasWithState"
+                r"|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas"
+                r"|PythonMapInArrow)\b",
+                plan,
+            )
+        )
+    )
+    return {
+        "plan_form": "logical",
+        "joins": joins,
+        "python_eval_nodes": py_nodes,
+        "red_flags": flags,
+    }
 
 
 def _drain_starts() -> list[dict]:

@@ -151,10 +151,10 @@ def main():
                 "hash_match": True,
             }
             print(f"PASS  {name}: {len(spark_rows)} rows")
-    if not only and SF_DIR.endswith("sf0.01"):
-        import json as _json
-        import os as _os
+    import json as _json
+    import os as _os
 
+    if not only and SF_DIR.endswith("sf0.01"):
         out = _os.path.join(_os.path.dirname(_os.path.dirname(
             _os.path.abspath(__file__))), "VERIFY_LOCAL.json")
         with open(out, "w") as fh:
@@ -163,6 +163,17 @@ def main():
                  "n_failures": len(failures), "results": results},
                 fh, indent=1)
         print(f"wrote {out}")
+    # Machine-readable per-run artifact for tool callers (verify_sf1
+    # formerly scraped the human stdout via substring markers, which
+    # broke silently on any wording change — r8 ADVICE): written for
+    # ANY run shape, subset or full, at the caller-chosen path.
+    machine_out = _os.environ.get("SPARK_GRAFT_VERIFY_OUT")
+    if machine_out:
+        with open(machine_out, "w") as fh:
+            _json.dump(
+                {"sf_dir": SF_DIR, "n_queries": len(results),
+                 "n_failures": len(failures), "results": results},
+                fh, indent=1)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 

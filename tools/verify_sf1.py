@@ -74,24 +74,48 @@ def main() -> None:
     # per query; correctness evidence is worth the ~30s each.
     for query in QUERIES:
         q_dir = FALLBACK_SF.get(query, sf1_dir)
-        q_env = dict(env, SPARK_GRAFT_VERIFY_SF=q_dir)
+        machine_out = os.path.join(
+            "/tmp", f"verify_sf1_{query}.json"
+        )
+        if os.path.exists(machine_out):
+            os.remove(machine_out)
+        q_env = dict(
+            env,
+            SPARK_GRAFT_VERIFY_SF=q_dir,
+            SPARK_GRAFT_VERIFY_OUT=machine_out,
+        )
         r = subprocess.run(
             [sys.executable, os.path.join(HERE, "verify_local.py"), query],
             cwd=REPO, env=q_env, capture_output=True, text=True,
         )
-        for line in r.stdout.splitlines():
-            # Spark progress bars prepend to stdout lines
-            for status in ("PASS", "FAIL", "rows"):
-                marker = f"{status}  "
-                if marker in line:
-                    rest = line.split(marker, 1)[1]
-                    name = rest.split(":", 1)[0].strip()
-                    if name == query:
-                        results[name] = {
-                            "status": status,
-                            "sf_dir": q_dir,
-                            "detail": rest.split(":", 1)[1].strip()[:300],
-                        }
+        # Read verify_local's machine-readable per-run artifact (the
+        # former stdout scraping broke silently on wording changes —
+        # r8 ADVICE). A missing/unparsable artifact or a subprocess
+        # crash surfaces as an explicit SUBPROCESS_ERROR row, which
+        # the n_pass gate counts as a failure.
+        try:
+            with open(machine_out) as fh:
+                run = json.load(fh)
+            entry = run["results"][query]
+            status = {
+                "PASS": "PASS",
+                "FAIL": "FAIL",
+                "rows_only_by_design": "rows",
+            }[entry["status"]]
+            detail = str(
+                entry.get("err") or entry.get("rows")
+                or entry.get("spark_rows") or ""
+            )[:300]
+            results[query] = {
+                "status": status, "sf_dir": q_dir, "detail": detail,
+            }
+        except Exception as ex:  # noqa: BLE001
+            results[query] = {
+                "status": "SUBPROCESS_ERROR",
+                "sf_dir": q_dir,
+                "detail": f"{ex}; rc={r.returncode}; "
+                f"stderr tail: {r.stderr[-200:]}",
+            }
         print(query, results.get(query, {}).get("status", "NO OUTPUT"),
               f"({q_dir})", flush=True)
     missing = [q for q in QUERIES if q not in results]
