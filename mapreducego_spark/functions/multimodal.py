@@ -402,6 +402,238 @@ def multimodal_decode(
     ).orderBy("media_id")
 
 
+JPEG_SOI = b"\xff\xd8"
+
+
+def _jpeg_segment(marker: int, data: bytes) -> bytes:
+    """One marker segment: FF <marker> <2-byte big-endian length
+    INCLUDING the length field itself> <data> (ITU-T T.81 §B.1.1.4)."""
+    return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+
+def encode_jpeg_headers(
+    width: int,
+    height: int,
+    components: int = 3,
+    progressive: bool = False,
+    density_unit: int = 0,
+    x_density: int = 1,
+    y_density: int = 1,
+    entropy: bytes = b"",
+) -> bytes:
+    """Minimal structurally-valid JPEG/JFIF writer (pure stdlib,
+    ITU-T T.81 Annex B + JFIF 1.02): SOI, APP0-JFIF (version 1.2,
+    density), COM, DQT, SOF0 (baseline) or SOF2 (progressive), DHT,
+    SOS, entropy-coded filler with spec-correct 0xFF byte stuffing
+    (every 0xFF in the coded data is followed by 0x00, §B.1.1.5, so
+    a marker scan never misfires inside the scan), EOI. The quant /
+    Huffman tables are deterministic placeholders — this writer
+    exists to stage REAL marker structure for the metadata tier's
+    fixtures, not to produce viewable pixels; a strict header parser
+    must walk it exactly like a camera JPEG."""
+    if not (0 < width < 65536 and 0 < height < 65536):
+        raise ValueError("JPEG dimensions must fit in uint16")
+    if components not in (1, 3):
+        raise ValueError("components must be 1 (gray) or 3 (YCbCr)")
+    app0 = (
+        b"JFIF\x00"
+        + bytes([1, 2, density_unit])
+        + struct.pack(">HH", x_density, y_density)
+        + b"\x00\x00"  # no thumbnail
+    )
+    dqt = bytes([0]) + bytes(range(1, 65))  # table 0, 8-bit, 64 entries
+    sof_comps = b"".join(
+        # id, sampling factors (2x2 luma / 1x1 chroma), quant table 0
+        bytes([cid, 0x22 if cid == 1 else 0x11, 0])
+        for cid in range(1, components + 1)
+    )
+    sof = (
+        bytes([8])  # precision
+        + struct.pack(">HH", height, width)
+        + bytes([components])
+        + sof_comps
+    )
+    dht = bytes([0]) + bytes([0] * 15 + [1]) + bytes([0])  # 1 code, len 16
+    sos = (
+        bytes([components])
+        + b"".join(bytes([cid, 0]) for cid in range(1, components + 1))
+        + bytes([0, 63, 0])  # spectral selection + approximation
+    )
+    stuffed = entropy.replace(b"\xff", b"\xff\x00")
+    return (
+        JPEG_SOI
+        + _jpeg_segment(0xE0, app0)
+        + _jpeg_segment(0xFE, b"mapreducego_spark fixture")
+        + _jpeg_segment(0xDB, dqt)
+        + _jpeg_segment(0xC2 if progressive else 0xC0, sof)
+        + _jpeg_segment(0xC4, dht)
+        + _jpeg_segment(0xDA, sos)
+        + stuffed
+        + b"\xff\xd9"
+    )
+
+
+def jpeg_meta(payload: bytes) -> dict:
+    """Header-level JPEG metadata parse (pure stdlib, ITU-T T.81
+    §B.2 marker walk): dimensions / precision / component count from
+    the first SOF0/SOF1/SOF2 frame header, pixel-density fields from
+    the JFIF APP0 segment, progressive = SOF2. Walks segments by
+    their length fields (so APPn/COM/DQT/DHT of any size are skipped
+    correctly) and STOPS at SOS — every metadata segment precedes
+    the entropy-coded scan, which is exactly how production header
+    sniffers (imagesize, exiftool fast mode) avoid reading the body.
+    Raises loudly on anything structurally non-JPEG: no silent
+    guesses on the most common web image format. Pixel DECODE for
+    JPEG remains a declared NotImplementedError in decode_image —
+    this closes the metadata tier only.
+
+    Standalone markers without a length field (RSTn, TEM) are
+    tolerated between segments; 0xFF fill bytes before a marker are
+    skipped per §B.1.1.2."""
+    if payload[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG payload (missing SOI)")
+    out = {
+        "width": None, "height": None, "components": None,
+        "precision": None, "progressive": None,
+        "density_unit": None, "x_density": None, "y_density": None,
+    }
+    pos = 2
+    n = len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        # skip 0xFF fill bytes
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any SOS/SOF
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn / TEM
+            continue
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment header")
+        (seg_len,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seg_len < 2 or pos + seg_len > n:
+            raise ValueError("JPEG segment length out of bounds")
+        data = payload[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xE0 and data[:5] == b"JFIF\x00":
+            out["density_unit"] = data[7]
+            out["x_density"], out["y_density"] = struct.unpack(
+                ">HH", data[8:12]
+            )
+        elif marker in (0xC0, 0xC1, 0xC2):
+            out["precision"] = data[0]
+            out["height"], out["width"] = struct.unpack(">HH", data[1:5])
+            out["components"] = data[5]
+            out["progressive"] = marker == 0xC2
+        elif marker == 0xDA:  # start of scan: all metadata is behind us
+            break
+    if out["width"] is None:
+        raise ValueError("JPEG contains no SOF frame header")
+    return out
+
+
+def _jpeg_fixture_params(i: int) -> dict:
+    """Deterministic per-index JPEG staging parameters — every field
+    is plain integer arithmetic so the DuckDB oracle reconstructs
+    the parsed metadata without touching bytes."""
+    return {
+        "width": (i * 7) % 1200 + 8,
+        "height": (i * 13) % 900 + 8,
+        "components": 1 if i % 4 == 0 else 3,
+        "progressive": i % 5 == 0,
+        "density_unit": i % 3,
+        "x_density": i % 300 + 1,
+        "y_density": i % 200 + 1,
+    }
+
+
+def stage_jpeg_media(sf_dir: str, n: int = 240) -> str:
+    """Write ``n`` real deterministic JPEG header files (same
+    driver-side staging contract as stage_png_media). Entropy filler
+    is md5(str(i)) tiled to i % 777 + 64 bytes, byte-stuffed by the
+    encoder."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_media/{tag}_jpeg{n}"
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        for i in range(n):
+            d = hashlib.md5(str(i).encode()).digest()
+            n_fill = i % 777 + 64
+            entropy = (d * (n_fill // 16 + 1))[:n_fill]
+            jpg = encode_jpeg_headers(
+                entropy=entropy, **_jpeg_fixture_params(i)
+            )
+            with open(os.path.join(out, f"media_{i:05d}.jpg"), "wb") as fh:
+                fh.write(jpg)
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+    return out
+
+
+def multimodal_jpeg_meta(
+    spark: SparkSession, sf_dir: str, n: int = 240
+) -> DataFrame:
+    """Registry entry (r8 verdict item 2): REAL JPEG bytes -> header
+    metadata in this container. Staged JFIF files are scanned with
+    the distributed binaryFile source and parsed by the pure-stdlib
+    marker walk (jpeg_meta) inside one Arrow-batched mapInPandas
+    pass — same shape as multimodal_decode; reference analog: the
+    opaque-bytes input contract at master.go:82. The oracle
+    reconstructs every emitted column arithmetically from the
+    deterministic fixture parameters, so the whole path (encoder's
+    marker structure -> distributed scan -> parser) is hash-gated:
+    a single mis-walked segment or endianness slip diverges.
+
+    Scale shape: files scanned distributed, payloads cross into
+    Python once per Arrow batch, the parser touches only header
+    bytes (stops at SOS); metadata-only consumers prune before any
+    pixel work exists at all."""
+    path = stage_jpeg_media(sf_dir, n)
+    media = (
+        spark.read.format("binaryFile")
+        .load(path + "/media_*.jpg")
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                m = jpeg_meta(bytes(p))
+                rows.append(
+                    (
+                        int(mid), m["width"], m["height"],
+                        m["components"], m["precision"],
+                        bool(m["progressive"]), m["density_unit"],
+                        m["x_density"], m["y_density"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "components",
+                    "precision", "progressive", "density_unit",
+                    "x_density", "y_density",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, width int, height int, components int, "
+        "precision int, progressive boolean, density_unit int, "
+        "x_density int, y_density int",
+    ).orderBy("media_id")
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable slice of the multimodal tier: per-mime
     byte-size stats over the binary payload column (everything here

@@ -563,6 +563,11 @@ QUERIES: dict[str, QueryFn] = {
     # REAL bytes->pixels: staged PNG files, binaryFile scan, pure-
     # stdlib decode (zlib + unfiltering) in one mapInPandas pass
     "multimodal_decode": M.multimodal_decode,
+    # REAL JPEG bytes -> header metadata (new in r9, r8 verdict item
+    # 2): staged JFIF files, binaryFile scan, pure-stdlib ITU-T T.81
+    # marker walk (SOF0/SOF2 dims + JFIF density) in one mapInPandas
+    # pass; the former most-common-format stub, closed
+    "multimodal_jpeg_meta": M.multimodal_jpeg_meta,
     # temperature-scaled source mixing (n^alpha apportionment, exact
     # integer micro-shares + largest-remainder seats)
     "curriculum_mix": T.curriculum_mix,
@@ -4618,6 +4623,28 @@ SELECT CAST(media_id AS BIGINT) AS media_id, width, height,
             + COALESCE(list_sum(db[1 : npx % 16]), 0) AS BIGINT) AS px_sum,
        md5(substr(repeat(hx, npx // 16 + 1), 1, npx * 2)) AS feature_hash
 FROM e
+ORDER BY media_id
+"""
+
+# Real JPEG header parse: every staged JFIF field is a pure function
+# of media_id (multimodal._jpeg_fixture_params), so the oracle
+# reconstructs the parsed metadata with integer arithmetic — a hash
+# match proves the ITU-T T.81 marker walk (segment-length skipping,
+# SOF0/SOF2 frame header, JFIF APP0 density) read the exact bytes
+# the encoder laid down, endianness and offsets included.
+ORACLES["multimodal_jpeg_meta"] = """
+WITH m AS (SELECT unnest(range(240)) AS media_id)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST((media_id * 7) % 1200 + 8 AS INT) AS width,
+       CAST((media_id * 13) % 900 + 8 AS INT) AS height,
+       CAST(CASE WHEN media_id % 4 = 0 THEN 1 ELSE 3 END AS INT)
+           AS components,
+       CAST(8 AS INT) AS precision,
+       media_id % 5 = 0 AS progressive,
+       CAST(media_id % 3 AS INT) AS density_unit,
+       CAST(media_id % 300 + 1 AS INT) AS x_density,
+       CAST(media_id % 200 + 1 AS INT) AS y_density
+FROM m
 ORDER BY media_id
 """
 

@@ -257,3 +257,88 @@ def test_multimodal_decode_matches_serial_reference(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["px_sum"] == sum(px)
         assert r["feature_hash"] == hashlib.md5(px.hex().encode()).hexdigest()
+
+
+def test_jpeg_meta_parses_encoder_output():
+    """Marker walk recovers every header field the writer laid down,
+    for both baseline (SOF0) and progressive (SOF2) and both 1- and
+    3-component frames."""
+    from mapreducego_spark.functions.multimodal import (
+        encode_jpeg_headers,
+        jpeg_meta,
+    )
+
+    for params in [
+        dict(width=640, height=480, components=3, progressive=False,
+             density_unit=1, x_density=72, y_density=72),
+        dict(width=8, height=65535, components=1, progressive=True,
+             density_unit=0, x_density=1, y_density=1),
+    ]:
+        jpg = encode_jpeg_headers(entropy=b"\xff\x00\xab" * 40, **params)
+        meta = jpeg_meta(jpg)
+        for key, val in params.items():
+            assert meta[key] == val, (key, meta)
+        assert meta["precision"] == 8
+
+
+def test_jpeg_meta_skips_unknown_segments_and_stuffed_ff():
+    """An APP1 (Exif-style) segment containing bytes that LOOK like
+    markers must be skipped by its length field, and entropy data
+    containing raw 0xFF bytes must be stuffed so the pre-SOS walk
+    never misfires."""
+    import struct as _s
+
+    from mapreducego_spark.functions.multimodal import (
+        encode_jpeg_headers,
+        jpeg_meta,
+    )
+
+    jpg = encode_jpeg_headers(
+        width=33, height=44, entropy=bytes(range(256)) * 3
+    )
+    # splice an APP1 whose payload embeds fake SOF/SOS marker bytes
+    evil = b"Exif\x00\x00" + b"\xff\xc0\xff\xda\xff\xd9" * 4
+    app1 = b"\xff\xe1" + _s.pack(">H", len(evil) + 2) + evil
+    spliced = jpg[:2] + app1 + jpg[2:]
+    meta = jpeg_meta(spliced)
+    assert (meta["width"], meta["height"]) == (33, 44)
+    assert meta["progressive"] is False
+
+
+def test_jpeg_meta_raises_loudly_on_garbage():
+    from mapreducego_spark.functions.multimodal import (
+        encode_jpeg_headers,
+        jpeg_meta,
+    )
+
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_meta(b"\x89PNG\r\n")
+    with pytest.raises(ValueError, match="no SOF"):
+        jpeg_meta(b"\xff\xd8\xff\xd9")  # SOI + EOI, no frame
+    jpg = encode_jpeg_headers(width=10, height=10)
+    with pytest.raises(ValueError):
+        jpeg_meta(jpg[:2] + b"\x00\x00")  # non-marker byte after SOI
+
+
+def test_multimodal_jpeg_meta_matches_serial_reference(spark):
+    """The distributed entry must reproduce the per-file serial
+    parse of the same staged files."""
+    from mapreducego_spark.functions.multimodal import (
+        _jpeg_fixture_params,
+        multimodal_jpeg_meta,
+    )
+
+    rows = multimodal_jpeg_meta(
+        spark, "/root/testdata/sf0.001", n=24
+    ).collect()
+    assert len(rows) == 24
+    for r in rows:
+        p = _jpeg_fixture_params(r["media_id"])
+        assert r["width"] == p["width"]
+        assert r["height"] == p["height"]
+        assert r["components"] == p["components"]
+        assert r["progressive"] == p["progressive"]
+        assert r["density_unit"] == p["density_unit"]
+        assert r["x_density"] == p["x_density"]
+        assert r["y_density"] == p["y_density"]
+        assert r["precision"] == 8
