@@ -361,6 +361,16 @@ def main() -> None:
     # that budget. Everything else lives in BENCH_DETAIL.json.
     here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    # Ratio-of-ratios scale profile (tools/scale_profile.py, r8
+    # verdict item 5): embedded verbatim when present so the detail
+    # artifact carries the third-scale-point diagnosis rows.
+    profile_path = os.path.join(here, "SCALE_PROFILE.json")
+    if os.path.exists(profile_path):
+        try:
+            with open(profile_path) as fh:
+                out["scale_profile"] = json.load(fh)
+        except (OSError, ValueError) as ex:
+            out["scale_profile"] = {"error": str(ex)[:200]}
     try:
         with open(detail_path, "w") as fh:
             json.dump(out, fh, indent=1)

@@ -3573,6 +3573,86 @@ ORDER BY true_cnt DESC, term ASC
 
 ORACLES["jaccard_prefix_join"] = ORACLES["ngram_jaccard"]
 
+# ---------------------------------------------------------------
+# SCALE_ORACLES: alternate oracle SQL used ONLY for larger-than-
+# driver-gate verification runs (tools/verify_local.py picks these
+# when SPARK_GRAFT_VERIFY_SF points away from sf0.01). The driver
+# gate keeps the NAIVE oracles above — maximum independence from the
+# engine's algorithm — while these close the scales the naive form
+# cannot reach on one node.
+#
+# jaccard_prefix_join (r8 verdict item 4): the naive inverted-index
+# oracle materializes the full sum-C(df,2) candidate pair stream; at
+# sf1 its out-of-core grouping exceeded the box's free disk (>80 GB
+# spill). This variant applies the SAME AllPairs/PPJoin prefix
+# theory (Bayardo WWW'07; Xiao WWW'08) in DuckDB: canonical dense
+# shingle ids by (df asc, shingle asc), per-doc sorted id arrays,
+# A = pair's smaller record explodes only its MID-PREFIX
+# (n - ceil(2t/(1+t)*n) + 1 ids), B its probe prefix
+# (n - ceil(t*n) + 1), candidates equi-join on the shared id with
+# the t*|B| <= |A| length filter, then EXACT list_intersect
+# verification. t = 0.5 hardcoded like the naive form.
+# Independence caveat, on record: this shares the prefix THEOREM
+# with the engine (a wrong-formula bug common to both would cancel),
+# but shares no code, no execution engine, and no candidate
+# enumeration order; the theorem itself is hash-proven against the
+# naive oracle at sf0.01/sf0.1 by the driver gate every round.
+# AS MATERIALIZED: DuckDB inlines CTEs referenced twice, which would
+# re-evaluate the whole shingle pipeline per reference (the r7
+# dedup_clusters lesson).
+SCALE_ORACLES: dict[str, str] = {}
+SCALE_ORACLES["jaccard_prefix_join"] = """
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN len(t) >= 2
+                THEN list_distinct(list_transform(
+                         range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS shingles
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             x -> len(x) > 0) AS t
+          FROM documents)
+), posting AS MATERIALIZED (
+    SELECT doc_id, unnest(shingles) AS sh
+    FROM toks WHERE len(shingles) > 0
+), sid_tab AS MATERIALIZED (
+    SELECT sh, dense_rank() OVER (ORDER BY df, sh) AS sid
+    FROM (SELECT sh, COUNT(*) AS df FROM posting GROUP BY sh)
+), docs2 AS MATERIALIZED (
+    SELECT p.doc_id, list_sort(list(s.sid)) AS sids,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM posting p JOIN sid_tab s USING (sh)
+    GROUP BY p.doc_id
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM (SELECT doc_id, n,
+                 unnest(sids[1 : CAST(n - ((2*n + 2) // 3) + 1 AS INT)])
+                     AS sid
+          FROM docs2) a
+    JOIN (SELECT doc_id, n,
+                 unnest(sids[1 : CAST(n - ((n + 1) // 2) + 1 AS INT)])
+                     AS sid
+          FROM docs2) b
+      ON a.sid = b.sid
+    WHERE (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+      AND 2 * a.n >= b.n
+), verified AS (
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(da.sids, db.sids)) AS BIGINT)
+               AS n_inter,
+           da.n AS n_a, db.n AS n_b
+    FROM cand c
+    JOIN docs2 da ON da.doc_id = c.id_a
+    JOIN docs2 db ON db.doc_id = c.id_b
+)
+SELECT least(id_a, id_b) AS doc_a, greatest(id_a, id_b) AS doc_b,
+       round(CAST(n_inter AS DOUBLE)
+             / CAST(n_a + n_b - n_inter AS DOUBLE), 6) AS jaccard
+FROM verified
+WHERE CAST(n_inter AS DOUBLE)
+      / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.5
+"""
+
 # Equi-depth histogram: ntile over the same (value, event_id) total
 # order; both engines define ntile identically (larger buckets first).
 ORACLES["hist_equi_depth"] = """

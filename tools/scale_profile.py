@@ -1,0 +1,181 @@
+"""Ratio-of-ratios scale profiling (r8 verdict item 5).
+
+The bench's sf1 block gives ONE scaling ratio (sf0.1 -> sf1, 10x
+rows, fixed cores). A high ratio there is ambiguous: it can mean
+genuine superlinearity (bad) or just fixed-cost amortization fading
+(the sf0.1 base was mostly session/stage fixed cost, so 10x data
+looks like ~5x wall even for linear work). A SECOND scale step
+separates the two: for t(s) = c + k*s^a, the measured per-step
+exponent alpha = ln(t2/t1)/ln(s2/s1) RISES toward the true a as the
+fixed cost c amortizes away — so if alpha at the bigger step stays
+<= ~1, the work is at-worst-linear and the sf1 ratio was
+amortization, while alpha climbing past 1 at the bigger step is the
+actual superlinearity signature.
+
+This tool profiles the three worst sf1 ratios from BENCH_r08
+(perplexity_score 4.93x, bpe_apply 4.83x, dedup_minhash 4.69x — all
+documents-only queries) at a THIRD point: sf3 = 30x sf0.1 documents,
+built with the same marker-interleave amplification as tools/make_sf1
+(two-letter copy codes since 30 > 26 copies; same heavy-tailed
+shingle-frequency preservation argument documented there). Writes
+SCALE_PROFILE.json, which bench.py embeds into BENCH_DETAIL.json
+under "scale_profile" on its next run.
+
+Usage: python tools/scale_profile.py  (~2-4 min)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+from tools.make_sf1 import K_DOC, SRC, ensure_sf1  # noqa: E402
+
+SF3_OUT = os.environ.get("SPARK_GRAFT_SF3_DIR", "/tmp/spark_graft_sf3")
+SF3_COPIES = 30
+SF3_VERSION = 1
+
+PROFILED = ["perplexity_score", "bpe_apply", "dedup_minhash"]
+
+
+def _sf3_documents_sql() -> str:
+    """30-copy amplification of sf0.1 documents — make_sf1's recipe
+    with the copy ordinal encoded as TWO base-26 letters (one letter
+    caps at 26 copies); position letters unchanged. Markers stay
+    letters-only (engine tokenizer splits on [^a-z]+) and
+    position-dependent (rare bigrams, heavy tail preserved)."""
+    src = f"read_parquet('{SRC}/documents.parquet')"
+    k = "CAST(k.range AS BIGINT)"
+    copies = f"(SELECT * FROM range({SF3_COPIES})) k"
+    copy_code = (
+        "chr(97 + CAST(k.range // 26 AS INT)) || "
+        "chr(97 + CAST(k.range % 26 AS INT))"
+    )
+    return f"""
+        WITH amp AS (
+            SELECT doc_id + {k} * {K_DOC} AS doc_id,
+                   CASE WHEN k.range = 0 THEN text
+                        ELSE array_to_string(list_transform(
+                                 string_split(text, ' '),
+                                 (tok, i) -> CASE WHEN i % 3 = 0
+                                     THEN tok || ' cv' || {copy_code}
+                                          || chr(97 + CAST((i // 3) % 26 AS INT))
+                                          || chr(97 + CAST((i // 78) % 26 AS INT))
+                                     ELSE tok END), ' ')
+                             || ' cv' || {copy_code} || 'zz'
+                   END AS text,
+                   lang, source
+            FROM {src}, {copies}
+        )
+        SELECT doc_id, text, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM amp"""
+
+
+def ensure_sf3() -> str:
+    import duckdb
+
+    marker = os.path.join(SF3_OUT, "_done")
+    want = f"v{SF3_VERSION} copies={SF3_COPIES}"
+    if os.path.exists(marker) and open(marker).read().strip() == want:
+        return SF3_OUT
+    os.makedirs(SF3_OUT, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY ({_sf3_documents_sql()}) TO '{SF3_OUT}/documents.parquet'"
+        " (FORMAT PARQUET)"
+    )
+    con.close()
+    with open(marker, "w") as fh:
+        fh.write(want)
+    return SF3_OUT
+
+
+def _time_query(spark, name: str, sf_dir: str, reps: int = 2) -> float:
+    from mapreducego_spark.registry import QUERIES
+
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        elapsed = time.perf_counter() - t0
+        best = elapsed if best is None else min(best, elapsed)
+    return best
+
+
+def _diagnose(a1: float, a2: float) -> str:
+    if a2 > 1.15 and a2 > a1:
+        return (
+            "SUPERLINEAR: per-step exponent rises past 1 at the"
+            " larger step — investigate"
+        )
+    if a2 <= 1.05:
+        return (
+            "at-worst-linear: exponent at the larger (better-"
+            "amortized) step <= ~1, so the sf0.1->sf1 ratio was"
+            " fixed-cost amortization, not algorithmic growth"
+        )
+    return (
+        "near-linear with residual fixed-cost fade; exponent"
+        " <= 1.15 at the larger step — watch, not a flag"
+    )
+
+
+def main() -> None:
+    from mapreducego_spark.session import get_spark
+
+    sf1_dir = ensure_sf1()
+    sf3_dir = ensure_sf3()
+    spark = get_spark("scale_profile")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: JVM + parquet footers, so the first timed run isn't
+    # paying session fixed cost the others don't
+    spark.read.parquet(f"{SRC}/documents.parquet").count()
+
+    out: dict = {
+        "points": {"sf0.1": SRC, "sf1": sf1_dir, "sf3": sf3_dir},
+        "step_factors": {"sf0.1->sf1": 10, "sf1->sf3": 3},
+        "queries": {},
+    }
+    for name in PROFILED:
+        t01 = _time_query(spark, name, SRC)
+        t1 = _time_query(spark, name, sf1_dir)
+        t3 = _time_query(spark, name, sf3_dir)
+        r10 = t1 / t01
+        r3 = t3 / t1
+        a1 = math.log(r10) / math.log(10)
+        a2 = math.log(r3) / math.log(3)
+        row = {
+            "sf0.1_sec": round(t01, 3),
+            "sf1_sec": round(t1, 3),
+            "sf3_sec": round(t3, 3),
+            "ratio_sf1_over_sf0.1": round(r10, 2),
+            "ratio_sf3_over_sf1": round(r3, 2),
+            "exponent_step1": round(a1, 3),
+            "exponent_step2": round(a2, 3),
+            "diagnosis": _diagnose(a1, a2),
+        }
+        out["queries"][name] = row
+        print(
+            f"{name}: {t01:.2f}s / {t1:.2f}s / {t3:.2f}s  "
+            f"a1={a1:.2f} a2={a2:.2f}  {row['diagnosis']}",
+            flush=True,
+        )
+    path = os.path.join(REPO, "SCALE_PROFILE.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

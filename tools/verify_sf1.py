@@ -45,19 +45,15 @@ QUERIES = [
 ]
 
 # Queries whose ORACLE cannot reach sf1 on this box, checked at the
-# largest scale the single-node comparator can evaluate instead. The
-# engine side is not the limit — that asymmetry is the point of the
-# whole exercise.
-FALLBACK_SF = {
-    # ngram_jaccard's naive inverted-index oracle generates the full
-    # sum-C(df,2) pair stream with no prefix filter; at sf1 its
-    # DuckDB out-of-core grouping exceeded the box's free disk
-    # (>80 GB spill, 'No space left on device'). sf0.1 is still 10x
-    # the driver gate, and the ENGINE's sf1 behavior is covered by
-    # the bench scaling probe (3.6x wall at 10x rows) + the shared-
-    # oracle equality at every scale the oracle can reach.
-    "jaccard_prefix_join": "/root/testdata/sf0.1",
-}
+# largest scale the single-node comparator can evaluate instead.
+# EMPTY since r9: jaccard_prefix_join's naive oracle (full
+# sum-C(df,2) pair stream, >80 GB spill at sf1) is replaced at
+# non-driver scales by registry.SCALE_ORACLES' prefix-filtered
+# DuckDB variant (verify_local swaps it in automatically when
+# SPARK_GRAFT_VERIFY_SF is not sf0.01), so the sf1 row runs the
+# full oracle compare at sf1 like everything else. The naive form
+# remains the driver-gate oracle at sf0.01 for independence.
+FALLBACK_SF: dict[str, str] = {}
 
 
 def main() -> None:
