@@ -1231,3 +1231,50 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("recall"),
     )
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: near-dup clusters with a QUALITY keep rule —
+    keep each cluster's longest member (n_chars desc, doc_id asc to
+    break ties) instead of dedup_clusters' min-doc_id rule. This is
+    the keep rule real pipelines want: of N near-identical crawls of
+    a page, the longest capture is usually the most complete one,
+    and min-id is an accident of crawl order. (Reference analog:
+    none — the reference's wordcount plugin has no dedup at all;
+    this extends the north-star LLM-pipeline tier.)
+
+    Pipeline: MinHash-verified pairs -> connected components (both
+    identical to dedup_clusters, sharing its oracle-proven pair set)
+    -> per-cluster argmax by (n_chars, -doc_id). The ranking window
+    partitions by cluster_rep — group size is bounded by cluster
+    size, no global window. Output: one row per cluster."""
+    from mapreducego_spark.operators.graph import connected_components
+    from pyspark.sql import Window
+
+    pairs = minhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_bucket_size=None
+    ).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    j = cc.join(docs, "doc_id")
+    wrank = Window.partitionBy("cluster_rep").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wall = Window.partitionBy("cluster_rep")
+    return (
+        j.withColumn("rk", F.row_number().over(wrank))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(wall).cast("long")
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_rep",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+            "n_members",
+        )
+        .orderBy("cluster_rep")
+    )

@@ -1182,3 +1182,216 @@ def vector_range_search(
         )
         .orderBy("q_id", "vec_id")
     )
+
+
+# ---------------------------------------------------------------
+# Semantic clustering tier: exact-arithmetic k-means over the
+# embeddings table, and SemDeDup-style semantic dedup on top of it.
+# (Reference analog: the opaque-record Map/Reduce contract at
+# mpWorker/worker.go:195-210 — the reference has no vector tier at
+# all; this is the north-star LLM-pipeline surface.)
+# ---------------------------------------------------------------
+
+K_MEANS_K = 8
+K_MEANS_ITERS = 3
+SEM_MAX_CLUSTER = 20_000  # loud-fail guard on within-cluster pairing
+
+
+def _micro_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with each float32 component quantized ONCE to
+    integer micro-units (floor(x*1e6) as long) — label_centroids'
+    idiom. Every downstream distance / dot / norm is then exact
+    64-bit (or 128-bit) integer arithmetic, which is what makes an
+    ITERATIVE algorithm oracle-able at all: float centroid drift
+    compounds per iteration, integer arithmetic cannot drift."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1_000_000.0)).cast(
+                "long"
+            ),
+        ).alias("m"),
+    )
+
+
+def _sq_dist_to(centroid: list[int]) -> Column:
+    """Exact squared L2 distance from column ``m`` to a LITERAL
+    centroid (the broadcast-by-closure form: k*dims longs ride the
+    plan, the corpus is never shuffled for assignment). Bounds:
+    |micro| <= ~6e5 for unit-scale embeddings, so per-dim squared
+    diff <= ~1.4e12 and the 64-dim sum <= ~9e13 — int64-safe with
+    five orders of headroom."""
+    lits = F.array(*[F.lit(int(c)).cast("long") for c in centroid])
+    return F.aggregate(
+        F.zip_with(F.col("m"), lits, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+
+
+def _kmeans_assign(
+    vecs: DataFrame, centroids: list[list[int]]
+) -> DataFrame:
+    """Nearest-centroid assignment, ties -> smaller cluster id
+    (array_position returns the FIRST index holding the min, and the
+    oracle's row_number ORDER BY d, cluster picks the same one)."""
+    dists = F.array(*[_sq_dist_to(c) for c in centroids])
+    return vecs.withColumn("__d", dists).select(
+        "vec_id",
+        "m",
+        (F.array_position("__d", F.array_min("__d")) - 1)
+        .cast("long")
+        .alias("cluster"),
+        F.array_min("__d").alias("dist_sq"),
+    )
+
+
+def kmeans_assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_MEANS_K,
+    iters: int = K_MEANS_ITERS,
+) -> DataFrame:
+    """Lloyd's k-means over the embeddings table, engine-exact.
+
+    Determinism/cross-engine contract (each step identical in the
+    DuckDB oracle): init = the k lowest-vec_id vectors verbatim;
+    assignment = exact integer argmin with ties to the smaller
+    cluster; update = per-dim LONG sums (integer addition commutes —
+    partition order cannot move a centroid) re-entering integer
+    space via floor(sum/n) on the correctly-rounded double quotient
+    (exact while 1/n exceeds the ~6e-11 division ulp at micro
+    magnitudes, i.e. for any cluster under ~1e10 members; empty
+    clusters keep their previous centroid in both engines).
+
+    Scale shape: per iteration, ONE corpus scan computes assignments
+    with centroids as plan literals (no join, no shuffle), and the
+    update aggregate map-side-combines to k x dims rows before the
+    only (tiny) shuffle; the two driver collects are k rows (seeds)
+    and k*dims rows (sums) — bounded regardless of corpus size, the
+    codebook-training idiom the ANN tier already uses. At 100 TB you
+    run the same loop with k scaled to corpus/target-cluster-size;
+    assignment stays a scan, the update stays k*dims."""
+    import math
+
+    vecs = _micro_vecs(spark, sf_dir)
+    seeds = vecs.orderBy("vec_id").limit(k).collect()  # bounded: k rows
+    centroids = [list(r["m"]) for r in seeds]
+    for _ in range(iters):
+        assigned = _kmeans_assign(vecs, centroids)
+        stats = (
+            assigned.select(
+                "cluster", F.posexplode("m").alias("dim", "mm")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("mm").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: k * dims rows
+        )
+        nxt = [list(c) for c in centroids]  # empty cluster: keep old
+        for r in stats:
+            nxt[r["cluster"]][r["dim"]] = math.floor(r["s"] / r["n"])
+        centroids = nxt
+    return _kmeans_assign(vecs, centroids)
+
+
+def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: k-means cluster id + exact squared distance
+    per vector (k=8, 3 Lloyd iterations). The oracle replays the
+    identical iterations in DuckDB — integer-exact, so this is a
+    full hash-compare row, not a rows-only one, despite being an
+    iterative algorithm."""
+    return (
+        kmeans_assignments(spark, sf_dir)
+        .select("vec_id", "cluster", "dist_sq")
+        .orderBy("vec_id")
+    )
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: SemDeDup-style semantic near-duplicate
+    detection (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then compare pairs ONLY within a cluster and
+    drop every vector that has a smaller-id same-cluster neighbor
+    with cosine >= tau (tau = 0.35 over the micro-quantized
+    representation). Output: one row per dropped vector with its
+    dominating representative (min such smaller id) and how many
+    same-cluster vectors dominated it.
+
+    Exactness: cosine >= tau is evaluated WITHOUT any float ops —
+    with tau = 7/20, cos >= tau  <=>  dot > 0 AND (20*dot)^2 >=
+    (7*na2)*(7*nb2) where dot/na2/nb2 are int64 micro dots (<=
+    ~9e13, so 20*dot and 7*n2 stay int64; the squares go through
+    decimal(38,0) in Spark and HUGEINT in DuckDB — both exact
+    128-bit-class integer spaces).
+
+    Scale shape: this IS the published SemDeDup scaling story — the
+    quadratic step is confined to within-cluster blocks, with k
+    chosen so clusters stay bounded (k here is the fixture's 8; at
+    corpus scale k grows ~N/target_size). The pairing join is an
+    equi-join on cluster id, never a cross join, and a loud-fail
+    guard_limit trips if any cluster exceeds SEM_MAX_CLUSTER rather
+    than silently going quadratic."""
+    assigned = kmeans_assignments(spark, sf_dir)
+    sizes = (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("__csize"))
+        .filter(
+            guard_limit(
+                F.col("__csize"),
+                SEM_MAX_CLUSTER,
+                F.concat(
+                    F.lit("semantic_dedup: cluster "),
+                    F.col("cluster").cast("string"),
+                    F.lit(" exceeds SEM_MAX_CLUSTER — raise k"),
+                ),
+            )
+        )
+        .select("cluster")
+    )
+    withn = assigned.join(F.broadcast(sizes), "cluster").withColumn(
+        "n2",
+        F.aggregate(
+            F.transform("m", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        ),
+    )
+    a = withn.select(
+        "cluster",
+        F.col("vec_id").alias("va"),
+        F.col("m").alias("ma"),
+        F.col("n2").alias("na2"),
+    )
+    b = withn.select(
+        "cluster",
+        F.col("vec_id").alias("vb"),
+        F.col("m").alias("mb"),
+        F.col("n2").alias("nb2"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("ma", "mb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, y: acc + y,
+            ),
+        )
+    )
+    lhs = (F.col("dot") * F.lit(20)).cast("decimal(19,0)")
+    ra = (F.col("na2") * F.lit(7)).cast("decimal(19,0)")
+    rb = (F.col("nb2") * F.lit(7)).cast("decimal(19,0)")
+    sim = (F.col("dot") > 0) & (lhs * lhs >= ra * rb)
+    return (
+        pairs.filter(sim)
+        .groupBy(F.col("vb").alias("vec_id"), "cluster")
+        .agg(
+            F.min("va").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_sims"),
+        )
+        .select("vec_id", "cluster", "dup_of", "n_sims")
+        .orderBy("vec_id")
+    )

@@ -289,6 +289,12 @@ QUERIES: dict[str, QueryFn] = {
     "vector_ann_pq": V.vector_ann_pq,  # rows-only (PQ/ADC + exact re-rank)
     "vector_ann_ivfpq": V.vector_ann_ivfpq,  # rows-only (IVF routing x PQ)
     "dedup_embedding_lsh": V.dedup_embedding_lsh,  # rows-only (recall-tested)
+    # -- semantic clustering tier (new in r9): integer-exact k-means
+    #    makes an ITERATIVE algorithm full-hash-oracle-able; SemDeDup
+    #    and the quality keep rule build on proven components --------
+    "kmeans_embed": V.kmeans_embed,
+    "semantic_dedup": V.semantic_dedup,
+    "dedup_keep_best": D.dedup_keep_best,
     # -- (4) r1-only: last driver row three rounds ago -------------
     "token_count": _token_count,
     "dedup_exact": D.dedup_exact,
@@ -885,9 +891,9 @@ assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
 # r10-deferral note (kept in ONE place so staleness report and prose
 # cannot diverge): entries NEW IN R9, added after _R9_WINDOW froze,
 # are first in line for the r10 window. As of end-of-round 9 that
-# list is: multimodal_jpeg_meta. Each is oracle-green in the
-# regenerated full VERIFY_LOCAL and pinned by pytests until its
-# driver row lands.
+# list is: multimodal_jpeg_meta, kmeans_embed, semantic_dedup,
+# dedup_keep_best. Each is oracle-green in the regenerated full
+# VERIFY_LOCAL and pinned by pytests until its driver row lands.
 QUERIES = {name: QUERIES[name] for name in _R9_WINDOW} | {
     name: fn for name, fn in QUERIES.items() if name not in set(_R9_WINDOW)
 }
@@ -4944,3 +4950,114 @@ FROM ranked r JOIN q2 USING (source)
 WHERE q2.epochs + CASE WHEN r.rk <= q2.extra THEN 1 ELSE 0 END > 0
 ORDER BY r.source, r.rk
 """
+
+
+def _kmeans_oracle_cte(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd iterations as a DuckDB CTE chain, each step the
+    exact-integer twin of vector.kmeans_assignments: micro
+    quantization (floor(x*1e6) BIGINT), init = k lowest-vec_id
+    vectors, assignment = argmin of the int squared distance with
+    ties to the smaller cluster (row_number ORDER BY d, cluster ==
+    Spark's array_position-first), update = per-dim BIGINT sums with
+    floor(sum/n) on the double quotient (exact at these magnitudes;
+    see kmeans_assignments' docstring), empty clusters inheriting
+    the previous centroid via the LEFT JOIN + COALESCE."""
+    assign = """
+    SELECT vec_id, m, cluster, d FROM (
+        SELECT vec_id, m, cluster, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cluster) AS rk
+        FROM (
+            SELECT e.vec_id, e.m, c.cluster,
+                   CAST(list_sum(list_transform(list_zip(e.m, c.m),
+                        p -> (p[1] - p[2]) * (p[1] - p[2])))
+                        AS BIGINT) AS d
+            FROM emb e, {prev} c))
+    WHERE rk = 1
+"""
+    parts = [
+        f"""WITH emb AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(floor(x * 1000000) AS BIGINT)) AS m
+    FROM embeddings
+), c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS cluster, m
+    FROM (SELECT vec_id, m FROM emb ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f", a{i} AS ({assign.format(prev=prev)})"
+            + f""", u{i} AS (
+    SELECT p.cluster, COALESCE(nc.m, p.m) AS m
+    FROM {prev} p LEFT JOIN (
+        SELECT cluster,
+               list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                    ORDER BY dim) AS m
+        FROM (
+            SELECT cluster, dim, SUM(mm) AS s, COUNT(*) AS n
+            FROM (SELECT cluster, unnest(m) AS mm,
+                         generate_subscripts(m, 1) AS dim FROM a{i})
+            GROUP BY cluster, dim)
+        GROUP BY cluster) nc USING (cluster)
+)"""
+        )
+        prev = f"u{i}"
+    parts.append(f", afin AS ({assign.format(prev=prev)})")
+    return "".join(parts)
+
+
+ORACLES["kmeans_embed"] = _kmeans_oracle_cte() + """
+SELECT vec_id, cluster, d AS dist_sq FROM afin
+"""
+
+# SemDeDup on the k-means clusters: cos >= 7/20 evaluated entirely in
+# integer space — (20*dot)^2 >= (7*na2)*(7*nb2) with the squares in
+# HUGEINT (int128), the twin of Spark's decimal(19,0)^2 route.
+ORACLES["semantic_dedup"] = _kmeans_oracle_cte() + """
+, pr AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb, b.cluster AS cluster,
+           CAST(list_sum(list_transform(list_zip(a.m, b.m),
+                p -> p[1] * p[2])) AS BIGINT) AS dot,
+           CAST(list_sum(list_transform(a.m, x -> x * x))
+                AS BIGINT) AS na2,
+           CAST(list_sum(list_transform(b.m, x -> x * x))
+                AS BIGINT) AS nb2
+    FROM afin a JOIN afin b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT vb AS vec_id, cluster, CAST(MIN(va) AS BIGINT) AS dup_of,
+       COUNT(*) AS n_sims
+FROM pr
+WHERE dot > 0
+  AND CAST(dot * 20 AS HUGEINT) * CAST(dot * 20 AS HUGEINT)
+      >= CAST(na2 * 7 AS HUGEINT) * CAST(nb2 * 7 AS HUGEINT)
+GROUP BY vb, cluster
+"""
+
+# Quality keep rule over the SAME connected components as
+# dedup_clusters: wrap that oracle's final SELECT as a cc CTE and
+# argmax each cluster by (n_chars DESC, doc_id ASC).
+_CC_FINAL = """SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY id"""
+assert _CC_FINAL in ORACLES["dedup_clusters"], "CC oracle tail moved"
+ORACLES["dedup_keep_best"] = ORACLES["dedup_clusters"].replace(
+    _CC_FINAL,
+    ", cc AS (\n"
+    + _CC_FINAL
+    + """
+)
+SELECT cluster_rep, keep_doc_id, keep_n_chars, n_members FROM (
+    SELECT c.cluster_rep,
+           c.doc_id AS keep_doc_id,
+           CAST(d.n_chars AS BIGINT) AS keep_n_chars,
+           row_number() OVER (PARTITION BY c.cluster_rep
+                              ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+           COUNT(*) OVER (PARTITION BY c.cluster_rep) AS n_members
+    FROM cc c JOIN documents d ON d.doc_id = c.doc_id)
+WHERE rk = 1
+""",
+)

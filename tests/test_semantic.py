@@ -1,0 +1,161 @@
+"""Semantic clustering tier (r9): integer-exact k-means,
+SemDeDup-style within-cluster dedup, and the quality keep rule.
+
+The DuckDB oracle is the primary evidence (all three are full
+hash-compare registry rows); these tests pin the ALGORITHM against
+an independent serial numpy reference and the algebraic laws the
+operators promise, so a refactor that stays self-consistent with
+the oracle's SQL twin but breaks the published semantics still
+fails somewhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from tests.conftest import SF_ORACLE
+
+K = 8
+ITERS = 3
+
+
+def _serial_kmeans(sf_dir: str):
+    """Independent reference: the same integer-exact Lloyd loop in
+    plain numpy/python — micro quantization, lowest-vec_id init,
+    argmin with ties to the smaller cluster, floor(sum/n) update,
+    empty clusters keeping their centroid."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vec_ids = t["vec_id"].to_pylist()
+    embs = t["embedding"].to_pylist()
+    order = np.argsort(vec_ids, kind="stable")
+    ids = [int(vec_ids[i]) for i in order]
+    micro = [
+        [math.floor(float(np.float64(np.float32(x))) * 1_000_000.0)
+         for x in embs[i]]
+        for i in order
+    ]
+    m = np.array(micro, dtype=np.int64)  # sorted by vec_id
+    cent = m[:K].copy()
+    for _ in range(ITERS):
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # numpy argmin: first min = smaller id
+        nxt = cent.copy()
+        for c in range(K):
+            members = m[assign == c]
+            if len(members):
+                s = members.sum(axis=0)
+                nxt[c] = np.array(
+                    [math.floor(int(si) / len(members)) for si in s],
+                    dtype=np.int64,
+                )
+        cent = nxt
+    d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    dist = d[np.arange(len(m)), assign]
+    return ids, m, assign, dist
+
+
+def test_kmeans_matches_serial_reference(spark):
+    from mapreducego_spark.functions.vector import kmeans_embed
+
+    ids, _, assign, dist = _serial_kmeans(SF_ORACLE)
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist_sq"])
+        for r in kmeans_embed(spark, SF_ORACLE).collect()
+    }
+    assert len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        assert got[vid] == (int(assign[i]), int(dist[i])), vid
+
+
+def test_kmeans_inertia_decreases_over_iterations(spark):
+    """Lloyd's invariant: total inertia is non-increasing per
+    iteration (each assignment step and each update step can only
+    lower it for exact centroids; the floor quantization perturbs by
+    <1 micro-unit per dim, negligible against the measured drops)."""
+    from mapreducego_spark.functions.vector import kmeans_assignments
+
+    inertias = [
+        kmeans_assignments(spark, SF_ORACLE, iters=i)
+        .groupBy()
+        .sum("dist_sq")
+        .collect()[0][0]
+        for i in range(ITERS + 1)
+    ]
+    assert all(
+        b <= a for a, b in zip(inertias, inertias[1:])
+    ), inertias
+
+
+def test_semantic_dedup_laws(spark):
+    """Each dropped vector's dominating rep is a smaller id in the
+    SAME cluster; the claimed cosine-over-micro >= 7/20 holds when
+    recomputed independently in float; and no retained pair with a
+    smaller-id same-cluster neighbor above threshold was missed."""
+    from mapreducego_spark.functions.vector import (
+        kmeans_assignments,
+        semantic_dedup,
+    )
+
+    dropped = semantic_dedup(spark, SF_ORACLE).collect()
+    assigned = {
+        r["vec_id"]: (int(r["cluster"]), np.array(r["m"], dtype=np.int64))
+        for r in kmeans_assignments(spark, SF_ORACLE).collect()
+    }
+    flagged = set()
+    for r in dropped:
+        c, mv = assigned[r["vec_id"]]
+        cd, md = assigned[r["dup_of"]]
+        assert r["dup_of"] < r["vec_id"]
+        assert cd == c == r["cluster"]
+        dot = int(mv @ md)
+        na2, nb2 = int(mv @ mv), int(md @ md)
+        assert dot > 0
+        assert (20 * dot) ** 2 >= 49 * na2 * nb2  # python ints: exact
+        flagged.add(r["vec_id"])
+    # completeness: brute-force within-cluster check finds no vector
+    # the operator failed to flag
+    ids = sorted(assigned)
+    for i, vb in enumerate(ids):
+        cb, mb = assigned[vb]
+        should = any(
+            (
+                assigned[va][0] == cb
+                and int(assigned[va][1] @ mb) > 0
+                and (20 * int(assigned[va][1] @ mb)) ** 2
+                >= 49 * int(assigned[va][1] @ assigned[va][1]) * int(mb @ mb)
+            )
+            for va in ids[:i]
+        )
+        assert should == (vb in flagged), vb
+
+
+def test_dedup_keep_best_laws(spark):
+    """The keeper is a member of its own cluster with the maximal
+    (n_chars, -doc_id) among members, and clusters partition exactly
+    the doc set dedup_clusters reports."""
+    from mapreducego_spark.functions.dedup import (
+        dedup_clusters,
+        dedup_keep_best,
+    )
+
+    clusters: dict[int, list[int]] = {}
+    for r in dedup_clusters(spark, SF_ORACLE).collect():
+        clusters.setdefault(r["cluster_rep"], []).append(r["doc_id"])
+    n_chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    rows = dedup_keep_best(spark, SF_ORACLE).collect()
+    assert {r["cluster_rep"] for r in rows} == set(clusters)
+    for r in rows:
+        members = clusters[r["cluster_rep"]]
+        assert r["n_members"] == len(members)
+        best = min(members, key=lambda d: (-n_chars[d], d))
+        assert r["keep_doc_id"] == best
+        assert r["keep_n_chars"] == n_chars[best]
