@@ -148,6 +148,11 @@ HEADLINE = [
     # round 8: BM25 retrieval and with-replacement epoch mixing
     "bm25_topk",
     "curriculum_oversample",
+    # round 9: the semantic clustering tier (dedup_keep_best is NOT
+    # separately benched: its pipeline is dedup_clusters' benched
+    # one — same pairs + CC — plus a bounded per-cluster window)
+    "kmeans_embed",
+    "semantic_dedup",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

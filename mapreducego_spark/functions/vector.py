@@ -1194,6 +1194,7 @@ def vector_range_search(
 
 K_MEANS_K = 8
 K_MEANS_ITERS = 3
+EMB_DIMS = 64  # fixture embedding dimensionality (TESTDATA.md)
 SEM_MAX_CLUSTER = 20_000  # loud-fail guard on within-cluster pairing
 
 
@@ -1215,35 +1216,85 @@ def _micro_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sq_dist_to(centroid: list[int]) -> Column:
-    """Exact squared L2 distance from column ``m`` to a LITERAL
-    centroid (the broadcast-by-closure form: k*dims longs ride the
-    plan, the corpus is never shuffled for assignment). Bounds:
-    |micro| <= ~6e5 for unit-scale embeddings, so per-dim squared
-    diff <= ~1.4e12 and the 64-dim sum <= ~9e13 — int64-safe with
-    five orders of headroom."""
-    lits = F.array(*[F.lit(int(c)).cast("long") for c in centroid])
-    return F.aggregate(
-        F.zip_with(F.col("m"), lits, lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, y: acc + y,
-    )
+def _assign_kernel(centroids: list[list[int]]):
+    """Arrow-batched nearest-centroid kernel — the closure-matrix
+    pattern the ANN tier uses (pair_cos_udf), in EXACT int64: the
+    k x dims centroid matrix rides the UDF closure (broadcast
+    semantics, the corpus is never shuffled for assignment), and
+    each Arrow batch is one numpy int64 matmul via the identity
+    sum((m-c)^2) = sum(m^2) - 2*dot(m,c) + sum(c^2). numpy int64
+    arithmetic is exact at these magnitudes (|micro| <= ~6e5 =>
+    distances <= ~9e13, five orders below overflow); argmin returns
+    the FIRST minimum, matching the oracle's row_number ORDER BY
+    d, cluster tie rule. Tried and rejected: F.aggregate/zip_with
+    HOFs (interpreted, ~1.4s per iteration at sf0.1) and a
+    512-term expanded codegen expression (driver plan-compile cost
+    tripled total wall); the Arrow kernel is both the fastest here
+    and the 100 TB shape."""
+    C = np.array(centroids, dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf("struct<cluster: long, dist_sq: long>")
+    def kern(m: pd.Series) -> pd.DataFrame:
+        if len(m) == 0:
+            return pd.DataFrame({"cluster": [], "dist_sq": []})
+        M = np.array(m.tolist(), dtype=np.int64)
+        n2 = (M * M).sum(axis=1)
+        d = n2[:, None] - 2 * (M @ C.T) + c2[None, :]
+        cl = d.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": cl.astype(np.int64),
+                "dist_sq": d[np.arange(len(cl)), cl],
+            }
+        )
+
+    return kern
+
+
+def _self_dot_kernel():
+    """Exact int64 sum of squared components per row, Arrow-batched.
+    (pandas_udf creation needs an active session, hence the
+    factory — same reason pair_cos_udf is one.)"""
+
+    @F.pandas_udf("long")
+    def kern(m: pd.Series) -> pd.Series:
+        if len(m) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.array(m.tolist(), dtype=np.int64)
+        return pd.Series((M * M).sum(axis=1))
+
+    return kern
+
+
+def _pair_dot_kernel():
+    """Exact int64 row-wise dot of two micro-vector columns,
+    Arrow-batched (the within-cluster pair stream of semantic_dedup:
+    one numpy elementwise-multiply-sum per batch instead of an
+    interpreted 64-step fold per row)."""
+
+    @F.pandas_udf("long")
+    def kern(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.array(a.tolist(), dtype=np.int64)
+        B = np.array(b.tolist(), dtype=np.int64)
+        return pd.Series((A * B).sum(axis=1))
+
+    return kern
 
 
 def _kmeans_assign(
     vecs: DataFrame, centroids: list[list[int]]
 ) -> DataFrame:
-    """Nearest-centroid assignment, ties -> smaller cluster id
-    (array_position returns the FIRST index holding the min, and the
-    oracle's row_number ORDER BY d, cluster picks the same one)."""
-    dists = F.array(*[_sq_dist_to(c) for c in centroids])
-    return vecs.withColumn("__d", dists).select(
+    """Nearest-centroid assignment, ties -> smaller cluster id."""
+    return vecs.withColumn(
+        "__a", _assign_kernel(centroids)(F.col("m"))
+    ).select(
         "vec_id",
         "m",
-        (F.array_position("__d", F.array_min("__d")) - 1)
-        .cast("long")
-        .alias("cluster"),
-        F.array_min("__d").alias("dist_sq"),
+        F.col("__a.cluster").alias("cluster"),
+        F.col("__a.dist_sq").alias("dist_sq"),
     )
 
 
@@ -1275,24 +1326,42 @@ def kmeans_assignments(
     assignment stays a scan, the update stays k*dims."""
     import math
 
-    vecs = _micro_vecs(spark, sf_dir)
+    # Materialize the quantized vectors once: the loop reads them
+    # 2*iters+2 times (seeds, per-iteration assign+update, final
+    # assign), and without the checkpoint every collect re-executes
+    # the scan+quantize lineage — the same iterative-reuse idiom as
+    # connected_components' edge checkpoint. The final assignment is
+    # checkpointed too, so downstream self-joins (semantic_dedup)
+    # and presentation sorts execute the iterations exactly once.
+    vecs = spread_scan(_micro_vecs(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
     seeds = vecs.orderBy("vec_id").limit(k).collect()  # bounded: k rows
     centroids = [list(r["m"]) for r in seeds]
+    dims = len(centroids[0])
     for _ in range(iters):
         assigned = _kmeans_assign(vecs, centroids)
+        # per-dim LONG sums as dims separate sum() aggregates over
+        # element_at — ONE narrow partial-combined aggregate (k rows
+        # shuffled), no posexplode row multiply
         stats = (
-            assigned.select(
-                "cluster", F.posexplode("m").alias("dim", "mm")
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("m", i + 1)).alias(f"s{i}")
+                    for i in range(dims)
+                ],
             )
-            .groupBy("cluster", "dim")
-            .agg(F.sum("mm").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()  # bounded: k * dims rows
+            .collect()  # bounded: k rows
         )
         nxt = [list(c) for c in centroids]  # empty cluster: keep old
         for r in stats:
-            nxt[r["cluster"]][r["dim"]] = math.floor(r["s"] / r["n"])
+            nxt[r["cluster"]] = [
+                math.floor(r[f"s{i}"] / r["n"]) for i in range(dims)
+            ]
         centroids = nxt
-    return _kmeans_assign(vecs, centroids)
+    return _kmeans_assign(vecs, centroids).localCheckpoint(eager=True)
 
 
 def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1350,12 +1419,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster")
     )
     withn = assigned.join(F.broadcast(sizes), "cluster").withColumn(
-        "n2",
-        F.aggregate(
-            F.transform("m", lambda x: x * x),
-            F.lit(0).cast("long"),
-            lambda acc, y: acc + y,
-        ),
+        "n2", _self_dot_kernel()(F.col("m"))
     )
     a = withn.select(
         "cluster",
@@ -1372,14 +1436,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("va") < F.col("vb"))
-        .withColumn(
-            "dot",
-            F.aggregate(
-                F.zip_with("ma", "mb", lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, y: acc + y,
-            ),
-        )
+        .withColumn("dot", _pair_dot_kernel()(F.col("ma"), F.col("mb")))
     )
     lhs = (F.col("dot") * F.lit(20)).cast("decimal(19,0)")
     ra = (F.col("na2") * F.lit(7)).cast("decimal(19,0)")
