@@ -219,6 +219,14 @@ SCALE_SET = [
     "quantile_normalize",
     "fuzzy_match_snm",
     "curriculum_mix",
+    # round 9: the semantic tier's scale claims — kmeans assignment
+    # is a kernel scan (linear) and SemDeDup's pair volume tracks
+    # within-cluster density (the amplified corpus multiplies
+    # duplicate multiplicity, so expect a super-10x wall ratio there
+    # for the same workload-inherent reason as dedup_minhash at sf3
+    # — see SCALE_PROFILE.json)
+    "kmeans_embed",
+    "semantic_dedup",
 ]
 SUPERLINEAR_RATIO = 12.0
 

@@ -1195,6 +1195,13 @@ def vector_range_search(
 K_MEANS_K = 8
 K_MEANS_ITERS = 3
 EMB_DIMS = 64  # fixture embedding dimensionality (TESTDATA.md)
+# k scales with corpus size so clusters stay ~TARGET_CLUSTER_SIZE —
+# the SemDeDup contract that keeps within-cluster pairing linear in
+# corpus size (k = max(K_MEANS_K, n // TARGET_CLUSTER_SIZE)). At the
+# oracle gate's sf0.01 (500 vecs) and at sf0.1 (2000) this resolves
+# to exactly K_MEANS_K = 8, matching the oracle SQL's LIMIT 8; at
+# sf1's 20k vectors it gives k=80 and unchanged cluster density.
+TARGET_CLUSTER_SIZE = 250
 SEM_MAX_CLUSTER = 20_000  # loud-fail guard on within-cluster pairing
 
 
@@ -1301,7 +1308,7 @@ def _kmeans_assign(
 def kmeans_assignments(
     spark: SparkSession,
     sf_dir: str,
-    k: int = K_MEANS_K,
+    k: int | None = None,
     iters: int = K_MEANS_ITERS,
 ) -> DataFrame:
     """Lloyd's k-means over the embeddings table, engine-exact.
@@ -1336,6 +1343,11 @@ def kmeans_assignments(
     vecs = spread_scan(_micro_vecs(spark, sf_dir)).localCheckpoint(
         eager=True
     )
+    if k is None:
+        # corpus-scaled k (see TARGET_CLUSTER_SIZE): one count job on
+        # the materialized checkpoint — deterministic, partition-
+        # layout-independent
+        k = max(K_MEANS_K, vecs.count() // TARGET_CLUSTER_SIZE)
     seeds = vecs.orderBy("vec_id").limit(k).collect()  # bounded: k rows
     centroids = [list(r["m"]) for r in seeds]
     dims = len(centroids[0])
@@ -1396,8 +1408,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: this IS the published SemDeDup scaling story — the
     quadratic step is confined to within-cluster blocks, with k
-    chosen so clusters stay bounded (k here is the fixture's 8; at
-    corpus scale k grows ~N/target_size). The pairing join is an
+    scaled as N // TARGET_CLUSTER_SIZE (floor K_MEANS_K) so cluster
+    density — and with it pair volume per input row — stays constant
+    as the corpus grows. The pairing join is an
     equi-join on cluster id, never a cross join, and a loud-fail
     guard_limit trips if any cluster exceeds SEM_MAX_CLUSTER rather
     than silently going quadratic."""
