@@ -2315,3 +2315,44 @@ def curriculum_oversample(
     return oversample_sources(
         load_table(spark, sf_dir, "documents"), alpha=alpha, budget=budget
     )
+
+
+def contamination_report(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Registry entry: span-level contamination AUDIT — the report a
+    data-governance review wants alongside `decontaminate`'s drop
+    list: for each contaminated corpus doc, how many distinct
+    benchmark n-grams hit it, where the earliest hit sits (1-based
+    n-gram position), and the lexicographically-first hit gram as a
+    deterministic exemplar. Dropping without an audit trail makes
+    contamination rates unreviewable; this is the trail.
+
+    Shape at scale: identical to decontaminate's — benchmark grams
+    are eval-suite-sized -> distinct + broadcast; the corpus streams
+    through one posexplode + broadcast-hash semi-side join; the only
+    shuffle is the per-doc aggregate (three partial-combinable
+    aggregates: count distinct, min pos, min gram)."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens_col(F.col("text")).alias("t"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(_ngram_col(F.col("t"), n)).alias("pos", "gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") < N_BENCH_DOCS)
+        .select("gram")
+        .distinct()
+    )
+    hits = grams.filter(F.col("doc_id") >= N_BENCH_DOCS).join(
+        F.broadcast(bench), "gram"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_hit_grams"),
+            (F.min("pos") + 1).cast("long").alias("first_hit_pos"),
+            F.min("gram").alias("min_gram"),
+        )
+        .orderBy("doc_id")
+    )

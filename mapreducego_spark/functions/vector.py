@@ -1465,3 +1465,75 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster", "dup_of", "n_sims")
         .orderBy("vec_id")
     )
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: hard-negative mining for contrastive /
+    retrieval training — for each query vector, the TOP_K most
+    cosine-similar vectors carrying a DIFFERENT label (close in
+    embedding space, wrong class: the negatives that actually move a
+    contrastive loss, vs easy random negatives).
+
+    Physical shape = vector_topk's: the query matrix and labels ride
+    the Arrow kernel's closure / plan literals, the corpus streams
+    through one scan (no join, no corpus shuffle), and the only
+    exchange is the per-query top-k window. Cosines come from the
+    dim-ordered fold kernel — bit-identical to the oracle's
+    list_sum fold."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    q_ids, qmat = _collect_matrix(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS),
+        "vec_id",
+        "v",
+        cache_key=("topk_queries", sf_dir),
+    )
+    q_labels = {
+        int(r["vec_id"]): int(r["label"])
+        for r in emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", "label")
+        .collect()  # bounded: |query set| rows
+    }
+    qid_arr = F.array(*[F.lit(q).cast("long") for q in q_ids])
+    qlab_arr = F.array(
+        *[F.lit(q_labels[q]).cast("long") for q in q_ids]
+    )
+    scored = (
+        _spread_if_heavy(emb, qmat.shape[1], len(q_ids))
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(pair_cos_udf(qmat)(F.col("v"))).alias(
+                "qpos", "cos"
+            ),
+        )
+        .select(
+            F.element_at(qid_arr, F.col("qpos") + 1).alias("q_id"),
+            F.element_at(qlab_arr, F.col("qpos") + 1).alias("q_label"),
+            "vec_id",
+            "label",
+            F.round(F.col("cos"), 6).alias("cos_sim"),
+        )
+        .filter(
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") != F.col("q_label"))
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            "cos_sim",
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("q_id", "rk")
+    )

@@ -95,6 +95,10 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.decontaminate(load_table(spark, sf_dir, "documents"))
 
 
+def _contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.contamination_report(load_table(spark, sf_dir, "documents"))
+
+
 def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.heavy_hitters(load_table(spark, sf_dir, "documents"))
 
@@ -295,6 +299,9 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_embed": V.kmeans_embed,
     "semantic_dedup": V.semantic_dedup,
     "dedup_keep_best": D.dedup_keep_best,
+    # -- training-data governance pair (new in r9) -----------------
+    "hard_negatives": V.hard_negatives,
+    "contamination_report": _contamination_report,
     # -- (4) r1-only: last driver row three rounds ago -------------
     "token_count": _token_count,
     "dedup_exact": D.dedup_exact,
@@ -892,8 +899,9 @@ assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
 # cannot diverge): entries NEW IN R9, added after _R9_WINDOW froze,
 # are first in line for the r10 window. As of end-of-round 9 that
 # list is: multimodal_jpeg_meta, kmeans_embed, semantic_dedup,
-# dedup_keep_best. Each is oracle-green in the regenerated full
-# VERIFY_LOCAL and pinned by pytests until its driver row lands.
+# dedup_keep_best, hard_negatives, contamination_report. Each is
+# oracle-green in the regenerated full VERIFY_LOCAL and pinned by
+# pytests until its driver row lands.
 QUERIES = {name: QUERIES[name] for name in _R9_WINDOW} | {
     name: fn for name, fn in QUERIES.items() if name not in set(_R9_WINDOW)
 }
@@ -5061,3 +5069,55 @@ SELECT cluster_rep, keep_doc_id, keep_n_chars, n_members FROM (
 WHERE rk = 1
 """,
 )
+
+
+# Hard-negative mining: vector_topk's scored stream restricted to
+# DIFFERENT-label candidates before the per-query top-k (the cosine
+# arithmetic is the same bit-identical dim-ordered fold).
+ORACLES["hard_negatives"] = """
+WITH emb AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(label AS BIGINT) AS label,
+           CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS q_id, label AS q_label, v AS qv
+    FROM emb WHERE vec_id < 10
+), scored AS (
+    SELECT q_id, vec_id, label,
+           round(list_sum(list_transform(list_zip(qv, v), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                    * sqrt(list_sum(list_transform(v, x -> x * x)))), 6)
+               AS cos_sim
+    FROM q, emb
+    WHERE vec_id != q_id AND label != q_label
+)
+SELECT q_id, vec_id, neg_label, cos_sim, rk FROM (
+    SELECT q_id, vec_id, label AS neg_label, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+    FROM scored
+) WHERE rk <= 5
+"""
+
+# Span-level contamination audit: same trigram construction as
+# decontaminate; generate_subscripts zips with unnest to give the
+# 1-based gram position (Spark's posexplode is 0-based, +1 there).
+ORACLES["contamination_report"] = f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS t FROM documents
+), g AS (
+    SELECT doc_id, unnest({_TRIGRAMS}) AS gram,
+           generate_subscripts({_TRIGRAMS}, 1) AS pos
+    FROM toks
+), bench AS (
+    SELECT DISTINCT gram FROM g WHERE doc_id < 5
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_hit_grams,
+       CAST(MIN(pos) AS BIGINT) AS first_hit_pos,
+       MIN(g.gram) AS min_gram
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id >= 5
+GROUP BY doc_id
+"""

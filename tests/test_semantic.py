@@ -12,6 +12,7 @@ fails somewhere.
 from __future__ import annotations
 
 import math
+import re
 
 import numpy as np
 import pyarrow.parquet as pq
@@ -159,3 +160,96 @@ def test_dedup_keep_best_laws(spark):
         best = min(members, key=lambda d: (-n_chars[d], d))
         assert r["keep_doc_id"] == best
         assert r["keep_n_chars"] == n_chars[best]
+
+
+def test_hard_negatives_laws(spark):
+    """Every mined negative has a label different from its query's,
+    and per query the rows are exactly the brute-force top-5 among
+    different-label candidates (recomputed independently here with
+    the same rounding)."""
+    import pyarrow.parquet as pq
+
+    from mapreducego_spark.functions.vector import hard_negatives
+
+    t = pq.read_table(f"{SF_ORACLE}/embeddings.parquet")
+    ids = [int(x) for x in t["vec_id"].to_pylist()]
+    labs = dict(zip(ids, [int(x) for x in t["label"].to_pylist()]))
+    embs = dict(zip(ids, t["embedding"].to_pylist()))
+
+    def cos(a, b):
+        accd = accn_a = accn_b = 0.0
+        for x, y in zip(a, b):  # dim-ordered fold, same as engine
+            xd, yd = float(np.float64(np.float32(x))), float(
+                np.float64(np.float32(y))
+            )
+            accd += xd * yd
+            accn_a += xd * xd
+            accn_b += yd * yd
+        return round(accd / (math.sqrt(accn_a) * math.sqrt(accn_b)), 6)
+
+    got: dict[int, list] = {}
+    for r in hard_negatives(spark, SF_ORACLE).collect():
+        assert labs[r["vec_id"]] == r["neg_label"] != labs[r["q_id"]]
+        got.setdefault(r["q_id"], []).append(
+            (r["rk"], r["vec_id"], r["cos_sim"])
+        )
+    for q in [i for i in ids if i < 10]:
+        cand = sorted(
+            (
+                (-cos(embs[q], embs[v]), v)
+                for v in ids
+                if v != q and labs[v] != labs[q]
+            )
+        )[:5]
+        want = [
+            (rk + 1, v, -negc) for rk, (negc, v) in enumerate(cand)
+        ]
+        assert got[q] == want, q
+
+
+def test_contamination_report_laws(spark):
+    """Reported docs are exactly decontaminate's dropped set, and
+    the earliest-hit position indexes a gram that is genuinely a
+    benchmark gram."""
+    from mapreducego_spark.functions.text import (
+        N_BENCH_DOCS,
+        contamination_report,
+        decontaminate,
+    )
+    from mapreducego_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    kept = {
+        r["doc_id"] for r in decontaminate(docs).collect()
+    }
+    all_ids = {
+        r["doc_id"]
+        for r in docs.select("doc_id").collect()
+        if r["doc_id"] >= N_BENCH_DOCS
+    }
+    reported = {
+        r["doc_id"]: r
+        for r in contamination_report(docs).collect()
+    }
+    assert set(reported) == all_ids - kept
+    # spot-check hit positions on a few docs against raw text
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    bench_grams = set()
+    for b in range(N_BENCH_DOCS):
+        tk = re.findall(r"[a-z0-9]+", texts[b].lower())
+        bench_grams |= {
+            " ".join(tk[i : i + 3]) for i in range(len(tk) - 2)
+        }
+    for doc_id in sorted(reported)[:10]:
+        r = reported[doc_id]
+        tk = re.findall(r"[a-z0-9]+", texts[doc_id].lower())
+        grams = [" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)]
+        hits = [i + 1 for i, g in enumerate(grams) if g in bench_grams]
+        assert r["first_hit_pos"] == hits[0]
+        assert r["n_hit_grams"] == len(
+            {grams[i - 1] for i in hits}
+        )
+        assert r["min_gram"] == min(grams[i - 1] for i in hits)
