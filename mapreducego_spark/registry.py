@@ -4960,7 +4960,9 @@ ORDER BY r.source, r.rk
 """
 
 
-def _kmeans_oracle_cte(k: int = 8, iters: int = 3) -> str:
+def _kmeans_oracle_cte(
+    k: int = 8, iters: int = 3, dynamic_k: bool = False
+) -> str:
     """Unrolled Lloyd iterations as a DuckDB CTE chain, each step the
     exact-integer twin of vector.kmeans_assignments: micro
     quantization (floor(x*1e6) BIGINT), init = k lowest-vec_id
@@ -4992,8 +4994,15 @@ def _kmeans_oracle_cte(k: int = 8, iters: int = 3) -> str:
 ), c0 AS (
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
                AS cluster, m
-    FROM (SELECT vec_id, m FROM emb ORDER BY vec_id LIMIT {k})
-)"""
+    FROM (SELECT vec_id, m FROM emb ORDER BY vec_id LIMIT {{lim}})
+)""".replace(
+            "{lim}",
+            # corpus-scaled k (vector.TARGET_CLUSTER_SIZE contract)
+            # for larger-than-gate scales; the literal at the gate
+            "(SELECT GREATEST(8, COUNT(*) // 250) FROM emb)"
+            if dynamic_k
+            else str(k),
+        )
     ]
     prev = "c0"
     for i in range(1, iters + 1):
@@ -5018,14 +5027,15 @@ def _kmeans_oracle_cte(k: int = 8, iters: int = 3) -> str:
     return "".join(parts)
 
 
-ORACLES["kmeans_embed"] = _kmeans_oracle_cte() + """
+_KMEANS_FINAL = """
 SELECT vec_id, cluster, d AS dist_sq FROM afin
 """
+ORACLES["kmeans_embed"] = _kmeans_oracle_cte() + _KMEANS_FINAL
 
 # SemDeDup on the k-means clusters: cos >= 7/20 evaluated entirely in
 # integer space — (20*dot)^2 >= (7*na2)*(7*nb2) with the squares in
 # HUGEINT (int128), the twin of Spark's decimal(19,0)^2 route.
-ORACLES["semantic_dedup"] = _kmeans_oracle_cte() + """
+_SEMDEDUP_FINAL = """
 , pr AS (
     SELECT a.vec_id AS va, b.vec_id AS vb, b.cluster AS cluster,
            CAST(list_sum(list_transform(list_zip(a.m, b.m),
@@ -5045,6 +5055,18 @@ WHERE dot > 0
       >= CAST(na2 * 7 AS HUGEINT) * CAST(nb2 * 7 AS HUGEINT)
 GROUP BY vb, cluster
 """
+ORACLES["semantic_dedup"] = _kmeans_oracle_cte() + _SEMDEDUP_FINAL
+
+# Larger-than-gate scales use the corpus-scaled k the engine uses
+# there (vector.TARGET_CLUSTER_SIZE): identical SQL with k computed
+# as GREATEST(8, n // 250) instead of the gate-scale literal 8.
+# At sf0.1 and sf0.01 both forms resolve to k = 8.
+SCALE_ORACLES["kmeans_embed"] = (
+    _kmeans_oracle_cte(dynamic_k=True) + _KMEANS_FINAL
+)
+SCALE_ORACLES["semantic_dedup"] = (
+    _kmeans_oracle_cte(dynamic_k=True) + _SEMDEDUP_FINAL
+)
 
 # Quality keep rule over the SAME connected components as
 # dedup_clusters: wrap that oracle's final SELECT as a cc CTE and

@@ -42,6 +42,10 @@ QUERIES = [
     "copurchase_pairs",
     "bpe_apply",
     "prepare_corpus_mixed",
+    # r9: the semantic tier's 10x-scale correctness (dynamic-k
+    # SCALE_ORACLES variants — the engine runs k=80 at sf1)
+    "kmeans_embed",
+    "semantic_dedup",
 ]
 
 # Queries whose ORACLE cannot reach sf1 on this box, checked at the
