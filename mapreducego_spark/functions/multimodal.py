@@ -519,11 +519,19 @@ def jpeg_meta(payload: bytes) -> dict:
         data = payload[pos + 2 : pos + seg_len]
         pos += seg_len
         if marker == 0xE0 and data[:5] == b"JFIF\x00":
+            # JFIF APP0 body is >= 14 bytes (identifier + version +
+            # unit + densities + thumbnail dims); require through the
+            # density fields so short slices raise ValueError, not
+            # IndexError/struct.error (the documented contract).
+            if len(data) < 12:
+                raise ValueError("truncated JFIF APP0 segment")
             out["density_unit"] = data[7]
             out["x_density"], out["y_density"] = struct.unpack(
                 ">HH", data[8:12]
             )
         elif marker in (0xC0, 0xC1, 0xC2):
+            if len(data) < 6:
+                raise ValueError("truncated SOF frame header")
             out["precision"] = data[0]
             out["height"], out["width"] = struct.unpack(">HH", data[1:5])
             out["components"] = data[5]

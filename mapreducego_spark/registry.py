@@ -605,20 +605,12 @@ QUERIES: dict[str, QueryFn] = {
     "copurchase_triples": R.copurchase_triples,
 }
 
-# ORDERING (round 9): the round driver verifies the FIRST 50 entries
-# in insertion order, so the dict is re-sequenced by verification
-# need each round. The r9 window is tools/staleness.py's proposal
-# taken VERBATIM (the r8 verdict's demand #1): the 2 entries that
-# have never had a driver CORRECTNESS row (bm25_topk and
-# curriculum_oversample, both new in r8 after that round's window
-# froze — the r8 deferral note below named exactly these two), then
-# all 16 r4-stale entries, then the 32 oldest r5-stale entries
-# alphabetically. After this window the max staleness is r5
-# (scalar_functions) and nothing shipped before r9 is never-checked.
-# Entries NEW IN R9 (added after this window froze, first in line
-# for the r10 window; each oracle-green in the regenerated
-# VERIFY_LOCAL and pinned by pytests until then) are listed at the
-# r10-deferral note next to the reorder statement below.
+# ORDERING: the round driver verifies the FIRST 50 entries in
+# insertion order, so the dict is re-sequenced by verification need
+# each round (see _R10_WINDOW below the historical windows).
+# r9 window kept for the record (see VERDICT.md r9): staleness
+# proposal verbatim — bm25_topk + curriculum_oversample (first driver
+# rows), the 16 r4-stale, the 32 oldest r5-stale.
 _R9_WINDOW = [
     # (1) the 2 never-driver-checked entries (r8 verdict item 1)
     "curriculum_oversample",
@@ -895,15 +887,74 @@ _R6_WINDOW = [
     "q8_market_share",
 ]
 assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
-# r10-deferral note (kept in ONE place so staleness report and prose
-# cannot diverge): entries NEW IN R9, added after _R9_WINDOW froze,
-# are first in line for the r10 window. As of end-of-round 9 that
-# list is: multimodal_jpeg_meta, kmeans_embed, semantic_dedup,
-# dedup_keep_best, hard_negatives, contamination_report. Each is
-# oracle-green in the regenerated full VERIFY_LOCAL and pinned by
-# pytests until its driver row lands.
-QUERIES = {name: QUERIES[name] for name in _R9_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_R9_WINDOW)
+# The r10 window is tools/staleness.py's proposal taken VERBATIM
+# (the r9 verdict's demand #2): the 6 entries that have never had a
+# driver CORRECTNESS row (kmeans_embed, semantic_dedup,
+# dedup_keep_best, hard_negatives, contamination_report,
+# multimodal_jpeg_meta — all new in r9 after _R9_WINDOW froze; the r9
+# round skipped tools/end_of_round.py so their full-verify evidence
+# only landed in r10's regenerated artifacts), then the 18 r5-stale
+# entries, then the 26 oldest r6-stale entries alphabetically. After
+# this window the max staleness is r6 (q10_returned_items) and
+# nothing is never-checked.
+_R10_WINDOW = [
+    # (1) the 6 never-driver-checked entries (r9 verdict item 2)
+    "kmeans_embed",
+    "semantic_dedup",
+    "dedup_keep_best",
+    "hard_negatives",
+    "contamination_report",
+    "multimodal_jpeg_meta",
+    # (2) the 18 r5-stale entries, alphabetical
+    "scalar_functions",
+    "scalar_subquery",
+    "set_except",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union",
+    "set_union_all_counts",
+    "simhash_pairs",
+    "sort_global",
+    "stream_stateful_totals",
+    "topk",
+    "upsert_schema_evolution",
+    "vector_topk",
+    "window_distribution",
+    "window_lag_lead",
+    "window_rank",
+    "window_running",
+    "wordcount",
+    # (3) the 26 oldest r6-stale entries, alphabetical
+    "agg_stats",
+    "chunk_documents",
+    "cohort_retention",
+    "corpus_clean",
+    "corr_matrix",
+    "decontaminate",
+    "dedup_embedding",
+    "doc_grep",
+    "dup_ngram_profile",
+    "entropy_score",
+    "event_transitions",
+    "funnel_conversion",
+    "gapfill_locf",
+    "heavy_hitters",
+    "inverted_index",
+    "job_wordcount_files",
+    "join_range_binned",
+    "kcore_peel",
+    "mode_per_group",
+    "multimodal_features",
+    "multimodal_frames",
+    "mutual_information",
+    "ngram_jaccard",
+    "outlier_mad",
+    "pack_shards",
+    "pii_scrub",
+]
+assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R10_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R10_WINDOW)
 }
 
 
@@ -4971,7 +5022,15 @@ def _kmeans_oracle_cte(
     Spark's array_position-first), update = per-dim BIGINT sums with
     floor(sum/n) on the double quotient (exact at these magnitudes;
     see kmeans_assignments' docstring), empty clusters inheriting
-    the previous centroid via the LEFT JOIN + COALESCE."""
+    the previous centroid via the LEFT JOIN + COALESCE.
+
+    Every CTE carries AS MATERIALIZED: DuckDB inlines CTEs by
+    default, and each u_i references its prev twice (directly and
+    through a_i) while semantic_dedup's final SELECT references afin
+    twice — without the hint the full corpus-distance assignment is
+    re-evaluated ~2^iters times (the r7 _materialize_ctes lesson),
+    which matters now that the dynamic-k form runs in the sf1 verify
+    suite."""
     assign = """
     SELECT vec_id, m, cluster, d FROM (
         SELECT vec_id, m, cluster, d,
@@ -4986,12 +5045,12 @@ def _kmeans_oracle_cte(
     WHERE rk = 1
 """
     parts = [
-        f"""WITH emb AS (
+        f"""WITH emb AS MATERIALIZED (
     SELECT CAST(vec_id AS BIGINT) AS vec_id,
            list_transform(CAST(embedding AS DOUBLE[]),
                           x -> CAST(floor(x * 1000000) AS BIGINT)) AS m
     FROM embeddings
-), c0 AS (
+), c0 AS MATERIALIZED (
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
                AS cluster, m
     FROM (SELECT vec_id, m FROM emb ORDER BY vec_id LIMIT {{lim}})
@@ -5007,8 +5066,8 @@ def _kmeans_oracle_cte(
     prev = "c0"
     for i in range(1, iters + 1):
         parts.append(
-            f", a{i} AS ({assign.format(prev=prev)})"
-            + f""", u{i} AS (
+            f", a{i} AS MATERIALIZED ({assign.format(prev=prev)})"
+            + f""", u{i} AS MATERIALIZED (
     SELECT p.cluster, COALESCE(nc.m, p.m) AS m
     FROM {prev} p LEFT JOIN (
         SELECT cluster,
@@ -5023,7 +5082,7 @@ def _kmeans_oracle_cte(
 )"""
         )
         prev = f"u{i}"
-    parts.append(f", afin AS ({assign.format(prev=prev)})")
+    parts.append(f", afin AS MATERIALIZED ({assign.format(prev=prev)})")
     return "".join(parts)
 
 

@@ -320,6 +320,29 @@ def test_jpeg_meta_raises_loudly_on_garbage():
         jpeg_meta(jpg[:2] + b"\x00\x00")  # non-marker byte after SOI
 
 
+def test_jpeg_meta_truncated_segment_bodies_raise_valueerror():
+    """Truncated-but-length-consistent segment bodies must surface as
+    ValueError like every other structural failure (r9 ADVICE: a
+    short JFIF APP0 escaped as IndexError/struct.error, a short SOF
+    as struct.error — inconsistent with the 'raises loudly' contract
+    the Spark-side error accounting keys on)."""
+    import struct as _s
+
+    from mapreducego_spark.functions.multimodal import jpeg_meta
+
+    # APP0 declaring JFIF but carrying only the 5-byte identifier
+    short_app0 = b"JFIF\x00\x01\x01"  # 7 bytes < the 12 needed
+    app0 = b"\xff\xe0" + _s.pack(">H", len(short_app0) + 2) + short_app0
+    with pytest.raises(ValueError, match="truncated JFIF APP0"):
+        jpeg_meta(b"\xff\xd8" + app0 + b"\xff\xd9")
+
+    # SOF0 with a 4-byte body (needs >= 6 for precision+dims+ncomp)
+    short_sof = b"\x08\x00\x21"
+    sof = b"\xff\xc0" + _s.pack(">H", len(short_sof) + 2) + short_sof
+    with pytest.raises(ValueError, match="truncated SOF"):
+        jpeg_meta(b"\xff\xd8" + sof + b"\xff\xd9")
+
+
 def test_multimodal_jpeg_meta_matches_serial_reference(spark):
     """The distributed entry must reproduce the per-file serial
     parse of the same staged files."""

@@ -163,6 +163,55 @@ _UNPARTITIONED_WINDOW_WAIVERS: dict[str, str] = {
 }
 
 
+def test_window_sweep_flags_comma_bearing_sort_keys(spark):
+    """The r9 verdict's crafted counter-example: an ORDER-BY-only
+    window whose sort key contains a comma (`coalesce(a, b)`) must be
+    flagged — a naive split-at-first-comma parser truncates it to
+    `coalesce(a` (no ` ASC` suffix) and false-greens the single-
+    partition window. The partitioned twin with the SAME sort key
+    must pass, proving the detector keys on partitioning, not on the
+    presence of function calls."""
+    from pyspark.sql import Window
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("k"),
+        F.when(F.col("id") % 3 == 0, F.col("id")).alias("a"),
+        F.col("id").alias("b"),
+    )
+    flagged = df.select(
+        F.row_number()
+        .over(Window.orderBy(F.coalesce("a", "b"), F.col("b").desc()))
+        .alias("rn")
+    )
+    clean = df.select(
+        F.row_number()
+        .over(
+            Window.partitionBy("k").orderBy(
+                F.coalesce("a", "b"), F.col("b").desc()
+            )
+        )
+        .alias("rn")
+    )
+
+    def sweep(plan: str) -> list[str]:
+        hits = []
+        for line in plan.splitlines():
+            if "windowspecdefinition" not in line:
+                continue
+            args = _window_spec_first_args(line)
+            assert args, line
+            hits.extend(a for a in args if _is_sort_expr(a))
+        return hits
+
+    assert sweep(_plan(flagged)), (
+        "order-only coalesce(a,b) window escaped the sweep:\n"
+        + _plan(flagged)
+    )
+    assert not sweep(_plan(clean)), (
+        "partitioned window false-flagged:\n" + _plan(clean)
+    )
+
+
 def test_no_unpartitioned_window_in_registry(spark):
     """Registry-wide sweep (r7 verdict item 2): every
     `windowspecdefinition` in every registry plan must name at least

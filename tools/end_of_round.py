@@ -5,6 +5,11 @@ Regenerates, in order:
   1. VERIFY_LOCAL.json  (tools/verify_local.py, full registry)
   2. PLAN_AUDIT.json    (tools/plan_audit.py, full registry)
   3. STREAM_PLANS.json  (tools/stream_plans.py, the PLAN_AUDIT SKIP set)
+  4. DETERMINISM.json   (tools/determinism_audit.py, full registry —
+     added in r10: the r9 round left it stale at n=214 because it was
+     "regenerated on demand" and nothing demanded it; now the one
+     script really does produce every artifact the pytest gate
+     (tests/test_zz_artifact_gate.py) checks)
 
 then verifies and PRINTS that both artifact mtimes are newer than the
 last non-doc commit — the r3/r4 lesson, twice learned: a verification
@@ -46,7 +51,12 @@ def last_source_commit_epoch() -> tuple[str, int]:
 
 
 def main() -> None:
-    for script in ("verify_local.py", "plan_audit.py", "stream_plans.py"):
+    for script in (
+        "verify_local.py",
+        "plan_audit.py",
+        "stream_plans.py",
+        "determinism_audit.py",
+    ):
         print(f"== regenerating via tools/{script} ==", flush=True)
         r = subprocess.run(
             [sys.executable, os.path.join(HERE, script)], cwd=REPO
@@ -58,6 +68,7 @@ def main() -> None:
     ok = True
     for artifact in (
         "VERIFY_LOCAL.json", "PLAN_AUDIT.json", "STREAM_PLANS.json",
+        "DETERMINISM.json",
     ):
         mtime = int(os.path.getmtime(os.path.join(REPO, artifact)))
         fresh = mtime >= commit_ts
@@ -80,10 +91,10 @@ def main() -> None:
     from mapreducego_spark.registry import QUERIES
 
     n_live = len(QUERIES)
-    # DETERMINISM.json is regenerated on demand (it is slow — every
-    # query twice), but its COVERAGE must still match the live
-    # registry: the r7 lesson was a query added after the audit ran
-    # staying invisible to this gate for a whole round.
+    # DETERMINISM.json is regenerated above since r10 (the r9 lesson:
+    # "on demand" meant "never"); its COVERAGE must match the live
+    # registry like the others — the r7 lesson was a query added
+    # after the audit ran staying invisible to this gate for a round.
     for artifact in (
         "VERIFY_LOCAL.json", "PLAN_AUDIT.json", "DETERMINISM.json",
     ):
