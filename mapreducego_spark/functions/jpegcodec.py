@@ -1,0 +1,502 @@
+"""Baseline-sequential JPEG codec, pure stdlib + numpy (ITU-T T.81).
+
+This closes the last multimodal decode stub (the r9 verdict item 4):
+``decode_jpeg_baseline`` really entropy-decodes the scan — canonical
+Huffman tables rebuilt from the DHT segments (Annex C), DC-diff /
+AC run-length symbol stream with EOB and ZRL (F.2.2), byte
+unstuffing (B.1.1.5), dequantization, inverse zigzag, 2-D IDCT
+(A.3.3), level shift + clamp, and libjpeg-style fixed-point
+YCbCr->RGB (BT.601 constants scaled by 2^16). The matching encoder
+``encode_jpeg_baseline`` performs the forward pipeline (level shift,
+FDCT, quantize, Huffman encode, byte stuffing) so the repo can stage
+REAL scans for the decode tier's fixtures without PIL in the
+container.
+
+Reference parity note: the reference repo (MapReduceGo) has no media
+tier at all; this belongs to the 100 TB training-data north star
+(multimodal columns as binary + real decode kernels behind
+mapInPandas — see functions/multimodal.py for the Spark-side
+plumbing and SURVEY.md §2).
+
+Scope (loud, like decode_png's): baseline DCT (SOF0), 8-bit
+precision, 1 or 3 components with no chroma subsampling (all
+sampling factors 1x1), no restart markers. Progressive (SOF2),
+subsampled, 12-bit, or arithmetic-coded streams raise
+NotImplementedError; structurally broken streams raise ValueError.
+
+Determinism contract for the oracle fixtures: a constant 8x8 block
+level-shifts to a constant, whose float FDCT is EXACTLY DC-only up
+to ~1e-12 (rounds to 0 in every AC slot), and with quantization
+step 1 for the DC term (the all-ones table below == libjpeg quality
+100) the quantized DC is 8*(v-128) exactly. The IDCT of a DC-only
+block is F(0,0)/8 — a power-of-two scale with float error ~2 ulp —
+so decode reproduces the constant EXACTLY after rounding. That is
+what lets the DuckDB oracle reconstruct per-pixel RGB with pure
+BIGINT arithmetic (registry ORACLES["multimodal_jpeg_decode"]).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+# Zigzag order (T.81 Figure A.6): ZIGZAG[k] = (row, col) of the k-th
+# coefficient in the entropy stream.
+ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# Flat quantization table — exactly what libjpeg emits at quality
+# 100. DC step 1 is load-bearing for the fixture exactness contract.
+QUANT_FLAT = [1] * 64
+
+# DC Huffman table, T.81 Annex K.3 (the standard luminance DC
+# table): BITS[i] codes of length i+1, values = categories 0..11.
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+
+# AC Huffman table: a spec-valid canonical table defined here rather
+# than Annex K.5 (DHT is self-describing, so ANY conforming decoder
+# rebuilds it from the file; the decoder below likewise handles
+# arbitrary DHT tables, Annex K included). Symbols: EOB at 1 bit,
+# then every (run 0..15, size 1..10) plus ZRL — 161 symbols — at 9
+# bits. Kraft sum 1/2 + 161/512 < 1 and the largest assigned code
+# 0b110100000 is not all-ones (B.2.4.2's reserved pattern).
+AC_VALS = [0x00] + sorted(
+    [r << 4 | s for r in range(16) for s in range(1, 11)] + [0xF0]
+)
+AC_BITS = [1, 0, 0, 0, 0, 0, 0, 0, len(AC_VALS) - 1, 0, 0, 0, 0, 0, 0, 0]
+
+# 1-D DCT-II basis (T.81 A.3.3): BASIS[u, x] = C(u)/2 * cos((2x+1)u pi/16)
+_BASIS = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            * 0.5
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# libjpeg-style fixed-point BT.601 inverse color transform constants
+# (scaled by 2^16, rounded): R = Y + 1.402 Cr', G = Y - 0.344136 Cb'
+# - 0.714136 Cr', B = Y + 1.772 Cb' with Cb' = Cb-128, Cr' = Cr-128.
+_FIX_R_CR = 91881
+_FIX_G_CB = 22554
+_FIX_G_CR = 46802
+_FIX_B_CB = 116130
+
+
+def ycbcr_to_rgb_int(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """Integer-exact inverse color transform — the SAME arithmetic
+    the DuckDB oracle performs in BIGINT (floor shifts; the fixtures
+    keep Cb,Cr >= 128 so every shifted quantity is nonnegative and
+    floor == truncate across engines)."""
+    cb1, cr1 = cb - 128, cr - 128
+    r = y + ((_FIX_R_CR * cr1 + 32768) >> 16)
+    g = y - ((_FIX_G_CB * cb1 + _FIX_G_CR * cr1 + 32768) >> 16)
+    b = y + ((_FIX_B_CB * cb1 + 32768) >> 16)
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(r), clamp(g), clamp(b)
+
+
+# ---------------------------------------------------------------- huffman
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 Annex C code assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for bit-serial canonical decoding."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # B.1.1.5 byte stuffing
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (F.1.2.3)
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG scan data exhausted mid-block")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan ends in a bare 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside scan"
+                )
+        self._acc = (self._acc << 8) | byte
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _extend(v: int, size: int) -> int:
+    """F.2.2.1 EXTEND: map ``size`` raw bits to the signed value."""
+    return v if v >= 1 << (size - 1) else v - (1 << size) + 1
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+# ---------------------------------------------------------------- encoder
+
+
+def _fdct_quant(block: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """Level-shifted float FDCT then rounded quantization (A.3.3)."""
+    coeff = _BASIS @ (block.astype(np.float64) - 128.0) @ _BASIS.T
+    return np.round(coeff / quant).astype(np.int64)
+
+
+def encode_jpeg_baseline(
+    width: int,
+    height: int,
+    planes: list[bytes],
+    density_unit: int = 0,
+    x_density: int = 1,
+    y_density: int = 1,
+) -> bytes:
+    """Encode raw samples as a baseline-sequential JFIF file.
+
+    ``planes`` is ``[gray]`` or ``[Y, Cb, Cr]``, each
+    ``width*height`` bytes in raster order (no subsampling — 4:4:4).
+    Edge blocks are replicate-padded. All components share quant
+    table 0 (flat / quality-100) and Huffman tables 0."""
+    ncomp = len(planes)
+    if ncomp not in (1, 3):
+        raise ValueError("planes must be [gray] or [Y, Cb, Cr]")
+    for p in planes:
+        if len(p) != width * height:
+            raise ValueError("each plane must be width*height bytes")
+    # QUANT_FLAT is stored in zigzag order (DQT wire order); the FDCT
+    # needs it in natural (row, col) order.
+    quant = np.zeros((8, 8))
+    for k, (r, c) in enumerate(ZIGZAG):
+        quant[r, c] = QUANT_FLAT[k]
+
+    bx_n = (width + 7) // 8
+    by_n = (height + 7) // 8
+    arrs = []
+    for p in planes:
+        a = np.frombuffer(p, dtype=np.uint8).reshape(height, width)
+        a = np.pad(
+            a,
+            ((0, by_n * 8 - height), (0, bx_n * 8 - width)),
+            mode="edge",
+        )
+        arrs.append(a)
+
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+    w = _BitWriter()
+    prev_dc = [0] * ncomp
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for ci in range(ncomp):
+                blk = arrs[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                zz = _fdct_quant(blk, quant)
+                seq = [int(zz[r, c]) for r, c in ZIGZAG]
+                diff = seq[0] - prev_dc[ci]
+                prev_dc[ci] = seq[0]
+                s = _category(diff)
+                w.write(*dc_codes[s])
+                if s:
+                    w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                run = 0
+                last_nz = max(
+                    (k for k in range(1, 64) if seq[k]), default=0
+                )
+                for k in range(1, last_nz + 1):
+                    if seq[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        w.write(*ac_codes[0xF0])  # ZRL
+                        run -= 16
+                    s = _category(seq[k])
+                    w.write(*ac_codes[run << 4 | s])
+                    v = seq[k]
+                    w.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    w.write(*ac_codes[0x00])  # EOB
+    scan = w.flush()
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    app0 = (
+        b"JFIF\x00"
+        + bytes([1, 2, density_unit])
+        + struct.pack(">HH", x_density, y_density)
+        + b"\x00\x00"
+    )
+    dqt = bytes([0]) + bytes(QUANT_FLAT)  # zigzag order, 8-bit, id 0
+    sof = (
+        bytes([8])
+        + struct.pack(">HH", height, width)
+        + bytes([ncomp])
+        + b"".join(bytes([cid, 0x11, 0]) for cid in range(1, ncomp + 1))
+    )
+    dht = (
+        bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+        + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    )
+    sos = (
+        bytes([ncomp])
+        + b"".join(bytes([cid, 0x00]) for cid in range(1, ncomp + 1))
+        + bytes([0, 63, 0])
+    )
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, app0)
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+# ---------------------------------------------------------------- decoder
+
+
+def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline-sequential JPEG to (width, height, rgb).
+
+    Full entropy path: DHT canonical-Huffman rebuild, DC/AC symbol
+    decode with EXTEND, dequantize, de-zigzag, 2-D IDCT, level
+    shift + clamp, then the integer fixed-point YCbCr->RGB (or gray
+    expansion). len(rgb) == width*height*3."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos, n = 2, len(payload)
+    quant_tables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan_map: list[tuple[int, int]] = []  # (dc table, ac table) per comp
+    scan_start = None
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment header")
+        (seg_len,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seg_len < 2 or pos + seg_len > n:
+            raise ValueError("JPEG segment length out of bounds")
+        data = payload[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT, possibly several tables per segment
+            i = 0
+            while i < len(data):
+                prec, tid = data[i] >> 4, data[i] & 0xF
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                vals = data[i + 1 : i + 65]
+                if len(vals) < 64:
+                    raise ValueError("truncated DQT segment")
+                q = np.zeros((8, 8))
+                for k, (r, c) in enumerate(ZIGZAG):
+                    q[r, c] = vals[k]
+                quant_tables[tid] = q
+                i += 65
+        elif marker == 0xC4:  # DHT, possibly several tables
+            i = 0
+            while i < len(data):
+                cls, tid = data[i] >> 4, data[i] & 0xF
+                bits = list(data[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(data[i + 17 : i + 17 + nv])
+                if len(bits) < 16 or len(vals) < nv:
+                    raise ValueError("truncated DHT segment")
+                huff[(cls, tid)] = _decode_table(bits, vals)
+                i += 17 + nv
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG frame (SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xC0:  # SOF0
+            if len(data) < 6:
+                raise ValueError("truncated SOF frame header")
+            if data[0] != 8:
+                raise NotImplementedError("only 8-bit precision")
+            height, width = struct.unpack(">HH", data[1:5])
+            ncomp = data[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError("1 or 3 components only")
+            for ci in range(ncomp):
+                cid, samp, qid = data[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling not supported (4:4:4 only)"
+                    )
+                comps.append((cid, qid))
+        elif marker == 0xDD:
+            if struct.unpack(">H", data[:2])[0] != 0:
+                raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            if ns != len(comps):
+                raise NotImplementedError("non-interleaved scans")
+            for si in range(ns):
+                scan_map.append((data[2 + 2 * si] >> 4, data[2 + 2 * si] & 0xF))
+            scan_start = pos
+            break
+    if width is None or scan_start is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+
+    # locate end of entropy data (next real marker; FF00 is stuffing)
+    end = scan_start
+    while end + 1 < n:
+        if payload[end] == 0xFF and payload[end + 1] not in (0x00,) and not (
+            0xD0 <= payload[end + 1] <= 0xD7
+        ):
+            break
+        end += 1 + (payload[end] == 0xFF)
+    reader = _BitReader(payload[scan_start:end])
+
+    bx_n = (width + 7) // 8
+    by_n = (height + 7) // 8
+    ncomp = len(comps)
+    planes = [
+        np.zeros((by_n * 8, bx_n * 8), dtype=np.uint8) for _ in range(ncomp)
+    ]
+    prev_dc = [0] * ncomp
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for ci in range(ncomp):
+                dc_t = huff.get((0, scan_map[ci][0]))
+                ac_t = huff.get((1, scan_map[ci][1]))
+                q = quant_tables.get(comps[ci][1])
+                if dc_t is None or ac_t is None or q is None:
+                    raise ValueError("scan references undefined table")
+                s = reader.symbol(dc_t)
+                diff = _extend(reader.bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                seq = [0] * 64
+                seq[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.symbol(ac_t)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    size = rs & 0xF
+                    seq[k] = _extend(reader.bits(size), size)
+                    k += 1
+                coeff = np.zeros((8, 8))
+                for kk, (r, c) in enumerate(ZIGZAG):
+                    coeff[r, c] = seq[kk]
+                spatial = _BASIS.T @ (coeff * q) @ _BASIS + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    np.clip(np.round(spatial), 0, 255).astype(np.uint8)
+                )
+
+    planes = [p[:height, :width] for p in planes]
+    rgb = bytearray(width * height * 3)
+    if ncomp == 1:
+        g = planes[0].reshape(-1)
+        for i, v in enumerate(g):
+            rgb[3 * i] = rgb[3 * i + 1] = rgb[3 * i + 2] = v
+    else:
+        ys, cbs, crs = (p.reshape(-1) for p in planes)
+        for i in range(width * height):
+            r, g, b = ycbcr_to_rgb_int(
+                int(ys[i]), int(cbs[i]), int(crs[i])
+            )
+            rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2] = r, g, b
+    return width, height, bytes(rgb)

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 
-Image decode is REAL for PNG: a minimal spec-correct pure-stdlib
-decoder (zlib inflate + all five scanline filters, 8-bit gray/RGB/
-RGBA) handles actual bytes -> pixels in this container; PIL is used
-instead when importable (probed at import). Other formats remain a
-declared NotImplementedError unless ``fake=True`` selects the
-deterministic md5-derived test double.
+Image decode is REAL for PNG and baseline JPEG: a minimal
+spec-correct pure-stdlib PNG decoder (zlib inflate + all five
+scanline filters, 8-bit gray/RGB/RGBA) and a baseline-sequential
+JPEG decoder (jpegcodec.py: canonical Huffman from DHT, dequant,
+IDCT, fixed-point YCbCr->RGB) handle actual bytes -> pixels in this
+container; PIL is used instead when importable (probed at import).
+Other formats remain a declared NotImplementedError unless
+``fake=True`` selects the deterministic md5-derived test double.
 
 At 100 TB the pattern that matters is here: binary payloads NEVER
 pass through Python row-at-a-time; mapInPandas streams Arrow
@@ -242,9 +244,11 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, str]:
     """Decode one image payload -> (width, height, feature_hash).
 
     Real path: PIL when importable (probed at module import), else
-    the pure-stdlib ``decode_png`` for PNG payloads — actual pixel
-    dimensions plus an md5 of the decoded RGB bytes as the content
-    feature. Other formats without PIL raise a declared
+    the pure-stdlib ``decode_png`` for PNG payloads and the
+    pure-stdlib+numpy baseline JPEG decoder (jpegcodec.py: Huffman +
+    dequant + IDCT + fixed-point YCbCr) for JPEG payloads — actual
+    pixel dimensions plus an md5 of the decoded RGB bytes as the
+    content feature. Other formats without PIL raise a declared
     NotImplementedError unless ``fake=True`` selects the
     deterministic test double. The Spark-side contract (binary in,
     typed features out, batched via Arrow) is identical either way."""
@@ -254,8 +258,15 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, str]:
         if payload[:8] == PNG_MAGIC:
             w, h, rgb = decode_png(payload)
             return w, h, hashlib.md5(rgb).hexdigest()
+        if payload[:2] == JPEG_SOI:
+            from mapreducego_spark.functions.jpegcodec import (
+                decode_jpeg_baseline,
+            )
+
+            w, h, rgb = decode_jpeg_baseline(payload)
+            return w, h, hashlib.md5(rgb).hexdigest()
         raise NotImplementedError(
-            "non-PNG image decoding requires PIL, which is not "
+            "non-PNG/JPEG image decoding requires PIL, which is not "
             "available here; call with fake=True for the "
             "deterministic test double"
         )
@@ -484,8 +495,9 @@ def jpeg_meta(payload: bytes) -> dict:
     sniffers (imagesize, exiftool fast mode) avoid reading the body.
     Raises loudly on anything structurally non-JPEG: no silent
     guesses on the most common web image format. Pixel DECODE for
-    JPEG remains a declared NotImplementedError in decode_image —
-    this closes the metadata tier only.
+    baseline JPEG lives in jpegcodec.decode_jpeg_baseline (r10; the
+    metadata tier stays scan-free by design — header sniffing must
+    never pay the entropy-decode cost).
 
     Standalone markers without a length field (RSTn, TEM) are
     tolerated between segments; 0xFF fill bytes before a marker are
@@ -639,6 +651,127 @@ def multimodal_jpeg_meta(
         "media_id long, width int, height int, components int, "
         "precision int, progressive boolean, density_unit int, "
         "x_density int, y_density int",
+    ).orderBy("media_id")
+
+
+def _jpeg_px_fixture_planes(i: int):
+    """Deterministic per-index pixel-fixture spec: dimensions plus
+    per-8x8-block CONSTANT Y/Cb/Cr values, every field pure integer
+    arithmetic on (i, bx, by) so the DuckDB oracle reconstructs the
+    decoded RGB exactly (constant blocks are DC-only, and jpegcodec's
+    DC step is 1 — see that module's determinism contract). Gray
+    fixtures (i % 4 == 0) set Cb = Cr = 128, under which the
+    fixed-point inverse transform is the identity — one oracle
+    formula covers both component counts. Chroma stays >= 128 so
+    every oracle-side shift is on a nonnegative BIGINT (floor ==
+    truncate across engines)."""
+    w = (i * 7) % 25 + 8
+    h = (i * 13) % 19 + 8
+    gray = i % 4 == 0
+
+    def yv(bx: int, by: int) -> int:
+        return (i * 31 + by * 47 + bx * 17) % 256
+
+    def cb(bx: int, by: int) -> int:
+        return 128 if gray else 128 + (i * 5 + bx * 3 + by * 7) % 100
+
+    def cr(bx: int, by: int) -> int:
+        return 128 if gray else 128 + (i * 11 + bx * 13 + by * 5) % 100
+
+    return {"y": yv, "cb": cb, "cr": cr, "gray": gray}, (w, h)
+
+
+def encode_jpeg_pixels_fixture(i: int) -> bytes:
+    """Encode fixture ``i`` as a REAL baseline-sequential JPEG scan
+    (full FDCT + Huffman entropy coding, not just markers)."""
+    from mapreducego_spark.functions.jpegcodec import encode_jpeg_baseline
+
+    planes, (w, h) = _jpeg_px_fixture_planes(i)
+
+    def plane(f) -> bytes:
+        return bytes(f(x // 8, y // 8) for y in range(h) for x in range(w))
+
+    if planes["gray"]:
+        return encode_jpeg_baseline(w, h, [plane(planes["y"])])
+    return encode_jpeg_baseline(
+        w, h, [plane(planes["y"]), plane(planes["cb"]), plane(planes["cr"])]
+    )
+
+
+def stage_jpeg_pixels(sf_dir: str, n: int = 240) -> str:
+    """Write ``n`` real entropy-coded baseline JPEGs (same staging
+    contract as stage_png_media / stage_jpeg_media; idempotent)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_media/{tag}_jpegpx{n}"
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        for i in range(n):
+            with open(os.path.join(out, f"media_{i:05d}.jpg"), "wb") as fh:
+                fh.write(encode_jpeg_pixels_fixture(i))
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+    return out
+
+
+def multimodal_jpeg_decode(
+    spark: SparkSession, sf_dir: str, n: int = 240
+) -> DataFrame:
+    """Registry entry (r9 verdict item 4, closing the last multimodal
+    stub): REAL JPEG bytes -> pixels in this container. Staged
+    entropy-coded baseline JPEGs are scanned with the distributed
+    binaryFile source and decoded by jpegcodec.decode_jpeg_baseline
+    (canonical Huffman rebuilt from DHT, dequantize, IDCT, level
+    shift, fixed-point YCbCr->RGB) inside one Arrow-batched
+    mapInPandas pass — the exact multimodal_decode shape, no fake
+    anywhere on this path. Emits decoded dimensions, the integer sum
+    of all RGB bytes, and md5 of the pixel HEX string; the fixture
+    pixels are closed-form in media_id so the DuckDB oracle
+    reconstructs both from pure BIGINT + string arithmetic. Reference
+    analog: the opaque-bytes input contract at master.go:82.
+
+    Scale shape: identical to multimodal_decode — scan distributed,
+    one Arrow crossing per batch, per-file decode parallelism;
+    metadata consumers use the scan-free jpeg_meta tier instead."""
+    from mapreducego_spark.functions.jpegcodec import decode_jpeg_baseline
+
+    path = stage_jpeg_pixels(sf_dir, n)
+    media = (
+        spark.read.format("binaryFile")
+        .load(path + "/media_*.jpg")
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                w, h, rgb = decode_jpeg_baseline(bytes(p))
+                rows.append(
+                    (
+                        int(mid),
+                        w,
+                        h,
+                        int(sum(rgb)),
+                        hashlib.md5(rgb.hex().encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "px_sum", "feature_hash",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, width int, height int, px_sum long, "
+        "feature_hash string",
     ).orderBy("media_id")
 
 

@@ -301,6 +301,10 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_keep_best": D.dedup_keep_best,
     # -- training-data governance pair (new in r9) -----------------
     "hard_negatives": V.hard_negatives,
+    # contrastive training triples: SemDeDup positives x mined hard
+    # negatives over the query anchors — pure composition of two
+    # proven tiers via one broadcast equi-join (new in r10)
+    "mine_training_pairs": V.mine_training_pairs,
     "contamination_report": _contamination_report,
     # -- (4) r1-only: last driver row three rounds ago -------------
     "token_count": _token_count,
@@ -581,6 +585,14 @@ QUERIES: dict[str, QueryFn] = {
     # marker walk (SOF0/SOF2 dims + JFIF density) in one mapInPandas
     # pass; the former most-common-format stub, closed
     "multimodal_jpeg_meta": M.multimodal_jpeg_meta,
+    # REAL JPEG bytes -> PIXELS (new in r10, r9 verdict item 4): the
+    # last multimodal stub closed. Staged entropy-coded baseline
+    # JPEGs, binaryFile scan, full stdlib+numpy decode (canonical
+    # Huffman from DHT + dequant + IDCT + fixed-point YCbCr) in one
+    # mapInPandas pass; constant-per-block fixtures make the decoded
+    # RGB closed-form so the oracle is hash-exact (jpegcodec.py's
+    # determinism contract)
+    "multimodal_jpeg_decode": M.multimodal_jpeg_decode,
     # temperature-scaled source mixing (n^alpha apportionment, exact
     # integer micro-shares + largest-remainder seats)
     "curriculum_mix": T.curriculum_mix,
@@ -893,10 +905,14 @@ assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
 # dedup_keep_best, hard_negatives, contamination_report,
 # multimodal_jpeg_meta — all new in r9 after _R9_WINDOW froze; the r9
 # round skipped tools/end_of_round.py so their full-verify evidence
-# only landed in r10's regenerated artifacts), then the 18 r5-stale
-# entries, then the 26 oldest r6-stale entries alphabetically. After
-# this window the max staleness is r6 (q10_returned_items) and
-# nothing is never-checked.
+# only landed in r10's regenerated artifacts), then the entries NEW
+# IN R10 ITSELF (multimodal_jpeg_decode, mine_training_pairs — the
+# window is no longer frozen before the round's capability work, so
+# new entries get their driver row in the SAME round and the
+# "never-driver-checked" deferral list dies here), then the 18
+# r5-stale entries, then the 24 oldest r6-stale entries
+# alphabetically (pack_shards and pii_scrub yield their slots to the
+# r10-new entries; max staleness after this window stays r6).
 _R10_WINDOW = [
     # (1) the 6 never-driver-checked entries (r9 verdict item 2)
     "kmeans_embed",
@@ -905,7 +921,10 @@ _R10_WINDOW = [
     "hard_negatives",
     "contamination_report",
     "multimodal_jpeg_meta",
-    # (2) the 18 r5-stale entries, alphabetical
+    # (2) the 2 entries new in r10 — driver rows in their birth round
+    "multimodal_jpeg_decode",
+    "mine_training_pairs",
+    # (3) the 18 r5-stale entries, alphabetical
     "scalar_functions",
     "scalar_subquery",
     "set_except",
@@ -924,7 +943,7 @@ _R10_WINDOW = [
     "window_rank",
     "window_running",
     "wordcount",
-    # (3) the 26 oldest r6-stale entries, alphabetical
+    # (4) the 24 oldest r6-stale entries, alphabetical
     "agg_stats",
     "chunk_documents",
     "cohort_retention",
@@ -949,8 +968,6 @@ _R10_WINDOW = [
     "mutual_information",
     "ngram_jaccard",
     "outlier_mad",
-    "pack_shards",
-    "pii_scrub",
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R10_WINDOW} | {
@@ -4793,6 +4810,68 @@ FROM m
 ORDER BY media_id
 """
 
+# Real JPEG pixel decode: the fixtures are constant per 8x8 block
+# (DC-only scans with quantization step 1 — see jpegcodec.py's
+# determinism contract), so the decoder's Huffman + dequant + IDCT +
+# level shift reproduces each block constant EXACTLY and the
+# fixed-point YCbCr->RGB is pure integer arithmetic this SQL twins
+# ((x*C + 32768) // 65536 on nonnegative BIGINTs == the decoder's
+# >> 16). The hash spans the full raster hex string, so a single
+# mis-decoded coefficient, wrong crop, or off-by-one in the color
+# transform diverges. Gray fixtures (media_id % 4 = 0) take the same
+# formula with cb1 = cr1 = 0 (the transform degenerates to identity,
+# matching the decoder's gray expansion).
+ORACLES["multimodal_jpeg_decode"] = """
+WITH m AS (SELECT unnest(range(240)) AS media_id),
+dims AS (
+  SELECT media_id,
+         CAST((media_id * 7) % 25 + 8 AS BIGINT) AS w,
+         CAST((media_id * 13) % 19 + 8 AS BIGINT) AS h
+  FROM m
+),
+blocks AS (
+  SELECT media_id, w, h, bx.x AS bx, by.y AS by,
+         LEAST(8, w - bx.x * 8) AS nx,
+         LEAST(8, h - by.y * 8) AS ny,
+         (media_id * 31 + by.y * 47 + bx.x * 17) % 256 AS yv,
+         CASE WHEN media_id % 4 = 0 THEN 0
+              ELSE (media_id * 5 + bx.x * 3 + by.y * 7) % 100 END AS cb1,
+         CASE WHEN media_id % 4 = 0 THEN 0
+              ELSE (media_id * 11 + bx.x * 13 + by.y * 5) % 100 END AS cr1
+  FROM dims,
+       (SELECT unnest(range(4)) AS x) bx,
+       (SELECT unnest(range(4)) AS y) by
+  WHERE bx.x < (w + 7) // 8 AND by.y < (h + 7) // 8
+),
+rgb AS (
+  SELECT media_id, w, h, bx, by, nx, ny,
+         LEAST(255, GREATEST(0,
+             yv + (91881 * cr1 + 32768) // 65536)) AS r,
+         LEAST(255, GREATEST(0,
+             yv - (22554 * cb1 + 46802 * cr1 + 32768) // 65536)) AS g,
+         LEAST(255, GREATEST(0,
+             yv + (116130 * cb1 + 32768) // 65536)) AS b
+  FROM blocks
+),
+rows_hex AS (
+  SELECT media_id, w, h, by, MAX(ny) AS ny,
+         string_agg(repeat(printf('%02x%02x%02x', r, g, b), CAST(nx AS INT)),
+                    '' ORDER BY bx) AS rowstr,
+         SUM((r + g + b) * nx * ny) AS part_sum
+  FROM rgb
+  GROUP BY media_id, w, h, by
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+       md5(string_agg(repeat(rowstr, CAST(ny AS INT)), '' ORDER BY by))
+           AS feature_hash
+FROM rows_hex
+GROUP BY media_id
+ORDER BY media_id
+"""
+
 # Temperature-scaled source mixing: identical exact-integer
 # apportionment (micro-shares via one IEEE pow, integer-division base
 # quotas, largest-remainder seats by (rem desc, source asc)), then
@@ -5180,6 +5259,56 @@ SELECT q_id, vec_id, neg_label, cos_sim, rk FROM (
     FROM scored
 ) WHERE rk <= 5
 """
+
+# Contrastive training triples: the composition law checked by
+# chaining the two tiers' EXISTING oracle texts — the k-means +
+# SemDeDup chain becomes an sd CTE (string surgery on the exact
+# committed SQL, assert-pinned so a drift in either tier breaks this
+# build step loudly), the hard-negatives query is inlined under
+# fresh CTE names (its emb CTE would collide with the k-means one),
+# and the final SELECT is the same broadcast equi-join the Spark
+# side performs.
+_SD_SELECT = "\nSELECT vb AS vec_id, cluster, CAST(MIN(va) AS BIGINT) AS dup_of,"
+assert _SD_SELECT in _SEMDEDUP_FINAL, "semantic_dedup oracle tail moved"
+_MTP_FINAL = (
+    _SEMDEDUP_FINAL.replace(_SD_SELECT, ", sd AS (" + _SD_SELECT, 1)
+    + """)
+, embd AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(label AS BIGINT) AS label,
+           CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS q_id, label AS q_label, v AS qv
+    FROM embd WHERE vec_id < 10
+), scored AS (
+    SELECT q_id, vec_id, label,
+           round(list_sum(list_transform(list_zip(qv, v), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                    * sqrt(list_sum(list_transform(v, x -> x * x)))), 6)
+               AS cos_sim
+    FROM q, embd
+    WHERE vec_id != q_id AND label != q_label
+), hn AS (
+    SELECT q_id, vec_id AS neg_id, neg_label, cos_sim AS neg_cos, rk FROM (
+        SELECT q_id, vec_id, label AS neg_label, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+)
+SELECT sd.dup_of AS anchor_id, sd.vec_id AS pos_id,
+       sd.cluster AS pos_cluster, hn.neg_id, hn.neg_label,
+       hn.neg_cos, hn.rk AS neg_rank
+FROM sd JOIN hn ON hn.q_id = sd.dup_of
+WHERE sd.vec_id != hn.neg_id
+ORDER BY anchor_id, pos_id, neg_rank
+"""
+)
+ORACLES["mine_training_pairs"] = _kmeans_oracle_cte() + _MTP_FINAL
+SCALE_ORACLES["mine_training_pairs"] = (
+    _kmeans_oracle_cte(dynamic_k=True) + _MTP_FINAL
+)
 
 # Span-level contamination audit: same trigram construction as
 # decontaminate; generate_subscripts zips with unnest to give the

@@ -253,3 +253,35 @@ def test_contamination_report_laws(spark):
             {grams[i - 1] for i in hits}
         )
         assert r["min_gram"] == min(grams[i - 1] for i in hits)
+
+
+def test_mine_training_pairs_composition_law(spark):
+    """mine_training_pairs must be EXACTLY the broadcast equi-join of
+    its two source tiers' outputs (anchor = SemDeDup representative
+    in the query set, positives = its dominated near-dups, negatives
+    = its mined hard negatives, degenerate pos==neg rows excluded) —
+    recomposed independently here from the tiers' own collect()s."""
+    from mapreducego_spark.functions.vector import (
+        hard_negatives,
+        mine_training_pairs,
+        semantic_dedup,
+    )
+
+    sd = semantic_dedup(spark, SF_ORACLE).collect()
+    hn = hard_negatives(spark, SF_ORACLE).collect()
+    want = sorted(
+        (
+            s["dup_of"], s["vec_id"], s["cluster"],
+            n["vec_id"], n["neg_label"], n["cos_sim"], n["rk"],
+        )
+        for s in sd
+        for n in hn
+        if n["q_id"] == s["dup_of"] and s["vec_id"] != n["vec_id"]
+    )
+    got = sorted(
+        tuple(r)
+        for r in mine_training_pairs(spark, SF_ORACLE).collect()
+    )
+    assert got == want
+    # non-degenerate at the gate scale: several anchors compose
+    assert len({g[0] for g in got}) >= 3
