@@ -153,6 +153,12 @@ HEADLINE = [
     # one — same pairs + CC — plus a bounded per-cluster window)
     "kmeans_embed",
     "semantic_dedup",
+    # round 10: real baseline-JPEG pixel decode (fixed 240-file
+    # staging, the decode kernel is what's timed) and the
+    # contrastive-triple composition (recomputes the semantic tier +
+    # hard negatives + broadcast join — the full recipe's cost)
+    "multimodal_jpeg_decode",
+    "mine_training_pairs",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500
