@@ -159,6 +159,7 @@ HEADLINE = [
     # hard negatives + broadcast join — the full recipe's cost)
     "multimodal_jpeg_decode",
     "mine_training_pairs",
+    "hybrid_rerank",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

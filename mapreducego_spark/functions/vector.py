@@ -1594,3 +1594,106 @@ def mine_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "pos_id", "neg_rank")
     )
+
+
+def hybrid_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    k_rrf: int = 60,
+    depth: int = 10,
+    top_n: int = 10,
+) -> DataFrame:
+    """Registry entry (r10): hybrid lexical+semantic retrieval — the
+    production slots rrf_fusion's docstring reserves ("in production
+    these slots hold BM25 and ANN scores"), now actually filled.
+    Per benchmark query: ranking A is the REAL Okapi BM25 top-depth
+    (text.bm25_topk, integer-exact milli-nat scoring), ranking B is
+    the REAL cosine top-depth of the query's own embedding against
+    the corpus (each BM25 query id is its anchor vec_id in the
+    embeddings table — the dense twin of its term list), and the
+    merge is reciprocal-rank fusion with rrf_fusion's exact integer
+    contributions (1e12 div (k + rank), LONG sums). Output: top_n
+    fused rows per query with both source ranks (NULL where only one
+    ranker surfaced the document).
+
+    Scale shape: BM25's single-scan shape and the cosine kernel's
+    no-join one-scan shape are inherited unchanged; both ranked
+    lists are <= |queries| * depth rows by construction, so the
+    full-outer fusion join and the fused-rank window touch
+    constant-size data regardless of corpus size.
+
+    Oracle: chains the committed bm25_topk oracle text (surgery
+    assert-pinned) with the hard_negatives-style cosine CTE and the
+    same integer RRF — one hash gates the whole hybrid stack."""
+    from mapreducego_spark.functions.text import BM25_QUERIES, bm25_docs
+
+    lex = bm25_docs(spark, sf_dir).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id",
+        F.col("rank").alias("rank_lex"),
+    )
+
+    q_anchor_ids = [qid for qid, _ in BM25_QUERIES]
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    q_ids, qmat = _collect_matrix(
+        emb.filter(F.col("vec_id").isin(q_anchor_ids)),
+        "vec_id",
+        "v",
+        cache_key=("hybrid_queries", sf_dir),
+    )
+    qid_arr = F.array(*[F.lit(q).cast("long") for q in q_ids])
+    sem_scored = (
+        _spread_if_heavy(emb, qmat.shape[1], len(q_ids))
+        .select(
+            "vec_id",
+            F.posexplode(pair_cos_udf(qmat)(F.col("v"))).alias(
+                "qpos", "cos"
+            ),
+        )
+        .select(
+            F.element_at(qid_arr, F.col("qpos") + 1).alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.round(F.col("cos"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("doc_id") != F.col("query_id"))
+    )
+    w_sem = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id").asc()
+    )
+    sem = (
+        sem_scored.withColumn(
+            "rank_sem", F.row_number().over(w_sem).cast("long")
+        )
+        .filter(F.col("rank_sem") <= depth)
+        .select("query_id", "doc_id", "rank_sem")
+    )
+
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        (
+            F.coalesce(
+                F.expr(f"1000000000000L div ({k_rrf} + rank_lex)"),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.expr(f"1000000000000L div ({k_rrf} + rank_sem)"),
+                F.lit(0),
+            )
+        ).cast("long").alias("rrf_score"),
+    )
+    w_fused = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(w_fused).cast("long")
+        )
+        .filter(F.col("fused_rank") <= top_n)
+        .orderBy("query_id", "fused_rank")
+    )

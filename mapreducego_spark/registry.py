@@ -305,6 +305,10 @@ QUERIES: dict[str, QueryFn] = {
     # negatives over the query anchors — pure composition of two
     # proven tiers via one broadcast equi-join (new in r10)
     "mine_training_pairs": V.mine_training_pairs,
+    # hybrid retrieval: REAL BM25 + REAL cosine ranking fused with
+    # rrf_fusion's integer RRF — the production slots that operator's
+    # docstring reserved, filled (new in r10)
+    "hybrid_rerank": V.hybrid_rerank,
     "contamination_report": _contamination_report,
     # -- (4) r1-only: last driver row three rounds ago -------------
     "token_count": _token_count,
@@ -910,9 +914,10 @@ assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
 # window is no longer frozen before the round's capability work, so
 # new entries get their driver row in the SAME round and the
 # "never-driver-checked" deferral list dies here), then the 18
-# r5-stale entries, then the 24 oldest r6-stale entries
-# alphabetically (pack_shards and pii_scrub yield their slots to the
-# r10-new entries; max staleness after this window stays r6).
+# r5-stale entries, then the 23 oldest r6-stale entries
+# alphabetically (outlier_mad, pack_shards, and pii_scrub yield
+# their slots to the r10-new entries; max staleness after this
+# window stays r6).
 _R10_WINDOW = [
     # (1) the 6 never-driver-checked entries (r9 verdict item 2)
     "kmeans_embed",
@@ -921,9 +926,10 @@ _R10_WINDOW = [
     "hard_negatives",
     "contamination_report",
     "multimodal_jpeg_meta",
-    # (2) the 2 entries new in r10 — driver rows in their birth round
+    # (2) the 3 entries new in r10 — driver rows in their birth round
     "multimodal_jpeg_decode",
     "mine_training_pairs",
+    "hybrid_rerank",
     # (3) the 18 r5-stale entries, alphabetical
     "scalar_functions",
     "scalar_subquery",
@@ -943,7 +949,7 @@ _R10_WINDOW = [
     "window_rank",
     "window_running",
     "wordcount",
-    # (4) the 24 oldest r6-stale entries, alphabetical
+    # (4) the 23 oldest r6-stale entries, alphabetical
     "agg_stats",
     "chunk_documents",
     "cohort_retention",
@@ -967,7 +973,6 @@ _R10_WINDOW = [
     "multimodal_frames",
     "mutual_information",
     "ngram_jaccard",
-    "outlier_mad",
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R10_WINDOW} | {
@@ -5038,6 +5043,64 @@ SELECT query_id, doc_id, rank, score_milli
 FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank
 """
+
+# Hybrid lexical+semantic rerank: the committed bm25_topk oracle
+# becomes a lex CTE (assert-pinned surgery, same pattern as
+# mine_training_pairs), the semantic ranking is the hard_negatives
+# cosine CTE without the label filter, and the fusion is rrf_fusion's
+# exact integer arithmetic — one hash over the whole hybrid stack.
+_BM25_TAIL = """SELECT query_id, doc_id, rank, score_milli
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+assert ORACLES["bm25_topk"].endswith(_BM25_TAIL), "bm25 oracle tail moved"
+_HYBRID_QIDS = ", ".join(str(qid) for qid, _ in T.BM25_QUERIES)
+ORACLES["hybrid_rerank"] = (
+    ORACLES["bm25_topk"].removesuffix(_BM25_TAIL)
+    + f""", lex AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         rank AS rank_lex
+  FROM ranked WHERE rank <= 10
+), embd AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), qv AS (
+  SELECT vec_id AS query_id, v AS qvec
+  FROM embd WHERE vec_id IN ({_HYBRID_QIDS})
+), sem_scored AS (
+  SELECT query_id, vec_id AS doc_id,
+         round(list_sum(list_transform(list_zip(qvec, v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(qvec, x -> x * x)))
+                  * sqrt(list_sum(list_transform(v, x -> x * x)))), 6)
+             AS cos_sim
+  FROM qv, embd
+  WHERE vec_id != query_id
+), sem AS (
+  SELECT query_id, doc_id, rank_sem FROM (
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS rank_sem
+    FROM sem_scored
+  ) WHERE rank_sem <= 10
+), fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.rank_lex, s.rank_sem,
+         CAST(COALESCE(1000000000000 // (60 + l.rank_lex), 0)
+              + COALESCE(1000000000000 // (60 + s.rank_sem), 0)
+              AS BIGINT) AS rrf_score
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, rank_lex, rank_sem, rrf_score, fused_rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 10
+ORDER BY query_id, fused_rank
+"""
+)
 
 # Epoch oversampling: curriculum_mix's quota CTEs at budget 900, then
 # quota realized as epochs + largest-remainder extras per document.

@@ -285,3 +285,73 @@ def test_mine_training_pairs_composition_law(spark):
     assert got == want
     # non-degenerate at the gate scale: several anchors compose
     assert len({g[0] for g in got}) >= 3
+
+
+def test_hybrid_rerank_composition_law(spark):
+    """hybrid_rerank must equal the independent recomposition of its
+    three tiers: bm25_docs' committed ranking, a brute-force cosine
+    top-10 per anchored query embedding, and rrf_fusion's integer
+    contributions (1e12 // (60 + rank), missing ranker = 0), fused
+    rank tie-broken on doc_id."""
+    import pyarrow.parquet as pq
+
+    from mapreducego_spark.functions.text import BM25_QUERIES, bm25_docs
+    from mapreducego_spark.functions.vector import hybrid_rerank
+
+    lex = {
+        (r["query_id"], r["doc_id"]): r["rank"]
+        for r in bm25_docs(spark, SF_ORACLE).collect()
+    }
+
+    t = pq.read_table(f"{SF_ORACLE}/embeddings.parquet")
+    ids = [int(x) for x in t["vec_id"].to_pylist()]
+    embs = dict(zip(ids, t["embedding"].to_pylist()))
+
+    def cos(a, b):
+        accd = accn_a = accn_b = 0.0
+        for x, y in zip(a, b):
+            xd = float(np.float64(np.float32(x)))
+            yd = float(np.float64(np.float32(y)))
+            accd += xd * yd
+            accn_a += xd * xd
+            accn_b += yd * yd
+        return round(accd / (math.sqrt(accn_a) * math.sqrt(accn_b)), 6)
+
+    sem = {}
+    for qid, _terms in BM25_QUERIES:
+        cand = sorted(
+            ((-cos(embs[qid], embs[v]), v) for v in ids if v != qid)
+        )[:10]
+        for rk, (_, v) in enumerate(cand):
+            sem[(qid, v)] = rk + 1
+
+    want = {}
+    for qid, _terms in BM25_QUERIES:
+        pool = {d for (q, d) in lex if q == qid} | {
+            d for (q, d) in sem if q == qid
+        }
+        scored = sorted(
+            (
+                -(
+                    (10**12 // (60 + lex[(qid, d)]) if (qid, d) in lex else 0)
+                    + (10**12 // (60 + sem[(qid, d)]) if (qid, d) in sem else 0)
+                ),
+                d,
+            )
+            for d in pool
+        )[:10]
+        for rk, (negscore, d) in enumerate(scored):
+            want[(qid, d)] = (
+                lex.get((qid, d)), sem.get((qid, d)), -negscore, rk + 1
+            )
+
+    got = {
+        (r["query_id"], r["doc_id"]): (
+            r["rank_lex"], r["rank_sem"], r["rrf_score"], r["fused_rank"]
+        )
+        for r in hybrid_rerank(spark, SF_ORACLE).collect()
+    }
+    assert got == want
+    # the hybrid is non-degenerate: at least one fused row per query
+    # exists that only ONE ranker surfaced
+    assert any(v[0] is None or v[1] is None for v in got.values())
