@@ -97,6 +97,10 @@ WAIVED: dict[str, str] = {
     "aggregate (same pattern as perplexity_score)",
     "bm25_topk": "BNLJ vs broadcast 1-row (n_docs, avgdl_milli) "
     "corpus-stats aggregate (same pattern as tfidf_top_terms)",
+    "hybrid_rerank": "inherits bm25_topk's waived 1-row corpus-stats "
+    "BNLJ verbatim (its lexical arm IS bm25_topk; the fusion itself "
+    "adds only a full-outer SortMergeJoin over two <= |queries|*depth "
+    "ranked lists)",
 }
 # (vector_topk / knn_label_vote / decontaminate_embedding waivers are
 # gone as of r5: the query/benchmark set now ships in the pair-cosine
