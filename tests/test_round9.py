@@ -20,6 +20,13 @@ _FROZEN_BNLJ_WAIVERS = {
     "ab_test_lift",
     "perplexity_bigram",
     "bm25_topk",
+    # r10 deliberate addition: hybrid_rerank's lexical arm IS
+    # bm25_topk, so it inherits that entry's already-frozen 1-row
+    # corpus-stats broadcast BNLJ verbatim; the fusion layer itself
+    # adds only a full-outer SortMergeJoin over two bounded
+    # (<= |queries| * depth rows) ranked lists — no new unbounded
+    # nested-loop surface.
+    "hybrid_rerank",
 }
 _FROZEN_WINDOW_WAIVERS = {"rrf_fusion", "skyline_offers"}
 
