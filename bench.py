@@ -160,6 +160,7 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "mine_training_pairs",
     "hybrid_rerank",
+    "mine_image_text_pairs",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

@@ -829,3 +829,65 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("payload_sha256")
     )
+
+
+def mine_image_text_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 240,
+    min_tokens: int = 5,
+    min_px: int = 256,
+) -> DataFrame:
+    """Registry entry (r10): image-text training-pair manifest — the
+    first operator linking the MEDIA tier to the TEXT tier. Every
+    staged image (decoded for real by multimodal_jpeg_decode's
+    pipeline) is paired with its caption document (doc_id ==
+    media_id, the fixture's pairing key; in production this is the
+    crawl's page/image linkage) and gated the way a CLIP-style
+    pairing recipe gates: the caption must carry >= min_tokens
+    letter-run tokens (text.tokens_col's definition, the corpus-wide
+    standard) and the image >= min_px decoded pixels. Emits ALL n
+    pairs with the boolean gate plus the features it was decided on
+    — an auditable manifest, not a silent filter.
+
+    Scale shape: the decode side is multimodal_jpeg_decode verbatim
+    (distributed binaryFile scan, one Arrow crossing); caption
+    features are JVM-side expressions fused into the documents scan
+    with the doc_id range predicate pushed down; the pairing is one
+    equi-join on the key (the fixture's decode side is
+    constant-size, so it broadcasts; at production scale AQE picks
+    the shuffle join and the join key is the linkage id either way).
+
+    Oracle: chains the committed multimodal_jpeg_decode oracle
+    (closed-form RGB arithmetic) with the documents token stats and
+    the same gate — one hash over decode + caption featurization +
+    pairing."""
+    from mapreducego_spark.functions.text import tokens_col
+    from mapreducego_spark.sources.catalog import load_table
+
+    media = multimodal_jpeg_decode(spark, sf_dir, n).select(
+        "media_id", "width", "height", "px_sum"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    captions = docs.filter(F.col("doc_id") < n).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("caption_chars"),
+    )
+    return (
+        media.join(captions, media.media_id == captions.doc_id)
+        .select(
+            "media_id",
+            "doc_id",
+            "width",
+            "height",
+            "px_sum",
+            "n_tokens",
+            "caption_chars",
+            (
+                (F.col("n_tokens") >= min_tokens)
+                & (F.col("width") * F.col("height") >= min_px)
+            ).alias("pair_ok"),
+        )
+        .orderBy("media_id")
+    )

@@ -597,6 +597,10 @@ QUERIES: dict[str, QueryFn] = {
     # RGB closed-form so the oracle is hash-exact (jpegcodec.py's
     # determinism contract)
     "multimodal_jpeg_decode": M.multimodal_jpeg_decode,
+    # image-text training-pair manifest: real JPEG decode joined to
+    # caption token stats with the CLIP-style quality gate — the
+    # first media-tier x text-tier composition (new in r10)
+    "mine_image_text_pairs": M.mine_image_text_pairs,
     # temperature-scaled source mixing (n^alpha apportionment, exact
     # integer micro-shares + largest-remainder seats)
     "curriculum_mix": T.curriculum_mix,
@@ -914,10 +918,10 @@ assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
 # window is no longer frozen before the round's capability work, so
 # new entries get their driver row in the SAME round and the
 # "never-driver-checked" deferral list dies here), then the 18
-# r5-stale entries, then the 23 oldest r6-stale entries
-# alphabetically (outlier_mad, pack_shards, and pii_scrub yield
-# their slots to the r10-new entries; max staleness after this
-# window stays r6).
+# r5-stale entries, then the 22 oldest r6-stale entries
+# alphabetically (ngram_jaccard, outlier_mad, pack_shards, and
+# pii_scrub yield their slots to the r10-new entries; max staleness
+# after this window stays r6).
 _R10_WINDOW = [
     # (1) the 6 never-driver-checked entries (r9 verdict item 2)
     "kmeans_embed",
@@ -926,10 +930,11 @@ _R10_WINDOW = [
     "hard_negatives",
     "contamination_report",
     "multimodal_jpeg_meta",
-    # (2) the 3 entries new in r10 — driver rows in their birth round
+    # (2) the 4 entries new in r10 — driver rows in their birth round
     "multimodal_jpeg_decode",
     "mine_training_pairs",
     "hybrid_rerank",
+    "mine_image_text_pairs",
     # (3) the 18 r5-stale entries, alphabetical
     "scalar_functions",
     "scalar_subquery",
@@ -949,7 +954,7 @@ _R10_WINDOW = [
     "window_rank",
     "window_running",
     "wordcount",
-    # (4) the 23 oldest r6-stale entries, alphabetical
+    # (4) the 22 oldest r6-stale entries, alphabetical
     "agg_stats",
     "chunk_documents",
     "cohort_retention",
@@ -972,7 +977,6 @@ _R10_WINDOW = [
     "multimodal_features",
     "multimodal_frames",
     "mutual_information",
-    "ngram_jaccard",
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R10_WINDOW} | {
@@ -4876,6 +4880,45 @@ FROM rows_hex
 GROUP BY media_id
 ORDER BY media_id
 """
+
+# Image-text pair manifest: the committed jpeg-decode oracle becomes
+# a media CTE (assert-pinned surgery), caption token stats use the
+# corpus-wide _TOKS definition, and the gate is the same boolean.
+_JPEG_DECODE_TAIL = """SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+       md5(string_agg(repeat(rowstr, CAST(ny AS INT)), '' ORDER BY by))
+           AS feature_hash
+FROM rows_hex
+GROUP BY media_id
+ORDER BY media_id
+"""
+assert ORACLES["multimodal_jpeg_decode"].endswith(_JPEG_DECODE_TAIL), (
+    "jpeg decode oracle tail moved"
+)
+ORACLES["mine_image_text_pairs"] = (
+    ORACLES["multimodal_jpeg_decode"].removesuffix(_JPEG_DECODE_TAIL)
+    + f""", media AS (
+  SELECT CAST(media_id AS BIGINT) AS media_id,
+         CAST(MAX(w) AS INT) AS width,
+         CAST(MAX(h) AS INT) AS height,
+         CAST(SUM(part_sum) AS BIGINT) AS px_sum
+  FROM rows_hex
+  GROUP BY media_id
+), cap AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS caption_chars
+  FROM documents WHERE doc_id < 240
+)
+SELECT mm.media_id, c.doc_id, mm.width, mm.height, mm.px_sum,
+       c.n_tokens, c.caption_chars,
+       (c.n_tokens >= 5 AND mm.width * mm.height >= 256) AS pair_ok
+FROM media mm JOIN cap c ON c.doc_id = mm.media_id
+ORDER BY mm.media_id
+"""
+)
 
 # Temperature-scaled source mixing: identical exact-integer
 # apportionment (micro-shares via one IEEE pow, integer-division base

@@ -141,3 +141,46 @@ def test_fixture_file_decode_matches_oracle_arithmetic():
     assert hashlib.md5(rgb.hex().encode()).hexdigest() == hashlib.md5(
         "".join(hex_parts).encode()
     ).hexdigest()
+
+
+def test_mine_image_text_pairs_composition_law(spark):
+    """The manifest must equal the independent recomposition: serial
+    decode of each staged file + caption token stats from the raw
+    parquet + the same gate."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from mapreducego_spark.functions.multimodal import (
+        mine_image_text_pairs,
+        stage_jpeg_pixels,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    path = stage_jpeg_pixels(sf, 240)
+    want = {}
+    for i in range(240):
+        with open(f"{path}/media_{i:05d}.jpg", "rb") as fh:
+            w, h, rgb = decode_jpeg_baseline(fh.read())
+        want[i] = (w, h, sum(rgb))
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    caps = {
+        int(d): (
+            len([x for x in re.split(r"[^a-z]+", s.lower()) if x]),
+            len(s),
+        )
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        if int(d) < 240
+    }
+    rows = mine_image_text_pairs(spark, sf).collect()
+    assert len(rows) == 240
+    n_ok = 0
+    for r in rows:
+        w, h, px = want[r["media_id"]]
+        n_tok, n_chars = caps[r["media_id"]]
+        assert (r["width"], r["height"], r["px_sum"]) == (w, h, px)
+        assert (r["n_tokens"], r["caption_chars"]) == (n_tok, n_chars)
+        assert r["pair_ok"] == (n_tok >= 5 and w * h >= 256)
+        n_ok += bool(r["pair_ok"])
+    # the gate is non-degenerate: both outcomes occur
+    assert 0 < n_ok < 240
