@@ -19,10 +19,15 @@ mapInPandas — see functions/multimodal.py for the Spark-side
 plumbing and SURVEY.md §2).
 
 Scope (loud, like decode_png's): baseline DCT (SOF0), 8-bit
-precision, 1 or 3 components with no chroma subsampling (all
-sampling factors 1x1), no restart markers. Progressive (SOF2),
-subsampled, 12-bit, or arithmetic-coded streams raise
-NotImplementedError; structurally broken streams raise ValueError.
+precision, 1 component at 1x1 or 3 components with any sampling
+factors in {1, 2} — which covers 4:4:4 (1x1 everywhere), 4:2:0
+(luma 2x2, the dominant real-world encoding; r10 verdict item 2),
+and 4:2:2 (luma 2x1) with one interleaved-MCU walk (A.2.3).
+Chroma is upsampled by sample replication (the nearest-neighbor
+reconstruction JFIF permits). No restart markers. Progressive
+(SOF2), 12-bit, sampling factors > 2, or arithmetic-coded streams
+raise NotImplementedError; structurally broken streams raise
+ValueError.
 
 Determinism contract for the oracle fixtures: a constant 8x8 block
 level-shifts to a constant, whose float FDCT is EXACTLY DC-only up
@@ -77,6 +82,10 @@ AC_VALS = [0x00] + sorted(
 )
 AC_BITS = [1, 0, 0, 0, 0, 0, 0, 0, len(AC_VALS) - 1, 0, 0, 0, 0, 0, 0, 0]
 
+# Flat de-zigzag index: coeff.flat[_ZZ_FLAT[k]] = seq[k] (r10 verdict
+# item 5 — one fancy-index store instead of a 64-iteration loop).
+_ZZ_FLAT = np.array([r * 8 + c for r, c in ZIGZAG])
+
 # 1-D DCT-II basis (T.81 A.3.3): BASIS[u, x] = C(u)/2 * cos((2x+1)u pi/16)
 _BASIS = np.array(
     [
@@ -110,6 +119,24 @@ def ycbcr_to_rgb_int(y: int, cb: int, cr: int) -> tuple[int, int, int]:
     b = y + ((_FIX_B_CB * cb1 + 32768) >> 16)
     clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
     return clamp(r), clamp(g), clamp(b)
+
+
+def ycbcr_to_rgb_planes(
+    ys: np.ndarray, cbs: np.ndarray, crs: np.ndarray
+) -> np.ndarray:
+    """Vectorized twin of ``ycbcr_to_rgb_int`` (r10 verdict item 5):
+    identical fixed-point arithmetic on int64 arrays — numpy's ``>>``
+    on int64 is an arithmetic shift, i.e. the same floor division by
+    2^16 as Python's int shift, so this is bit-equal to the scalar
+    path for every (y, cb, cr) triple (pinned by pytest). Returns an
+    ``(..., 3)`` uint8 array."""
+    y = ys.astype(np.int64)
+    cb1 = cbs.astype(np.int64) - 128
+    cr1 = crs.astype(np.int64) - 128
+    r = y + ((_FIX_R_CR * cr1 + 32768) >> 16)
+    g = y - ((_FIX_G_CB * cb1 + _FIX_G_CR * cr1 + 32768) >> 16)
+    b = y + ((_FIX_B_CB * cb1 + 32768) >> 16)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------- huffman
@@ -226,6 +253,56 @@ def _fdct_quant(block: np.ndarray, quant: np.ndarray) -> np.ndarray:
     return np.round(coeff / quant).astype(np.int64)
 
 
+def _encode_block(
+    w: _BitWriter,
+    blk: np.ndarray,
+    quant: np.ndarray,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    prev_dc: int,
+) -> int:
+    """Huffman-encode one 8x8 block (F.2); returns the new DC
+    predictor."""
+    zz = _fdct_quant(blk, quant)
+    seq = [int(v) for v in zz.reshape(-1)[_ZZ_FLAT]]
+    diff = seq[0] - prev_dc
+    s = _category(diff)
+    w.write(*dc_codes[s])
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if seq[k]), default=0)
+    for k in range(1, last_nz + 1):
+        if seq[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.write(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s = _category(seq[k])
+        w.write(*ac_codes[run << 4 | s])
+        v = seq[k]
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        w.write(*ac_codes[0x00])  # EOB
+    return seq[0]
+
+
+def _box_downsample(a: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """Rounded box average by (fv, fh) — the chroma decimation for
+    4:2:0/4:2:2. Odd dims are edge-padded first; a constant region
+    averages to the constant EXACTLY ((k*v + k//2) // k == v), which
+    is what keeps the 4:2:0 fixture oracle closed-form."""
+    h, w = a.shape
+    a = np.pad(a, ((0, -h % fv), (0, -w % fh)), mode="edge")
+    acc = np.zeros((a.shape[0] // fv, a.shape[1] // fh), dtype=np.int64)
+    for dy in range(fv):
+        for dx in range(fh):
+            acc += a[dy::fv, dx::fh]
+    return ((acc + fh * fv // 2) // (fh * fv)).astype(np.uint8)
+
+
 def encode_jpeg_baseline(
     width: int,
     height: int,
@@ -233,34 +310,47 @@ def encode_jpeg_baseline(
     density_unit: int = 0,
     x_density: int = 1,
     y_density: int = 1,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode raw samples as a baseline-sequential JFIF file.
 
     ``planes`` is ``[gray]`` or ``[Y, Cb, Cr]``, each
-    ``width*height`` bytes in raster order (no subsampling — 4:4:4).
-    Edge blocks are replicate-padded. All components share quant
-    table 0 (flat / quality-100) and Huffman tables 0."""
+    ``width*height`` bytes in raster order (full resolution — the
+    encoder performs the chroma decimation itself). ``subsampling``
+    is ``"444"`` (all components 1x1) or ``"420"`` (luma 2x2, chroma
+    box-decimated 2x both ways, MCU-interleaved per A.2.3 — the
+    dominant real-world encoding; 3-component input only). Edge
+    blocks are replicate-padded. All components share quant table 0
+    (flat / quality-100) and Huffman tables 0."""
     ncomp = len(planes)
     if ncomp not in (1, 3):
         raise ValueError("planes must be [gray] or [Y, Cb, Cr]")
     for p in planes:
         if len(p) != width * height:
             raise ValueError("each plane must be width*height bytes")
+    if subsampling == "444" or ncomp == 1:
+        samp = [(1, 1)] * ncomp
+    elif subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        raise ValueError("subsampling must be '444' or '420'")
+    hmax = max(sh for sh, _ in samp)
+    vmax = max(sv for _, sv in samp)
+    mcx_n = (width + 8 * hmax - 1) // (8 * hmax)
+    mcy_n = (height + 8 * vmax - 1) // (8 * vmax)
     # QUANT_FLAT is stored in zigzag order (DQT wire order); the FDCT
     # needs it in natural (row, col) order.
     quant = np.zeros((8, 8))
-    for k, (r, c) in enumerate(ZIGZAG):
-        quant[r, c] = QUANT_FLAT[k]
+    quant.reshape(-1)[_ZZ_FLAT] = QUANT_FLAT
 
-    bx_n = (width + 7) // 8
-    by_n = (height + 7) // 8
     arrs = []
-    for p in planes:
+    for p, (sh, sv) in zip(planes, samp):
         a = np.frombuffer(p, dtype=np.uint8).reshape(height, width)
+        if (sh, sv) != (hmax, vmax):
+            a = _box_downsample(a, hmax // sh, vmax // sv)
+        ph, pw = mcy_n * sv * 8, mcx_n * sh * 8
         a = np.pad(
-            a,
-            ((0, by_n * 8 - height), (0, bx_n * 8 - width)),
-            mode="edge",
+            a, ((0, ph - a.shape[0]), (0, pw - a.shape[1])), mode="edge"
         )
         arrs.append(a)
 
@@ -268,36 +358,21 @@ def encode_jpeg_baseline(
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
     w = _BitWriter()
     prev_dc = [0] * ncomp
-    for by in range(by_n):
-        for bx in range(bx_n):
-            for ci in range(ncomp):
-                blk = arrs[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                zz = _fdct_quant(blk, quant)
-                seq = [int(zz[r, c]) for r, c in ZIGZAG]
-                diff = seq[0] - prev_dc[ci]
-                prev_dc[ci] = seq[0]
-                s = _category(diff)
-                w.write(*dc_codes[s])
-                if s:
-                    w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-                run = 0
-                last_nz = max(
-                    (k for k in range(1, 64) if seq[k]), default=0
-                )
-                for k in range(1, last_nz + 1):
-                    if seq[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        w.write(*ac_codes[0xF0])  # ZRL
-                        run -= 16
-                    s = _category(seq[k])
-                    w.write(*ac_codes[run << 4 | s])
-                    v = seq[k]
-                    w.write(v if v >= 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if last_nz < 63:
-                    w.write(*ac_codes[0x00])  # EOB
+    for my in range(mcy_n):
+        for mx in range(mcx_n):
+            for ci, (sh, sv) in enumerate(samp):
+                for vy in range(sv):
+                    for vx in range(sh):
+                        r0 = (my * sv + vy) * 8
+                        c0 = (mx * sh + vx) * 8
+                        prev_dc[ci] = _encode_block(
+                            w,
+                            arrs[ci][r0 : r0 + 8, c0 : c0 + 8],
+                            quant,
+                            dc_codes,
+                            ac_codes,
+                            prev_dc[ci],
+                        )
     scan = w.flush()
 
     def seg(marker: int, data: bytes) -> bytes:
@@ -314,7 +389,10 @@ def encode_jpeg_baseline(
         bytes([8])
         + struct.pack(">HH", height, width)
         + bytes([ncomp])
-        + b"".join(bytes([cid, 0x11, 0]) for cid in range(1, ncomp + 1))
+        + b"".join(
+            bytes([cid, sh << 4 | sv, 0])
+            for cid, (sh, sv) in zip(range(1, ncomp + 1), samp)
+        )
     )
     dht = (
         bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
@@ -353,8 +431,12 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
     quant_tables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
-    scan_map: list[tuple[int, int]] = []  # (dc table, ac table) per comp
+    # per SOF component: (component id, h samp, v samp, quant table id)
+    comps: list[tuple[int, int, int, int]] = []
+    # per SOS scan slot: (SOF component index, dc table, ac table) —
+    # the selector byte is honored, so SOS order may differ from SOF
+    # order (the silent-misdecode case the r10 ADVICE flagged)
+    scan_map: list[tuple[int, int, int]] = []
     scan_start = None
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
@@ -415,11 +497,20 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
                 raise NotImplementedError("1 or 3 components only")
             for ci in range(ncomp):
                 cid, samp, qid = data[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
+                sh, sv = samp >> 4, samp & 0xF
+                if ncomp == 1 and (sh, sv) != (1, 1):
+                    # a single-component scan is non-interleaved per
+                    # A.2.2 — its MCU is one block and sampling
+                    # factors would be meaningless here
                     raise NotImplementedError(
-                        "chroma subsampling not supported (4:4:4 only)"
+                        "subsampling factors on a 1-component frame"
                     )
-                comps.append((cid, qid))
+                if not (1 <= sh <= 2 and 1 <= sv <= 2):
+                    raise NotImplementedError(
+                        f"sampling factors {sh}x{sv} unsupported"
+                        " (subsampling limited to factors 1..2)"
+                    )
+                comps.append((cid, sh, sv, qid))
         elif marker == 0xDD:
             if struct.unpack(">H", data[:2])[0] != 0:
                 raise NotImplementedError("restart intervals")
@@ -428,7 +519,18 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
             if ns != len(comps):
                 raise NotImplementedError("non-interleaved scans")
             for si in range(ns):
-                scan_map.append((data[2 + 2 * si] >> 4, data[2 + 2 * si] & 0xF))
+                sel = data[1 + 2 * si]  # component selector (B.2.3)
+                tables = data[2 + 2 * si]
+                matches = [
+                    k for k, (cid, *_rest) in enumerate(comps) if cid == sel
+                ]
+                if not matches:
+                    raise ValueError(
+                        f"SOS selects undeclared component {sel}"
+                    )
+                scan_map.append((matches[0], tables >> 4, tables & 0xF))
+            if sorted(k for k, _, _ in scan_map) != list(range(ns)):
+                raise ValueError("SOS selects a component twice")
             scan_start = pos
             break
     if width is None or scan_start is None:
@@ -444,59 +546,79 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
         end += 1 + (payload[end] == 0xFF)
     reader = _BitReader(payload[scan_start:end])
 
-    bx_n = (width + 7) // 8
-    by_n = (height + 7) // 8
     ncomp = len(comps)
+    hmax = max(sh for _, sh, _, _ in comps)
+    vmax = max(sv for _, _, sv, _ in comps)
+    mcx_n = (width + 8 * hmax - 1) // (8 * hmax)
+    mcy_n = (height + 8 * vmax - 1) // (8 * vmax)
     planes = [
-        np.zeros((by_n * 8, bx_n * 8), dtype=np.uint8) for _ in range(ncomp)
+        np.zeros((mcy_n * sv * 8, mcx_n * sh * 8), dtype=np.uint8)
+        for _, sh, sv, _ in comps
     ]
+    # resolve each scan slot's tables/geometry once, in SOS order —
+    # the interleaved MCU walks components in SOS order (A.2.3)
+    slots = []
+    for ci, dc_id, ac_id in scan_map:
+        dc_t = huff.get((0, dc_id))
+        ac_t = huff.get((1, ac_id))
+        q = quant_tables.get(comps[ci][3])
+        if dc_t is None or ac_t is None or q is None:
+            raise ValueError("scan references undefined table")
+        slots.append((ci, comps[ci][1], comps[ci][2], dc_t, ac_t, q))
     prev_dc = [0] * ncomp
-    for by in range(by_n):
-        for bx in range(bx_n):
-            for ci in range(ncomp):
-                dc_t = huff.get((0, scan_map[ci][0]))
-                ac_t = huff.get((1, scan_map[ci][1]))
-                q = quant_tables.get(comps[ci][1])
-                if dc_t is None or ac_t is None or q is None:
-                    raise ValueError("scan references undefined table")
-                s = reader.symbol(dc_t)
-                diff = _extend(reader.bits(s), s) if s else 0
-                prev_dc[ci] += diff
-                seq = [0] * 64
-                seq[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.symbol(ac_t)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    size = rs & 0xF
-                    seq[k] = _extend(reader.bits(size), size)
-                    k += 1
-                coeff = np.zeros((8, 8))
-                for kk, (r, c) in enumerate(ZIGZAG):
-                    coeff[r, c] = seq[kk]
-                spatial = _BASIS.T @ (coeff * q) @ _BASIS + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    np.clip(np.round(spatial), 0, 255).astype(np.uint8)
-                )
+    coeff = np.zeros(64)
+    for my in range(mcy_n):
+        for mx in range(mcx_n):
+            for ci, sh, sv, dc_t, ac_t, q in slots:
+                for vy in range(sv):
+                    for vx in range(sh):
+                        s = reader.symbol(dc_t)
+                        diff = _extend(reader.bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        coeff[:] = 0
+                        seq = [0] * 64
+                        seq[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.symbol(ac_t)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            size = rs & 0xF
+                            if size == 0:
+                                # run/size with size 0 is only valid
+                                # as EOB or ZRL (F.1.2.2.1) — loud
+                                # structural failure, not a negative
+                                # shift deep in EXTEND
+                                raise ValueError(
+                                    "invalid AC run/size symbol"
+                                    f" 0x{rs:02X}"
+                                )
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            seq[k] = _extend(reader.bits(size), size)
+                            k += 1
+                        coeff[_ZZ_FLAT] = seq
+                        cq = (coeff.reshape(8, 8)) * q
+                        spatial = _BASIS.T @ cq @ _BASIS + 128.0
+                        r0 = (my * sv + vy) * 8
+                        c0 = (mx * sh + vx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = np.clip(
+                            np.round(spatial), 0, 255
+                        ).astype(np.uint8)
 
-    planes = [p[:height, :width] for p in planes]
-    rgb = bytearray(width * height * 3)
+    # upsample subsampled components by sample replication (nearest
+    # neighbor), then crop the MCU padding
+    full = []
+    for p, (_, sh, sv, _) in zip(planes, comps):
+        if (sh, sv) != (hmax, vmax):
+            p = np.repeat(np.repeat(p, vmax // sv, axis=0), hmax // sh, axis=1)
+        full.append(p[:height, :width])
     if ncomp == 1:
-        g = planes[0].reshape(-1)
-        for i, v in enumerate(g):
-            rgb[3 * i] = rgb[3 * i + 1] = rgb[3 * i + 2] = v
+        rgb = np.repeat(full[0].reshape(-1), 3).tobytes()
     else:
-        ys, cbs, crs = (p.reshape(-1) for p in planes)
-        for i in range(width * height):
-            r, g, b = ycbcr_to_rgb_int(
-                int(ys[i]), int(cbs[i]), int(crs[i])
-            )
-            rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2] = r, g, b
-    return width, height, bytes(rgb)
+        rgb = ycbcr_to_rgb_planes(*full).tobytes()
+    return width, height, rgb

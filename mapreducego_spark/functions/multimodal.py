@@ -775,6 +775,129 @@ def multimodal_jpeg_decode(
     ).orderBy("media_id")
 
 
+def _jpeg_px_fixture_planes_420(i: int):
+    """Deterministic 4:2:0 pixel-fixture spec (r10 verdict item 2):
+    luma CONSTANT PER 8x8 BLOCK but varying WITHIN each 16x16 MCU —
+    so a decoder that walked the four interleaved luma blocks in the
+    wrong order produces wrong pixels — and chroma constant per
+    16x16 MACROBLOCK, so the encoder's 2x2 box decimation and the
+    decoder's replication upsample are both exact on it (a constant
+    averages to itself and replicates to itself). Everything is
+    integer arithmetic on (i, bx, by), so the oracle reconstructs
+    decoded RGB closed-form: pixel (x, y) has Y = yv(x//8, y//8),
+    Cb/Cr = c(x//16, y//16). Chroma stays >= 128 for the oracle's
+    nonnegative-BIGINT floor-shift contract."""
+    w = (i * 7) % 33 + 16
+    h = (i * 13) % 29 + 16
+
+    def yv(bx: int, by: int) -> int:
+        return (i * 31 + by * 47 + bx * 17) % 256
+
+    def cb(mbx: int, mby: int) -> int:
+        return 128 + (i * 5 + mbx * 3 + mby * 7) % 100
+
+    def cr(mbx: int, mby: int) -> int:
+        return 128 + (i * 11 + mbx * 13 + mby * 5) % 100
+
+    return {"y": yv, "cb": cb, "cr": cr}, (w, h)
+
+
+def encode_jpeg_pixels_fixture_420(i: int) -> bytes:
+    """Encode 4:2:0 fixture ``i`` as a REAL chroma-subsampled
+    baseline JPEG (MCU-interleaved scan, 2x2 luma sampling)."""
+    from mapreducego_spark.functions.jpegcodec import encode_jpeg_baseline
+
+    spec, (w, h) = _jpeg_px_fixture_planes_420(i)
+    yp = bytes(spec["y"](x // 8, y // 8) for y in range(h) for x in range(w))
+    cbp = bytes(
+        spec["cb"](x // 16, y // 16) for y in range(h) for x in range(w)
+    )
+    crp = bytes(
+        spec["cr"](x // 16, y // 16) for y in range(h) for x in range(w)
+    )
+    return encode_jpeg_baseline(w, h, [yp, cbp, crp], subsampling="420")
+
+
+def stage_jpeg_pixels_420(sf_dir: str, n: int = 240) -> str:
+    """Stage ``n`` real 4:2:0 entropy-coded JPEGs (same idempotent
+    staging contract as stage_jpeg_pixels)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_media/{tag}_jpeg420_{n}"
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        for i in range(n):
+            with open(os.path.join(out, f"media_{i:05d}.jpg"), "wb") as fh:
+                fh.write(encode_jpeg_pixels_fixture_420(i))
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+    return out
+
+
+def multimodal_jpeg_decode_420(
+    spark: SparkSession, sf_dir: str, n: int = 240
+) -> DataFrame:
+    """Registry entry (r11; r10 verdict item 2): REAL 4:2:0
+    chroma-subsampled JPEG decode — the dominant real-world encoding
+    the 4:4:4-only r10 codec still refused. Staged MCU-interleaved
+    scans (luma 2x2) are scanned with the distributed binaryFile
+    source and decoded by jpegcodec.decode_jpeg_baseline's
+    generalized interleaved-MCU walk (A.2.3: per MCU, four luma
+    blocks then Cb then Cr, per-component DC prediction) with
+    replication chroma upsampling, inside one Arrow-batched
+    mapInPandas pass. Same output contract as multimodal_jpeg_decode
+    (dims, integer RGB sum, md5 of the pixel hex) and the fixture is
+    closed-form in media_id, so the DuckDB oracle reconstructs every
+    byte in BIGINT — a hash gate over the subsampled entropy layout
+    itself, since luma varies within each MCU (wrong interleave
+    order => wrong hash). Reference analog: the opaque-bytes input
+    contract at master.go:82.
+
+    Scale shape: identical to multimodal_jpeg_decode — distributed
+    scan, one Arrow crossing per batch, per-file decode parallelism,
+    no shuffle before the presentation sort."""
+    from mapreducego_spark.functions.jpegcodec import decode_jpeg_baseline
+
+    path = stage_jpeg_pixels_420(sf_dir, n)
+    media = (
+        spark.read.format("binaryFile")
+        .load(path + "/media_*.jpg")
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                w, h, rgb = decode_jpeg_baseline(bytes(p))
+                rows.append(
+                    (
+                        int(mid),
+                        w,
+                        h,
+                        int(sum(rgb)),
+                        hashlib.md5(rgb.hex().encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "px_sum", "feature_hash",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, width int, height int, px_sum long, "
+        "feature_hash string",
+    ).orderBy("media_id")
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable slice of the multimodal tier: per-mime
     byte-size stats over the binary payload column (everything here

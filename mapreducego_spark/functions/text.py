@@ -2293,12 +2293,16 @@ def bm25_topk(
     )
 
 
-def bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: BM25 top-10 per benchmark query over the
-    documents table."""
+def bm25_docs(
+    spark: SparkSession, sf_dir: str, top_k: int = 10
+) -> DataFrame:
+    """Registry entry: BM25 top-``top_k`` per benchmark query over
+    the documents table (``top_k`` exists so composing callers like
+    hybrid_rerank can deepen the lexical arm symmetrically — the r10
+    ADVICE asymmetry fix)."""
     from mapreducego_spark.sources.catalog import load_table
 
-    return bm25_topk(load_table(spark, sf_dir, "documents"))
+    return bm25_topk(load_table(spark, sf_dir, "documents"), top_k=top_k)
 
 
 def curriculum_oversample(

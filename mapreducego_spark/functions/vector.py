@@ -1627,7 +1627,7 @@ def hybrid_rerank(
     same integer RRF — one hash gates the whole hybrid stack."""
     from mapreducego_spark.functions.text import BM25_QUERIES, bm25_docs
 
-    lex = bm25_docs(spark, sf_dir).select(
+    lex = bm25_docs(spark, sf_dir, top_k=depth).select(
         F.col("query_id").cast("long").alias("query_id"),
         "doc_id",
         F.col("rank").alias("rank_lex"),

@@ -597,6 +597,12 @@ QUERIES: dict[str, QueryFn] = {
     # RGB closed-form so the oracle is hash-exact (jpegcodec.py's
     # determinism contract)
     "multimodal_jpeg_decode": M.multimodal_jpeg_decode,
+    # REAL 4:2:0 chroma-subsampled JPEG decode (new in r11, r10
+    # verdict item 2): MCU-interleaved scans (2x2 luma + decimated
+    # chroma), the generalized A.2.3 MCU walk + replication
+    # upsample; luma varies WITHIN each MCU so the hash oracle gates
+    # the interleave order itself
+    "multimodal_jpeg_decode_420": M.multimodal_jpeg_decode_420,
     # image-text training-pair manifest: real JPEG decode joined to
     # caption token stats with the CLIP-style quality gate — the
     # first media-tier x text-tier composition (new in r10)
@@ -913,8 +919,9 @@ assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
 # dedup_keep_best, hard_negatives, contamination_report,
 # multimodal_jpeg_meta — all new in r9 after _R9_WINDOW froze; the r9
 # round skipped tools/end_of_round.py so their full-verify evidence
-# only landed in r10's regenerated artifacts), then the entries NEW
-# IN R10 ITSELF (multimodal_jpeg_decode, mine_training_pairs — the
+# only landed in r10's regenerated artifacts), then the FOUR entries
+# NEW IN R10 ITSELF (multimodal_jpeg_decode, mine_training_pairs,
+# hybrid_rerank, mine_image_text_pairs — the
 # window is no longer frozen before the round's capability work, so
 # new entries get their driver row in the SAME round and the
 # "never-driver-checked" deferral list dies here), then the 18
@@ -4850,6 +4857,62 @@ blocks AS (
   FROM dims,
        (SELECT unnest(range(4)) AS x) bx,
        (SELECT unnest(range(4)) AS y) by
+  WHERE bx.x < (w + 7) // 8 AND by.y < (h + 7) // 8
+),
+rgb AS (
+  SELECT media_id, w, h, bx, by, nx, ny,
+         LEAST(255, GREATEST(0,
+             yv + (91881 * cr1 + 32768) // 65536)) AS r,
+         LEAST(255, GREATEST(0,
+             yv - (22554 * cb1 + 46802 * cr1 + 32768) // 65536)) AS g,
+         LEAST(255, GREATEST(0,
+             yv + (116130 * cb1 + 32768) // 65536)) AS b
+  FROM blocks
+),
+rows_hex AS (
+  SELECT media_id, w, h, by, MAX(ny) AS ny,
+         string_agg(repeat(printf('%02x%02x%02x', r, g, b), CAST(nx AS INT)),
+                    '' ORDER BY bx) AS rowstr,
+         SUM((r + g + b) * nx * ny) AS part_sum
+  FROM rgb
+  GROUP BY media_id, w, h, by
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+       md5(string_agg(repeat(rowstr, CAST(ny AS INT)), '' ORDER BY by))
+           AS feature_hash
+FROM rows_hex
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+# 4:2:0 decode: same closed-form shape at 8x8 luma-block granularity
+# — pixel (x, y) has Y = yv(x//8, y//8) and chroma from the 16x16
+# macroblock (bx//2, by//2) (encoder box-decimation and decoder
+# replication are both exact on the per-macroblock-constant chroma;
+# see _jpeg_px_fixture_planes_420's contract). Wrong MCU interleave
+# order in the decoder would scramble yv across the four luma blocks
+# of an MCU and break the hash.
+ORACLES["multimodal_jpeg_decode_420"] = """
+WITH m AS (SELECT unnest(range(240)) AS media_id),
+dims AS (
+  SELECT media_id,
+         CAST((media_id * 7) % 33 + 16 AS BIGINT) AS w,
+         CAST((media_id * 13) % 29 + 16 AS BIGINT) AS h
+  FROM m
+),
+blocks AS (
+  SELECT media_id, w, h, bx.x AS bx, by.y AS by,
+         LEAST(8, w - bx.x * 8) AS nx,
+         LEAST(8, h - by.y * 8) AS ny,
+         (media_id * 31 + by.y * 47 + bx.x * 17) % 256 AS yv,
+         (media_id * 5 + (bx.x // 2) * 3 + (by.y // 2) * 7) % 100 AS cb1,
+         (media_id * 11 + (bx.x // 2) * 13 + (by.y // 2) * 5) % 100 AS cr1
+  FROM dims,
+       (SELECT unnest(range(6)) AS x) bx,
+       (SELECT unnest(range(6)) AS y) by
   WHERE bx.x < (w + 7) // 8 AND by.y < (h + 7) // 8
 ),
 rgb AS (

@@ -184,3 +184,119 @@ def test_mine_image_text_pairs_composition_law(spark):
         n_ok += bool(r["pair_ok"])
     # the gate is non-degenerate: both outcomes occur
     assert 0 < n_ok < 240
+
+
+# ---------------------------------------------------------- r11: 4:2:0
+
+
+def test_420_constant_fixture_round_trips_exactly():
+    """4:2:0 contract: luma constant per 8x8 (varying within each
+    MCU — gates the interleave order), chroma constant per 16x16
+    macroblock (box decimation and replication upsample both exact),
+    decoded RGB equals the closed-form integer transform."""
+    from mapreducego_spark.functions.multimodal import (
+        _jpeg_px_fixture_planes_420,
+        encode_jpeg_pixels_fixture_420,
+    )
+
+    for i in (0, 7, 41):
+        spec, (w, h) = _jpeg_px_fixture_planes_420(i)
+        got_w, got_h, rgb = decode_jpeg_baseline(
+            encode_jpeg_pixels_fixture_420(i)
+        )
+        assert (got_w, got_h) == (w, h)
+        exp = bytearray()
+        for y in range(h):
+            for x in range(w):
+                exp += bytes(
+                    ycbcr_to_rgb_int(
+                        spec["y"](x // 8, y // 8),
+                        spec["cb"](x // 16, y // 16),
+                        spec["cr"](x // 16, y // 16),
+                    )
+                )
+        assert rgb == bytes(exp)
+
+
+def test_420_random_luma_exercises_interleaved_ac_path():
+    """Random luma with neutral chroma (Cb=Cr=128 -> the fixed-point
+    transform is the identity) through the 4:2:0 MCU-interleaved
+    encoder: every decoded channel must reproduce the luma within
+    the q=1 DCT rounding bound (|err| <= 3) — dense AC coefficients
+    inside 2x2-luma MCUs, so a wrong interleave walk fails loudly."""
+    rng = np.random.RandomState(11)
+    w, h = 40, 24
+    y = rng.randint(0, 256, size=w * h, dtype=np.uint8).tobytes()
+    neutral = bytes([128]) * (w * h)
+    got_w, got_h, rgb = decode_jpeg_baseline(
+        encode_jpeg_baseline(w, h, [y, neutral, neutral], subsampling="420")
+    )
+    assert (got_w, got_h) == (w, h)
+    orig = np.frombuffer(y, np.uint8).astype(int)
+    got = np.frombuffer(rgb, np.uint8).reshape(-1, 3).astype(int)
+    assert int(np.abs(got - orig[:, None]).max()) <= 3
+
+
+def test_vectorized_color_transform_bit_equals_scalar():
+    """ycbcr_to_rgb_planes is the numpy twin of ycbcr_to_rgb_int:
+    identical >>16 fixed-point arithmetic (arithmetic shift == floor
+    division in both), swept over a dense 3-D grid including the
+    clamp regions."""
+    from itertools import product
+
+    from mapreducego_spark.functions.jpegcodec import ycbcr_to_rgb_planes
+
+    grid = np.array(
+        list(product(range(0, 256, 15), range(0, 256, 13), range(0, 256, 11)))
+    )
+    vec = ycbcr_to_rgb_planes(grid[:, 0], grid[:, 1], grid[:, 2])
+    for i in range(len(grid)):
+        assert tuple(int(v) for v in vec[i]) == ycbcr_to_rgb_int(
+            int(grid[i, 0]), int(grid[i, 1]), int(grid[i, 2])
+        )
+
+
+def test_sos_component_selector_is_honored():
+    """r10 ADVICE: the SOS component-selector byte must be read, not
+    assumed to follow SOF order. Reorder the SOS selectors of a
+    1-MCU 4:4:4 file to (3,2,1): the first entropy block (encoding
+    Y) must now land in component 3's plane, i.e. decode as
+    ycbcr(cr0, cb0, y0) — a decoder ignoring selectors would return
+    ycbcr(y0, cb0, cr0)."""
+    w = h = 8
+    y0, cb0, cr0 = 90, 140, 170
+    jpg = bytearray(
+        encode_jpeg_baseline(
+            w, h, [bytes([y0]) * 64, bytes([cb0]) * 64, bytes([cr0]) * 64]
+        )
+    )
+    sos = jpg.find(b"\xff\xda")
+    # SOS payload: len(2) ns(1) then (cid, tables) pairs
+    base = sos + 5
+    for si, cid in enumerate((3, 2, 1)):
+        jpg[base + 2 * si] = cid
+    _, _, rgb = decode_jpeg_baseline(bytes(jpg))
+    assert rgb[:3] == bytes(ycbcr_to_rgb_int(cr0, cb0, y0))
+    # and an undeclared selector fails loudly
+    jpg[base] = 9
+    with pytest.raises(ValueError, match="undeclared component"):
+        decode_jpeg_baseline(bytes(jpg))
+
+
+def test_invalid_ac_run_size_symbol_raises_loudly():
+    """r10 ADVICE: an AC symbol with size 0 that is neither EOB nor
+    ZRL (invalid per F.1.2.2.1 but encodable in a foreign DHT) must
+    raise the documented structural ValueError, not a negative-shift
+    error inside EXTEND. The encoded scan's 1-bit EOB code is
+    re-declared as symbol 0x10 by editing the DHT in the file; the
+    decoder rebuilds tables from DHT, so the first EOB hit trips the
+    guard."""
+    jpg = bytearray(encode_jpeg_baseline(8, 8, [bytes([50]) * 64]))
+    dht = jpg.find(b"\xff\xc4")
+    # DHT payload: len(2), then DC table (class/id + 16 bits + 12
+    # vals), then AC class/id + 16 bits, then AC_VALS[0] == 0x00
+    ac_val0 = dht + 4 + (1 + 16 + 12) + (1 + 16)
+    assert jpg[ac_val0] == 0x00
+    jpg[ac_val0] = 0x10
+    with pytest.raises(ValueError, match="invalid AC run/size"):
+        decode_jpeg_baseline(bytes(jpg))
