@@ -1007,6 +1007,8 @@ def vector_ann_ivfpq(
     m: int = PQ_M,
     k_codes: int = PQ_K,
     shortlist: int = 5,
+    query_ids: list[int] | None = None,
+    top_k: int = TOP_K,
 ) -> DataFrame:
     """IVF-PQ: the full billion-scale index shape — IVF's coarse
     quantizer routes each query to ``n_probe`` cells, PQ codes stand
@@ -1021,11 +1023,23 @@ def vector_ann_ivfpq(
     deterministic sample) — no new moving parts, which is the point:
     the pieces were designed to stack. Approximation now compounds
     (cell-routing recall x quantization recall), so the pytest floor
-    is the evidence; rows-only in the driver."""
+    is the evidence; rows-only in the driver.
+
+    ``query_ids`` swaps the fixture query set (vec_id <
+    N_QUERY_VECS) for an explicit anchor list — how
+    hybrid_rerank_ann routes the BM25 queries' own embeddings
+    through this index; ``top_k`` deepens the re-ranked output (the
+    shortlist scales with it)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _as_double(F.col("embedding")).alias("v"),
     )
+    if query_ids is None:
+        q_pred = F.col("vec_id") < N_QUERY_VECS
+        cache_key = ("topk_queries", sf_dir)
+    else:
+        q_pred = F.col("vec_id").isin(list(query_ids))
+        cache_key = ("ivfpq_queries", tuple(sorted(query_ids)), sf_dir)
     cents = ivf_train_centroids(emb, dims, n_cells)
     books = pq_train_codebooks(emb, dims, m, k_codes)
     assign1 = ivf_cell_udf(cents, dims, n_probe=1)
@@ -1035,15 +1049,15 @@ def vector_ann_ivfpq(
         pq_encode_udf(books, dims)(F.col("v")).alias("codes"),
     )
     q_ids, qmat = _collect_matrix(
-        emb.filter(F.col("vec_id") < N_QUERY_VECS),
+        emb.filter(q_pred),
         "vec_id",
         "v",
-        cache_key=("topk_queries", sf_dir),
+        cache_key=cache_key,
     )
     qid_arr = F.array(*[F.lit(q).cast("long") for q in q_ids])
     probe = ivf_cell_udf(cents, dims, n_probe=n_probe)
     queries = (
-        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        emb.filter(q_pred)
         .select(
             F.col("vec_id").alias("q_id"),
             F.explode(probe(F.col("v"))).alias("cell"),
@@ -1068,7 +1082,7 @@ def vector_ann_ivfpq(
     )
     short = (
         scored.withColumn("rk0", F.row_number().over(wa))
-        .filter(F.col("rk0") <= shortlist * TOP_K)
+        .filter(F.col("rk0") <= shortlist * top_k)
         .select("q_id", "vec_id")
     )
     cand = short.join(emb, "vec_id")
@@ -1080,7 +1094,7 @@ def vector_ann_ivfpq(
     return (
         cand.withColumn("cos_sim", cos)
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(F.col("rk") <= top_k)
         .select("q_id", "vec_id", "cos_sim", F.col("rk").cast("long").alias("rk"))
         .orderBy("q_id", "rk")
     )
@@ -1671,6 +1685,16 @@ def hybrid_rerank(
         .select("query_id", "doc_id", "rank_sem")
     )
 
+    return _rrf_fuse(lex, sem, k_rrf, top_n)
+
+
+def _rrf_fuse(
+    lex: DataFrame, sem: DataFrame, k_rrf: int, top_n: int
+) -> DataFrame:
+    """The shared fusion tail of hybrid_rerank / hybrid_rerank_ann:
+    full-outer join of the two ranked lists (both bounded at
+    |queries| * depth rows by construction) and rrf_fusion's exact
+    integer contributions (1e12 div (k + rank), LONG sums)."""
     fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",
@@ -1697,3 +1721,50 @@ def hybrid_rerank(
         .filter(F.col("fused_rank") <= top_n)
         .orderBy("query_id", "fused_rank")
     )
+
+
+def hybrid_rerank_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    k_rrf: int = 60,
+    depth: int = 10,
+    top_n: int = 10,
+) -> DataFrame:
+    """Registry entry (r11; r10 verdict item 3): hybrid_rerank's
+    memory-bounded production path — the dense arm is the IVF-PQ
+    index (vector_ann_ivfpq: coarse cells route each query to
+    n_probe buckets, ADC scans PQ codes inside them, exact cosine
+    re-ranks a bounded shortlist) instead of the exact full-corpus
+    cosine scan. The lexical arm (real Okapi BM25 top-depth) and the
+    integer RRF fusion are shared code with the exact entry, so the
+    ONLY moving part is the dense candidate source.
+
+    Approximate by construction (cell routing can miss true
+    neighbors), so rows-only in the driver; the evidence is the
+    pytest recall floor of this output against the exact
+    hybrid_rerank at the same depth — the exact entry IS the oracle.
+
+    Scale shape: at 100 TB the exact arm's one-scan-per-query-batch
+    cosine becomes the bottleneck; this arm touches n_probe/n_cells
+    of the PQ codes (m bytes/vector) plus a |queries| * shortlist *
+    depth exact re-rank — the FAISS IVFx,PQy deployment shape. Both
+    ranked lists stay <= |queries| * depth rows, so fusion physics
+    are unchanged."""
+    from mapreducego_spark.functions.text import BM25_QUERIES, bm25_docs
+
+    lex = bm25_docs(spark, sf_dir, top_k=depth).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id",
+        F.col("rank").alias("rank_lex"),
+    )
+    sem = vector_ann_ivfpq(
+        spark,
+        sf_dir,
+        query_ids=[qid for qid, _ in BM25_QUERIES],
+        top_k=depth,
+    ).select(
+        F.col("q_id").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("rk").alias("rank_sem"),
+    )
+    return _rrf_fuse(lex, sem, k_rrf, top_n)

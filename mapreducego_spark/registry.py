@@ -309,6 +309,12 @@ QUERIES: dict[str, QueryFn] = {
     # rrf_fusion's integer RRF — the production slots that operator's
     # docstring reserved, filled (new in r10)
     "hybrid_rerank": V.hybrid_rerank,
+    # hybrid retrieval, memory-bounded dense arm: IVF-PQ ANN
+    # candidates re-ranked exact, fused with the same integer RRF —
+    # approximate by construction, so rows-only; the pytest recall
+    # floor against the exact hybrid_rerank is the evidence (new in
+    # r11, r10 verdict item 3)
+    "hybrid_rerank_ann": V.hybrid_rerank_ann,
     "contamination_report": _contamination_report,
     # -- (4) r1-only: last driver row three rounds ago -------------
     "token_count": _token_count,

@@ -27,6 +27,12 @@ _FROZEN_BNLJ_WAIVERS = {
     # (<= |queries| * depth rows) ranked lists — no new unbounded
     # nested-loop surface.
     "hybrid_rerank",
+    # r11 deliberate addition: hybrid_rerank_ann shares that exact
+    # same lexical arm (bm25_topk verbatim), so the identical 1-row
+    # corpus-stats broadcast BNLJ appears in its plan too; its dense
+    # arm (IVF-PQ) contributes a broadcast cell-routing hash join
+    # and a shortlist re-rank — no nested-loop surface of its own.
+    "hybrid_rerank_ann",
 }
 _FROZEN_WINDOW_WAIVERS = {"rrf_fusion", "skyline_offers"}
 

@@ -355,3 +355,41 @@ def test_hybrid_rerank_composition_law(spark):
     # the hybrid is non-degenerate: at least one fused row per query
     # exists that only ONE ranker surfaced
     assert any(v[0] is None or v[1] is None for v in got.values())
+
+
+def test_hybrid_rerank_ann_recall_floor_vs_exact(spark):
+    """hybrid_rerank_ann (r11): the exact hybrid_rerank IS the
+    oracle — same lexical arm, same fusion, so every divergence is
+    the IVF-PQ dense arm's cell-routing/quantization approximation.
+    Floors: per-query fused-top-10 overlap mean >= 0.6, min >= 0.5
+    (measured 0.75 / 0.6 on the fixture), and the lexical ranks the
+    two hybrids surface must agree exactly wherever both emit a
+    row."""
+    from mapreducego_spark.functions.vector import (
+        hybrid_rerank,
+        hybrid_rerank_ann,
+    )
+
+    exact = hybrid_rerank(spark, SF_ORACLE).collect()
+    ann = hybrid_rerank_ann(spark, SF_ORACLE).collect()
+    ex, an = {}, {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["doc_id"])
+    for r in ann:
+        an.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert set(ex) == set(an)
+    recalls = {
+        q: len(ex[q] & an[q]) / len(ex[q]) for q in ex
+    }
+    assert sum(recalls.values()) / len(recalls) >= 0.6, recalls
+    assert min(recalls.values()) >= 0.5, recalls
+    # shared lexical arm: identical rank_lex on common rows
+    lex_exact = {
+        (r["query_id"], r["doc_id"]): r["rank_lex"] for r in exact
+    }
+    for r in ann:
+        key = (r["query_id"], r["doc_id"])
+        if key in lex_exact:
+            assert r["rank_lex"] == lex_exact[key], key
+    # the dense arm contributed: some fused rows carry a dense rank
+    assert any(r["rank_sem"] is not None for r in ann)

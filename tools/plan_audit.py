@@ -101,6 +101,10 @@ WAIVED: dict[str, str] = {
     "BNLJ verbatim (its lexical arm IS bm25_topk; the fusion itself "
     "adds only a full-outer SortMergeJoin over two <= |queries|*depth "
     "ranked lists)",
+    "hybrid_rerank_ann": "inherits bm25_topk's waived 1-row "
+    "corpus-stats BNLJ verbatim (same lexical arm as hybrid_rerank; "
+    "the IVF-PQ dense arm adds a broadcast cell-routing join and a "
+    "bounded shortlist re-rank, no nested loop)",
 }
 # (vector_topk / knn_label_vote / decontaminate_embedding waivers are
 # gone as of r5: the query/benchmark set now ships in the pair-cosine
