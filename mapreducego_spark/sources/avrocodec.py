@@ -1,0 +1,397 @@
+"""Pure-Python Apache Avro Object Container File codec (stdlib only).
+
+The container ships neither the spark-avro data source module nor a
+Python avro package, so — same playbook as jpegcodec.py — the one
+mainstream Spark interchange format with no registry row gets a REAL
+codec implemented from the public Avro 1.11 specification: zigzag
+varint binary encoding, record/array/map/union composites, and the
+Object Container File layout (magic ``Obj\\x01``, metadata map with
+``avro.schema``/``avro.codec``, 16-byte sync marker, blocks of
+``count, size, payload, sync``) with the ``null`` and ``deflate``
+(raw zlib) codecs. The Spark integration in sources/catalog.py keeps
+both directions distributed: writes are one container file per
+partition emitted inside ``mapInArrow`` (Arrow batches, so nullable
+longs never round through pandas float NaN), reads are a binaryFile
+scan decoded per-file inside ``mapInArrow``.
+
+Scope (loud): primitive types null/boolean/int/long/float/double/
+bytes/string, records, arrays, maps with string keys, and unions.
+``fixed``, ``enum``, recursive/named-type references, logical types,
+and the snappy codec raise NotImplementedError; structurally broken
+containers raise ValueError.
+
+Reference parity note: the reference repo (MapReduceGo) exchanges
+worker data as ad-hoc JSON files (mpWorker/worker.go:153-192); a
+schema'd splittable binary interchange format is the production
+replacement for that tier.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import struct
+import zlib
+from collections.abc import Iterable, Iterator
+
+MAGIC = b"Obj\x01"
+
+_PRIMITIVES = {
+    "null", "boolean", "int", "long", "float", "double", "bytes", "string",
+}
+
+# ------------------------------------------------------- binary encoding
+
+
+def write_long(out: bytearray, n: int) -> None:
+    """Zigzag + base-128 varint (spec: binary encoding, long)."""
+    z = (n << 1) ^ (n >> 63)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+class Reader:
+    """Byte-serial decoder over one buffer."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def long(self) -> int:
+        z = 0
+        shift = 0
+        while True:
+            if self.pos >= len(self.data):
+                raise ValueError("avro varint truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            z |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 70:
+                raise ValueError("avro varint too long")
+        return (z >> 1) ^ -(z & 1)
+
+    def raw(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise ValueError("avro payload truncated")
+        out = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+
+def _encode(sch, v, out: bytearray) -> None:
+    if isinstance(sch, list):  # union: branch index then value
+        if v is None:
+            try:
+                idx = sch.index("null")
+            except ValueError:
+                raise ValueError("None for a union without a null branch")
+        else:
+            non_null = [i for i, br in enumerate(sch) if br != "null"]
+            if len(non_null) != 1:
+                raise NotImplementedError(
+                    "only 2-branch [null, T] unions are encodable"
+                )
+            idx = non_null[0]
+        write_long(out, idx)
+        _encode(sch[idx], v, out)
+        return
+    t = sch["type"] if isinstance(sch, dict) else sch
+    if t == "null":
+        return
+    if v is None:
+        raise ValueError(f"None for non-nullable avro type {t}")
+    if t == "boolean":
+        out.append(1 if v else 0)
+    elif t in ("int", "long"):
+        write_long(out, int(v))
+    elif t == "float":
+        out += struct.pack("<f", float(v))
+    elif t == "double":
+        out += struct.pack("<d", float(v))
+    elif t == "bytes":
+        b = bytes(v)
+        write_long(out, len(b))
+        out += b
+    elif t == "string":
+        b = str(v).encode("utf-8")
+        write_long(out, len(b))
+        out += b
+    elif t == "record":
+        for f in sch["fields"]:
+            _encode(f["type"], v[f["name"]], out)
+    elif t == "array":
+        items = list(v)
+        if items:
+            write_long(out, len(items))
+            for item in items:
+                _encode(sch["items"], item, out)
+        write_long(out, 0)
+    elif t == "map":
+        kv = dict(v)
+        if kv:
+            write_long(out, len(kv))
+            for k, val in kv.items():
+                _encode("string", k, out)
+                _encode(sch["values"], val, out)
+        write_long(out, 0)
+    else:
+        raise NotImplementedError(f"avro type {t!r} not supported")
+
+
+def _decode(sch, r: Reader):
+    if isinstance(sch, list):
+        idx = r.long()
+        if not 0 <= idx < len(sch):
+            raise ValueError(f"union branch {idx} out of range")
+        return _decode(sch[idx], r)
+    t = sch["type"] if isinstance(sch, dict) else sch
+    if t == "null":
+        return None
+    if t == "boolean":
+        return r.raw(1) != b"\x00"
+    if t in ("int", "long"):
+        return r.long()
+    if t == "float":
+        return struct.unpack("<f", r.raw(4))[0]
+    if t == "double":
+        return struct.unpack("<d", r.raw(8))[0]
+    if t == "bytes":
+        return r.raw(r.long())
+    if t == "string":
+        return r.raw(r.long()).decode("utf-8")
+    if t == "record":
+        return {f["name"]: _decode(f["type"], r) for f in sch["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:  # negative count: block byte-size follows
+                n = -n
+                r.long()
+            for _ in range(n):
+                out.append(_decode(sch["items"], r))
+    if t == "map":
+        out = {}
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                r.long()
+            for _ in range(n):
+                k = r.raw(r.long()).decode("utf-8")
+                out[k] = _decode(sch["values"], r)
+    raise NotImplementedError(f"avro type {t!r} not supported")
+
+
+# ------------------------------------------------------- container file
+
+
+def write_container(
+    avsc: dict,
+    rows: Iterable[dict],
+    codec: str = "deflate",
+    block_rows: int = 4096,
+) -> bytes:
+    """Serialize ``rows`` (dicts keyed by field name) as one Object
+    Container File. The sync marker is derived deterministically from
+    the schema + first block so identical inputs produce identical
+    bytes (no Math.random anywhere — same determinism discipline as
+    every other sink in this repo)."""
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r} (null/deflate only)")
+    schema_json = json.dumps(avsc, sort_keys=True)
+    out = bytearray()
+    out += MAGIC
+    meta = {
+        "avro.schema": schema_json.encode(),
+        "avro.codec": codec.encode(),
+    }
+    write_long(out, len(meta))
+    for k, v in sorted(meta.items()):
+        _encode("string", k, out)
+        _encode("bytes", v, out)
+    write_long(out, 0)
+    rows = list(rows)
+    sync = hashlib.md5(
+        schema_json.encode() + str(len(rows)).encode()
+    ).digest()
+    out += sync
+    for start in range(0, len(rows), block_rows):
+        chunk = rows[start : start + block_rows]
+        body = bytearray()
+        for row in chunk:
+            _encode(avsc, row, body)
+        payload = bytes(body)
+        if codec == "deflate":
+            c = zlib.compressobj(wbits=-15)
+            payload = c.compress(payload) + c.flush()
+        write_long(out, len(chunk))
+        write_long(out, len(payload))
+        out += payload
+        out += sync
+    return bytes(out)
+
+
+def read_header(data: bytes) -> tuple[dict, str, bytes, int]:
+    """Parse the container header; returns (schema, codec, sync,
+    first-block offset)."""
+    if data[:4] != MAGIC:
+        raise ValueError("not an avro container (bad magic)")
+    r = Reader(data, 4)
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.long()
+        for _ in range(n):
+            k = r.raw(r.long()).decode("utf-8")
+            meta[k] = r.raw(r.long())
+    if "avro.schema" not in meta:
+        raise ValueError("avro container missing avro.schema")
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r} (null/deflate only)")
+    sync = r.raw(16)
+    return json.loads(meta["avro.schema"]), codec, sync, r.pos
+
+
+def read_container(data: bytes) -> tuple[dict, list[dict]]:
+    """Decode one Object Container File into (schema, rows)."""
+    avsc, codec, sync, pos = read_header(data)
+    r = Reader(data, pos)
+    rows: list[dict] = []
+    while r.pos < len(r.data):
+        count = r.long()
+        size = r.long()
+        payload = r.raw(size)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, wbits=-15)
+        if r.raw(16) != sync:
+            raise ValueError("avro block sync marker mismatch")
+        br = Reader(payload)
+        for _ in range(count):
+            rows.append(_decode(avsc, br))
+        if br.pos != len(payload):
+            raise ValueError("avro block has trailing bytes")
+    return avsc, rows
+
+
+# ------------------------------------------------- spark schema bridge
+
+
+def spark_to_avro(schema, name: str = "row") -> dict:
+    """StructType -> Avro record schema (nullable fields become
+    [null, T] unions, Spark's semantic twin)."""
+    from pyspark.sql import types as T
+
+    def conv(dt, nullable: bool, path: str):
+        if isinstance(dt, T.LongType):
+            base = "long"
+        elif isinstance(dt, T.IntegerType):
+            base = "int"
+        elif isinstance(dt, T.DoubleType):
+            base = "double"
+        elif isinstance(dt, T.FloatType):
+            base = "float"
+        elif isinstance(dt, T.StringType):
+            base = "string"
+        elif isinstance(dt, T.BooleanType):
+            base = "boolean"
+        elif isinstance(dt, T.BinaryType):
+            base = "bytes"
+        elif isinstance(dt, T.ArrayType):
+            base = {
+                "type": "array",
+                "items": conv(dt.elementType, dt.containsNull, path + ".item"),
+            }
+        elif isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise NotImplementedError("avro maps require string keys")
+            base = {
+                "type": "map",
+                "values": conv(dt.valueType, dt.valueContainsNull, path + ".value"),
+            }
+        elif isinstance(dt, T.StructType):
+            base = {
+                "type": "record",
+                "name": path.replace(".", "_"),
+                "fields": [
+                    {
+                        "name": f.name,
+                        "type": conv(f.dataType, f.nullable, path + "." + f.name),
+                    }
+                    for f in dt.fields
+                ],
+            }
+        else:
+            raise NotImplementedError(
+                f"spark type {dt.simpleString()} has no avro mapping here"
+            )
+        return ["null", base] if nullable else base
+
+    rec = conv(schema, False, name)
+    return rec
+
+
+def avro_to_spark(avsc):
+    """Avro schema -> Spark StructType (header sniffing for
+    schemaless reads)."""
+    from pyspark.sql import types as T
+
+    prim = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "bytes": T.BinaryType(),
+        "string": T.StringType(),
+    }
+
+    def conv(sch) -> tuple:
+        if isinstance(sch, list):
+            non_null = [br for br in sch if br != "null"]
+            if len(non_null) != 1:
+                raise NotImplementedError("only [null, T] unions map to spark")
+            dt, _ = conv(non_null[0])
+            return dt, True
+        t = sch["type"] if isinstance(sch, dict) else sch
+        if t in prim:
+            return prim[t], False
+        if t == "record":
+            return (
+                T.StructType(
+                    [
+                        T.StructField(f["name"], *conv(f["type"]))
+                        for f in sch["fields"]
+                    ]
+                ),
+                False,
+            )
+        if t == "array":
+            dt, n = conv(sch["items"])
+            return T.ArrayType(dt, n), False
+        if t == "map":
+            dt, n = conv(sch["values"])
+            return T.MapType(T.StringType(), dt, n), False
+        raise NotImplementedError(f"avro type {t!r} has no spark mapping")
+
+    dt, _ = conv(avsc)
+    return dt

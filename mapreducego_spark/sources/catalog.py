@@ -396,6 +396,143 @@ def xml_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> list:
+    """Avro container sink over the pure-Python codec
+    (sources/avrocodec.py; neither spark-avro nor a Python avro
+    package ships in this container). Fully distributed: each
+    partition serializes its OWN container file inside ``mapInArrow``
+    — rows never leave the executors, Arrow batches preserve exact
+    types (a pandas hop would floatify nullable longs), and the
+    driver only collects the tiny per-partition manifest (path,
+    row count) that forces execution. On a real cluster the open()
+    target would be a shared filesystem path, the same contract every
+    Hadoop committer assumes.
+
+    Returns the manifest rows. Empty partitions write no file."""
+    import json as _json
+
+    from mapreducego_spark.sources.avrocodec import (
+        spark_to_avro,
+        write_container,
+    )
+
+    os.makedirs(path, exist_ok=True)
+    avsc = spark_to_avro(df.schema)
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for b in batches:
+            rows.extend(b.to_pylist())
+        import pyarrow as pa
+
+        if rows:
+            fname = os.path.join(path, f"part-{pid:05d}.avro")
+            with open(fname, "wb") as fh:
+                fh.write(write_container(avsc, rows, codec=codec))
+            yield pa.RecordBatch.from_pylist(
+                [{"part": pid, "n_rows": len(rows)}],
+                schema=pa.schema(
+                    [("part", pa.int32()), ("n_rows", pa.int64())]
+                ),
+            )
+
+    manifest = df.mapInArrow(fn, "part int, n_rows long").collect()
+    with open(os.path.join(path, "_SCHEMA.avsc"), "w") as fh:
+        fh.write(_json.dumps(avsc, sort_keys=True))
+    return manifest
+
+
+def read_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Avro container source: distributed binaryFile scan of the
+    ``*.avro`` part files, each decoded whole inside ``mapInArrow``
+    (container blocks are per-file; Avro's split points are its sync
+    markers, and one-file-per-task is the same granularity Spark's
+    own binaryFile source provides). Pass ``schema`` at scale; when
+    omitted, ONE file header is sniffed driver-side (a few hundred
+    bytes — the same single-file peek spark-avro's inference does)."""
+    from pyspark.sql import types as T
+
+    from mapreducego_spark.sources.avrocodec import (
+        avro_to_spark,
+        read_container,
+        read_header,
+    )
+
+    if schema is None:
+        import glob as _glob
+
+        first = sorted(_glob.glob(os.path.join(path, "*.avro")))
+        if not first:
+            raise ValueError(f"no .avro files under {path}")
+        with open(first[0], "rb") as fh:
+            head = fh.read(1 << 20)
+        schema = avro_to_spark(read_header(head)[0])
+    if not isinstance(schema, T.StructType):
+        raise ValueError("avro top-level schema must be a record/struct")
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(path, "*.avro"))
+        .select("content")
+    )
+
+    def fn(batches):
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+        for b in batches:
+            for rec in b.column(0).to_pylist():
+                _, rows = read_container(bytes(rec))
+                yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+
+    return files.mapInArrow(fn, schema)
+
+
+def avro_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (r11; r10 verdict item 6): the Avro
+    source/sink proven lossless on real data through the pure-Python
+    container codec — write-then-read of the documents table widened
+    to exercise every encoding family the format defines: long
+    (zigzag varint), full free text (UTF-8 — included here, unlike
+    the XML row, because Avro strings are length-prefixed and
+    byte-faithful), a nullable string with deterministically planted
+    nulls (the [null, T] union branch index), an exact dyadic double
+    (doc_id/64 — bit-identical across engines), and an array<long>
+    (block-encoded; presented stringified per this repo's
+    array-output convention). The DuckDB oracle rebuilds the same
+    rows straight from parquet, so the hash gates the entire binary
+    encoding round trip."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ).alias("lang"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("doc_id").cast("double") / F.lit(64.0)).alias("score"),
+        F.array(F.col("doc_id") % 7, F.col("doc_id") % 11).alias("tags"),
+    )
+    work = _scratch_dir("avro_rt_")
+    path = f"{work}/docs_avro"
+    write_avro(docs, path)
+    back = read_avro(spark, path, schema=docs.schema)
+    return back.select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        "score",
+        F.array_join("tags", ",").alias("tags"),
+    ).orderBy("doc_id")
+
+
 def _typed_docs_round_trip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     """Shared harness for the text-interchange round-trip entries:
     documents' typed columns through write-then-read of ``fmt`` with

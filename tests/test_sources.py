@@ -379,3 +379,115 @@ def test_json_rescue_permissive_vs_dropmalformed(spark, sf_dir):
     assert all(r["doc_id"] is not None for r in rows)  # ids recovered
     good = [r for r in rows if not r["rescued"]]
     assert all(r["lang"] is not None for r in good)
+
+
+# ------------------------------------------------------------- r11: avro
+
+
+def test_avro_codec_every_type_family_round_trips():
+    """Pure-codec law: every supported encoding family (zigzag
+    long/int, float/double, boolean, bytes, UTF-8 string incl.
+    astral chars, [null,T] union, array, map) survives
+    write_container -> read_container bit-exactly, under both the
+    null and deflate codecs."""
+    from mapreducego_spark.sources.avrocodec import (
+        read_container,
+        write_container,
+    )
+
+    avsc = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "i", "type": "int"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": "double"},
+            {"name": "f", "type": "float"},
+            {"name": "b", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "tags", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "int"}},
+        ],
+    }
+    rows = [
+        {
+            "id": (-1) ** i * (i * 7919 + (1 << 40) * (i % 3)),
+            "i": i - 500,
+            "s": None if i % 3 == 0 else f"文{i}\U0001f600",
+            "d": i / 64.0,
+            "f": float(i),
+            "b": i % 2 == 0,
+            "raw": bytes([i % 256, 0, 255]),
+            "tags": list(range(i % 5)),
+            "m": {"a": i, "neg": -i},
+        }
+        for i in range(1000)
+    ]
+    for codec in ("null", "deflate"):
+        got_schema, got = read_container(write_container(avsc, rows, codec))
+        assert got == rows, codec
+        assert got_schema == avsc
+
+
+def test_avro_codec_structural_failures_are_loud():
+    import pytest
+
+    from mapreducego_spark.sources.avrocodec import (
+        read_container,
+        write_container,
+    )
+
+    avsc = {"type": "record", "name": "r",
+            "fields": [{"name": "id", "type": "long"}]}
+    blob = bytearray(write_container(avsc, [{"id": 1}, {"id": 2}]))
+    with pytest.raises(ValueError, match="magic"):
+        read_container(b"PAR1" + bytes(blob))
+    # corrupt the trailing sync marker
+    bad = bytes(blob[:-1]) + bytes([blob[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="sync"):
+        read_container(bad)
+    with pytest.raises(NotImplementedError, match="codec"):
+        write_container(avsc, [{"id": 1}], codec="snappy")
+
+
+def test_avro_spark_round_trip_with_schema_sniffing(spark, sf_dir):
+    """Distributed write (one container per partition via
+    mapInArrow) then a schemaless read — the header sniff must
+    recover the schema and the full typed contents, nulls and
+    arrays included."""
+    import pyspark.sql.functions as F
+
+    from mapreducego_spark.sources.catalog import (
+        load_table,
+        read_avro,
+        write_avro,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(None))
+            .otherwise(F.col("lang")).alias("lang"),
+            F.array(F.col("doc_id") % 7).alias("tags"),
+        )
+        .repartition(4)
+    )
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="avro_py_") + "/docs"
+    manifest = write_avro(docs, path)
+    assert sum(m["n_rows"] for m in manifest) == docs.count()
+    back = read_avro(spark, path)  # no schema passed: header sniff
+    assert [f.name for f in back.schema.fields] == [
+        "doc_id", "text", "lang", "tags",
+    ]
+    want = sorted(
+        (r["doc_id"], r["text"], r["lang"], tuple(r["tags"]))
+        for r in docs.collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["text"], r["lang"], tuple(r["tags"]))
+        for r in back.collect()
+    )
+    assert got == want
