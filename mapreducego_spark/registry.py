@@ -619,6 +619,11 @@ QUERIES: dict[str, QueryFn] = {
     # caption token stats with the CLIP-style quality gate — the
     # first media-tier x text-tier composition (new in r10)
     "mine_image_text_pairs": M.mine_image_text_pairs,
+    # CLIP-style SEMANTIC pair gate (new in r11, r10 verdict item
+    # 7): cross-modal cosine between a 64-dim integer signature of
+    # the REAL decoded pixels and the caption's micro-quantized
+    # embedding, decided with the zero-float tau=1/10 identity
+    "mine_image_text_pairs_semantic": M.mine_image_text_pairs_semantic,
     # temperature-scaled source mixing (n^alpha apportionment, exact
     # integer micro-shares + largest-remainder seats)
     "curriculum_mix": T.curriculum_mix,
@@ -5005,6 +5010,68 @@ SELECT mm.media_id, c.doc_id, mm.width, mm.height, mm.px_sum,
        (c.n_tokens >= 5 AND mm.width * mm.height >= 256) AS pair_ok
 FROM media mm JOIN cap c ON c.doc_id = mm.media_id
 ORDER BY mm.media_id
+"""
+)
+
+# Semantic image-text gate (r11): the committed jpeg-decode oracle's
+# per-block RGB CTEs become the image encoder's input (surgery
+# pinned by partition — the head up to rows_hex carries m/dims/
+# blocks/rgb), the 64-bucket integer signature is re-derived
+# closed-form, the caption side micro-quantizes embeddings with the
+# corpus-standard floor(x*1e6), and the tau = 1/10 cosine gate is
+# the same zero-float HUGEINT identity the Spark side evaluates in
+# decimal(19,0).
+_JPEG_RGB_HEAD, _sep, _ = ORACLES["multimodal_jpeg_decode"].partition(
+    "rows_hex AS ("
+)
+assert _sep, "jpeg decode oracle rows_hex CTE moved"
+ORACLES["mine_image_text_pairs_semantic"] = (
+    _JPEG_RGB_HEAD
+    + f"""sig AS (
+  SELECT media_id, (bx + 8 * by) % 64 AS j,
+         SUM(nx * ny * (r + 2 * g + 3 * b)) AS sv
+  FROM rgb
+  GROUP BY media_id, (bx + 8 * by) % 64
+), mic AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS j,
+         unnest(l) AS mk
+  FROM (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(floor(x * 1000000) AS BIGINT)) AS l
+    FROM embeddings WHERE vec_id < 240
+  )
+), txt AS (
+  SELECT vec_id, SUM(mk * mk) AS txt_n2 FROM mic GROUP BY vec_id
+), img AS (
+  SELECT s.media_id,
+         SUM(s.sv * m2.mk) AS dot_micro,
+         SUM(s.sv * s.sv) AS img_n2
+  FROM sig s JOIN mic m2 ON m2.vec_id = s.media_id AND m2.j = s.j
+  GROUP BY s.media_id
+), cap AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents WHERE doc_id < 240
+)
+SELECT i.media_id, c.doc_id, c.n_tokens,
+       CAST(i.dot_micro AS BIGINT) AS dot_micro,
+       CAST(i.img_n2 AS BIGINT) AS img_n2,
+       CAST(t.txt_n2 AS BIGINT) AS txt_n2,
+       (i.dot_micro > 0 AND
+        CAST(10 * i.dot_micro AS HUGEINT) * CAST(10 * i.dot_micro AS HUGEINT)
+            >= CAST(i.img_n2 AS HUGEINT) * CAST(t.txt_n2 AS HUGEINT))
+           AS sem_ok,
+       (c.n_tokens >= 5 AND d.w * d.h >= 256 AND i.dot_micro > 0 AND
+        CAST(10 * i.dot_micro AS HUGEINT) * CAST(10 * i.dot_micro AS HUGEINT)
+            >= CAST(i.img_n2 AS HUGEINT) * CAST(t.txt_n2 AS HUGEINT))
+           AS pair_ok
+FROM img i
+JOIN txt t ON t.vec_id = i.media_id
+JOIN cap c ON c.doc_id = i.media_id
+JOIN dims d ON d.media_id = i.media_id
+ORDER BY i.media_id
 """
 )
 

@@ -300,3 +300,57 @@ def test_invalid_ac_run_size_symbol_raises_loudly():
     jpg[ac_val0] = 0x10
     with pytest.raises(ValueError, match="invalid AC run/size"):
         decode_jpeg_baseline(bytes(jpg))
+
+
+def test_mine_image_text_pairs_semantic_composition_law(spark):
+    """The semantic manifest must equal the independent
+    recomposition from raw bytes: serial decode of each staged file,
+    the 64-bucket signature folded per-pixel in plain Python, the
+    caption embedding micro-quantized straight from parquet, exact
+    integer dot/norms, and the tau = 1/10 gate evaluated with
+    unbounded Python ints (no decimal/HUGEINT machinery — proving
+    the engines' fixed-width arithmetic matches the mathematical
+    value)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreducego_spark.functions.multimodal import (
+        mine_image_text_pairs_semantic,
+        stage_jpeg_pixels,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    path = stage_jpeg_pixels(sf, 240)
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    micro = {
+        int(v): [math.floor(float(x) * 1_000_000) for x in e]
+        for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+        if int(v) < 240
+    }
+    rows = mine_image_text_pairs_semantic(spark, sf).collect()
+    assert len(rows) == 240
+    n_sem = 0
+    for r in rows:
+        i = r["media_id"]
+        with open(f"{path}/media_{i:05d}.jpg", "rb") as fh:
+            w, h, rgb = decode_jpeg_baseline(fh.read())
+        sig = [0] * 64
+        for y in range(h):
+            for x in range(w):
+                p = 3 * (y * w + x)
+                sig[((x // 8) + 8 * (y // 8)) % 64] += (
+                    rgb[p] + 2 * rgb[p + 1] + 3 * rgb[p + 2]
+                )
+        m = micro[i]
+        dot = sum(a * b for a, b in zip(sig, m))
+        n2a = sum(a * a for a in sig)
+        n2b = sum(b * b for b in m)
+        assert r["dot_micro"] == dot
+        assert r["img_n2"] == n2a
+        assert r["txt_n2"] == n2b
+        sem = dot > 0 and (10 * dot) ** 2 >= n2a * n2b
+        assert r["sem_ok"] == sem
+        n_sem += bool(sem)
+    # non-degenerate split (measured 52/240 on the fixture)
+    assert 0 < n_sem < 240
