@@ -1003,8 +1003,73 @@ _R10_WINDOW = [
     "mutual_information",
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
-QUERIES = {name: QUERIES[name] for name in _R10_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_R10_WINDOW)
+
+# The r11 window is tools/staleness.py's proposal taken VERBATIM
+# (the r10 verdict's demand #1): the FOUR entries new in r11 itself
+# (multimodal_jpeg_decode_420, hybrid_rerank_ann, avro_round_trip,
+# mine_image_text_pairs_semantic — driver rows in their birth round,
+# the standing policy since r10), then the 24 r6-stale entries
+# (the TPC-H suite tail + the r6 analytics batch), then the 22
+# oldest r7-stale entries alphabetically. Max staleness after this
+# window: r7.
+_R11_WINDOW = [
+    # (1) new in r11 — driver rows in their birth round
+    "avro_round_trip",
+    "hybrid_rerank_ann",
+    "multimodal_jpeg_decode_420",
+    "mine_image_text_pairs_semantic",
+    # (2) the 24 r6-stale entries, alphabetical
+    "ngram_jaccard",
+    "outlier_mad",
+    "pack_shards",
+    "pii_scrub",
+    "q10_returned_items",
+    "q13_custdist",
+    "q14_promo_revenue",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q21_waiting_supplier",
+    "q22_cold_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "scd2_apply",
+    "source_cap",
+    "udtf_sentences",
+    "validate_quarantine",
+    "vector_range",
+    "vocab_coverage",
+    "winsorize",
+    # (3) the 22 oldest r7-stale entries, alphabetical
+    "ab_test_lift",
+    "active_users_rolling",
+    "agg_skew_salted",
+    "attribution_last_touch",
+    "bitmap_distinct",
+    "bpe_apply",
+    "bpe_train",
+    "cdc_apply",
+    "clustering_coefficient",
+    "cms_heavy_hitters",
+    "concurrent_events",
+    "copurchase_pairs",
+    "copurchase_triples",
+    "dedup_clusters",
+    "dedup_eval",
+    "dedup_incremental",
+    "dedup_minhash",
+    "dedup_vs_reference",
+    "fuzzy_match_snm",
+    "gapfill_linear",
+    "hist_equi_depth",
+    "ivm_join_view",
+]
+assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R11_WINDOW)
 }
 
 

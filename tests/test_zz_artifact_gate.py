@@ -51,6 +51,11 @@ _MTIME_GATED = [
     "PLAN_AUDIT.json",
     "STREAM_PLANS.json",
     "DETERMINISM.json",
+    # r11 (r10 verdict item 1): the two remaining regenerate-on-
+    # demand artifacts join the gate — after this, NO committed
+    # verification artifact can silently go stale.
+    "VERIFY_SF1.json",
+    "SCALE_PROFILE.json",
 ]
 
 
@@ -120,6 +125,29 @@ def test_artifacts_postdate_newest_source_commit():
         "stale verification artifacts -> run tools/end_of_round.py"
         " AFTER the round's last source commit:\n" + "\n".join(stale)
     )
+
+
+def test_scale_profile_covers_its_declared_set_with_no_open_flags():
+    """SCALE_PROFILE is the three-point (sf0.1/sf1/sf3) exponent
+    diagnosis for the declared quadratic-risk set — its gate is
+    coverage of tools/scale_profile.PROFILED plus no UNRESOLVED
+    superlinear diagnosis (a measured superlinear exponent must be
+    resolved to workload-inherent by the mandatory-work volume, or
+    it fails the suite and the round fixes the plan)."""
+    from tools.scale_profile import PROFILED
+
+    art = _load("SCALE_PROFILE.json")
+    assert set(art["queries"]) == set(PROFILED), (
+        f"SCALE_PROFILE covers {sorted(art['queries'])} but the live"
+        f" declared set is {sorted(PROFILED)}"
+        " -> run tools/scale_profile.py"
+    )
+    open_flags = {
+        q: r["diagnosis"]
+        for q, r in art["queries"].items()
+        if r["diagnosis"].startswith("SUPERLINEAR")
+    }
+    assert not open_flags, open_flags
 
 
 def test_sf1_verify_covers_its_declared_suite():

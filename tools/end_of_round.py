@@ -40,7 +40,8 @@ def last_source_commit_epoch() -> tuple[str, int]:
             "git", "log", "-1", "--format=%H %ct", "--",
             ".", ":(exclude)VERIFY_LOCAL.json", ":(exclude)PLAN_AUDIT.json",
             ":(exclude)STREAM_PLANS.json", ":(exclude)DETERMINISM.json",
-            ":(exclude)VERIFY_SF1.json",
+            ":(exclude)VERIFY_SF1.json", ":(exclude)SCALE_PROFILE.json",
+            ":(exclude)BENCH_DETAIL.json",
             ":(exclude)BENCH_r*.json", ":(exclude)CORRECTNESS_r*.json",
             ":(exclude)NOTES_r*.md", ":(exclude)VERDICT.md",
             ":(exclude)ADVICE.md", ":(exclude)bench_stderr.txt",
@@ -56,6 +57,11 @@ def main() -> None:
         "plan_audit.py",
         "stream_plans.py",
         "determinism_audit.py",
+        # r11 (r10 verdict item 1): the last two on-demand artifacts
+        # join the one-script regeneration — the pytest gate
+        # (tests/test_zz_artifact_gate.py) now mtime-checks all six.
+        "verify_sf1.py",
+        "scale_profile.py",
     ):
         print(f"== regenerating via tools/{script} ==", flush=True)
         r = subprocess.run(
@@ -68,7 +74,7 @@ def main() -> None:
     ok = True
     for artifact in (
         "VERIFY_LOCAL.json", "PLAN_AUDIT.json", "STREAM_PLANS.json",
-        "DETERMINISM.json",
+        "DETERMINISM.json", "VERIFY_SF1.json", "SCALE_PROFILE.json",
     ):
         mtime = int(os.path.getmtime(os.path.join(REPO, artifact)))
         fresh = mtime >= commit_ts

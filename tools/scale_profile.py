@@ -61,6 +61,13 @@ PROFILED = [
     # denominator is n*k, not row count.
     "kmeans_embed",
     "semantic_dedup",
+    # r11 (r10 verdict item 4): the r10 compositions. Their cost is
+    # their proven inputs (semantic_dedup + hard_negatives + one
+    # broadcast join; bm25 + cosine + bounded RRF fusion), so the
+    # expectation is the inputs' own shapes with no new growth —
+    # now measured rather than argued by construction.
+    "mine_training_pairs",
+    "hybrid_rerank",
 ]
 
 
