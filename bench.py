@@ -170,6 +170,10 @@ HEADLINE = [
     "hybrid_rerank_ann",
     "avro_round_trip",
     "mine_image_text_pairs_semantic",
+    # round 11, second batch: restart-segmented JPEG decode and the
+    # v1->v2 avro schema-resolution read
+    "multimodal_jpeg_decode_rst",
+    "avro_schema_evolution",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

@@ -24,10 +24,12 @@ factors in {1, 2} — which covers 4:4:4 (1x1 everywhere), 4:2:0
 (luma 2x2, the dominant real-world encoding; r10 verdict item 2),
 and 4:2:2 (luma 2x1) with one interleaved-MCU walk (A.2.3).
 Chroma is upsampled by sample replication (the nearest-neighbor
-reconstruction JFIF permits). No restart markers. Progressive
-(SOF2), 12-bit, sampling factors > 2, or arithmetic-coded streams
-raise NotImplementedError; structurally broken streams raise
-ValueError.
+reconstruction JFIF permits). Restart intervals (DRI/RSTn, E.2.4)
+are supported in both directions: byte-aligned modulo-8 marker
+sequence with DC-predictor resets, out-of-sequence or missing RSTs
+failing loudly. Progressive (SOF2), 12-bit, sampling factors > 2,
+or arithmetic-coded streams raise NotImplementedError; structurally
+broken streams raise ValueError.
 
 Determinism contract for the oracle fixtures: a constant 8x8 block
 level-shifts to a constant, whose float FDCT is EXACTLY DC-only up
@@ -181,10 +183,20 @@ class _BitWriter:
                 self.out.append(0x00)
         self._acc &= (1 << self._n) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (F.1.2.3) — required
+        before emitting a restart marker (B.2.1.2)."""
         if self._n:
             pad = 8 - self._n
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits (F.1.2.3)
+            self.write((1 << pad) - 1, pad)
+
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn (markers are never stuffed)."""
+        self.align()
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -212,6 +224,23 @@ class _BitReader:
                 )
         self._acc = (self._acc << 8) | byte
         self._n += 8
+
+    def expect_restart(self, n: int) -> None:
+        """Consume one RSTn at a restart boundary (E.2.4): discard
+        the partial byte's pad bits, then require the exact expected
+        modulo-8 marker — a missing or out-of-sequence RST is
+        structural corruption and fails loudly."""
+        self._acc = 0
+        self._n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("JPEG scan ends where RST marker expected")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or b1 != 0xD0 + (n & 7):
+            raise ValueError(
+                f"expected RST{n & 7} at restart boundary, found"
+                f" 0x{b0:02X}{b1:02X}"
+            )
+        self.pos += 2
 
     def bit(self) -> int:
         if self._n == 0:
@@ -311,6 +340,7 @@ def encode_jpeg_baseline(
     x_density: int = 1,
     y_density: int = 1,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode raw samples as a baseline-sequential JFIF file.
 
@@ -319,8 +349,12 @@ def encode_jpeg_baseline(
     encoder performs the chroma decimation itself). ``subsampling``
     is ``"444"`` (all components 1x1) or ``"420"`` (luma 2x2, chroma
     box-decimated 2x both ways, MCU-interleaved per A.2.3 — the
-    dominant real-world encoding; 3-component input only). Edge
-    blocks are replicate-padded. All components share quant table 0
+    dominant real-world encoding; 3-component input only).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (modulo-8 sequence, DC predictors reset) every that many MCUs —
+    the resynchronization points real encoders insert so one
+    corrupted byte doesn't lose the rest of the image. Edge blocks
+    are replicate-padded. All components share quant table 0
     (flat / quality-100) and Huffman tables 0."""
     ncomp = len(planes)
     if ncomp not in (1, 3):
@@ -358,8 +392,17 @@ def encode_jpeg_baseline(
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
     w = _BitWriter()
     prev_dc = [0] * ncomp
+    mcu_idx = 0
+    rst_n = 0
     for my in range(mcy_n):
         for mx in range(mcx_n):
+            if restart_interval and mcu_idx and (
+                mcu_idx % restart_interval == 0
+            ):
+                w.restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                prev_dc = [0] * ncomp
+            mcu_idx += 1
             for ci, (sh, sv) in enumerate(samp):
                 for vy in range(sv):
                     for vx in range(sh):
@@ -403,12 +446,18 @@ def encode_jpeg_baseline(
         + b"".join(bytes([cid, 0x00]) for cid in range(1, ncomp + 1))
         + bytes([0, 63, 0])
     )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + seg(0xE0, app0)
         + seg(0xDB, dqt)
         + seg(0xC0, sof)
         + seg(0xC4, dht)
+        + dri
         + seg(0xDA, sos)
         + scan
         + b"\xff\xd9"
@@ -438,6 +487,7 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
     # order (the silent-misdecode case the r10 ADVICE flagged)
     scan_map: list[tuple[int, int, int]] = []
     scan_start = None
+    restart_interval = 0
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -511,9 +561,8 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
                         " (subsampling limited to factors 1..2)"
                     )
                 comps.append((cid, sh, sv, qid))
-        elif marker == 0xDD:
-            if struct.unpack(">H", data[:2])[0] != 0:
-                raise NotImplementedError("restart intervals")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            restart_interval = struct.unpack(">H", data[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = data[0]
             if ns != len(comps):
@@ -567,8 +616,19 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
         slots.append((ci, comps[ci][1], comps[ci][2], dc_t, ac_t, q))
     prev_dc = [0] * ncomp
     coeff = np.zeros(64)
+    mcu_idx = 0
+    rst_n = 0
     for my in range(mcy_n):
         for mx in range(mcx_n):
+            if restart_interval and mcu_idx and (
+                mcu_idx % restart_interval == 0
+            ):
+                # E.2.4: byte-align, consume RSTn (mod-8 sequence),
+                # reset every DC predictor
+                reader.expect_restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                prev_dc = [0] * ncomp
+            mcu_idx += 1
             for ci, sh, sv, dc_t, ac_t, q in slots:
                 for vy in range(sv):
                     for vx in range(sh):

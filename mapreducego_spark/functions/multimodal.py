@@ -898,6 +898,117 @@ def multimodal_jpeg_decode_420(
     ).orderBy("media_id")
 
 
+def _jpeg_px_fixture_planes_rst(i: int):
+    """Restart-interval fixture spec: 4:4:4 constant-per-8x8-block
+    planes (the jpeg_decode closed form, distinct dims) encoded WITH
+    a per-file DRI of (i % 5) + 1 MCUs — the restart bookkeeping
+    (byte alignment, modulo-8 marker sequence, DC predictor resets)
+    changes the BYTES but not the decoded pixels, so the oracle is
+    the same pure-BIGINT arithmetic while the Spark path must walk
+    real RSTn-segmented entropy data."""
+    w = (i * 11) % 29 + 12
+    h = (i * 5) % 23 + 12
+    gray = i % 4 == 0
+
+    def yv(bx: int, by: int) -> int:
+        return (i * 31 + by * 47 + bx * 17) % 256
+
+    def cb(bx: int, by: int) -> int:
+        return 128 if gray else 128 + (i * 5 + bx * 3 + by * 7) % 100
+
+    def cr(bx: int, by: int) -> int:
+        return 128 if gray else 128 + (i * 11 + bx * 13 + by * 5) % 100
+
+    return {"y": yv, "cb": cb, "cr": cr, "gray": gray}, (w, h), i % 5 + 1
+
+
+def encode_jpeg_pixels_fixture_rst(i: int) -> bytes:
+    from mapreducego_spark.functions.jpegcodec import encode_jpeg_baseline
+
+    spec, (w, h), ri = _jpeg_px_fixture_planes_rst(i)
+
+    def plane(f) -> bytes:
+        return bytes(f(x // 8, y // 8) for y in range(h) for x in range(w))
+
+    planes = (
+        [plane(spec["y"])]
+        if spec["gray"]
+        else [plane(spec["y"]), plane(spec["cb"]), plane(spec["cr"])]
+    )
+    return encode_jpeg_baseline(w, h, planes, restart_interval=ri)
+
+
+def stage_jpeg_pixels_rst(sf_dir: str, n: int = 240) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_media/{tag}_jpegrst{n}"
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        for i in range(n):
+            with open(os.path.join(out, f"media_{i:05d}.jpg"), "wb") as fh:
+                fh.write(encode_jpeg_pixels_fixture_rst(i))
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+    return out
+
+
+def multimodal_jpeg_decode_rst(
+    spark: SparkSession, sf_dir: str, n: int = 240
+) -> DataFrame:
+    """Registry entry (r11): baseline JPEG decode over RESTART-
+    SEGMENTED scans — every staged file carries a DRI of 1..5 MCUs,
+    so the distributed decode walks real RSTn sequences (byte
+    realignment, modulo-8 marker checking, DC prediction resets at
+    every boundary; E.2.4), the resynchronization structure most
+    camera/encoder output actually has. Same decode contract and
+    closed-form oracle arithmetic as multimodal_jpeg_decode; the
+    restart machinery must be byte-exact or the hash breaks (a DC
+    predictor carried across a boundary shifts every later block).
+
+    Scale shape: identical — distributed binaryFile scan, one Arrow
+    crossing per batch, no shuffle before the presentation sort."""
+    from mapreducego_spark.functions.jpegcodec import decode_jpeg_baseline
+
+    path = stage_jpeg_pixels_rst(sf_dir, n)
+    media = (
+        spark.read.format("binaryFile")
+        .load(path + "/media_*.jpg")
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                w, h, rgb = decode_jpeg_baseline(bytes(p))
+                rows.append(
+                    (
+                        int(mid),
+                        w,
+                        h,
+                        int(sum(rgb)),
+                        hashlib.md5(rgb.hex().encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "px_sum", "feature_hash",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, width int, height int, px_sum long, "
+        "feature_hash string",
+    ).orderBy("media_id")
+
+
 def mine_image_text_pairs_semantic(
     spark: SparkSession,
     sf_dir: str,

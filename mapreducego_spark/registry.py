@@ -260,6 +260,11 @@ QUERIES: dict[str, QueryFn] = {
     # longs, UTF-8 text, [null,T] unions, doubles, arrays (new in
     # r11, r10 verdict item 6)
     "avro_round_trip": CAT.avro_round_trip,
+    # Avro schema RESOLUTION (new in r11): v1-written files read
+    # under an evolved v2 reader schema — dropped field skipped,
+    # int->long promotion, added field from declared default — the
+    # lake-evolution contract, hash-gated
+    "avro_schema_evolution": CAT.avro_schema_evolution,
     "json_round_trip": CAT.json_round_trip,
     "csv_round_trip": CAT.csv_round_trip,
     "orc_round_trip": CAT.orc_round_trip,
@@ -615,6 +620,11 @@ QUERIES: dict[str, QueryFn] = {
     # upsample; luma varies WITHIN each MCU so the hash oracle gates
     # the interleave order itself
     "multimodal_jpeg_decode_420": M.multimodal_jpeg_decode_420,
+    # restart-segmented scans (new in r11): per-file DRI of 1..5
+    # MCUs, RSTn modulo-8 walk + DC resets — the resync structure
+    # real camera output has; same closed-form oracle arithmetic,
+    # structurally different bytes
+    "multimodal_jpeg_decode_rst": M.multimodal_jpeg_decode_rst,
     # image-text training-pair manifest: real JPEG decode joined to
     # caption token stats with the CLIP-style quality gate — the
     # first media-tier x text-tier composition (new in r10)
@@ -1005,18 +1015,23 @@ _R10_WINDOW = [
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 
 # The r11 window is tools/staleness.py's proposal taken VERBATIM
-# (the r10 verdict's demand #1): the FOUR entries new in r11 itself
-# (multimodal_jpeg_decode_420, hybrid_rerank_ann, avro_round_trip,
+# (the r10 verdict's demand #1): the SIX entries new in r11 itself
+# (multimodal_jpeg_decode_420, multimodal_jpeg_decode_rst,
+# hybrid_rerank_ann, avro_round_trip, avro_schema_evolution,
 # mine_image_text_pairs_semantic — driver rows in their birth round,
 # the standing policy since r10), then the 24 r6-stale entries
-# (the TPC-H suite tail + the r6 analytics batch), then the 22
-# oldest r7-stale entries alphabetically. Max staleness after this
-# window: r7.
+# (the TPC-H suite tail + the r6 analytics batch), then the 20
+# oldest r7-stale entries alphabetically (hist_equi_depth and
+# ivm_join_view yield their slots to the later-round additions,
+# exactly as ngram_jaccard's batch did in r10). Max staleness after
+# this window: r7.
 _R11_WINDOW = [
     # (1) new in r11 — driver rows in their birth round
     "avro_round_trip",
+    "avro_schema_evolution",
     "hybrid_rerank_ann",
     "multimodal_jpeg_decode_420",
+    "multimodal_jpeg_decode_rst",
     "mine_image_text_pairs_semantic",
     # (2) the 24 r6-stale entries, alphabetical
     "ngram_jaccard",
@@ -1043,7 +1058,7 @@ _R11_WINDOW = [
     "vector_range",
     "vocab_coverage",
     "winsorize",
-    # (3) the 22 oldest r7-stale entries, alphabetical
+    # (3) the 20 oldest r7-stale entries, alphabetical
     "ab_test_lift",
     "active_users_rolling",
     "agg_skew_salted",
@@ -1064,8 +1079,6 @@ _R11_WINDOW = [
     "dedup_vs_reference",
     "fuzzy_match_snm",
     "gapfill_linear",
-    "hist_equi_depth",
-    "ivm_join_view",
 ]
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
@@ -2819,6 +2832,16 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(doc_id AS DOUBLE) / 64.0 AS score,
        CAST(doc_id % 7 AS VARCHAR) || ',' || CAST(doc_id % 11 AS VARCHAR)
            AS tags
+FROM documents
+"""
+# Schema evolution: the v2 reader's rows straight from parquet —
+# lang gone, n_chars promoted to long, quality = the declared
+# default.
+ORACLES["avro_schema_evolution"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       source,
+       0.25 AS quality
 FROM documents
 """
 ORACLES["csv_round_trip"] = ORACLES["xml_round_trip"]
@@ -4952,6 +4975,61 @@ blocks AS (
   FROM dims,
        (SELECT unnest(range(4)) AS x) bx,
        (SELECT unnest(range(4)) AS y) by
+  WHERE bx.x < (w + 7) // 8 AND by.y < (h + 7) // 8
+),
+rgb AS (
+  SELECT media_id, w, h, bx, by, nx, ny,
+         LEAST(255, GREATEST(0,
+             yv + (91881 * cr1 + 32768) // 65536)) AS r,
+         LEAST(255, GREATEST(0,
+             yv - (22554 * cb1 + 46802 * cr1 + 32768) // 65536)) AS g,
+         LEAST(255, GREATEST(0,
+             yv + (116130 * cb1 + 32768) // 65536)) AS b
+  FROM blocks
+),
+rows_hex AS (
+  SELECT media_id, w, h, by, MAX(ny) AS ny,
+         string_agg(repeat(printf('%02x%02x%02x', r, g, b), CAST(nx AS INT)),
+                    '' ORDER BY bx) AS rowstr,
+         SUM((r + g + b) * nx * ny) AS part_sum
+  FROM rgb
+  GROUP BY media_id, w, h, by
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+       md5(string_agg(repeat(rowstr, CAST(ny AS INT)), '' ORDER BY by))
+           AS feature_hash
+FROM rows_hex
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+# Restart-segmented decode: the 444 closed form at the rst fixture's
+# dims — DRI/RSTn changes the bytes (alignment padding, markers, DC
+# resets), not the decoded pixels, so the oracle proves the restart
+# bookkeeping by reproducing the same hash through it.
+ORACLES["multimodal_jpeg_decode_rst"] = """
+WITH m AS (SELECT unnest(range(240)) AS media_id),
+dims AS (
+  SELECT media_id,
+         CAST((media_id * 11) % 29 + 12 AS BIGINT) AS w,
+         CAST((media_id * 5) % 23 + 12 AS BIGINT) AS h
+  FROM m
+),
+blocks AS (
+  SELECT media_id, w, h, bx.x AS bx, by.y AS by,
+         LEAST(8, w - bx.x * 8) AS nx,
+         LEAST(8, h - by.y * 8) AS ny,
+         (media_id * 31 + by.y * 47 + bx.x * 17) % 256 AS yv,
+         CASE WHEN media_id % 4 = 0 THEN 0
+              ELSE (media_id * 5 + bx.x * 3 + by.y * 7) % 100 END AS cb1,
+         CASE WHEN media_id % 4 = 0 THEN 0
+              ELSE (media_id * 11 + bx.x * 13 + by.y * 5) % 100 END AS cr1
+  FROM dims,
+       (SELECT unnest(range(5)) AS x) bx,
+       (SELECT unnest(range(5)) AS y) by
   WHERE bx.x < (w + 7) // 8 AND by.y < (h + 7) // 8
 ),
 rgb AS (

@@ -197,6 +197,139 @@ def _decode(sch, r: Reader):
     raise NotImplementedError(f"avro type {t!r} not supported")
 
 
+# ------------------------------------------------- schema resolution
+
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+def _type_name(sch) -> str:
+    if isinstance(sch, list):
+        return "union"
+    return sch["type"] if isinstance(sch, dict) else sch
+
+
+def _reader_matches(wt: str, r_sch) -> bool:
+    rt = _type_name(r_sch)
+    return rt == wt or rt in _PROMOTIONS.get(wt, ())
+
+
+def _default_value(sch, default):
+    """Convert a JSON-encoded field default to the runtime value
+    (spec: defaults for unions apply to the FIRST branch)."""
+    if isinstance(sch, list):
+        return _default_value(sch[0], default)
+    t = _type_name(sch)
+    if t == "null":
+        return None
+    if t == "bytes":
+        # spec: bytes defaults are strings with codepoints 0-255
+        return str(default).encode("latin-1")
+    if t in ("int", "long"):
+        return int(default)
+    if t in ("float", "double"):
+        return float(default)
+    if t == "boolean":
+        return bool(default)
+    if t == "string":
+        return str(default)
+    if t == "array":
+        return [_default_value(sch["items"], d) for d in default]
+    if t == "map":
+        return {k: _default_value(sch["values"], v) for k, v in default.items()}
+    if t == "record":
+        return {
+            f["name"]: _default_value(f["type"], f["default"])
+            for f in sch["fields"]
+        }
+    raise NotImplementedError(f"default for avro type {t!r}")
+
+
+def _resolve(w_sch, r_sch, r: Reader):
+    """Decode data written with ``w_sch`` as ``r_sch`` per the
+    spec's Schema Resolution rules: writer-only fields skipped,
+    reader-only fields filled from their defaults, numeric/
+    bytes-string promotions applied, union branches matched by
+    type."""
+    if isinstance(w_sch, list):  # writer union: branch then resolve
+        idx = r.long()
+        if not 0 <= idx < len(w_sch):
+            raise ValueError(f"union branch {idx} out of range")
+        return _resolve(w_sch[idx], r_sch, r)
+    wt = _type_name(w_sch)
+    if isinstance(r_sch, list):  # reader union: first matching branch
+        for br in r_sch:
+            if _reader_matches(wt, br) or (
+                _type_name(br) == "record" and wt == "record"
+            ):
+                return _resolve(w_sch, br, r)
+        raise ValueError(
+            f"writer type {wt!r} matches no reader union branch"
+        )
+    rt = _type_name(r_sch)
+    if wt in _PRIMITIVES and rt in _PRIMITIVES:
+        if rt != wt and rt not in _PROMOTIONS.get(wt, ()):
+            raise ValueError(f"cannot resolve writer {wt!r} as {rt!r}")
+        v = _decode(wt, r)
+        if rt in ("float", "double") and wt in ("int", "long", "float"):
+            return float(v)
+        if wt == "string" and rt == "bytes":
+            return v.encode("utf-8")
+        if wt == "bytes" and rt == "string":
+            return v.decode("utf-8")
+        return v
+    if wt == "record" and rt == "record":
+        r_fields = {f["name"]: f for f in r_sch["fields"]}
+        w_names = set()
+        out = {}
+        for wf in w_sch["fields"]:
+            w_names.add(wf["name"])
+            rf = r_fields.get(wf["name"])
+            if rf is None:
+                _decode(wf["type"], r)  # writer-only: decode & discard
+            else:
+                out[wf["name"]] = _resolve(wf["type"], rf["type"], r)
+        for rf in r_sch["fields"]:
+            if rf["name"] not in w_names:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"reader field {rf['name']!r} absent from writer"
+                        " schema and has no default"
+                    )
+                out[rf["name"]] = _default_value(rf["type"], rf["default"])
+        # emit in reader field order
+        return {f["name"]: out[f["name"]] for f in r_sch["fields"]}
+    if wt == "array" and rt == "array":
+        out = []
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                r.long()
+            for _ in range(n):
+                out.append(_resolve(w_sch["items"], r_sch["items"], r))
+    if wt == "map" and rt == "map":
+        out = {}
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                r.long()
+            for _ in range(n):
+                k = r.raw(r.long()).decode("utf-8")
+                out[k] = _resolve(w_sch["values"], r_sch["values"], r)
+    raise ValueError(f"cannot resolve writer {wt!r} as reader {rt!r}")
+
+
 # ------------------------------------------------------- container file
 
 
@@ -272,8 +405,16 @@ def read_header(data: bytes) -> tuple[dict, str, bytes, int]:
     return json.loads(meta["avro.schema"]), codec, sync, r.pos
 
 
-def read_container(data: bytes) -> tuple[dict, list[dict]]:
-    """Decode one Object Container File into (schema, rows)."""
+def read_container(
+    data: bytes, reader_schema: dict | None = None
+) -> tuple[dict, list[dict]]:
+    """Decode one Object Container File into (schema, rows).
+
+    With ``reader_schema``, each row is decoded through the spec's
+    Schema Resolution rules against the file's embedded writer
+    schema (evolution: dropped fields skipped, added fields
+    defaulted, promotions applied) and the returned schema is the
+    READER schema."""
     avsc, codec, sync, pos = read_header(data)
     r = Reader(data, pos)
     rows: list[dict] = []
@@ -287,10 +428,13 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
             raise ValueError("avro block sync marker mismatch")
         br = Reader(payload)
         for _ in range(count):
-            rows.append(_decode(avsc, br))
+            if reader_schema is None:
+                rows.append(_decode(avsc, br))
+            else:
+                rows.append(_resolve(avsc, reader_schema, br))
         if br.pos != len(payload):
             raise ValueError("avro block has trailing bytes")
-    return avsc, rows
+    return (avsc if reader_schema is None else reader_schema), rows
 
 
 # ------------------------------------------------- spark schema bridge

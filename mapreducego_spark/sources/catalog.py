@@ -445,14 +445,24 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> list:
     return manifest
 
 
-def read_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_avro(
+    spark: SparkSession, path: str, schema=None, avro_reader_schema=None
+) -> DataFrame:
     """Avro container source: distributed binaryFile scan of the
     ``*.avro`` part files, each decoded whole inside ``mapInArrow``
     (container blocks are per-file; Avro's split points are its sync
     markers, and one-file-per-task is the same granularity Spark's
     own binaryFile source provides). Pass ``schema`` at scale; when
     omitted, ONE file header is sniffed driver-side (a few hundred
-    bytes — the same single-file peek spark-avro's inference does)."""
+    bytes — the same single-file peek spark-avro's inference does).
+
+    ``avro_reader_schema`` (an Avro record schema dict) enables the
+    spec's Schema Resolution: files written under an OLDER schema
+    are decoded as the reader's — dropped fields skipped, new
+    fields filled from their declared defaults, int->long->double /
+    bytes<->string promotions applied per-field. This is the
+    contract that lets a 100 TB lake keep old files readable while
+    the schema moves forward."""
     from pyspark.sql import types as T
 
     from mapreducego_spark.sources.avrocodec import (
@@ -462,14 +472,17 @@ def read_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
     )
 
     if schema is None:
-        import glob as _glob
+        if avro_reader_schema is not None:
+            schema = avro_to_spark(avro_reader_schema)
+        else:
+            import glob as _glob
 
-        first = sorted(_glob.glob(os.path.join(path, "*.avro")))
-        if not first:
-            raise ValueError(f"no .avro files under {path}")
-        with open(first[0], "rb") as fh:
-            head = fh.read(1 << 20)
-        schema = avro_to_spark(read_header(head)[0])
+            first = sorted(_glob.glob(os.path.join(path, "*.avro")))
+            if not first:
+                raise ValueError(f"no .avro files under {path}")
+            with open(first[0], "rb") as fh:
+                head = fh.read(1 << 20)
+            schema = avro_to_spark(read_header(head)[0])
     if not isinstance(schema, T.StructType):
         raise ValueError("avro top-level schema must be a record/struct")
 
@@ -487,7 +500,9 @@ def read_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
         arrow_schema = to_arrow_schema(schema)
         for b in batches:
             for rec in b.column(0).to_pylist():
-                _, rows = read_container(bytes(rec))
+                _, rows = read_container(
+                    bytes(rec), reader_schema=avro_reader_schema
+                )
                 yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
     return files.mapInArrow(fn, schema)
@@ -531,6 +546,49 @@ def avro_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.array_join("tags", ",").alias("tags"),
     ).orderBy("doc_id")
+
+
+def avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (r11): Avro SCHEMA RESOLUTION proven on real
+    data — the lake-evolution contract where files written under an
+    old schema stay readable as the schema moves forward. The
+    documents table is written under a v1 writer schema (doc_id
+    long, lang string, n_chars INT, source string), then read with
+    an evolved v2 READER schema that exercises all three resolution
+    rules at once: ``lang`` is DROPPED (writer-only fields are
+    decoded and discarded), ``n_chars`` is PROMOTED int -> long
+    (zigzag varints are width-free, so the promotion is purely a
+    type-level contract), and ``quality`` double is ADDED with
+    declared default 0.25 (reader-only fields fill from defaults).
+    The DuckDB oracle rebuilds the v2 rows straight from parquet, so
+    the hash gates the resolution semantics, not just the read."""
+    from pyspark.sql import functions as F
+
+    docs_v1 = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "source",
+    )
+    work = _scratch_dir("avro_evo_")
+    path = f"{work}/docs_v1"
+    write_avro(docs_v1, path)
+    reader_v2 = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "doc_id", "type": ["null", "long"]},
+            {"name": "n_chars", "type": ["null", "long"]},
+            {"name": "source", "type": ["null", "string"]},
+            {
+                "name": "quality",
+                "type": "double",
+                "default": 0.25,
+            },
+        ],
+    }
+    back = read_avro(spark, path, avro_reader_schema=reader_v2)
+    return back.orderBy("doc_id")
 
 
 def _typed_docs_round_trip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:

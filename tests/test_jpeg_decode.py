@@ -354,3 +354,56 @@ def test_mine_image_text_pairs_semantic_composition_law(spark):
         n_sem += bool(sem)
     # non-degenerate split (measured 52/240 on the fixture)
     assert 0 < n_sem < 240
+
+
+# ------------------------------------------------- r11: restart markers
+
+
+def test_restart_intervals_round_trip_all_shapes():
+    """DRI/RSTn (E.2.4): random gray at several intervals (mod-8
+    marker wraparound included at interval 1), and the 4:2:0
+    constant fixture with restarts decodes EXACTLY — proving the
+    byte-align + DC-reset bookkeeping in both codec directions."""
+    rng = np.random.RandomState(5)
+    w, h = 40, 33
+    y = rng.randint(0, 256, size=w * h, dtype=np.uint8).tobytes()
+    orig = np.frombuffer(y, np.uint8).astype(int)
+    for ri in (1, 2, 7):
+        got_w, got_h, rgb = decode_jpeg_baseline(
+            encode_jpeg_baseline(w, h, [y], restart_interval=ri)
+        )
+        assert (got_w, got_h) == (w, h)
+        err = np.abs(np.frombuffer(rgb, np.uint8)[::3].astype(int) - orig)
+        assert int(err.max()) <= 3, ri
+
+    def plane(f, per):
+        return bytes(
+            f(x // per, yy // per) for yy in range(h) for x in range(w)
+        )
+
+    Y = plane(lambda bx, by: (31 + bx * 17 + by * 47) % 256, 8)
+    Cb = plane(lambda mx, my: 128 + (5 + mx * 3 + my * 7) % 100, 16)
+    Cr = plane(lambda mx, my: 128 + (11 + mx * 13 + my * 5) % 100, 16)
+    _, _, rgb = decode_jpeg_baseline(
+        encode_jpeg_baseline(
+            w, h, [Y, Cb, Cr], subsampling="420", restart_interval=2
+        )
+    )
+    exp = bytearray()
+    for yy in range(h):
+        for x in range(w):
+            exp += bytes(
+                ycbcr_to_rgb_int(Y[yy * w + x], Cb[yy * w + x], Cr[yy * w + x])
+            )
+    assert rgb == bytes(exp)
+
+
+def test_out_of_sequence_restart_marker_fails_loudly():
+    rng = np.random.RandomState(5)
+    w, h = 40, 33
+    y = rng.randint(0, 256, size=w * h, dtype=np.uint8).tobytes()
+    jpg = bytearray(encode_jpeg_baseline(w, h, [y], restart_interval=1))
+    i = jpg.find(b"\xff\xd0")
+    jpg[i + 1] = 0xD5  # RST5 where RST0 belongs
+    with pytest.raises(ValueError, match="expected RST"):
+        decode_jpeg_baseline(bytes(jpg))

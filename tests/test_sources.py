@@ -491,3 +491,81 @@ def test_avro_spark_round_trip_with_schema_sniffing(spark, sf_dir):
         for r in back.collect()
     )
     assert got == want
+
+
+def test_avro_schema_resolution_rules():
+    """Spec Schema Resolution, pure codec: dropped writer fields
+    skipped, reader-added fields from defaults, int->long and
+    float->double promotions, bytes<->string conversion, union
+    branch matching — and a reader-only field WITHOUT a default
+    fails loudly."""
+    import pytest
+
+    from mapreducego_spark.sources.avrocodec import (
+        read_container,
+        write_container,
+    )
+
+    writer = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "gone", "type": "string"},
+            {"name": "f", "type": "float"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "b", "type": "bytes"},
+        ],
+    }
+    rows = [
+        {"id": i, "gone": "x" * i, "f": float(i), "s": None if i % 2 else f"v{i}",
+         "b": bytes([i % 256])}
+        for i in range(50)
+    ]
+    blob = write_container(writer, rows)
+    reader = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"},              # int -> long
+            {"name": "f", "type": "double"},             # float -> double
+            {"name": "s", "type": ["null", "bytes"]},    # string -> bytes
+            {"name": "b", "type": "string"},             # bytes -> string
+            {"name": "q", "type": "double", "default": 0.25},  # added
+        ],
+    }
+    got_schema, got = read_container(blob, reader_schema=reader)
+    assert got_schema == reader
+    for i, g in enumerate(got):
+        assert list(g) == ["id", "f", "s", "b", "q"]  # reader order
+        assert g["id"] == i and isinstance(g["id"], int)
+        assert g["f"] == float(i)  # float32 of a small int is exact
+        assert g["s"] == (None if i % 2 else f"v{i}".encode())
+        assert g["b"] == chr(i)  # single ASCII byte -> utf-8 string
+        assert g["q"] == 0.25
+    # missing default -> loud failure
+    bad = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "nodefault", "type": "double"},
+        ],
+    }
+    with pytest.raises(ValueError, match="no default"):
+        read_container(blob, reader_schema=bad)
+
+
+def test_avro_schema_evolution_spark_entry(spark, sf_dir):
+    """The registry entry end-to-end at smoke scale: v1 write, v2
+    read — lang dropped, n_chars long, quality defaulted."""
+    from mapreducego_spark.sources.catalog import (
+        avro_schema_evolution,
+        load_table,
+    )
+
+    rows = avro_schema_evolution(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert list(r.asDict()) == ["doc_id", "n_chars", "source", "quality"]
+        assert r["n_chars"] == docs[r["doc_id"]]["n_chars"]
+        assert r["source"] == docs[r["doc_id"]]["source"]
+        assert r["quality"] == 0.25
