@@ -362,12 +362,21 @@ def encode_jpeg_baseline(
     for p in planes:
         if len(p) != width * height:
             raise ValueError("each plane must be width*height bytes")
-    if subsampling == "444" or ncomp == 1:
+    if ncomp == 1:
+        if subsampling != "444":
+            raise ValueError(
+                "chroma subsampling is meaningless for grayscale; "
+                "use subsampling='444' with a single plane"
+            )
+        samp = [(1, 1)]
+    elif subsampling == "444":
         samp = [(1, 1)] * ncomp
     elif subsampling == "420":
         samp = [(2, 2), (1, 1), (1, 1)]
+    elif subsampling == "422":
+        samp = [(2, 1), (1, 1), (1, 1)]
     else:
-        raise ValueError("subsampling must be '444' or '420'")
+        raise ValueError("subsampling must be '444', '422' or '420'")
     hmax = max(sh for sh, _ in samp)
     vmax = max(sv for _, sv in samp)
     mcx_n = (width + 8 * hmax - 1) // (8 * hmax)

@@ -2841,7 +2841,7 @@ ORACLES["avro_schema_evolution"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_chars AS BIGINT) AS n_chars,
        source,
-       0.25 AS quality
+       CAST(0.25 AS DOUBLE) AS quality
 FROM documents
 """
 ORACLES["csv_round_trip"] = ORACLES["xml_round_trip"]

@@ -81,6 +81,8 @@ class Reader:
         return (z >> 1) ^ -(z & 1)
 
     def raw(self, n: int) -> bytes:
+        if n < 0:
+            raise ValueError("avro negative byte length (corrupt varint)")
         if self.pos + n > len(self.data):
             raise ValueError("avro payload truncated")
         out = self.data[self.pos : self.pos + n]
@@ -421,6 +423,8 @@ def read_container(
     while r.pos < len(r.data):
         count = r.long()
         size = r.long()
+        if count < 0 or size < 0:
+            raise ValueError("avro block with negative count/size (corrupt)")
         payload = r.raw(size)
         if codec == "deflate":
             payload = zlib.decompress(payload, wbits=-15)

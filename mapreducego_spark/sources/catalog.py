@@ -480,9 +480,23 @@ def read_avro(
             first = sorted(_glob.glob(os.path.join(path, "*.avro")))
             if not first:
                 raise ValueError(f"no .avro files under {path}")
+            # Headers are usually tiny, but avro.schema metadata can
+            # exceed any fixed sniff size — extend until the header
+            # parses or the whole file is in.
             with open(first[0], "rb") as fh:
                 head = fh.read(1 << 20)
-            schema = avro_to_spark(read_header(head)[0])
+                while True:
+                    try:
+                        hdr = read_header(head)[0]
+                        break
+                    except ValueError:
+                        more = fh.read(1 << 22)
+                        if not more:
+                            raise ValueError(
+                                f"unparseable avro header in {first[0]}"
+                            )
+                        head += more
+            schema = avro_to_spark(hdr)
     if not isinstance(schema, T.StructType):
         raise ValueError("avro top-level schema must be a record/struct")
 
