@@ -214,7 +214,9 @@ def lsh_band_keys(
 
 
 def minhash_candidate_pairs(
-    bands: DataFrame, max_bucket_size: int | None = 4096
+    bands: DataFrame,
+    max_bucket_size: int | None = 4096,
+    dedup: bool = True,
 ) -> DataFrame:
     """Self-join band buckets -> distinct candidate pairs (a < b).
     The join key (band, band_key) keeps the shuffle proportional to
@@ -239,12 +241,16 @@ def minhash_candidate_pairs(
         )
     a = bands.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b = bands.select("band", "band_key", F.col("doc_id").alias("doc_b"))
-    return (
+    out = (
         a.join(b, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    # ``dedup=False`` defers uniqueness to the caller (the PPJoin r8
+    # pattern: verify every banded contribution, dedup the far smaller
+    # threshold-surviving set) — duplicates are bounded by the band
+    # count per true pair.
+    return out.distinct() if dedup else out
 
 
 def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
@@ -635,7 +641,14 @@ def dedup_incremental_step(
         .localCheckpoint(eager=True)
     )
     bands_new = lsh_band_keys(reps)
-    internal = minhash_candidate_pairs(bands_new, max_bucket_size=max_bucket_size)
+    # Verify ALL banded contributions, dedup only the survivors (the
+    # r8 PPJoin pattern): a true near-dup pair colliding in k bands
+    # costs k cheap hash-Jaccard probes instead of three wide
+    # candidate-stream shuffles; random collisions are mostly
+    # single-band so the duplication factor is small by construction.
+    internal = minhash_candidate_pairs(
+        bands_new, max_bucket_size=max_bucket_size, dedup=False
+    )
     cross = (
         lsh_band_keys(index_rows)
         .select("band", "band_key", F.col("doc_id").alias("doc_a"))
@@ -644,13 +657,13 @@ def dedup_incremental_step(
             ["band", "band_key"],
         )
         .select("doc_a", "doc_b")
-        .distinct()
     )
-    cands = internal.unionByName(cross).distinct()
+    cands = internal.unionByName(cross)
     pairs = (
         jaccard_on_hashes(cands, index_rows.unionByName(reps))
         .filter(F.col("__jac_raw") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
+        .distinct()
     )
     return pairs, reps
 
