@@ -255,6 +255,13 @@ SCALE_SET = [
     # ratios, not just plan shapes
     "mine_training_pairs",
     "hybrid_rerank",
+    # round 12 (r11 verdict item 3): the ANN-armed hybrid — heaviest
+    # r11 entry (IVF-PQ train + ADC shortlist + re-rank per run). In
+    # production the index is trained once and reused; this entry
+    # retrains per run, so its scale shape includes the one-time
+    # train cost and should still stay at-worst-linear (train is a
+    # bounded-sample k-means, ADC is shortlist-sized)
+    "hybrid_rerank_ann",
 ]
 SUPERLINEAR_RATIO = 12.0
 

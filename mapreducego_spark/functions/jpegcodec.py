@@ -1,4 +1,5 @@
-"""Baseline-sequential JPEG codec, pure stdlib + numpy (ITU-T T.81).
+"""Baseline-sequential + progressive JPEG codec, pure stdlib + numpy
+(ITU-T T.81).
 
 This closes the last multimodal decode stub (the r9 verdict item 4):
 ``decode_jpeg_baseline`` really entropy-decodes the scan — canonical
@@ -27,8 +28,12 @@ Chroma is upsampled by sample replication (the nearest-neighbor
 reconstruction JFIF permits). Restart intervals (DRI/RSTn, E.2.4)
 are supported in both directions: byte-aligned modulo-8 marker
 sequence with DC-predictor resets, out-of-sequence or missing RSTs
-failing loudly. Progressive (SOF2), 12-bit, sampling factors > 2,
-or arithmetic-coded streams raise NotImplementedError; structurally
+failing loudly. Progressive (SOF2) is supported in both directions
+too — spectral selection + successive approximation per Annex G
+(``encode_jpeg_progressive`` / ``decode_jpeg_progressive``, with
+``decode_jpeg`` dispatching on the frame type; r11 verdict missing
+#1). 12-bit, sampling factors > 2, hierarchical/lossless frames, or
+arithmetic-coded streams raise NotImplementedError; structurally
 broken streams raise ValueError.
 
 Determinism contract for the oracle fixtures: a constant 8x8 block
@@ -83,6 +88,20 @@ AC_VALS = [0x00] + sorted(
     [r << 4 | s for r in range(16) for s in range(1, 11)] + [0xF0]
 )
 AC_BITS = [1, 0, 0, 0, 0, 0, 0, 0, len(AC_VALS) - 1, 0, 0, 0, 0, 0, 0, 0]
+
+# Progressive AC table: Annex G scans additionally need the EOBn
+# symbols (run << 4, size 0) for run 1..14 — EOB runs longer than one
+# block (G.1.2.2). EOB (0x00) keeps the 1-bit code; the other 175
+# symbols (every run/size, ZRL, EOBn) sit at 9 bits. Kraft sum
+# 1/2 + 175/512 < 1 and the largest 9-bit code 256+174 = 430 is not
+# all-ones (B.2.4.2). The decoder rebuilds whatever DHT ships, so
+# this table only has to be spec-valid, not standard.
+PROG_AC_VALS = [0x00] + sorted(
+    [r << 4 | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(1, 16)]
+)
+PROG_AC_BITS = [1, 0, 0, 0, 0, 0, 0, 0, len(PROG_AC_VALS) - 1,
+                0, 0, 0, 0, 0, 0, 0]
 
 # Flat de-zigzag index: coeff.flat[_ZZ_FLAT[k]] = seq[k] (r10 verdict
 # item 5 — one fancy-index store instead of a 64-iteration loop).
@@ -332,30 +351,12 @@ def _box_downsample(a: np.ndarray, fh: int, fv: int) -> np.ndarray:
     return ((acc + fh * fv // 2) // (fh * fv)).astype(np.uint8)
 
 
-def encode_jpeg_baseline(
-    width: int,
-    height: int,
-    planes: list[bytes],
-    density_unit: int = 0,
-    x_density: int = 1,
-    y_density: int = 1,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode raw samples as a baseline-sequential JFIF file.
-
-    ``planes`` is ``[gray]`` or ``[Y, Cb, Cr]``, each
-    ``width*height`` bytes in raster order (full resolution — the
-    encoder performs the chroma decimation itself). ``subsampling``
-    is ``"444"`` (all components 1x1) or ``"420"`` (luma 2x2, chroma
-    box-decimated 2x both ways, MCU-interleaved per A.2.3 — the
-    dominant real-world encoding; 3-component input only).
-    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
-    (modulo-8 sequence, DC predictors reset) every that many MCUs —
-    the resynchronization points real encoders insert so one
-    corrupted byte doesn't lose the rest of the image. Edge blocks
-    are replicate-padded. All components share quant table 0
-    (flat / quality-100) and Huffman tables 0."""
+def _prep_planes(
+    width: int, height: int, planes: list[bytes], subsampling: str
+) -> tuple[list[tuple[int, int]], list[np.ndarray], int, int]:
+    """Shared encoder front half: validate, pick sampling factors,
+    chroma box-decimate, replicate-pad every component to the
+    MCU-padded grid. Returns (samp, padded arrays, mcx_n, mcy_n)."""
     ncomp = len(planes)
     if ncomp not in (1, 3):
         raise ValueError("planes must be [gray] or [Y, Cb, Cr]")
@@ -381,11 +382,6 @@ def encode_jpeg_baseline(
     vmax = max(sv for _, sv in samp)
     mcx_n = (width + 8 * hmax - 1) // (8 * hmax)
     mcy_n = (height + 8 * vmax - 1) // (8 * vmax)
-    # QUANT_FLAT is stored in zigzag order (DQT wire order); the FDCT
-    # needs it in natural (row, col) order.
-    quant = np.zeros((8, 8))
-    quant.reshape(-1)[_ZZ_FLAT] = QUANT_FLAT
-
     arrs = []
     for p, (sh, sv) in zip(planes, samp):
         a = np.frombuffer(p, dtype=np.uint8).reshape(height, width)
@@ -396,6 +392,39 @@ def encode_jpeg_baseline(
             a, ((0, ph - a.shape[0]), (0, pw - a.shape[1])), mode="edge"
         )
         arrs.append(a)
+    return samp, arrs, mcx_n, mcy_n
+
+
+def encode_jpeg_baseline(
+    width: int,
+    height: int,
+    planes: list[bytes],
+    density_unit: int = 0,
+    x_density: int = 1,
+    y_density: int = 1,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode raw samples as a baseline-sequential JFIF file.
+
+    ``planes`` is ``[gray]`` or ``[Y, Cb, Cr]``, each
+    ``width*height`` bytes in raster order (full resolution — the
+    encoder performs the chroma decimation itself). ``subsampling``
+    is ``"444"`` (all components 1x1) or ``"420"`` (luma 2x2, chroma
+    box-decimated 2x both ways, MCU-interleaved per A.2.3 — the
+    dominant real-world encoding; 3-component input only).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (modulo-8 sequence, DC predictors reset) every that many MCUs —
+    the resynchronization points real encoders insert so one
+    corrupted byte doesn't lose the rest of the image. Edge blocks
+    are replicate-padded. All components share quant table 0
+    (flat / quality-100) and Huffman tables 0."""
+    samp, arrs, mcx_n, mcy_n = _prep_planes(width, height, planes, subsampling)
+    ncomp = len(planes)
+    # QUANT_FLAT is stored in zigzag order (DQT wire order); the FDCT
+    # needs it in natural (row, col) order.
+    quant = np.zeros((8, 8))
+    quant.reshape(-1)[_ZZ_FLAT] = QUANT_FLAT
 
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
@@ -691,3 +720,695 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
     else:
         rgb = ycbcr_to_rgb_planes(*full).tobytes()
     return width, height, rgb
+
+
+# ----------------------------------------------------- progressive (SOF2)
+#
+# T.81 Annex G, spectral selection + successive approximation, the
+# Huffman-coded flavor every progressive web JPEG uses. A progressive
+# file carries the SAME quantized coefficients as a baseline file of
+# the same image — they are just delivered across multiple scans (a
+# DC pass, DC refinement bits, per-component AC spectral bands, AC
+# refinement bits), so the decode back half (dequantize, IDCT,
+# upsample, color transform) is shared with the baseline path and a
+# progressive re-encode of any image must decode BYTE-IDENTICAL to
+# its baseline encode (the cross-check pytest pins exactly that).
+# The scan-level algorithms below follow the spec figures (G.1.2.2
+# first pass with EOBn run coding; G.1.2.3 refinement with buffered
+# correction bits — the same structure libjpeg's jcphuff/jdphuff
+# implement, re-derived here from the spec text).
+
+
+def _emit_ac_first_block(
+    w: _BitWriter,
+    blk,
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes,
+    state: dict,
+) -> None:
+    """G.1.2.2: one block of an AC first-pass scan. ``state`` carries
+    the cross-block EOB run counter."""
+
+    def flush_eob() -> None:
+        n = state["eobrun"]
+        if n:
+            nbits = n.bit_length() - 1
+            w.write(*ac_codes[nbits << 4])
+            if nbits:
+                w.write(n - (1 << nbits), nbits)
+            state["eobrun"] = 0
+
+    state["flush"] = flush_eob
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        # AC point transform truncates toward zero (G.1.2.1)
+        t = (v if v >= 0 else -v) >> al
+        if t == 0:
+            r += 1
+            continue
+        flush_eob()
+        while r > 15:
+            w.write(*ac_codes[0xF0])
+            r -= 16
+        s = t.bit_length()
+        w.write(*ac_codes[r << 4 | s])
+        w.write(t if v >= 0 else (1 << s) - 1 - t, s)
+        r = 0
+    if r > 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            flush_eob()
+
+
+def _emit_ac_refine_block(
+    w: _BitWriter,
+    blk,
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes,
+    state: dict,
+) -> None:
+    """G.1.2.3: one block of an AC refinement scan. ``state`` carries
+    the EOB run counter plus the correction bits deferred with it
+    (``corr_eob``); ``corr_blk`` buffers this block's bits between
+    emitted symbols."""
+
+    def flush_eob() -> None:
+        n = state["eobrun"]
+        if n:
+            nbits = n.bit_length() - 1
+            w.write(*ac_codes[nbits << 4])
+            if nbits:
+                w.write(n - (1 << nbits), nbits)
+            for bit in state["corr_eob"]:
+                w.write(bit, 1)
+            state["corr_eob"] = []
+            state["eobrun"] = 0
+
+    state["flush"] = flush_eob
+    vals = [int(blk[k]) for k in range(ss, se + 1)]
+    absv = [(v if v >= 0 else -v) >> al for v in vals]
+    # index (within the band) of the last newly-nonzero coefficient
+    eob_i = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_i = i
+    corr_blk: list[int] = []
+    r = 0
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob_i:
+            flush_eob()
+            w.write(*ac_codes[0xF0])
+            r -= 16
+            for bit in corr_blk:
+                w.write(bit, 1)
+            corr_blk = []
+        if t > 1:
+            # previously nonzero: just its next magnitude bit
+            corr_blk.append(t & 1)
+            continue
+        flush_eob()
+        w.write(*ac_codes[r << 4 | 1])
+        w.write(1 if vals[i] >= 0 else 0, 1)
+        for bit in corr_blk:
+            w.write(bit, 1)
+        corr_blk = []
+        r = 0
+    if r > 0 or corr_blk:
+        state["eobrun"] += 1
+        state["corr_eob"] += corr_blk
+        # bound the deferred-bit buffer like the counter (the spec
+        # only caps the run length; 936 mirrors libjpeg's headroom)
+        if state["eobrun"] == 0x7FFF or len(state["corr_eob"]) > 936:
+            flush_eob()
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    planes: list[bytes],
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    dc_al: int = 1,
+    ac_al: int = 1,
+    spectral_splits: tuple[int, ...] = (6,),
+) -> bytes:
+    """Encode raw samples as a progressive (SOF2) JFIF file.
+
+    Scan script: one interleaved DC first scan at point transform
+    ``dc_al``, then DC refinement scans down to Al=0; per component,
+    AC first scans over the spectral bands cut at ``spectral_splits``
+    (e.g. ``(6,)`` -> bands 1..5 and 6..63) at point transform
+    ``ac_al``, then AC refinement scans down to Al=0 — the classic
+    libjpeg-style script shape. Same fixture quant/Huffman-table
+    conventions as ``encode_jpeg_baseline`` (flat q=1 tables, so the
+    decoded pixels are bit-identical to the baseline encode of the
+    same input)."""
+    samp, arrs, mcx_n, mcy_n = _prep_planes(width, height, planes, subsampling)
+    ncomp = len(planes)
+    hmax = max(sh for sh, _ in samp)
+    vmax = max(sv for _, sv in samp)
+    quant = np.zeros((8, 8))
+    quant.reshape(-1)[_ZZ_FLAT] = QUANT_FLAT
+    bands = []
+    lo = 1
+    for cut in spectral_splits:
+        if not 1 < cut <= 63:
+            raise ValueError("spectral split must be in 2..63")
+        bands.append((lo, cut - 1))
+        lo = cut
+    bands.append((lo, 63))
+
+    # full-precision quantized coefficients, zigzag order, per block
+    coeffs = []
+    for a, (sh, sv) in zip(arrs, samp):
+        gh, gw = a.shape[0] // 8, a.shape[1] // 8
+        c = np.zeros((gh, gw, 64), dtype=np.int64)
+        for by in range(gh):
+            for bx in range(gw):
+                zz = _fdct_quant(
+                    a[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], quant
+                )
+                c[by, bx] = zz.reshape(-1)[_ZZ_FLAT]
+        coeffs.append(c)
+    # real (non-padded) block grid per component — non-interleaved
+    # scans cover exactly these blocks (A.2.2)
+    grids = []
+    for sh, sv in samp:
+        cw = (width * sh + hmax - 1) // hmax
+        ch = (height * sv + vmax - 1) // vmax
+        grids.append(((cw + 7) // 8, (ch + 7) // 8))
+
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+    scans: list[tuple[bytes, bytes]] = []  # (SOS payload, entropy bytes)
+
+    def dc_walk(emit) -> bytes:
+        """Walk DC blocks in scan order (interleaved MCUs for ncomp>1,
+        the component grid otherwise) with restart handling."""
+        w = _BitWriter()
+        rst_n = 0
+        mcu = 0
+        state = {"reset": lambda: None}
+
+        def boundary() -> None:
+            nonlocal rst_n
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                state["reset"]()
+
+        if ncomp > 1:
+            for my in range(mcy_n):
+                for mx in range(mcx_n):
+                    boundary()
+                    mcu += 1
+                    for ci, (sh, sv) in enumerate(samp):
+                        for vy in range(sv):
+                            for vx in range(sh):
+                                emit(w, ci, my * sv + vy, mx * sh + vx, state)
+        else:
+            bw, bh = grids[0]
+            for by in range(bh):
+                for bx in range(bw):
+                    boundary()
+                    mcu += 1
+                    emit(w, 0, by, bx, state)
+        return w.flush()
+
+    def sos(scan_comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        return (
+            bytes([len(scan_comps)])
+            + b"".join(bytes([ci + 1, 0x00]) for ci in scan_comps)
+            + bytes([ss, se, ah << 4 | al])
+        )
+
+    # --- scan 1: DC first pass (arithmetic-shift point transform)
+    pred = [0] * ncomp
+
+    def dc_first(w, ci, by, bx, state) -> None:
+        state["reset"] = lambda: pred.__setitem__(
+            slice(None), [0] * ncomp
+        )
+        t = int(coeffs[ci][by, bx, 0]) >> dc_al
+        diff = t - pred[ci]
+        pred[ci] = t
+        s = _category(diff)
+        w.write(*dc_codes[s])
+        if s:
+            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    scans.append((sos(list(range(ncomp)), 0, 0, 0, dc_al), dc_walk(dc_first)))
+
+    # --- DC refinement passes: one raw bit per block per precision
+    for al in range(dc_al - 1, -1, -1):
+
+        def dc_refine(w, ci, by, bx, state, _al=al) -> None:
+            w.write((int(coeffs[ci][by, bx, 0]) >> _al) & 1, 1)
+
+        scans.append(
+            (sos(list(range(ncomp)), 0, 0, al + 1, al), dc_walk(dc_refine))
+        )
+
+    # --- AC scans: single-component, non-interleaved (G.1.1.1.1)
+    def ac_scan(ci: int, ss: int, se: int, al: int, refine: bool) -> bytes:
+        w = _BitWriter()
+        emit = _emit_ac_refine_block if refine else _emit_ac_first_block
+        state: dict = {"eobrun": 0, "corr_eob": [], "flush": lambda: None}
+        bw, bh = grids[ci]
+        rst_n = 0
+        mcu = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    state["flush"]()
+                    w.restart(rst_n)
+                    rst_n = (rst_n + 1) & 7
+                mcu += 1
+                emit(w, coeffs[ci][by, bx], ss, se, al, ac_codes, state)
+        state["flush"]()
+        return w.flush()
+
+    for ci in range(ncomp):
+        for ss, se in bands:
+            scans.append(
+                (sos([ci], ss, se, 0, ac_al), ac_scan(ci, ss, se, ac_al, False))
+            )
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            for ss, se in bands:
+                scans.append(
+                    (
+                        sos([ci], ss, se, al + 1, al),
+                        ac_scan(ci, ss, se, al, True),
+                    )
+                )
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    app0 = b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = bytes([0]) + bytes(QUANT_FLAT)
+    sof = (
+        bytes([8])
+        + struct.pack(">HH", height, width)
+        + bytes([ncomp])
+        + b"".join(
+            bytes([cid, sh << 4 | sv, 0])
+            for cid, (sh, sv) in zip(range(1, ncomp + 1), samp)
+        )
+    )
+    dht = (
+        bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+        + bytes([0x10]) + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS)
+    )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    out = bytearray(b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, dqt))
+    out += seg(0xC2, sof) + seg(0xC4, dht) + dri
+    for sos_payload, entropy in scans:
+        out += seg(0xDA, sos_payload) + entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _scan_entropy_end(payload: bytes, start: int) -> int:
+    """First byte after ``start`` belonging to a real marker (FF00
+    stuffing and RSTn markers are part of the entropy data)."""
+    n = len(payload)
+    end = start
+    while end + 1 < n:
+        if payload[end] == 0xFF and payload[end + 1] != 0x00 and not (
+            0xD0 <= payload[end + 1] <= 0xD7
+        ):
+            break
+        end += 1 + (payload[end] == 0xFF)
+    return end
+
+
+def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a progressive (SOF2) JPEG to (width, height, rgb).
+
+    Multi-scan Annex G decode: every SOS accumulates into the
+    per-component coefficient arrays — DC first/refinement scans
+    (interleaved MCU walk, arithmetic-shift successive approximation),
+    AC first scans (EOBn run decoding per G.1.2.2), AC refinement
+    scans (correction bits per G.1.2.3) — and the back half
+    (dequantize, de-zigzag, IDCT, level shift, replication upsample,
+    fixed-point YCbCr->RGB) is the same arithmetic as the baseline
+    decoder, so a progressive and a baseline encode of one image
+    decode byte-identically (pytest-pinned). Restart markers follow
+    E.2.4 within every scan. Structural violations (refinement size
+    != 1, run past the band, out-of-sequence RST) raise ValueError;
+    capability gaps (12-bit, arithmetic coding) raise
+    NotImplementedError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos, n = 2, len(payload)
+    quant_tables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comps: list[tuple[int, int, int, int]] = []
+    coeffs: list[np.ndarray] = []
+    grids: list[tuple[int, int]] = []
+    eob_state = {"run": 0}
+    restart_interval = 0
+    hmax = vmax = 1
+    mcx_n = mcy_n = 0
+    saw_scan = False
+
+    def decode_scan(scan_map, ss, se, ah, al, reader) -> None:
+        """One SOS's entropy data into the coefficient arrays."""
+        eobrun = 0
+        pred = [0] * len(comps)
+
+        def block_dc_first(ci, by, bx, dc_t) -> None:
+            s = reader.symbol(dc_t)
+            diff = _extend(reader.bits(s), s) if s else 0
+            pred[ci] += diff
+            coeffs[ci][by, bx, 0] = pred[ci] << al
+
+        def block_dc_refine(ci, by, bx) -> None:
+            if reader.bit():
+                coeffs[ci][by, bx, 0] |= 1 << al
+
+        def block_ac_first(blk, ac_t) -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = reader.symbol(ac_t)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.bits(r)
+                        return
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run past spectral band end")
+                blk[k] = _extend(reader.bits(s), s) << al
+                k += 1
+
+        p1, m1 = 1 << al, -(1 << al)
+
+        def corr_bit(blk, k) -> None:
+            if reader.bit() and (int(blk[k]) & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+
+        def block_ac_refine(blk, ac_t) -> None:
+            nonlocal eobrun
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.symbol(ac_t)
+                    r, s = rs >> 4, rs & 0xF
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "AC refinement size must be 1"
+                            )
+                        val = p1 if reader.bit() else m1
+                    else:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history slots
+                    while k <= se:
+                        if blk[k] != 0:
+                            corr_bit(blk, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val:
+                        if k > se:
+                            raise ValueError(
+                                "refinement coefficient past band end"
+                            )
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if blk[k] != 0:
+                        corr_bit(blk, k)
+                    k += 1
+                eobrun -= 1
+
+        # resolve tables once
+        slots = []
+        for ci, dc_id, ac_id in scan_map:
+            dc_t = ac_t = None
+            if ss == 0 and ah == 0:
+                dc_t = huff.get((0, dc_id))
+                if dc_t is None:
+                    raise ValueError("scan references undefined DC table")
+            if ss > 0:
+                ac_t = huff.get((1, ac_id))
+                if ac_t is None:
+                    raise ValueError("scan references undefined AC table")
+            slots.append((ci, dc_t, ac_t))
+
+        rst_n = 0
+        mcu = 0
+
+        def boundary() -> None:
+            nonlocal rst_n, eobrun
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.expect_restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                pred[:] = [0] * len(comps)
+                eobrun = 0
+
+        if len(scan_map) > 1:  # interleaved: DC scans only (G.1.1.1.1)
+            for my in range(mcy_n):
+                for mx in range(mcx_n):
+                    boundary()
+                    mcu += 1
+                    for ci, dc_t, _ in slots:
+                        _, sh, sv, _ = comps[ci]
+                        for vy in range(sv):
+                            for vx in range(sh):
+                                by, bx = my * sv + vy, mx * sh + vx
+                                if ah == 0:
+                                    block_dc_first(ci, by, bx, dc_t)
+                                else:
+                                    block_dc_refine(ci, by, bx)
+        else:
+            ci, dc_t, ac_t = slots[0]
+            bw, bh = grids[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    boundary()
+                    mcu += 1
+                    if ss == 0:
+                        if ah == 0:
+                            block_dc_first(ci, by, bx, dc_t)
+                        else:
+                            block_dc_refine(ci, by, bx)
+                    elif ah == 0:
+                        block_ac_first(coeffs[ci][by, bx], ac_t)
+                    else:
+                        block_ac_refine(coeffs[ci][by, bx], ac_t)
+
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment header")
+        (seg_len,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seg_len < 2 or pos + seg_len > n:
+            raise ValueError("JPEG segment length out of bounds")
+        data = payload[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:
+            i = 0
+            while i < len(data):
+                prec, tid = data[i] >> 4, data[i] & 0xF
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                vals = data[i + 1 : i + 65]
+                if len(vals) < 64:
+                    raise ValueError("truncated DQT segment")
+                q = np.zeros((8, 8))
+                for k, (r, c) in enumerate(ZIGZAG):
+                    q[r, c] = vals[k]
+                quant_tables[tid] = q
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(data):
+                cls, tid = data[i] >> 4, data[i] & 0xF
+                bits = list(data[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(data[i + 17 : i + 17 + nv])
+                if len(bits) < 16 or len(vals) < nv:
+                    raise ValueError("truncated DHT segment")
+                huff[(cls, tid)] = _decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC2:  # SOF2: progressive, Huffman
+            if len(data) < 6:
+                raise ValueError("truncated SOF frame header")
+            if data[0] != 8:
+                raise NotImplementedError("only 8-bit precision")
+            height, width = struct.unpack(">HH", data[1:5])
+            ncomp = data[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError("1 or 3 components only")
+            for ci in range(ncomp):
+                cid, s, qid = data[6 + 3 * ci : 9 + 3 * ci]
+                sh, sv = s >> 4, s & 0xF
+                if ncomp == 1 and (sh, sv) != (1, 1):
+                    raise NotImplementedError(
+                        "subsampling factors on a 1-component frame"
+                    )
+                if not (1 <= sh <= 2 and 1 <= sv <= 2):
+                    raise NotImplementedError(
+                        f"sampling factors {sh}x{sv} unsupported"
+                        " (subsampling limited to factors 1..2)"
+                    )
+                comps.append((cid, sh, sv, qid))
+            hmax = max(sh for _, sh, _, _ in comps)
+            vmax = max(sv for _, _, sv, _ in comps)
+            mcx_n = (width + 8 * hmax - 1) // (8 * hmax)
+            mcy_n = (height + 8 * vmax - 1) // (8 * vmax)
+            for _, sh, sv, _ in comps:
+                coeffs.append(
+                    np.zeros((mcy_n * sv, mcx_n * sh, 64), dtype=np.int64)
+                )
+                cw = (width * sh + hmax - 1) // hmax
+                ch = (height * sv + vmax - 1) // vmax
+                grids.append(((cw + 7) // 8, (ch + 7) // 8))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "decode_jpeg_progressive requires SOF2"
+                f" (found SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", data[:2])[0]
+        elif marker == 0xDA:
+            if width is None:
+                raise ValueError("SOS before SOF2")
+            ns = data[0]
+            if len(data) != 4 + 2 * ns:
+                raise ValueError("malformed SOS header")
+            scan_map = []
+            for si in range(ns):
+                sel = data[1 + 2 * si]
+                tables = data[2 + 2 * si]
+                matches = [
+                    k for k, (cid, *_r) in enumerate(comps) if cid == sel
+                ]
+                if not matches:
+                    raise ValueError(f"SOS selects undeclared component {sel}")
+                scan_map.append((matches[0], tables >> 4, tables & 0xF))
+            ss, se, a = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            if ss == 0 and se != 0:
+                raise ValueError("DC scan must have Se = 0")
+            if ss > 0 and (ns != 1 or not ss <= se <= 63):
+                raise ValueError(
+                    "AC scans must be single-component with a valid band"
+                )
+            if ah not in (0, al + 1):
+                raise ValueError("successive approximation must step by 1")
+            end = _scan_entropy_end(payload, pos)
+            decode_scan(scan_map, ss, se, ah, al, _BitReader(payload[pos:end]))
+            saw_scan = True
+            pos = end
+    if width is None or not saw_scan:
+        raise ValueError("JPEG missing SOF2 or SOS")
+
+    # shared back half: dequantize, de-zigzag, IDCT, level shift
+    planes = []
+    for (cid, sh, sv, qid), carr in zip(comps, coeffs):
+        q = quant_tables.get(qid)
+        if q is None:
+            raise ValueError("frame references undefined quant table")
+        gh, gw = carr.shape[0], carr.shape[1]
+        plane = np.zeros((gh * 8, gw * 8), dtype=np.uint8)
+        coeff = np.zeros(64)
+        for by in range(gh):
+            for bx in range(gw):
+                coeff[_ZZ_FLAT] = carr[by, bx]
+                cq = coeff.reshape(8, 8) * q
+                spatial = _BASIS.T @ cq @ _BASIS + 128.0
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(spatial), 0, 255
+                ).astype(np.uint8)
+        planes.append(plane)
+
+    full = []
+    for p, (_, sh, sv, _) in zip(planes, comps):
+        if (sh, sv) != (hmax, vmax):
+            p = np.repeat(np.repeat(p, vmax // sv, axis=0), hmax // sh, axis=1)
+        full.append(p[:height, :width])
+    if len(comps) == 1:
+        rgb = np.repeat(full[0].reshape(-1), 3).tobytes()
+    else:
+        rgb = ycbcr_to_rgb_planes(*full).tobytes()
+    return width, height, rgb
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
+    """Dispatch on the frame type: SOF0 -> the baseline decoder,
+    SOF2 -> the progressive decoder; other SOFs raise loudly. This is
+    the entry the multimodal tier calls when the encoding family
+    isn't known in advance."""
+    pos, n = 2, len(payload)
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xC0:
+            return decode_jpeg_baseline(payload)
+        if marker == 0xC2:
+            return decode_jpeg_progressive(payload)
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"unsupported JPEG frame type 0xFF{marker:02X}"
+            )
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment header")
+        (seg_len,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seg_len < 2 or pos + seg_len > n:
+            raise ValueError("JPEG segment length out of bounds")
+        pos += seg_len
+    raise ValueError("JPEG has no SOF marker before the scan")

@@ -625,6 +625,19 @@ QUERIES: dict[str, QueryFn] = {
     # real camera output has; same closed-form oracle arithmetic,
     # structurally different bytes
     "multimodal_jpeg_decode_rst": M.multimodal_jpeg_decode_rst,
+    # PROGRESSIVE (SOF2) decode (new in r12, r11 verdict missing #1):
+    # multi-scan spectral selection + successive approximation per
+    # T.81 Annex G — DC first/refinement passes, per-component AC
+    # band scans, EOBn runs, some files restart-segmented; the
+    # double-digit share of real web images every prior round
+    # refused. Same closed-form hash oracle (scan structure changes
+    # the bytes, not the pixels)
+    "multimodal_jpeg_decode_progressive": M.multimodal_jpeg_decode_progressive,
+    # 4:2:2 decode at non-MCU-aligned dims (new in r12, r11 verdict
+    # missing #4): 2x1 luma sampling with mostly-odd dimensions, so
+    # partial edge MCUs and the odd-width chroma pad are staged
+    # fixtures, not just code paths
+    "multimodal_jpeg_decode_422": M.multimodal_jpeg_decode_422,
     # image-text training-pair manifest: real JPEG decode joined to
     # caption token stats with the CLIP-style quality gate — the
     # first media-tier x text-tier composition (new in r10)
@@ -5086,6 +5099,118 @@ blocks AS (
   FROM dims,
        (SELECT unnest(range(6)) AS x) bx,
        (SELECT unnest(range(6)) AS y) by
+  WHERE bx.x < (w + 7) // 8 AND by.y < (h + 7) // 8
+),
+rgb AS (
+  SELECT media_id, w, h, bx, by, nx, ny,
+         LEAST(255, GREATEST(0,
+             yv + (91881 * cr1 + 32768) // 65536)) AS r,
+         LEAST(255, GREATEST(0,
+             yv - (22554 * cb1 + 46802 * cr1 + 32768) // 65536)) AS g,
+         LEAST(255, GREATEST(0,
+             yv + (116130 * cb1 + 32768) // 65536)) AS b
+  FROM blocks
+),
+rows_hex AS (
+  SELECT media_id, w, h, by, MAX(ny) AS ny,
+         string_agg(repeat(printf('%02x%02x%02x', r, g, b), CAST(nx AS INT)),
+                    '' ORDER BY bx) AS rowstr,
+         SUM((r + g + b) * nx * ny) AS part_sum
+  FROM rgb
+  GROUP BY media_id, w, h, by
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+       md5(string_agg(repeat(rowstr, CAST(ny AS INT)), '' ORDER BY by))
+           AS feature_hash
+FROM rows_hex
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+# Progressive (SOF2) decode: the 444 closed form at the progressive
+# fixture's dims/coefficients — multi-scan delivery (DC successive
+# approximation, spectral AC bands, EOB runs, restarts in every
+# third file) changes the BYTES but not the decoded pixels, so the
+# oracle proves the whole Annex G scan accumulation by reproducing
+# the same hash through it.
+ORACLES["multimodal_jpeg_decode_progressive"] = """
+WITH m AS (SELECT unnest(range(240)) AS media_id),
+dims AS (
+  SELECT media_id,
+         CAST((media_id * 9) % 31 + 10 AS BIGINT) AS w,
+         CAST((media_id * 17) % 27 + 9 AS BIGINT) AS h
+  FROM m
+),
+blocks AS (
+  SELECT media_id, w, h, bx.x AS bx, by.y AS by,
+         LEAST(8, w - bx.x * 8) AS nx,
+         LEAST(8, h - by.y * 8) AS ny,
+         (media_id * 29 + by.y * 43 + bx.x * 19) % 256 AS yv,
+         CASE WHEN media_id % 4 = 0 THEN 0
+              ELSE (media_id * 7 + bx.x * 5 + by.y * 3) % 100 END AS cb1,
+         CASE WHEN media_id % 4 = 0 THEN 0
+              ELSE (media_id * 13 + bx.x * 11 + by.y * 9) % 100 END AS cr1
+  FROM dims,
+       (SELECT unnest(range(5)) AS x) bx,
+       (SELECT unnest(range(5)) AS y) by
+  WHERE bx.x < (w + 7) // 8 AND by.y < (h + 7) // 8
+),
+rgb AS (
+  SELECT media_id, w, h, bx, by, nx, ny,
+         LEAST(255, GREATEST(0,
+             yv + (91881 * cr1 + 32768) // 65536)) AS r,
+         LEAST(255, GREATEST(0,
+             yv - (22554 * cb1 + 46802 * cr1 + 32768) // 65536)) AS g,
+         LEAST(255, GREATEST(0,
+             yv + (116130 * cb1 + 32768) // 65536)) AS b
+  FROM blocks
+),
+rows_hex AS (
+  SELECT media_id, w, h, by, MAX(ny) AS ny,
+         string_agg(repeat(printf('%02x%02x%02x', r, g, b), CAST(nx AS INT)),
+                    '' ORDER BY bx) AS rowstr,
+         SUM((r + g + b) * nx * ny) AS part_sum
+  FROM rgb
+  GROUP BY media_id, w, h, by
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+       md5(string_agg(repeat(rowstr, CAST(ny AS INT)), '' ORDER BY by))
+           AS feature_hash
+FROM rows_hex
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+# 4:2:2 decode at non-MCU-aligned dims: pixel (x, y) has
+# Y = yv(x//8, y//8) and chroma from the 16x8 region (bx//2, by)
+# (the encoder's 2x1 horizontal box decimation and the decoder's
+# horizontal replication are both exact on per-region-constant
+# chroma, including the odd-width edge pad — see
+# _jpeg_px_fixture_planes_422's contract).
+ORACLES["multimodal_jpeg_decode_422"] = """
+WITH m AS (SELECT unnest(range(240)) AS media_id),
+dims AS (
+  SELECT media_id,
+         CAST((media_id * 7) % 37 + 17 AS BIGINT) AS w,
+         CAST((media_id * 11) % 25 + 9 AS BIGINT) AS h
+  FROM m
+),
+blocks AS (
+  SELECT media_id, w, h, bx.x AS bx, by.y AS by,
+         LEAST(8, w - bx.x * 8) AS nx,
+         LEAST(8, h - by.y * 8) AS ny,
+         (media_id * 23 + by.y * 41 + bx.x * 37) % 256 AS yv,
+         (media_id * 3 + (bx.x // 2) * 7 + by.y * 5) % 100 AS cb1,
+         (media_id * 17 + (bx.x // 2) * 9 + by.y * 11) % 100 AS cr1
+  FROM dims,
+       (SELECT unnest(range(7)) AS x) bx,
+       (SELECT unnest(range(5)) AS y) by
   WHERE bx.x < (w + 7) // 8 AND by.y < (h + 7) // 8
 ),
 rgb AS (

@@ -68,6 +68,13 @@ PROFILED = [
     # now measured rather than argued by construction.
     "mine_training_pairs",
     "hybrid_rerank",
+    # r12 (r11 verdict item 3): the ANN arm. Its extra cost over
+    # hybrid_rerank is IVF-PQ training (bounded-sample k-means —
+    # constant in corpus size once the sample caps) plus the ADC
+    # scan (linear in corpus rows per query); expect at-worst-linear
+    # with a flat train floor. If train dominates at small sf the
+    # ratio can even be SUB-linear.
+    "hybrid_rerank_ann",
 ]
 
 
