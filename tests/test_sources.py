@@ -611,3 +611,193 @@ def test_avro_codec_property_round_trip():
         assert got == rows
 
     check()
+
+
+# ------------------------------------------- r12: avro logical/named types
+
+
+def test_avro_logical_and_named_types_round_trip():
+    """timestamp-micros/-millis, date, decimal (bytes AND fixed
+    backed), enum, fixed, and an UNKNOWN logical annotation (spec:
+    ignore, use the underlying type) all survive a container round
+    trip with native Python values."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from mapreducego_spark.sources.avrocodec import (
+        read_container,
+        write_container,
+    )
+
+    avsc = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "ts", "type": {"type": "long",
+             "logicalType": "timestamp-micros"}},
+            {"name": "tsm", "type": {"type": "long",
+             "logicalType": "timestamp-millis"}},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "amt", "type": {"type": "bytes", "logicalType":
+             "decimal", "precision": 18, "scale": 3}},
+            {"name": "amtf", "type": {"type": "fixed", "name": "d8",
+             "size": 8, "logicalType": "decimal", "precision": 12,
+             "scale": 2}},
+            {"name": "kind", "type": {"type": "enum", "name": "K",
+             "symbols": ["click", "view", "error"]}},
+            {"name": "tag", "type": {"type": "fixed", "name": "T8",
+             "size": 8}},
+            {"name": "u", "type": {"type": "string",
+             "logicalType": "some-future-logical"}},
+        ],
+    }
+    rows = [
+        {
+            "ts": dt.datetime(2024, 1, 1, 0, 0, 7, 179575,
+                              tzinfo=dt.timezone.utc),
+            "tsm": dt.datetime(1955, 11, 5, 6, 0, 0,
+                               tzinfo=dt.timezone.utc),
+            "d": dt.date(2024, 2, 29),
+            "amt": Decimal("-12345.678"),
+            "amtf": Decimal("99.25"),
+            "kind": "view",
+            "tag": b"\x00\x01\x02\x03\x04\x05\x06\x07",
+            "u": "opaque",
+        },
+        {
+            # pre-epoch (negative zigzag) on every temporal family
+            "ts": dt.datetime(1969, 12, 31, 23, 59, 59, 1,
+                              tzinfo=dt.timezone.utc),
+            "tsm": dt.datetime(1901, 6, 1, tzinfo=dt.timezone.utc),
+            "d": dt.date(1960, 1, 1),
+            "amt": Decimal("0.001"),
+            "amtf": Decimal("-0.01"),
+            "kind": "error",
+            "tag": bytes(8),
+            "u": "",
+        },
+    ]
+    _, back = read_container(write_container(avsc, rows))
+    assert back == rows
+
+
+def test_avro_logical_encode_rejections_are_loud():
+    import datetime as dt
+    from decimal import Decimal
+
+    import pytest
+
+    from mapreducego_spark.sources.avrocodec import _encode
+
+    dec3 = {"type": "bytes", "logicalType": "decimal",
+            "precision": 18, "scale": 3}
+    with pytest.raises(ValueError, match="scale"):
+        _encode(dec3, Decimal("1.2345"), bytearray())  # 4 digits into 3
+    with pytest.raises(ValueError, match="Decimal"):
+        _encode(dec3, 1.234, bytearray())  # float is lossy, refuse
+    enum = {"type": "enum", "name": "K", "symbols": ["a", "b"]}
+    with pytest.raises(ValueError, match="symbol"):
+        _encode(enum, "c", bytearray())
+    fixed = {"type": "fixed", "name": "T", "size": 4}
+    with pytest.raises(ValueError, match="exactly 4 bytes"):
+        _encode(fixed, b"\x00", bytearray())
+    millis = {"type": "long", "logicalType": "timestamp-millis"}
+    with pytest.raises(ValueError, match="sub-millisecond"):
+        _encode(millis, dt.datetime(2024, 1, 1, 0, 0, 0, 1,
+                                    tzinfo=dt.timezone.utc), bytearray())
+
+
+def test_avro_logical_resolution_is_strict():
+    """The r11 ADVICE demand: a decimal scale/precision change must
+    fail loudly (a silent rescale reinterprets the unscaled int);
+    logical-type and underlying-type changes likewise. Enum
+    resolution follows the spec: unknown writer symbol -> reader's
+    declared enum default, else loud."""
+    from decimal import Decimal
+
+    import pytest
+
+    from mapreducego_spark.sources.avrocodec import (
+        read_container,
+        write_container,
+    )
+
+    avsc = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "amt", "type": {"type": "bytes", "logicalType":
+             "decimal", "precision": 18, "scale": 3}},
+            {"name": "kind", "type": {"type": "enum", "name": "K",
+             "symbols": ["click", "view", "purchase"]}},
+        ],
+    }
+    blob = write_container(
+        avsc,
+        [{"amt": Decimal("7.125"), "kind": "purchase"},
+         {"amt": Decimal("-1.000"), "kind": "view"}],
+    )
+
+    def reader_with(amt_type, kind_type=None):
+        return {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "amt", "type": amt_type},
+                {"name": "kind", "type": kind_type or avsc["fields"][1]["type"]},
+            ],
+        }
+
+    with pytest.raises(ValueError, match="precision/scale"):
+        read_container(blob, reader_schema=reader_with(
+            {"type": "bytes", "logicalType": "decimal",
+             "precision": 18, "scale": 2}))
+    with pytest.raises(ValueError, match="logical type mismatch"):
+        read_container(blob, reader_schema=reader_with("bytes"))
+    # enum: 'purchase' vanished; reader declares default 'click'
+    shrunk = {"type": "enum", "name": "K", "symbols": ["click", "view"],
+              "default": "click"}
+    _, rows = read_container(
+        blob, reader_schema=reader_with(avsc["fields"][0]["type"], shrunk))
+    assert [r["kind"] for r in rows] == ["click", "view"]
+    # ...and with no default it must refuse
+    no_default = {"type": "enum", "name": "K", "symbols": ["click", "view"]}
+    with pytest.raises(ValueError, match="declares no default"):
+        read_container(
+            blob,
+            reader_schema=reader_with(avsc["fields"][0]["type"], no_default),
+        )
+
+
+def test_avro_corrupt_negative_lengths_fail_loudly():
+    """The r11 ADVICE fix: negative byte lengths / block sizes from
+    corrupted varints raise instead of re-reading buffers."""
+    import pytest
+
+    from mapreducego_spark.sources.avrocodec import Reader
+
+    with pytest.raises(ValueError, match="negative"):
+        Reader(b"hello").raw(-3)
+
+
+def test_avro_logical_types_spark_entry(spark, sf_dir):
+    """The registry entry end to end: timestamps exact to the micro,
+    dates, exact decimals, enum symbols, fixed tags."""
+    from mapreducego_spark.sources.catalog import (
+        avro_logical_types,
+        load_table,
+    )
+
+    rows = avro_logical_types(spark, sf_dir).collect()
+    src = {
+        r["event_id"]: r
+        for r in load_table(spark, sf_dir, "events").collect()
+    }
+    assert len(rows) == len(src)
+    for r in rows[:50]:
+        s = src[r["event_id"]]
+        assert r["ts"] == s["ts"]
+        assert r["day"] == s["ts"].date()
+        assert int(r["amt"].scaleb(3)) == r["event_id"]
+        assert r["event_type"] == s["event_type"]
+        assert int(r["tag_hex"], 16) == r["event_id"]
