@@ -1,0 +1,162 @@
+"""RIFF/WAVE PCM codec, pure stdlib + numpy (r11 verdict missing #5).
+
+Audio is the second big modality of a large-scale training-data
+pipeline; this gives it the same treatment the image tier got
+(jpegcodec.py / the PNG decoder): a REAL parser implemented from the
+public container layout — the RIFF chunk walk (little-endian fourcc +
+u32 size, word-aligned: odd-sized chunks carry one pad byte), the
+``fmt `` chunk's PCM header, and the ``data`` chunk's interleaved
+frames — because no audio library ships in this container.
+
+Scope (loud): canonical PCM only — format code 1, 8-bit unsigned or
+16-bit signed little-endian samples, any channel count/sample rate.
+8-bit samples are presented CENTERED (value - 128) so downstream
+stats see signed amplitudes for both widths. Unknown chunks (LIST,
+INFO, cue...) are skipped by their declared size, which is how real
+recorder output must be walked. IEEE-float (code 3), WAVE_FORMAT_
+EXTENSIBLE (0xFFFE), and other widths raise NotImplementedError;
+structurally broken files (bad magic, truncated chunks, a data size
+that is not a whole number of frames) raise ValueError.
+
+Reference parity note: the reference repo (MapReduceGo) has no media
+tier at all; this belongs to the 100 TB training-data north star
+(multimodal columns as binary + real decode kernels — see
+functions/multimodal.py for the Spark-side plumbing).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def encode_wav_pcm(
+    sample_rate: int,
+    samples: np.ndarray,
+    bits: int = 16,
+    extra_chunks: list[tuple[bytes, bytes]] | None = None,
+) -> bytes:
+    """Encode ``samples`` (int array, shape (n_frames, channels);
+    8-bit input is the CENTERED representation, re-biased to
+    unsigned on the wire) as a canonical PCM WAV file.
+    ``extra_chunks`` are written between ``fmt `` and ``data`` —
+    the decoder must skip them like real recorder metadata."""
+    if samples.ndim != 2:
+        raise ValueError("samples must be (n_frames, channels)")
+    n_frames, channels = samples.shape
+    if bits == 16:
+        payload = samples.astype("<i2").tobytes()
+    elif bits == 8:
+        payload = (samples.astype(np.int64) + 128).astype(np.uint8).tobytes()
+    else:
+        raise NotImplementedError("PCM widths 8 and 16 only")
+    block_align = channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # WAVE_FORMAT_PCM
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    chunks = [(b"fmt ", fmt)]
+    chunks += extra_chunks or []
+    chunks.append((b"data", payload))
+    body = bytearray(b"WAVE")
+    for cid, data in chunks:
+        body += cid + struct.pack("<I", len(data)) + data
+        if len(data) % 2:
+            body += b"\x00"  # RIFF word alignment pad
+    return b"RIFF" + struct.pack("<I", len(body)) + bytes(body)
+
+
+def decode_wav(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Decode a PCM WAV file to (meta, samples).
+
+    ``meta``: sample_rate, channels, bits, n_frames, duration_us
+    (exact integer floor micros). ``samples``: int16 array of shape
+    (n_frames, channels) — 8-bit input centered by -128."""
+    meta = parse_wav_meta(payload, want_data=True)
+    data = meta.pop("_data")
+    bits, channels = meta["bits"], meta["channels"]
+    if bits == 16:
+        flat = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    else:
+        flat = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+        )
+    return meta, flat.reshape(meta["n_frames"], channels)
+
+
+def parse_wav_meta(payload: bytes, want_data: bool = False) -> dict:
+    """Chunk-walk the container and return the stream metadata
+    WITHOUT decoding samples (the scan-free tier): fmt header fields
+    plus the frame count and exact integer duration derived from the
+    data chunk's declared size."""
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF file")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if payload[8:12] != b"WAVE":
+        raise ValueError("RIFF file is not WAVE")
+    if riff_size + 8 > len(payload):
+        raise ValueError("RIFF size exceeds payload (truncated file)")
+    pos, end = 12, 8 + riff_size
+    fmt = None
+    data_info = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body_start = pos + 8
+        if body_start + size > end:
+            raise ValueError(
+                f"chunk {cid!r} declares {size} bytes past end of file"
+            )
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk shorter than PCM header")
+            code, channels, rate, _brate, block_align, bits = struct.unpack(
+                "<HHIIHH", payload[body_start : body_start + 16]
+            )
+            if code != 1:
+                raise NotImplementedError(
+                    f"WAV format code {code} (canonical PCM only)"
+                )
+            if bits not in (8, 16):
+                raise NotImplementedError("PCM widths 8 and 16 only")
+            if channels < 1:
+                raise ValueError("fmt declares zero channels")
+            if block_align != channels * (bits // 8):
+                raise ValueError("fmt block alignment inconsistent")
+            fmt = {
+                "sample_rate": rate,
+                "channels": channels,
+                "bits": bits,
+                "block_align": block_align,
+            }
+        elif cid == b"data":
+            data_info = (body_start, size)
+        # skip body + word-alignment pad
+        pos = body_start + size + (size % 2)
+    if fmt is None:
+        raise ValueError("WAV missing fmt chunk")
+    if data_info is None:
+        raise ValueError("WAV missing data chunk")
+    start, size = data_info
+    if size % fmt["block_align"]:
+        raise ValueError(
+            "data size is not a whole number of frames"
+            f" ({size} % {fmt['block_align']})"
+        )
+    n_frames = size // fmt["block_align"]
+    out = {
+        "sample_rate": fmt["sample_rate"],
+        "channels": fmt["channels"],
+        "bits": fmt["bits"],
+        "n_frames": n_frames,
+        "duration_us": n_frames * 1_000_000 // fmt["sample_rate"],
+    }
+    if want_data:
+        out["_data"] = payload[start : start + size]
+    return out

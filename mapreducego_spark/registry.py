@@ -643,6 +643,17 @@ QUERIES: dict[str, QueryFn] = {
     # partial edge MCUs and the odd-width chroma pad are staged
     # fixtures, not just code paths
     "multimodal_jpeg_decode_422": M.multimodal_jpeg_decode_422,
+    # AUDIO columns (new in r12, r11 verdict missing #5): staged PCM
+    # WAV files (8/16-bit, mono/stereo, 3 rates, metadata chunks,
+    # RIFF pad bytes) through a pure-stdlib chunk walk
+    # (wavcodec.py). The scan-free metadata tier: fmt header + frame
+    # count + exact integer duration, no sample decode
+    "multimodal_audio_meta": M.multimodal_audio_meta,
+    # ...and the full PCM decode: interleaved frames -> amplitude
+    # matrix, gated by per-file integer stats incl. a position-
+    # weighted sum that breaks on any interleave/channel/amplitude
+    # error
+    "multimodal_audio_stats": M.multimodal_audio_stats,
     # image-text training-pair manifest: real JPEG decode joined to
     # caption token stats with the CLIP-style quality gate — the
     # first media-tier x text-tier composition (new in r10)
@@ -5259,6 +5270,58 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
        md5(string_agg(repeat(rowstr, CAST(ny AS INT)), '' ORDER BY by))
            AS feature_hash
 FROM rows_hex
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+# Audio metadata: the WAV fixture geometry is closed-form in
+# media_id (wavcodec fixture contract), so every field is pure
+# BIGINT arithmetic — duration is exact integer floor micros.
+ORACLES["multimodal_audio_meta"] = """
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(CASE media_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            ELSE 44100 END AS BIGINT) AS sample_rate,
+       CAST(media_id % 2 + 1 AS BIGINT) AS channels,
+       CAST(CASE WHEN media_id % 5 = 0 THEN 8 ELSE 16 END AS BIGINT) AS bits,
+       CAST((media_id * 29) % 400 + 50 AS BIGINT) AS n_frames,
+       CAST(((media_id * 29) % 400 + 50) * 1000000
+            // (CASE media_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END) AS BIGINT) AS duration_us
+FROM (SELECT unnest(range(240)) AS media_id)
+ORDER BY media_id
+"""
+
+# Audio sample stats: rebuild the closed-form waveform per (file,
+# frame, channel) and aggregate the same integer statistics the
+# decode emits; the position-weighted sum pins interleave order.
+ORACLES["multimodal_audio_stats"] = """
+WITH par AS (
+  SELECT media_id,
+         (media_id * 29) % 400 + 50 AS n_frames,
+         media_id % 2 + 1 AS ch_n,
+         CASE WHEN media_id % 5 = 0 THEN 8 ELSE 16 END AS bits
+  FROM (SELECT unnest(range(240)) AS media_id)
+),
+samples AS (
+  SELECT media_id, n_frames, ch_n, t.t AS t, c.c AS c,
+         CASE WHEN bits = 16
+              THEN (media_id * 37 + c.c * 101 + t.t * 13) % 4001 - 2000
+              ELSE (media_id * 7 + t.t * 11 + c.c * 3) % 256 - 128
+         END AS s
+  FROM par,
+       (SELECT unnest(range(450)) AS t) t,
+       (SELECT unnest(range(2)) AS c) c
+  WHERE t.t < n_frames AND c.c < ch_n
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(s) AS BIGINT) AS s_sum,
+       CAST(MIN(s) AS BIGINT) AS s_min,
+       CAST(MAX(s) AS BIGINT) AS s_max,
+       CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum,
+       CAST(SUM(s * s) AS BIGINT) AS sq_sum,
+       CAST(SUM((t * ch_n + c + 1) * s) AS BIGINT) AS w_sum
+FROM samples
 GROUP BY media_id
 ORDER BY media_id
 """

@@ -365,3 +365,112 @@ def test_multimodal_jpeg_meta_matches_serial_reference(spark):
         assert r["x_density"] == p["x_density"]
         assert r["y_density"] == p["y_density"]
         assert r["precision"] == 8
+
+
+# ---------------------------------------------------- r12: audio (WAV/PCM)
+
+
+def test_wav_codec_round_trips_all_shapes():
+    """Both widths, both channel layouts, odd frame counts (pad
+    byte), and skipped metadata chunks — decode reproduces every
+    sample and the meta tier agrees without touching samples."""
+    import numpy as np
+
+    from mapreducego_spark.functions.wavcodec import (
+        decode_wav,
+        encode_wav_pcm,
+        parse_wav_meta,
+    )
+
+    rng = np.random.RandomState(21)
+    for n_frames, channels, bits, rate in [
+        (50, 1, 16, 8000),
+        (333, 2, 16, 44100),
+        (77, 1, 8, 16000),   # odd 8-bit mono -> odd data size -> pad
+        (64, 2, 8, 8000),
+    ]:
+        lo, hi = (-128, 128) if bits == 8 else (-32768, 32768)
+        arr = rng.randint(lo, hi, size=(n_frames, channels)).astype(np.int64)
+        blob = encode_wav_pcm(
+            rate, arr, bits=bits,
+            extra_chunks=[(b"LIST", b"INFO0123456")],  # odd size: pad too
+        )
+        meta, s = decode_wav(blob)
+        assert meta == {
+            "sample_rate": rate, "channels": channels, "bits": bits,
+            "n_frames": n_frames,
+            "duration_us": n_frames * 1_000_000 // rate,
+        }
+        assert (s == arr).all()
+        assert parse_wav_meta(blob) == meta
+
+
+def test_wav_codec_failures_are_loud():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mapreducego_spark.functions.wavcodec import (
+        decode_wav,
+        encode_wav_pcm,
+        parse_wav_meta,
+    )
+
+    arr = np.zeros((10, 2), dtype=np.int64)
+    blob = bytearray(encode_wav_pcm(8000, arr))
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_wav_meta(b"JUNK" + bytes(blob[4:]))
+    with pytest.raises(ValueError, match="truncated"):
+        parse_wav_meta(bytes(blob[:-9]))  # RIFF size now overruns
+    # IEEE float format code refuses
+    i = bytes(blob).find(b"fmt ")
+    f32 = bytearray(blob)
+    f32[i + 8 : i + 10] = struct.pack("<H", 3)
+    with pytest.raises(NotImplementedError, match="format code 3"):
+        parse_wav_meta(bytes(f32))
+    # data size not a whole number of frames
+    j = bytes(blob).find(b"data")
+    ragged = bytearray(blob)
+    (dsize,) = struct.unpack("<I", blob[j + 4 : j + 8])
+    ragged[j + 4 : j + 8] = struct.pack("<I", dsize - 1)
+    with pytest.raises(ValueError, match="whole number of frames"):
+        parse_wav_meta(bytes(ragged))
+    with pytest.raises(NotImplementedError, match="widths"):
+        encode_wav_pcm(8000, arr, bits=24)
+    with pytest.raises(ValueError, match="fmt chunk"):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_audio_entries_match_fixture_closed_form(spark, sf_dir):
+    """The two registry entries end to end against the Python-side
+    closed form (the DuckDB oracle is the cross-engine twin)."""
+    import numpy as np
+
+    from mapreducego_spark.functions.multimodal import (
+        _wav_fixture_params,
+        multimodal_audio_meta,
+        multimodal_audio_stats,
+    )
+
+    meta = {r["media_id"]: r for r in multimodal_audio_meta(spark, sf_dir, n=40).collect()}
+    stats = {r["media_id"]: r for r in multimodal_audio_stats(spark, sf_dir, n=40).collect()}
+    assert len(meta) == len(stats) == 40
+    for i in (0, 1, 5, 13, 39):
+        spec = _wav_fixture_params(i)
+        m = meta[i]
+        assert (m["sample_rate"], m["channels"], m["bits"], m["n_frames"]) == (
+            spec["rate"], spec["channels"], spec["bits"], spec["n_frames"],
+        )
+        a = np.array(
+            [
+                [spec["sample"](t, ch) for ch in range(spec["channels"])]
+                for t in range(spec["n_frames"])
+            ],
+            dtype=np.int64,
+        )
+        w = np.arange(a.size, dtype=np.int64).reshape(a.shape) + 1
+        s = stats[i]
+        assert s["n_samples"] == a.size
+        assert s["s_sum"] == int(a.sum())
+        assert s["w_sum"] == int((w * a).sum())
