@@ -1110,8 +1110,75 @@ _R11_WINDOW = [
     "gapfill_linear",
 ]
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
-QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_R11_WINDOW)
+
+# The r12 window is tools/staleness.py's proposal with the standing
+# birth-round policy applied: the FIVE entries new in r12 itself
+# (multimodal_jpeg_decode_progressive, multimodal_jpeg_decode_422,
+# avro_logical_types, multimodal_audio_meta, multimodal_audio_stats —
+# driver rows in their birth round), then ALL 30 r7-stale entries
+# (the r11 verdict's named list, verbatim), then the 15 oldest
+# r8-stale entries alphabetically (join_skew_salted, json_rescue,
+# json_round_trip, lang_id, map_functions yield their slots to the
+# new entries, exactly as hist_equi_depth/ivm_join_view did in r11).
+# Max staleness after this window: r8.
+_R12_WINDOW = [
+    # (1) new in r12 — driver rows in their birth round
+    "avro_logical_types",
+    "multimodal_audio_meta",
+    "multimodal_audio_stats",
+    "multimodal_jpeg_decode_422",
+    "multimodal_jpeg_decode_progressive",
+    # (2) the 30 r7-stale entries, alphabetical
+    "hist_equi_depth",
+    "ivm_join_view",
+    "jaccard_prefix_join",
+    "join_asof_tolerance",
+    "kfold_split",
+    "label_centroids",
+    "multimodal_decode",
+    "multimodal_dedup",
+    "nb_classify",
+    "outlier_iqr",
+    "parquet_merge_schema",
+    "perplexity_bigram",
+    "perplexity_score",
+    "prepare_corpus",
+    "quantile_normalize",
+    "ri_orphans",
+    "rrf_fusion",
+    "running_balance",
+    "scd2_history",
+    "session_paths",
+    "shortest_paths",
+    "skew_report",
+    "skyline_offers",
+    "snapshot_diff",
+    "split_no_leakage",
+    "stream_upsert_sink",
+    "trend_fit",
+    "triangle_count",
+    "weighted_paths",
+    "zorder_key",
+    # (3) the 15 oldest r8-stale entries, alphabetical
+    "agg_pivot",
+    "array_functions",
+    "compact_documents",
+    "csv_round_trip",
+    "curriculum_mix",
+    "date_functions",
+    "dedup_embedding_lsh",
+    "dedup_events",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "fingerprint",
+    "fuzzy_match_blocked",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_right_outer",
+]
+assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R12_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R12_WINDOW)
 }
 
 
