@@ -183,6 +183,7 @@ HEADLINE = [
     "avro_logical_types",
     "multimodal_audio_meta",
     "multimodal_audio_stats",
+    "multimodal_audio_loudest_window",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

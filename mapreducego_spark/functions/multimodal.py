@@ -1445,6 +1445,69 @@ def multimodal_audio_stats(
     ).orderBy("media_id")
 
 
+def multimodal_audio_loudest_window(
+    spark: SparkSession, sf_dir: str, n: int = 240
+) -> DataFrame:
+    """Registry entry (r12): windowed audio ANALYTICS over the
+    decoded samples — the media-tier x analytics-tier composition
+    (the audio twin of mine_image_text_pairs' shape). Each file's
+    PCM decode emits one row per 100 ms window (win_len = rate/10
+    frames, last window partial) carrying integer energy
+    (sum of squared amplitudes over frames x channels) and peak
+    |amplitude|; the LOUDEST window per file is then picked
+    SPARK-SIDE with max_by over a (energy, -win_idx) struct — an
+    exact argmax with min-index tiebreak, one partial-combinable
+    aggregate, no window function. Everything is BIGINT so the
+    DuckDB oracle rebuilds windows and the argmax from the
+    closed-form waveform.
+
+    Scale shape: the per-window fan-out is bounded (<= n_frames/
+    win_len rows per file, each a 4-long tuple), the argmax is one
+    map-side-combinable groupBy on media_id — at production scale
+    this is the silence-trim / clip-detection pass that runs right
+    after ingest."""
+    from mapreducego_spark.functions.wavcodec import decode_wav
+
+    media = _wav_media_df(spark, sf_dir, n)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                meta, s = decode_wav(bytes(p))
+                a = s.astype(np.int64)
+                win_len = meta["sample_rate"] // 10
+                for w0 in range(0, meta["n_frames"], win_len):
+                    chunk = a[w0 : w0 + win_len]
+                    rows.append(
+                        (
+                            int(mid),
+                            w0 // win_len,
+                            int((chunk * chunk).sum()),
+                            int(np.abs(chunk).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "win_idx", "energy", "peak"]
+            )
+
+    wins = media.mapInPandas(
+        run, "media_id long, win_idx long, energy long, peak long"
+    )
+    best = F.max_by(
+        F.struct("win_idx", "energy", "peak"),
+        # argmax on energy, min win_idx on ties: negate the index
+        # inside the comparator struct
+        F.struct(F.col("energy"), (-F.col("win_idx")).alias("ni")),
+    ).alias("s")
+    return (
+        wins.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_windows"), best)
+        .select("media_id", "n_windows", "s.win_idx", "s.energy", "s.peak")
+        .orderBy("media_id")
+    )
+
+
 def mine_image_text_pairs_semantic(
     spark: SparkSession,
     sf_dir: str,

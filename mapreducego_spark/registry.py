@@ -654,6 +654,11 @@ QUERIES: dict[str, QueryFn] = {
     # weighted sum that breaks on any interleave/channel/amplitude
     # error
     "multimodal_audio_stats": M.multimodal_audio_stats,
+    # windowed audio analytics (new in r12): per-100ms integer
+    # energy/peak rows from the decode pass, loudest window per file
+    # picked Spark-side with one max_by aggregate — the media x
+    # analytics composition (silence-trim / clip-detection shape)
+    "multimodal_audio_loudest_window": M.multimodal_audio_loudest_window,
     # image-text training-pair manifest: real JPEG decode joined to
     # caption token stats with the CLIP-style quality gate — the
     # first media-tier x text-tier composition (new in r10)
@@ -1112,18 +1117,21 @@ _R11_WINDOW = [
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 
 # The r12 window is tools/staleness.py's proposal with the standing
-# birth-round policy applied: the FIVE entries new in r12 itself
+# birth-round policy applied: the SIX entries new in r12 itself
 # (multimodal_jpeg_decode_progressive, multimodal_jpeg_decode_422,
-# avro_logical_types, multimodal_audio_meta, multimodal_audio_stats —
-# driver rows in their birth round), then ALL 30 r7-stale entries
-# (the r11 verdict's named list, verbatim), then the 15 oldest
-# r8-stale entries alphabetically (join_skew_salted, json_rescue,
-# json_round_trip, lang_id, map_functions yield their slots to the
-# new entries, exactly as hist_equi_depth/ivm_join_view did in r11).
-# Max staleness after this window: r8.
+# avro_logical_types, multimodal_audio_meta, multimodal_audio_stats,
+# multimodal_audio_loudest_window — driver rows in their birth
+# round), then ALL 30 r7-stale entries
+# (the r11 verdict's named list, verbatim), then the 14 oldest
+# r8-stale entries alphabetically (join_right_outer,
+# join_skew_salted, json_rescue, json_round_trip, lang_id,
+# map_functions yield their slots to the new entries, exactly as
+# hist_equi_depth/ivm_join_view did in r11). Max staleness after
+# this window: r8.
 _R12_WINDOW = [
     # (1) new in r12 — driver rows in their birth round
     "avro_logical_types",
+    "multimodal_audio_loudest_window",
     "multimodal_audio_meta",
     "multimodal_audio_stats",
     "multimodal_jpeg_decode_422",
@@ -1174,7 +1182,6 @@ _R12_WINDOW = [
     "fuzzy_match_blocked",
     "join_asof_forward",
     "join_asof_nearest",
-    "join_right_outer",
 ]
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R12_WINDOW} | {
@@ -5390,6 +5397,55 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
        CAST(SUM((t * ch_n + c + 1) * s) AS BIGINT) AS w_sum
 FROM samples
 GROUP BY media_id
+ORDER BY media_id
+"""
+
+# Loudest window: rebuild the per-(file, window) integer energies
+# from the closed-form waveform (win_len = rate/10 frames), then the
+# same argmax with the min-index tiebreak via ROW_NUMBER.
+ORACLES["multimodal_audio_loudest_window"] = """
+WITH par AS (
+  SELECT media_id,
+         (media_id * 29) % 400 + 50 AS n_frames,
+         media_id % 2 + 1 AS ch_n,
+         CASE WHEN media_id % 5 = 0 THEN 8 ELSE 16 END AS bits,
+         CASE media_id % 3 WHEN 0 THEN 800 WHEN 1 THEN 1600
+              ELSE 4410 END AS win_len
+  FROM (SELECT unnest(range(240)) AS media_id)
+),
+samples AS (
+  SELECT media_id, t.t // win_len AS win_idx,
+         CASE WHEN bits = 16
+              THEN (media_id * 37 + c.c * 101 + t.t * 13) % 4001 - 2000
+              ELSE (media_id * 7 + t.t * 11 + c.c * 3) % 256 - 128
+         END AS s
+  FROM par,
+       (SELECT unnest(range(450)) AS t) t,
+       (SELECT unnest(range(2)) AS c) c
+  WHERE t.t < n_frames AND c.c < ch_n
+),
+wins AS (
+  SELECT media_id, win_idx,
+         SUM(s * s) AS energy,
+         MAX(ABS(s)) AS peak
+  FROM samples
+  GROUP BY media_id, win_idx
+),
+ranked AS (
+  SELECT media_id, win_idx, energy, peak,
+         COUNT(*) OVER (PARTITION BY media_id) AS n_windows,
+         ROW_NUMBER() OVER (
+           PARTITION BY media_id ORDER BY energy DESC, win_idx ASC
+         ) AS rn
+  FROM wins
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(win_idx AS BIGINT) AS win_idx,
+       CAST(energy AS BIGINT) AS energy,
+       CAST(peak AS BIGINT) AS peak
+FROM ranked
+WHERE rn = 1
 ORDER BY media_id
 """
 

@@ -474,3 +474,42 @@ def test_audio_entries_match_fixture_closed_form(spark, sf_dir):
         assert s["n_samples"] == a.size
         assert s["s_sum"] == int(a.sum())
         assert s["w_sum"] == int((w * a).sum())
+
+
+def test_audio_loudest_window_matches_brute_force(spark, sf_dir):
+    """The Spark-side max_by argmax (min-index tiebreak) against a
+    per-file numpy recomputation of the windowed energies."""
+    import numpy as np
+
+    from mapreducego_spark.functions.multimodal import (
+        _wav_fixture_params,
+        multimodal_audio_loudest_window,
+    )
+
+    got = {
+        r["media_id"]: r
+        for r in multimodal_audio_loudest_window(spark, sf_dir, n=30).collect()
+    }
+    assert len(got) == 30
+    for i in range(30):
+        spec = _wav_fixture_params(i)
+        a = np.array(
+            [
+                [spec["sample"](t, ch) for ch in range(spec["channels"])]
+                for t in range(spec["n_frames"])
+            ],
+            dtype=np.int64,
+        )
+        win_len = spec["rate"] // 10
+        energies = [
+            int((a[w0 : w0 + win_len] ** 2).sum())
+            for w0 in range(0, spec["n_frames"], win_len)
+        ]
+        best = max(range(len(energies)), key=lambda k: (energies[k], -k))
+        r = got[i]
+        assert r["n_windows"] == len(energies)
+        assert r["win_idx"] == best
+        assert r["energy"] == energies[best]
+        assert r["peak"] == int(
+            np.abs(a[best * win_len : (best + 1) * win_len]).max()
+        )
