@@ -260,11 +260,11 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, str]:
             w, h, rgb = decode_png(payload)
             return w, h, hashlib.md5(rgb).hexdigest()
         if payload[:2] == JPEG_SOI:
-            from mapreducego_spark.functions.jpegcodec import (
-                decode_jpeg_baseline,
-            )
+            # frame-type dispatcher: SOF0 -> baseline decoder, SOF2
+            # -> the progressive decoder (r12); other SOFs raise
+            from mapreducego_spark.functions.jpegcodec import decode_jpeg
 
-            w, h, rgb = decode_jpeg_baseline(payload)
+            w, h, rgb = decode_jpeg(payload)
             return w, h, hashlib.md5(rgb).hexdigest()
         raise NotImplementedError(
             "non-PNG/JPEG image decoding requires PIL, which is not "
