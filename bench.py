@@ -184,6 +184,10 @@ HEADLINE = [
     "multimodal_audio_meta",
     "multimodal_audio_stats",
     "multimodal_audio_loudest_window",
+    # round 12, second batch: palette/Adam7 PNG decode and the
+    # scan-free EXIF IFD walk
+    "multimodal_png_variants",
+    "multimodal_jpeg_exif",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

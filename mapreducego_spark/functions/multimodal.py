@@ -149,52 +149,87 @@ def encode_png_rgb(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> tuple[int, int, bytes]:
-    """Minimal spec-correct PNG decoder (pure stdlib, PNG spec
-    RFC 2083 / W3C §9 + §13): chunk walk, zlib inflate of the IDAT
-    stream, per-scanline unfiltering for ALL FIVE filter types
-    (None/Sub/Up/Average/Paeth), 8-bit color types 0 (grayscale,
-    expanded to RGB), 2 (truecolor RGB) and 6 (RGBA, alpha dropped).
-    No interlacing, no palette, no 16-bit — raises on those so the
-    limitation is loud, never silent.
+def encode_png_indexed(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """Palette-indexed PNG writer (color type 3): one PLTE chunk,
+    8-bit indices, filter 0 per scanline. Stages the web-graphics
+    encoding for the decode tier's fixtures."""
+    if len(indices) != width * height:
+        raise ValueError("indices must be width*height bytes")
+    if not palette or len(palette) % 3 or len(palette) > 768:
+        raise ValueError("palette must be 3*n bytes, n <= 256")
+    raw = b"".join(
+        b"\x00" + indices[y * width : (y + 1) * width]
+        for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
 
-    Returns (width, height, rgb_bytes) with len(rgb) = w*h*3."""
-    if payload[:8] != PNG_MAGIC:
-        raise ValueError("not a PNG payload")
-    pos, width, height, color_type = 8, None, None, None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        tag = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + tag + data + crc
-        if tag == b"IHDR":
-            width, height, depth, color_type, comp, filt, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
-            if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
-                raise NotImplementedError(
-                    "decode_png supports 8-bit non-interlaced "
-                    "gray/RGB/RGBA only"
-                )
-        elif tag == b"IDAT":
-            idat.extend(data)
-        elif tag == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    channels = {0: 1, 2: 3, 6: 4}[color_type]
-    raw = zlib.decompress(bytes(idat))
+
+def encode_png_adam7(
+    width: int, height: int, pixels: bytes, gray: bool = False
+) -> bytes:
+    """Adam7-INTERLACED PNG writer (interlace method 1): samples are
+    split into the seven pass sub-images (PNG spec §8.2, empty
+    passes omitted), each pass filtered type-0 per scanline, one
+    deflate stream. ``pixels`` is w*h*3 RGB (or w*h gray samples
+    with ``gray=True``)."""
+    channels = 1 if gray else 3
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixels must be width*height*channels bytes")
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        for py in range(ph):
+            y = y0 + py * dy
+            raw += b"\x00"
+            for px in range(pw):
+                x = x0 + px * dx
+                raw += pixels[y * stride + x * channels :
+                              y * stride + (x + 1) * channels]
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 0 if gray else 2, 0, 0, 1
+    )
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, pos: int, width: int, height: int,
+                  channels: int) -> tuple[bytearray, int]:
+    """Undo per-scanline filtering (all five types, PNG spec §9) for
+    one image or one Adam7 pass starting at ``pos`` in the inflated
+    stream; returns (samples, next pos)."""
+    stride = width * channels
+    if pos + (stride + 1) * height > len(raw):
         raise ValueError("PNG scanline data has the wrong length")
     out = bytearray(stride * height)
     bpp = channels  # 8-bit: bytes per complete pixel
     for y in range(height):
-        f = raw[y * (stride + 1)]
-        line = bytearray(
-            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        )
+        f = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += stride + 1
         prev = out[(y - 1) * stride : y * stride] if y else bytes(stride)
         if f == 1:  # Sub
             for x in range(bpp, stride):
@@ -223,10 +258,96 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         elif f != 0:
             raise ValueError(f"unknown PNG filter type {f}")
         out[y * stride : (y + 1) * stride] = line
+    return out, pos
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Spec-correct PNG decoder (pure stdlib, PNG spec RFC 2083 /
+    W3C §8-§13): chunk walk, zlib inflate of the IDAT stream,
+    per-scanline unfiltering for ALL FIVE filter types
+    (None/Sub/Up/Average/Paeth), 8-bit color types 0 (grayscale,
+    expanded to RGB), 2 (truecolor RGB), 3 (palette-indexed via the
+    PLTE chunk — the common web-graphics encoding; tRNS alpha is
+    dropped like RGBA alpha), and 6 (RGBA, alpha dropped), both
+    sequential and Adam7-INTERLACED (§8.2: seven sub-image passes
+    de-interlaced into place, empty passes at small dims skipped —
+    r12). 16-bit raises loudly, never silently.
+
+    Returns (width, height, rgb_bytes) with len(rgb) = w*h*3."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, width, height, color_type = 8, None, None, None
+    interlace = 0
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or color_type not in (0, 2, 3, 6):
+                raise NotImplementedError(
+                    "decode_png supports 8-bit gray/RGB/palette/RGBA only"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length is not a multiple of 3")
+            palette = data
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if interlace == 0:
+        out, end = _png_unfilter(raw, 0, width, height, channels)
+        if end != len(raw):
+            raise ValueError("PNG scanline data has the wrong length")
+    else:  # Adam7: unfilter each pass, scatter into place
+        out = bytearray(stride * height)
+        rpos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass at small dimensions
+            sub, rpos = _png_unfilter(raw, rpos, pw, ph, channels)
+            for py in range(ph):
+                row = sub[py * pw * channels : (py + 1) * pw * channels]
+                y = y0 + py * dy
+                for px in range(pw):
+                    x = x0 + px * dx
+                    out[y * stride + x * channels :
+                        y * stride + (x + 1) * channels] = (
+                        row[px * channels : (px + 1) * channels]
+                    )
+        if rpos != len(raw):
+            raise ValueError("PNG scanline data has the wrong length")
     if color_type == 2:
         rgb = bytes(out)
     elif color_type == 0:  # grayscale -> RGB expansion
         rgb = bytes(v for g in out for v in (g, g, g))
+    elif color_type == 3:  # palette lookup
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        n_entries = len(palette) // 3
+        rgb_parts = bytearray()
+        for idx in out:
+            if idx >= n_entries:
+                raise ValueError(
+                    f"palette index {idx} out of range ({n_entries} entries)"
+                )
+            rgb_parts += palette[idx * 3 : idx * 3 + 3]
+        rgb = bytes(rgb_parts)
     else:  # RGBA -> drop alpha
         rgb = bytes(
             out[i] for i in range(len(out)) if i % 4 != 3
@@ -423,6 +544,153 @@ def _jpeg_segment(marker: int, data: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
 
 
+def build_exif(
+    byte_order: str,
+    orientation: int,
+    make: str,
+    model: str,
+    datetime_str: str,
+    datetime_original: str,
+) -> bytes:
+    """Build a real Exif APP1 payload (TIFF 6.0 + Exif 2.3 layout):
+    ``Exif\\x00\\x00`` marker, TIFF header in the given byte order
+    (``"II"`` little- or ``"MM"`` big-endian, magic 42), IFD0 with
+    Make/Model (ASCII, stored in the offset data area), Orientation
+    (SHORT, inline), DateTime (ASCII 20), and an Exif-IFD pointer
+    (0x8769) to a sub-IFD carrying DateTimeOriginal — the tag set a
+    crawl pipeline actually reads. Deterministic layout: IFD0 at
+    offset 8, Exif IFD right after it, string data area after that."""
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    if not 1 <= orientation <= 8:
+        raise ValueError("orientation must be 1..8 (TIFF 6.0)")
+    e = "<" if byte_order == "II" else ">"
+
+    strings = {
+        0x010F: make.encode("ascii") + b"\x00",
+        0x0110: model.encode("ascii") + b"\x00",
+        0x0132: datetime_str.encode("ascii") + b"\x00",
+    }
+    dto = datetime_original.encode("ascii") + b"\x00"
+    ifd0_tags = [0x010F, 0x0110, 0x0112, 0x0132, 0x8769]
+    ifd0_size = 2 + 12 * len(ifd0_tags) + 4
+    exif_ifd_off = 8 + ifd0_size
+    exif_ifd_size = 2 + 12 * 1 + 4
+    data_off = exif_ifd_off + exif_ifd_size
+
+    data = bytearray()
+    offsets = {}
+    for tag in (0x010F, 0x0110, 0x0132):
+        v = strings[tag]
+        if len(v) > 4:
+            offsets[tag] = data_off + len(data)
+            data += v
+    dto_off = data_off + len(data)
+    data += dto
+
+    def entry(tag: int, typ: int, count: int, value_bytes: bytes) -> bytes:
+        return (
+            struct.pack(e + "HHI", tag, typ, count)
+            + value_bytes.ljust(4, b"\x00")
+        )
+
+    def ascii_entry(tag: int) -> bytes:
+        v = strings[tag]
+        if len(v) > 4:
+            return entry(tag, 2, len(v), struct.pack(e + "I", offsets[tag]))
+        return entry(tag, 2, len(v), v)
+
+    ifd0 = struct.pack(e + "H", len(ifd0_tags))
+    ifd0 += ascii_entry(0x010F)
+    ifd0 += ascii_entry(0x0110)
+    ifd0 += entry(0x0112, 3, 1, struct.pack(e + "H", orientation))
+    ifd0 += ascii_entry(0x0132)
+    ifd0 += entry(0x8769, 4, 1, struct.pack(e + "I", exif_ifd_off))
+    ifd0 += struct.pack(e + "I", 0)  # no IFD1
+    exif_ifd = (
+        struct.pack(e + "H", 1)
+        + entry(0x9003, 2, len(dto), struct.pack(e + "I", dto_off))
+        + struct.pack(e + "I", 0)
+    )
+    tiff = (
+        byte_order.encode()
+        + struct.pack(e + "HI", 42, 8)
+        + ifd0
+        + exif_ifd
+        + bytes(data)
+    )
+    return b"Exif\x00\x00" + tiff
+
+
+def parse_exif(app1: bytes) -> dict:
+    """Parse an Exif APP1 payload (TIFF 6.0 IFD walk, both byte
+    orders): Make, Model, Orientation, DateTime from IFD0 and
+    DateTimeOriginal from the Exif sub-IFD (0x8769). Unknown tags
+    are skipped by their fixed 12-byte entry size; absent tags
+    return None. Raises ValueError on structurally broken TIFF
+    (bad magic, IFD past the end, ASCII value out of bounds)."""
+    if app1[:6] != b"Exif\x00\x00":
+        raise ValueError("not an Exif APP1 payload")
+    t = app1[6:]
+    if t[:2] == b"II":
+        e = "<"
+    elif t[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("bad TIFF byte order mark")
+    magic, ifd0_off = struct.unpack_from(e + "HI", t, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    out = {
+        "byte_order": t[:2].decode(),
+        "orientation": None,
+        "make": None,
+        "model": None,
+        "datetime": None,
+        "datetime_original": None,
+    }
+
+    def read_ifd(off: int) -> dict[int, tuple[int, int, bytes]]:
+        if off + 2 > len(t):
+            raise ValueError("TIFF IFD offset past end")
+        (n,) = struct.unpack_from(e + "H", t, off)
+        if off + 2 + 12 * n + 4 > len(t):
+            raise ValueError("TIFF IFD overruns payload")
+        entries = {}
+        for k in range(n):
+            tag, typ, count = struct.unpack_from(e + "HHI", t, off + 2 + 12 * k)
+            entries[tag] = (typ, count, t[off + 10 + 12 * k : off + 14 + 12 * k])
+        return entries
+
+    def ascii_value(typ: int, count: int, raw: bytes) -> str:
+        if typ != 2:
+            raise ValueError(f"expected ASCII tag, got type {typ}")
+        if count <= 4:
+            v = raw[:count]
+        else:
+            (off,) = struct.unpack(e + "I", raw)
+            if off + count > len(t):
+                raise ValueError("TIFF ASCII value out of bounds")
+            v = t[off : off + count]
+        return v.rstrip(b"\x00").decode("ascii", "replace")
+
+    ifd0 = read_ifd(ifd0_off)
+    if 0x0112 in ifd0:
+        typ, _, raw = ifd0[0x0112]
+        out["orientation"] = struct.unpack(e + ("H" if typ == 3 else "I"),
+                                           raw[: 2 if typ == 3 else 4])[0]
+    for tag, key in ((0x010F, "make"), (0x0110, "model"),
+                     (0x0132, "datetime")):
+        if tag in ifd0:
+            out[key] = ascii_value(*ifd0[tag])
+    if 0x8769 in ifd0:
+        (exif_off,) = struct.unpack(e + "I", ifd0[0x8769][2])
+        exif = read_ifd(exif_off)
+        if 0x9003 in exif:
+            out["datetime_original"] = ascii_value(*exif[0x9003])
+    return out
+
+
 def encode_jpeg_headers(
     width: int,
     height: int,
@@ -432,6 +700,7 @@ def encode_jpeg_headers(
     x_density: int = 1,
     y_density: int = 1,
     entropy: bytes = b"",
+    app1: bytes | None = None,
 ) -> bytes:
     """Minimal structurally-valid JPEG/JFIF writer (pure stdlib,
     ITU-T T.81 Annex B + JFIF 1.02): SOI, APP0-JFIF (version 1.2,
@@ -475,6 +744,7 @@ def encode_jpeg_headers(
     return (
         JPEG_SOI
         + _jpeg_segment(0xE0, app0)
+        + (_jpeg_segment(0xE1, app1) if app1 else b"")
         + _jpeg_segment(0xFE, b"mapreducego_spark fixture")
         + _jpeg_segment(0xDB, dqt)
         + _jpeg_segment(0xC2 if progressive else 0xC0, sof)
@@ -554,6 +824,37 @@ def jpeg_meta(payload: bytes) -> dict:
     if out["width"] is None:
         raise ValueError("JPEG contains no SOF frame header")
     return out
+
+
+def jpeg_exif(payload: bytes) -> dict:
+    """Find the Exif APP1 segment in a JPEG marker stream (scan-free:
+    stops at SOS like jpeg_meta) and parse it. Raises ValueError if
+    the file carries no Exif block — absent camera metadata is a
+    data fact the caller must see, not a silent None row."""
+    if payload[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos, n = 2, len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment header")
+        (seg_len,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seg_len < 2 or pos + seg_len > n:
+            raise ValueError("JPEG segment length out of bounds")
+        data = payload[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xE1 and data[:6] == b"Exif\x00\x00":
+            return parse_exif(data)
+    raise ValueError("JPEG carries no Exif APP1 segment")
 
 
 def _jpeg_fixture_params(i: int) -> dict:
@@ -1253,6 +1554,226 @@ def multimodal_jpeg_decode_422(
         run,
         "media_id long, width int, height int, px_sum long, "
         "feature_hash string",
+    ).orderBy("media_id")
+
+
+def _png_variants_fixture(i: int):
+    """PNG variants fixture (r12): every third file palette-indexed,
+    Adam7-interlaced RGB, or Adam7 grayscale — the two encoding
+    families the r7 decoder refused, at dims small enough that some
+    Adam7 passes are EMPTY (the pass-skip logic is gated, not just
+    the happy path). All pixels closed-form in (i, x, y)."""
+    w = i % 19 + 5
+    h = i % 17 + 4
+    kind = i % 3  # 0 palette, 1 adam7 rgb, 2 adam7 gray
+    paln = i % 7 + 2
+
+    def rgb(x: int, y: int) -> tuple[int, int, int]:
+        if kind == 0:
+            j = (x + y + i) % paln
+            return ((i * 3 + j * 7) % 256, (i * 5 + j * 11) % 256,
+                    (i * 7 + j * 13) % 256)
+        if kind == 1:
+            return ((i + x * 3 + y * 5) % 256, (i * 2 + x * 7 + y) % 256,
+                    (i * 3 + x + y * 11) % 256)
+        v = (i + x * 13 + y * 3) % 256
+        return (v, v, v)
+
+    return {"w": w, "h": h, "kind": kind, "paln": paln, "rgb": rgb}
+
+
+def encode_png_variant_fixture(i: int) -> bytes:
+    spec = _png_variants_fixture(i)
+    w, h, kind = spec["w"], spec["h"], spec["kind"]
+    if kind == 0:
+        paln = spec["paln"]
+        pal = bytes(
+            v
+            for j in range(paln)
+            for v in ((i * 3 + j * 7) % 256, (i * 5 + j * 11) % 256,
+                      (i * 7 + j * 13) % 256)
+        )
+        idx = bytes((x + y + i) % paln for y in range(h) for x in range(w))
+        return encode_png_indexed(w, h, idx, pal)
+    if kind == 1:
+        px = bytes(
+            v for y in range(h) for x in range(w) for v in spec["rgb"](x, y)
+        )
+        return encode_png_adam7(w, h, px)
+    g = bytes(spec["rgb"](x, y)[0] for y in range(h) for x in range(w))
+    return encode_png_adam7(w, h, g, gray=True)
+
+
+def stage_png_variants(sf_dir: str, n: int = 240) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_media/{tag}_pngvar{n}"
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        for i in range(n):
+            with open(os.path.join(out, f"media_{i:05d}.png"), "wb") as fh:
+                fh.write(encode_png_variant_fixture(i))
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+    return out
+
+
+def multimodal_png_variants(
+    spark: SparkSession, sf_dir: str, n: int = 240
+) -> DataFrame:
+    """Registry entry (r12): PALETTE-INDEXED and Adam7-INTERLACED
+    PNG decode — the web-graphics encodings the r7 decoder loudly
+    refused. Staged files cycle palette (PLTE lookup, out-of-range
+    indices raise), interlaced RGB, and interlaced grayscale at dims
+    where later Adam7 passes are empty, scanned with the distributed
+    binaryFile source and decoded by the generalized decode_png
+    (seven-pass de-interlace scatter + palette expansion) inside one
+    Arrow-batched mapInPandas pass. Same output contract as
+    multimodal_decode; pixels are closed-form per (media_id, x, y),
+    so the DuckDB oracle rebuilds every byte — a wrong pass origin/
+    stride or palette index scrambles the hash. Reference analog:
+    the opaque-bytes input contract at master.go:82.
+
+    Scale shape: identical to multimodal_decode — distributed scan,
+    one Arrow crossing per batch, no shuffle before the presentation
+    sort."""
+    path = stage_png_variants(sf_dir, n)
+    media = (
+        spark.read.format("binaryFile")
+        .load(path + "/media_*.png")
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.png", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                w, h, rgb = decode_png(bytes(p))
+                rows.append(
+                    (
+                        int(mid),
+                        w,
+                        h,
+                        int(sum(rgb)),
+                        hashlib.md5(rgb.hex().encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "px_sum", "feature_hash",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, width int, height int, px_sum long, "
+        "feature_hash string",
+    ).orderBy("media_id")
+
+
+def _exif_fixture_params(i: int) -> dict:
+    """Closed-form Exif fixture: byte order alternates II/MM, every
+    orientation value 1..8 cycles, ASCII tags derived from i with
+    printf-reconstructable text."""
+    return {
+        "byte_order": "II" if i % 2 else "MM",
+        "orientation": i % 8 + 1,
+        "make": f"CAM-{i % 5}",
+        "model": f"MOD-{i % 3}",
+        "datetime": "2024:%02d:%02d %02d:%02d:%02d"
+        % (i % 12 + 1, i % 28 + 1, i % 24, i % 60, (i * 7) % 60),
+        "datetime_original": "2023:%02d:%02d %02d:%02d:%02d"
+        % (i % 12 + 1, (i * 3) % 28 + 1, (i * 5) % 24, (i * 11) % 60,
+           (i * 13) % 60),
+    }
+
+
+def stage_jpeg_exif(sf_dir: str, n: int = 240) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_media/{tag}_jpegexif{n}"
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        for i in range(n):
+            p = _exif_fixture_params(i)
+            jpg = encode_jpeg_headers(
+                i % 31 + 8,
+                i % 23 + 8,
+                app1=build_exif(
+                    p["byte_order"], p["orientation"], p["make"],
+                    p["model"], p["datetime"], p["datetime_original"],
+                ),
+            )
+            with open(os.path.join(out, f"media_{i:05d}.jpg"), "wb") as fh:
+                fh.write(jpg)
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+    return out
+
+
+def multimodal_jpeg_exif(
+    spark: SparkSession, sf_dir: str, n: int = 240
+) -> DataFrame:
+    """Registry entry (r12): EXIF camera metadata extraction — the
+    other half of the JPEG metadata tier (jpeg_meta reads the JFIF
+    frame header; real crawl pipelines also need orientation to
+    rotate pixels and capture timestamps to window them). Staged
+    marker-structure JPEGs carry REAL Exif APP1 payloads (TIFF 6.0
+    IFDs in BOTH byte orders, inline and offset-area ASCII values,
+    the 0x8769 Exif sub-IFD); the distributed scan walks markers to
+    APP1 and parses the IFDs scan-free inside one Arrow-batched
+    mapInPandas pass. Every field is printf-closed-form in media_id
+    so the DuckDB oracle rebuilds the full manifest. Reference
+    analog: the opaque-bytes input contract at master.go:82.
+
+    Scale shape: header-only parse (no entropy decode), distributed
+    scan, no shuffle before the presentation sort."""
+    path = stage_jpeg_exif(sf_dir, n)
+    media = (
+        spark.read.format("binaryFile")
+        .load(path + "/media_*.jpg")
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                x = jpeg_exif(bytes(p))
+                rows.append(
+                    (
+                        int(mid),
+                        x["byte_order"],
+                        x["orientation"],
+                        x["make"],
+                        x["model"],
+                        x["datetime"],
+                        x["datetime_original"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "byte_order", "orientation", "make",
+                    "model", "dt", "dt_original",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, byte_order string, orientation long, make string,"
+        " model string, dt string, dt_original string",
     ).orderBy("media_id")
 
 

@@ -659,6 +659,15 @@ QUERIES: dict[str, QueryFn] = {
     # picked Spark-side with one max_by aggregate — the media x
     # analytics composition (silence-trim / clip-detection shape)
     "multimodal_audio_loudest_window": M.multimodal_audio_loudest_window,
+    # palette-indexed + Adam7-interlaced PNG decode (new in r12):
+    # the web-graphics encodings the r7 decoder loudly refused —
+    # PLTE lookup with loud out-of-range indices, seven-pass
+    # de-interlace with empty passes at small dims, hash-gated
+    "multimodal_png_variants": M.multimodal_png_variants,
+    # EXIF camera metadata (new in r12): TIFF 6.0 IFD walk in both
+    # byte orders (orientation, make/model, capture timestamps incl.
+    # the 0x8769 sub-IFD), scan-free, printf-closed-form oracle
+    "multimodal_jpeg_exif": M.multimodal_jpeg_exif,
     # image-text training-pair manifest: real JPEG decode joined to
     # caption token stats with the CLIP-style quality gate — the
     # first media-tier x text-tier composition (new in r10)
@@ -1117,17 +1126,18 @@ _R11_WINDOW = [
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 
 # The r12 window is tools/staleness.py's proposal with the standing
-# birth-round policy applied: the SIX entries new in r12 itself
+# birth-round policy applied: the EIGHT entries new in r12 itself
 # (multimodal_jpeg_decode_progressive, multimodal_jpeg_decode_422,
 # avro_logical_types, multimodal_audio_meta, multimodal_audio_stats,
-# multimodal_audio_loudest_window — driver rows in their birth
-# round), then ALL 30 r7-stale entries
-# (the r11 verdict's named list, verbatim), then the 14 oldest
-# r8-stale entries alphabetically (join_right_outer,
-# join_skew_salted, json_rescue, json_round_trip, lang_id,
-# map_functions yield their slots to the new entries, exactly as
-# hist_equi_depth/ivm_join_view did in r11). Max staleness after
-# this window: r8.
+# multimodal_audio_loudest_window, multimodal_png_variants,
+# multimodal_jpeg_exif — driver rows in their birth round), then ALL
+# 30 r7-stale entries
+# (the r11 verdict's named list, verbatim), then the 12 oldest
+# r8-stale entries alphabetically (join_asof_forward,
+# join_asof_nearest, join_right_outer, join_skew_salted,
+# json_rescue, json_round_trip, lang_id, map_functions yield their
+# slots to the new entries, exactly as hist_equi_depth/ivm_join_view
+# did in r11). Max staleness after this window: r8.
 _R12_WINDOW = [
     # (1) new in r12 — driver rows in their birth round
     "avro_logical_types",
@@ -1136,6 +1146,8 @@ _R12_WINDOW = [
     "multimodal_audio_stats",
     "multimodal_jpeg_decode_422",
     "multimodal_jpeg_decode_progressive",
+    "multimodal_jpeg_exif",
+    "multimodal_png_variants",
     # (2) the 30 r7-stale entries, alphabetical
     "hist_equi_depth",
     "ivm_join_view",
@@ -1180,8 +1192,6 @@ _R12_WINDOW = [
     "dedup_fingerprint",
     "fingerprint",
     "fuzzy_match_blocked",
-    "join_asof_forward",
-    "join_asof_nearest",
 ]
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R12_WINDOW} | {
@@ -5345,6 +5355,76 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
            AS feature_hash
 FROM rows_hex
 GROUP BY media_id
+ORDER BY media_id
+"""
+
+# PNG variants: per-pixel closed form (palette lookup / interlaced
+# RGB / interlaced gray by media_id % 3) — interlacing reorders the
+# WIRE bytes, not the pixels, so the hash gates the seven-pass
+# de-interlace scatter and the PLTE expansion.
+ORACLES["multimodal_png_variants"] = """
+WITH m AS (SELECT unnest(range(240)) AS media_id),
+dims AS (
+  SELECT media_id,
+         CAST(media_id % 19 + 5 AS BIGINT) AS w,
+         CAST(media_id % 17 + 4 AS BIGINT) AS h,
+         media_id % 3 AS kind,
+         media_id % 7 + 2 AS paln
+  FROM m
+),
+px AS (
+  SELECT media_id, w, h, x.x AS x, y.y AS y,
+         CASE kind
+           WHEN 0 THEN (media_id * 3 + ((x.x + y.y + media_id) % paln) * 7) % 256
+           WHEN 1 THEN (media_id + x.x * 3 + y.y * 5) % 256
+           ELSE (media_id + x.x * 13 + y.y * 3) % 256 END AS r,
+         CASE kind
+           WHEN 0 THEN (media_id * 5 + ((x.x + y.y + media_id) % paln) * 11) % 256
+           WHEN 1 THEN (media_id * 2 + x.x * 7 + y.y) % 256
+           ELSE (media_id + x.x * 13 + y.y * 3) % 256 END AS g,
+         CASE kind
+           WHEN 0 THEN (media_id * 7 + ((x.x + y.y + media_id) % paln) * 13) % 256
+           WHEN 1 THEN (media_id * 3 + x.x + y.y * 11) % 256
+           ELSE (media_id + x.x * 13 + y.y * 3) % 256 END AS b
+  FROM dims,
+       (SELECT unnest(range(24)) AS x) x,
+       (SELECT unnest(range(21)) AS y) y
+  WHERE x.x < w AND y.y < h
+),
+rows_hex AS (
+  SELECT media_id, w, h, y,
+         string_agg(printf('%02x%02x%02x', r, g, b), '' ORDER BY x)
+             AS rowstr,
+         SUM(r + g + b) AS part_sum
+  FROM px
+  GROUP BY media_id, w, h, y
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+       md5(string_agg(rowstr, '' ORDER BY y)) AS feature_hash
+FROM rows_hex
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+# EXIF manifest: every field printf-closed-form in media_id (the
+# same formulas the fixture builder uses).
+ORACLES["multimodal_jpeg_exif"] = """
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CASE WHEN media_id % 2 = 1 THEN 'II' ELSE 'MM' END AS byte_order,
+       CAST(media_id % 8 + 1 AS BIGINT) AS orientation,
+       'CAM-' || CAST(media_id % 5 AS VARCHAR) AS make,
+       'MOD-' || CAST(media_id % 3 AS VARCHAR) AS model,
+       printf('2024:%02d:%02d %02d:%02d:%02d',
+              media_id % 12 + 1, media_id % 28 + 1, media_id % 24,
+              media_id % 60, (media_id * 7) % 60) AS dt,
+       printf('2023:%02d:%02d %02d:%02d:%02d',
+              media_id % 12 + 1, (media_id * 3) % 28 + 1,
+              (media_id * 5) % 24, (media_id * 11) % 60,
+              (media_id * 13) % 60) AS dt_original
+FROM (SELECT unnest(range(240)) AS media_id)
 ORDER BY media_id
 """
 

@@ -513,3 +513,76 @@ def test_audio_loudest_window_matches_brute_force(spark, sf_dir):
         assert r["peak"] == int(
             np.abs(a[best * win_len : (best + 1) * win_len]).max()
         )
+
+
+# ------------------------------------- r12: png variants + exif metadata
+
+
+def test_png_palette_and_adam7_round_trip_exactly():
+    """Palette lookup, Adam7 RGB and Adam7 gray all decode to the
+    exact closed-form pixels, including dims where later passes are
+    empty; interlaced decode equals sequential decode of the same
+    pixels; out-of-range palette indices raise."""
+    import numpy as np
+    import pytest
+
+    from mapreducego_spark.functions.multimodal import (
+        _png_variants_fixture,
+        decode_png,
+        encode_png_adam7,
+        encode_png_indexed,
+        encode_png_rgb,
+        encode_png_variant_fixture,
+    )
+
+    for i in (0, 1, 2, 5, 9, 20, 41):
+        spec = _png_variants_fixture(i)
+        w, h, rgb = decode_png(encode_png_variant_fixture(i))
+        assert (w, h) == (spec["w"], spec["h"])
+        exp = bytes(
+            v for y in range(h) for x in range(w) for v in spec["rgb"](x, y)
+        )
+        assert rgb == exp, i
+    rng = np.random.RandomState(17)
+    for w, h in [(1, 1), (7, 5), (16, 16), (23, 17)]:
+        px = rng.randint(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+        assert decode_png(encode_png_adam7(w, h, px)) == decode_png(
+            encode_png_rgb(w, h, px)
+        )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(encode_png_indexed(2, 2, bytes([0, 1, 2, 5]), bytes(9)))
+
+
+def test_exif_round_trip_both_byte_orders():
+    import pytest
+
+    from mapreducego_spark.functions.multimodal import (
+        _exif_fixture_params,
+        build_exif,
+        encode_jpeg_headers,
+        jpeg_exif,
+        parse_exif,
+    )
+
+    for i in (0, 1, 7, 100):
+        p = _exif_fixture_params(i)
+        app1 = build_exif(
+            p["byte_order"], p["orientation"], p["make"], p["model"],
+            p["datetime"], p["datetime_original"],
+        )
+        got = parse_exif(app1)
+        assert got == {
+            "byte_order": p["byte_order"],
+            "orientation": p["orientation"],
+            "make": p["make"],
+            "model": p["model"],
+            "datetime": p["datetime"],
+            "datetime_original": p["datetime_original"],
+        }
+        assert jpeg_exif(encode_jpeg_headers(20, 12, app1=app1)) == got
+    with pytest.raises(ValueError, match="no Exif"):
+        jpeg_exif(encode_jpeg_headers(8, 8))
+    with pytest.raises(ValueError, match="byte order"):
+        parse_exif(b"Exif\x00\x00XX" + bytes(8))
+    with pytest.raises(ValueError, match="orientation"):
+        build_exif("II", 9, "a", "b", "c", "d")
