@@ -1784,9 +1784,12 @@ def _wav_fixture_params(i: int):
     amplitudes in BIGINT. Width/rate/channel variety: every fifth
     file is 8-bit (centered on decode), mono/stereo alternate, three
     sample rates. Every fourth file carries a LIST metadata chunk
-    before data (real recorder output has those), and the 8-bit mono
-    odd-frame files produce an odd data size, staging the RIFF
-    word-alignment pad byte."""
+    before data (real recorder output has those) whose payload is
+    19 bytes — deliberately ODD, so those staged files carry the
+    RIFF word-alignment pad byte the chunk walk must skip (the
+    former claim that 8-bit mono odd-frame files staged it was
+    vacuous: 8-bit AND mono implies i % 10 == 0, under which
+    n_frames is always even — r12 ADVICE, low)."""
     n_frames = (i * 29) % 400 + 50
     channels = i % 2 + 1
     rate = (8000, 16000, 44100)[i % 3]
@@ -1820,7 +1823,9 @@ def encode_wav_fixture(i: int) -> bytes:
         dtype=np.int64,
     )
     extra = (
-        [(b"LIST", b"INFOICMT" + struct.pack("<I", 5) + b"synth" + b"\x00")]
+        # 8 + 4 + 7 = 19 payload bytes: odd on purpose, so the staged
+        # registry files exercise the word-alignment pad skip
+        [(b"LIST", b"INFOICMT" + struct.pack("<I", 7) + b"synthe\x00")]
         if spec["list_chunk"]
         else None
     )
@@ -1830,8 +1835,11 @@ def encode_wav_fixture(i: int) -> bytes:
 
 
 def stage_wav_media(sf_dir: str, n: int = 240) -> str:
+    # dir name versioned (wavB): fixture bytes changed in r13 (odd
+    # LIST payload) and the _STAGED marker makes staging idempotent,
+    # so the old dir must not satisfy the new content
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/spark_graft_media/{tag}_wav{n}"
+    out = f"/tmp/spark_graft_media/{tag}_wavB{n}"
     os.makedirs(out, exist_ok=True)
     marker = os.path.join(out, "_STAGED")
     if not os.path.exists(marker):
@@ -1969,18 +1977,24 @@ def multimodal_audio_stats(
 def multimodal_audio_loudest_window(
     spark: SparkSession, sf_dir: str, n: int = 240
 ) -> DataFrame:
-    """Registry entry (r12): windowed audio ANALYTICS over the
-    decoded samples — the media-tier x analytics-tier composition
-    (the audio twin of mine_image_text_pairs' shape). Each file's
-    PCM decode emits one row per 100 ms window (win_len = rate/10
-    frames, last window partial) carrying integer energy
-    (sum of squared amplitudes over frames x channels) and peak
-    |amplitude|; the LOUDEST window per file is then picked
-    SPARK-SIDE with max_by over a (energy, -win_idx) struct — an
-    exact argmax with min-index tiebreak, one partial-combinable
-    aggregate, no window function. Everything is BIGINT so the
-    DuckDB oracle rebuilds windows and the argmax from the
-    closed-form waveform.
+    """Registry entry (r12; window length re-cut in r13): windowed
+    audio ANALYTICS over the decoded samples — the media-tier x
+    analytics-tier composition (the audio twin of
+    mine_image_text_pairs' shape). Each file's PCM decode emits one
+    row per 10 ms window (win_len = rate/100 frames, last window
+    partial) carrying integer energy (sum of squared amplitudes over
+    frames x channels) and peak |amplitude|; the LOUDEST window per
+    file is then picked SPARK-SIDE with max_by over a
+    (energy, -win_idx) struct — an exact argmax with min-index
+    tiebreak, one partial-combinable aggregate, no window function.
+    Everything is BIGINT so the DuckDB oracle rebuilds windows and
+    the argmax from the closed-form waveform. 10 ms (not the r12
+    100 ms): fixture files run 50-449 frames while 100 ms windows
+    are 800+ frames, so every staged file had exactly ONE window and
+    the argmax was vacuous (r12 ADVICE, medium) — at rate/100 the
+    staged files span 1-6 windows and the multi-window argmax is a
+    gated path; the tiebreak itself is pinned by the
+    loudest_window_agg unit test on exact-tie rows.
 
     Scale shape: the per-window fan-out is bounded (<= n_frames/
     win_len rows per file, each a 4-long tuple), the argmax is one
@@ -1997,7 +2011,7 @@ def multimodal_audio_loudest_window(
             for mid, p in zip(batch["media_id"], batch["payload"]):
                 meta, s = decode_wav(bytes(p))
                 a = s.astype(np.int64)
-                win_len = meta["sample_rate"] // 10
+                win_len = meta["sample_rate"] // 100
                 for w0 in range(0, meta["n_frames"], win_len):
                     chunk = a[w0 : w0 + win_len]
                     rows.append(
@@ -2015,6 +2029,16 @@ def multimodal_audio_loudest_window(
     wins = media.mapInPandas(
         run, "media_id long, win_idx long, energy long, peak long"
     )
+    return loudest_window_agg(wins).orderBy("media_id")
+
+
+def loudest_window_agg(wins: DataFrame) -> DataFrame:
+    """The argmax half of the loudest-window composition, split out
+    so the exact-tie tiebreak is unit-testable on hand-built window
+    rows (r12 ADVICE, medium): per media_id, the window with maximum
+    energy, MIN win_idx on exact energy ties — one map-side-
+    combinable max_by over a comparator struct, no window function,
+    no collect."""
     best = F.max_by(
         F.struct("win_idx", "energy", "peak"),
         # argmax on energy, min win_idx on ties: negate the index
@@ -2025,7 +2049,6 @@ def multimodal_audio_loudest_window(
         wins.groupBy("media_id")
         .agg(F.count(F.lit(1)).alias("n_windows"), best)
         .select("media_id", "n_windows", "s.win_idx", "s.energy", "s.peak")
-        .orderBy("media_id")
     )
 
 

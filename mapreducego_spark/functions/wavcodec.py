@@ -127,6 +127,8 @@ def parse_wav_meta(payload: bytes, want_data: bool = False) -> dict:
                 raise NotImplementedError("PCM widths 8 and 16 only")
             if channels < 1:
                 raise ValueError("fmt declares zero channels")
+            if rate < 1:
+                raise ValueError("fmt declares zero sample rate")
             if block_align != channels * (bits // 8):
                 raise ValueError("fmt block alignment inconsistent")
             fmt = {

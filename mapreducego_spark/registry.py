@@ -1179,7 +1179,7 @@ _R12_WINDOW = [
     "triangle_count",
     "weighted_paths",
     "zorder_key",
-    # (3) the 15 oldest r8-stale entries, alphabetical
+    # (3) the 12 oldest r8-stale entries, alphabetical
     "agg_pivot",
     "array_functions",
     "compact_documents",
@@ -2958,14 +2958,17 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents
 """
 # Logical + named types: every column rebuilt straight from parquet
-# — the raw micro timestamp, its calendar day, the string-built
-# exact decimal (identical text -> identical DECIMAL(18,3) in both
-# engines), the enum symbol (reads back as its string), and the
-# fixed tag presented as uppercase hex (Spark's hex() convention).
+# — the micro timestamp presented as unix_micros (the repo-wide
+# convention; a raw TimestampType output hashes tz-aware on the
+# Spark side vs naive in DuckDB — the r12 driver failure), its
+# epoch-day integer, the string-built exact decimal (identical text
+# -> identical DECIMAL(18,3) in both engines), the enum symbol
+# (reads back as its string), and the fixed tag presented as
+# uppercase hex (Spark's hex() convention).
 ORACLES["avro_logical_types"] = """
 SELECT CAST(event_id AS BIGINT) AS event_id,
-       ts,
-       CAST(ts AS DATE) AS day,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
        CAST(printf('%d.%03d', event_id // 1000, event_id % 1000)
             AS DECIMAL(18,3)) AS amt,
        event_type,
@@ -5481,16 +5484,18 @@ ORDER BY media_id
 """
 
 # Loudest window: rebuild the per-(file, window) integer energies
-# from the closed-form waveform (win_len = rate/10 frames), then the
-# same argmax with the min-index tiebreak via ROW_NUMBER.
+# from the closed-form waveform (win_len = rate/100 frames — 10 ms,
+# so the staged 50-449-frame files span 1-6 windows and the argmax
+# is non-vacuous; r12 ADVICE medium), then the same argmax with the
+# min-index tiebreak via ROW_NUMBER.
 ORACLES["multimodal_audio_loudest_window"] = """
 WITH par AS (
   SELECT media_id,
          (media_id * 29) % 400 + 50 AS n_frames,
          media_id % 2 + 1 AS ch_n,
          CASE WHEN media_id % 5 = 0 THEN 8 ELSE 16 END AS bits,
-         CASE media_id % 3 WHEN 0 THEN 800 WHEN 1 THEN 1600
-              ELSE 4410 END AS win_len
+         CASE media_id % 3 WHEN 0 THEN 80 WHEN 1 THEN 160
+              ELSE 441 END AS win_len
   FROM (SELECT unnest(range(240)) AS media_id)
 ),
 samples AS (

@@ -47,14 +47,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts has shipped as TIMESTAMP(NANOS) in some fixture
         # generations (which Spark's reader rejects outright unless
         # nanosAsLong maps it to a long) and TIMESTAMP(MICROS) in
-        # others. Normalize both to session-zoned TimestampType at
-        # microsecond precision — identical values either way, and
-        # the session timezone is UTC so the epoch extraction the
-        # oracles use (unix_micros/epoch) agrees cross-engine
+        # others. Normalize both to TimestampType at microsecond
+        # precision. inferTimestampNTZ is forced OFF for this scan
+        # (r13, after the r12 driver lesson): with it on, the naive
+        # parquet micros read as TIMESTAMP_NTZ and the cast to
+        # TimestampType localizes them in the SESSION timezone — so
+        # every instant derived from events.ts would shift under a
+        # non-UTC driver session. With it off, the stored micros ARE
+        # the UTC-epoch instant, session-independent, which is also
+        # exactly how the DuckDB oracles read the same file
         # (FIXTURES.md §F5 / SURVEY §7 risk e).
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(path)
         if dict(df.dtypes)["ts"] == "bigint":  # nanos-as-long fixture
             return df.withColumn(
@@ -631,7 +637,20 @@ def avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     off by one micro, a mis-scaled decimal, or a wrong enum index
     breaks it). Codec-level scope + the loud resolution rules
     (decimal scale change refuses) are pinned in
-    tests/test_sources.py."""
+    tests/test_sources.py.
+
+    Readout convention (r12 verdict wrong #1/#2): the returned frame
+    presents the round-tripped timestamp as ``unix_micros`` and the
+    round-tripped date as an epoch-day integer — the repo-wide rule
+    every other entry follows — because a raw TimestampType output is
+    instant-semantics (tz-aware) on the Spark side while DuckDB's is
+    naive, so any harness that hashes RENDERED values diverges even
+    when every stored micro is identical (exactly what the r12 driver
+    row showed). The date column is likewise BUILT from epoch-day
+    arithmetic, not ``to_date``, so nothing here depends on the
+    session timezone the driver happens to hand in. The wire path
+    (timestamp-micros / date / decimal / enum / fixed) is unchanged
+    and still fully hash-gated through the presentation longs."""
     from pyspark.sql import functions as F
 
     from mapreducego_spark.sources.avrocodec import spark_to_avro
@@ -639,7 +658,9 @@ def avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_id").cast("long").alias("event_id"),
         "ts",
-        F.to_date("ts").alias("day"),
+        F.date_from_unix_date(
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("int")
+        ).alias("day"),
         F.format_string(
             "%d.%03d",
             F.floor(F.col("event_id") / 1000).cast("long"),
@@ -667,8 +688,8 @@ def avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_avro(spark, path, schema=ev.schema)
     return back.select(
         "event_id",
-        "ts",
-        "day",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_date("day").cast("long").alias("day_num"),
         "amt",
         "event_type",
         F.hex("tag").alias("tag_hex"),

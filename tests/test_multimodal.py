@@ -491,6 +491,11 @@ def test_audio_loudest_window_matches_brute_force(spark, sf_dir):
         for r in multimodal_audio_loudest_window(spark, sf_dir, n=30).collect()
     }
     assert len(got) == 30
+    # non-vacuous gate (r12 ADVICE medium): the 10 ms windows must
+    # give a real spread of window counts, incl. files where the
+    # argmax picks a non-first window
+    assert max(r["n_windows"] for r in got.values()) >= 3
+    assert any(r["win_idx"] > 0 for r in got.values())
     for i in range(30):
         spec = _wav_fixture_params(i)
         a = np.array(
@@ -500,7 +505,7 @@ def test_audio_loudest_window_matches_brute_force(spark, sf_dir):
             ],
             dtype=np.int64,
         )
-        win_len = spec["rate"] // 10
+        win_len = spec["rate"] // 100
         energies = [
             int((a[w0 : w0 + win_len] ** 2).sum())
             for w0 in range(0, spec["n_frames"], win_len)
@@ -513,6 +518,56 @@ def test_audio_loudest_window_matches_brute_force(spark, sf_dir):
         assert r["peak"] == int(
             np.abs(a[best * win_len : (best + 1) * win_len]).max()
         )
+
+
+def test_loudest_window_agg_breaks_exact_ties_by_min_index(spark):
+    """Exact-equal energies must resolve to the LOWEST window index
+    (the documented tiebreak), including when the tied windows carry
+    different peaks — pinned on hand-built rows because the staged
+    waveforms never tie exactly (r12 ADVICE, medium)."""
+    from mapreducego_spark.functions.multimodal import loudest_window_agg
+
+    rows = [
+        # media 1: windows 2 and 0 tie at energy 90 -> win 0 wins
+        (1, 0, 90, 7), (1, 1, 40, 9), (1, 2, 90, 3),
+        # media 2: all three tie -> win 0
+        (2, 0, 5, 1), (2, 1, 5, 2), (2, 2, 5, 3),
+        # media 3: strict max at the last window
+        (3, 0, 1, 1), (3, 1, 2, 1), (3, 2, 9, 2),
+    ]
+    wins = spark.createDataFrame(
+        rows, "media_id long, win_idx long, energy long, peak long"
+    )
+    got = {
+        r["media_id"]: (r["n_windows"], r["win_idx"], r["energy"], r["peak"])
+        for r in loudest_window_agg(wins).collect()
+    }
+    assert got == {1: (3, 0, 90, 7), 2: (3, 0, 5, 1), 3: (3, 2, 9, 2)}
+
+
+def test_staged_wav_fixtures_carry_odd_list_chunk():
+    """Every fourth fixture's LIST payload is 19 bytes (odd), so the
+    word-alignment pad-skip path is staged in the registry files
+    themselves, not just unit-built blobs (r12 ADVICE, low) — and the
+    padded file still decodes to the exact closed-form samples."""
+    import struct as _struct
+
+    from mapreducego_spark.functions.multimodal import (
+        _wav_fixture_params,
+        encode_wav_fixture,
+    )
+    from mapreducego_spark.functions.wavcodec import decode_wav
+
+    spec = _wav_fixture_params(1)
+    assert spec["list_chunk"]
+    blob = encode_wav_fixture(1)
+    i = blob.find(b"LIST")
+    (size,) = _struct.unpack("<I", blob[i + 4 : i + 8])
+    assert size % 2 == 1, "LIST payload must be odd to stage the pad"
+    assert blob[i + 8 + size : i + 9 + size] == b"\x00"
+    meta, s = decode_wav(blob)
+    assert meta["n_frames"] == spec["n_frames"]
+    assert s[3][0] == spec["sample"](3, 0)
 
 
 # ------------------------------------- r12: png variants + exif metadata

@@ -781,8 +781,12 @@ def test_avro_corrupt_negative_lengths_fail_loudly():
 
 
 def test_avro_logical_types_spark_entry(spark, sf_dir):
-    """The registry entry end to end: timestamps exact to the micro,
-    dates, exact decimals, enum symbols, fixed tags."""
+    """The registry entry end to end: timestamps exact to the micro
+    (presented as unix_micros longs — the repo-wide no-raw-
+    TimestampType convention the r12 driver row enforced), epoch-day
+    ints, exact decimals, enum symbols, fixed tags."""
+    import datetime as dt
+
     from mapreducego_spark.sources.catalog import (
         avro_logical_types,
         load_table,
@@ -794,10 +798,74 @@ def test_avro_logical_types_spark_entry(spark, sf_dir):
         for r in load_table(spark, sf_dir, "events").collect()
     }
     assert len(rows) == len(src)
+    epoch = dt.datetime(1970, 1, 1)
     for r in rows[:50]:
         s = src[r["event_id"]]
-        assert r["ts"] == s["ts"]
-        assert r["day"] == s["ts"].date()
+        d = s["ts"] - epoch  # naive UTC under the repo session pin
+        micros = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+        assert r["ts_us"] == micros
+        assert r["day_num"] == micros // 86_400_000_000
         assert int(r["amt"].scaleb(3)) == r["event_id"]
         assert r["event_type"] == s["event_type"]
         assert int(r["tag_hex"], 16) == r["event_id"]
+
+
+def test_avro_logical_types_entry_is_session_timezone_proof(spark, sf_dir):
+    """The r12 driver failure class, pinned: the driver hands in ITS
+    OWN session, so nothing guarantees the repo's UTC pin at verify
+    time. Under a deliberately non-UTC session timezone the entry
+    must produce the identical longs (unix_micros / epoch-day are
+    instant arithmetic, not rendered local time) and must not output
+    any raw timestamp column."""
+    from mapreducego_spark.sources.catalog import avro_logical_types
+
+    base = {r["event_id"]: r for r in
+            avro_logical_types(spark, sf_dir).collect()}
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = avro_logical_types(spark, sf_dir)
+        assert "timestamp" not in df.schema.simpleString()
+        shifted = {r["event_id"]: r for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert len(shifted) == len(base)
+    for eid in list(base)[:100]:
+        b, s = base[eid], shifted[eid]
+        assert (b["ts_us"], b["day_num"]) == (s["ts_us"], s["day_num"])
+
+
+def test_avro_decimal_wide_values_are_exact_or_loud():
+    """r12 ADVICE (high): >28-significant-digit decimals used to
+    round SILENTLY through the default Decimal context on both
+    encode and decode. Now: 38-digit values (Spark's max precision)
+    round-trip bit-exactly, and values exceeding the declared
+    precision refuse."""
+    from decimal import Decimal
+
+    import pytest
+
+    from mapreducego_spark.sources.avrocodec import (
+        read_container,
+        write_container,
+    )
+
+    avsc = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "amt", "type": {"type": "bytes", "logicalType":
+             "decimal", "precision": 38, "scale": 6}},
+        ],
+    }
+    wide = Decimal("12345678901234567890123456789012.345678")  # 38 digits
+    neg = Decimal("-99999999999999999999999999999999.999999")
+    _, rows = read_container(
+        write_container(avsc, [{"amt": wide}, {"amt": neg}])
+    )
+    assert rows[0]["amt"] == wide and rows[1]["amt"] == neg
+    over = Decimal("123456789012345678901234567890123.456789")  # 39 digits
+    with pytest.raises(ValueError, match="precision"):
+        write_container(avsc, [{"amt": over}])
+    with pytest.raises(ValueError, match="cannot encode"):
+        write_container(avsc, [{"amt": Decimal("NaN")}])

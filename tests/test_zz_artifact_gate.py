@@ -150,6 +150,34 @@ def test_scale_profile_covers_its_declared_set_with_no_open_flags():
     assert not open_flags, open_flags
 
 
+def test_no_registry_output_carries_raw_timestamp_type():
+    """The repo-wide presentation convention (r12 verdict #1): no
+    registry entry's OUTPUT schema may contain a TimestampType
+    column. Spark timestamps are instant-semantics (tz-aware in
+    Arrow/driver canonicalization) while DuckDB's are naive, so a raw
+    timestamp output hash-diverges in any harness that renders values
+    — the exact failure the r12 driver row for avro_logical_types
+    showed while every stored micro was identical. Entries present
+    unix_micros longs / epoch-day ints instead; this gate enforces
+    the convention over the schemas VERIFY_LOCAL records for all
+    entries (mtime freshness of that artifact is gated above)."""
+    results = _load("VERIFY_LOCAL.json")["results"]
+    missing = [n for n, r in results.items() if "out_schema" not in r]
+    assert not missing, (
+        "VERIFY_LOCAL.json predates output-schema recording -> run"
+        f" tools/end_of_round.py (first missing: {missing[:5]})"
+    )
+    offenders = {
+        n: r["out_schema"]
+        for n, r in results.items()
+        if "timestamp" in r["out_schema"]
+    }
+    assert not offenders, (
+        "registry outputs with raw TimestampType columns (present"
+        " unix_micros/epoch-day instead): " + str(offenders)
+    )
+
+
 def test_sf1_verify_covers_its_declared_suite():
     """VERIFY_SF1 is a curated scale suite, not the full registry —
     its gate is internal consistency (n_pass == n_queries == the

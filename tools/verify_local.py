@@ -49,6 +49,16 @@ def norm_value(v):
     if isinstance(v, int):
         return int(v)
     if hasattr(v, "isoformat"):
+        # tz-aware datetimes canonicalize to naive UTC (r12 verdict
+        # wrong #1): Spark timestamps are instant-semantics and come
+        # back tz-aware under a non-UTC session, DuckDB's are naive —
+        # rendering them verbatim would make identical instants hash
+        # differently, the exact divergence class the r12 driver
+        # caught and this replica could not.
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat()
     from decimal import Decimal
 
@@ -113,6 +123,11 @@ def main():
         try:
             df = fn(spark, SF_DIR)
             spark_cols = df.columns
+            # Recorded so the registry-wide output-type convention is
+            # artifact-enforceable (r12 verdict #1): no entry may
+            # output a raw TimestampType — tests/test_zz_artifact_gate
+            # asserts it over this field for all entries.
+            out_schema = df.schema.simpleString()
             spark_rows = [tuple(r) for r in df.collect()]
         except Exception as ex:  # noqa: BLE001
             failures.append(name)
@@ -121,7 +136,9 @@ def main():
             continue
         if name not in oracles:
             results[name] = {
-                "status": "rows_only_by_design", "spark_rows": len(spark_rows)
+                "status": "rows_only_by_design",
+                "spark_rows": len(spark_rows),
+                "out_schema": out_schema,
             }
             print(f"rows  {name}: {len(spark_rows)} rows (no oracle)")
             continue
@@ -161,6 +178,7 @@ def main():
                 "rows_match": True,
                 "schema_match": True,
                 "hash_match": True,
+                "out_schema": out_schema,
             }
             print(f"PASS  {name}: {len(spark_rows)} rows")
     import json as _json
