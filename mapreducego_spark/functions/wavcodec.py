@@ -8,15 +8,21 @@ u32 size, word-aligned: odd-sized chunks carry one pad byte), the
 ``fmt `` chunk's PCM header, and the ``data`` chunk's interleaved
 frames — because no audio library ships in this container.
 
-Scope (loud): canonical PCM only — format code 1, 8-bit unsigned or
-16-bit signed little-endian samples, any channel count/sample rate.
-8-bit samples are presented CENTERED (value - 128) so downstream
-stats see signed amplitudes for both widths. Unknown chunks (LIST,
-INFO, cue...) are skipped by their declared size, which is how real
-recorder output must be walked. IEEE-float (code 3), WAVE_FORMAT_
-EXTENSIBLE (0xFFFE), and other widths raise NotImplementedError;
+Scope (loud): the format families real recorder/DAW output actually
+carries (widened in r13 per the r12 verdict's #1 missing edge) —
+PCM (format code 1) at 8-bit unsigned, 16-bit signed, and 24-bit
+signed little-endian; IEEE float32 (format code 3, with the fact
+chunk float files carry); and WAVE_FORMAT_EXTENSIBLE (0xFFFE, the
+header every >2-channel or >16-bit-aware encoder writes) resolving
+its 22-byte extension's SubFormat GUID to PCM or float. 8-bit
+samples are presented CENTERED (value - 128) so downstream stats see
+signed amplitudes at every width. Unknown chunks (LIST, INFO,
+cue...) are skipped by their declared size, which is how real
+recorder output must be walked. Non-audio SubFormat GUIDs, other
+format codes, and other widths raise NotImplementedError;
 structurally broken files (bad magic, truncated chunks, a data size
-that is not a whole number of frames) raise ValueError.
+that is not a whole number of frames, a truncated extensible
+extension) raise ValueError.
 
 Reference parity note: the reference repo (MapReduceGo) has no media
 tier at all; this belongs to the 100 TB training-data north star
@@ -31,37 +37,81 @@ import struct
 import numpy as np
 
 
+# SubFormat GUID layout (RFC 2361 / mmreg.h, public): Data1 is the
+# little-endian format code, the 12-byte tail is the fixed media
+# class id {xxxxxxxx-0000-0010-8000-00AA00389B71}.
+_SUBFMT_TAIL = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
+def _subformat_guid(code: int) -> bytes:
+    return struct.pack("<I", code) + _SUBFMT_TAIL
+
+
 def encode_wav_pcm(
     sample_rate: int,
     samples: np.ndarray,
     bits: int = 16,
     extra_chunks: list[tuple[bytes, bytes]] | None = None,
+    float_format: bool = False,
+    extensible: bool = False,
 ) -> bytes:
-    """Encode ``samples`` (int array, shape (n_frames, channels);
-    8-bit input is the CENTERED representation, re-biased to
-    unsigned on the wire) as a canonical PCM WAV file.
-    ``extra_chunks`` are written between ``fmt `` and ``data`` —
-    the decoder must skip them like real recorder metadata."""
+    """Encode ``samples`` (shape (n_frames, channels)) as a WAV file.
+
+    PCM (default): int samples at 8 (CENTERED representation,
+    re-biased to unsigned on the wire), 16, or 24 bits. IEEE float
+    (``float_format=True``): float32 samples, format code 3, plus
+    the ``fact`` chunk real float files carry. ``extensible=True``
+    wraps either family in the WAVE_FORMAT_EXTENSIBLE header
+    (code 0xFFFE, cbSize 22, valid-bits + channel-mask + SubFormat
+    GUID). ``extra_chunks`` are written between ``fmt `` and
+    ``data`` — the decoder must skip them like real recorder
+    metadata."""
     if samples.ndim != 2:
         raise ValueError("samples must be (n_frames, channels)")
     n_frames, channels = samples.shape
-    if bits == 16:
+    if float_format:
+        if bits not in (16, 32):  # bits arg ignored for float; keep 32
+            bits = 32
+        bits = 32
+        payload = samples.astype("<f4").tobytes()
+        base_code = 3  # WAVE_FORMAT_IEEE_FLOAT
+    elif bits == 16:
         payload = samples.astype("<i2").tobytes()
+        base_code = 1
     elif bits == 8:
         payload = (samples.astype(np.int64) + 128).astype(np.uint8).tobytes()
+        base_code = 1
+    elif bits == 24:
+        quads = samples.astype("<i4").view(np.uint8).reshape(-1, 4)
+        payload = quads[:, :3].tobytes()  # drop the high byte: 3-byte LE
+        base_code = 1
     else:
-        raise NotImplementedError("PCM widths 8 and 16 only")
+        raise NotImplementedError("PCM widths 8, 16 and 24 only")
     block_align = channels * (bits // 8)
-    fmt = struct.pack(
-        "<HHIIHH",
-        1,  # WAVE_FORMAT_PCM
-        channels,
-        sample_rate,
-        sample_rate * block_align,
-        block_align,
-        bits,
-    )
+    if extensible:
+        fmt = struct.pack(
+            "<HHIIHH",
+            0xFFFE,  # WAVE_FORMAT_EXTENSIBLE
+            channels,
+            sample_rate,
+            sample_rate * block_align,
+            block_align,
+            bits,
+        ) + struct.pack("<HHI", 22, bits, 0) + _subformat_guid(base_code)
+    else:
+        fmt = struct.pack(
+            "<HHIIHH",
+            base_code,
+            channels,
+            sample_rate,
+            sample_rate * block_align,
+            block_align,
+            bits,
+        )
     chunks = [(b"fmt ", fmt)]
+    if float_format:
+        # fact: per-channel frame count (required for non-PCM codes)
+        chunks.append((b"fact", struct.pack("<I", n_frames)))
     chunks += extra_chunks or []
     chunks.append((b"data", payload))
     body = bytearray(b"WAVE")
@@ -73,16 +123,28 @@ def encode_wav_pcm(
 
 
 def decode_wav(payload: bytes) -> tuple[dict, np.ndarray]:
-    """Decode a PCM WAV file to (meta, samples).
+    """Decode a WAV file to (meta, samples).
 
     ``meta``: sample_rate, channels, bits, n_frames, duration_us
-    (exact integer floor micros). ``samples``: int16 array of shape
-    (n_frames, channels) — 8-bit input centered by -128."""
+    (exact integer floor micros), format ('pcm'|'float'), extensible
+    (bool). ``samples``, shape (n_frames, channels): int16 for 8-bit
+    (centered by -128) and 16-bit PCM, int32 for 24-bit PCM (3-byte
+    little-endian sign-extended), float32 for IEEE float."""
     meta = parse_wav_meta(payload, want_data=True)
     data = meta.pop("_data")
     bits, channels = meta["bits"], meta["channels"]
-    if bits == 16:
+    if meta["format"] == "float":
+        flat = np.frombuffer(data, dtype="<f4")
+    elif bits == 16:
         flat = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    elif bits == 24:
+        tri = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        v = (
+            tri[:, 0].astype(np.int32)
+            | tri[:, 1].astype(np.int32) << 8
+            | tri[:, 2].astype(np.int32) << 16
+        )
+        flat = (v ^ 0x800000) - 0x800000  # sign-extend bit 23
     else:
         flat = (
             np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
@@ -119,12 +181,31 @@ def parse_wav_meta(payload: bytes, want_data: bool = False) -> dict:
             code, channels, rate, _brate, block_align, bits = struct.unpack(
                 "<HHIIHH", payload[body_start : body_start + 16]
             )
-            if code != 1:
+            extensible = False
+            if code == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: resolve GUID
+                if size < 40:
+                    raise ValueError(
+                        "extensible fmt chunk truncated (needs cbSize 22)"
+                    )
+                guid = payload[body_start + 24 : body_start + 40]
+                if guid[4:] != _SUBFMT_TAIL:
+                    raise NotImplementedError(
+                        f"non-audio SubFormat GUID {guid.hex()}"
+                    )
+                (code,) = struct.unpack("<I", guid[:4])
+                extensible = True
+            if code == 1:
+                if bits not in (8, 16, 24):
+                    raise NotImplementedError("PCM widths 8, 16 and 24 only")
+            elif code == 3:
+                if bits != 32:
+                    raise NotImplementedError(
+                        "IEEE float WAV must be 32-bit"
+                    )
+            else:
                 raise NotImplementedError(
-                    f"WAV format code {code} (canonical PCM only)"
+                    f"WAV format code {code} (PCM and IEEE float only)"
                 )
-            if bits not in (8, 16):
-                raise NotImplementedError("PCM widths 8 and 16 only")
             if channels < 1:
                 raise ValueError("fmt declares zero channels")
             if rate < 1:
@@ -136,6 +217,8 @@ def parse_wav_meta(payload: bytes, want_data: bool = False) -> dict:
                 "channels": channels,
                 "bits": bits,
                 "block_align": block_align,
+                "format": "float" if code == 3 else "pcm",
+                "extensible": extensible,
             }
         elif cid == b"data":
             data_info = (body_start, size)
@@ -158,6 +241,8 @@ def parse_wav_meta(payload: bytes, want_data: bool = False) -> dict:
         "bits": fmt["bits"],
         "n_frames": n_frames,
         "duration_us": n_frames * 1_000_000 // fmt["sample_rate"],
+        "format": fmt["format"],
+        "extensible": fmt["extensible"],
     }
     if want_data:
         out["_data"] = payload[start : start + size]

@@ -659,6 +659,12 @@ QUERIES: dict[str, QueryFn] = {
     # picked Spark-side with one max_by aggregate — the media x
     # analytics composition (silence-trim / clip-detection shape)
     "multimodal_audio_loudest_window": M.multimodal_audio_loudest_window,
+    # WAV format families (new in r13, r12 verdict missing #1):
+    # 24-bit PCM, IEEE float32 (+fact chunk), and
+    # WAVE_FORMAT_EXTENSIBLE wrapping both via the SubFormat GUID;
+    # float samples staged as exact 1/1024 rationals so the stats
+    # stay all-BIGINT; non-audio GUIDs refuse loudly
+    "multimodal_audio_formats": M.multimodal_audio_formats,
     # palette-indexed + Adam7-interlaced PNG decode (new in r12):
     # the web-graphics encodings the r7 decoder loudly refused —
     # PLTE lookup with loud out-of-range indices, seven-pass
@@ -5531,6 +5537,52 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
        CAST(peak AS BIGINT) AS peak
 FROM ranked
 WHERE rn = 1
+ORDER BY media_id
+"""
+
+# WAV format families: per-family closed-form integer samples (the
+# float families' q is the 1/1024 numerator the entry recovers via
+# round(v*1024) — exact in float32 for |q| <= 100000), aggregated to
+# the same position-weighted BIGINT gates as the PCM stats tier.
+ORACLES["multimodal_audio_formats"] = """
+WITH par AS (
+  SELECT media_id,
+         CASE WHEN media_id % 3 = 0 THEN 'pcm24'
+              WHEN media_id % 3 = 1 THEN 'float32'
+              WHEN (media_id // 3) % 2 = 1 THEN 'ext_float32'
+              ELSE 'ext_pcm16' END AS family,
+         media_id % 2 + 1 AS ch_n,
+         (media_id * 37) % 300 + 60 AS n_frames
+  FROM (SELECT unnest(range(240)) AS media_id)
+),
+samples AS (
+  SELECT media_id, family, ch_n, n_frames, t.t AS t, c.c AS c,
+         CASE family
+           WHEN 'pcm24'
+             THEN (media_id * 53 + c.c * 211 + t.t * 17) % 2000001
+                  - 1000000
+           WHEN 'ext_pcm16'
+             THEN (media_id * 37 + c.c * 101 + t.t * 13) % 4001 - 2000
+           ELSE (media_id * 41 + c.c * 97 + t.t * 29) % 200001 - 100000
+         END AS q
+  FROM par,
+       (SELECT unnest(range(360)) AS t) t,
+       (SELECT unnest(range(2)) AS c) c
+  WHERE t.t < n_frames AND c.c < ch_n
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       ANY_VALUE(family) AS family,
+       CAST(CASE ANY_VALUE(family) WHEN 'pcm24' THEN 24
+            WHEN 'ext_pcm16' THEN 16 ELSE 32 END AS BIGINT) AS bits,
+       CAST(ANY_VALUE(ch_n) AS BIGINT) AS channels,
+       CAST(ANY_VALUE(n_frames) AS BIGINT) AS n_frames,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(q) AS BIGINT) AS q_sum,
+       CAST(MIN(q) AS BIGINT) AS q_min,
+       CAST(MAX(q) AS BIGINT) AS q_max,
+       CAST(SUM((t * ch_n + c + 1) * q) AS BIGINT) AS q_wsum
+FROM samples
+GROUP BY media_id
 ORDER BY media_id
 """
 

@@ -400,6 +400,7 @@ def test_wav_codec_round_trips_all_shapes():
             "sample_rate": rate, "channels": channels, "bits": bits,
             "n_frames": n_frames,
             "duration_us": n_frames * 1_000_000 // rate,
+            "format": "pcm", "extensible": False,
         }
         assert (s == arr).all()
         assert parse_wav_meta(blob) == meta
@@ -423,12 +424,18 @@ def test_wav_codec_failures_are_loud():
         parse_wav_meta(b"JUNK" + bytes(blob[4:]))
     with pytest.raises(ValueError, match="truncated"):
         parse_wav_meta(bytes(blob[:-9]))  # RIFF size now overruns
-    # IEEE float format code refuses
+    # IEEE float is supported since r13 but ONLY at 32-bit — a code-3
+    # header still declaring 16-bit width refuses
     i = bytes(blob).find(b"fmt ")
     f32 = bytearray(blob)
     f32[i + 8 : i + 10] = struct.pack("<H", 3)
-    with pytest.raises(NotImplementedError, match="format code 3"):
+    with pytest.raises(NotImplementedError, match="32-bit"):
         parse_wav_meta(bytes(f32))
+    # compressed codecs (ADPCM = code 2) stay refused
+    adpcm = bytearray(blob)
+    adpcm[i + 8 : i + 10] = struct.pack("<H", 2)
+    with pytest.raises(NotImplementedError, match="format code 2"):
+        parse_wav_meta(bytes(adpcm))
     # data size not a whole number of frames
     j = bytes(blob).find(b"data")
     ragged = bytearray(blob)
@@ -437,7 +444,7 @@ def test_wav_codec_failures_are_loud():
     with pytest.raises(ValueError, match="whole number of frames"):
         parse_wav_meta(bytes(ragged))
     with pytest.raises(NotImplementedError, match="widths"):
-        encode_wav_pcm(8000, arr, bits=24)
+        encode_wav_pcm(8000, arr, bits=20)
     with pytest.raises(ValueError, match="fmt chunk"):
         decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
 
@@ -518,6 +525,121 @@ def test_audio_loudest_window_matches_brute_force(spark, sf_dir):
         assert r["peak"] == int(
             np.abs(a[best * win_len : (best + 1) * win_len]).max()
         )
+
+
+def test_wav_format_families_round_trip_exactly():
+    """24-bit PCM (3-byte LE sign extension), IEEE float32 (+fact
+    chunk), and WAVE_FORMAT_EXTENSIBLE wrapping both — every sample
+    reproduced exactly, meta reporting the resolved family."""
+    import numpy as np
+
+    from mapreducego_spark.functions.wavcodec import (
+        decode_wav,
+        encode_wav_pcm,
+    )
+
+    rng = np.random.RandomState(13)
+    a24 = rng.randint(-(2**23), 2**23, size=(101, 2)).astype(np.int64)
+    meta, s = decode_wav(encode_wav_pcm(16000, a24, bits=24))
+    assert (meta["bits"], meta["format"], meta["extensible"]) == (
+        24, "pcm", False,
+    )
+    assert s.dtype == np.int32 and (s == a24).all()
+
+    k = rng.randint(-100000, 100001, size=(77, 1)).astype(np.int64)
+    fl = k.astype(np.float64) / 1024.0
+    meta, s = decode_wav(encode_wav_pcm(8000, fl, float_format=True))
+    assert (meta["bits"], meta["format"], meta["extensible"]) == (
+        32, "float", False,
+    )
+    assert (np.rint(s.astype(np.float64) * 1024).astype(np.int64) == k).all()
+
+    a16 = rng.randint(-32768, 32768, size=(50, 2)).astype(np.int64)
+    meta, s = decode_wav(encode_wav_pcm(44100, a16, bits=16, extensible=True))
+    assert (meta["bits"], meta["format"], meta["extensible"]) == (
+        16, "pcm", True,
+    )
+    assert (s == a16).all()
+
+    meta, s = decode_wav(
+        encode_wav_pcm(8000, fl, float_format=True, extensible=True)
+    )
+    assert (meta["format"], meta["extensible"]) == ("float", True)
+    assert (np.rint(s.astype(np.float64) * 1024).astype(np.int64) == k).all()
+
+
+def test_wav_extensible_failures_are_loud():
+    """Non-audio SubFormat GUIDs and truncated extensible headers
+    refuse with the documented exception types."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+
+    from mapreducego_spark.functions.wavcodec import (
+        encode_wav_pcm,
+        parse_wav_meta,
+    )
+
+    arr = np.zeros((10, 1), dtype=np.int64)
+    blob = bytearray(encode_wav_pcm(8000, arr, bits=16, extensible=True))
+    i = bytes(blob).find(b"fmt ")
+    # corrupt the GUID tail -> non-audio media class
+    bad = bytearray(blob)
+    bad[i + 8 + 28] ^= 0xFF
+    with pytest.raises(NotImplementedError, match="SubFormat GUID"):
+        parse_wav_meta(bytes(bad))
+    # shrink the fmt chunk below the 40 bytes cbSize-22 needs
+    short = bytearray(blob)
+    short[i + 4 : i + 8] = _struct.pack("<I", 20)
+    with pytest.raises(ValueError):
+        parse_wav_meta(bytes(short))
+    # float width other than 32 refuses
+    f16 = bytearray(encode_wav_pcm(8000, arr.astype(np.float64),
+                                   float_format=True))
+    j = bytes(f16).find(b"fmt ")
+    f16[j + 8] = 3  # code already 3; force bits field to 16
+    f16[j + 8 + 14 : j + 8 + 16] = _struct.pack("<H", 16)
+    with pytest.raises((NotImplementedError, ValueError)):
+        parse_wav_meta(bytes(f16))
+
+
+def test_audio_formats_entry_matches_fixture_closed_form(spark, sf_dir):
+    """The registry entry end to end against the Python closed form
+    for one file of each family (the DuckDB oracle is the
+    cross-engine twin)."""
+    import numpy as np
+
+    from mapreducego_spark.functions.multimodal import (
+        _wav_formats_fixture_params,
+        multimodal_audio_formats,
+    )
+
+    got = {
+        r["media_id"]: r
+        for r in multimodal_audio_formats(spark, sf_dir, n=24).collect()
+    }
+    assert len(got) == 24
+    fams = {r["family"] for r in got.values()}
+    assert fams == {"pcm24", "float32", "ext_pcm16", "ext_float32"}
+    for i in range(12):
+        spec = _wav_formats_fixture_params(i)
+        a = np.array(
+            [
+                [spec["q"](t, ch) for ch in range(spec["channels"])]
+                for t in range(spec["n_frames"])
+            ],
+            dtype=np.int64,
+        )
+        w = np.arange(a.size, dtype=np.int64).reshape(a.shape) + 1
+        r = got[i]
+        assert r["family"] == spec["family"]
+        assert r["bits"] == spec["bits"]
+        assert r["n_samples"] == a.size
+        assert r["q_sum"] == int(a.sum())
+        assert r["q_min"] == int(a.min())
+        assert r["q_max"] == int(a.max())
+        assert r["q_wsum"] == int((w * a).sum())
 
 
 def test_loudest_window_agg_breaks_exact_ties_by_min_index(spark):
