@@ -674,6 +674,11 @@ QUERIES: dict[str, QueryFn] = {
     # byte orders (orientation, make/model, capture timestamps incl.
     # the 0x8769 sub-IFD), scan-free, printf-closed-form oracle
     "multimodal_jpeg_exif": M.multimodal_jpeg_exif,
+    # ORIENTATION-NORMALIZED decode (new in r13, r12 verdict missing
+    # #2): real baseline JPEGs with real Exif APP1s cycling all 8
+    # TIFF 6.0 orientation cases; the raster is rotated/flipped
+    # upright BEFORE hashing, so the hash gates the transform itself
+    "multimodal_decode_oriented": M.multimodal_decode_oriented,
     # image-text training-pair manifest: real JPEG decode joined to
     # caption token stats with the CLIP-style quality gate — the
     # first media-tier x text-tier composition (new in r10)
@@ -5537,6 +5542,86 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
        CAST(peak AS BIGINT) AS peak
 FROM ranked
 WHERE rn = 1
+ORDER BY media_id
+"""
+
+# Orientation-normalized decode: the baseline-fixture closed form
+# read through the INVERSE coordinate map of each TIFF 6.0
+# orientation case — output pixel (x2, y2) pulls the source pixel
+# its upright position came from, so the hash gates the transform
+# (swapped dims for cases 5-8, mirrored axes for 2/4/7, both for
+# 3/6). RGB formulas verbatim from the committed jpeg-decode oracle.
+ORACLES["multimodal_decode_oriented"] = """
+WITH m AS (SELECT unnest(range(240)) AS media_id),
+dims AS (
+  SELECT media_id,
+         CAST((media_id * 7) % 25 + 8 AS BIGINT) AS w,
+         CAST((media_id * 13) % 19 + 8 AS BIGINT) AS h,
+         CAST(media_id % 8 + 1 AS BIGINT) AS o
+  FROM m
+),
+od AS (
+  SELECT *,
+         CASE WHEN o >= 5 THEN h ELSE w END AS w2,
+         CASE WHEN o >= 5 THEN w ELSE h END AS h2
+  FROM dims
+),
+px AS (
+  SELECT media_id, w, h, o, w2, h2, x.x AS x2, y.y AS y2,
+         CASE o
+           WHEN 1 THEN x.x WHEN 2 THEN w - 1 - x.x
+           WHEN 3 THEN w - 1 - x.x WHEN 4 THEN x.x
+           WHEN 5 THEN y.y WHEN 6 THEN y.y
+           WHEN 7 THEN w - 1 - y.y ELSE w - 1 - y.y
+         END AS sx,
+         CASE o
+           WHEN 1 THEN y.y WHEN 2 THEN y.y
+           WHEN 3 THEN h - 1 - y.y WHEN 4 THEN h - 1 - y.y
+           WHEN 5 THEN x.x WHEN 6 THEN h - 1 - x.x
+           WHEN 7 THEN h - 1 - x.x ELSE x.x
+         END AS sy
+  FROM od,
+       (SELECT unnest(range(32)) AS x) x,
+       (SELECT unnest(range(32)) AS y) y
+  WHERE x.x < w2 AND y.y < h2
+),
+vals AS (
+  SELECT media_id, o, w2, h2, x2, y2,
+         (media_id * 31 + (sy // 8) * 47 + (sx // 8) * 17) % 256 AS yv,
+         CASE WHEN media_id % 4 = 0 THEN 0
+              ELSE (media_id * 5 + (sx // 8) * 3 + (sy // 8) * 7) % 100
+         END AS cb1,
+         CASE WHEN media_id % 4 = 0 THEN 0
+              ELSE (media_id * 11 + (sx // 8) * 13 + (sy // 8) * 5) % 100
+         END AS cr1
+  FROM px
+),
+rgb AS (
+  SELECT media_id, o, w2, h2, x2, y2,
+         LEAST(255, GREATEST(0,
+             yv + (91881 * cr1 + 32768) // 65536)) AS r,
+         LEAST(255, GREATEST(0,
+             yv - (22554 * cb1 + 46802 * cr1 + 32768) // 65536)) AS g,
+         LEAST(255, GREATEST(0,
+             yv + (116130 * cb1 + 32768) // 65536)) AS b
+  FROM vals
+),
+rows_hex AS (
+  SELECT media_id, o, w2, h2, y2,
+         string_agg(printf('%02x%02x%02x', r, g, b), '' ORDER BY x2)
+             AS rowstr,
+         SUM(r + g + b) AS part_sum
+  FROM rgb
+  GROUP BY media_id, o, w2, h2, y2
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(MAX(o) AS BIGINT) AS orientation,
+       CAST(MAX(w2) AS INT) AS width,
+       CAST(MAX(h2) AS INT) AS height,
+       CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+       md5(string_agg(rowstr, '' ORDER BY y2)) AS feature_hash
+FROM rows_hex
+GROUP BY media_id
 ORDER BY media_id
 """
 

@@ -692,6 +692,99 @@ def test_staged_wav_fixtures_carry_odd_list_chunk():
     assert s[3][0] == spec["sample"](3, 0)
 
 
+# --------------------------------- r13: orientation-normalized decode
+
+
+def test_apply_exif_orientation_all_eight_cases():
+    """Each TIFF 6.0 case against the explicit coordinate map:
+    upright(x2, y2) == stored(sx, sy) per the inverse formulas the
+    DuckDB oracle uses — one shared source of truth, two
+    implementations."""
+    import numpy as np
+
+    from mapreducego_spark.functions.multimodal import (
+        apply_exif_orientation,
+    )
+
+    h, w = 5, 7
+    a = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+
+    def src(o, x2, y2):
+        if o == 1:
+            return x2, y2
+        if o == 2:
+            return w - 1 - x2, y2
+        if o == 3:
+            return w - 1 - x2, h - 1 - y2
+        if o == 4:
+            return x2, h - 1 - y2
+        if o == 5:
+            return y2, x2
+        if o == 6:
+            return y2, h - 1 - x2
+        if o == 7:
+            return w - 1 - y2, h - 1 - x2
+        return w - 1 - y2, x2
+
+    for o in range(1, 9):
+        u = apply_exif_orientation(a, o)
+        h2, w2 = (w, h) if o >= 5 else (h, w)
+        assert u.shape == (h2, w2, 3)
+        for y2 in range(h2):
+            for x2 in range(w2):
+                sx, sy = src(o, x2, y2)
+                assert (u[y2, x2] == a[sy, sx]).all(), (o, x2, y2)
+    import pytest
+
+    with pytest.raises(ValueError, match="orientation"):
+        apply_exif_orientation(a, 9)
+
+
+def test_decode_oriented_entry_matches_python_closed_form(spark, sf_dir):
+    """End to end: real entropy decode + real APP1 walk + transform,
+    against the fixture closed form transformed in numpy. Covers all
+    8 orientations across the first 16 files and pins that px_sum is
+    orientation-invariant while dims swap for cases 5-8."""
+    import hashlib
+
+    import numpy as np
+
+    from mapreducego_spark.functions.multimodal import (
+        _jpeg_px_fixture_planes,
+        apply_exif_orientation,
+        multimodal_decode_oriented,
+    )
+
+    got = {
+        r["media_id"]: r
+        for r in multimodal_decode_oriented(spark, sf_dir, n=16).collect()
+    }
+    assert len(got) == 16
+    assert {r["orientation"] for r in got.values()} == set(range(1, 9))
+    for i in range(16):
+        planes, (w, h) = _jpeg_px_fixture_planes(i)
+        a = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                yv = planes["y"](x // 8, y // 8)
+                cb1 = planes["cb"](x // 8, y // 8) - 128
+                cr1 = planes["cr"](x // 8, y // 8) - 128
+                r = min(255, max(0, yv + (91881 * cr1 + 32768) // 65536))
+                g = min(255, max(0, yv - (22554 * cb1 + 46802 * cr1
+                                          + 32768) // 65536))
+                b = min(255, max(0, yv + (116130 * cb1 + 32768) // 65536))
+                a[y, x] = (r, g, b)
+        o = i % 8 + 1
+        u = apply_exif_orientation(a, o)
+        row = got[i]
+        assert row["orientation"] == o
+        assert (row["width"], row["height"]) == (u.shape[1], u.shape[0])
+        assert row["px_sum"] == int(a.sum(dtype=np.int64))  # invariant
+        assert row["feature_hash"] == hashlib.md5(
+            np.ascontiguousarray(u).tobytes().hex().encode()
+        ).hexdigest()
+
+
 # ------------------------------------- r12: png variants + exif metadata
 
 
