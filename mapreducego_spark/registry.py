@@ -679,6 +679,12 @@ QUERIES: dict[str, QueryFn] = {
     # TIFF 6.0 orientation cases; the raster is rotated/flipped
     # upright BEFORE hashing, so the hash gates the transform itself
     "multimodal_decode_oriented": M.multimodal_decode_oriented,
+    # VIDEO tier (new in r13, r12 verdict missing #3): MJPEG AVI
+    # container walk (avicodec.py — hdrl/avih cadence, strl handler
+    # gate, movi '00dc' chunks), every frame entropy-decoded by the
+    # existing decode_jpeg; one row per frame with exact-integer
+    # timestamps + the image tier's raster gates
+    "multimodal_video_frames": M.multimodal_video_frames,
     # image-text training-pair manifest: real JPEG decode joined to
     # caption token stats with the CLIP-style quality gate — the
     # first media-tier x text-tier composition (new in r10)
@@ -5543,6 +5549,75 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
 FROM ranked
 WHERE rn = 1
 ORDER BY media_id
+"""
+
+# Video frames: the per-frame block-constant closed form (the
+# baseline-JPEG oracle family extended by the frame index), one
+# output row per (file, frame) with the exact integer cadence —
+# frame order is pinned by frame_idx and the per-frame hash, so a
+# dropped, duplicated, or reordered movi chunk diverges.
+ORACLES["multimodal_video_frames"] = """
+WITH m AS (SELECT unnest(range(120)) AS media_id),
+par AS (
+  SELECT media_id,
+         CAST((media_id * 7) % 25 + 8 AS BIGINT) AS w,
+         CAST((media_id * 13) % 19 + 8 AS BIGINT) AS h,
+         CAST(media_id % 5 + 2 AS BIGINT) AS n_frames,
+         CAST((media_id % 3 + 1) * 20000 AS BIGINT) AS upf
+  FROM m
+),
+fr AS (
+  SELECT par.*, f.f AS f
+  FROM par, (SELECT unnest(range(7)) AS f) f
+  WHERE f.f < n_frames
+),
+blocks AS (
+  SELECT media_id, w, h, n_frames, upf, f, bx.x AS bx, by.y AS by,
+         LEAST(8, w - bx.x * 8) AS nx,
+         LEAST(8, h - by.y * 8) AS ny,
+         (media_id * 31 + f * 59 + by.y * 47 + bx.x * 17) % 256 AS yv,
+         CASE WHEN media_id % 4 = 0 THEN 0
+              ELSE (media_id * 5 + f * 3 + bx.x * 3 + by.y * 7) % 100
+         END AS cb1,
+         CASE WHEN media_id % 4 = 0 THEN 0
+              ELSE (media_id * 11 + f * 7 + bx.x * 13 + by.y * 5) % 100
+         END AS cr1
+  FROM fr,
+       (SELECT unnest(range(4)) AS x) bx,
+       (SELECT unnest(range(4)) AS y) by
+  WHERE bx.x < (w + 7) // 8 AND by.y < (h + 7) // 8
+),
+rgb AS (
+  SELECT media_id, w, h, n_frames, upf, f, bx, by, nx, ny,
+         LEAST(255, GREATEST(0,
+             yv + (91881 * cr1 + 32768) // 65536)) AS r,
+         LEAST(255, GREATEST(0,
+             yv - (22554 * cb1 + 46802 * cr1 + 32768) // 65536)) AS g,
+         LEAST(255, GREATEST(0,
+             yv + (116130 * cb1 + 32768) // 65536)) AS b
+  FROM blocks
+),
+rows_hex AS (
+  SELECT media_id, f, w, h, n_frames, upf, by, MAX(ny) AS ny,
+         string_agg(repeat(printf('%02x%02x%02x', r, g, b),
+                           CAST(nx AS INT)), '' ORDER BY bx) AS rowstr,
+         SUM((r + g + b) * nx * ny) AS part_sum
+  FROM rgb
+  GROUP BY media_id, f, w, h, n_frames, upf, by
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+       CAST(MAX(upf) AS BIGINT) AS us_per_frame,
+       CAST(f * MAX(upf) AS BIGINT) AS ts_us,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+       md5(string_agg(repeat(rowstr, CAST(ny AS INT)), '' ORDER BY by))
+           AS feature_hash
+FROM rows_hex
+GROUP BY media_id, f
+ORDER BY media_id, frame_idx
 """
 
 # Orientation-normalized decode: the baseline-fixture closed form

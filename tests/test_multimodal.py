@@ -692,6 +692,114 @@ def test_staged_wav_fixtures_carry_odd_list_chunk():
     assert s[3][0] == spec["sample"](3, 0)
 
 
+# ------------------------------------------- r13: video (AVI / MJPEG)
+
+
+def test_avi_container_round_trips_frames_exactly():
+    """Container walk recovers every frame byte-for-byte, the header
+    cadence/dims, and the exact integer duration."""
+    from mapreducego_spark.functions.avicodec import (
+        encode_avi_mjpeg,
+        parse_avi,
+    )
+    from mapreducego_spark.functions.jpegcodec import encode_jpeg_baseline
+
+    frames = [
+        encode_jpeg_baseline(16, 8, [bytes([10 * (f + 1)] * 16 * 8)])
+        for f in range(3)
+    ]
+    blob = encode_avi_mjpeg(16, 8, 40000, frames)
+    meta, back = parse_avi(blob)
+    assert meta == {
+        "us_per_frame": 40000, "n_frames": 3, "width": 16, "height": 8,
+        "handler": "MJPG", "duration_us": 120000,
+    }
+    assert back == frames
+
+
+def test_avi_failures_are_loud():
+    import struct as _struct
+
+    import pytest
+
+    from mapreducego_spark.functions.avicodec import (
+        encode_avi_mjpeg,
+        parse_avi,
+    )
+    from mapreducego_spark.functions.jpegcodec import encode_jpeg_baseline
+
+    frame = encode_jpeg_baseline(8, 8, [bytes(range(64))])
+    blob = encode_avi_mjpeg(8, 8, 33333, [frame, frame])
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_avi(b"JUNK" + blob[4:])
+    with pytest.raises(ValueError, match="not AVI"):
+        parse_avi(blob[:8] + b"WAVE" + blob[12:])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_avi(blob[:-20])
+    # non-MJPG handler refuses
+    i = blob.find(b"strh") + 8
+    bad = blob[: i + 4] + b"H264" + blob[i + 8 :]
+    with pytest.raises(NotImplementedError, match="H264"):
+        parse_avi(bad)
+    # non-video stream refuses
+    bad = blob[:i] + b"auds" + blob[i + 4 :]
+    with pytest.raises(NotImplementedError, match="auds"):
+        parse_avi(bad)
+    # frame-count contradiction between avih and movi refuses
+    j = blob.find(b"avih") + 8 + 16  # dwTotalFrames offset in avih
+    bad = bytearray(blob)
+    bad[j : j + 4] = _struct.pack("<I", 5)
+    with pytest.raises(ValueError, match="dwTotalFrames"):
+        parse_avi(bytes(bad))
+
+
+def test_video_frames_entry_matches_fixture_closed_form(spark, sf_dir):
+    """End to end: container walk + per-frame entropy decode against
+    the per-(file, frame, block) closed form."""
+    import hashlib
+
+    from mapreducego_spark.functions.multimodal import (
+        _avi_fixture_params,
+        multimodal_video_frames,
+    )
+
+    rows = multimodal_video_frames(spark, sf_dir, n=12).collect()
+    by_file: dict[int, list] = {}
+    for r in rows:
+        by_file.setdefault(r["media_id"], []).append(r)
+    assert len(by_file) == 12
+    for i in (0, 3, 7, 11):
+        spec = _avi_fixture_params(i)
+        got = sorted(by_file[i], key=lambda r: r["frame_idx"])
+        assert len(got) == spec["n_frames"]
+        for f, r in enumerate(got):
+            assert r["frame_idx"] == f
+            assert r["ts_us"] == f * spec["us_per_frame"]
+            assert (r["width"], r["height"]) == (spec["w"], spec["h"])
+            # rebuild the frame raster from the block closed form
+            px = bytearray()
+            for y in range(spec["h"]):
+                for x in range(spec["w"]):
+                    bx, by = x // 8, y // 8
+                    yv = spec["y"](f, bx, by)
+                    cb1 = spec["cb"](f, bx, by) - 128
+                    cr1 = spec["cr"](f, bx, by) - 128
+                    px += bytes(
+                        (
+                            min(255, max(0, yv + (91881 * cr1 + 32768)
+                                         // 65536)),
+                            min(255, max(0, yv - (22554 * cb1 + 46802 * cr1
+                                                  + 32768) // 65536)),
+                            min(255, max(0, yv + (116130 * cb1 + 32768)
+                                         // 65536)),
+                        )
+                    )
+            assert r["px_sum"] == sum(px)
+            assert r["feature_hash"] == hashlib.md5(
+                bytes(px).hex().encode()
+            ).hexdigest()
+
+
 # --------------------------------- r13: orientation-normalized decode
 
 
