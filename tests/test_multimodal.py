@@ -692,6 +692,150 @@ def test_staged_wav_fixtures_carry_odd_list_chunk():
     assert s[3][0] == spec["sample"](3, 0)
 
 
+# -------------------------- r13: PNG 16-bit / gray+alpha / tRNS depth tier
+
+
+def test_png_16bit_presents_high_byte_policy():
+    """The 16-bit -> 8-bit presentation policy, pinned EXPLICITLY:
+    each big-endian 16-bit sample presents its HIGH byte (the PNG
+    spec's own depth-scaling shortcut), never the low byte and never
+    a rounded rescale. 0x1234 -> 0x12, 0x00FF -> 0x00, 0xFF00 ->
+    0xFF."""
+    import struct as _struct
+
+    from mapreducego_spark.functions.multimodal import (
+        decode_png,
+        encode_png_raw,
+    )
+
+    vals = [0x1234, 0x00FF, 0xFF00, 0xFFFF, 0x0000, 0x8001]
+    samples = b"".join(_struct.pack(">H", v) for v in vals)
+    w, h, rgb = decode_png(encode_png_raw(3, 2, 0, 16, samples))
+    assert (w, h) == (3, 2)
+    assert list(rgb) == [v >> 8 for v in vals for _ in range(3)]
+    # 16-bit truecolor: channels keep their own high bytes
+    rgb16 = b"".join(
+        _struct.pack(">HHH", 0xAB12, 0xCD34, 0xEF56) for _ in range(4)
+    )
+    w, h, rgb = decode_png(encode_png_raw(2, 2, 2, 16, rgb16))
+    assert list(rgb[:3]) == [0xAB, 0xCD, 0xEF]
+
+
+def test_png_gray_alpha_and_trns_alpha():
+    """Type 4 carries its alpha channel; palette tRNS applies
+    per-index alpha with the spec's opaque-255 default beyond the
+    table; plain types report constant 255."""
+    from mapreducego_spark.functions.multimodal import (
+        decode_png_rgba,
+        encode_png_raw,
+    )
+
+    # gray+alpha: g then a per pixel
+    ga = bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    w, h, rgb, a = decode_png_rgba(encode_png_raw(2, 2, 4, 8, ga))
+    assert list(rgb) == [10, 10, 10, 30, 30, 30, 50, 50, 50, 70, 70, 70]
+    assert list(a) == [20, 40, 60, 80]
+    # palette + tRNS shorter than the palette
+    pal = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9])  # 3 entries
+    idx = bytes([0, 1, 2, 2])
+    w, h, rgb, a = decode_png_rgba(
+        encode_png_raw(2, 2, 3, 8, idx, palette=pal, trns=bytes([100, 200]))
+    )
+    assert list(rgb) == [1, 2, 3, 4, 5, 6, 7, 8, 9, 7, 8, 9]
+    assert list(a) == [100, 200, 255, 255]
+    # no alpha anywhere -> constant 255
+    w, h, rgb, a = decode_png_rgba(
+        encode_png_raw(2, 1, 2, 8, bytes([9, 8, 7, 6, 5, 4]))
+    )
+    assert list(a) == [255, 255]
+
+
+def test_png_depth_failures_are_loud():
+    import pytest
+
+    from mapreducego_spark.functions.multimodal import (
+        decode_png_rgba,
+        encode_png_raw,
+    )
+
+    blob = encode_png_raw(2, 1, 2, 8, bytes(6))
+    # forge depth 4 in IHDR (offset: 8 magic + 8 chunk hdr + 8 dims)
+    low = bytearray(blob)
+    low[24] = 4
+    with pytest.raises(NotImplementedError, match="8/16-bit"):
+        decode_png_rgba(bytes(low))
+    # tRNS color-keying on truecolor refuses loudly
+    keyed = encode_png_raw(2, 1, 2, 8, bytes(6), trns=bytes(6))
+    with pytest.raises(NotImplementedError, match="color-keying"):
+        decode_png_rgba(keyed)
+    # tRNS with an alpha-channel type is structurally invalid
+    bad = encode_png_raw(1, 1, 6, 8, bytes(4), trns=bytes(1))
+    with pytest.raises(ValueError, match="invalid"):
+        decode_png_rgba(bad)
+    # tRNS longer than the palette
+    bad = encode_png_raw(
+        1, 1, 3, 8, bytes(1), palette=bytes(3), trns=bytes(2)
+    )
+    with pytest.raises(ValueError, match="longer than the palette"):
+        decode_png_rgba(bad)
+
+
+def test_png_16bit_adam7_and_filters_round_trip():
+    """16-bit samples through Adam7 de-interlace (raw-byte scatter
+    happens BEFORE depth scaling) and through the byte-wise filters:
+    interlaced decode == sequential decode of the same pixels."""
+    import struct as _struct
+
+    import numpy as np
+
+    from mapreducego_spark.functions.multimodal import (
+        decode_png,
+        encode_png_adam7_raw,
+        encode_png_raw,
+    )
+
+    rng = np.random.RandomState(7)
+    w, h = 9, 6
+    vals = rng.randint(0, 65536, size=w * h * 3)
+    samples = b"".join(_struct.pack(">H", int(v)) for v in vals)
+    seq = decode_png(encode_png_raw(w, h, 2, 16, samples))
+    inter = decode_png(encode_png_adam7_raw(w, h, 2, 16, samples))
+    assert seq == inter
+
+
+def test_png_depth_entry_matches_fixture_closed_form(spark, sf_dir):
+    """End to end across all four kinds against the Python closed
+    form (the DuckDB oracle is the cross-engine twin)."""
+    import hashlib
+
+    from mapreducego_spark.functions.multimodal import (
+        _png_depth_fixture,
+        multimodal_png_depth,
+    )
+
+    got = {
+        r["media_id"]: r
+        for r in multimodal_png_depth(spark, sf_dir, n=16).collect()
+    }
+    assert len(got) == 16
+    for i in range(16):
+        spec = _png_depth_fixture(i)
+        w, h = spec["w"], spec["h"]
+        rgba = bytearray()
+        for y in range(h):
+            for x in range(w):
+                rgba += bytes(spec["rgba"](x, y))
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["px_sum"] == sum(
+            v for k, v in enumerate(rgba) if k % 4 != 3
+        )
+        assert r["a_sum"] == sum(rgba[3::4])
+        assert r["feature_hash"] == hashlib.md5(
+            bytes(rgba).hex().encode()
+        ).hexdigest()
+
+
 # ------------------------------------------- r13: video (AVI / MJPEG)
 
 
