@@ -1216,8 +1216,80 @@ _R12_WINDOW = [
     "fuzzy_match_blocked",
 ]
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
-QUERIES = {name: QUERIES[name] for name in _R12_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_R12_WINDOW)
+
+# The r13 window is the r12 verdict's demand #2 with the standing
+# policies applied: the FOUR entries new in r13 itself
+# (multimodal_audio_formats, multimodal_decode_oriented,
+# multimodal_png_depth, multimodal_video_frames — driver rows in
+# their birth round), the TWO entries r13 changed
+# (avro_logical_types — the r12 verdict's #1, re-proving the
+# unix_micros/epoch-day presentation fix against the driver's own
+# hash; multimodal_audio_loudest_window — windows re-cut to 10 ms so
+# the argmax is non-vacuous, which changes its output), then ALL 38
+# r8-stale entries (the verdict's named list, verbatim), then the 6
+# oldest r9-stale entries alphabetically (the new/changed entries
+# displace 5 of the verdict's 11 r9 slots, exactly the "keeping
+# birth-round slots for anything new" carve-out). Max staleness
+# after this window: r9.
+_R13_WINDOW = [
+    # (1) new in r13 — driver rows in their birth round
+    "multimodal_audio_formats",
+    "multimodal_decode_oriented",
+    "multimodal_png_depth",
+    "multimodal_video_frames",
+    # (2) changed in r13 — re-prove under the driver's own gate
+    "avro_logical_types",
+    "multimodal_audio_loudest_window",
+    # (3) the 38 r8-stale entries, alphabetical (verdict list)
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_right_outer",
+    "join_skew_salted",
+    "json_rescue",
+    "json_round_trip",
+    "lang_id",
+    "map_functions",
+    "multimodal_meta",
+    "nest_order_lines",
+    "ngram_containment",
+    "orc_round_trip",
+    "prepare_corpus_mixed",
+    "profile_table",
+    "q15_top_supplier",
+    "q6_forecast_revenue",
+    "quality_filter",
+    "quality_gate_per_lang",
+    "quality_score",
+    "repetition_profile",
+    "rollup_incremental",
+    "sample_deterministic",
+    "sample_stratified",
+    "sample_weighted",
+    "sessionize",
+    "simhash",
+    "sketch_active_users",
+    "sql_wordcount_udf",
+    "stream_funnel_sink",
+    "stream_left_join_sink",
+    "tfidf_cosine_pairs",
+    "tfidf_top_terms",
+    "topk_per_group",
+    "udaf_revenue_cents",
+    "vector_ann_ivfpq",
+    "vector_ann_pq",
+    "window_range_frame",
+    "window_value_fns",
+    # (4) the 6 oldest r9-stale entries, alphabetical
+    "agg_approx_distinct",
+    "agg_basic",
+    "agg_collect",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+]
+assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R13_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R13_WINDOW)
 }
 
 
