@@ -188,6 +188,18 @@ HEADLINE = [
     # scan-free EXIF IFD walk
     "multimodal_png_variants",
     "multimodal_jpeg_exif",
+    # round 13: the WAV format families (24-bit PCM / IEEE float /
+    # extensible), orientation-normalized decode (decode x EXIF),
+    # the MJPEG AVI per-frame tier (container walk + entropy decode
+    # per frame), and the PNG depth tier (16-bit / gray+alpha / tRNS)
+    "multimodal_audio_formats",
+    "multimodal_decode_oriented",
+    "multimodal_video_frames",
+    "multimodal_png_depth",
+    # round 13, second batch: scene-cut windows over the frame tier
+    # and the exact-integer 2x box thumbnail pass
+    "multimodal_video_scenes",
+    "multimodal_resize_box",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

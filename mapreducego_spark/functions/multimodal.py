@@ -27,7 +27,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -1192,6 +1192,81 @@ def multimodal_jpeg_decode(
         run,
         "media_id long, width int, height int, px_sum long, "
         "feature_hash string",
+    ).orderBy("media_id")
+
+
+def multimodal_resize_box(
+    spark: SparkSession, sf_dir: str, n: int = 240
+) -> DataFrame:
+    """Registry entry (r13): REAL image RESIZE — the decode /
+    feature-extract / resize slot the north-star brief names,
+    previously only gestured at by frame_sample_plan. Each staged
+    baseline JPEG is entropy-decoded and 2x box-downsampled with
+    EXACT integer semantics: out(x, y) = floor(sum of the 2x2 source
+    box / 4) per channel, trailing odd row/column dropped — all
+    vectorized numpy inside the same Arrow crossing as the decode
+    (views + one integer add, no Python pixel loop). The hash spans
+    the downsampled raster hex, so a wrong box origin, a rounding
+    difference, or an off-by-one crop diverges; the DuckDB oracle
+    rebuilds it from the closed-form source pixels via
+    GROUP BY (x//2, y//2) with SUM//4. Reference analog: the
+    opaque-bytes input contract at master.go:82.
+
+    Scale shape: identical to multimodal_jpeg_decode — distributed
+    scan, one Arrow crossing, no shuffle before the presentation
+    sort. At production scale this is the thumbnail pass that feeds
+    perceptual dedup and preview sinks."""
+    from mapreducego_spark.functions.jpegcodec import decode_jpeg_baseline
+
+    path = stage_jpeg_pixels(sf_dir, n)
+    media = (
+        spark.read.format("binaryFile")
+        .load(path + "/media_*.jpg")
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                w, h, rgb = decode_jpeg_baseline(bytes(p))
+                a = (
+                    np.frombuffer(rgb, dtype=np.uint8)
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                )
+                h2, w2 = h // 2, w // 2
+                a = a[: h2 * 2, : w2 * 2]
+                ds = (
+                    a[0::2, 0::2] + a[1::2, 0::2]
+                    + a[0::2, 1::2] + a[1::2, 1::2]
+                ) // 4
+                db = ds.astype(np.uint8).tobytes()
+                rows.append(
+                    (
+                        int(mid),
+                        w2,
+                        h2,
+                        int(ds.sum()),
+                        hashlib.md5(db.hex().encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "px_sum", "feature_hash",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, width int, height int, px_sum long,"
+        " feature_hash string",
     ).orderBy("media_id")
 
 
@@ -2550,6 +2625,18 @@ def multimodal_video_frames(
     parallel decode with bounded per-frame fan-out (<= 6 rows/file);
     at production scale this is the frame-extraction pass feeding
     dedup/caption joins, and the frame rows carry the join key."""
+    return _video_frame_rows(spark, sf_dir, n).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+def _video_frame_rows(
+    spark: SparkSession, sf_dir: str, n: int
+) -> DataFrame:
+    """The shared decode pass of the video tier: container walk +
+    per-frame entropy decode inside one mapInPandas crossing, one row
+    per (file, frame) with the raster gates — consumed sorted by the
+    frames entry and windowed by the scene-cut entry."""
     from mapreducego_spark.functions.avicodec import parse_avi
     from mapreducego_spark.functions.jpegcodec import decode_jpeg
 
@@ -2598,7 +2685,42 @@ def multimodal_video_frames(
         "media_id long, frame_idx long, n_frames long, us_per_frame long,"
         " ts_us long, width int, height int, px_sum long,"
         " feature_hash string",
-    ).orderBy("media_id", "frame_idx")
+    )
+
+
+def multimodal_video_scenes(
+    spark: SparkSession, sf_dir: str, n: int = 120, threshold: int = 20000
+) -> DataFrame:
+    """Registry entry (r13): SCENE-CUT detection — the video x
+    window-analytics composition (the third modality's twin of the
+    audio tier's loudest-window). The shared per-frame decode pass
+    emits raster signatures; a lag() window PARTITIONED BY media_id
+    (never the single-partition global window) computes each frame's
+    absolute brightness delta vs its predecessor, and frames whose
+    delta exceeds the threshold are flagged as cuts — the shot-
+    boundary pass a video training pipeline runs before sampling
+    keyframes. First frames carry delta NULL / is_cut false (no
+    predecessor is not a cut). All-BIGINT deltas from the closed-form
+    frame sums, so the DuckDB oracle rebuilds the windows exactly.
+
+    Scale shape: the window key is the file id — state per group is
+    one frame row, partitions are independent, and AQE coalesces the
+    tiny shuffle; the decode pass itself stays one Arrow crossing."""
+    wins = Window.partitionBy("media_id").orderBy("frame_idx")
+    wf = _video_frame_rows(spark, sf_dir, n)
+    prev = F.lag("px_sum").over(wins)
+    delta = F.abs(F.col("px_sum") - prev)
+    return (
+        wf.select(
+            "media_id",
+            "frame_idx",
+            "ts_us",
+            "px_sum",
+            delta.alias("d_prev"),
+            F.coalesce(delta > threshold, F.lit(False)).alias("is_cut"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
 
 
 def _wav_formats_fixture_params(i: int):

@@ -690,6 +690,15 @@ QUERIES: dict[str, QueryFn] = {
     # existing decode_jpeg; one row per frame with exact-integer
     # timestamps + the image tier's raster gates
     "multimodal_video_frames": M.multimodal_video_frames,
+    # ...and the video x window-analytics composition (new in r13):
+    # per-frame brightness deltas via lag() partitioned by file,
+    # cuts flagged where the delta exceeds the threshold — the
+    # shot-boundary pass before keyframe sampling
+    "multimodal_video_scenes": M.multimodal_video_scenes,
+    # REAL image resize (new in r13): exact-integer 2x box
+    # downsample fused into the decode pass, hash-gated — the
+    # thumbnail slot of the decode/feature-extract/resize triple
+    "multimodal_resize_box": M.multimodal_resize_box,
     # image-text training-pair manifest: real JPEG decode joined to
     # caption token stats with the CLIP-style quality gate — the
     # first media-tier x text-tier composition (new in r10)
@@ -1218,17 +1227,18 @@ _R12_WINDOW = [
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 
 # The r13 window is the r12 verdict's demand #2 with the standing
-# policies applied: the FOUR entries new in r13 itself
+# policies applied: the SIX entries new in r13 itself
 # (multimodal_audio_formats, multimodal_decode_oriented,
-# multimodal_png_depth, multimodal_video_frames — driver rows in
+# multimodal_png_depth, multimodal_resize_box,
+# multimodal_video_frames, multimodal_video_scenes — driver rows in
 # their birth round), the TWO entries r13 changed
 # (avro_logical_types — the r12 verdict's #1, re-proving the
 # unix_micros/epoch-day presentation fix against the driver's own
 # hash; multimodal_audio_loudest_window — windows re-cut to 10 ms so
 # the argmax is non-vacuous, which changes its output), then ALL 38
-# r8-stale entries (the verdict's named list, verbatim), then the 6
+# r8-stale entries (the verdict's named list, verbatim), then the 4
 # oldest r9-stale entries alphabetically (the new/changed entries
-# displace 5 of the verdict's 11 r9 slots, exactly the "keeping
+# displace 7 of the verdict's 11 r9 slots, exactly the "keeping
 # birth-round slots for anything new" carve-out). Max staleness
 # after this window: r9.
 _R13_WINDOW = [
@@ -1236,7 +1246,9 @@ _R13_WINDOW = [
     "multimodal_audio_formats",
     "multimodal_decode_oriented",
     "multimodal_png_depth",
+    "multimodal_resize_box",
     "multimodal_video_frames",
+    "multimodal_video_scenes",
     # (2) changed in r13 — re-prove under the driver's own gate
     "avro_logical_types",
     "multimodal_audio_loudest_window",
@@ -1279,13 +1291,11 @@ _R13_WINDOW = [
     "vector_ann_pq",
     "window_range_frame",
     "window_value_fns",
-    # (4) the 6 oldest r9-stale entries, alphabetical
+    # (4) the 4 oldest r9-stale entries, alphabetical
     "agg_approx_distinct",
     "agg_basic",
     "agg_collect",
     "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R13_WINDOW} | {
@@ -5625,6 +5635,132 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
        CAST(peak AS BIGINT) AS peak
 FROM ranked
 WHERE rn = 1
+ORDER BY media_id
+"""
+
+# Scene cuts: LAG over the closed-form per-frame sums — the same
+# window DuckDB expresses natively; first frames carry NULL delta
+# and false is_cut in both engines.
+ORACLES["multimodal_video_scenes"] = """
+WITH m AS (SELECT unnest(range(120)) AS media_id),
+par AS (
+  SELECT media_id,
+         CAST((media_id * 7) % 25 + 8 AS BIGINT) AS w,
+         CAST((media_id * 13) % 19 + 8 AS BIGINT) AS h,
+         CAST(media_id % 5 + 2 AS BIGINT) AS n_frames,
+         CAST((media_id % 3 + 1) * 20000 AS BIGINT) AS upf
+  FROM m
+),
+fr AS (
+  SELECT par.*, f.f AS f
+  FROM par, (SELECT unnest(range(7)) AS f) f
+  WHERE f.f < n_frames
+),
+blocks AS (
+  SELECT media_id, upf, f, bx.x AS bx, by.y AS by,
+         LEAST(8, w - bx.x * 8) AS nx,
+         LEAST(8, h - by.y * 8) AS ny,
+         (media_id * 31 + f * 59 + by.y * 47 + bx.x * 17) % 256 AS yv,
+         CASE WHEN media_id % 4 = 0 THEN 0
+              ELSE (media_id * 5 + f * 3 + bx.x * 3 + by.y * 7) % 100
+         END AS cb1,
+         CASE WHEN media_id % 4 = 0 THEN 0
+              ELSE (media_id * 11 + f * 7 + bx.x * 13 + by.y * 5) % 100
+         END AS cr1
+  FROM fr,
+       (SELECT unnest(range(4)) AS x) bx,
+       (SELECT unnest(range(4)) AS y) by
+  WHERE bx.x < (w + 7) // 8 AND by.y < (h + 7) // 8
+),
+sums AS (
+  SELECT media_id, f, MAX(f * upf) AS ts_us,
+         SUM((LEAST(255, GREATEST(0, yv + (91881 * cr1 + 32768) // 65536))
+            + LEAST(255, GREATEST(0, yv - (22554 * cb1 + 46802 * cr1
+                                           + 32768) // 65536))
+            + LEAST(255, GREATEST(0, yv + (116130 * cb1 + 32768) // 65536)))
+             * nx * ny) AS px_sum
+  FROM blocks
+  GROUP BY media_id, f
+),
+lagged AS (
+  SELECT media_id, f, ts_us, px_sum,
+         ABS(px_sum - LAG(px_sum) OVER (
+             PARTITION BY media_id ORDER BY f)) AS d_prev
+  FROM sums
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(ts_us AS BIGINT) AS ts_us,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(d_prev AS BIGINT) AS d_prev,
+       COALESCE(d_prev > 20000, FALSE) AS is_cut
+FROM lagged
+ORDER BY media_id, frame_idx
+"""
+
+# 2x box resize: source pixels from the baseline-fixture closed
+# form, grouped by (x//2, y//2) with SUM//4 (exactly the entry's
+# floor-of-box-mean), trailing odd row/column excluded by the
+# (w//2)*2 bound.
+ORACLES["multimodal_resize_box"] = """
+WITH m AS (SELECT unnest(range(240)) AS media_id),
+dims AS (
+  SELECT media_id,
+         CAST((media_id * 7) % 25 + 8 AS BIGINT) AS w,
+         CAST((media_id * 13) % 19 + 8 AS BIGINT) AS h
+  FROM m
+),
+px AS (
+  SELECT media_id, w, h, x.x AS x, y.y AS y
+  FROM dims,
+       (SELECT unnest(range(32)) AS x) x,
+       (SELECT unnest(range(26)) AS y) y
+  WHERE x.x < (w // 2) * 2 AND y.y < (h // 2) * 2
+),
+vals AS (
+  SELECT media_id, w, h, x, y,
+         (media_id * 31 + (y // 8) * 47 + (x // 8) * 17) % 256 AS yv,
+         CASE WHEN media_id % 4 = 0 THEN 0
+              ELSE (media_id * 5 + (x // 8) * 3 + (y // 8) * 7) % 100
+         END AS cb1,
+         CASE WHEN media_id % 4 = 0 THEN 0
+              ELSE (media_id * 11 + (x // 8) * 13 + (y // 8) * 5) % 100
+         END AS cr1
+  FROM px
+),
+rgb AS (
+  SELECT media_id, w, h, x, y,
+         LEAST(255, GREATEST(0,
+             yv + (91881 * cr1 + 32768) // 65536)) AS r,
+         LEAST(255, GREATEST(0,
+             yv - (22554 * cb1 + 46802 * cr1 + 32768) // 65536)) AS g,
+         LEAST(255, GREATEST(0,
+             yv + (116130 * cb1 + 32768) // 65536)) AS b
+  FROM vals
+),
+ds AS (
+  SELECT media_id, w, h, x // 2 AS x2, y // 2 AS y2,
+         CAST(SUM(r) // 4 AS BIGINT) AS r,
+         CAST(SUM(g) // 4 AS BIGINT) AS g,
+         CAST(SUM(b) // 4 AS BIGINT) AS b
+  FROM rgb
+  GROUP BY media_id, w, h, x // 2, y // 2
+),
+rows_hex AS (
+  SELECT media_id, w, h, y2,
+         string_agg(printf('%02x%02x%02x', r, g, b), '' ORDER BY x2)
+             AS rowstr,
+         SUM(r + g + b) AS part_sum
+  FROM ds
+  GROUP BY media_id, w, h, y2
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(MAX(w) // 2 AS INT) AS width,
+       CAST(MAX(h) // 2 AS INT) AS height,
+       CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+       md5(string_agg(rowstr, '' ORDER BY y2)) AS feature_hash
+FROM rows_hex
+GROUP BY media_id
 ORDER BY media_id
 """
 

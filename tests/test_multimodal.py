@@ -944,6 +944,67 @@ def test_video_frames_entry_matches_fixture_closed_form(spark, sf_dir):
             ).hexdigest()
 
 
+def test_video_scenes_lag_and_threshold(spark, sf_dir):
+    """Scene-cut flags against a Python recomputation of the lag
+    deltas from the closed-form frame sums; first frames carry NULL
+    delta and false is_cut; at least one cut fires (the fixture's
+    f*59 luma step moves frame sums by tens of thousands)."""
+    from mapreducego_spark.functions.multimodal import (
+        multimodal_video_scenes,
+    )
+
+    rows = multimodal_video_scenes(spark, sf_dir, n=12).collect()
+    by_file: dict[int, list] = {}
+    for r in rows:
+        by_file.setdefault(r["media_id"], []).append(r)
+    assert len(by_file) == 12
+    any_cut = False
+    for frames in by_file.values():
+        frames.sort(key=lambda r: r["frame_idx"])
+        assert frames[0]["d_prev"] is None
+        assert frames[0]["is_cut"] is False
+        for prev, cur in zip(frames, frames[1:]):
+            d = abs(cur["px_sum"] - prev["px_sum"])
+            assert cur["d_prev"] == d
+            assert cur["is_cut"] == (d > 20000)
+            any_cut = any_cut or cur["is_cut"]
+    assert any_cut
+
+
+def test_resize_box_matches_numpy_reference(spark, sf_dir):
+    """The 2x box downsample against an independent numpy
+    recomputation from the DECODED raster (decode itself is gated by
+    multimodal_jpeg_decode's oracle), incl. odd-dimension cropping."""
+    import hashlib
+
+    import numpy as np
+
+    from mapreducego_spark.functions.jpegcodec import decode_jpeg_baseline
+    from mapreducego_spark.functions.multimodal import (
+        encode_jpeg_pixels_fixture,
+        multimodal_resize_box,
+    )
+
+    got = {
+        r["media_id"]: r
+        for r in multimodal_resize_box(spark, sf_dir, n=12).collect()
+    }
+    assert len(got) == 12
+    for i in (0, 1, 5, 11):
+        w, h, rgb = decode_jpeg_baseline(encode_jpeg_pixels_fixture(i))
+        a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.int64)
+        h2, w2 = h // 2, w // 2
+        a = a[: h2 * 2, : w2 * 2]
+        ds = (a[0::2, 0::2] + a[1::2, 0::2]
+              + a[0::2, 1::2] + a[1::2, 1::2]) // 4
+        r = got[i]
+        assert (r["width"], r["height"]) == (w2, h2)
+        assert r["px_sum"] == int(ds.sum())
+        assert r["feature_hash"] == hashlib.md5(
+            ds.astype(np.uint8).tobytes().hex().encode()
+        ).hexdigest()
+
+
 # --------------------------------- r13: orientation-normalized decode
 
 
