@@ -200,6 +200,8 @@ HEADLINE = [
     # and the exact-integer 2x box thumbnail pass
     "multimodal_video_scenes",
     "multimodal_resize_box",
+    # round 13, third batch: the muxed A/V demux tier
+    "multimodal_video_audio",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

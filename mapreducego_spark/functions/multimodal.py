@@ -3140,3 +3140,163 @@ def mine_image_text_pairs(
         )
         .orderBy("media_id")
     )
+
+
+# --- r13 second batch: the muxed A/V tier --------------------------
+
+def _avi_av_fixture_params(i: int):
+    """Deterministic fixture spec for the interleaved A/V tier: the
+    video side reuses the MJPEG closed forms of _avi_fixture_params
+    verbatim (same per-(file, frame, block) Y/Cb/Cr grid), and the
+    audio side is a 16-bit PCM track with the audio tier's integer
+    waveform — so the DuckDB oracle rebuilds BOTH streams in pure
+    BIGINT."""
+    video = _avi_fixture_params(i)
+
+    def s(t: int, ch: int) -> int:
+        return (i * 37 + ch * 101 + t * 13) % 4001 - 2000
+
+    return {
+        **video,
+        "channels": i % 2 + 1,
+        "rate": (8000, 16000, 44100)[i % 3],
+        "n_audio": (i * 29) % 400 + 120,
+        "s": s,
+    }
+
+
+def encode_avi_av_fixture(i: int) -> bytes:
+    """Encode fixture ``i`` as a REAL interleaved MJPEG+PCM AVI:
+    every frame a full entropy-coded baseline JPEG, the audio track
+    sliced into per-frame '01wb' chunks by the container writer."""
+    from mapreducego_spark.functions.avicodec import encode_avi_mjpeg_av
+    from mapreducego_spark.functions.jpegcodec import encode_jpeg_baseline
+
+    spec = _avi_av_fixture_params(i)
+    w, h = spec["w"], spec["h"]
+
+    def plane(fn, f: int) -> bytes:
+        return bytes(
+            fn(f, x // 8, y // 8) for y in range(h) for x in range(w)
+        )
+
+    frames = []
+    for f in range(spec["n_frames"]):
+        if spec["gray"]:
+            frames.append(encode_jpeg_baseline(w, h, [plane(spec["y"], f)]))
+        else:
+            frames.append(
+                encode_jpeg_baseline(
+                    w, h,
+                    [plane(spec["y"], f), plane(spec["cb"], f),
+                     plane(spec["cr"], f)],
+                )
+            )
+    samples = np.array(
+        [
+            [spec["s"](t, c) for c in range(spec["channels"])]
+            for t in range(spec["n_audio"])
+        ],
+        dtype=np.int64,
+    )
+    return encode_avi_mjpeg_av(
+        w, h, spec["us_per_frame"], frames, spec["rate"], samples
+    )
+
+
+def stage_avi_av_media(sf_dir: str, n: int = 100) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_media/{tag}_avimux{n}"
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        for i in range(n):
+            with open(os.path.join(out, f"media_{i:05d}.avi"), "wb") as fh:
+                fh.write(encode_avi_av_fixture(i))
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+    return out
+
+
+def multimodal_video_audio(
+    spark: SparkSession, sf_dir: str, n: int = 100
+) -> DataFrame:
+    """Registry entry (r13, second batch): the AUDIO TRACK of video —
+    real capture output is A/V-interleaved, and a training pipeline
+    that ingests video needs both streams (frames for the image tier,
+    the soundtrack for the audio tier). Staged two-stream AVIs
+    (strl 'vids'/MJPG + strl 'auds'/PCM16, movi alternating '00dc'
+    and '01wb' chunks) are demuxed by avicodec.parse_avi_av inside
+    one Arrow-batched mapInPandas pass: every video frame is
+    entropy-decoded by the EXISTING decode_jpeg and folded into a
+    per-file raster checksum, and the reassembled PCM track gets the
+    audio tier's every-sample integer gates (sum/min/max plus the
+    position-weighted sum that breaks on any chunk-reassembly,
+    interleave, or width error — '01wb' chunks concatenate in movi
+    order, so a dropped or reordered audio chunk diverges). The
+    DuckDB oracle rebuilds both streams from the closed forms.
+    Reference analog: the opaque-bytes input contract at
+    master.go:82.
+
+    Scale shape: distributed binaryFile scan, one Arrow crossing,
+    per-file vectorized demux+decode, no shuffle before the
+    presentation sort."""
+    from mapreducego_spark.functions.avicodec import parse_avi_av
+    from mapreducego_spark.functions.jpegcodec import decode_jpeg
+
+    path = stage_avi_av_media(sf_dir, n)
+    media = (
+        spark.read.format("binaryFile")
+        .load(path + "/media_*.avi")
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.avi", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                meta, frames, samples = parse_avi_av(bytes(p))
+                v_px_sum = 0
+                for blob in frames:
+                    _w, _h, rgb = decode_jpeg(blob)
+                    v_px_sum += int(sum(rgb))
+                a = samples.astype(np.int64)
+                nf, ch = a.shape
+                w = np.arange(nf * ch, dtype=np.int64).reshape(nf, ch) + 1
+                rows.append(
+                    (
+                        int(mid),
+                        meta["n_frames"],
+                        meta["us_per_frame"],
+                        meta["width"],
+                        meta["height"],
+                        v_px_sum,
+                        meta["sample_rate"],
+                        ch,
+                        nf,
+                        int(a.sum()),
+                        int(a.min()),
+                        int(a.max()),
+                        int((w * a).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "us_per_frame", "width",
+                    "height", "v_px_sum", "sample_rate", "channels",
+                    "n_audio", "a_sum", "a_min", "a_max", "a_wsum",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, n_frames long, us_per_frame long, width long,"
+        " height long, v_px_sum long, sample_rate long, channels long,"
+        " n_audio long, a_sum long, a_min long, a_max long, a_wsum long",
+    ).orderBy("media_id")

@@ -695,6 +695,12 @@ QUERIES: dict[str, QueryFn] = {
     # cuts flagged where the delta exceeds the threshold — the
     # shot-boundary pass before keyframe sampling
     "multimodal_video_scenes": M.multimodal_video_scenes,
+    # ...and the muxed A/V tier (r13, second batch): two-stream
+    # interleaved AVI (strl vids/MJPG + strl auds/PCM16, movi
+    # alternating '00dc'/'01wb') demuxed by parse_avi_av; frames
+    # raster-checksummed by the existing decode_jpeg, the reassembled
+    # PCM track gated by the audio tier's every-sample integer sums
+    "multimodal_video_audio": M.multimodal_video_audio,
     # REAL image resize (new in r13): exact-integer 2x box
     # downsample fused into the decode pass, hash-gated — the
     # thumbnail slot of the decode/feature-extract/resize triple
@@ -1227,18 +1233,19 @@ _R12_WINDOW = [
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 
 # The r13 window is the r12 verdict's demand #2 with the standing
-# policies applied: the SIX entries new in r13 itself
+# policies applied: the SEVEN entries new in r13 itself
 # (multimodal_audio_formats, multimodal_decode_oriented,
 # multimodal_png_depth, multimodal_resize_box,
-# multimodal_video_frames, multimodal_video_scenes — driver rows in
-# their birth round), the TWO entries r13 changed
+# multimodal_video_audio, multimodal_video_frames,
+# multimodal_video_scenes — driver rows in their birth round), the
+# TWO entries r13 changed
 # (avro_logical_types — the r12 verdict's #1, re-proving the
 # unix_micros/epoch-day presentation fix against the driver's own
 # hash; multimodal_audio_loudest_window — windows re-cut to 10 ms so
 # the argmax is non-vacuous, which changes its output), then ALL 38
-# r8-stale entries (the verdict's named list, verbatim), then the 4
+# r8-stale entries (the verdict's named list, verbatim), then the 3
 # oldest r9-stale entries alphabetically (the new/changed entries
-# displace 7 of the verdict's 11 r9 slots, exactly the "keeping
+# displace 8 of the verdict's 11 r9 slots, exactly the "keeping
 # birth-round slots for anything new" carve-out). Max staleness
 # after this window: r9.
 _R13_WINDOW = [
@@ -1247,6 +1254,7 @@ _R13_WINDOW = [
     "multimodal_decode_oriented",
     "multimodal_png_depth",
     "multimodal_resize_box",
+    "multimodal_video_audio",
     "multimodal_video_frames",
     "multimodal_video_scenes",
     # (2) changed in r13 — re-prove under the driver's own gate
@@ -1291,11 +1299,11 @@ _R13_WINDOW = [
     "vector_ann_pq",
     "window_range_frame",
     "window_value_fns",
-    # (4) the 4 oldest r9-stale entries, alphabetical
+    # (4) the 3 oldest r9-stale entries, alphabetical (one slot
+    # displaced by the second-batch muxed A/V birth-round row)
     "agg_approx_distinct",
     "agg_basic",
     "agg_collect",
-    "agg_cube",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R13_WINDOW} | {
@@ -6648,4 +6656,86 @@ SELECT doc_id,
 FROM g JOIN bench USING (gram)
 WHERE g.doc_id >= 5
 GROUP BY doc_id
+"""
+
+# Muxed A/V tier (r13, second batch): the video side reuses the
+# committed MJPEG frame closed forms (summed across frames into one
+# per-file raster checksum), the audio side rebuilds every PCM
+# sample — both streams in pure BIGINT, so a demux, reassembly,
+# decode, or interleave error anywhere diverges.
+ORACLES["multimodal_video_audio"] = """
+WITH m AS (SELECT unnest(range(100)) AS media_id),
+par AS (
+  SELECT media_id,
+         CAST((media_id * 7) % 25 + 8 AS BIGINT) AS w,
+         CAST((media_id * 13) % 19 + 8 AS BIGINT) AS h,
+         CAST(media_id % 5 + 2 AS BIGINT) AS n_frames,
+         CAST((media_id % 3 + 1) * 20000 AS BIGINT) AS upf,
+         CAST(media_id % 2 + 1 AS BIGINT) AS channels,
+         CAST(CASE media_id % 3 WHEN 0 THEN 8000
+              WHEN 1 THEN 16000 ELSE 44100 END AS BIGINT) AS rate,
+         CAST((media_id * 29) % 400 + 120 AS BIGINT) AS n_audio
+  FROM m
+),
+fr AS (
+  SELECT par.*, f.f AS f
+  FROM par, (SELECT unnest(range(7)) AS f) f
+  WHERE f.f < n_frames
+),
+blocks AS (
+  SELECT media_id, w, h, f, bx.x AS bx, by.y AS by,
+         LEAST(8, w - bx.x * 8) AS nx,
+         LEAST(8, h - by.y * 8) AS ny,
+         (media_id * 31 + f * 59 + by.y * 47 + bx.x * 17) % 256 AS yv,
+         CASE WHEN media_id % 4 = 0 THEN 0
+              ELSE (media_id * 5 + f * 3 + bx.x * 3 + by.y * 7) % 100
+         END AS cb1,
+         CASE WHEN media_id % 4 = 0 THEN 0
+              ELSE (media_id * 11 + f * 7 + bx.x * 13 + by.y * 5) % 100
+         END AS cr1
+  FROM fr,
+       (SELECT unnest(range(4)) AS x) bx,
+       (SELECT unnest(range(4)) AS y) by
+  WHERE bx.x < (w + 7) // 8 AND by.y < (h + 7) // 8
+),
+vsum AS (
+  SELECT media_id,
+         SUM((LEAST(255, GREATEST(0,
+                 yv + (91881 * cr1 + 32768) // 65536))
+            + LEAST(255, GREATEST(0,
+                 yv - (22554 * cb1 + 46802 * cr1 + 32768) // 65536))
+            + LEAST(255, GREATEST(0,
+                 yv + (116130 * cb1 + 32768) // 65536))) * nx * ny)
+             AS v_px_sum
+  FROM blocks
+  GROUP BY media_id
+),
+samples AS (
+  SELECT par.media_id, par.channels, t.t AS t, c.c AS c,
+         (par.media_id * 37 + c.c * 101 + t.t * 13) % 4001 - 2000 AS s
+  FROM par,
+       (SELECT unnest(range(520)) AS t) t,
+       (SELECT unnest(range(2)) AS c) c
+  WHERE t.t < par.n_audio AND c.c < par.channels
+),
+asum AS (
+  SELECT media_id,
+         SUM(s) AS a_sum,
+         MIN(s) AS a_min,
+         MAX(s) AS a_max,
+         SUM((t * channels + c + 1) * s) AS a_wsum
+  FROM samples
+  GROUP BY media_id
+)
+SELECT CAST(par.media_id AS BIGINT) AS media_id,
+       n_frames, upf AS us_per_frame, w AS width, h AS height,
+       CAST(v_px_sum AS BIGINT) AS v_px_sum,
+       rate AS sample_rate, channels,
+       n_audio,
+       CAST(a_sum AS BIGINT) AS a_sum,
+       CAST(a_min AS BIGINT) AS a_min,
+       CAST(a_max AS BIGINT) AS a_max,
+       CAST(a_wsum AS BIGINT) AS a_wsum
+FROM par JOIN vsum USING (media_id) JOIN asum USING (media_id)
+ORDER BY media_id
 """

@@ -1169,3 +1169,128 @@ def test_exif_round_trip_both_byte_orders():
         parse_exif(b"Exif\x00\x00XX" + bytes(8))
     with pytest.raises(ValueError, match="orientation"):
         build_exif("II", 9, "a", "b", "c", "d")
+
+
+# ------------------------------- r13 second batch: muxed A/V (01wb)
+
+
+def test_avi_av_round_trips_both_streams():
+    """Demux recovers every JPEG frame byte-for-byte AND the full
+    int16 PCM track across the per-frame '01wb' slices (n_audio is
+    deliberately not a multiple of n_frames, so slice boundaries are
+    uneven and reassembly order matters)."""
+    import numpy as np
+
+    from mapreducego_spark.functions.avicodec import (
+        encode_avi_mjpeg_av,
+        parse_avi_av,
+    )
+    from mapreducego_spark.functions.jpegcodec import encode_jpeg_baseline
+
+    frames = [
+        encode_jpeg_baseline(16, 8, [bytes([10 * (f + 1)] * 16 * 8)])
+        for f in range(3)
+    ]
+    samples = np.array(
+        [[(t * 13 + c * 101) % 4001 - 2000 for c in range(2)]
+         for t in range(257)],
+        dtype=np.int64,
+    )
+    blob = encode_avi_mjpeg_av(16, 8, 40000, frames, 16000, samples)
+    meta, back, got = parse_avi_av(blob)
+    assert back == frames
+    assert got.shape == (257, 2)
+    assert (got.astype(np.int64) == samples).all()
+    assert meta["sample_rate"] == 16000
+    assert meta["channels"] == 2
+    assert meta["n_audio_frames"] == 257
+    assert meta["duration_us"] == 120000
+
+
+def test_avi_av_failures_are_loud():
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+
+    from mapreducego_spark.functions.avicodec import (
+        encode_avi_mjpeg,
+        encode_avi_mjpeg_av,
+        parse_avi_av,
+    )
+    from mapreducego_spark.functions.jpegcodec import encode_jpeg_baseline
+
+    frame = encode_jpeg_baseline(8, 8, [bytes(range(64))])
+    samples = np.arange(40, dtype=np.int64).reshape(20, 2) - 20
+    blob = encode_avi_mjpeg_av(8, 8, 33333, [frame, frame], 8000, samples)
+    # a video-only AVI is not a muxed file
+    with pytest.raises(ValueError, match="one video . one audio"):
+        parse_avi_av(encode_avi_mjpeg(8, 8, 33333, [frame]))
+    # non-PCM audio format code refuses loudly
+    i = blob.find(b"auds")
+    j = blob.find(b"strf", i) + 8
+    bad = blob[:j] + _struct.pack("<H", 85) + blob[j + 2 :]  # MP3
+    with pytest.raises(NotImplementedError, match="format code 85"):
+        parse_avi_av(bad)
+    # 8-bit audio refuses (PCM16 only in the muxed scope)
+    bad = blob[: j + 14] + _struct.pack("<H", 8) + blob[j + 16 :]
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        parse_avi_av(bad)
+    # avih dwStreams contradiction with the strl count refuses
+    k = blob.find(b"avih") + 8 + 24  # dwStreams offset
+    bad = bytearray(blob)
+    bad[k : k + 4] = _struct.pack("<I", 3)
+    with pytest.raises(ValueError, match="dwStreams"):
+        parse_avi_av(bytes(bad))
+    # truncation refuses
+    with pytest.raises(ValueError, match="truncated|past its parent"):
+        parse_avi_av(blob[:-10])
+
+
+def test_video_audio_entry_matches_fixture_closed_form(spark, sf_dir):
+    """End to end: demux + per-frame entropy decode + PCM reassembly
+    against the per-file closed forms of BOTH streams."""
+    from mapreducego_spark.functions.multimodal import (
+        _avi_av_fixture_params,
+        multimodal_video_audio,
+    )
+
+    rows = {r["media_id"]: r
+            for r in multimodal_video_audio(spark, sf_dir, n=8).collect()}
+    assert len(rows) == 8
+    for i in (0, 1, 5, 7):
+        spec = _avi_av_fixture_params(i)
+        r = rows[i]
+        assert r["n_frames"] == spec["n_frames"]
+        assert r["us_per_frame"] == spec["us_per_frame"]
+        assert (r["width"], r["height"]) == (spec["w"], spec["h"])
+        assert r["sample_rate"] == spec["rate"]
+        assert r["channels"] == spec["channels"]
+        assert r["n_audio"] == spec["n_audio"]
+        # audio gates from the closed-form waveform
+        vals = [
+            spec["s"](t, c)
+            for t in range(spec["n_audio"])
+            for c in range(spec["channels"])
+        ]
+        assert r["a_sum"] == sum(vals)
+        assert r["a_min"] == min(vals)
+        assert r["a_max"] == max(vals)
+        assert r["a_wsum"] == sum((k + 1) * v for k, v in enumerate(vals))
+        # video gate from the per-(frame, block) closed form
+        v_px = 0
+        for f in range(spec["n_frames"]):
+            for y in range(spec["h"]):
+                for x in range(spec["w"]):
+                    bx, by = x // 8, y // 8
+                    yv = spec["y"](f, bx, by)
+                    cb1 = spec["cb"](f, bx, by) - 128
+                    cr1 = spec["cr"](f, bx, by) - 128
+                    v_px += min(255, max(0, yv + (91881 * cr1 + 32768)
+                                         // 65536))
+                    v_px += min(255, max(0, yv - (22554 * cb1
+                                                  + 46802 * cr1
+                                                  + 32768) // 65536))
+                    v_px += min(255, max(0, yv + (116130 * cb1 + 32768)
+                                         // 65536))
+        assert r["v_px_sum"] == v_px
