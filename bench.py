@@ -200,8 +200,10 @@ HEADLINE = [
     # and the exact-integer 2x box thumbnail pass
     "multimodal_video_scenes",
     "multimodal_resize_box",
-    # round 13, third batch: the muxed A/V demux tier
+    # round 13, third batch: the muxed A/V demux tier and WARC
+    # crawl ingest (gzip members + record grammar + HTML strip)
     "multimodal_video_audio",
+    "warc_extract_text",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

@@ -270,6 +270,11 @@ QUERIES: dict[str, QueryFn] = {
     # the events table — the schema families real lake Avro carries
     # — lossless through the wire encodings, hash-gated
     "avro_logical_types": CAT.avro_logical_types,
+    # WARC crawl ingest (r13, second batch): per-record-gzipped
+    # WARC/1.0 archives (the Common Crawl packaging) parsed by the
+    # pure-stdlib record grammar + HTTP framing + HTML boilerplate
+    # strip — the format LLM training corpora actually arrive in
+    "warc_extract_text": CAT.warc_extract_text,
     "json_round_trip": CAT.json_round_trip,
     "csv_round_trip": CAT.csv_round_trip,
     "orc_round_trip": CAT.orc_round_trip,
@@ -1233,19 +1238,19 @@ _R12_WINDOW = [
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 
 # The r13 window is the r12 verdict's demand #2 with the standing
-# policies applied: the SEVEN entries new in r13 itself
+# policies applied: the EIGHT entries new in r13 itself
 # (multimodal_audio_formats, multimodal_decode_oriented,
 # multimodal_png_depth, multimodal_resize_box,
 # multimodal_video_audio, multimodal_video_frames,
-# multimodal_video_scenes — driver rows in their birth round), the
-# TWO entries r13 changed
+# multimodal_video_scenes, warc_extract_text — driver rows in their
+# birth round), the TWO entries r13 changed
 # (avro_logical_types — the r12 verdict's #1, re-proving the
 # unix_micros/epoch-day presentation fix against the driver's own
 # hash; multimodal_audio_loudest_window — windows re-cut to 10 ms so
 # the argmax is non-vacuous, which changes its output), then ALL 38
-# r8-stale entries (the verdict's named list, verbatim), then the 3
+# r8-stale entries (the verdict's named list, verbatim), then the 2
 # oldest r9-stale entries alphabetically (the new/changed entries
-# displace 8 of the verdict's 11 r9 slots, exactly the "keeping
+# displace 9 of the verdict's 11 r9 slots, exactly the "keeping
 # birth-round slots for anything new" carve-out). Max staleness
 # after this window: r9.
 _R13_WINDOW = [
@@ -1257,6 +1262,7 @@ _R13_WINDOW = [
     "multimodal_video_audio",
     "multimodal_video_frames",
     "multimodal_video_scenes",
+    "warc_extract_text",
     # (2) changed in r13 — re-prove under the driver's own gate
     "avro_logical_types",
     "multimodal_audio_loudest_window",
@@ -1299,11 +1305,11 @@ _R13_WINDOW = [
     "vector_ann_pq",
     "window_range_frame",
     "window_value_fns",
-    # (4) the 3 oldest r9-stale entries, alphabetical (one slot
-    # displaced by the second-batch muxed A/V birth-round row)
+    # (4) the 2 oldest r9-stale entries, alphabetical (two slots
+    # displaced by the second-batch birth-round rows: muxed A/V and
+    # WARC ingest)
     "agg_approx_distinct",
     "agg_basic",
-    "agg_collect",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R13_WINDOW} | {
@@ -6738,4 +6744,43 @@ SELECT CAST(par.media_id AS BIGINT) AS media_id,
        CAST(a_wsum AS BIGINT) AS a_wsum
 FROM par JOIN vsum USING (media_id) JOIN asum USING (media_id)
 ORDER BY media_id
+"""
+
+# WARC crawl ingest (r13, second batch): the oracle rebuilds the
+# EXACT HTML each staged response record serves (same escape chain,
+# same newline placement), so body_bytes gates the framing and the
+# collapsed concat gates the boilerplate strip + entity unescape.
+ORACLES["warc_extract_text"] = """
+WITH h AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         '<!DOCTYPE html>' || chr(10) ||
+         '<html><head><title>Doc ' || doc_id ||
+         ' &amp; friends</title><style>p {margin: 0 1px}</style></head>'
+         || chr(10) ||
+         '<body><h1>' || lang || '/' || source || '</h1>' || chr(10) ||
+         '<p>' ||
+         replace(replace(replace(text, '&', '&amp;'),
+                         '<', '&lt;'), '>', '&gt;') ||
+         '</p>' || chr(10) ||
+         '<script type="text/javascript">var x = 1 < 2 && ' || n_chars
+         || ' > 0;</script>' || chr(10) ||
+         '<!-- crawler boilerplate <b>not text</b> -->' ||
+         '<p>tail &lt;' || n_chars || '&gt;</p></body></html>' AS html,
+         trim(regexp_replace(
+             'Doc ' || doc_id || ' & friends ' || lang || '/' || source
+             || ' ' || text || ' tail <' || n_chars || '>',
+             '\\s+', ' ', 'g')) AS extracted
+  FROM documents
+)
+SELECT doc_id,
+       'http://crawl.example.com/' || source || '/' || doc_id || '.html'
+           AS url,
+       CAST(1735689600 + doc_id AS BIGINT) AS warc_date_s,
+       CAST(200 AS INT) AS http_status,
+       'text/html; charset=utf-8' AS mime,
+       CAST(strlen(html) AS BIGINT) AS body_bytes,
+       extracted AS text,
+       CAST(len(string_split(extracted, ' ')) AS INT) AS n_tokens
+FROM h
+ORDER BY doc_id
 """

@@ -869,3 +869,109 @@ def test_avro_decimal_wide_values_are_exact_or_loud():
         write_container(avsc, [{"amt": over}])
     with pytest.raises(ValueError, match="cannot encode"):
         write_container(avsc, [{"amt": Decimal("NaN")}])
+
+
+# -------------------------------------- r13 second batch: WARC ingest
+
+
+def test_warc_record_grammar_round_trips_plain_and_gzipped():
+    from mapreducego_spark.sources.warccodec import (
+        build_response,
+        build_warcinfo,
+        gzip_member,
+        parse_warc,
+    )
+
+    body = b"<html><body><p>hi</p></body></html>"
+    info = build_warcinfo(1735689600, "f.warc.gz")
+    resp = build_response("http://x.test/a/7.html", 1735689607, body)
+    for payload in (info + resp, gzip_member(info) + gzip_member(resp)):
+        recs = parse_warc(payload)
+        assert [r["warc_type"] for r in recs] == ["warcinfo", "response"]
+        r = recs[1]
+        assert r["url"] == "http://x.test/a/7.html"
+        assert r["date_s"] == 1735689607
+        assert r["http_status"] == 200
+        assert r["mime"] == "text/html; charset=utf-8"
+        assert r["body"] == body
+
+
+def test_warc_failures_are_loud():
+    import pytest
+
+    from mapreducego_spark.sources.warccodec import (
+        build_response,
+        gzip_member,
+        parse_warc,
+    )
+
+    rec = build_response("http://x.test/1.html", 1735689601, b"abc")
+    # bad version line
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"WARC/9.9\r\n" + rec.split(b"\r\n", 1)[1])
+    # truncated block (declared Content-Length past end)
+    with pytest.raises(ValueError, match="past end|unterminated"):
+        parse_warc(rec[:-10])
+    # header line without a colon
+    bad = rec.replace(b"WARC-Type: response", b"WARC-Type response", 1)
+    with pytest.raises(ValueError, match="malformed WARC header"):
+        parse_warc(bad)
+    # HTTP Content-Length contradicting the actual body
+    bad = rec.replace(b"Content-Length: 3", b"Content-Length: 9", 1)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(bad)
+    # truncated gzip member
+    with pytest.raises(ValueError, match="gzip"):
+        parse_warc(gzip_member(rec)[:-5])
+    # missing WARC Content-Length
+    import re
+
+    stripped = re.sub(rb"Content-Length: \d+\r\n", b"", rec, count=1)
+    with pytest.raises(ValueError, match="Content-Length|truncated"):
+        parse_warc(stripped)
+
+
+def test_html_text_extraction_rules():
+    from mapreducego_spark.sources.warccodec import extract_html_text
+
+    # raw-text rule: markup-like bytes inside script never derail
+    doc = (
+        "<html><head><title>T &amp; U</title><style>a{x:1}</style>"
+        "</head><body><p>a  b</p><script>if (1 < 2) { x = '<p>'; }"
+        "</script><!-- c <b>d</b> --><p>&#65;&lt;z&gt;</p></body></html>"
+    )
+    assert extract_html_text(doc) == "T & U a b A<z>"
+    # unclosed raw-text element is loud
+    import pytest
+
+    with pytest.raises(ValueError, match="unclosed <script>"):
+        extract_html_text("<body><script>var x = 1;</body>")
+    with pytest.raises(ValueError, match="unterminated HTML comment"):
+        extract_html_text("<p>a</p><!-- never closed")
+
+
+def test_warc_extract_text_entry_matches_documents(spark, sf_dir):
+    """End to end: staged Common-Crawl-shaped archives parse back to
+    exactly the documents table's content."""
+    import duckdb
+
+    from mapreducego_spark.sources.catalog import warc_extract_text
+
+    rows = {r["doc_id"]: r
+            for r in warc_extract_text(spark, sf_dir).collect()}
+    docs = duckdb.sql(
+        f"SELECT doc_id, text, lang, source, n_chars FROM"
+        f" '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    assert len(rows) == len(docs)
+    for doc_id, text, lang, source, n_chars in docs[:50]:
+        r = rows[doc_id]
+        assert r["url"].endswith(f"/{source}/{doc_id}.html")
+        assert r["warc_date_s"] == 1735689600 + doc_id
+        assert r["http_status"] == 200
+        expected = " ".join(
+            f"Doc {doc_id} & friends {lang}/{source} {text}"
+            f" tail <{n_chars}>".split()
+        )
+        assert r["text"] == expected
+        assert r["n_tokens"] == len(expected.split(" "))
