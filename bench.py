@@ -200,10 +200,13 @@ HEADLINE = [
     # and the exact-integer 2x box thumbnail pass
     "multimodal_video_scenes",
     "multimodal_resize_box",
-    # round 13, third batch: the muxed A/V demux tier and WARC
-    # crawl ingest (gzip members + record grammar + HTML strip)
+    # round 13, third batch: the muxed A/V demux tier, WARC crawl
+    # ingest (gzip members + record grammar + HTML strip), and the
+    # GIF/LZW tier (single-frame decode + animated composition)
     "multimodal_video_audio",
     "warc_extract_text",
+    "multimodal_gif_decode",
+    "multimodal_gif_frames",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

@@ -3300,3 +3300,287 @@ def multimodal_video_audio(
         " height long, v_px_sum long, sample_rate long, channels long,"
         " n_audio long, a_sum long, a_min long, a_max long, a_wsum long",
     ).orderBy("media_id")
+
+
+# --- r13 second batch: GIF (LZW) tier ------------------------------
+
+def _gif_fixture_params(i: int):
+    """Deterministic single-frame GIF fixture spec: per-file dims,
+    palette size 4..32 (so the LZW min code size and the padded
+    color-table size both vary), an interlace flag every third file,
+    and closed-form pixel indices + palette channels the DuckDB
+    oracle rebuilds in BIGINT."""
+    nc = (i % 29) + 4
+
+    def idx(x: int, y: int) -> int:
+        return (i * 3 + x * 5 + y * 7) % nc
+
+    def pal(j: int):
+        return ((i * 11 + j * 29) % 256, (i * 13 + j * 31) % 256,
+                (i * 17 + j * 37) % 256)
+
+    return {
+        "w": (i * 7) % 25 + 8,
+        "h": (i * 11) % 17 + 6,
+        "nc": nc,
+        "interlace": i % 3 == 0,
+        "idx": idx,
+        "pal": pal,
+    }
+
+
+def stage_gif_media(sf_dir: str, n: int = 150) -> str:
+    from mapreducego_spark.functions.gifcodec import encode_gif
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_media/{tag}_gif{n}"
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        for i in range(n):
+            spec = _gif_fixture_params(i)
+            w, h = spec["w"], spec["h"]
+            idx = np.array(
+                [[spec["idx"](x, y) for x in range(w)] for y in range(h)],
+                dtype=np.uint8,
+            )
+            blob = encode_gif(
+                w, h,
+                [spec["pal"](j) for j in range(spec["nc"])],
+                [{"indices": idx, "interlace": spec["interlace"]}],
+            )
+            with open(os.path.join(out, f"media_{i:05d}.gif"), "wb") as fh:
+                fh.write(blob)
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+    return out
+
+
+def multimodal_gif_decode(
+    spark: SparkSession, sf_dir: str, n: int = 150
+) -> DataFrame:
+    """Registry entry (r13, second batch): GIF as the THIRD real
+    image format — and a genuinely distinct entropy coder: LZW with
+    variable-width codes (min-code-size+1 up to 12 bits, LSB-first
+    across 255-byte sub-blocks, in-band CLEAR/EOI, the KwKwK
+    self-reference). Staged single-frame GIFs with varying palette
+    sizes (4..32, so code width and padded color-table size both
+    vary) and the 4-pass interlace on every third file are decoded
+    by gifcodec.decode_gif inside one Arrow-batched mapInPandas
+    pass; the raster gates (px_sum + hex md5 of the palette-mapped
+    RGB) hash the OUTPUT of the LZW + de-interlace + palette lookup
+    chain, so a single wrong code width, interlace row, or table
+    entry diverges. The DuckDB oracle rebuilds every pixel from the
+    closed-form index/palette formulas. Reference analog: the
+    opaque-bytes input contract at master.go:82.
+
+    Scale shape: distributed binaryFile scan, one Arrow crossing,
+    no shuffle before the presentation sort."""
+    from mapreducego_spark.functions.gifcodec import decode_gif
+
+    path = stage_gif_media(sf_dir, n)
+    media = (
+        spark.read.format("binaryFile")
+        .load(path + "/media_*.gif")
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.gif", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                meta, frames = decode_gif(bytes(p))
+                f = frames[0]
+                pal = np.asarray(f["palette"], dtype=np.uint8)
+                rgb = pal[f["indices"]]
+                rows.append(
+                    (
+                        int(mid),
+                        meta["width"],
+                        meta["height"],
+                        len(f["palette"]),
+                        bool(f["interlaced"]),
+                        int(rgb.astype(np.int64).sum()),
+                        hashlib.md5(
+                            rgb.tobytes().hex().encode()
+                        ).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "table_size",
+                    "interlaced", "px_sum", "feature_hash",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, width long, height long, table_size long,"
+        " interlaced boolean, px_sum long, feature_hash string",
+    ).orderBy("media_id")
+
+
+def _gif_anim_fixture_params(i: int):
+    """Deterministic animated-GIF fixture spec: frame 0 is a full
+    opaque canvas; later frames are sub-region patches (closed-form
+    geometry), odd frames carry transparency index 0 (those pixels
+    leave the canvas), every (i+f)%5==0 frame swaps in a local color
+    table — so composition order, transparency, and per-frame
+    palette routing are all load-bearing."""
+    w = (i * 5) % 21 + 12
+    h = (i * 7) % 13 + 8
+    nc = (i % 13) + 4
+
+    def geom(f: int):
+        if f == 0:
+            return 0, 0, w, h
+        left = (i + 3 * f) % (w // 2)
+        top = (i * 2 + f) % (h // 2)
+        return (left, top,
+                w - left - ((i + f) % 3), h - top - ((i + f * 2) % 3))
+
+    def idx(f: int, x: int, y: int) -> int:
+        # canvas coordinates, so the oracle never re-derives offsets
+        return (i * 3 + f * 11 + x * 5 + y * 7) % nc
+
+    def gpal(j: int):
+        return ((i * 11 + j * 29) % 256, (i * 13 + j * 31) % 256,
+                (i * 17 + j * 37) % 256)
+
+    def lpal(f: int, j: int):
+        return ((i * 7 + f * 13 + j * 19) % 256,
+                (i * 11 + f * 17 + j * 23) % 256,
+                (i * 13 + f * 19 + j * 29) % 256)
+
+    return {
+        "w": w, "h": h, "nc": nc,
+        "n_frames": i % 4 + 2,
+        "geom": geom, "idx": idx, "gpal": gpal, "lpal": lpal,
+        "local": lambda f: (i + f) % 5 == 0,
+        "transparent": lambda f: 0 if f % 2 == 1 else None,
+        "delay": lambda f: (i + f * 3) % 20 + 2,
+    }
+
+
+def stage_gif_anim_media(sf_dir: str, n: int = 120) -> str:
+    from mapreducego_spark.functions.gifcodec import encode_gif
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_media/{tag}_gifanim{n}"
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        for i in range(n):
+            spec = _gif_anim_fixture_params(i)
+            frames = []
+            for f in range(spec["n_frames"]):
+                left, top, pw, ph = spec["geom"](f)
+                patch = np.array(
+                    [
+                        [spec["idx"](f, left + dx, top + dy)
+                         for dx in range(pw)]
+                        for dy in range(ph)
+                    ],
+                    dtype=np.uint8,
+                )
+                frames.append(
+                    {
+                        "indices": patch,
+                        "left": left,
+                        "top": top,
+                        "delay_cs": spec["delay"](f),
+                        "transparent": spec["transparent"](f),
+                        "disposal": 1,
+                        "palette": [
+                            spec["lpal"](f, j) for j in range(spec["nc"])
+                        ] if spec["local"](f) else None,
+                    }
+                )
+            blob = encode_gif(
+                spec["w"], spec["h"],
+                [spec["gpal"](j) for j in range(spec["nc"])],
+                frames, loop=True,
+            )
+            with open(os.path.join(out, f"media_{i:05d}.gif"), "wb") as fh:
+                fh.write(blob)
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+    return out
+
+
+def multimodal_gif_frames(
+    spark: SparkSession, sf_dir: str, n: int = 120
+) -> DataFrame:
+    """Registry entry (r13, second batch): ANIMATED GIF frame
+    composition — the part of the format crawl corpora actually
+    exercise. Each staged file carries 2..5 frames: a full opaque
+    base, then sub-region patches with per-frame delays, odd-frame
+    transparency (index-0 pixels leave the canvas), local color
+    tables on every (i+f)%5==0 frame, and a NETSCAPE loop block the
+    decoder must skip by the sub-block grammar. The entry decodes,
+    composes every frame onto the logical screen (compose-over;
+    disposal 2/3 refuse loudly at the codec), and emits one row per
+    COMPOSED frame with the raster gates — so patch geometry,
+    transparency masking, palette routing, and composition order are
+    each load-bearing. The DuckDB oracle recomposes every pixel as
+    "latest covering non-transparent patch wins" (arg-max over
+    frames) from the closed forms. Reference analog: the
+    opaque-bytes input contract at master.go:82.
+
+    Scale shape: distributed scan, one Arrow crossing, bounded
+    per-file fan-out (<= 5 rows/file), no shuffle before the
+    presentation sort."""
+    from mapreducego_spark.functions.gifcodec import (
+        compose_frames,
+        decode_gif,
+    )
+
+    path = stage_gif_anim_media(sf_dir, n)
+    media = (
+        spark.read.format("binaryFile")
+        .load(path + "/media_*.gif")
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.gif", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                meta, frames = decode_gif(bytes(p))
+                for f, canvas in enumerate(compose_frames(meta, frames)):
+                    rows.append(
+                        (
+                            int(mid),
+                            f,
+                            meta["n_frames"],
+                            frames[f]["delay_cs"],
+                            int(canvas.astype(np.int64).sum()),
+                            hashlib.md5(
+                                canvas.tobytes().hex().encode()
+                            ).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "n_frames", "delay_cs",
+                    "px_sum", "feature_hash",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, frame_idx long, n_frames long, delay_cs long,"
+        " px_sum long, feature_hash string",
+    ).orderBy("media_id", "frame_idx")

@@ -706,6 +706,13 @@ QUERIES: dict[str, QueryFn] = {
     # raster-checksummed by the existing decode_jpeg, the reassembled
     # PCM track gated by the audio tier's every-sample integer sums
     "multimodal_video_audio": M.multimodal_video_audio,
+    # GIF tier (r13, second batch): the third real image format and
+    # a distinct entropy coder — variable-width LZW (sub-blocked,
+    # LSB-first, CLEAR/EOI, KwKwK) + 4-pass interlace + palettes
+    "multimodal_gif_decode": M.multimodal_gif_decode,
+    # ...and animated composition: patches, odd-frame transparency,
+    # local color tables, compose-over onto the logical screen
+    "multimodal_gif_frames": M.multimodal_gif_frames,
     # REAL image resize (new in r13): exact-integer 2x box
     # downsample fused into the decode pass, hash-gated — the
     # thumbnail slot of the decode/feature-extract/resize triple
@@ -1238,8 +1245,9 @@ _R12_WINDOW = [
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 
 # The r13 window is the r12 verdict's demand #2 with the standing
-# policies applied: the EIGHT entries new in r13 itself
+# policies applied: the TEN entries new in r13 itself
 # (multimodal_audio_formats, multimodal_decode_oriented,
+# multimodal_gif_decode, multimodal_gif_frames,
 # multimodal_png_depth, multimodal_resize_box,
 # multimodal_video_audio, multimodal_video_frames,
 # multimodal_video_scenes, warc_extract_text — driver rows in their
@@ -1248,15 +1256,16 @@ assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 # unix_micros/epoch-day presentation fix against the driver's own
 # hash; multimodal_audio_loudest_window — windows re-cut to 10 ms so
 # the argmax is non-vacuous, which changes its output), then ALL 38
-# r8-stale entries (the verdict's named list, verbatim), then the 2
-# oldest r9-stale entries alphabetically (the new/changed entries
-# displace 9 of the verdict's 11 r9 slots, exactly the "keeping
-# birth-round slots for anything new" carve-out). Max staleness
-# after this window: r9.
+# r8-stale entries (the verdict's named list, verbatim). The
+# new/changed entries displace all 11 of the verdict's r9 slots,
+# exactly the "keeping birth-round slots for anything new"
+# carve-out. Max staleness after this window: r9.
 _R13_WINDOW = [
     # (1) new in r13 — driver rows in their birth round
     "multimodal_audio_formats",
     "multimodal_decode_oriented",
+    "multimodal_gif_decode",
+    "multimodal_gif_frames",
     "multimodal_png_depth",
     "multimodal_resize_box",
     "multimodal_video_audio",
@@ -1305,11 +1314,6 @@ _R13_WINDOW = [
     "vector_ann_pq",
     "window_range_frame",
     "window_value_fns",
-    # (4) the 2 oldest r9-stale entries, alphabetical (two slots
-    # displaced by the second-batch birth-round rows: muxed A/V and
-    # WARC ingest)
-    "agg_approx_distinct",
-    "agg_basic",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R13_WINDOW} | {
@@ -6783,4 +6787,142 @@ SELECT doc_id,
        CAST(len(string_split(extracted, ' ')) AS INT) AS n_tokens
 FROM h
 ORDER BY doc_id
+"""
+
+# GIF tier (r13, second batch): single-frame decode. The oracle
+# rebuilds every pixel from the closed-form index/palette formulas,
+# so the hash gates the whole LZW + de-interlace + palette chain.
+ORACLES["multimodal_gif_decode"] = """
+WITH m AS (SELECT unnest(range(150)) AS i),
+par AS (
+  SELECT i,
+         CAST((i * 7) % 25 + 8 AS BIGINT) AS w,
+         CAST((i * 11) % 17 + 6 AS BIGINT) AS h,
+         CAST((i % 29) + 4 AS BIGINT) AS nc
+  FROM m
+),
+px AS (
+  SELECT par.*, x.x AS x, y.y AS y,
+         (i * 3 + x.x * 5 + y.y * 7) % nc AS idx
+  FROM par,
+       (SELECT unnest(range(32)) AS x) x,
+       (SELECT unnest(range(22)) AS y) y
+  WHERE x.x < w AND y.y < h
+),
+col AS (
+  SELECT i, w, h, nc, x, y,
+         (i * 11 + idx * 29) % 256 AS r,
+         (i * 13 + idx * 31) % 256 AS g,
+         (i * 17 + idx * 37) % 256 AS b
+  FROM px
+),
+rows_hex AS (
+  SELECT i, w, h, nc, y,
+         string_agg(printf('%02x%02x%02x', r, g, b), '' ORDER BY x)
+             AS rowstr,
+         SUM(r + g + b) AS part_sum
+  FROM col
+  GROUP BY i, w, h, nc, y
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       MAX(w) AS width,
+       MAX(h) AS height,
+       CAST(CASE WHEN MAX(nc) <= 4 THEN 4 WHEN MAX(nc) <= 8 THEN 8
+                 WHEN MAX(nc) <= 16 THEN 16 ELSE 32 END AS BIGINT)
+           AS table_size,
+       (i % 3 = 0) AS interlaced,
+       CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+       md5(string_agg(rowstr, '' ORDER BY y)) AS feature_hash
+FROM rows_hex
+GROUP BY i
+ORDER BY media_id
+"""
+
+# Animated GIF composition (r13, second batch): every composed
+# canvas pixel is "latest covering non-transparent patch wins" —
+# the oracle computes the arg-max source frame per (file, frame,
+# pixel) from the closed-form geometry/transparency, then routes
+# through the local or global palette formula of THAT source frame.
+ORACLES["multimodal_gif_frames"] = """
+WITH m AS (SELECT unnest(range(120)) AS i),
+par AS (
+  SELECT i,
+         CAST((i * 5) % 21 + 12 AS BIGINT) AS w,
+         CAST((i * 7) % 13 + 8 AS BIGINT) AS h,
+         CAST((i % 13) + 4 AS BIGINT) AS nc,
+         CAST(i % 4 + 2 AS BIGINT) AS nf
+  FROM m
+),
+geom AS (
+  SELECT par.*, f.f AS f,
+         CASE WHEN f.f = 0 THEN 0
+              ELSE (i + 3 * f.f) % (w // 2) END AS gl,
+         CASE WHEN f.f = 0 THEN 0
+              ELSE (i * 2 + f.f) % (h // 2) END AS gt,
+         CASE WHEN f.f = 0 THEN w
+              ELSE w - (i + 3 * f.f) % (w // 2) - (i + f.f) % 3
+         END AS pw,
+         CASE WHEN f.f = 0 THEN h
+              ELSE h - (i * 2 + f.f) % (h // 2) - (i + f.f * 2) % 3
+         END AS ph
+  FROM par, (SELECT unnest(range(5)) AS f) f
+  WHERE f.f < nf
+),
+px AS (
+  SELECT par.i, par.nc, par.nf, fo.f AS f, x.x AS x, y.y AS y
+  FROM par,
+       (SELECT unnest(range(5)) AS f) fo,
+       (SELECT unnest(range(32)) AS x) x,
+       (SELECT unnest(range(20)) AS y) y
+  WHERE fo.f < par.nf AND x.x < par.w AND y.y < par.h
+),
+src AS (
+  SELECT px.i, px.f, px.x, px.y, MAX(px.nc) AS nc, MAX(g.f) AS g
+  FROM px JOIN geom g ON g.i = px.i AND g.f <= px.f
+  WHERE px.x >= g.gl AND px.x < g.gl + g.pw
+    AND px.y >= g.gt AND px.y < g.gt + g.ph
+    AND NOT (g.f % 2 = 1
+             AND (px.i * 3 + g.f * 11 + px.x * 5 + px.y * 7)
+                 % px.nc = 0)
+  GROUP BY px.i, px.f, px.x, px.y
+),
+col AS (
+  SELECT i, f, x, y,
+         CASE WHEN (i + g) % 5 = 0
+              THEN (i * 7 + g * 13
+                    + ((i * 3 + g * 11 + x * 5 + y * 7) % nc) * 19) % 256
+              ELSE (i * 11
+                    + ((i * 3 + g * 11 + x * 5 + y * 7) % nc) * 29) % 256
+         END AS cr,
+         CASE WHEN (i + g) % 5 = 0
+              THEN (i * 11 + g * 17
+                    + ((i * 3 + g * 11 + x * 5 + y * 7) % nc) * 23) % 256
+              ELSE (i * 13
+                    + ((i * 3 + g * 11 + x * 5 + y * 7) % nc) * 31) % 256
+         END AS cg,
+         CASE WHEN (i + g) % 5 = 0
+              THEN (i * 13 + g * 19
+                    + ((i * 3 + g * 11 + x * 5 + y * 7) % nc) * 29) % 256
+              ELSE (i * 17
+                    + ((i * 3 + g * 11 + x * 5 + y * 7) % nc) * 37) % 256
+         END AS cb
+  FROM src
+),
+rows_hex AS (
+  SELECT i, f, y,
+         string_agg(printf('%02x%02x%02x', cr, cg, cb), '' ORDER BY x)
+             AS rowstr,
+         SUM(cr + cg + cb) AS part_sum
+  FROM col
+  GROUP BY i, f, y
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(i % 4 + 2 AS BIGINT) AS n_frames,
+       CAST((i + f * 3) % 20 + 2 AS BIGINT) AS delay_cs,
+       CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+       md5(string_agg(rowstr, '' ORDER BY y)) AS feature_hash
+FROM rows_hex
+GROUP BY i, f
+ORDER BY media_id, frame_idx
 """

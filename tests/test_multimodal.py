@@ -1294,3 +1294,195 @@ def test_video_audio_entry_matches_fixture_closed_form(spark, sf_dir):
                     v_px += min(255, max(0, yv + (116130 * cb1 + 32768)
                                          // 65536))
         assert r["v_px_sum"] == v_px
+
+
+# --------------------------------- r13 second batch: GIF (LZW) tier
+
+
+def _gif_idx(i, w, h, nc):
+    import numpy as np
+
+    return np.array(
+        [[(i * 3 + x * 5 + y * 7) % nc for x in range(w)]
+         for y in range(h)],
+        dtype=np.uint8,
+    )
+
+
+def test_gif_lzw_round_trips_across_widths_and_interlace():
+    """Code width varies with palette size (4..32 colors), every
+    third case interlaced — decode must invert LZW, the 4-pass row
+    order, and the palette padding exactly."""
+    import numpy as np
+
+    from mapreducego_spark.functions.gifcodec import decode_gif, encode_gif
+
+    for i, (w, h, nc, inter) in enumerate(
+        [(8, 6, 4, False), (25, 17, 13, True), (32, 22, 32, False),
+         (9, 5, 5, True), (16, 16, 2, False)]
+    ):
+        pal = [((i * 11 + j * 29) % 256, (i * 13 + j * 31) % 256,
+                (i * 17 + j * 37) % 256) for j in range(nc)]
+        idx = _gif_idx(i, w, h, nc)
+        blob = encode_gif(w, h, pal, [{"indices": idx, "interlace": inter}])
+        meta, frames = decode_gif(blob)
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert np.array_equal(frames[0]["indices"], idx)
+        assert frames[0]["interlaced"] == inter
+        assert frames[0]["palette"][:nc] == pal
+
+
+def test_gif_lzw_dictionary_reset_round_trips():
+    """A 12288-pixel noise image overflows the 4096-entry LZW table,
+    forcing the in-band CLEAR reset path on both sides."""
+    import numpy as np
+
+    from mapreducego_spark.functions.gifcodec import decode_gif, encode_gif
+
+    w, h = 128, 96
+    noise = ((np.arange(w * h, dtype=np.uint64) * 2654435761) >> 7) % 16
+    idx = noise.reshape(h, w).astype(np.uint8)
+    pal = [(j * 16, 255 - j * 16, j * 7) for j in range(16)]
+    blob = encode_gif(w, h, pal, [{"indices": idx}])
+    meta, frames = decode_gif(blob)
+    assert np.array_equal(frames[0]["indices"], idx)
+
+
+def test_gif_animation_composes_patches_transparency_local_palettes():
+    import numpy as np
+
+    from mapreducego_spark.functions.gifcodec import (
+        compose_frames,
+        decode_gif,
+        encode_gif,
+    )
+
+    w, h = 20, 12
+    base = _gif_idx(7, w, h, 8)
+    patch = _gif_idx(9, 10, 6, 8)
+    lpal = [(j * 30 % 256, j * 50 % 256, j * 70 % 256) for j in range(8)]
+    gpal = [((77 + j * 29) % 256, (91 + j * 31) % 256,
+             (119 + j * 37) % 256) for j in range(8)]
+    blob = encode_gif(
+        w, h, gpal,
+        [
+            {"indices": base, "delay_cs": 8, "disposal": 1},
+            {"indices": patch, "left": 4, "top": 3, "delay_cs": 12,
+             "transparent": 0, "disposal": 1, "palette": lpal},
+        ],
+        loop=True,  # NETSCAPE block must be skipped by the grammar
+    )
+    meta, frames = decode_gif(blob)
+    assert meta["version"] == "89a" and meta["n_frames"] == 2
+    assert frames[1]["transparent"] == 0
+    got = compose_frames(meta, frames)
+    want = np.asarray(gpal, np.uint8)[base]
+    assert np.array_equal(got[0], want)
+    want = want.copy()
+    for yy in range(6):
+        for xx in range(10):
+            if patch[yy, xx] != 0:
+                want[3 + yy, 4 + xx] = lpal[patch[yy, xx]]
+    assert np.array_equal(got[1], want)
+
+
+def test_gif_failures_are_loud():
+    import numpy as np
+    import pytest
+
+    from mapreducego_spark.functions.gifcodec import decode_gif, encode_gif
+
+    idx = _gif_idx(1, 10, 8, 4)
+    pal = [(j, j, j) for j in range(4)]
+    blob = encode_gif(10, 8, pal, [{"indices": idx}])
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG" + blob[3:])
+    with pytest.raises(ValueError, match="version"):
+        decode_gif(blob[:3] + b"88a" + blob[6:])
+    with pytest.raises(ValueError, match="trailer|truncated"):
+        decode_gif(blob[:-4])
+    # disposal "restore to background" is out of compose-over scope
+    anim = encode_gif(
+        10, 8, pal,
+        [{"indices": idx, "delay_cs": 1},
+         {"indices": idx, "delay_cs": 1}],
+    )
+    k = anim.find(b"\x21\xf9\x04")
+    bad = bytearray(anim)
+    bad[k + 3] = (bad[k + 3] & ~0x1C) | (2 << 2)
+    with pytest.raises(NotImplementedError, match="disposal method 2"):
+        decode_gif(bytes(bad))
+    # patch exceeding the logical screen is structural
+    big = np.zeros((9, 10), dtype=np.uint8)
+    oversize = encode_gif(10, 8, pal, [{"indices": big}])
+    with pytest.raises(ValueError, match="exceeds the logical screen"):
+        decode_gif(oversize)
+
+
+def test_gif_decode_entry_matches_closed_form(spark, sf_dir):
+    import hashlib
+
+    from mapreducego_spark.functions.multimodal import (
+        _gif_fixture_params,
+        multimodal_gif_decode,
+    )
+
+    rows = {r["media_id"]: r
+            for r in multimodal_gif_decode(spark, sf_dir, n=10).collect()}
+    assert len(rows) == 10
+    for i in (0, 3, 6, 9):
+        spec = _gif_fixture_params(i)
+        r = rows[i]
+        assert (r["width"], r["height"]) == (spec["w"], spec["h"])
+        assert r["interlaced"] == spec["interlace"]
+        px = bytearray()
+        for y in range(spec["h"]):
+            for x in range(spec["w"]):
+                px += bytes(spec["pal"](spec["idx"](x, y)))
+        assert r["px_sum"] == sum(px)
+        assert r["feature_hash"] == hashlib.md5(
+            bytes(px).hex().encode()
+        ).hexdigest()
+
+
+def test_gif_frames_entry_composes_like_the_oracle(spark, sf_dir):
+    import hashlib
+
+    from mapreducego_spark.functions.multimodal import (
+        _gif_anim_fixture_params,
+        multimodal_gif_frames,
+    )
+
+    rows = multimodal_gif_frames(spark, sf_dir, n=8).collect()
+    by_file: dict[int, list] = {}
+    for r in rows:
+        by_file.setdefault(r["media_id"], []).append(r)
+    assert len(by_file) == 8
+    for i in (1, 4, 7):
+        spec = _gif_anim_fixture_params(i)
+        got = sorted(by_file[i], key=lambda r: r["frame_idx"])
+        assert len(got) == spec["n_frames"]
+        # recompose in Python: latest covering non-transparent wins
+        w, h = spec["w"], spec["h"]
+        canvas = [[None] * w for _ in range(h)]
+        for f, r in enumerate(got):
+            assert r["delay_cs"] == spec["delay"](f)
+            left, top, pw, ph = spec["geom"](f)
+            for dy in range(ph):
+                for dx in range(pw):
+                    x, y = left + dx, top + dy
+                    v = spec["idx"](f, x, y)
+                    if spec["transparent"](f) == v:
+                        continue
+                    canvas[y][x] = (
+                        spec["lpal"](f, v) if spec["local"](f)
+                        else spec["gpal"](v)
+                    )
+            px = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    px += bytes(canvas[y][x])
+            assert r["px_sum"] == sum(px)
+            assert r["feature_hash"] == hashlib.md5(
+                bytes(px).hex().encode()
+            ).hexdigest()
