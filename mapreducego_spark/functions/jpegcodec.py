@@ -19,7 +19,10 @@ tier at all; this belongs to the 100 TB training-data north star
 mapInPandas — see functions/multimodal.py for the Spark-side
 plumbing and SURVEY.md §2).
 
-Scope (loud, like decode_png's): baseline DCT (SOF0), 8-bit
+Scope (loud, like decode_png's): baseline DCT (SOF0) and extended
+sequential (SOF1, r13: identical Huffman-sequential decode at 8-bit
+— SOF1's only extensions are 12-bit precision, still refused, and
+table ids 2..3, which the DHT walk already keys on), 8-bit
 precision, 1 component at 1x1 or 3 components with any sampling
 factors in {1, 2} — which covers 4:4:4 (1x1 everywhere), 4:2:0
 (luma 2x2, the dominant real-world encoding; r10 verdict item 2),
@@ -404,8 +407,12 @@ def encode_jpeg_baseline(
     y_density: int = 1,
     subsampling: str = "444",
     restart_interval: int = 0,
+    sof1: bool = False,
 ) -> bytes:
     """Encode raw samples as a baseline-sequential JFIF file.
+    ``sof1=True`` stamps the frame extended-sequential (marker 0xC1)
+    — bit-identical entropy coding, the frame type some encoders
+    emit for 8-bit sequential output.
 
     ``planes`` is ``[gray]`` or ``[Y, Cb, Cr]``, each
     ``width*height`` bytes in raster order (full resolution — the
@@ -493,7 +500,7 @@ def encode_jpeg_baseline(
         b"\xff\xd8"
         + seg(0xE0, app0)
         + seg(0xDB, dqt)
-        + seg(0xC0, sof)
+        + seg(0xC1 if sof1 else 0xC0, sof)
         + seg(0xC4, dht)
         + dri
         + seg(0xDA, sos)
@@ -569,12 +576,16 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
                     raise ValueError("truncated DHT segment")
                 huff[(cls, tid)] = _decode_table(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (SOF marker 0xFF{marker:02X})"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            # extended sequential (SOF1) at 8-bit precision is the
+            # same Huffman-sequential decode as baseline — its only
+            # extensions are 12-bit precision (refused below) and
+            # table ids 2..3 (the DHT walk already keys on (cls, id))
             if len(data) < 6:
                 raise ValueError("truncated SOF frame header")
             if data[0] != 8:
@@ -1392,11 +1403,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             pos += 1
         marker = payload[pos + 1]
         pos += 2
-        if marker == 0xC0:
+        if marker in (0xC0, 0xC1):  # SOF1 = sequential at 8-bit
             return decode_jpeg_baseline(payload)
         if marker == 0xC2:
             return decode_jpeg_progressive(payload)
-        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7,
                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG frame type 0xFF{marker:02X}"

@@ -599,3 +599,39 @@ def test_grayscale_with_chroma_subsampling_fails_loudly():
     raise, not silently coerce to 4:4:4."""
     with pytest.raises(ValueError, match="grayscale"):
         encode_jpeg_baseline(8, 8, [bytes(64)], subsampling="420")
+
+
+# ------------------------------------- r13 second batch: SOF1 frames
+
+
+def test_sof1_extended_sequential_decodes_identically():
+    """Extended sequential (SOF1) at 8-bit is the same entropy
+    coding as baseline — the decoder must accept the marker and
+    produce the byte-identical raster; 12-bit precision stays
+    refused."""
+    import pytest
+
+    from mapreducego_spark.functions.jpegcodec import (
+        decode_jpeg,
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    w, h = 19, 13
+    planes = [
+        bytes(((x // 8) * 31 + (y // 8) * 47 + c * 17) % 256
+              for y in range(h) for x in range(w))
+        for c in range(3)
+    ]
+    b0 = encode_jpeg_baseline(w, h, planes)
+    b1 = encode_jpeg_baseline(w, h, planes, sof1=True)
+    assert b0[b0.find(b"\xff\xc0") + 1] == 0xC0
+    assert b1[b1.find(b"\xff\xc1") + 1] == 0xC1
+    assert decode_jpeg(b1) == decode_jpeg_baseline(b0)
+    # 12-bit SOF1 refuses loudly (find the marker, then the segment
+    # payload starts after the 2-byte length; byte 0 is precision)
+    k = b1.find(b"\xff\xc1")
+    bad = bytearray(b1)
+    bad[k + 4] = 12
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_jpeg(bytes(bad))
