@@ -207,6 +207,9 @@ HEADLINE = [
     "warc_extract_text",
     "multimodal_gif_decode",
     "multimodal_gif_frames",
+    # round 13, third batch: WebDataset tar shards (the multimodal
+    # training packaging — member pairing + decode per sample)
+    "webdataset_pairs",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

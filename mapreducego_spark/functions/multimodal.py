@@ -3584,3 +3584,191 @@ def multimodal_gif_frames(
         "media_id long, frame_idx long, n_frames long, delay_cs long,"
         " px_sum long, feature_hash string",
     ).orderBy("media_id", "frame_idx")
+
+
+# --- r13 second batch: WebDataset-style tar shards ------------------
+
+def _wds_jpeg_params(d: int):
+    """Closed-form JPEG spec for sample ``d`` of the tar-shard tier —
+    the image tier's standard per-block Y/Cb/Cr family keyed by
+    doc_id, so the DuckDB oracle rebuilds each paired image from the
+    documents table's own key."""
+    gray = d % 4 == 0
+
+    def yv(bx: int, by: int) -> int:
+        return (d * 31 + by * 47 + bx * 17) % 256
+
+    def cb(bx: int, by: int) -> int:
+        return 128 if gray else 128 + (d * 5 + bx * 3 + by * 7) % 100
+
+    def cr(bx: int, by: int) -> int:
+        return 128 if gray else 128 + (d * 11 + bx * 13 + by * 5) % 100
+
+    return {
+        "w": (d * 7) % 25 + 8,
+        "h": (d * 13) % 19 + 8,
+        "gray": gray,
+        "y": yv, "cb": cb, "cr": cr,
+    }
+
+
+def stage_webdataset_shards(sf_dir: str, n_shards: int = 16) -> str:
+    """Stage the documents table as WebDataset-style tar shards: one
+    sample per document — ``{key}.jpg`` (a REAL baseline JPEG from
+    the closed form) + ``{key}.txt`` (the document text as the
+    caption), key = zero-padded doc_id, sample doc_id % n_shards.
+    Deterministic USTAR members (zeroed mtime/uid/gid)."""
+    import io
+    import tarfile
+
+    from mapreducego_spark.functions.jpegcodec import encode_jpeg_baseline
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_media/{tag}_wds{n_shards}"
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        import duckdb
+
+        docs = duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+            f" ORDER BY doc_id"
+        ).fetchall()
+        tars = [
+            tarfile.open(
+                os.path.join(out, f"shard_{s:04d}.tar"),
+                "w", format=tarfile.USTAR_FORMAT,
+            )
+            for s in range(n_shards)
+        ]
+
+        def add(tf, name: str, data: bytes) -> None:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.mode = 0o644
+            tf.addfile(info, io.BytesIO(data))
+
+        for doc_id, text in docs:
+            spec = _wds_jpeg_params(doc_id)
+            w, h = spec["w"], spec["h"]
+
+            def plane(fn) -> bytes:
+                return bytes(
+                    fn(x // 8, y // 8)
+                    for y in range(h) for x in range(w)
+                )
+
+            planes = (
+                [plane(spec["y"])] if spec["gray"]
+                else [plane(spec["y"]), plane(spec["cb"]),
+                      plane(spec["cr"])]
+            )
+            jpg = encode_jpeg_baseline(w, h, planes)
+            tf = tars[doc_id % n_shards]
+            key = f"{doc_id:09d}"
+            add(tf, key + ".jpg", jpg)
+            add(tf, key + ".txt", text.encode("utf-8"))
+        for tf in tars:
+            tf.close()
+        with open(marker, "w") as fh:
+            fh.write(str(n_shards))
+    return out
+
+
+def walk_wds_members(payload: bytes) -> dict[str, dict[str, bytes]]:
+    """Group a WebDataset shard's USTAR members into samples by
+    basename key. Loud on everything a silent reader would hide: a
+    non-file member, an out-of-scope extension, a duplicate member,
+    or a sample missing either half of its pair."""
+    import io
+    import tarfile
+
+    samples: dict[str, dict[str, bytes]] = {}
+    with tarfile.open(fileobj=io.BytesIO(bytes(payload))) as tf:
+        for m in tf:
+            if not m.isreg():
+                raise ValueError(f"non-file tar member {m.name!r}")
+            key, _dot, ext = m.name.rpartition(".")
+            if ext not in ("jpg", "txt"):
+                raise NotImplementedError(
+                    f"WebDataset member type .{ext} (jpg/txt pairs only)"
+                )
+            slot = samples.setdefault(key, {})
+            if ext in slot:
+                raise ValueError(f"duplicate member {m.name!r}")
+            slot[ext] = tf.extractfile(m).read()
+    for key, slot in samples.items():
+        if set(slot) != {"jpg", "txt"}:
+            raise ValueError(
+                f"sample {key!r} missing members (has {sorted(slot)})"
+            )
+    return samples
+
+
+def webdataset_pairs(
+    spark: SparkSession, sf_dir: str, n_shards: int = 16
+) -> DataFrame:
+    """Registry entry (r13, second batch): WebDataset-style TAR
+    SHARDS — the de-facto packaging of multimodal training corpora
+    (a tar stream of samples, each sample a group of same-key
+    members: image + caption). Staged shards built from the
+    documents table are read through the distributed binaryFile scan
+    and walked inside one Arrow-batched mapInPandas pass: the USTAR
+    member stream is grouped by basename key (a sample missing
+    either member, carrying an out-of-scope extension, or split
+    across keys is LOUD — a silently dropped pair is a training-set
+    bug), the ``.jpg`` member is entropy-decoded by the EXISTING
+    decode_jpeg into the image tier's raster gates, the ``.txt``
+    member is the caption. Emits one row per sample (doc_id from the
+    key, dims, px_sum, raster hash, caption, JVM-side token count);
+    the DuckDB oracle rebuilds the raster from the per-block closed
+    form keyed by doc_id and the caption straight from the documents
+    table. Reference analog: the opaque-bytes input contract at
+    master.go:82.
+
+    Scale shape: shards are the unit of parallelism (exactly how
+    WebDataset trains at cluster scale); one Arrow crossing, no
+    shuffle before the presentation sort."""
+    from mapreducego_spark.functions.jpegcodec import decode_jpeg
+
+    path = stage_webdataset_shards(sf_dir, n_shards)
+    shards = (
+        spark.read.format("binaryFile")
+        .load(path + "/shard_*.tar")
+        .select(F.col("content").alias("payload"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for payload in batch["payload"]:
+                for key, slot in walk_wds_members(payload).items():
+                    w, h, rgb = decode_jpeg(slot["jpg"])
+                    rows.append(
+                        (
+                            int(key),
+                            w,
+                            h,
+                            int(sum(rgb)),
+                            hashlib.md5(rgb.hex().encode()).hexdigest(),
+                            slot["txt"].decode("utf-8"),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "px_sum",
+                    "feature_hash", "caption",
+                ],
+            )
+
+    out = shards.mapInPandas(
+        run,
+        "doc_id long, width int, height int, px_sum long,"
+        " feature_hash string, caption string",
+    )
+    return out.withColumn(
+        "n_tokens", F.size(F.split("caption", " "))
+    ).orderBy("doc_id")

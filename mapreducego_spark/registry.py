@@ -713,6 +713,11 @@ QUERIES: dict[str, QueryFn] = {
     # ...and animated composition: patches, odd-frame transparency,
     # local color tables, compose-over onto the logical screen
     "multimodal_gif_frames": M.multimodal_gif_frames,
+    # WebDataset tar shards (r13, second batch): the de-facto
+    # multimodal training packaging — same-key member groups
+    # (image + caption) walked from USTAR streams, loud on broken
+    # pairs, decoded by the existing JPEG tier
+    "webdataset_pairs": M.webdataset_pairs,
     # REAL image resize (new in r13): exact-integer 2x box
     # downsample fused into the decode pass, hash-gated — the
     # thumbnail slot of the decode/feature-extract/resize triple
@@ -6925,4 +6930,66 @@ SELECT CAST(i AS BIGINT) AS media_id,
 FROM rows_hex
 GROUP BY i, f
 ORDER BY media_id, frame_idx
+"""
+
+# WebDataset tar shards (r13, second batch): the raster CTEs are the
+# image tier's standard block closed form keyed by doc_id, the
+# caption comes straight from the documents table — so member
+# grouping, tar framing, decode, and pairing are all gated.
+ORACLES["webdataset_pairs"] = """
+WITH par AS (
+  SELECT doc_id, text,
+         CAST((doc_id * 7) % 25 + 8 AS BIGINT) AS w,
+         CAST((doc_id * 13) % 19 + 8 AS BIGINT) AS h
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, w, h, bx.x AS bx, by.y AS by,
+         LEAST(8, w - bx.x * 8) AS nx,
+         LEAST(8, h - by.y * 8) AS ny,
+         (doc_id * 31 + by.y * 47 + bx.x * 17) % 256 AS yv,
+         CASE WHEN doc_id % 4 = 0 THEN 0
+              ELSE (doc_id * 5 + bx.x * 3 + by.y * 7) % 100
+         END AS cb1,
+         CASE WHEN doc_id % 4 = 0 THEN 0
+              ELSE (doc_id * 11 + bx.x * 13 + by.y * 5) % 100
+         END AS cr1
+  FROM par,
+       (SELECT unnest(range(4)) AS x) bx,
+       (SELECT unnest(range(4)) AS y) by
+  WHERE bx.x < (w + 7) // 8 AND by.y < (h + 7) // 8
+),
+rgb AS (
+  SELECT doc_id, w, h, bx, by, nx, ny,
+         LEAST(255, GREATEST(0,
+             yv + (91881 * cr1 + 32768) // 65536)) AS r,
+         LEAST(255, GREATEST(0,
+             yv - (22554 * cb1 + 46802 * cr1 + 32768) // 65536)) AS g,
+         LEAST(255, GREATEST(0,
+             yv + (116130 * cb1 + 32768) // 65536)) AS b
+  FROM blocks
+),
+rows_hex AS (
+  SELECT doc_id, w, h, by, MAX(ny) AS ny,
+         string_agg(repeat(printf('%02x%02x%02x', r, g, b),
+                           CAST(nx AS INT)), '' ORDER BY bx) AS rowstr,
+         SUM((r + g + b) * nx * ny) AS part_sum
+  FROM rgb
+  GROUP BY doc_id, w, h, by
+),
+img AS (
+  SELECT doc_id,
+         CAST(MAX(w) AS INT) AS width,
+         CAST(MAX(h) AS INT) AS height,
+         CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+         md5(string_agg(repeat(rowstr, CAST(ny AS INT)), ''
+                        ORDER BY by)) AS feature_hash
+  FROM rows_hex
+  GROUP BY doc_id
+)
+SELECT par.doc_id, width, height, px_sum, feature_hash,
+       par.text AS caption,
+       CAST(len(string_split(par.text, ' ')) AS INT) AS n_tokens
+FROM img JOIN par USING (doc_id)
+ORDER BY par.doc_id
 """

@@ -1486,3 +1486,88 @@ def test_gif_frames_entry_composes_like_the_oracle(spark, sf_dir):
             assert r["feature_hash"] == hashlib.md5(
                 bytes(px).hex().encode()
             ).hexdigest()
+
+
+# ------------------------- r13 second batch: WebDataset tar shards
+
+
+def _mini_tar(members):
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_webdataset_pairing_is_loud():
+    """A sample missing a member, an out-of-scope extension, or a
+    duplicate member must fail the whole read — silently dropped
+    pairs are training-set bugs. Drives the entry's own member walk
+    on hand-built shards."""
+    import pytest
+
+    from mapreducego_spark.functions.jpegcodec import encode_jpeg_baseline
+    from mapreducego_spark.functions.multimodal import walk_wds_members
+
+    jpg = encode_jpeg_baseline(8, 8, [bytes(range(64))])
+    good = _mini_tar([("000000001.jpg", jpg), ("000000001.txt", b"cap")])
+    samples = walk_wds_members(good)
+    assert set(samples) == {"000000001"}
+    assert samples["000000001"]["txt"] == b"cap"
+    with pytest.raises(ValueError, match="missing members"):
+        walk_wds_members(_mini_tar([("000000002.jpg", jpg)]))
+    with pytest.raises(NotImplementedError, match="json"):
+        walk_wds_members(
+            _mini_tar([("000000003.jpg", jpg), ("000000003.txt", b"c"),
+                       ("000000003.json", b"{}")])
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        walk_wds_members(
+            _mini_tar([("000000004.txt", b"a"), ("000000004.txt", b"b")])
+        )
+
+
+def test_webdataset_entry_matches_documents(spark, sf_dir):
+    """End to end: staged shards decode back to the documents table's
+    captions and the closed-form rasters."""
+    import duckdb
+
+    from mapreducego_spark.functions.multimodal import (
+        _wds_jpeg_params,
+        webdataset_pairs,
+    )
+
+    rows = {r["doc_id"]: r
+            for r in webdataset_pairs(spark, sf_dir).collect()}
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    assert len(rows) == len(docs)
+    for doc_id, text in docs[:40]:
+        r = rows[doc_id]
+        spec = _wds_jpeg_params(doc_id)
+        assert (r["width"], r["height"]) == (spec["w"], spec["h"])
+        assert r["caption"] == text
+        assert r["n_tokens"] == len(text.split(" "))
+        # raster gate from the block closed form
+        px_sum = 0
+        for y in range(spec["h"]):
+            for x in range(spec["w"]):
+                bx, by = x // 8, y // 8
+                yv = spec["y"](bx, by)
+                cb1 = spec["cb"](bx, by) - 128
+                cr1 = spec["cr"](bx, by) - 128
+                px_sum += min(255, max(0, yv + (91881 * cr1 + 32768)
+                                       // 65536))
+                px_sum += min(255, max(0, yv - (22554 * cb1
+                                                + 46802 * cr1
+                                                + 32768) // 65536))
+                px_sum += min(255, max(0, yv + (116130 * cb1 + 32768)
+                                       // 65536))
+        assert r["px_sum"] == px_sum
