@@ -210,6 +210,7 @@ HEADLINE = [
     # round 13, third batch: WebDataset tar shards (the multimodal
     # training packaging — member pairing + decode per sample)
     "webdataset_pairs",
+    "multimodal_audio_resample",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

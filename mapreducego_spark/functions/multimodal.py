@@ -3772,3 +3772,68 @@ def webdataset_pairs(
     return out.withColumn(
         "n_tokens", F.size(F.split("caption", " "))
     ).orderBy("doc_id")
+
+
+def multimodal_audio_resample(
+    spark: SparkSession, sf_dir: str, n: int = 240
+) -> DataFrame:
+    """Registry entry (r13, second batch): REAL audio resample — the
+    audio twin of multimodal_resize_box. Each staged PCM file is
+    decoded and decimated by 2 with an exact integer box average:
+    out[t][c] = floor((s[2t][c] + s[2t+1][c]) / 2), trailing odd
+    frame dropped — computed on both engines as
+    ((s0 + s1 + 65536) // 2) - 32768 so the numerator is never
+    negative (floor and truncate agree on non-negatives; DuckDB's
+    ``//`` truncates toward zero, numpy's floors — the offset makes
+    the policy engine-independent by construction). The resampled
+    track then gets the audio tier's every-sample integer gates,
+    including the position-weighted sum that breaks if the pairing
+    grid, channel interleave, or rounding is off by anything.
+    Oracle rebuilds every output sample from the closed-form
+    waveform. Reference analog: the opaque-bytes input contract at
+    master.go:82.
+
+    Scale shape: distributed scan, vectorized numpy decimation in
+    one Arrow crossing, no shuffle before the presentation sort."""
+    from mapreducego_spark.functions.wavcodec import decode_wav
+
+    media = _wav_media_df(spark, sf_dir, n)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                meta, s = decode_wav(bytes(p))
+                a = s.astype(np.int64)
+                nf, ch = a.shape
+                n_out = nf // 2
+                r = (a[: n_out * 2 : 2] + a[1 : n_out * 2 : 2]
+                     + 65536) // 2 - 32768
+                w = np.arange(n_out * ch, dtype=np.int64).reshape(
+                    n_out, ch
+                ) + 1
+                rows.append(
+                    (
+                        int(mid),
+                        nf,
+                        n_out,
+                        ch,
+                        int(r.sum()),
+                        int(r.min()),
+                        int(r.max()),
+                        int((w * r).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "in_frames", "out_frames", "channels",
+                    "r_sum", "r_min", "r_max", "r_wsum",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, in_frames long, out_frames long, channels long,"
+        " r_sum long, r_min long, r_max long, r_wsum long",
+    ).orderBy("media_id")

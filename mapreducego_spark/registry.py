@@ -718,6 +718,10 @@ QUERIES: dict[str, QueryFn] = {
     # (image + caption) walked from USTAR streams, loud on broken
     # pairs, decoded by the existing JPEG tier
     "webdataset_pairs": M.webdataset_pairs,
+    # audio resample (r13, second batch): exact decimate-by-2 box
+    # average with an engine-independent rounding construction —
+    # the audio twin of the 2x box image resize
+    "multimodal_audio_resample": M.multimodal_audio_resample,
     # REAL image resize (new in r13): exact-integer 2x box
     # downsample fused into the decode pass, hash-gated — the
     # thumbnail slot of the decode/feature-extract/resize triple
@@ -6992,4 +6996,50 @@ SELECT par.doc_id, width, height, px_sum, feature_hash,
        CAST(len(string_split(par.text, ' ')) AS INT) AS n_tokens
 FROM img JOIN par USING (doc_id)
 ORDER BY par.doc_id
+"""
+
+# Audio resample (r13, second batch): exact decimate-by-2 box
+# average over the closed-form waveform. The +65536 offset keeps the
+# halved numerator non-negative, where DuckDB's truncating // and
+# numpy's flooring // agree — the rounding policy is engine-
+# independent by construction.
+ORACLES["multimodal_audio_resample"] = """
+WITH par AS (
+  SELECT media_id,
+         (media_id * 29) % 400 + 50 AS n_frames,
+         media_id % 2 + 1 AS ch_n,
+         CASE WHEN media_id % 5 = 0 THEN 8 ELSE 16 END AS bits
+  FROM (SELECT unnest(range(240)) AS media_id)
+),
+resampled AS (
+  SELECT media_id, n_frames, ch_n, t.t AS t, c.c AS c,
+         ((CASE WHEN bits = 16
+                THEN (media_id * 37 + c.c * 101 + (2 * t.t) * 13)
+                     % 4001 - 2000
+                ELSE (media_id * 7 + (2 * t.t) * 11 + c.c * 3)
+                     % 256 - 128
+           END
+           + CASE WHEN bits = 16
+                  THEN (media_id * 37 + c.c * 101 + (2 * t.t + 1) * 13)
+                       % 4001 - 2000
+                  ELSE (media_id * 7 + (2 * t.t + 1) * 11 + c.c * 3)
+                       % 256 - 128
+             END
+           + 65536) // 2) - 32768 AS r
+  FROM par,
+       (SELECT unnest(range(225)) AS t) t,
+       (SELECT unnest(range(2)) AS c) c
+  WHERE t.t < n_frames // 2 AND c.c < ch_n
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(MAX(n_frames) AS BIGINT) AS in_frames,
+       CAST(MAX(n_frames) // 2 AS BIGINT) AS out_frames,
+       CAST(MAX(ch_n) AS BIGINT) AS channels,
+       CAST(SUM(r) AS BIGINT) AS r_sum,
+       CAST(MIN(r) AS BIGINT) AS r_min,
+       CAST(MAX(r) AS BIGINT) AS r_max,
+       CAST(SUM((t * ch_n + c + 1) * r) AS BIGINT) AS r_wsum
+FROM resampled
+GROUP BY media_id
+ORDER BY media_id
 """

@@ -1571,3 +1571,33 @@ def test_webdataset_entry_matches_documents(spark, sf_dir):
                 px_sum += min(255, max(0, yv + (116130 * cb1 + 32768)
                                        // 65536))
         assert r["px_sum"] == px_sum
+
+
+def test_audio_resample_entry_is_exact_box_decimation(spark, sf_dir):
+    """Decimate-by-2 against a Python recomputation from the fixture
+    waveform: floor((s[2t] + s[2t+1]) / 2), trailing odd frame
+    dropped — including negative-sample floors (the offset
+    construction must equal true floor division)."""
+    from mapreducego_spark.functions.multimodal import (
+        _wav_fixture_params,
+        multimodal_audio_resample,
+    )
+
+    rows = {r["media_id"]: r
+            for r in multimodal_audio_resample(spark, sf_dir, n=12)
+            .collect()}
+    assert len(rows) == 12
+    for i in (0, 3, 5, 10):
+        spec = _wav_fixture_params(i)
+        r = rows[i]
+        nf, ch = spec["n_frames"], spec["channels"]
+        assert r["in_frames"] == nf and r["out_frames"] == nf // 2
+        vals = [
+            (spec["sample"](2 * t, c) + spec["sample"](2 * t + 1, c)) // 2
+            for t in range(nf // 2)
+            for c in range(ch)
+        ]
+        assert r["r_sum"] == sum(vals)
+        assert r["r_min"] == min(vals)
+        assert r["r_max"] == max(vals)
+        assert r["r_wsum"] == sum((k + 1) * v for k, v in enumerate(vals))
