@@ -211,6 +211,7 @@ HEADLINE = [
     # training packaging — member pairing + decode per sample)
     "webdataset_pairs",
     "multimodal_audio_resample",
+    "warc_link_graph",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

@@ -275,6 +275,9 @@ QUERIES: dict[str, QueryFn] = {
     # pure-stdlib record grammar + HTTP framing + HTML boilerplate
     # strip — the format LLM training corpora actually arrive in
     "warc_extract_text": CAT.warc_extract_text,
+    # ...and the out-link half of crawl ingest: anchor extraction
+    # into the edge list that feeds the frontier / PageRank priors
+    "warc_link_graph": CAT.warc_link_graph,
     "json_round_trip": CAT.json_round_trip,
     "csv_round_trip": CAT.csv_round_trip,
     "orc_round_trip": CAT.orc_round_trip,
@@ -6764,10 +6767,26 @@ ORDER BY media_id
 # same newline placement), so body_bytes gates the framing and the
 # collapsed concat gates the boilerplate strip + entity unescape.
 ORACLES["warc_extract_text"] = """
-WITH h AS (
-  SELECT doc_id, lang, source, n_chars, text,
+WITH links AS (
+  SELECT d.doc_id, k.k,
+         (d.doc_id * 7 + 13 * k.k + 1)
+             % (SELECT COUNT(*) FROM documents) AS tgt
+  FROM documents d, (SELECT unnest(range(3)) AS k) k
+  WHERE k.k < d.doc_id % 4
+),
+linkhtml AS (
+  SELECT l.doc_id,
+         string_agg('<li><a href="http://crawl.example.com/'
+                    || d2.source || '/' || l.tgt || '.html">ref</a></li>',
+                    '' ORDER BY l.k) AS lis,
+         COUNT(*) AS n_links
+  FROM links l JOIN documents d2 ON d2.doc_id = l.tgt
+  GROUP BY l.doc_id
+),
+h AS (
+  SELECT d.doc_id, lang, source, n_chars, text,
          '<!DOCTYPE html>' || chr(10) ||
-         '<html><head><title>Doc ' || doc_id ||
+         '<html><head><title>Doc ' || d.doc_id ||
          ' &amp; friends</title><style>p {margin: 0 1px}</style></head>'
          || chr(10) ||
          '<body><h1>' || lang || '/' || source || '</h1>' || chr(10) ||
@@ -6778,12 +6797,15 @@ WITH h AS (
          '<script type="text/javascript">var x = 1 < 2 && ' || n_chars
          || ' > 0;</script>' || chr(10) ||
          '<!-- crawler boilerplate <b>not text</b> -->' ||
+         COALESCE('<ul>' || lh.lis || '</ul>', '') ||
          '<p>tail &lt;' || n_chars || '&gt;</p></body></html>' AS html,
          trim(regexp_replace(
-             'Doc ' || doc_id || ' & friends ' || lang || '/' || source
-             || ' ' || text || ' tail <' || n_chars || '>',
+             'Doc ' || d.doc_id || ' & friends ' || lang || '/' || source
+             || ' ' || text
+             || COALESCE(repeat(' ref', CAST(lh.n_links AS INT)), '')
+             || ' tail <' || n_chars || '>',
              '\\s+', ' ', 'g')) AS extracted
-  FROM documents
+  FROM documents d LEFT JOIN linkhtml lh ON lh.doc_id = d.doc_id
 )
 SELECT doc_id,
        'http://crawl.example.com/' || source || '/' || doc_id || '.html'
@@ -7042,4 +7064,25 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
 FROM resampled
 GROUP BY media_id
 ORDER BY media_id
+"""
+
+# WARC link graph (r13, second batch): the oracle rebuilds the edge
+# list from the closed-form link function, joined to documents for
+# the target's source partition — the entry must recover the same
+# edges from the HTML bytes.
+ORACLES["warc_link_graph"] = """
+WITH links AS (
+  SELECT d.doc_id AS src_doc_id, k.k AS link_idx,
+         (d.doc_id * 7 + 13 * k.k + 1)
+             % (SELECT COUNT(*) FROM documents) AS dst_doc_id
+  FROM documents d, (SELECT unnest(range(3)) AS k) k
+  WHERE k.k < d.doc_id % 4
+)
+SELECT l.src_doc_id, l.link_idx, l.dst_doc_id,
+       d2.source AS dst_source,
+       'http://crawl.example.com/' || d2.source || '/' || l.dst_doc_id
+           || '.html' AS dst_url,
+       'ref' AS anchor
+FROM links l JOIN documents d2 ON d2.doc_id = l.dst_doc_id
+ORDER BY l.src_doc_id, l.link_idx
 """

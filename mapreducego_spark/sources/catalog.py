@@ -1259,15 +1259,32 @@ def scd2_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------- r13: WARC crawl ingest
 
-def _doc_html(doc_id, text, lang, source, n_chars) -> str:
+def _doc_links(doc_id: int, n_docs: int) -> list[int]:
+    """Closed-form out-links of a fixture page: doc_id % 4 targets,
+    target k = (doc_id*7 + 13k + 1) mod n_docs — the link graph the
+    warc_link_graph entry must recover from the HTML bytes."""
+    return [
+        (doc_id * 7 + 13 * k + 1) % n_docs for k in range(doc_id % 4)
+    ]
+
+
+def _doc_html(doc_id, text, lang, source, n_chars, link_hrefs) -> str:
     """The deterministic HTML wrapper the WARC fixtures serve: title
     + heading + the document body (entity-escaped, so the extractor's
     unescape round-trips it) + a script whose content contains raw
-    markup-like bytes (1 < 2 && ...) + a comment + an entity-carrying
-    tail — every boilerplate-strip path is load-bearing."""
+    markup-like bytes (1 < 2 && ...) + a comment + an out-link list
+    (anchor text 'ref') + an entity-carrying tail — every
+    boilerplate-strip path and the link extractor are load-bearing."""
     import html as _html
 
     esc = _html.escape(text, quote=False)
+    links = (
+        "<ul>"
+        + "".join(f'<li><a href="{u}">ref</a></li>' for u in link_hrefs)
+        + "</ul>"
+        if link_hrefs
+        else ""
+    )
     return (
         f"<!DOCTYPE html>\n"
         f"<html><head><title>Doc {doc_id} &amp; friends</title>"
@@ -1275,7 +1292,7 @@ def _doc_html(doc_id, text, lang, source, n_chars) -> str:
         f"<body><h1>{lang}/{source}</h1>\n<p>{esc}</p>\n"
         f'<script type="text/javascript">var x = 1 < 2 && {n_chars} > 0;'
         f"</script>\n<!-- crawler boilerplate <b>not text</b> -->"
-        f"<p>tail &lt;{n_chars}&gt;</p></body></html>"
+        f"{links}<p>tail &lt;{n_chars}&gt;</p></body></html>"
     )
 
 
@@ -1294,7 +1311,10 @@ def stage_warc_archives(sf_dir: str, n_files: int = 16) -> str:
     )
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/spark_graft_media/{tag}_warc{n_files}"
+    # staging-dir suffix is the fixture VERSION: the _STAGED marker
+    # makes staging idempotent, so any change to the served HTML
+    # must bump it ("b" = the out-link list for warc_link_graph)
+    out = f"/tmp/spark_graft_media/{tag}_warcb{n_files}"
     os.makedirs(out, exist_ok=True)
     marker = os.path.join(out, "_STAGED")
     if not os.path.exists(marker):
@@ -1304,6 +1324,7 @@ def stage_warc_archives(sf_dir: str, n_files: int = 16) -> str:
             f"SELECT doc_id, text, lang, source, n_chars FROM"
             f" '{sf_dir}/documents.parquet' ORDER BY doc_id"
         ).fetchall()
+        src_of = {d[0]: d[3] for d in docs}
         parts: list[list[bytes]] = [[] for _ in range(n_files)]
         for f in range(n_files):
             parts[f].append(
@@ -1313,7 +1334,13 @@ def stage_warc_archives(sf_dir: str, n_files: int = 16) -> str:
             )
         for doc_id, text, lang, source, n_chars in docs:
             url = f"http://crawl.example.com/{source}/{doc_id}.html"
-            body = _doc_html(doc_id, text, lang, source, n_chars).encode()
+            hrefs = [
+                f"http://crawl.example.com/{src_of[t]}/{t}.html"
+                for t in _doc_links(doc_id, len(docs))
+            ]
+            body = _doc_html(
+                doc_id, text, lang, source, n_chars, hrefs
+            ).encode()
             parts[doc_id % n_files].append(
                 gzip_member(
                     build_response(url, _WARC_EPOCH + doc_id, body)
@@ -1414,3 +1441,87 @@ def warc_extract_text(
     return out.withColumn(
         "n_tokens", F.size(F.split("text", " "))
     ).orderBy("doc_id")
+
+
+def warc_link_graph(
+    spark: SparkSession, sf_dir: str, n_files: int = 16
+) -> DataFrame:
+    """Registry entry (r13, second batch): OUT-LINK extraction from
+    crawl HTML — the other half of WARC ingest (the link graph feeds
+    the crawl frontier, PageRank-style quality priors, and anchor-
+    text mining). The same staged archives are parsed record by
+    record and each response page's anchors are pulled from the raw
+    HTML (attribute-quoted ``<a href="...">text</a>``, the shape the
+    fixture serves); each link row carries the source page, the link
+    ordinal, the parsed target doc id and source partition, the full
+    target URL, and the anchor text. The DuckDB oracle rebuilds the
+    whole edge list from the closed-form link function joined to the
+    documents table for target sources — a missed page, a dropped
+    link, or a mis-parsed href diverges. Reference analog: master.go
+    whole-file reads; this is the crawl-graph pass on top.
+
+    Scale shape: same distributed archive scan + one Arrow crossing
+    as warc_extract_text; the edge list shuffles only for the
+    presentation sort. At 100 TB this feeds a groupBy(dst) in-degree
+    or the graph tier's PageRank directly."""
+    from collections.abc import Iterator as _Iterator
+    import re as _re
+
+    import pandas as pd
+
+    from mapreducego_spark.sources.warccodec import parse_warc
+
+    path = stage_warc_archives(sf_dir, n_files)
+    files = (
+        spark.read.format("binaryFile")
+        .load(path + "/crawl_*.warc.gz")
+        .select("content")
+    )
+    href_re = _re.compile(r'<a href="([^"]*)">([^<]*)</a>')
+    url_re = _re.compile(r"^http://crawl\.example\.com/([^/]+)/(\d+)\.html$")
+
+    def run(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for payload in batch["content"]:
+                for rec in parse_warc(bytes(payload)):
+                    if rec["warc_type"] != "response":
+                        continue
+                    m = url_re.match(rec["url"])
+                    if m is None:
+                        raise ValueError(
+                            f"unexpected fixture URL {rec['url']!r}"
+                        )
+                    src_id = int(m.group(2))
+                    html_doc = rec["body"].decode("utf-8")
+                    for k, (href, anchor) in enumerate(
+                        href_re.findall(html_doc)
+                    ):
+                        t = url_re.match(href)
+                        if t is None:
+                            raise ValueError(
+                                f"unparseable link target {href!r}"
+                            )
+                        rows.append(
+                            (
+                                src_id,
+                                k,
+                                int(t.group(2)),
+                                t.group(1),
+                                href,
+                                anchor,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "src_doc_id", "link_idx", "dst_doc_id",
+                    "dst_source", "dst_url", "anchor",
+                ],
+            )
+
+    return files.mapInPandas(
+        run,
+        "src_doc_id long, link_idx long, dst_doc_id long,"
+        " dst_source string, dst_url string, anchor string",
+    ).orderBy("src_doc_id", "link_idx")

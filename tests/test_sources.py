@@ -969,9 +969,37 @@ def test_warc_extract_text_entry_matches_documents(spark, sf_dir):
         assert r["url"].endswith(f"/{source}/{doc_id}.html")
         assert r["warc_date_s"] == 1735689600 + doc_id
         assert r["http_status"] == 200
+        refs = " ref" * (doc_id % 4)  # the out-link anchors
         expected = " ".join(
-            f"Doc {doc_id} & friends {lang}/{source} {text}"
+            f"Doc {doc_id} & friends {lang}/{source} {text}{refs}"
             f" tail <{n_chars}>".split()
         )
         assert r["text"] == expected
         assert r["n_tokens"] == len(expected.split(" "))
+
+
+def test_warc_link_graph_recovers_the_closed_form_edges(spark, sf_dir):
+    """The edge list parsed from the HTML bytes equals the fixture's
+    link function, per (source page, ordinal)."""
+    import duckdb
+
+    from mapreducego_spark.sources.catalog import (
+        _doc_links,
+        warc_link_graph,
+    )
+
+    edges = warc_link_graph(spark, sf_dir).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    by_src: dict[int, list] = {}
+    for e in edges:
+        by_src.setdefault(e["src_doc_id"], []).append(e)
+    assert len(edges) == sum(i % 4 for i in range(n_docs))
+    for src in (1, 2, 3, 7, 11):
+        got = sorted(by_src[src], key=lambda e: e["link_idx"])
+        want = _doc_links(src, n_docs)
+        assert [e["dst_doc_id"] for e in got] == want
+        for e in got:
+            assert e["anchor"] == "ref"
+            assert e["dst_url"].endswith(f"/{e['dst_doc_id']}.html")
