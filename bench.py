@@ -212,6 +212,7 @@ HEADLINE = [
     "webdataset_pairs",
     "multimodal_audio_resample",
     "warc_link_graph",
+    "multimodal_bmp_decode",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

@@ -1,0 +1,252 @@
+"""BMP (Windows DIB) codec, pure stdlib + numpy (r13, second batch).
+
+The fourth image format of the multimodal tier, with a decode path
+none of the others exercise: BI_RLE8 run-length compression — encoded
+runs (count, index), escape sequences (0,0 = end of line, 0,1 = end
+of bitmap, 0,2 = delta), and absolute mode (0, n>=3: n literal
+indices padded to a 16-bit boundary) — plus the format's structural
+quirks: BOTTOM-UP row order and 4-byte row alignment for uncompressed
+data. Implemented from the public BITMAPFILEHEADER /
+BITMAPINFOHEADER layout (Windows GDI documentation).
+
+Scope (loud): 8-bit palette images uncompressed (BI_RGB) or BI_RLE8,
+and 24-bit BI_RGB truecolor. The RLE delta escape raises
+NotImplementedError (it encodes sparse/skipped pixels — out of this
+tier's fully-specified-raster scope); 1/4/16/32-bit depths, other
+compressions, and top-down (negative-height) bitmaps refuse loudly.
+Structurally broken files — bad magic, short headers, RLE overruns,
+a run past the row end, missing end-of-bitmap — raise ValueError.
+
+Reference parity note: the reference repo (MapReduceGo) has no media
+tier; this belongs to the 100 TB training-data north star.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ------------------------------------------------------------ encode
+
+def _rle8_row(row: np.ndarray) -> bytes:
+    """Encode one row as BI_RLE8: maximal runs >= 3 as encoded
+    (count, value) pairs; shorter stretches accumulate into absolute
+    mode (>= 3 literals, word-padded) or 1-2-count encoded runs."""
+    out = bytearray()
+    literals: list[int] = []
+
+    def flush_literals() -> None:
+        buf = literals
+        while buf:
+            if len(buf) >= 3:
+                n = min(len(buf), 255)
+                if n == len(buf) - 1:  # never strand a single literal
+                    n -= 1
+                out.append(0)
+                out.append(n)
+                out.extend(buf[:n])
+                if n % 2:
+                    out.append(0)  # absolute runs pad to 16 bits
+                del buf[:n]
+            else:
+                out.append(1)
+                out.append(buf.pop(0))
+        literals.clear()
+
+    i, n = 0, len(row)
+    while i < n:
+        j = i
+        while j < n and row[j] == row[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            flush_literals()
+            while run > 0:
+                k = min(run, 255)
+                out.append(k)
+                out.append(int(row[i]))
+                run -= k
+        else:
+            literals.extend(int(row[i]) for _ in range(run))
+        i = j
+    flush_literals()
+    return bytes(out)
+
+
+def encode_bmp(
+    width: int,
+    height: int,
+    pixels: np.ndarray,
+    palette: list[tuple[int, int, int]] | None = None,
+    rle: bool = False,
+) -> bytes:
+    """Encode a BMP: ``pixels`` is (h, w) uint8 indices with a
+    ``palette`` (8-bit families) or (h, w, 3) uint8 RGB (24-bit
+    BI_RGB). ``rle=True`` selects BI_RLE8 (palette images only).
+    Rows are written bottom-up per the format."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if palette is not None:
+        if pixels.shape != (height, width):
+            raise ValueError("palette image pixels must be (h, w)")
+        if rle:
+            body = bytearray()
+            for y in range(height - 1, -1, -1):  # bottom-up
+                body += _rle8_row(pixels[y])
+                body += b"\x00\x00" if y else b"\x00\x01"  # EOL / EOB
+            data = bytes(body)
+            compression = 1  # BI_RLE8
+        else:
+            pad = (-width) % 4
+            data = b"".join(
+                pixels[y].tobytes() + b"\x00" * pad
+                for y in range(height - 1, -1, -1)
+            )
+            compression = 0
+        bpp = 8
+        table = b"".join(
+            bytes((b, g, r, 0)) for r, g, b in palette
+        ) + b"\x00" * 4 * (256 - len(palette))
+    else:
+        if pixels.shape != (height, width, 3):
+            raise ValueError("truecolor pixels must be (h, w, 3)")
+        if rle:
+            raise ValueError("RLE8 needs a palette image")
+        pad = (-(width * 3)) % 4
+        data = b"".join(
+            pixels[y, :, ::-1].tobytes() + b"\x00" * pad  # BGR order
+            for y in range(height - 1, -1, -1)
+        )
+        compression = 0
+        bpp = 24
+        table = b""
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, bpp, compression,
+        len(data), 2835, 2835,
+        len(table) // 4 if table else 0, 0,
+    )
+    offset = 14 + 40 + len(table)
+    header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(data), 0, 0, offset
+    )
+    return header + info + table + data
+
+
+# ------------------------------------------------------------ decode
+
+def decode_bmp(payload: bytes):
+    """Decode a BMP to (meta, rgb) where rgb is a (h, w, 3) uint8
+    array in TOP-DOWN row order (the bottom-up storage undone) and
+    meta carries width/height/bpp/compression ('rgb24', 'pal8',
+    'rle8')."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    _magic, _fsize, _r1, _r2, offset = struct.unpack(
+        "<2sIHHI", payload[:14]
+    )
+    hsize, width, height, planes, bpp, compression, _isize = (
+        struct.unpack("<IiiHHII", payload[14:38])
+    )
+    if hsize < 40:
+        raise ValueError(f"BITMAPINFOHEADER size {hsize} too small")
+    if height < 0:
+        raise NotImplementedError("top-down BMP (negative height)")
+    if planes != 1:
+        raise ValueError(f"BMP planes {planes} != 1")
+    n_colors = struct.unpack("<I", payload[46:50])[0]
+    if bpp == 24:
+        if compression != 0:
+            raise NotImplementedError(
+                f"compression {compression} on a 24-bit BMP"
+            )
+        pad = (-(width * 3)) % 4
+        stride = width * 3 + pad
+        need = offset + stride * height
+        if len(payload) < need:
+            raise ValueError("truncated 24-bit pixel data")
+        rows = []
+        # storage row s holds image row (height-1-s): reading the
+        # storage rows last-to-first yields top-down image order
+        for s in range(height - 1, -1, -1):
+            base = offset + s * stride
+            rows.append(
+                np.frombuffer(
+                    payload[base : base + width * 3], np.uint8
+                ).reshape(width, 3)[:, ::-1]  # BGR -> RGB
+            )
+        rgb = np.stack(rows)
+        return (
+            {"width": width, "height": height, "bpp": 24,
+             "compression": "rgb24"},
+            rgb,
+        )
+    if bpp != 8:
+        raise NotImplementedError(f"BMP bit depth {bpp} (8/24 only)")
+    if n_colors == 0:
+        n_colors = 256
+    tbl = payload[14 + hsize : 14 + hsize + 4 * n_colors]
+    if len(tbl) != 4 * n_colors:
+        raise ValueError("truncated BMP color table")
+    pal = np.frombuffer(tbl, np.uint8).reshape(n_colors, 4)[:, :3][:, ::-1]
+    idx = np.zeros((height, width), dtype=np.uint8)
+    if compression == 0:
+        pad = (-width) % 4
+        stride = width + pad
+        if len(payload) < offset + stride * height:
+            raise ValueError("truncated 8-bit pixel data")
+        for y in range(height):
+            base = offset + (height - 1 - y) * stride
+            idx[y] = np.frombuffer(
+                payload[base : base + width], np.uint8
+            )
+        kind = "pal8"
+    elif compression == 1:  # BI_RLE8
+        pos = offset
+        y = height - 1  # RLE rows run bottom-up
+        x = 0
+        done = False
+        while not done:
+            if pos + 2 > len(payload):
+                raise ValueError("RLE8 stream truncated")
+            count, val = payload[pos], payload[pos + 1]
+            pos += 2
+            if count > 0:  # encoded run
+                if x + count > width or y < 0:
+                    raise ValueError("RLE8 run past the row end")
+                idx[y, x : x + count] = val
+                x += count
+            elif val == 0:  # end of line
+                y -= 1
+                x = 0
+            elif val == 1:  # end of bitmap
+                done = True
+            elif val == 2:
+                raise NotImplementedError(
+                    "RLE8 delta escape (sparse bitmaps out of scope)"
+                )
+            else:  # absolute mode: val literal indices, word-padded
+                n = val
+                end = pos + n + (n % 2)
+                if end > len(payload):
+                    raise ValueError("RLE8 absolute run truncated")
+                if x + n > width or y < 0:
+                    raise ValueError("RLE8 absolute run past the row end")
+                idx[y, x : x + n] = np.frombuffer(
+                    payload[pos : pos + n], np.uint8
+                )
+                x += n
+                pos = end
+        kind = "rle8"
+    else:
+        raise NotImplementedError(
+            f"BMP compression {compression} (BI_RGB/BI_RLE8 only)"
+        )
+    if int(idx.max(initial=0)) >= n_colors:
+        raise ValueError("pixel index outside the color table")
+    return (
+        {"width": width, "height": height, "bpp": 8,
+         "compression": kind},
+        pal[idx],
+    )

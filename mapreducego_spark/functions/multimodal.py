@@ -3837,3 +3837,138 @@ def multimodal_audio_resample(
         "media_id long, in_frames long, out_frames long, channels long,"
         " r_sum long, r_min long, r_max long, r_wsum long",
     ).orderBy("media_id")
+
+
+# --- r13 second batch: BMP tier -------------------------------------
+
+def _bmp_fixture_params(i: int):
+    """Deterministic BMP fixture spec: families cycle BI_RLE8 (the
+    run-length path — the index closed form has horizontal runs of
+    4, so encoded runs, absolute mode, EOL and EOB all appear),
+    uncompressed 8-bit palette (4-byte row alignment), and 24-bit
+    BI_RGB (BGR byte order + row padding). All channels closed-form
+    for the DuckDB oracle."""
+    fam = ("rle8", "pal8", "rgb24")[i % 3]
+    nc = (i % 13) + 4
+
+    def idx(x: int, y: int) -> int:
+        return (i + x // 4 + 3 * (y // 2)) % nc
+
+    def pal(j: int):
+        return ((i * 11 + j * 29) % 256, (i * 13 + j * 31) % 256,
+                (i * 17 + j * 37) % 256)
+
+    def rgb(x: int, y: int):
+        return ((i * 5 + x * 7 + y * 11) % 256,
+                (i * 7 + x * 11 + y * 5) % 256,
+                (i * 11 + x * 3 + y * 13) % 256)
+
+    return {
+        "w": (i * 7) % 25 + 8,
+        "h": (i * 11) % 17 + 6,
+        "family": fam,
+        "nc": nc,
+        "idx": idx,
+        "pal": pal,
+        "rgb": rgb,
+    }
+
+
+def stage_bmp_media(sf_dir: str, n: int = 150) -> str:
+    from mapreducego_spark.functions.bmpcodec import encode_bmp
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_media/{tag}_bmp{n}"
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        for i in range(n):
+            spec = _bmp_fixture_params(i)
+            w, h = spec["w"], spec["h"]
+            if spec["family"] == "rgb24":
+                px = np.array(
+                    [[spec["rgb"](x, y) for x in range(w)]
+                     for y in range(h)],
+                    dtype=np.uint8,
+                )
+                blob = encode_bmp(w, h, px)
+            else:
+                px = np.array(
+                    [[spec["idx"](x, y) for x in range(w)]
+                     for y in range(h)],
+                    dtype=np.uint8,
+                )
+                blob = encode_bmp(
+                    w, h, px,
+                    [spec["pal"](j) for j in range(spec["nc"])],
+                    rle=spec["family"] == "rle8",
+                )
+            with open(os.path.join(out, f"media_{i:05d}.bmp"), "wb") as fh:
+                fh.write(blob)
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+    return out
+
+
+def multimodal_bmp_decode(
+    spark: SparkSession, sf_dir: str, n: int = 150
+) -> DataFrame:
+    """Registry entry (r13, second batch): BMP as the FOURTH real
+    image format, with the decode path none of the others exercise —
+    BI_RLE8 run-length (encoded runs, absolute mode with 16-bit
+    padding, EOL/EOB escapes; the delta escape refuses loudly) plus
+    the format's structural quirks (bottom-up rows, 4-byte row
+    alignment, BGR byte order). Staged files cycle RLE8 /
+    uncompressed-palette / 24-bit families; the decode runs inside
+    one Arrow-batched mapInPandas pass and the raster gates hash the
+    output of the full chain, so a wrong run, row order, padding
+    byte, or channel swap diverges. The DuckDB oracle rebuilds every
+    pixel from the closed forms. Reference analog: the opaque-bytes
+    input contract at master.go:82.
+
+    Scale shape: distributed scan, one Arrow crossing, no shuffle
+    before the presentation sort."""
+    from mapreducego_spark.functions.bmpcodec import decode_bmp
+
+    path = stage_bmp_media(sf_dir, n)
+    media = (
+        spark.read.format("binaryFile")
+        .load(path + "/media_*.bmp")
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.bmp", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                meta, rgb = decode_bmp(bytes(p))
+                rows.append(
+                    (
+                        int(mid),
+                        meta["width"],
+                        meta["height"],
+                        meta["compression"],
+                        int(rgb.astype(np.int64).sum()),
+                        hashlib.md5(
+                            rgb.tobytes().hex().encode()
+                        ).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "family",
+                    "px_sum", "feature_hash",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, width long, height long, family string,"
+        " px_sum long, feature_hash string",
+    ).orderBy("media_id")

@@ -725,6 +725,10 @@ QUERIES: dict[str, QueryFn] = {
     # average with an engine-independent rounding construction —
     # the audio twin of the 2x box image resize
     "multimodal_audio_resample": M.multimodal_audio_resample,
+    # BMP tier (r13, second batch): the fourth image format — RLE8
+    # run-length (runs, absolute mode, EOL/EOB escapes), bottom-up
+    # rows, 4-byte alignment, BGR order
+    "multimodal_bmp_decode": M.multimodal_bmp_decode,
     # REAL image resize (new in r13): exact-integer 2x box
     # downsample fused into the decode pass, hash-gated — the
     # thumbnail slot of the decode/feature-extract/resize triple
@@ -7085,4 +7089,64 @@ SELECT l.src_doc_id, l.link_idx, l.dst_doc_id,
        'ref' AS anchor
 FROM links l JOIN documents d2 ON d2.doc_id = l.dst_doc_id
 ORDER BY l.src_doc_id, l.link_idx
+"""
+
+# BMP tier (r13, second batch): the oracle rebuilds every pixel per
+# family — palette routing for the 8-bit families (identical raster
+# whether stored RLE8 or flat, so the two compressions must agree),
+# direct channel forms for 24-bit.
+ORACLES["multimodal_bmp_decode"] = """
+WITH m AS (SELECT unnest(range(150)) AS i),
+par AS (
+  SELECT i,
+         CAST((i * 7) % 25 + 8 AS BIGINT) AS w,
+         CAST((i * 11) % 17 + 6 AS BIGINT) AS h,
+         CAST((i % 13) + 4 AS BIGINT) AS nc,
+         CASE i % 3 WHEN 0 THEN 'rle8' WHEN 1 THEN 'pal8'
+              ELSE 'rgb24' END AS family
+  FROM m
+),
+px AS (
+  SELECT par.*, x.x AS x, y.y AS y
+  FROM par,
+       (SELECT unnest(range(32)) AS x) x,
+       (SELECT unnest(range(22)) AS y) y
+  WHERE x.x < w AND y.y < h
+),
+col AS (
+  SELECT i, w, h, family, x, y,
+         CASE WHEN family = 'rgb24'
+              THEN (i * 5 + x * 7 + y * 11) % 256
+              ELSE (i * 11
+                    + ((i + x // 4 + 3 * (y // 2)) % nc) * 29) % 256
+         END AS r,
+         CASE WHEN family = 'rgb24'
+              THEN (i * 7 + x * 11 + y * 5) % 256
+              ELSE (i * 13
+                    + ((i + x // 4 + 3 * (y // 2)) % nc) * 31) % 256
+         END AS g,
+         CASE WHEN family = 'rgb24'
+              THEN (i * 11 + x * 3 + y * 13) % 256
+              ELSE (i * 17
+                    + ((i + x // 4 + 3 * (y // 2)) % nc) * 37) % 256
+         END AS b
+  FROM px
+),
+rows_hex AS (
+  SELECT i, w, h, family, y,
+         string_agg(printf('%02x%02x%02x', r, g, b), '' ORDER BY x)
+             AS rowstr,
+         SUM(r + g + b) AS part_sum
+  FROM col
+  GROUP BY i, w, h, family, y
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       MAX(w) AS width,
+       MAX(h) AS height,
+       MAX(family) AS family,
+       CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+       md5(string_agg(rowstr, '' ORDER BY y)) AS feature_hash
+FROM rows_hex
+GROUP BY i
+ORDER BY media_id
 """

@@ -1601,3 +1601,100 @@ def test_audio_resample_entry_is_exact_box_decimation(spark, sf_dir):
         assert r["r_min"] == min(vals)
         assert r["r_max"] == max(vals)
         assert r["r_wsum"] == sum((k + 1) * v for k, v in enumerate(vals))
+
+
+# ------------------------------------ r13 second batch: BMP (RLE8)
+
+
+def test_bmp_round_trips_all_three_families():
+    """RLE8 and flat-palette storage of the same indices must decode
+    to the identical raster; 24-bit BGR + row padding must invert."""
+    import numpy as np
+
+    from mapreducego_spark.functions.bmpcodec import decode_bmp, encode_bmp
+
+    for i in (0, 2, 5, 9):
+        w, h, nc = (i * 7) % 25 + 8, (i * 11) % 17 + 6, (i % 13) + 4
+        idx = np.array(
+            [[(i + x // 4 + 3 * (y // 2)) % nc for x in range(w)]
+             for y in range(h)],
+            np.uint8,
+        )
+        pal = [((i * 11 + j * 29) % 256, (i * 13 + j * 31) % 256,
+                (i * 17 + j * 37) % 256) for j in range(nc)]
+        want = np.asarray(pal, np.uint8)[idx]
+        for rle in (False, True):
+            meta, rgb = decode_bmp(encode_bmp(w, h, idx, pal, rle=rle))
+            assert meta["compression"] == ("rle8" if rle else "pal8")
+            assert np.array_equal(rgb, want)
+    rgb_in = np.array(
+        [[[(x * 7 + y * 11) % 256, (x * 11 + y * 5) % 256,
+           (x * 3 + y * 13) % 256] for x in range(13)]
+         for y in range(7)],
+        np.uint8,
+    )
+    meta, rgb = decode_bmp(encode_bmp(13, 7, rgb_in))
+    assert meta["compression"] == "rgb24"
+    assert np.array_equal(rgb, rgb_in)
+
+
+def test_bmp_rle8_absolute_mode_and_failures():
+    import numpy as np
+    import pytest
+
+    from mapreducego_spark.functions.bmpcodec import decode_bmp, encode_bmp
+
+    # noise defeats run coding, forcing absolute mode (0, n>=3, pad)
+    w, h = 31, 9
+    noise = (np.arange(w * h).reshape(h, w) * 2654435761 % 11).astype(
+        np.uint8
+    )
+    pal = [(j * 20, j * 10, j * 5) for j in range(11)]
+    blob = encode_bmp(w, h, noise, pal, rle=True)
+    meta, rgb = decode_bmp(blob)
+    assert np.array_equal(rgb, np.asarray(pal, np.uint8)[noise])
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + blob[2:])
+    with pytest.raises(ValueError, match="truncated|RLE8"):
+        decode_bmp(blob[:-6])
+    # the delta escape (0, 2) is a loud scope boundary
+    import struct as _struct
+
+    offset = _struct.unpack("<I", blob[10:14])[0]
+    bad = blob[:offset] + b"\x00\x02\x01\x01" + blob[offset:]
+    with pytest.raises(NotImplementedError, match="delta"):
+        decode_bmp(bad)
+    # top-down (negative height) refuses
+    bad = bytearray(blob)
+    bad[22:26] = _struct.pack("<i", -h)
+    with pytest.raises(NotImplementedError, match="top-down"):
+        decode_bmp(bytes(bad))
+
+
+def test_bmp_decode_entry_matches_closed_form(spark, sf_dir):
+    import hashlib
+
+    from mapreducego_spark.functions.multimodal import (
+        _bmp_fixture_params,
+        multimodal_bmp_decode,
+    )
+
+    rows = {r["media_id"]: r
+            for r in multimodal_bmp_decode(spark, sf_dir, n=9).collect()}
+    assert len(rows) == 9
+    for i in range(9):
+        spec = _bmp_fixture_params(i)
+        r = rows[i]
+        assert (r["width"], r["height"]) == (spec["w"], spec["h"])
+        assert r["family"] == spec["family"]
+        px = bytearray()
+        for y in range(spec["h"]):
+            for x in range(spec["w"]):
+                if spec["family"] == "rgb24":
+                    px += bytes(spec["rgb"](x, y))
+                else:
+                    px += bytes(spec["pal"](spec["idx"](x, y)))
+        assert r["px_sum"] == sum(px)
+        assert r["feature_hash"] == hashlib.md5(
+            bytes(px).hex().encode()
+        ).hexdigest()
