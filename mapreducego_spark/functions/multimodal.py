@@ -499,16 +499,35 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, str]:
             w, h, rgb = decode_png(payload)
             return w, h, hashlib.md5(rgb).hexdigest()
         if payload[:2] == JPEG_SOI:
-            # frame-type dispatcher: SOF0 -> baseline decoder, SOF2
-            # -> the progressive decoder (r12); other SOFs raise
+            # frame-type dispatcher: SOF0/SOF1 -> sequential decoder,
+            # SOF2 -> the progressive decoder (r12); other SOFs raise
             from mapreducego_spark.functions.jpegcodec import decode_jpeg
 
             w, h, rgb = decode_jpeg(payload)
             return w, h, hashlib.md5(rgb).hexdigest()
+        if payload[:4] == b"GIF8":
+            # r13: first frame of the GIF, palette-mapped (the same
+            # presentation the GIF tier hashes)
+            from mapreducego_spark.functions.gifcodec import decode_gif
+
+            meta, frames = decode_gif(payload)
+            f = frames[0]
+            pal = np.asarray(f["palette"], dtype=np.uint8)
+            rgb = pal[f["indices"]]
+            return f["width"], f["height"], hashlib.md5(
+                rgb.tobytes()
+            ).hexdigest()
+        if payload[:2] == b"BM":
+            from mapreducego_spark.functions.bmpcodec import decode_bmp
+
+            bmeta, rgb = decode_bmp(payload)
+            return bmeta["width"], bmeta["height"], hashlib.md5(
+                rgb.tobytes()
+            ).hexdigest()
         raise NotImplementedError(
-            "non-PNG/JPEG image decoding requires PIL, which is not "
-            "available here; call with fake=True for the "
-            "deterministic test double"
+            "image decoding beyond PNG/JPEG/GIF/BMP requires PIL, "
+            "which is not available here; call with fake=True for "
+            "the deterministic test double"
         )
     import io
 

@@ -1698,3 +1698,25 @@ def test_bmp_decode_entry_matches_closed_form(spark, sf_dir):
         assert r["feature_hash"] == hashlib.md5(
             bytes(px).hex().encode()
         ).hexdigest()
+
+
+def test_decode_image_sniffs_gif_and_bmp():
+    """The format-sniffing dispatch routes GIF and BMP payloads to
+    the real codecs (same presentation as their tiers)."""
+    import hashlib
+
+    import numpy as np
+
+    from mapreducego_spark.functions.bmpcodec import encode_bmp
+    from mapreducego_spark.functions.gifcodec import encode_gif
+    from mapreducego_spark.functions.multimodal import decode_image
+
+    idx = _gif_idx(3, 12, 9, 5)
+    pal = [(j * 40 % 256, j * 30 % 256, j * 20 % 256) for j in range(5)]
+    want = np.asarray(pal, np.uint8)[idx]
+    w, h, fh = decode_image(encode_gif(12, 9, pal, [{"indices": idx}]))
+    assert (w, h) == (12, 9)
+    assert fh == hashlib.md5(want.tobytes()).hexdigest()
+    w, h, fh = decode_image(encode_bmp(12, 9, idx, pal))
+    assert (w, h) == (12, 9)
+    assert fh == hashlib.md5(want.tobytes()).hexdigest()
