@@ -221,6 +221,17 @@ def decode_bmp(payload: bytes):
                 y -= 1
                 x = 0
             elif val == 1:  # end of bitmap
+                # Loud-scope contract: EOB must arrive only once every
+                # row has been emitted — either the last row closed
+                # with an end-of-line escape (y == -1) or EOB follows
+                # a fully painted final row (y == 0, x == width). A
+                # truncated-but-well-formed stream would otherwise
+                # decode to a silently part-black image.
+                if not (y == -1 or (y == 0 and x == width)):
+                    raise ValueError(
+                        "RLE8 end-of-bitmap before all rows were"
+                        f" written (row {y}, col {x} of {width})"
+                    )
                 done = True
             elif val == 2:
                 raise NotImplementedError(

@@ -321,6 +321,8 @@ def decode_gif(payload: bytes):
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block introducer 0x{block:02x}")
+        if len(payload) < pos + 9:
+            raise ValueError("truncated image descriptor")
         left, top, fw, fh, fpacked = struct.unpack(
             "<HHHHB", payload[pos : pos + 9]
         )

@@ -3099,16 +3099,19 @@ FROM documents
 # — the micro timestamp presented as unix_micros (the repo-wide
 # convention; a raw TimestampType output hashes tz-aware on the
 # Spark side vs naive in DuckDB — the r12 driver failure), its
-# epoch-day integer, the string-built exact decimal (identical text
-# -> identical DECIMAL(18,3) in both engines), the enum symbol
-# (reads back as its string), and the fixed tag presented as
-# uppercase hex (Spark's hex() convention).
+# epoch-day integer, the wire decimal presented as BIGINT
+# milli-units (r13 driver failure: a DECIMAL output column hashes
+# engine-asymmetrically just like the timestamp did; the Spark side
+# computes amt_milli FROM the round-tripped decimal so the wire
+# encoding is still fully hash-gated), the enum symbol (reads back
+# as its string), and the fixed tag presented as uppercase hex
+# (Spark's hex() convention).
 ORACLES["avro_logical_types"] = """
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(epoch_us(ts) AS BIGINT) AS ts_us,
        CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
-       CAST(printf('%d.%03d', event_id // 1000, event_id % 1000)
-            AS DECIMAL(18,3)) AS amt,
+       CAST(CAST(printf('%d.%03d', event_id // 1000, event_id % 1000)
+                 AS DECIMAL(18,3)) * 1000 AS BIGINT) AS amt_milli,
        event_type,
        upper(printf('%016x', event_id)) AS tag_hex
 FROM events

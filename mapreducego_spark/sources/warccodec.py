@@ -274,10 +274,20 @@ def extract_html_text(doc: str) -> str:
         out.append(" ")
         if name in _RAW_TEXT and not tag.endswith("/"):
             # HTML5 raw-text rule: content runs to the literal
-            # closing tag, markup-like bytes inside don't nest
-            close = low.find("</" + name, i)
-            if close < 0:
-                raise ValueError(f"unclosed <{name}> element")
+            # closing tag, markup-like bytes inside don't nest. The
+            # tag name must be followed by whitespace, '/', or '>'
+            # (13.2.5.x "appropriate end tag token") — a longer tag
+            # sharing the prefix (e.g. </scripts>) is NOT the
+            # terminator of <script>, so keep scanning past those.
+            scan = i
+            while True:
+                close = low.find("</" + name, scan)
+                if close < 0:
+                    raise ValueError(f"unclosed <{name}> element")
+                after = close + 2 + len(name)
+                if after >= n or low[after] in "></ \t\n\r\f":
+                    break
+                scan = close + 2
             gt = doc.find(">", close)
             if gt < 0:
                 raise ValueError(f"unterminated </{name}> tag")

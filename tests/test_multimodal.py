@@ -1417,6 +1417,14 @@ def test_gif_failures_are_loud():
     oversize = encode_gif(10, 8, pal, [{"indices": big}])
     with pytest.raises(ValueError, match="exceeds the logical screen"):
         decode_gif(oversize)
+    # truncation INSIDE the 9-byte image descriptor must be the
+    # contract ValueError, not a struct.error (r13 ADVICE)
+    import struct as _struct
+
+    k = blob.find(b"\x2c\x00\x00\x00\x00" + _struct.pack("<HH", 10, 8))
+    assert k > 0
+    with pytest.raises(ValueError, match="truncated image descriptor"):
+        decode_gif(blob[: k + 5])
 
 
 def test_gif_decode_entry_matches_closed_form(spark, sf_dir):
@@ -1669,6 +1677,23 @@ def test_bmp_rle8_absolute_mode_and_failures():
     bad[22:26] = _struct.pack("<i", -h)
     with pytest.raises(NotImplementedError, match="top-down"):
         decode_bmp(bytes(bad))
+    # a well-formed EOB escape arriving before all rows were written
+    # must refuse, not decode to a silently part-black image (r13
+    # ADVICE): one end-of-line then end-of-bitmap covers 1 of h rows
+    early_eob = blob[:offset] + b"\x00\x00\x00\x01"
+    with pytest.raises(ValueError, match="end-of-bitmap before"):
+        decode_bmp(early_eob)
+    # EOB directly after the fully painted last row (no trailing EOL)
+    # stays legal: encoders emit both shapes
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage order
+        for x in range(w):
+            rows.append(bytes([1, noise[y, x]]))
+        if y != 0:
+            rows.append(b"\x00\x00")
+    no_eol = blob[:offset] + b"".join(rows) + b"\x00\x01"
+    meta2, rgb2 = decode_bmp(no_eol)
+    assert np.array_equal(rgb2, rgb)
 
 
 def test_bmp_decode_entry_matches_closed_form(spark, sf_dir):

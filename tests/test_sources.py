@@ -782,9 +782,11 @@ def test_avro_corrupt_negative_lengths_fail_loudly():
 
 def test_avro_logical_types_spark_entry(spark, sf_dir):
     """The registry entry end to end: timestamps exact to the micro
-    (presented as unix_micros longs — the repo-wide no-raw-
-    TimestampType convention the r12 driver row enforced), epoch-day
-    ints, exact decimals, enum symbols, fixed tags."""
+    (presented as unix_micros longs — the repo-wide output-type
+    whitelist the r12/r13 driver rows enforced), epoch-day ints,
+    exact decimals presented as BIGINT milli-units (computed FROM
+    the round-tripped wire decimal, so the two's-complement unscaled
+    bytes stay hash-gated), enum symbols, fixed tags."""
     import datetime as dt
 
     from mapreducego_spark.sources.catalog import (
@@ -805,7 +807,7 @@ def test_avro_logical_types_spark_entry(spark, sf_dir):
         micros = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
         assert r["ts_us"] == micros
         assert r["day_num"] == micros // 86_400_000_000
-        assert int(r["amt"].scaleb(3)) == r["event_id"]
+        assert r["amt_milli"] == r["event_id"]
         assert r["event_type"] == s["event_type"]
         assert int(r["tag_hex"], 16) == r["event_id"]
 
@@ -948,6 +950,22 @@ def test_html_text_extraction_rules():
         extract_html_text("<body><script>var x = 1;</body>")
     with pytest.raises(ValueError, match="unterminated HTML comment"):
         extract_html_text("<p>a</p><!-- never closed")
+    # HTML5 "appropriate end tag": a longer tag sharing the prefix
+    # (</scripts>) does NOT terminate <script> (r13 ADVICE) — the
+    # scan must continue to the real </script>
+    doc2 = (
+        "<body><p>x</p><script>a = '</scripts>'; b = 1;</script>"
+        "<p>y</p></body>"
+    )
+    assert extract_html_text(doc2) == "x y"
+    # and attribute/self-closing forms of the real end tag still close
+    assert (
+        extract_html_text("<body><script>q</script foo='1'><p>z</p></body>")
+        == "z"
+    )
+    # only lookalike closers, never the real one -> still loud
+    with pytest.raises(ValueError, match="unclosed <style>"):
+        extract_html_text("<body><style>a '</styles>' b</body>")
 
 
 def test_warc_extract_text_entry_matches_documents(spark, sf_dir):

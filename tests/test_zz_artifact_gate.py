@@ -150,31 +150,62 @@ def test_scale_profile_covers_its_declared_set_with_no_open_flags():
     assert not open_flags, open_flags
 
 
-def test_no_registry_output_carries_raw_timestamp_type():
-    """The repo-wide presentation convention (r12 verdict #1): no
-    registry entry's OUTPUT schema may contain a TimestampType
-    column. Spark timestamps are instant-semantics (tz-aware in
-    Arrow/driver canonicalization) while DuckDB's are naive, so a raw
-    timestamp output hash-diverges in any harness that renders values
-    — the exact failure the r12 driver row for avro_logical_types
-    showed while every stored micro was identical. Entries present
-    unix_micros longs / epoch-day ints instead; this gate enforces
-    the convention over the schemas VERIFY_LOCAL records for all
-    entries (mtime freshness of that artifact is gated above)."""
+_OUTPUT_TYPE_WHITELIST = {"bigint", "int", "string", "double", "boolean", "date"}
+
+
+def test_registry_output_types_are_whitelisted():
+    """The repo-wide presentation convention, as a WHITELIST (r13
+    verdict demand #1): every registry entry's OUTPUT schema may use
+    only {bigint, int, string, double, boolean, date}. The r12 gate
+    banned TimestampType — the symptom — and the very next exotic
+    output type (the registry's single DECIMAL column, on
+    avro_logical_types) hash-failed the driver the same way for two
+    consecutive rounds even with bit-identical values: any harness
+    that canonicalizes rendered/Arrow values treats Spark's and
+    DuckDB's exotic types asymmetrically. The rule the driver
+    evidence supports is the whitelist, so that is what's enforced:
+    timestamps present as unix_micros longs, dates may stay DateType
+    (proven safe across 13 rounds on the one date output) or present
+    as epoch-day ints, decimals present as scaled-integer longs or
+    formatted strings, binaries as hex. Enforced over the schemas
+    VERIFY_LOCAL records for all entries (mtime freshness of that
+    artifact is gated above); a nested array/map/struct output would
+    also fail here — loudly, forcing a conscious presentation
+    decision rather than a third driver-red round."""
     results = _load("VERIFY_LOCAL.json")["results"]
     missing = [n for n, r in results.items() if "out_schema" not in r]
     assert not missing, (
         "VERIFY_LOCAL.json predates output-schema recording -> run"
         f" tools/end_of_round.py (first missing: {missing[:5]})"
     )
-    offenders = {
-        n: r["out_schema"]
-        for n, r in results.items()
-        if "timestamp" in r["out_schema"]
-    }
+    offenders = {}
+    for n, r in results.items():
+        s = r["out_schema"]
+        assert s.startswith("struct<") and s.endswith(">"), (n, s)
+        body = s[len("struct<"):-1]
+        # All registry outputs are flat scalar rows; a '<' in the body
+        # means a nested type crept in, which the whitelist rejects.
+        bad = []
+        fields, depth, cur = [], 0, ""
+        for ch in body:
+            if ch == "," and depth == 0:
+                fields.append(cur)
+                cur = ""
+                continue
+            depth += ch in "<("
+            depth -= ch in ">)"
+            cur += ch
+        fields.append(cur)
+        for field in fields:
+            name, _, ftype = field.partition(":")
+            if ftype not in _OUTPUT_TYPE_WHITELIST:
+                bad.append(f"{name}:{ftype}")
+        if bad:
+            offenders[n] = bad
     assert not offenders, (
-        "registry outputs with raw TimestampType columns (present"
-        " unix_micros/epoch-day instead): " + str(offenders)
+        "registry outputs with non-whitelisted column types (present"
+        " longs/strings/doubles instead — see docstring): "
+        + str(offenders)
     )
 
 
