@@ -213,6 +213,9 @@ HEADLINE = [
     "multimodal_audio_resample",
     "warc_link_graph",
     "multimodal_bmp_decode",
+    # round 14: PDF ingest (object/xref grammar + FlateDecode +
+    # text operators), the highest-volume real-corpus doc format
+    "pdf_extract_text",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

@@ -278,6 +278,11 @@ QUERIES: dict[str, QueryFn] = {
     # ...and the out-link half of crawl ingest: anchor extraction
     # into the edge list that feeds the frontier / PageRank priors
     "warc_link_graph": CAT.warc_link_graph,
+    # PDF ingest (r14, r13 verdict missing #1): object/xref grammar,
+    # FlateDecode content streams, BT/ET + Tj/TJ/' text operators
+    # with escape/octal/hex strings — the highest-volume document
+    # format in real LLM corpora, text extraction hash-gated
+    "pdf_extract_text": CAT.pdf_extract_text,
     "json_round_trip": CAT.json_round_trip,
     "csv_round_trip": CAT.csv_round_trip,
     "orc_round_trip": CAT.orc_round_trip,
@@ -6825,6 +6830,44 @@ SELECT doc_id,
        CAST(len(string_split(extracted, ' ')) AS INT) AS n_tokens
 FROM h
 ORDER BY doc_id
+"""
+
+# PDF ingest (r14): the oracle rebuilds the exact page split
+# (40-token pages), the escape-bearing footer each page shows, the
+# xref object-count arithmetic (catalog + pages + font + 2 per page
+# + 1 indirect /Length object per COMPRESSED page), and the
+# closed-form compression flag — so a framing, escape-decode, or
+# operator error in the reader diverges.
+ORACLES["pdf_extract_text"] = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), par AS (
+  SELECT doc_id, t, CAST((len(t) + 39) // 40 AS INT) AS n_pages
+  FROM toks
+), pg AS (
+  SELECT doc_id, t, n_pages,
+         CAST(unnest(range(n_pages)) AS INT) AS page
+  FROM par
+), body AS (
+  SELECT doc_id, page, n_pages,
+         array_to_string(t[page * 40 + 1 : page * 40 + 40], ' ')
+           || ' (p. ' || (page + 1) || '/' || n_pages || ') \\#'
+           || doc_id || ';' AS text,
+         ((doc_id + page) % 3) <> 0 AS compressed
+  FROM pg
+), objs AS (
+  SELECT doc_id,
+         CAST(3 + 2 * ANY_VALUE(n_pages)
+              + SUM(CASE WHEN compressed THEN 1 ELSE 0 END) AS INT)
+             AS n_objects
+  FROM body GROUP BY doc_id
+)
+SELECT b.doc_id, b.page, b.n_pages, o.n_objects, b.compressed, b.text,
+       CAST(len(string_split(b.text, ' ')) AS INT) AS n_tokens
+FROM body b JOIN objs o USING (doc_id)
+ORDER BY doc_id, page
 """
 
 # GIF tier (r13, second batch): single-frame decode. The oracle

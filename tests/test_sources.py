@@ -1021,3 +1021,133 @@ def test_warc_link_graph_recovers_the_closed_form_edges(spark, sf_dir):
         for e in got:
             assert e["anchor"] == "ref"
             assert e["dst_url"].endswith(f"/{e['dst_doc_id']}.html")
+
+
+# ------------------------------------------------------------ PDF tier
+
+
+def _tiny_pdf(doc_id: int = 7, n_tokens: int = 90) -> bytes:
+    from mapreducego_spark.sources.catalog import _pdf_page_spec
+    from mapreducego_spark.sources.pdfcodec import (
+        build_pdf,
+        render_page_content,
+    )
+
+    text = " ".join(f"tok{k % 13}" for k in range(n_tokens))
+    contents, compress = [], []
+    for p, (body, footer) in enumerate(_pdf_page_spec(doc_id, text)):
+        toks = body.split(" ")
+        lines = [" ".join(toks[j : j + 8]) for j in range(0, len(toks), 8)]
+        contents.append(render_page_content(lines, footer))
+        compress.append((doc_id + p) % 3 != 0)
+    return build_pdf(contents, compress), compress
+
+
+def test_pdf_round_trips_pages_objects_and_compression():
+    from mapreducego_spark.sources.catalog import _pdf_page_spec
+    from mapreducego_spark.sources.pdfcodec import parse_pdf
+
+    pdf, compress = _tiny_pdf()
+    parsed = parse_pdf(pdf)
+    text = " ".join(f"tok{k % 13}" for k in range(90))
+    spec = _pdf_page_spec(7, text)
+    assert len(parsed["pages"]) == len(spec) == 3
+    assert parsed["n_objects"] == 3 + 2 * 3 + sum(compress)
+    for p, page in enumerate(parsed["pages"]):
+        got = " ".join(page["text"].split())
+        assert got == spec[p][0] + " " + spec[p][1]
+        assert page["compressed"] == compress[p]
+    # the footer's escape chain survived: parens, backslash, octal #
+    assert parsed["pages"][0]["text"].endswith("(p. 1/3) \\#7;")
+
+
+def test_pdf_content_operator_semantics():
+    """The text-showing subset directly: literal escapes (named,
+    octal, nested parens, line continuation), hex strings with odd
+    length and embedded whitespace, TJ kerning numbers dropped, the
+    ' next-line-show operator, and loud refusal of any operator
+    outside the declared set."""
+    import pytest
+
+    from mapreducego_spark.sources.pdfcodec import extract_content_text
+
+    out = extract_content_text(
+        b"BT (a\\nb) Tj T* (\\101\\1028) Tj T* <41 4\n> Tj"
+        b" T* ((nested) \\( ok) Tj T* (li\\\nne) Tj"
+        b" [(x) -18 (y) 3.5 (z)] TJ (tail) ' ET"
+    )
+    # line 1 carries a REAL newline from the \n named escape; octal
+    # stops at 3 digits then '8' is literal; odd hex pads 0 (41 40);
+    # nested parens and \( survive; \<newline> joins "line"; the TJ
+    # kerning numbers vanish; ' starts a new line before "tail"
+    assert out == "a\nb\nAB8\nA@\n(nested) ( ok\nlinexyz\ntail"
+    with pytest.raises(ValueError, match="unsupported content operator"):
+        extract_content_text(b"BT (x) Tj 0.5 sh ET")
+    with pytest.raises(ValueError, match="TJ operand"):
+        extract_content_text(b"BT (x) TJ ET")
+
+
+def test_pdf_structural_refusals_are_loud():
+    """Every declared scope boundary refuses instead of mis-reading:
+    encryption, incremental updates, xref streams, non-Flate
+    filters, predictors, drifted xref offsets, truncation."""
+    import pytest
+
+    from mapreducego_spark.sources.pdfcodec import parse_pdf
+
+    pdf, _ = _tiny_pdf()
+    with pytest.raises(ValueError, match="not a PDF"):
+        parse_pdf(b"GIF89a" + pdf[6:])
+    with pytest.raises(ValueError, match="startxref"):
+        parse_pdf(pdf[:-40])
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        parse_pdf(pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"))
+    with pytest.raises(NotImplementedError, match="incrementally updated"):
+        parse_pdf(pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Prev 5"))
+    # a digit where the 'xref' keyword belongs = PDF 1.5 xref stream
+    with pytest.raises(NotImplementedError, match="cross-reference stream"):
+        parse_pdf(pdf.replace(b"xref\n0 ", b"9 0 obj", 1))
+    # same-length filter swaps keep every xref offset valid
+    with pytest.raises(NotImplementedError, match="filter"):
+        parse_pdf(pdf.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode  "))
+    with pytest.raises(NotImplementedError, match="DecodeParms"):
+        parse_pdf(pdf.replace(b"/Filter /FlateDecode", b"/DP 0 /Filter /Flate"))
+    # drift the first in-use xref entry: offsets are verified
+    k = pdf.rindex(b"\nxref\n")
+    ent = pdf.index(b"\n", pdf.index(b"65535 f", k)) + 1
+    drifted = bytearray(pdf)
+    drifted[ent : ent + 10] = b"%010d" % (int(pdf[ent : ent + 10]) + 2)
+    with pytest.raises(ValueError, match="does not point at it"):
+        parse_pdf(bytes(drifted))
+
+
+def test_pdf_extract_text_entry_matches_documents(spark, sf_dir):
+    """End to end: the staged corpus parses back to exactly the
+    documents table's tokens in 40-token pages + footers, with the
+    closed-form object count and compression flags."""
+    import duckdb
+
+    from mapreducego_spark.sources.catalog import pdf_extract_text
+
+    rows = pdf_extract_text(spark, sf_dir).collect()
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id in list(docs)[:30]:
+        toks = [t for t in docs[doc_id].split(" ") if t]
+        pages = sorted(by_doc[doc_id], key=lambda r: r["page"])
+        n_pages = (len(toks) + 39) // 40
+        assert len(pages) == n_pages == pages[0]["n_pages"]
+        n_comp = sum((doc_id + p) % 3 != 0 for p in range(n_pages))
+        assert pages[0]["n_objects"] == 3 + 2 * n_pages + n_comp
+        for p, r in enumerate(pages):
+            body = " ".join(toks[p * 40 : (p + 1) * 40])
+            assert r["text"] == f"{body} (p. {p + 1}/{n_pages}) \\#{doc_id};"
+            assert r["compressed"] == ((doc_id + p) % 3 != 0)
+            assert r["n_tokens"] == len(r["text"].split(" "))
