@@ -214,8 +214,10 @@ HEADLINE = [
     "warc_link_graph",
     "multimodal_bmp_decode",
     # round 14: PDF ingest (object/xref grammar + FlateDecode +
-    # text operators), the highest-volume real-corpus doc format
+    # text operators), the highest-volume real-corpus doc format,
+    # and the snapshot/time-travel catalog (commit/as-of/rollback)
     "pdf_extract_text",
+    "snapshot_time_travel",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

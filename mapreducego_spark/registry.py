@@ -37,6 +37,7 @@ from mapreducego_spark.operators import skew as SK
 from mapreducego_spark.operators import timewin as TW
 from mapreducego_spark.operators import windows as W
 from mapreducego_spark.sources import catalog as CAT
+from mapreducego_spark.sources import snapshots as SNAP
 from mapreducego_spark.sources.catalog import load_table
 from mapreducego_spark.streaming import pipelines as ST
 
@@ -283,6 +284,11 @@ QUERIES: dict[str, QueryFn] = {
     # with escape/octal/hex strings — the highest-volume document
     # format in real LLM corpora, text extraction hash-gated
     "pdf_extract_text": CAT.pdf_extract_text,
+    # Snapshot/time-travel catalog (r14, r13 verdict missing #2):
+    # the upsert sink's versioned-dir + _CURRENT protocol as
+    # first-class commit / as-of read / rollback / vacuum operations
+    # — commits, merges, a rollback, and lineage all hash-gated
+    "snapshot_time_travel": SNAP.snapshot_time_travel,
     "json_round_trip": CAT.json_round_trip,
     "csv_round_trip": CAT.csv_round_trip,
     "orc_round_trip": CAT.orc_round_trip,
@@ -6868,6 +6874,52 @@ SELECT b.doc_id, b.page, b.n_pages, o.n_objects, b.compressed, b.text,
        CAST(len(string_split(b.text, ' ')) AS INT) AS n_tokens
 FROM body b JOIN objs o USING (doc_id)
 ORDER BY doc_id, page
+"""
+
+# Snapshot/time-travel (r14): the oracle rebuilds each committed
+# version's table state from orders with the same CASE chains the
+# merges applied — v1 = u1(base), v2 = u2(v1), v4 = u3(v1) because
+# of the rollback — plus the parent lineage (v4's parent is 1, and
+# version 3 is ABSENT: that sequence number is the rollback's own
+# log entry). A merge error, a rollback that silently kept v2, or a
+# lineage error diverges.
+ORACLES["snapshot_time_travel"] = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderstatus AS status
+  FROM orders
+), v1 AS (
+  SELECT k,
+         CASE WHEN k % 10 = 0 THEN cents + 11 ELSE cents END AS cents,
+         CASE WHEN k % 10 = 0 THEN 'X1' ELSE status END AS status
+  FROM base
+), v2 AS (
+  SELECT k,
+         CASE WHEN k % 7 = 0 THEN cents * 2 ELSE cents END AS cents,
+         CASE WHEN k % 7 = 0 THEN 'X2' ELSE status END AS status
+  FROM v1
+), v4 AS (
+  SELECT k,
+         CASE WHEN k % 5 = 0 THEN cents + 7 ELSE cents END AS cents,
+         CASE WHEN k % 5 = 0 THEN 'X3' ELSE status END AS status
+  FROM v1
+), tagged AS (
+  SELECT CAST(0 AS BIGINT) AS version, CAST(-1 AS BIGINT) AS parent,
+         status, cents FROM base
+  UNION ALL
+  SELECT 1, 0, status, cents FROM v1
+  UNION ALL
+  SELECT 2, 1, status, cents FROM v2
+  UNION ALL
+  SELECT 4, 1, status, cents FROM v4
+)
+SELECT version, parent, status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM tagged
+GROUP BY version, parent, status
+ORDER BY version, status
 """
 
 # GIF tier (r13, second batch): single-frame decode. The oracle

@@ -1,0 +1,299 @@
+"""Snapshot / time-travel catalog tier: a mini table format on
+plain parquet.
+
+Generalizes the versioned-directory + atomic ``_CURRENT`` pointer
+commit protocol the streaming upsert sink already uses
+(streaming/pipelines.py, stream_upsert_maintenance) into the
+first-class catalog operations a 100 TB lake leans on daily — the
+Iceberg/Delta capability set: ``commit_snapshot`` (append a new
+table version), ``snapshots`` (list the transaction log),
+``read_snapshot`` (as-of-version read), ``rollback`` (repoint the
+current version without destroying history), and ``vacuum``
+(retention GC that makes expired versions refuse loudly rather than
+read partially).
+
+Layout under ``table_dir``::
+
+    _LOG/00000000.json ...   one entry per action (commit/rollback/
+                             vacuum), sequence-numbered; commits own
+                             a data version equal to their sequence
+    v0/ v1/ ...              parquet data, one dir per committed
+                             version (absent once vacuumed)
+    _CURRENT                 the live version name, repointed with
+                             os.replace (atomic on POSIX)
+
+Crash-safety is the same argument as the upsert sink: data is
+written first, the log entry second, the pointer last — a crash
+between any two steps leaves the table readable at its previous
+version, and the orphan data dir is overwritten by the retried
+commit (same next sequence number). Readers never see a partial
+table.
+
+At 100 TB the per-version rewrite is the knob, not the protocol:
+commit data dirs become manifest lists over immutable data files
+(append = new manifest referencing old files + new ones) while the
+log and pointer stay byte-identical — which is exactly the
+Iceberg/Delta design point this module mirrors on plain parquet.
+
+Reference analog: the reference has no catalog at all (its tables
+are whole files read at master.go:77-89); this tier is part of the
+north-star lake surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOGDIR = "_LOG"
+
+
+def _log_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _LOGDIR)
+
+
+def _write_log_entry(table_dir: str, seq: int, entry: dict) -> None:
+    """Atomic log append: write-then-replace, like _CURRENT."""
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    path = os.path.join(_log_dir(table_dir), f"{seq:08d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"seq": seq, **entry}, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def snapshots(table_dir: str) -> list[dict]:
+    """The transaction log, oldest first. Loud on a gap in the
+    sequence — a missing entry means someone deleted history, and a
+    reader that silently skips it can time-travel to the wrong
+    table."""
+    ld = _log_dir(table_dir)
+    if not os.path.isdir(ld):
+        return []
+    entries = []
+    for name in sorted(os.listdir(ld)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(ld, name)) as f:
+            entries.append(json.load(f))
+    for k, e in enumerate(entries):
+        if e["seq"] != k:
+            raise ValueError(
+                f"transaction log gap: entry {k} missing (found seq"
+                f" {e['seq']})"
+            )
+    return entries
+
+
+def current_version(table_dir: str) -> int | None:
+    marker = os.path.join(table_dir, "_CURRENT")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        name = f.read().strip()
+    if not name.startswith("v"):
+        raise ValueError(f"corrupt _CURRENT pointer {name!r}")
+    return int(name[1:])
+
+
+def _repoint(table_dir: str, version: int) -> None:
+    tmp = os.path.join(table_dir, "_CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{version}")
+    os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
+
+
+def commit_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the table's next version and make it current.
+    Returns the new version number (== its log sequence number).
+    Write order: data, log entry, pointer — see module docstring."""
+    os.makedirs(table_dir, exist_ok=True)
+    log = snapshots(table_dir)
+    seq = len(log)
+    parent = current_version(table_dir)
+    vpath = os.path.join(table_dir, f"v{seq}")
+    df.write.mode("overwrite").parquet(vpath)
+    _write_log_entry(
+        table_dir,
+        seq,
+        {
+            "action": "commit",
+            "version": seq,
+            "parent": -1 if parent is None else parent,
+        },
+    )
+    _repoint(table_dir, seq)
+    return seq
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """As-of read: the table exactly as committed at ``version``
+    (default: current). Refuses loudly on an unknown version, a
+    non-commit sequence number, or a vacuumed version — a silent
+    fallback to another version is how time travel lies."""
+    if version is None:
+        version = current_version(table_dir)
+        if version is None:
+            raise ValueError(f"{table_dir} has no current version")
+    log = snapshots(table_dir)
+    entry = next(
+        (e for e in log if e["action"] == "commit" and e["version"] == version),
+        None,
+    )
+    if entry is None:
+        raise ValueError(f"version {version} was never committed")
+    vpath = os.path.join(table_dir, f"v{version}")
+    if not os.path.isdir(vpath):
+        raise ValueError(
+            f"version {version} has been vacuumed (data dir gone;"
+            " log entry retained)"
+        )
+    return spark.read.parquet(vpath)
+
+
+def rollback(table_dir: str, version: int) -> None:
+    """Repoint the current version WITHOUT destroying history: later
+    versions stay readable (and vacuumable), and the rollback itself
+    is a logged action, so lineage shows the next commit's parent is
+    the rolled-back-to version."""
+    log = snapshots(table_dir)
+    if not any(
+        e["action"] == "commit" and e["version"] == version for e in log
+    ):
+        raise ValueError(f"cannot roll back to uncommitted version {version}")
+    if not os.path.isdir(os.path.join(table_dir, f"v{version}")):
+        raise ValueError(f"cannot roll back to vacuumed version {version}")
+    _write_log_entry(
+        table_dir,
+        len(log),
+        {"action": "rollback", "to": version, "from": current_version(table_dir)},
+    )
+    _repoint(table_dir, version)
+
+
+def vacuum(table_dir: str, keep_last: int) -> list[int]:
+    """Retention GC: drop the data dirs of all but the newest
+    ``keep_last`` committed versions (the current version is always
+    kept, whatever its age — rollback can make it old). The log is
+    never rewritten; a vacuumed version's as-of read refuses with a
+    message saying so. Returns the removed version numbers."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    log = snapshots(table_dir)
+    committed = [e["version"] for e in log if e["action"] == "commit"]
+    live = [
+        v for v in committed
+        if os.path.isdir(os.path.join(table_dir, f"v{v}"))
+    ]
+    cur = current_version(table_dir)
+    drop = [v for v in live[:-keep_last] if v != cur]
+    for v in drop:
+        shutil.rmtree(os.path.join(table_dir, f"v{v}"))
+    _write_log_entry(
+        table_dir,
+        len(log),
+        {"action": "vacuum", "removed": drop, "keep_last": keep_last},
+    )
+    return drop
+
+
+def merge_into_snapshot(
+    spark: SparkSession, table_dir: str, updates: DataFrame, key: str
+) -> int:
+    """MERGE INTO the current snapshot (update-or-insert by ``key``)
+    and commit the result as a new version — the write path a CDC
+    apply or upsert sink uses against a time-traveled table. The
+    join is a plain key-shuffle anti-join + union: at 100 TB both
+    sides hash-partition by the key and nothing is collected."""
+    cur = read_snapshot(spark, table_dir)
+    merged = cur.join(updates, key, "left_anti").unionByName(updates)
+    return commit_snapshot(merged, table_dir)
+
+
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (r14; r13 verdict missing #2): the
+    snapshot/time-travel surface end to end, oracle-checked. From
+    the orders table: commit v0 (orderkey, floor-cents price,
+    status), MERGE two closed-form update batches (v1: keys % 10 ==
+    0 get +11 cents / status X1; v2: keys % 7 == 0 get doubled cents
+    / status X2), ROLL BACK to v1, then MERGE a third batch (keys %
+    5 == 0, +7 cents, status X3) — whose commit, because of the
+    rollback, has parent v1 and sequence 4. The readout aggregates
+    EVERY committed version via as-of reads: (version, parent,
+    status, n_rows, sum_cents). The DuckDB oracle rebuilds all four
+    version states from the orders table with the same CASE chains,
+    so a wrong merge, a rollback that silently read v2, or a parent
+    lineage error diverges. Versions [0,1,2,4] — the gap at seq 3 is
+    the rollback's own log entry, also gated (a missing gap means
+    rollback didn't log)."""
+    import atexit
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreducego_spark.sources.catalog import load_table
+
+    workdir = tempfile.mkdtemp(prefix="snapshot_tt_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    table = os.path.join(workdir, "orders_tt")
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    commit_snapshot(base, table)  # v0
+    cur = read_snapshot(spark, table)
+    u1 = cur.filter(F.col("k") % 10 == 0).select(
+        "k",
+        (F.col("cents") + 11).alias("cents"),
+        F.lit("X1").alias("status"),
+    )
+    merge_into_snapshot(spark, table, u1, "k")  # v1
+    cur = read_snapshot(spark, table)
+    u2 = cur.filter(F.col("k") % 7 == 0).select(
+        "k",
+        (F.col("cents") * 2).alias("cents"),
+        F.lit("X2").alias("status"),
+    )
+    merge_into_snapshot(spark, table, u2, "k")  # v2
+    rollback(table, 1)  # seq 3
+    cur = read_snapshot(spark, table)  # must be v1, not v2
+    u3 = cur.filter(F.col("k") % 5 == 0).select(
+        "k",
+        (F.col("cents") + 7).alias("cents"),
+        F.lit("X3").alias("status"),
+    )
+    merge_into_snapshot(spark, table, u3, "k")  # v4, parent 1
+
+    log = snapshots(table)
+    versions = [
+        (e["version"], e["parent"])
+        for e in log
+        if e["action"] == "commit"
+    ]
+    per_version = [
+        read_snapshot(spark, table, v)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            F.lit(v).cast("long").alias("version"),
+            F.lit(parent).cast("long").alias("parent"),
+            "status",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "sum_cents",
+        )
+        for v, parent in versions
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("version", "status")
