@@ -218,6 +218,9 @@ HEADLINE = [
     # and the snapshot/time-travel catalog (commit/as-of/rollback)
     "pdf_extract_text",
     "snapshot_time_travel",
+    # round 14: MP3/MP4 header-only metadata routing passes
+    "multimodal_mp3_meta",
+    "multimodal_mp4_meta",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

@@ -732,6 +732,13 @@ QUERIES: dict[str, QueryFn] = {
     # (image + caption) walked from USTAR streams, loud on broken
     # pairs, decoded by the existing JPEG tier
     "webdataset_pairs": M.webdataset_pairs,
+    # MP3 metadata routing (r14, r13 verdict missing #3): ID3v2
+    # syncsafe skip + CBR MPEG-1 Layer III frame walk (every header
+    # re-verified; VBR refuses) — duration/bitrate without decode
+    "multimodal_mp3_meta": M.multimodal_mp3_meta,
+    # MP4 / ISO BMFF metadata routing (r14): box walk with all three
+    # size encodings, mvhd v0+v1, tkhd dims, hdlr + stsd fourcc
+    "multimodal_mp4_meta": M.multimodal_mp4_meta,
     # audio resample (r13, second batch): exact decimate-by-2 box
     # average with an engine-independent rounding construction —
     # the audio twin of the 2x box image resize
@@ -6920,6 +6927,69 @@ SELECT version, parent, status,
 FROM tagged
 GROUP BY version, parent, status
 ORDER BY version, status
+"""
+
+# MP3 metadata routing (r14): every column rebuilt closed-form from
+# media_id — the tag size gates the syncsafe skip, audio_bytes gates
+# the per-frame size + padding-bit walk (n_frames // 3 padded
+# frames), duration is exact integer floor math on both engines.
+ORACLES["multimodal_mp3_meta"] = """
+WITH m AS (SELECT unnest(range(240)) AS i),
+par AS (
+  SELECT i,
+    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+        [CAST(i % 14 AS INT) + 1] AS kbps,
+    ([44100,48000,32000])[CAST(i % 3 AS INT) + 1] AS rate,
+    30 + i % 50 AS n_frames,
+    CASE WHEN i % 6 = 5 THEN 0 ELSE 10 + (i * 17) % 300 END AS tag_bytes,
+    i % 4 AS mode
+  FROM m
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(tag_bytes AS BIGINT) AS tag_bytes,
+       CAST(kbps AS BIGINT) AS bitrate_kbps,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN mode = 3 THEN 1 ELSE 2 END AS BIGINT) AS channels,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_frames * ((144000 * kbps) // rate) + n_frames // 3
+            AS BIGINT) AS audio_bytes,
+       i % 2 = 0 AS has_id3v1,
+       CAST((n_frames * 1152 * 1000) // rate AS BIGINT) AS duration_ms
+FROM par
+ORDER BY media_id
+"""
+
+# MP4 metadata routing (r14): brand/timescale/duration/dims/codecs
+# all closed-form in media_id; a box-size, version-1 offset, or
+# 16.16 fixed-point error diverges.
+ORACLES["multimodal_mp4_meta"] = """
+WITH m AS (SELECT unnest(range(240)) AS i),
+par AS (
+  SELECT i,
+    (['isom','mp42'])[CAST(i % 2 AS INT) + 1] AS brand,
+    ([600,1000,90000])[CAST(i % 3 AS INT) + 1] AS ts
+  FROM m
+), p2 AS (
+  SELECT i, brand, ts,
+    ts * (3 + i % 20) + (i * 37) % ts AS duration,
+    320 + (i % 5) * 16 AS width,
+    240 + (i % 4) * 16 AS height,
+    (['avc1','hev1','vp09'])[CAST(i % 3 AS INT) + 1] AS video_codec,
+    CASE WHEN i % 7 = 0 THEN NULL
+         ELSE (['mp4a','Opus'])[CAST(i % 2 AS INT) + 1] END AS audio_codec,
+    CASE WHEN i % 7 = 0 THEN 1 ELSE 2 END AS n_tracks
+  FROM par
+)
+SELECT CAST(i AS BIGINT) AS media_id, brand,
+       CAST(ts AS BIGINT) AS timescale,
+       CAST(duration AS BIGINT) AS duration,
+       CAST((duration * 1000) // ts AS BIGINT) AS duration_ms,
+       CAST(n_tracks AS BIGINT) AS n_tracks,
+       CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       video_codec, audio_codec
+FROM p2
+ORDER BY media_id
 """
 
 # GIF tier (r13, second batch): single-frame decode. The oracle

@@ -1,0 +1,162 @@
+"""MP3/MP4 metadata routing tier: header-walk correctness and the
+loud scope boundaries (no guessed durations, no silent skips)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from mapreducego_spark.functions.mediameta import (
+    build_mp3,
+    build_mp4,
+    parse_mp3_meta,
+    parse_mp4_meta,
+)
+
+
+def test_mp3_walk_counts_frames_padding_and_tags():
+    m = build_mp3(160, 32000, 47, 3, 0, False, seed=1)
+    d = parse_mp3_meta(m)
+    base = 144_000 * 160 // 32000
+    assert d["tag_bytes"] == 10  # empty-but-present ID3v2 (pad 0)
+    assert d["channels"] == 1  # mode 3 = mono
+    assert d["n_frames"] == 47
+    assert d["audio_bytes"] == 47 * base + 47 // 3
+    assert d["duration_ms"] == 47 * 1152 * 1000 // 32000
+    # no tag at all
+    m2 = build_mp3(64, 48000, 5, 0, -1, True)
+    d2 = parse_mp3_meta(m2)
+    assert d2["tag_bytes"] == 0 and d2["has_id3v1"] and d2["channels"] == 2
+
+
+def test_mp3_refusals_are_loud():
+    m = build_mp3(128, 44100, 6, 0, 20, False, seed=2)
+    tag = 30  # 10 + 20 pad
+    hdr = bytearray(m)
+    # MPEG-2 version bits (byte1: clear bit 3)
+    hdr[tag + 1] &= ~0x08
+    with pytest.raises(NotImplementedError, match="MPEG-2"):
+        parse_mp3_meta(bytes(hdr))
+    # Layer II (layer bits 10)
+    hdr = bytearray(m)
+    hdr[tag + 1] = (hdr[tag + 1] & ~0x06) | 0x04
+    with pytest.raises(NotImplementedError, match="Layer I/II"):
+        parse_mp3_meta(bytes(hdr))
+    # free-format bitrate (index 0)
+    hdr = bytearray(m)
+    hdr[tag + 2] &= 0x0F
+    with pytest.raises(NotImplementedError, match="free-format"):
+        parse_mp3_meta(bytes(hdr))
+    # invalid bitrate index 15
+    hdr = bytearray(m)
+    hdr[tag + 2] |= 0xF0
+    with pytest.raises(ValueError, match="invalid bitrate"):
+        parse_mp3_meta(bytes(hdr))
+    # VBR: change the SECOND frame's bitrate nibble
+    first_size = 144_000 * 128 // 44100
+    hdr = bytearray(m)
+    hdr[tag + first_size + 2] = (hdr[tag + first_size + 2] & 0x0F) | 0xA0
+    with pytest.raises(NotImplementedError, match="VBR"):
+        parse_mp3_meta(bytes(hdr))
+    # truncated final frame / stray trailing bytes / lost sync
+    with pytest.raises(ValueError, match="truncated final"):
+        parse_mp3_meta(m[:-10])
+    with pytest.raises(ValueError, match="stray bytes"):
+        parse_mp3_meta(m + b"xx")
+    with pytest.raises(ValueError, match="lost frame sync"):
+        parse_mp3_meta(m + b"junkjunkjunk")
+    # ID3v2 size running past EOF
+    bad = m[:6] + b"\x7f\x7f\x7f\x7f" + m[10:]  # syncsafe size field
+    with pytest.raises(ValueError, match="runs past end"):
+        parse_mp3_meta(bad)
+    with pytest.raises(ValueError, match="no MP3 frames"):
+        parse_mp3_meta(build_mp3(128, 44100, 0, 0, 5, False))
+
+
+def test_mp4_box_walk_and_size_encodings():
+    for largesize, to_eof in ((False, False), (True, False), (False, True)):
+        v = build_mp4(
+            b"mp42", 1000, 12345, 640, 352, b"avc1", b"mp4a",
+            v1_times=True, mdat_size=64,
+            mdat_largesize=largesize, mdat_to_eof=to_eof,
+        )
+        d = parse_mp4_meta(v)
+        assert d["brand"] == "mp42" and d["duration"] == 12345
+        assert (d["width"], d["height"]) == (640, 352)
+        assert d["duration_ms"] == 12345 * 1000 // 1000
+        assert d["n_tracks"] == 2 and d["audio_codec"] == "mp4a"
+
+
+def test_mp4_refusals_are_loud():
+    v = build_mp4(b"isom", 600, 3000, 320, 240, b"avc1", b"mp4a",
+                  False, 50)
+    with pytest.raises(ValueError, match="no leading ftyp"):
+        parse_mp4_meta(b"\x00\x00\x00\x08free" + v[24:])
+    # fragmented: append a moof box
+    with pytest.raises(NotImplementedError, match="moof"):
+        parse_mp4_meta(v + struct.pack(">I", 8) + b"moof")
+    # compressed moov: smuggle a cmov box into moov (grow sizes)
+    k = v.index(b"moov")
+    moov_size = struct.unpack(">I", v[k - 4 : k])[0]
+    patched = (
+        v[: k - 4]
+        + struct.pack(">I", moov_size + 8)
+        + b"moov"
+        + v[k + 4 : k - 4 + moov_size]
+        + struct.pack(">I", 8) + b"cmov"
+        + v[k - 4 + moov_size :]
+    )
+    with pytest.raises(NotImplementedError, match="cmov"):
+        parse_mp4_meta(patched)
+    # a truncated box and stray trailing bytes
+    with pytest.raises(ValueError, match="runs past"):
+        parse_mp4_meta(v[:-10])
+    with pytest.raises(ValueError, match="stray bytes"):
+        parse_mp4_meta(v + b"xy")
+    # fractional 16.16 dimensions refuse
+    g = v.index(b"tkhd")
+    geo = g + 4 + 4 + 4 + 4 + 4 + 4 + 4 + 8 + 2 + 2 + 2 + 2 + 36
+    bad = bytearray(v)
+    bad[geo + 2 : geo + 4] = b"\x80\x00"  # width .5
+    with pytest.raises(ValueError, match="fractional"):
+        parse_mp4_meta(bytes(bad))
+    # video track is required
+    with pytest.raises(ValueError, match="no video track"):
+        parse_mp4_meta(
+            build_mp4(b"isom", 600, 100, 0, 0, b"avc1", None, False, 8)
+            .replace(b"vide", b"soun")
+        )
+
+
+def test_mp3_mp4_meta_entries_match_closed_form(spark, sf_dir):
+    from mapreducego_spark.functions.multimodal import (
+        _mp3_fixture_params,
+        _mp4_fixture_params,
+        multimodal_mp3_meta,
+        multimodal_mp4_meta,
+    )
+
+    rows = {r["media_id"]: r
+            for r in multimodal_mp3_meta(spark, sf_dir).collect()}
+    assert len(rows) == 240
+    for i in (0, 5, 13, 47, 239):
+        p = _mp3_fixture_params(i)
+        r = rows[i]
+        assert r["bitrate_kbps"] == p["kbps"]
+        assert r["sample_rate"] == p["rate"]
+        assert r["n_frames"] == p["n_frames"]
+        assert r["tag_bytes"] == (0 if p["id3v2_pad"] < 0
+                                  else 10 + p["id3v2_pad"])
+        assert r["has_id3v1"] == p["id3v1"]
+    vrows = {r["media_id"]: r
+             for r in multimodal_mp4_meta(spark, sf_dir).collect()}
+    for i in (0, 7, 11, 13, 55, 239):
+        p = _mp4_fixture_params(i)
+        r = vrows[i]
+        assert r["brand"] == p["brand"]
+        assert r["duration"] == p["duration"]
+        assert (r["width"], r["height"]) == (p["width"], p["height"])
+        assert r["video_codec"] == p["vcodec"]
+        assert r["audio_codec"] == p["acodec"]
+        assert r["n_tracks"] == (1 if p["acodec"] is None else 2)
