@@ -1350,8 +1350,85 @@ _R13_WINDOW = [
     "window_value_fns",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
-QUERIES = {name: QUERIES[name] for name in _R13_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_R13_WINDOW)
+# NOTE (r13 ADVICE): the comment above says "TEN entries new in r13"
+# — the four later second-batch entries (webdataset_pairs,
+# multimodal_audio_resample, warc_link_graph, multimodal_bmp_decode)
+# were committed after this window froze and never got birth-round
+# slots; the r14 window below leads with them, per the r13 verdict
+# demand #3.
+
+# The r14 window is the r13 verdict's demand #2 with the standing
+# policies applied: the 4 entries that have NEVER had a driver row
+# (born after the r13 window froze), avro_logical_types (the r13
+# verdict's #1 — re-proving the amt_milli BIGINT presentation under
+# the driver's own hash), the FOUR entries new in r14 itself
+# (pdf_extract_text, snapshot_time_travel, multimodal_mp3_meta,
+# multimodal_mp4_meta — driver rows in their birth round), then the
+# 41 alphabetically-first of the 50 r9-stale entries (the birth-round
+# slots displace from the r9 tail, exactly the carve-out r13
+# applied). Max staleness after this window: the 9 remaining r9
+# entries (text_stats, token_count, upsert_documents,
+# vector_ann_ivf, vector_ann_lsh, window_session, window_sliding,
+# window_tumbling, xml_round_trip) — r15 leads with them.
+_R14_WINDOW = [
+    # (1) never driver-tested (r13 second batch, no slot) — first
+    "webdataset_pairs",
+    "multimodal_audio_resample",
+    "warc_link_graph",
+    "multimodal_bmp_decode",
+    # (2) changed in r14 — re-prove under the driver's own gate
+    "avro_logical_types",
+    # (3) new in r14 — driver rows in their birth round
+    "pdf_extract_text",
+    "snapshot_time_travel",
+    "multimodal_mp3_meta",
+    "multimodal_mp4_meta",
+    # (4) the 41 alphabetically-first r9-stale entries
+    "agg_approx_distinct",
+    "agg_basic",
+    "agg_collect",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_histogram",
+    "agg_minmax_by",
+    "agg_percentile_approx",
+    "agg_percentiles",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_unpivot",
+    "bm25_topk",
+    "computed_columns",
+    "curriculum_oversample",
+    "decontaminate_embedding",
+    "dedup_spans",
+    "distinct_rows",
+    "explode_outer",
+    "filter_project",
+    "join_anti",
+    "join_asof",
+    "join_broadcast",
+    "join_full_outer",
+    "join_inner",
+    "join_left_outer",
+    "join_semi",
+    "join_theta",
+    "json_extract",
+    "knn_label_vote",
+    "mr_wordcount",
+    "null_functions",
+    "pagerank",
+    "stream_dedup_sink",
+    "stream_enrich_sink",
+    "stream_join_sink",
+    "stream_session_sink",
+    "stream_sliding_sink",
+    "stream_tumbling_sink",
+    "string_functions2",
+]
+assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R14_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R14_WINDOW)
 }
 
 
