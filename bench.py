@@ -218,9 +218,11 @@ HEADLINE = [
     # and the snapshot/time-travel catalog (commit/as-of/rollback)
     "pdf_extract_text",
     "snapshot_time_travel",
-    # round 14: MP3/MP4 header-only metadata routing passes
+    # round 14: MP3/MP4 header-only metadata routing passes, and the
+    # GIF disposal-methods tier (restore-to-background / -previous)
     "multimodal_mp3_meta",
     "multimodal_mp4_meta",
+    "multimodal_gif_disposal",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

@@ -11,10 +11,12 @@ and the LZW description in Welch's 1984 IEEE Computer paper.
 
 Scope (loud): 8-bit-index images with global and per-frame local
 color tables, the 4-pass interlace, multi-frame animations with
-Graphic Control Extensions (delay, transparency index, disposal
-"unspecified"/"do not dispose"; disposal "restore to background" /
-"restore to previous" raise NotImplementedError — the composition
-semantics this tier gates are compose-over), comment/application
+Graphic Control Extensions (delay, transparency index, and — since
+r14 — ALL FOUR specified disposal methods: 0 "unspecified" and 1
+"do not dispose" leave the canvas, 2 "restore to background" wipes
+the frame's region back to the background color, 3 "restore to
+previous" reverts the canvas to its pre-frame state; the reserved
+values 4-7 raise NotImplementedError), comment/application
 extensions skipped by their sub-block grammar (NETSCAPE loop blocks
 are what real animated GIFs carry). Structurally broken files — bad
 magic, truncated sub-blocks, an LZW code past the dictionary, a
@@ -62,6 +64,7 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
     table, nxt, width = fresh()
     emit(clear, width)
     cur: tuple = ()
+    n_data_codes = 0
     for px in indices:
         px = int(px)
         if px >= clear:
@@ -73,6 +76,7 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
             cur = cand
             continue
         emit(table[cur], width)
+        n_data_codes += 1
         table[cand] = nxt
         nxt += 1
         if nxt == (1 << width) + 1 and width < 12:
@@ -80,9 +84,24 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
         if nxt == 4097:  # dictionary full: reset in-band
             emit(clear, width)
             table, nxt, width = fresh()
+            n_data_codes = 0  # decoder appends restart post-CLEAR too
         cur = (px,)
     if cur:
         emit(table[cur], width)
+        n_data_codes += 1
+    # The decoder appends one more table entry after the FINAL data
+    # code (its appends lag the encoder's by one code) and widens if
+    # that append fills the current width — so EOI must be emitted at
+    # the width the decoder will be reading with, not the width the
+    # encoder's (one-short) table implies. Without this, a stream
+    # whose final entry lands exactly on a 2^width boundary loses the
+    # EOI's top bit (found by the r14 disposal fixtures, i=0). The
+    # decoder only appends when the final code is not the first after
+    # the most recent CLEAR — hence the per-CLEAR counter.
+    if n_data_codes >= 2:
+        nxt += 1
+        if nxt == (1 << width) + 1 and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -306,10 +325,10 @@ def decode_gif(payload: bytes):
                     raise ValueError("GCE payload must be 4 bytes")
                 flags, delay, tidx = struct.unpack("<BHB", subs)
                 disposal = (flags >> 2) & 7
-                if disposal > 1:
+                if disposal > 3:
                     raise NotImplementedError(
-                        f"GIF disposal method {disposal}"
-                        " (compose-over scope: 0/1 only)"
+                        f"GIF disposal method {disposal} (reserved;"
+                        " 0-3 are the specified methods)"
                     )
                 gce = {
                     "delay_cs": delay,
@@ -388,18 +407,23 @@ def decode_gif(payload: bytes):
 
 
 def compose_frames(meta: dict, frames: list[dict]):
-    """Compose decoded frames onto the logical screen (disposal 0/1 =
-    compose-over): returns one (height, width, 3) uint8 RGB canvas
-    per frame. The canvas starts as the background color; each
-    frame's patch overwrites covered pixels except where its
-    transparency index matches."""
+    """Compose decoded frames onto the logical screen with the full
+    GIF89a disposal semantics: returns one (height, width, 3) uint8
+    RGB canvas per frame (the canvas AS DISPLAYED, before the
+    frame's own disposal applies). The canvas starts as the
+    background color; each frame's patch overwrites covered pixels
+    except where its transparency index matches; then disposal 0/1
+    leave the canvas, 2 restores the frame's region to the
+    background color, and 3 reverts to the pre-frame canvas."""
     h, w = meta["height"], meta["width"]
     if meta["palette"] is None:
         raise ValueError("composition needs a global palette background")
+    bg = np.asarray(meta["palette"][meta["bg_index"]], dtype=np.uint8)
     canvas = np.empty((h, w, 3), dtype=np.uint8)
-    canvas[:, :] = meta["palette"][meta["bg_index"]]
+    canvas[:, :] = bg
     out = []
     for f in frames:
+        before = canvas.copy() if f["disposal"] == 3 else None
         pal = np.asarray(f["palette"], dtype=np.uint8)
         patch = pal[f["indices"]]
         y0, x0 = f["top"], f["left"]
@@ -410,4 +434,8 @@ def compose_frames(meta: dict, frames: list[dict]):
             opaque = f["indices"] != f["transparent"]
             view[opaque] = patch[opaque]
         out.append(canvas.copy())
+        if f["disposal"] == 2:
+            canvas[y0 : y0 + f["height"], x0 : x0 + f["width"]] = bg
+        elif f["disposal"] == 3:
+            canvas = before
     return out

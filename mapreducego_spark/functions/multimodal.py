@@ -3543,8 +3543,9 @@ def multimodal_gif_frames(
     transparency (index-0 pixels leave the canvas), local color
     tables on every (i+f)%5==0 frame, and a NETSCAPE loop block the
     decoder must skip by the sub-block grammar. The entry decodes,
-    composes every frame onto the logical screen (compose-over;
-    disposal 2/3 refuse loudly at the codec), and emits one row per
+    composes every frame onto the logical screen (these fixtures use
+    disposal 1; disposal 2/3 are exercised — and hash-gated — by
+    multimodal_gif_disposal since r14), and emits one row per
     COMPOSED frame with the raster gates — so patch geometry,
     transparency masking, palette routing, and composition order are
     each load-bearing. The DuckDB oracle recomposes every pixel as
@@ -3864,13 +3865,24 @@ def _bmp_fixture_params(i: int):
     """Deterministic BMP fixture spec: families cycle BI_RLE8 (the
     run-length path — the index closed form has horizontal runs of
     4, so encoded runs, absolute mode, EOL and EOB all appear),
-    uncompressed 8-bit palette (4-byte row alignment), and 24-bit
-    BI_RGB (BGR byte order + row padding). All channels closed-form
-    for the DuckDB oracle."""
-    fam = ("rle8", "pal8", "rgb24")[i % 3]
+    uncompressed 8-bit palette (4-byte row alignment), 24-bit BI_RGB
+    (BGR byte order + row padding), TOP-DOWN 24-bit (negative
+    height; r14 — the r13 scope refusal closed), and sparse RLE8
+    with DELTA escapes (r14 — leading-zero columns become horizontal
+    deltas, all-zero rows vertical deltas, skipped pixels are
+    palette index 0). All channels closed-form for the DuckDB
+    oracle; ``report`` is the compression string the decoder emits
+    for the family, so the wire path is itself hash-gated."""
+    fam = ("rle8", "pal8", "rgb24", "td24", "rle8d")[i % 5]
     nc = (i % 13) + 4
 
     def idx(x: int, y: int) -> int:
+        if fam == "rle8d":
+            # sparse: background 0 except a closed-form lattice;
+            # y % 4 == 3 rows are fully empty (vertical deltas)
+            if y % 4 == 3 or (x // 3 + y) % 3 != 0:
+                return 0
+            return (i + x // 4 + 3 * (y // 2)) % (nc - 1) + 1
         return (i + x // 4 + 3 * (y // 2)) % nc
 
     def pal(j: int):
@@ -3886,6 +3898,7 @@ def _bmp_fixture_params(i: int):
         "w": (i * 7) % 25 + 8,
         "h": (i * 11) % 17 + 6,
         "family": fam,
+        "report": {"td24": "rgb24td"}.get(fam, fam),
         "nc": nc,
         "idx": idx,
         "pal": pal,
@@ -3897,20 +3910,24 @@ def stage_bmp_media(sf_dir: str, n: int = 150) -> str:
     from mapreducego_spark.functions.bmpcodec import encode_bmp
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/spark_graft_media/{tag}_bmp{n}"
+    # dir version B: r14 extended the family cycle (top-down, delta
+    # RLE) — the _STAGED marker must not satisfy old content
+    out = f"/tmp/spark_graft_media/{tag}_bmpB{n}"
     os.makedirs(out, exist_ok=True)
     marker = os.path.join(out, "_STAGED")
     if not os.path.exists(marker):
         for i in range(n):
             spec = _bmp_fixture_params(i)
             w, h = spec["w"], spec["h"]
-            if spec["family"] == "rgb24":
+            if spec["family"] in ("rgb24", "td24"):
                 px = np.array(
                     [[spec["rgb"](x, y) for x in range(w)]
                      for y in range(h)],
                     dtype=np.uint8,
                 )
-                blob = encode_bmp(w, h, px)
+                blob = encode_bmp(
+                    w, h, px, topdown=spec["family"] == "td24"
+                )
             else:
                 px = np.array(
                     [[spec["idx"](x, y) for x in range(w)]
@@ -3920,7 +3937,8 @@ def stage_bmp_media(sf_dir: str, n: int = 150) -> str:
                 blob = encode_bmp(
                     w, h, px,
                     [spec["pal"](j) for j in range(spec["nc"])],
-                    rle=spec["family"] == "rle8",
+                    rle=spec["family"] in ("rle8", "rle8d"),
+                    delta_sparse=spec["family"] == "rle8d",
                 )
             with open(os.path.join(out, f"media_{i:05d}.bmp"), "wb") as fh:
                 fh.write(blob)
@@ -3932,18 +3950,22 @@ def stage_bmp_media(sf_dir: str, n: int = 150) -> str:
 def multimodal_bmp_decode(
     spark: SparkSession, sf_dir: str, n: int = 150
 ) -> DataFrame:
-    """Registry entry (r13, second batch): BMP as the FOURTH real
-    image format, with the decode path none of the others exercise —
-    BI_RLE8 run-length (encoded runs, absolute mode with 16-bit
-    padding, EOL/EOB escapes; the delta escape refuses loudly) plus
-    the format's structural quirks (bottom-up rows, 4-byte row
-    alignment, BGR byte order). Staged files cycle RLE8 /
-    uncompressed-palette / 24-bit families; the decode runs inside
-    one Arrow-batched mapInPandas pass and the raster gates hash the
-    output of the full chain, so a wrong run, row order, padding
-    byte, or channel swap diverges. The DuckDB oracle rebuilds every
-    pixel from the closed forms. Reference analog: the opaque-bytes
-    input contract at master.go:82.
+    """Registry entry (r13, second batch; families extended r14):
+    BMP as the FOURTH real image format, with the decode path none
+    of the others exercise — BI_RLE8 run-length (encoded runs,
+    absolute mode with 16-bit padding, EOL/EOB escapes, and — new
+    r14, closing the r13 scope refusals — the DELTA escape with
+    skipped pixels as palette index 0) plus the format's structural
+    quirks (bottom-up AND top-down row order, 4-byte row alignment,
+    BGR byte order). Staged files cycle RLE8 / uncompressed-palette
+    / 24-bit / top-down 24-bit / sparse-delta-RLE8 families; the
+    decode runs inside one Arrow-batched mapInPandas pass and the
+    raster gates hash the output of the full chain — the reported
+    family string carries what the wire actually used ('rle8d',
+    'rgb24td'), so the new paths are themselves hash-gated. The
+    DuckDB oracle rebuilds every pixel from the closed forms.
+    Reference analog: the opaque-bytes input contract at
+    master.go:82.
 
     Scale shape: distributed scan, one Arrow crossing, no shuffle
     before the presentation sort."""
@@ -4205,3 +4227,152 @@ def multimodal_mp4_meta(
         " duration_ms long, n_tracks long, width long, height long,"
         " video_codec string, audio_codec string",
     ).orderBy("media_id")
+
+
+# --------------------------------- r14: GIF disposal-methods tier
+
+def _gif_disposal_fixture_params(i: int):
+    """Closed-form animated-GIF spec exercising ALL FOUR disposal
+    methods with SQL-reconstructible composition: frame 0 is a
+    full-screen opaque base whose disposal alternates 2 (restore to
+    background — even ids wipe the whole canvas) and 1 (do not
+    dispose); frame 1 is a sub-rect patch with index-0 transparency
+    and disposal 3 (restore to previous — so whatever it painted
+    vanishes before frame 2); frame 2 is an opaque sub-rect with
+    disposal 0 (unspecified = leave). The composed canvases are then
+    closed-form: out0 = base; out1 = patch1 over the post-f0 canvas
+    (background when wiped, base otherwise) with transparent holes;
+    out2 = patch2 over that SAME post-f0 canvas (because disposal 3
+    reverted frame 1). Background color is palette index 1."""
+    w = (i * 7) % 20 + 10
+    h = (i * 11) % 14 + 8
+    nc = (i % 13) + 4
+    return {
+        "w": w,
+        "h": h,
+        "nc": nc,
+        "wipe": i % 2 == 0,  # frame 0 disposal 2 vs 1
+        "base": lambda x, y: (i + x + 2 * y) % nc,
+        "r1": ((i % 5), (i % 4), w // 2, h // 2),
+        "p1": lambda dx, dy: (i * 3 + dx * 2 + dy) % nc,
+        "r2": ((i % 3) + 2, (i % 3), w // 3 + 2, h // 3 + 1),
+        "p2": lambda dx, dy: (i * 7 + dx + dy * 3) % nc,
+        "gpal": lambda j: ((i * 11 + j * 29) % 256,
+                           (i * 13 + j * 31) % 256,
+                           (i * 17 + j * 37) % 256),
+    }
+
+
+def stage_gif_disposal_media(sf_dir: str, n: int = 120) -> str:
+    from mapreducego_spark.functions.gifcodec import encode_gif
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_media/{tag}_gifdisp{n}"
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        for i in range(n):
+            spec = _gif_disposal_fixture_params(i)
+            w, h = spec["w"], spec["h"]
+            base = np.array(
+                [[spec["base"](x, y) for x in range(w)] for y in range(h)],
+                dtype=np.uint8,
+            )
+            x1, y1, w1, h1 = spec["r1"]
+            patch1 = np.array(
+                [[spec["p1"](dx, dy) for dx in range(w1)]
+                 for dy in range(h1)],
+                dtype=np.uint8,
+            )
+            x2, y2, w2, h2 = spec["r2"]
+            patch2 = np.array(
+                [[spec["p2"](dx, dy) for dx in range(w2)]
+                 for dy in range(h2)],
+                dtype=np.uint8,
+            )
+            frames = [
+                {"indices": base, "delay_cs": 2,
+                 "disposal": 2 if spec["wipe"] else 1},
+                {"indices": patch1, "left": x1, "top": y1,
+                 "delay_cs": 4, "transparent": 0, "disposal": 3},
+                {"indices": patch2, "left": x2, "top": y2,
+                 "delay_cs": 6, "disposal": 0},
+            ]
+            blob = encode_gif(
+                w, h, [spec["gpal"](j) for j in range(spec["nc"])],
+                frames, bg_index=1, loop=True,
+            )
+            with open(os.path.join(out, f"media_{i:05d}.gif"), "wb") as fh:
+                fh.write(blob)
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+    return out
+
+
+def multimodal_gif_disposal(
+    spark: SparkSession, sf_dir: str, n: int = 120
+) -> DataFrame:
+    """Registry entry (r14; closes the r13 scope refusal): GIF
+    disposal methods 2 (restore to background) and 3 (restore to
+    previous) composed for real — the other half of animated-GIF
+    semantics, which crawl GIFs use constantly (sprite-style
+    animations rely on 3; banner loops on 2). Each staged file plays
+    all four specified disposal codes across three frames (see
+    _gif_disposal_fixture_params); the entry decodes, composes with
+    the full GIF89a disposal state machine, and hashes every
+    DISPLAYED canvas — so a wrong wipe region, a missing
+    restore-to-previous snapshot, or disposal applied before display
+    instead of after all diverge. The DuckDB oracle rebuilds every
+    canvas closed-form. Reference analog: the opaque-bytes input
+    contract at master.go:82.
+
+    Scale shape: distributed scan, one Arrow crossing, bounded
+    fan-out (3 rows/file), no shuffle before the presentation
+    sort."""
+    from mapreducego_spark.functions.gifcodec import (
+        compose_frames,
+        decode_gif,
+    )
+
+    path = stage_gif_disposal_media(sf_dir, n)
+    media = (
+        spark.read.format("binaryFile")
+        .load(path + "/media_*.gif")
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.gif", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                meta, frames = decode_gif(bytes(p))
+                for f, canvas in enumerate(compose_frames(meta, frames)):
+                    rows.append(
+                        (
+                            int(mid),
+                            f,
+                            frames[f]["disposal"],
+                            int(canvas.astype(np.int64).sum()),
+                            hashlib.md5(
+                                canvas.tobytes().hex().encode()
+                            ).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "disposal",
+                    "px_sum", "feature_hash",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, frame_idx long, disposal long,"
+        " px_sum long, feature_hash string",
+    ).orderBy("media_id", "frame_idx")

@@ -727,6 +727,11 @@ QUERIES: dict[str, QueryFn] = {
     # ...and animated composition: patches, odd-frame transparency,
     # local color tables, compose-over onto the logical screen
     "multimodal_gif_frames": M.multimodal_gif_frames,
+    # GIF disposal methods 2/3 (r14, closes the r13 scope refusal):
+    # restore-to-background wipes and restore-to-previous snapshots
+    # composed with the full GIF89a state machine, every displayed
+    # canvas hash-gated
+    "multimodal_gif_disposal": M.multimodal_gif_disposal,
     # WebDataset tar shards (r13, second batch): the de-facto
     # multimodal training packaging — same-key member groups
     # (image + caption) walked from USTAR streams, loud on broken
@@ -1359,17 +1364,19 @@ assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 
 # The r14 window is the r13 verdict's demand #2 with the standing
 # policies applied: the 4 entries that have NEVER had a driver row
-# (born after the r13 window froze), avro_logical_types (the r13
+# (born after the r13 window froze; multimodal_bmp_decode also
+# CHANGED in r14 — families extended), avro_logical_types (the r13
 # verdict's #1 — re-proving the amt_milli BIGINT presentation under
-# the driver's own hash), the FOUR entries new in r14 itself
+# the driver's own hash), the FIVE entries new in r14 itself
 # (pdf_extract_text, snapshot_time_travel, multimodal_mp3_meta,
-# multimodal_mp4_meta — driver rows in their birth round), then the
-# 41 alphabetically-first of the 50 r9-stale entries (the birth-round
-# slots displace from the r9 tail, exactly the carve-out r13
-# applied). Max staleness after this window: the 9 remaining r9
-# entries (text_stats, token_count, upsert_documents,
-# vector_ann_ivf, vector_ann_lsh, window_session, window_sliding,
-# window_tumbling, xml_round_trip) — r15 leads with them.
+# multimodal_mp4_meta, multimodal_gif_disposal — driver rows in
+# their birth round), then the 40 alphabetically-first of the 50
+# r9-stale entries (the birth-round slots displace from the r9
+# tail, exactly the carve-out r13 applied). Max staleness after
+# this window: the 10 remaining r9 entries (string_functions2,
+# text_stats, token_count, upsert_documents, vector_ann_ivf,
+# vector_ann_lsh, window_session, window_sliding, window_tumbling,
+# xml_round_trip) — r15 leads with them.
 _R14_WINDOW = [
     # (1) never driver-tested (r13 second batch, no slot) — first
     "webdataset_pairs",
@@ -1383,6 +1390,9 @@ _R14_WINDOW = [
     "snapshot_time_travel",
     "multimodal_mp3_meta",
     "multimodal_mp4_meta",
+    "multimodal_gif_disposal",
+    # multimodal_bmp_decode above also CHANGED in r14 (families
+    # extended with top-down + delta-RLE) — already in slot (1)
     # (4) the 41 alphabetically-first r9-stale entries
     "agg_approx_distinct",
     "agg_basic",
@@ -1424,7 +1434,6 @@ _R14_WINDOW = [
     "stream_session_sink",
     "stream_sliding_sink",
     "stream_tumbling_sink",
-    "string_functions2",
 ]
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R14_WINDOW} | {
@@ -7006,6 +7015,81 @@ GROUP BY version, parent, status
 ORDER BY version, status
 """
 
+# GIF disposal tier (r14): the oracle rebuilds each DISPLAYED canvas
+# closed-form — out0 = the opaque base; out1/out2 = patch over the
+# post-frame-0 canvas (background index 1 when frame 0's disposal
+# was 2, the base otherwise), with frame 1's index-0 transparency
+# holes and frame 1 itself absent from out2 (disposal 3 reverted
+# it). A wipe region, snapshot, or apply-order error diverges.
+ORACLES["multimodal_gif_disposal"] = """
+WITH m AS (SELECT unnest(range(120)) AS i),
+par AS (
+  SELECT i,
+         CAST((i * 7) % 20 + 10 AS BIGINT) AS w,
+         CAST((i * 11) % 14 + 8 AS BIGINT) AS h,
+         CAST((i % 13) + 4 AS BIGINT) AS nc,
+         CAST(i % 5 AS BIGINT) AS x1, CAST(i % 4 AS BIGINT) AS y1,
+         CAST((i % 3) + 2 AS BIGINT) AS x2, CAST(i % 3 AS BIGINT) AS y2,
+         i % 2 = 0 AS wipe
+  FROM m
+), par2 AS (
+  SELECT *, w // 2 AS w1, h // 2 AS h1,
+         w // 3 + 2 AS w2, h // 3 + 1 AS h2
+  FROM par
+), px AS (
+  SELECT par2.*, x.x AS x, y.y AS y
+  FROM par2,
+       (SELECT unnest(range(30)) AS x) x,
+       (SELECT unnest(range(22)) AS y) y
+  WHERE x.x < w AND y.y < h
+), form AS (
+  SELECT i, nc, x, y, wipe,
+         (i + x + 2 * y) % nc AS bidx,
+         CASE WHEN x >= x1 AND x < x1 + w1 AND y >= y1 AND y < y1 + h1
+              THEN (i * 3 + (x - x1) * 2 + (y - y1)) % nc END AS p1,
+         CASE WHEN x >= x2 AND x < x2 + w2 AND y >= y2 AND y < y2 + h2
+              THEN (i * 7 + (x - x2) + (y - y2) * 3) % nc END AS p2
+  FROM px
+), idxs AS (
+  SELECT i, nc, x, y,
+         CAST(0 AS BIGINT) AS frame_idx,
+         CASE WHEN wipe THEN 2 ELSE 1 END AS disposal,
+         bidx AS j
+  FROM form
+  UNION ALL
+  SELECT i, nc, x, y, 1, 3,
+         CASE WHEN p1 IS NOT NULL AND p1 <> 0 THEN p1
+              WHEN wipe THEN 1 ELSE bidx END
+  FROM form
+  UNION ALL
+  SELECT i, nc, x, y, 2, 0,
+         CASE WHEN p2 IS NOT NULL THEN p2
+              WHEN wipe THEN 1 ELSE bidx END
+  FROM form
+), col AS (
+  SELECT i, frame_idx, disposal, x, y,
+         (i * 11 + j * 29) % 256 AS r,
+         (i * 13 + j * 31) % 256 AS g,
+         (i * 17 + j * 37) % 256 AS b
+  FROM idxs
+), rows_hex AS (
+  SELECT i, frame_idx, disposal, y,
+         string_agg(printf('%02x%02x%02x', r, g, b), '' ORDER BY x)
+             AS rowstr,
+         SUM(r + g + b) AS part_sum
+  FROM col
+  GROUP BY i, frame_idx, disposal, y
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       frame_idx,
+       CAST(disposal AS BIGINT) AS disposal,
+       CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+       md5(string_agg(rowstr, '' ORDER BY y)) AS feature_hash
+FROM rows_hex
+GROUP BY i, frame_idx, disposal
+ORDER BY media_id, frame_idx
+"""
+
 # MP3 metadata routing (r14): every column rebuilt closed-form from
 # media_id — the tag size gates the syncsafe skip, audio_bytes gates
 # the per-frame size + padding-bit walk (n_frames // 3 padded
@@ -7336,10 +7420,15 @@ FROM links l JOIN documents d2 ON d2.doc_id = l.dst_doc_id
 ORDER BY l.src_doc_id, l.link_idx
 """
 
-# BMP tier (r13, second batch): the oracle rebuilds every pixel per
-# family — palette routing for the 8-bit families (identical raster
-# whether stored RLE8 or flat, so the two compressions must agree),
-# direct channel forms for 24-bit.
+# BMP tier (r13 second batch; families extended r14): the oracle
+# rebuilds every pixel per family — palette routing for the 8-bit
+# families (identical raster whether stored RLE8 or flat, so the two
+# compressions must agree), the sparse closed form for the
+# delta-escape family (background 0 where the lattice is off, empty
+# rows where y % 4 = 3 — exactly what the deltas skip), direct
+# channel forms for 24-bit bottom-up AND top-down. The family
+# strings are what the DECODER reports from the wire ('rle8d',
+# 'rgb24td'), so the new paths are hash-gated end to end.
 ORACLES["multimodal_bmp_decode"] = """
 WITH m AS (SELECT unnest(range(150)) AS i),
 par AS (
@@ -7347,8 +7436,9 @@ par AS (
          CAST((i * 7) % 25 + 8 AS BIGINT) AS w,
          CAST((i * 11) % 17 + 6 AS BIGINT) AS h,
          CAST((i % 13) + 4 AS BIGINT) AS nc,
-         CASE i % 3 WHEN 0 THEN 'rle8' WHEN 1 THEN 'pal8'
-              ELSE 'rgb24' END AS family
+         CASE i % 5 WHEN 0 THEN 'rle8' WHEN 1 THEN 'pal8'
+              WHEN 2 THEN 'rgb24' WHEN 3 THEN 'rgb24td'
+              ELSE 'rle8d' END AS family
   FROM m
 ),
 px AS (
@@ -7358,24 +7448,31 @@ px AS (
        (SELECT unnest(range(22)) AS y) y
   WHERE x.x < w AND y.y < h
 ),
+pix AS (
+  SELECT i, w, h, family, x, y,
+         CASE WHEN family = 'rle8d' THEN
+                CASE WHEN y % 4 = 3 OR (x // 3 + y) % 3 <> 0 THEN 0
+                     ELSE (i + x // 4 + 3 * (y // 2)) % (nc - 1) + 1
+                END
+              ELSE (i + x // 4 + 3 * (y // 2)) % nc
+         END AS j
+  FROM px
+),
 col AS (
   SELECT i, w, h, family, x, y,
-         CASE WHEN family = 'rgb24'
+         CASE WHEN family IN ('rgb24', 'rgb24td')
               THEN (i * 5 + x * 7 + y * 11) % 256
-              ELSE (i * 11
-                    + ((i + x // 4 + 3 * (y // 2)) % nc) * 29) % 256
+              ELSE (i * 11 + j * 29) % 256
          END AS r,
-         CASE WHEN family = 'rgb24'
+         CASE WHEN family IN ('rgb24', 'rgb24td')
               THEN (i * 7 + x * 11 + y * 5) % 256
-              ELSE (i * 13
-                    + ((i + x // 4 + 3 * (y // 2)) % nc) * 31) % 256
+              ELSE (i * 13 + j * 31) % 256
          END AS g,
-         CASE WHEN family = 'rgb24'
+         CASE WHEN family IN ('rgb24', 'rgb24td')
               THEN (i * 11 + x * 3 + y * 13) % 256
-              ELSE (i * 17
-                    + ((i + x // 4 + 3 * (y // 2)) % nc) * 37) % 256
+              ELSE (i * 17 + j * 37) % 256
          END AS b
-  FROM px
+  FROM pix
 ),
 rows_hex AS (
   SELECT i, w, h, family, y,

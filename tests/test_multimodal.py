@@ -1401,7 +1401,7 @@ def test_gif_failures_are_loud():
         decode_gif(blob[:3] + b"88a" + blob[6:])
     with pytest.raises(ValueError, match="trailer|truncated"):
         decode_gif(blob[:-4])
-    # disposal "restore to background" is out of compose-over scope
+    # disposal 0-3 are supported since r14; reserved values refuse
     anim = encode_gif(
         10, 8, pal,
         [{"indices": idx, "delay_cs": 1},
@@ -1409,8 +1409,8 @@ def test_gif_failures_are_loud():
     )
     k = anim.find(b"\x21\xf9\x04")
     bad = bytearray(anim)
-    bad[k + 3] = (bad[k + 3] & ~0x1C) | (2 << 2)
-    with pytest.raises(NotImplementedError, match="disposal method 2"):
+    bad[k + 3] = (bad[k + 3] & ~0x1C) | (5 << 2)
+    with pytest.raises(NotImplementedError, match="disposal method 5"):
         decode_gif(bytes(bad))
     # patch exceeding the logical screen is structural
     big = np.zeros((9, 10), dtype=np.uint8)
@@ -1665,17 +1665,20 @@ def test_bmp_rle8_absolute_mode_and_failures():
         decode_bmp(b"XX" + blob[2:])
     with pytest.raises(ValueError, match="truncated|RLE8"):
         decode_bmp(blob[:-6])
-    # the delta escape (0, 2) is a loud scope boundary
+    # the delta escape is SUPPORTED (r14) but bounds-checked: a jump
+    # past the bitmap is corruption, and a truncated delta is loud
     import struct as _struct
 
     offset = _struct.unpack("<I", blob[10:14])[0]
-    bad = blob[:offset] + b"\x00\x02\x01\x01" + blob[offset:]
-    with pytest.raises(NotImplementedError, match="delta"):
+    bad = blob[:offset] + b"\x00\x02\xff\xff" + blob[offset:]
+    with pytest.raises(ValueError, match="past the bitmap"):
         decode_bmp(bad)
-    # top-down (negative height) refuses
+    with pytest.raises(ValueError, match="truncated RLE8 delta"):
+        decode_bmp(blob[:offset] + b"\x00\x02\x01")
+    # top-down + RLE is forbidden by the spec — ValueError, not decode
     bad = bytearray(blob)
     bad[22:26] = _struct.pack("<i", -h)
-    with pytest.raises(NotImplementedError, match="top-down"):
+    with pytest.raises(ValueError, match="top-down BMP cannot"):
         decode_bmp(bytes(bad))
     # a well-formed EOB escape arriving before all rows were written
     # must refuse, not decode to a silently part-black image (r13
@@ -1696,6 +1699,49 @@ def test_bmp_rle8_absolute_mode_and_failures():
     assert np.array_equal(rgb2, rgb)
 
 
+def test_bmp_topdown_and_delta_families_round_trip():
+    """r14 scope closures: top-down storage (8- and 24-bit) inverts
+    to the same raster as bottom-up, sparse delta-RLE8 decodes to
+    the flat-storage raster with index-0 background, the decoder's
+    family string reports the wire path, and the forbidden
+    top-down+RLE combination refuses at encode."""
+    import numpy as np
+    import pytest
+
+    from mapreducego_spark.functions.bmpcodec import decode_bmp, encode_bmp
+
+    w, h, nc = 20, 11, 7
+    pal = [(j * 20 % 256, j * 10 % 256, j * 5 % 256) for j in range(nc)]
+    sparse = np.zeros((h, w), np.uint8)
+    for y in range(h):
+        if y % 4 == 3:
+            continue  # fully empty rows -> vertical deltas
+        for x in range(w):
+            if (x // 3 + y) % 3 == 0:
+                sparse[y, x] = (3 + x // 4 + 3 * (y // 2)) % (nc - 1) + 1
+    blob = encode_bmp(w, h, sparse, pal, rle=True, delta_sparse=True)
+    assert b"\x00\x02" in blob  # deltas actually on the wire
+    meta, rgb = decode_bmp(blob)
+    assert meta["compression"] == "rle8d"
+    assert np.array_equal(rgb, np.asarray(pal, np.uint8)[sparse])
+    # same raster via flat storage must agree (background included)
+    _, rgb_flat = decode_bmp(encode_bmp(w, h, sparse, pal))
+    assert np.array_equal(rgb, rgb_flat)
+    # top-down families
+    idx = (np.arange(h * w).reshape(h, w) % nc).astype(np.uint8)
+    m8, rgb8 = decode_bmp(encode_bmp(w, h, idx, pal, topdown=True))
+    assert m8["compression"] == "pal8td"
+    assert np.array_equal(rgb8, np.asarray(pal, np.uint8)[idx])
+    tc = (np.arange(h * w * 3).reshape(h, w, 3) % 256).astype(np.uint8)
+    m24, rgb24 = decode_bmp(encode_bmp(w, h, tc, topdown=True))
+    assert m24["compression"] == "rgb24td"
+    assert np.array_equal(rgb24, tc)
+    with pytest.raises(ValueError, match="top-down BMPs cannot"):
+        encode_bmp(w, h, idx, pal, rle=True, topdown=True)
+    with pytest.raises(ValueError, match="delta_sparse requires"):
+        encode_bmp(w, h, idx, pal, delta_sparse=True)
+
+
 def test_bmp_decode_entry_matches_closed_form(spark, sf_dir):
     import hashlib
 
@@ -1705,17 +1751,18 @@ def test_bmp_decode_entry_matches_closed_form(spark, sf_dir):
     )
 
     rows = {r["media_id"]: r
-            for r in multimodal_bmp_decode(spark, sf_dir, n=9).collect()}
-    assert len(rows) == 9
-    for i in range(9):
+            for r in multimodal_bmp_decode(spark, sf_dir, n=10).collect()}
+    assert len(rows) == 10  # covers all five families twice
+    for i in range(10):
         spec = _bmp_fixture_params(i)
         r = rows[i]
         assert (r["width"], r["height"]) == (spec["w"], spec["h"])
-        assert r["family"] == spec["family"]
+        # the decoder reports what the WIRE used — gates the new paths
+        assert r["family"] == spec["report"]
         px = bytearray()
         for y in range(spec["h"]):
             for x in range(spec["w"]):
-                if spec["family"] == "rgb24":
+                if spec["family"] in ("rgb24", "td24"):
                     px += bytes(spec["rgb"](x, y))
                 else:
                     px += bytes(spec["pal"](spec["idx"](x, y)))
@@ -1745,3 +1792,118 @@ def test_decode_image_sniffs_gif_and_bmp():
     w, h, fh = decode_image(encode_bmp(12, 9, idx, pal))
     assert (w, h) == (12, 9)
     assert fh == hashlib.md5(want.tobytes()).hexdigest()
+
+
+# ------------------------------------ r14: GIF disposal methods
+
+
+def test_gif_lzw_eoi_emitted_at_decoder_width():
+    """Regression (r14): the decoder appends one more table entry
+    after the final data code and widens if that append fills the
+    current width — the encoder must emit EOI at THAT width. The
+    pinned sequence ends exactly on the 8->16 entry boundary (found
+    by disposal fixture i=0); the sweep walks every length across
+    several alphabets so every boundary alignment is exercised."""
+    from mapreducego_spark.functions.gifcodec import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    seq = [0, 1, 2, 3, 0, 3, 0, 1, 2, 3, 2, 3, 0, 1, 2]
+    assert list(_lzw_decode(_lzw_encode(seq, 2), 2, len(seq))) == seq
+    for mcs in (2, 3, 8):
+        for length in range(1, 40):
+            s = [(k * 7 + k // 3) % (1 << mcs) for k in range(length)]
+            assert list(_lzw_decode(_lzw_encode(s, mcs), mcs, length)) == s
+
+
+def test_gif_disposal_compose_semantics():
+    """The four specified disposal methods directly: 2 wipes the
+    frame's region to background, 3 reverts to the pre-frame canvas,
+    0/1 leave it — and disposal applies AFTER the frame displays."""
+    import numpy as np
+
+    from mapreducego_spark.functions.gifcodec import (
+        compose_frames,
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = [(10, 10, 10), (200, 0, 0), (0, 200, 0), (0, 0, 200)]
+    full = np.full((4, 6), 2, np.uint8)  # green screen
+    patch = np.full((2, 2), 3, np.uint8)  # blue patch
+    blob = encode_gif(
+        6, 4, pal,
+        [
+            {"indices": full, "delay_cs": 1, "disposal": 1},
+            # blue patch, then restore-to-previous: vanishes after
+            {"indices": patch, "left": 1, "top": 1, "delay_cs": 1,
+             "disposal": 3},
+            # red patch, then restore-to-background over its region
+            {"indices": np.full((2, 2), 1, np.uint8), "left": 3,
+             "top": 0, "delay_cs": 1, "disposal": 2},
+            # final frame shows the wipe hole from frame 2's disposal
+            {"indices": np.full((1, 1), 3, np.uint8), "left": 0,
+             "top": 3, "delay_cs": 1, "disposal": 0},
+        ],
+        bg_index=0, loop=True,
+    )
+    meta, frames = decode_gif(blob)
+    c = compose_frames(meta, frames)
+    assert tuple(c[0][0, 0]) == (0, 200, 0)
+    assert tuple(c[1][1, 1]) == (0, 0, 200)  # patch displayed
+    assert tuple(c[2][1, 1]) == (0, 200, 0)  # ...then reverted (3)
+    assert tuple(c[2][0, 3]) == (200, 0, 0)  # red displayed
+    assert tuple(c[3][0, 3]) == (10, 10, 10)  # ...then wiped to bg (2)
+    assert tuple(c[3][0, 2]) == (0, 200, 0)  # outside wipe: untouched
+    assert tuple(c[3][3, 0]) == (0, 0, 200)  # frame 4's own pixel
+
+
+def test_gif_disposal_entry_matches_closed_form(spark, sf_dir):
+    import hashlib
+
+    from mapreducego_spark.functions.multimodal import (
+        _gif_disposal_fixture_params,
+        multimodal_gif_disposal,
+    )
+
+    rows = {(r["media_id"], r["frame_idx"]): r
+            for r in multimodal_gif_disposal(spark, sf_dir, n=8).collect()}
+    assert len(rows) == 24
+    for i in range(8):
+        spec = _gif_disposal_fixture_params(i)
+        w, h = spec["w"], spec["h"]
+        pal = [spec["gpal"](j) for j in range(spec["nc"])]
+        x1, y1, w1, h1 = spec["r1"]
+        x2, y2, w2, h2 = spec["r2"]
+
+        def under(x, y):
+            return pal[1] if spec["wipe"] else pal[spec["base"](x, y)]
+
+        canvases = []
+        canvases.append(
+            [[pal[spec["base"](x, y)] for x in range(w)] for y in range(h)]
+        )
+        canvases.append(
+            [[pal[spec["p1"](x - x1, y - y1)]
+              if (x1 <= x < x1 + w1 and y1 <= y < y1 + h1
+                  and spec["p1"](x - x1, y - y1) != 0)
+              else under(x, y)
+              for x in range(w)] for y in range(h)]
+        )
+        canvases.append(
+            [[pal[spec["p2"](x - x2, y - y2)]
+              if (x2 <= x < x2 + w2 and y2 <= y < y2 + h2)
+              else under(x, y)
+              for x in range(w)] for y in range(h)]
+        )
+        for f, want in enumerate(canvases):
+            r = rows[(i, f)]
+            flat = bytes(c for row in want for px in row for c in px)
+            assert r["px_sum"] == sum(flat)
+            assert r["feature_hash"] == hashlib.md5(
+                flat.hex().encode()
+            ).hexdigest()
+        assert rows[(i, 0)]["disposal"] == (2 if spec["wipe"] else 1)
+        assert rows[(i, 1)]["disposal"] == 3
+        assert rows[(i, 2)]["disposal"] == 0

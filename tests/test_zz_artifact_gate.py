@@ -214,12 +214,20 @@ def test_sf1_verify_covers_its_declared_suite():
     its gate is internal consistency (n_pass == n_queries == the
     committed suite length) plus coverage of the semantic-tier
     entries the r9 round added to tools/verify_sf1.QUERIES."""
-    from tools.verify_sf1 import QUERIES as SF1_QUERIES
+    from tools.verify_sf1 import ROTATED_SF01, QUERIES as SF1_QUERIES
 
     art = _load("VERIFY_SF1.json")
-    if art["n_queries"] != len(SF1_QUERIES):
+    declared = len(SF1_QUERIES) + len(ROTATED_SF01)
+    if art["n_queries"] != declared:
         pytest.fail(
             f"VERIFY_SF1.json n_queries {art['n_queries']} != declared"
-            f" suite {len(SF1_QUERIES)} -> run tools/verify_sf1.py"
+            f" suite {declared} (sf1 + rotated sf0.1 block)"
+            " -> run tools/verify_sf1.py"
         )
+    # the rotated 10x block must be the live declared list, so a
+    # rotation without a rerun cannot keep a stale artifact green
+    assert art.get("rotated_sf01") == ROTATED_SF01, (
+        "VERIFY_SF1.json rotated_sf01 differs from the live list ->"
+        " run tools/verify_sf1.py"
+    )
     assert art["n_fail"] == 0 and art["n_pass"] == art["n_queries"], art

@@ -48,6 +48,23 @@ QUERIES = [
     "semantic_dedup",
 ]
 
+# Rotating 10x corpus-scale spot-verify (r13 verdict demand #7): the
+# r13 ad-hoc sf0.1 oracle re-checks of the corpus-scaling ingest
+# tiers (warc/webdataset/gif/bmp) proved valuable, so the practice is
+# now an artifact: 3-5 entries whose fixtures scale WITH the corpus
+# (staged from documents/orders, unlike the fixed-n media sets) run
+# the full oracle compare at sf0.1 (10x the driver's gate scale) and
+# land in VERIFY_SF1.json alongside the sf1 suite. Rotate the list
+# each round toward entries without a recent 10x row; r14 leads with
+# the round's own corpus-scaling births.
+ROTATED_SF01 = [
+    "pdf_extract_text",       # new r14, scales with documents
+    "snapshot_time_travel",   # new r14, scales with orders
+    "dedup_spans",            # documents-scaling, never 10x-checked
+    "quality_filter",         # documents-scaling, never 10x-checked
+]
+SF01_DIR = "/root/testdata/sf0.1"
+
 # Queries whose ORACLE cannot reach sf1 on this box, checked at the
 # largest scale the single-node comparator can evaluate instead.
 # EMPTY since r9: jaccard_prefix_join's naive oracle (full
@@ -72,8 +89,12 @@ def main() -> None:
     # bytes' cascades) even across fresh connections — process exit
     # is the only reliable reclaim. Costs one Spark session startup
     # per query; correctness evidence is worth the ~30s each.
-    for query in QUERIES:
-        q_dir = FALLBACK_SF.get(query, sf1_dir)
+    for query in QUERIES + ROTATED_SF01:
+        q_dir = (
+            SF01_DIR
+            if query in ROTATED_SF01
+            else FALLBACK_SF.get(query, sf1_dir)
+        )
         machine_out = os.path.join(
             "/tmp", f"verify_sf1_{query}.json"
         )
@@ -118,18 +139,20 @@ def main() -> None:
             }
         print(query, results.get(query, {}).get("status", "NO OUTPUT"),
               f"({q_dir})", flush=True)
-    missing = [q for q in QUERIES if q not in results]
+    suite = QUERIES + ROTATED_SF01
+    missing = [q for q in suite if q not in results]
     n_pass = sum(1 for v in results.values() if v["status"] == "PASS")
     out = {
         "sf_dir": sf1_dir,
         "oracle_scale_fallbacks": FALLBACK_SF,
-        "n_queries": len(QUERIES),
+        "rotated_sf01": ROTATED_SF01,
+        "n_queries": len(suite),
         "n_pass": n_pass,
         # anything that is not an explicit oracle PASS fails the gate:
         # a 'rows' outcome means the query LOST its oracle (rename /
         # refactor) and the spot-check silently stopped checking it —
         # that is a failure of the gate's purpose, not a third state
-        "n_fail": len(QUERIES) - n_pass,
+        "n_fail": len(suite) - n_pass,
         "missing": missing,
         "results": results,
     }
