@@ -223,6 +223,7 @@ HEADLINE = [
     "multimodal_mp3_meta",
     "multimodal_mp4_meta",
     "multimodal_gif_disposal",
+    "multimodal_png_lowdepth",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

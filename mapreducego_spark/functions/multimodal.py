@@ -283,6 +283,83 @@ _ADAM7 = [
 ]
 
 
+def encode_png_sub8(
+    width: int,
+    height: int,
+    color_type: int,
+    depth: int,
+    samples: bytes,
+    palette: bytes | None = None,
+    trns: bytes | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Sub-8-bit PNG writer (r14): one sample per pixel in
+    ``samples``, packed MSB-first into 1/2/4-bit scanlines (filter 0
+    per row), gray (type 0) or palette (type 3), sequential or
+    Adam7-interlaced (per-pass rows pack independently — the part a
+    sloppy reader gets wrong)."""
+    if depth not in (1, 2, 4) or color_type not in (0, 3):
+        raise ValueError("encode_png_sub8: gray/palette at 1/2/4-bit")
+    if len(samples) != width * height:
+        raise ValueError("samples must be width*height entries")
+    raw = bytearray()
+    if not interlace:
+        for y in range(height):
+            raw += b"\x00" + _pack_sub8(
+                samples[y * width : (y + 1) * width], depth
+            )
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            for py in range(ph):
+                y = y0 + py * dy
+                raw += b"\x00" + _pack_sub8(
+                    [samples[y * width + x0 + px * dx]
+                     for px in range(pw)],
+                    depth,
+                )
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0,
+        1 if interlace else 0,
+    )
+    out = PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette)
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(
+        b"IEND", b""
+    )
+
+
+def _unpack_sub8(row: bytes, width: int, depth: int) -> bytearray:
+    """Unpack one sub-8-bit PNG scanline (MSB-first within each
+    byte, §7.2) into one sample per pixel; trailing pad bits of the
+    final byte are ignored per spec."""
+    out = bytearray(width)
+    mask = (1 << depth) - 1
+    per = 8 // depth
+    for x in range(width):
+        byte = row[x // per]
+        shift = 8 - depth * (x % per + 1)
+        out[x] = (byte >> shift) & mask
+    return out
+
+
+def _pack_sub8(samples, depth: int) -> bytes:
+    """Inverse of _unpack_sub8 for one scanline's samples."""
+    per = 8 // depth
+    out = bytearray((len(samples) + per - 1) // per)
+    for x, s in enumerate(samples):
+        if s >> depth:
+            raise ValueError(f"sample {s} exceeds {depth}-bit depth")
+        out[x // per] |= s << (8 - depth * (x % per + 1))
+    return bytes(out)
+
+
 def _png_unfilter(raw: bytes, pos: int, width: int, height: int,
                   channels: int, sample_bytes: int = 1,
                   ) -> tuple[bytearray, int]:
@@ -374,15 +451,20 @@ def decode_png_rgba(payload: bytes) -> tuple[int, int, bytes, bytes]:
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if depth not in (8, 16) or color_type not in (0, 2, 3, 4, 6):
+            ok = (
+                color_type in (0, 2, 3, 4, 6) and depth in (8, 16)
+            ) or (
+                # r14: sub-8-bit depths for the types the spec allows
+                # them on — grayscale and palette
+                color_type in (0, 3) and depth in (1, 2, 4)
+            )
+            if color_type == 3 and depth == 16:
+                ok = False  # invalid per spec §11.2.2
+            if not ok:
                 raise NotImplementedError(
                     "decode_png supports color types 0/2/3/4/6 at"
-                    f" 8/16-bit only (got type {color_type},"
-                    f" depth {depth})"
-                )
-            if color_type == 3 and depth != 8:
-                raise NotImplementedError(
-                    "palette PNGs are supported at 8-bit indices only"
+                    " 8/16-bit and gray/palette at 1/2/4-bit (got"
+                    f" type {color_type}, depth {depth})"
                 )
             if interlace not in (0, 1):
                 raise ValueError(f"unknown PNG interlace method {interlace}")
@@ -408,36 +490,76 @@ def decode_png_rgba(payload: bytes) -> tuple[int, int, bytes, bytes]:
     if trns is not None and color_type in (4, 6):
         raise ValueError("tRNS is invalid for alpha-channel color types")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    sb = depth // 8  # bytes per sample
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels * sb
-    if interlace == 0:
-        out, end = _png_unfilter(raw, 0, width, height, channels, sb)
-        if end != len(raw):
-            raise ValueError("PNG scanline data has the wrong length")
-    else:  # Adam7: unfilter each pass, scatter into place (raw bytes)
-        bpp = channels * sb
-        out = bytearray(stride * height)
-        rpos = 0
-        for x0, y0, dx, dy in _ADAM7:
-            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
-            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
-            if pw == 0 or ph == 0:
-                continue  # empty pass at small dimensions
-            sub, rpos = _png_unfilter(raw, rpos, pw, ph, channels, sb)
-            for py in range(ph):
-                row = sub[py * pw * bpp : (py + 1) * pw * bpp]
-                y = y0 + py * dy
-                for px in range(pw):
-                    x = x0 + px * dx
-                    out[y * stride + x * bpp :
-                        y * stride + (x + 1) * bpp] = (
-                        row[px * bpp : (px + 1) * bpp]
+    if depth < 8:
+        # sub-8 (r14): the filter unit is ONE BYTE at these depths
+        # (§9.2 — bpp = 1), so _png_unfilter runs on the packed row
+        # bytes; samples then unpack MSB-first. Grayscale scales by
+        # the spec's exact factor 255/(2^d - 1) (integer for 1/2/4);
+        # palette indices pass through to the PLTE lookup unscaled.
+        if interlace == 0:
+            row_bytes = (width * depth + 7) // 8
+            packed, end = _png_unfilter(raw, 0, row_bytes, height, 1, 1)
+            if end != len(raw):
+                raise ValueError("PNG scanline data has the wrong length")
+            out = bytearray(width * height)
+            for y in range(height):
+                out[y * width : (y + 1) * width] = _unpack_sub8(
+                    packed[y * row_bytes : (y + 1) * row_bytes],
+                    width, depth,
+                )
+        else:  # Adam7 at sub-8: per-pass row widths pack separately
+            out = bytearray(width * height)
+            rpos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+                ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                prb = (pw * depth + 7) // 8
+                sub, rpos = _png_unfilter(raw, rpos, prb, ph, 1, 1)
+                for py in range(ph):
+                    rowsamp = _unpack_sub8(
+                        sub[py * prb : (py + 1) * prb], pw, depth
                     )
-        if rpos != len(raw):
-            raise ValueError("PNG scanline data has the wrong length")
-    if sb == 2:
-        out = out[::2]  # big-endian high byte == spec depth scaling
+                    y = y0 + py * dy
+                    for px in range(pw):
+                        out[y * width + x0 + px * dx] = rowsamp[px]
+            if rpos != len(raw):
+                raise ValueError("PNG scanline data has the wrong length")
+        if color_type == 0:
+            scale = 255 // ((1 << depth) - 1)
+            out = bytes(s * scale for s in out)
+    else:
+        sb = depth // 8  # bytes per sample
+        stride = width * channels * sb
+        if interlace == 0:
+            out, end = _png_unfilter(raw, 0, width, height, channels, sb)
+            if end != len(raw):
+                raise ValueError("PNG scanline data has the wrong length")
+        else:  # Adam7: unfilter each pass, scatter into place (raw bytes)
+            bpp = channels * sb
+            out = bytearray(stride * height)
+            rpos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+                ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue  # empty pass at small dimensions
+                sub, rpos = _png_unfilter(raw, rpos, pw, ph, channels, sb)
+                for py in range(ph):
+                    row = sub[py * pw * bpp : (py + 1) * pw * bpp]
+                    y = y0 + py * dy
+                    for px in range(pw):
+                        x = x0 + px * dx
+                        out[y * stride + x * bpp :
+                            y * stride + (x + 1) * bpp] = (
+                            row[px * bpp : (px + 1) * bpp]
+                        )
+            if rpos != len(raw):
+                raise ValueError("PNG scanline data has the wrong length")
+        if sb == 2:
+            out = out[::2]  # big-endian high byte == spec depth scaling
     n_px = width * height
     if color_type == 2:
         rgb = bytes(out)
@@ -4376,3 +4498,136 @@ def multimodal_gif_disposal(
         "media_id long, frame_idx long, disposal long,"
         " px_sum long, feature_hash string",
     ).orderBy("media_id", "frame_idx")
+
+
+# --------------------------------- r14: PNG sub-8-bit depth tier
+
+def _png_lowdepth_fixture(i: int):
+    """Sub-8-bit PNG fixture (r14; closes the r13 scope refusal):
+    kinds cycle 1/2/4-bit grayscale and 2/4-bit palette (the depths
+    scanned documents, fax-style masks, and GIF-converted PNGs
+    carry); every third file is Adam7-interlaced so the per-pass
+    bit packing (pass rows pack independently of the full-image
+    stride) is exercised, and palette kinds on even ids carry a
+    tRNS table SHORTER than the palette. Gray presents the spec's
+    exact scaling 255/(2^d - 1); everything closed-form in
+    (media_id, x, y) for the DuckDB oracle."""
+    kind = ("g1", "g2", "g4", "p2", "p4")[i % 5]
+    depth = int(kind[1])
+    mx = 1 << depth
+    tn = (i % mx) + 1 if kind[0] == "p" and i % 2 == 0 else 0
+    return {
+        "w": (i * 7) % 23 + 6,
+        "h": (i * 11) % 15 + 5,
+        "kind": kind,
+        "depth": depth,
+        "mx": mx,
+        "interlace": i % 3 == 0,
+        "tn": tn,
+        "sample": (lambda x, y: (i + 3 * x + 5 * y) % mx)
+        if kind[0] == "g" else (lambda x, y: (i + x + 2 * y) % mx),
+        "pal": lambda j: ((i * 11 + j * 29) % 256,
+                          (i * 13 + j * 31) % 256,
+                          (i * 17 + j * 37) % 256),
+        "trns": lambda j: (i * 7 + j * 31) % 256,
+    }
+
+
+def stage_png_lowdepth(sf_dir: str, n: int = 200) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_media/{tag}_pnglow{n}"
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        for i in range(n):
+            spec = _png_lowdepth_fixture(i)
+            w, h = spec["w"], spec["h"]
+            samples = bytes(
+                spec["sample"](x, y) for y in range(h) for x in range(w)
+            )
+            if spec["kind"][0] == "g":
+                blob = encode_png_sub8(
+                    w, h, 0, spec["depth"], samples,
+                    interlace=spec["interlace"],
+                )
+            else:
+                pal = bytes(
+                    v for j in range(spec["mx"]) for v in spec["pal"](j)
+                )
+                trns = (
+                    bytes(spec["trns"](j) for j in range(spec["tn"]))
+                    if spec["tn"] else None
+                )
+                blob = encode_png_sub8(
+                    w, h, 3, spec["depth"], samples, palette=pal,
+                    trns=trns, interlace=spec["interlace"],
+                )
+            with open(os.path.join(out, f"media_{i:05d}.png"), "wb") as fh:
+                fh.write(blob)
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+    return out
+
+
+def multimodal_png_lowdepth(
+    spark: SparkSession, sf_dir: str, n: int = 200
+) -> DataFrame:
+    """Registry entry (r14; closes the r13 scope refusal): the PNG
+    depths BELOW 8 bits — 1/2/4-bit grayscale (scanned documents
+    and masks) and 2/4-bit palette (GIF-converted images) — decoded
+    by the widened decode_png_rgba: byte-unit unfiltering (bpp = 1
+    at sub-8, §9.2), MSB-first bit unpacking with per-scanline pad
+    bits dropped, the spec's exact gray scaling 255/(2^d - 1), and
+    Adam7 passes whose rows PACK INDEPENDENTLY of the full-image
+    stride (the bit-geometry case a byte-oriented reader breaks
+    on). Palette kinds carry short tRNS tables, re-gating the
+    opaque-255 default at sub-8 indices. The feature hash spans the
+    RGBA hex per pixel, so one wrong bit shift diverges. Reference
+    analog: the opaque-bytes input contract at master.go:82.
+
+    Scale shape: distributed scan, one Arrow crossing, no shuffle
+    before the presentation sort."""
+    path = stage_png_lowdepth(sf_dir, n)
+    media = (
+        spark.read.format("binaryFile")
+        .load(path + "/media_*.png")
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.png", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                w, h, rgb, alpha = decode_png_rgba(bytes(p))
+                rgba = bytearray()
+                for k in range(w * h):
+                    rgba += rgb[3 * k : 3 * k + 3]
+                    rgba.append(alpha[k])
+                rows.append(
+                    (
+                        int(mid),
+                        w,
+                        h,
+                        int(sum(rgb)),
+                        int(sum(alpha)),
+                        hashlib.md5(bytes(rgba).hex().encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "px_sum", "a_sum",
+                    "feature_hash",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, width long, height long, px_sum long,"
+        " a_sum long, feature_hash string",
+    ).orderBy("media_id")

@@ -703,6 +703,10 @@ QUERIES: dict[str, QueryFn] = {
     # (type 4), palette+tRNS with the spec's opaque default beyond
     # the table — hash spans the interleaved RGBA hex
     "multimodal_png_depth": M.multimodal_png_depth,
+    # PNG sub-8-bit depths (r14, closes the r13 scope refusal):
+    # 1/2/4-bit gray + 2/4-bit palette, MSB-first unpacking, exact
+    # spec gray scaling, Adam7 per-pass bit packing, short tRNS
+    "multimodal_png_lowdepth": M.multimodal_png_lowdepth,
     # VIDEO tier (new in r13, r12 verdict missing #3): MJPEG AVI
     # container walk (avicodec.py — hdrl/avih cadence, strl handler
     # gate, movi '00dc' chunks), every frame entropy-decoded by the
@@ -1367,13 +1371,14 @@ assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 # (born after the r13 window froze; multimodal_bmp_decode also
 # CHANGED in r14 — families extended), avro_logical_types (the r13
 # verdict's #1 — re-proving the amt_milli BIGINT presentation under
-# the driver's own hash), the FIVE entries new in r14 itself
+# the driver's own hash), the SIX entries new in r14 itself
 # (pdf_extract_text, snapshot_time_travel, multimodal_mp3_meta,
-# multimodal_mp4_meta, multimodal_gif_disposal — driver rows in
-# their birth round), then the 40 alphabetically-first of the 50
-# r9-stale entries (the birth-round slots displace from the r9
-# tail, exactly the carve-out r13 applied). Max staleness after
-# this window: the 10 remaining r9 entries (string_functions2,
+# multimodal_mp4_meta, multimodal_gif_disposal,
+# multimodal_png_lowdepth — driver rows in their birth round), then
+# the 39 alphabetically-first of the 50 r9-stale entries (the
+# birth-round slots displace from the r9 tail, exactly the
+# carve-out r13 applied). Max staleness after this window: the 11
+# remaining r9 entries (stream_tumbling_sink, string_functions2,
 # text_stats, token_count, upsert_documents, vector_ann_ivf,
 # vector_ann_lsh, window_session, window_sliding, window_tumbling,
 # xml_round_trip) — r15 leads with them.
@@ -1391,6 +1396,7 @@ _R14_WINDOW = [
     "multimodal_mp3_meta",
     "multimodal_mp4_meta",
     "multimodal_gif_disposal",
+    "multimodal_png_lowdepth",
     # multimodal_bmp_decode above also CHANGED in r14 (families
     # extended with top-down + delta-RLE) — already in slot (1)
     # (4) the 41 alphabetically-first r9-stale entries
@@ -1433,7 +1439,6 @@ _R14_WINDOW = [
     "stream_join_sink",
     "stream_session_sink",
     "stream_sliding_sink",
-    "stream_tumbling_sink",
 ]
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R14_WINDOW} | {
@@ -5974,6 +5979,65 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
        md5(string_agg(rowstr, '' ORDER BY y)) AS feature_hash
 FROM rows_hex
 GROUP BY media_id
+ORDER BY media_id
+"""
+
+# PNG sub-8-bit tier (r14): every pixel rebuilt closed-form — gray
+# kinds scale by the spec's exact 255/(2^d - 1), palette kinds route
+# through the closed-form PLTE with short-tRNS alpha defaults. The
+# hash spans RGBA hex, so one wrong bit shift in the MSB-first
+# unpacking (or a mis-packed Adam7 pass row) diverges.
+ORACLES["multimodal_png_lowdepth"] = """
+WITH m AS (SELECT unnest(range(200)) AS i),
+par AS (
+  SELECT i,
+         CAST((i * 7) % 23 + 6 AS BIGINT) AS w,
+         CAST((i * 11) % 15 + 5 AS BIGINT) AS h,
+         i % 5 AS kind,
+         ([2, 4, 16, 4, 16])[CAST(i % 5 AS INT) + 1] AS mx
+  FROM m
+), par2 AS (
+  SELECT *,
+         CASE WHEN kind >= 3 AND i % 2 = 0 THEN (i % mx) + 1
+              ELSE 0 END AS tn
+  FROM par
+), px AS (
+  SELECT par2.*, x.x AS x, y.y AS y,
+         CASE WHEN kind < 3 THEN (i + 3 * x.x + 5 * y.y) % mx
+              ELSE (i + x.x + 2 * y.y) % mx END AS s
+  FROM par2,
+       (SELECT unnest(range(29)) AS x) x,
+       (SELECT unnest(range(20)) AS y) y
+  WHERE x.x < w AND y.y < h
+), rgba AS (
+  SELECT i, w, h, x, y,
+         CASE WHEN kind < 3 THEN s * (255 // (mx - 1))
+              ELSE (i * 11 + s * 29) % 256 END AS r,
+         CASE WHEN kind < 3 THEN s * (255 // (mx - 1))
+              ELSE (i * 13 + s * 31) % 256 END AS g,
+         CASE WHEN kind < 3 THEN s * (255 // (mx - 1))
+              ELSE (i * 17 + s * 37) % 256 END AS b,
+         CASE WHEN kind < 3 THEN 255
+              WHEN s < tn THEN (i * 7 + s * 31) % 256
+              ELSE 255 END AS a
+  FROM px
+), rows_hex AS (
+  SELECT i, w, h, y,
+         string_agg(printf('%02x%02x%02x%02x', r, g, b, a), ''
+                    ORDER BY x) AS rowstr,
+         SUM(r + g + b) AS psum,
+         SUM(a) AS asum
+  FROM rgba
+  GROUP BY i, w, h, y
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(SUM(psum) AS BIGINT) AS px_sum,
+       CAST(SUM(asum) AS BIGINT) AS a_sum,
+       md5(string_agg(rowstr, '' ORDER BY y)) AS feature_hash
+FROM rows_hex
+GROUP BY i
 ORDER BY media_id
 """
 

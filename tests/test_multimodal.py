@@ -1907,3 +1907,116 @@ def test_gif_disposal_entry_matches_closed_form(spark, sf_dir):
         assert rows[(i, 0)]["disposal"] == (2 if spec["wipe"] else 1)
         assert rows[(i, 1)]["disposal"] == 3
         assert rows[(i, 2)]["disposal"] == 0
+
+
+# ------------------------------------ r14: PNG sub-8-bit depths
+
+
+def test_png_sub8_round_trips_all_depths_and_interlace():
+    """1/2/4-bit gray and palette, sequential and Adam7: MSB-first
+    unpacking, per-pass packing, exact spec gray scaling, short-tRNS
+    alpha defaults — round-tripped through the fixture writer."""
+    import random
+
+    from mapreducego_spark.functions.multimodal import (
+        decode_png_rgba,
+        encode_png_sub8,
+    )
+
+    rng = random.Random(3)
+    for depth in (1, 2, 4):
+        mx = 1 << depth
+        scale = 255 // (mx - 1)
+        for interlace in (False, True):
+            for (w, h) in ((1, 1), (3, 2), (13, 11), (17, 5)):
+                samples = bytes(rng.randrange(mx) for _ in range(w * h))
+                blob = encode_png_sub8(
+                    w, h, 0, depth, samples, interlace=interlace
+                )
+                gw, gh, rgb, alpha = decode_png_rgba(blob)
+                assert (gw, gh) == (w, h)
+                assert rgb == bytes(
+                    v for s in samples for v in (s * scale,) * 3
+                )
+                assert alpha == b"\xff" * (w * h)
+                pal = bytes(
+                    v for j in range(mx)
+                    for v in (j * 17 % 256, j * 29 % 256, j * 43 % 256)
+                )
+                trns = bytes((j * 31) % 256 for j in range(max(1, mx // 2)))
+                blob = encode_png_sub8(
+                    w, h, 3, depth, samples, palette=pal, trns=trns,
+                    interlace=interlace,
+                )
+                _, _, rgb, alpha = decode_png_rgba(blob)
+                assert rgb == b"".join(
+                    pal[s * 3 : s * 3 + 3] for s in samples
+                )
+                assert alpha == bytes(
+                    trns[s] if s < len(trns) else 255 for s in samples
+                )
+
+
+def test_png_sub8_refusals_stay_loud():
+    """Depth/type combinations outside the spec (or outside scope)
+    refuse: sub-8 truecolor is invalid PNG, 16-bit palette is
+    invalid per §11.2.2, and the writer rejects non-gray/palette."""
+    import struct as _struct
+
+    import pytest
+
+    from mapreducego_spark.functions.multimodal import (
+        decode_png_rgba,
+        encode_png_sub8,
+    )
+
+    with pytest.raises(ValueError, match="gray/palette"):
+        encode_png_sub8(4, 4, 2, 4, bytes(16))
+    blob = encode_png_sub8(4, 4, 0, 4, bytes(16))
+    k = blob.index(b"IHDR")
+    bad = bytearray(blob)
+    bad[k + 13] = 2  # color type truecolor at depth 4
+    with pytest.raises(NotImplementedError, match="type 2, depth 4"):
+        decode_png_rgba(bytes(bad))
+    bad = bytearray(blob)
+    bad[k + 12] = 16  # depth
+    bad[k + 13] = 3  # palette: 16-bit indices are invalid PNG
+    with pytest.raises(NotImplementedError, match="type 3, depth 16"):
+        decode_png_rgba(bytes(bad))
+    _ = _struct  # keep import local-style consistent
+
+
+def test_png_lowdepth_entry_matches_closed_form(spark, sf_dir):
+    import hashlib
+
+    from mapreducego_spark.functions.multimodal import (
+        _png_lowdepth_fixture,
+        multimodal_png_lowdepth,
+    )
+
+    rows = {r["media_id"]: r
+            for r in multimodal_png_lowdepth(spark, sf_dir, n=10).collect()}
+    assert len(rows) == 10  # all five kinds, interlaced and not
+    for i in range(10):
+        spec = _png_lowdepth_fixture(i)
+        r = rows[i]
+        assert (r["width"], r["height"]) == (spec["w"], spec["h"])
+        scale = 255 // (spec["mx"] - 1)
+        rgba = bytearray()
+        for y in range(spec["h"]):
+            for x in range(spec["w"]):
+                s = spec["sample"](x, y)
+                if spec["kind"][0] == "g":
+                    rgba += bytes((s * scale,) * 3) + b"\xff"
+                else:
+                    rgba += bytes(spec["pal"](s))
+                    rgba.append(
+                        spec["trns"](s) if s < spec["tn"] else 255
+                    )
+        assert r["px_sum"] == sum(
+            v for k, v in enumerate(rgba) if k % 4 != 3
+        )
+        assert r["a_sum"] == sum(rgba[3::4])
+        assert r["feature_hash"] == hashlib.md5(
+            bytes(rgba).hex().encode()
+        ).hexdigest()
