@@ -757,7 +757,8 @@ def multimodal_decode(
     path = stage_png_media(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.png")
+        .option("pathGlobFilter", "media_*.png")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.png", 1)
             .cast("long")
@@ -1176,7 +1177,8 @@ def multimodal_jpeg_meta(
     path = stage_jpeg_media(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.jpg")
+        .option("pathGlobFilter", "media_*.jpg")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
             .cast("long")
@@ -1299,7 +1301,8 @@ def multimodal_jpeg_decode(
     path = stage_jpeg_pixels(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.jpg")
+        .option("pathGlobFilter", "media_*.jpg")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
             .cast("long")
@@ -1362,7 +1365,8 @@ def multimodal_resize_box(
     path = stage_jpeg_pixels(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.jpg")
+        .option("pathGlobFilter", "media_*.jpg")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
             .cast("long")
@@ -1497,7 +1501,8 @@ def multimodal_jpeg_decode_420(
     path = stage_jpeg_pixels_420(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.jpg")
+        .option("pathGlobFilter", "media_*.jpg")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
             .cast("long")
@@ -1608,7 +1613,8 @@ def multimodal_jpeg_decode_rst(
     path = stage_jpeg_pixels_rst(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.jpg")
+        .option("pathGlobFilter", "media_*.jpg")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
             .cast("long")
@@ -1738,7 +1744,8 @@ def multimodal_jpeg_decode_progressive(
     path = stage_jpeg_pixels_prog(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.jpg")
+        .option("pathGlobFilter", "media_*.jpg")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
             .cast("long")
@@ -1854,7 +1861,8 @@ def multimodal_jpeg_decode_422(
     path = stage_jpeg_pixels_422(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.jpg")
+        .option("pathGlobFilter", "media_*.jpg")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
             .cast("long")
@@ -1974,7 +1982,8 @@ def multimodal_png_variants(
     path = stage_png_variants(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.png")
+        .option("pathGlobFilter", "media_*.png")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.png", 1)
             .cast("long")
@@ -2126,7 +2135,8 @@ def multimodal_png_depth(
     path = stage_png_depth(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.png")
+        .option("pathGlobFilter", "media_*.png")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.png", 1)
             .cast("long")
@@ -2229,7 +2239,8 @@ def multimodal_jpeg_exif(
     path = stage_jpeg_exif(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.jpg")
+        .option("pathGlobFilter", "media_*.jpg")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
             .cast("long")
@@ -2353,7 +2364,8 @@ def multimodal_decode_oriented(
     path = stage_jpeg_oriented(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.jpg")
+        .option("pathGlobFilter", "media_*.jpg")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
             .cast("long")
@@ -2475,7 +2487,8 @@ def _wav_media_df(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     path = stage_wav_media(sf_dir, n)
     return (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.wav")
+        .option("pathGlobFilter", "media_*.wav")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.wav", 1)
             .cast("long")
@@ -2784,7 +2797,8 @@ def _video_frame_rows(
     path = stage_avi_media(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.avi")
+        .option("pathGlobFilter", "media_*.avi")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.avi", 1)
             .cast("long")
@@ -2968,7 +2982,8 @@ def multimodal_audio_formats(
     path = stage_wav_formats(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.wav")
+        .option("pathGlobFilter", "media_*.wav")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.wav", 1)
             .cast("long")
@@ -3065,7 +3080,8 @@ def mine_image_text_pairs_semantic(
     path = stage_jpeg_pixels(sf_dir, n)
     media_files = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.jpg")
+        .option("pathGlobFilter", "media_*.jpg")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.jpg", 1)
             .cast("long")
@@ -3388,7 +3404,8 @@ def multimodal_video_audio(
     path = stage_avi_av_media(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.avi")
+        .option("pathGlobFilter", "media_*.avi")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.avi", 1)
             .cast("long")
@@ -3522,7 +3539,8 @@ def multimodal_gif_decode(
     path = stage_gif_media(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.gif")
+        .option("pathGlobFilter", "media_*.gif")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.gif", 1)
             .cast("long")
@@ -3686,7 +3704,8 @@ def multimodal_gif_frames(
     path = stage_gif_anim_media(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.gif")
+        .option("pathGlobFilter", "media_*.gif")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.gif", 1)
             .cast("long")
@@ -3878,7 +3897,8 @@ def webdataset_pairs(
     path = stage_webdataset_shards(sf_dir, n_shards)
     shards = (
         spark.read.format("binaryFile")
-        .load(path + "/shard_*.tar")
+        .option("pathGlobFilter", "shard_*.tar")
+        .load(path)
         .select(F.col("content").alias("payload"))
     )
 
@@ -4096,7 +4116,8 @@ def multimodal_bmp_decode(
     path = stage_bmp_media(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.bmp")
+        .option("pathGlobFilter", "media_*.bmp")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.bmp", 1)
             .cast("long")
@@ -4459,7 +4480,8 @@ def multimodal_gif_disposal(
     path = stage_gif_disposal_media(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.gif")
+        .option("pathGlobFilter", "media_*.gif")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.gif", 1)
             .cast("long")
@@ -4590,7 +4612,8 @@ def multimodal_png_lowdepth(
     path = stage_png_lowdepth(sf_dir, n)
     media = (
         spark.read.format("binaryFile")
-        .load(path + "/media_*.png")
+        .option("pathGlobFilter", "media_*.png")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"media_(\d+)\.png", 1)
             .cast("long")

@@ -1405,7 +1405,8 @@ def warc_extract_text(
     path = stage_warc_archives(sf_dir, n_files)
     files = (
         spark.read.format("binaryFile")
-        .load(path + "/crawl_*.warc.gz")
+        .option("pathGlobFilter", "crawl_*.warc.gz")
+        .load(path)
         .select("content")
     )
 
@@ -1481,7 +1482,8 @@ def warc_link_graph(
     path = stage_warc_archives(sf_dir, n_files)
     files = (
         spark.read.format("binaryFile")
-        .load(path + "/crawl_*.warc.gz")
+        .option("pathGlobFilter", "crawl_*.warc.gz")
+        .load(path)
         .select("content")
     )
     href_re = _re.compile(r'<a href="([^"]*)">([^<]*)</a>')
@@ -1631,7 +1633,8 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = stage_pdf_files(sf_dir)
     files = (
         spark.read.format("binaryFile")
-        .load(path + "/doc_*.pdf")
+        .option("pathGlobFilter", "doc_*.pdf")
+        .load(path)
         .select("path", "content")
     )
     id_re = _re.compile(r"/doc_(\d+)\.pdf$")
