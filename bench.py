@@ -224,6 +224,7 @@ HEADLINE = [
     "multimodal_mp4_meta",
     "multimodal_gif_disposal",
     "multimodal_png_lowdepth",
+    "snapshot_changes",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

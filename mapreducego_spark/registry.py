@@ -289,6 +289,11 @@ QUERIES: dict[str, QueryFn] = {
     # first-class commit / as-of read / rollback / vacuum operations
     # — commits, merges, a rollback, and lineage all hash-gated
     "snapshot_time_travel": SNAP.snapshot_time_travel,
+    # ...and the CHANGE DATA FEED between versions (r14): per-key
+    # insert/update/delete rows with before/after payloads via one
+    # key-partitioned full outer join per range; the (1,4) feed
+    # proves the rollback, (4,5) gates deletes + inserts
+    "snapshot_changes": SNAP.snapshot_changes_feed,
     "json_round_trip": CAT.json_round_trip,
     "csv_round_trip": CAT.csv_round_trip,
     "orc_round_trip": CAT.orc_round_trip,
@@ -1371,17 +1376,17 @@ assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 # (born after the r13 window froze; multimodal_bmp_decode also
 # CHANGED in r14 — families extended), avro_logical_types (the r13
 # verdict's #1 — re-proving the amt_milli BIGINT presentation under
-# the driver's own hash), the SIX entries new in r14 itself
-# (pdf_extract_text, snapshot_time_travel, multimodal_mp3_meta,
-# multimodal_mp4_meta, multimodal_gif_disposal,
+# the driver's own hash), the SEVEN entries new in r14 itself
+# (pdf_extract_text, snapshot_time_travel, snapshot_changes,
+# multimodal_mp3_meta, multimodal_mp4_meta, multimodal_gif_disposal,
 # multimodal_png_lowdepth — driver rows in their birth round), then
-# the 39 alphabetically-first of the 50 r9-stale entries (the
+# the 38 alphabetically-first of the 50 r9-stale entries (the
 # birth-round slots displace from the r9 tail, exactly the
-# carve-out r13 applied). Max staleness after this window: the 11
-# remaining r9 entries (stream_tumbling_sink, string_functions2,
-# text_stats, token_count, upsert_documents, vector_ann_ivf,
-# vector_ann_lsh, window_session, window_sliding, window_tumbling,
-# xml_round_trip) — r15 leads with them.
+# carve-out r13 applied). Max staleness after this window: the 12
+# remaining r9 entries (stream_sliding_sink, stream_tumbling_sink,
+# string_functions2, text_stats, token_count, upsert_documents,
+# vector_ann_ivf, vector_ann_lsh, window_session, window_sliding,
+# window_tumbling, xml_round_trip) — r15 leads with them.
 _R14_WINDOW = [
     # (1) never driver-tested (r13 second batch, no slot) — first
     "webdataset_pairs",
@@ -1397,6 +1402,7 @@ _R14_WINDOW = [
     "multimodal_mp4_meta",
     "multimodal_gif_disposal",
     "multimodal_png_lowdepth",
+    "snapshot_changes",
     # multimodal_bmp_decode above also CHANGED in r14 (families
     # extended with top-down + delta-RLE) — already in slot (1)
     # (4) the 41 alphabetically-first r9-stale entries
@@ -1438,7 +1444,6 @@ _R14_WINDOW = [
     "stream_enrich_sink",
     "stream_join_sink",
     "stream_session_sink",
-    "stream_sliding_sink",
 ]
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R14_WINDOW} | {
@@ -7077,6 +7082,50 @@ SELECT version, parent, status,
 FROM tagged
 GROUP BY version, parent, status
 ORDER BY version, status
+"""
+
+# Snapshot CDC feed (r14): every feed row rebuilt from the same
+# CASE chains as the time-travel oracle — updates carry the exact
+# before/after payloads per range ((1,4) reflects u3 on the
+# ROLLED-BACK v1), deletes carry the v4 state with null afters,
+# inserts the synthetic keys with null befores. A carried-over row
+# leaking into the feed, a wrong range state, or a mis-classified
+# change diverges.
+ORACLES["snapshot_changes"] = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderstatus AS status
+  FROM orders
+), v1 AS (
+  SELECT k,
+         CASE WHEN k % 10 = 0 THEN cents + 11 ELSE cents END AS cents,
+         CASE WHEN k % 10 = 0 THEN 'X1' ELSE status END AS status
+  FROM base
+), v4 AS (
+  SELECT k,
+         CASE WHEN k % 5 = 0 THEN cents + 7 ELSE cents END AS cents,
+         CASE WHEN k % 5 = 0 THEN 'X3' ELSE status END AS status
+  FROM v1
+)
+SELECT CAST(0 AS BIGINT) AS from_v, CAST(1 AS BIGINT) AS to_v, k,
+       'update' AS change_type,
+       cents AS old_cents, status AS old_status,
+       cents + 11 AS new_cents, 'X1' AS new_status
+FROM base WHERE k % 10 = 0
+UNION ALL
+SELECT 1, 2, k, 'update', cents, status, cents * 2, 'X2'
+FROM v1 WHERE k % 7 = 0
+UNION ALL
+SELECT 1, 4, k, 'update', cents, status, cents + 7, 'X3'
+FROM v1 WHERE k % 5 = 0
+UNION ALL
+SELECT 4, 5, k, 'delete', cents, status, NULL, NULL
+FROM v4 WHERE k % 100 = 7
+UNION ALL
+SELECT 4, 5, k + 1000000000, 'insert', NULL, NULL, k, 'NEW'
+FROM v4 WHERE k % 101 = 0
+ORDER BY from_v, to_v, k
 """
 
 # GIF disposal tier (r14): the oracle rebuilds each DISPLAYED canvas

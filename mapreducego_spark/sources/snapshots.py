@@ -215,22 +215,13 @@ def merge_into_snapshot(
     return commit_snapshot(merged, table_dir)
 
 
-def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry (r14; r13 verdict missing #2): the
-    snapshot/time-travel surface end to end, oracle-checked. From
-    the orders table: commit v0 (orderkey, floor-cents price,
-    status), MERGE two closed-form update batches (v1: keys % 10 ==
-    0 get +11 cents / status X1; v2: keys % 7 == 0 get doubled cents
-    / status X2), ROLL BACK to v1, then MERGE a third batch (keys %
-    5 == 0, +7 cents, status X3) — whose commit, because of the
-    rollback, has parent v1 and sequence 4. The readout aggregates
-    EVERY committed version via as-of reads: (version, parent,
-    status, n_rows, sum_cents). The DuckDB oracle rebuilds all four
-    version states from the orders table with the same CASE chains,
-    so a wrong merge, a rollback that silently read v2, or a parent
-    lineage error diverges. Versions [0,1,2,4] — the gap at seq 3 is
-    the rollback's own log entry, also gated (a missing gap means
-    rollback didn't log)."""
+def _stage_orders_versions(spark: SparkSession, sf_dir: str) -> str:
+    """Shared demo-table builder for the snapshot entries: commits
+    v0 (orders as k / floor-cents / status), MERGEs u1 (k % 10 == 0:
+    +11 cents, X1) -> v1 and u2 (k % 7 == 0: doubled cents, X2) ->
+    v2, ROLLS BACK to v1 (seq 3), then MERGEs u3 (k % 5 == 0: +7
+    cents, X3) -> v4 with parent 1. Every state is closed-form in
+    the orders table for the DuckDB oracles."""
     import atexit
     import tempfile
 
@@ -270,7 +261,94 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("X3").alias("status"),
     )
     merge_into_snapshot(spark, table, u3, "k")  # v4, parent 1
+    return table
 
+
+def snapshot_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int,
+    key: str,
+) -> DataFrame:
+    """CDC read between two committed versions — the change-data-feed
+    a downstream incremental consumer reads instead of re-scanning
+    the table: one row per changed key with ``change_type`` in
+    {insert, update, delete} plus the before/after payloads (null on
+    the absent side). Computed as a full outer join of the two as-of
+    reads on ``key``: at 100 TB both sides hash-partition by the key
+    and the join output is proportional to the CHANGES plus the
+    carried rows it filters, never collected. Refuses loudly when
+    either version is unknown or vacuumed (read_snapshot's checks)
+    and when from_version >= to_version — a reversed or empty range
+    is a consumer bug, not an empty feed."""
+    from pyspark.sql import functions as F
+
+    if from_version >= to_version:
+        raise ValueError(
+            f"snapshot_changes needs from < to (got {from_version}"
+            f" >= {to_version})"
+        )
+    old = read_snapshot(spark, table_dir, from_version)
+    new = read_snapshot(spark, table_dir, to_version)
+    payload = [c for c in old.columns if c != key]
+    if payload != [c for c in new.columns if c != key]:
+        raise ValueError(
+            "snapshot schemas differ between versions"
+            f" ({old.columns} vs {new.columns})"
+        )
+    # literal presence flags survive the outer join even when every
+    # payload column is legitimately NULL on a present side
+    o = old.select(
+        F.col(key),
+        *[F.col(c).alias(f"old_{c}") for c in payload],
+        F.lit(True).alias("_o"),
+    )
+    nw = new.select(
+        F.col(key),
+        *[F.col(c).alias(f"new_{c}") for c in payload],
+        F.lit(True).alias("_n"),
+    )
+    joined = (
+        o.join(nw, key, "full_outer")
+        .withColumn("_o", F.coalesce("_o", F.lit(False)))
+        .withColumn("_n", F.coalesce("_n", F.lit(False)))
+    )
+    # null-safe per-column difference: NOT (old <=> new)
+    diff = F.lit(False)
+    for c in payload:
+        diff = diff | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(~F.col("_o"), F.lit("insert"))
+            .when(~F.col("_n"), F.lit("delete"))
+            .otherwise(F.lit("update")),
+        )
+        .filter((~F.col("_o")) | (~F.col("_n")) | diff)
+        .drop("_o", "_n")
+    )
+
+
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (r14; r13 verdict missing #2): the
+    snapshot/time-travel surface end to end, oracle-checked. From
+    the orders table: commit v0 (orderkey, floor-cents price,
+    status), MERGE two closed-form update batches (v1: keys % 10 ==
+    0 get +11 cents / status X1; v2: keys % 7 == 0 get doubled cents
+    / status X2), ROLL BACK to v1, then MERGE a third batch (keys %
+    5 == 0, +7 cents, status X3) — whose commit, because of the
+    rollback, has parent v1 and sequence 4. The readout aggregates
+    EVERY committed version via as-of reads: (version, parent,
+    status, n_rows, sum_cents). The DuckDB oracle rebuilds all four
+    version states from the orders table with the same CASE chains,
+    so a wrong merge, a rollback that silently read v2, or a parent
+    lineage error diverges. Versions [0,1,2,4] — the gap at seq 3 is
+    the rollback's own log entry, also gated (a missing gap means
+    rollback didn't log)."""
+    from pyspark.sql import functions as F
+
+    table = _stage_orders_versions(spark, sf_dir)
     log = snapshots(table)
     versions = [
         (e["version"], e["parent"])
@@ -297,3 +375,53 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per_version[1:]:
         out = out.unionByName(df)
     return out.orderBy("version", "status")
+
+
+def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (r14): the CHANGE DATA FEED over the snapshot
+    catalog — what an incremental downstream consumer reads between
+    two table versions instead of re-scanning 100 TB. Builds the
+    shared demo table (v0..v4 incl. the rollback), then commits v5
+    on top of v4 with closed-form DELETES (keys k % 100 == 7
+    removed) and INSERTS (for k % 101 == 0, a synthetic key
+    k + 10^9 with cents = k and status NEW), and emits
+    snapshot_changes for the ranges (0,1), (1,2), (1,4), (4,5)
+    unioned: per changed key, change_type insert/update/delete with
+    null-padded before/after payloads. The DuckDB oracle rebuilds
+    every feed row from the same CASE chains — including that the
+    (1,4) feed reflects u3 applied to the ROLLED-BACK v1, and that
+    carried-over rows never appear (the null-safe equality filter).
+    At 100 TB each feed is one key-partitioned full outer join;
+    nothing is collected. Output columns are whitelist-typed
+    (bigint/string, nulls on the absent side)."""
+    from pyspark.sql import functions as F
+
+    table = _stage_orders_versions(spark, sf_dir)
+    v4 = read_snapshot(spark, table)  # current = v4
+    v5 = v4.filter(~(F.col("k") % 100 == 7)).unionByName(
+        v4.filter(F.col("k") % 101 == 0).select(
+            (F.col("k") + 1_000_000_000).alias("k"),
+            F.col("k").cast("long").alias("cents"),
+            F.lit("NEW").alias("status"),
+        )
+    )
+    commit_snapshot(v5, table)  # version/seq 5
+    feeds = []
+    for f, t in ((0, 1), (1, 2), (1, 4), (4, 5)):
+        ch = snapshot_changes(spark, table, f, t, "k")
+        feeds.append(
+            ch.select(
+                F.lit(f).cast("long").alias("from_v"),
+                F.lit(t).cast("long").alias("to_v"),
+                F.col("k").cast("long").alias("k"),
+                "change_type",
+                F.col("old_cents").cast("long").alias("old_cents"),
+                F.col("old_status").alias("old_status"),
+                F.col("new_cents").cast("long").alias("new_cents"),
+                F.col("new_status").alias("new_status"),
+            )
+        )
+    out = feeds[0]
+    for df in feeds[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("from_v", "to_v", "k")

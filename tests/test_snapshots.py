@@ -156,3 +156,42 @@ def test_snapshot_time_travel_entry_versions_and_lineage(spark, sf_dir):
     assert "X3" in v4_status and "X1" not in v4_status
     # and no X2 at v4: the rollback discarded u2
     assert "X2" not in v4_status
+
+
+def test_snapshot_changes_classifies_and_filters_carried_rows(spark, tmp_path):
+    from mapreducego_spark.sources.snapshots import snapshot_changes
+
+    table = str(tmp_path / "t")
+    commit_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None)], "k long, val string"
+        ),
+        table,
+    )
+    commit_snapshot(
+        spark.createDataFrame(
+            # 1 carried (must NOT appear), 2 updated, 3 null->value
+            # update, 4 inserted; no row for a delete yet
+            [(1, "a"), (2, "B"), (3, "c"), (4, "d")], "k long, val string"
+        ),
+        table,
+    )
+    rows = {r["k"]: r for r in snapshot_changes(spark, table, 0, 1, "k").collect()}
+    assert set(rows) == {2, 3, 4}
+    assert rows[2]["change_type"] == "update" and rows[2]["old_val"] == "b"
+    # null-safe diff: NULL -> 'c' is an update, not a carried row
+    assert rows[3]["change_type"] == "update" and rows[3]["old_val"] is None
+    assert rows[4]["change_type"] == "insert" and rows[4]["old_val"] is None
+    # a delete shows the before payload with null afters
+    commit_snapshot(
+        spark.createDataFrame([(2, "B")], "k long, val string"), table
+    )
+    d = {r["k"]: r for r in snapshot_changes(spark, table, 1, 2, "k").collect()}
+    assert d[1]["change_type"] == "delete" and d[1]["new_val"] is None
+    assert d[1]["old_val"] == "a"
+    import pytest
+
+    with pytest.raises(ValueError, match="from < to"):
+        snapshot_changes(spark, table, 2, 2, "k")
+    with pytest.raises(ValueError, match="never committed"):
+        snapshot_changes(spark, table, 0, 9, "k")
