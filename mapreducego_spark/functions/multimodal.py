@@ -4257,9 +4257,13 @@ def stage_mp4_media(sf_dir: str, n: int = 240) -> str:
 
 
 def _media_df(spark: SparkSession, path: str, ext: str) -> DataFrame:
+    # dir load + pathGlobFilter, never a glob-in-path: the glob form
+    # forces a driver-side expansion listing measured ~20x slower on
+    # large staged dirs (NOTES_r14, commit 900a1b4)
     return (
         spark.read.format("binaryFile")
-        .load(f"{path}/media_*.{ext}")
+        .option("pathGlobFilter", f"media_*.{ext}")
+        .load(path)
         .select(
             F.regexp_extract(F.col("path"), rf"media_(\d+)\.{ext}", 1)
             .cast("long")

@@ -294,6 +294,12 @@ QUERIES: dict[str, QueryFn] = {
     # key-partitioned full outer join per range; the (1,4) feed
     # proves the rollback, (4,5) gates deletes + inserts
     "snapshot_changes": SNAP.snapshot_changes_feed,
+    # ...and MANIFEST-BASED commits (r15, r14 verdict #3): append /
+    # merge write only the delta as new immutable parquet plus a
+    # manifest referencing the parent's dirs — O(|delta|) files per
+    # commit (pytest-pinned), Iceberg-style equality-delete
+    # merge-on-read, all four version states hash-gated
+    "snapshot_append": SNAP.snapshot_append,
     "json_round_trip": CAT.json_round_trip,
     "csv_round_trip": CAT.csv_round_trip,
     "orc_round_trip": CAT.orc_round_trip,
@@ -1405,7 +1411,7 @@ _R14_WINDOW = [
     "snapshot_changes",
     # multimodal_bmp_decode above also CHANGED in r14 (families
     # extended with top-down + delta-RLE) — already in slot (1)
-    # (4) the 41 alphabetically-first r9-stale entries
+    # (4) the 38 alphabetically-first r9-stale entries
     "agg_approx_distinct",
     "agg_basic",
     "agg_collect",
@@ -7023,16 +7029,29 @@ WITH toks AS (
          array_to_string(t[page * 40 + 1 : page * 40 + 40], ' ')
            || ' (p. ' || (page + 1) || '/' || n_pages || ') \\#'
            || doc_id || ';' AS text,
-         ((doc_id + page) % 3) <> 0 AS compressed
+         -- the incremental revision (doc_id % 3 = 2) re-compresses
+         -- the LAST page, newest xref entry winning
+         CASE WHEN doc_id % 3 = 2 AND page = n_pages - 1 THEN TRUE
+              ELSE ((doc_id + page) % 3) <> 0 END AS compressed,
+         ((doc_id + page) % 3) <> 0 AS base_compressed
   FROM pg
 ), objs AS (
+  -- base: catalog + pages + font + per page (dict + stream) + one
+  -- length int per BASE-compressed stream; the xref-stream form
+  -- adds the ObjStm and XRef stream objects (+2); the incremental
+  -- form adds the /Info object (+1, replaced stream reuses its num)
   SELECT doc_id,
          CAST(3 + 2 * ANY_VALUE(n_pages)
-              + SUM(CASE WHEN compressed THEN 1 ELSE 0 END) AS INT)
+              + SUM(CASE WHEN base_compressed THEN 1 ELSE 0 END)
+              + CASE ANY_VALUE(doc_id) % 3
+                  WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS INT)
              AS n_objects
   FROM body GROUP BY doc_id
 )
-SELECT b.doc_id, b.page, b.n_pages, o.n_objects, b.compressed, b.text,
+SELECT b.doc_id, b.page, b.n_pages, o.n_objects,
+       CASE b.doc_id % 3 WHEN 0 THEN 'classic' WHEN 1 THEN 'stream'
+            ELSE 'incremental' END AS xref_form,
+       b.compressed, b.text,
        CAST(len(string_split(b.text, ' ')) AS INT) AS n_tokens
 FROM body b JOIN objs o USING (doc_id)
 ORDER BY doc_id, page
@@ -7081,6 +7100,52 @@ SELECT version, parent, status,
        CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM tagged
 GROUP BY version, parent, status
+ORDER BY version, status
+"""
+
+# Manifest-based snapshot commits (r15): the oracle rebuilds the
+# four version states closed-form — v1 appends synthetic keys
+# (k + 2e9), v2 merges (upserts) ONLY original keys k % 6 == 0 (the
+# equality-delete set never reaches the A1 appends: they are not in
+# u2, and the k < 2e9 guard mirrors that), v3 appends more
+# synthetic keys on top. A manifest-composition error (lost parent
+# dir), a delete applied to the wrong sequence range, or a merge
+# that rewrote instead of upserting diverges.
+ORACLES["snapshot_append"] = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderstatus AS status
+  FROM orders
+), v1 AS (
+  SELECT k, cents, status FROM base
+  UNION ALL
+  SELECT k + 2000000000, cents + 1, 'A1' FROM base WHERE k % 9 = 0
+), v2 AS (
+  SELECT k,
+         CASE WHEN k < 2000000000 AND k % 6 = 0
+              THEN cents * 3 ELSE cents END AS cents,
+         CASE WHEN k < 2000000000 AND k % 6 = 0
+              THEN 'M2' ELSE status END AS status
+  FROM v1
+), v3 AS (
+  SELECT k, cents, status FROM v2
+  UNION ALL
+  SELECT k + 3000000000, cents + 5, 'A3' FROM base WHERE k % 11 = 0
+), tagged AS (
+  SELECT CAST(0 AS BIGINT) AS version, status, cents FROM base
+  UNION ALL
+  SELECT 1, status, cents FROM v1
+  UNION ALL
+  SELECT 2, status, cents FROM v2
+  UNION ALL
+  SELECT 3, status, cents FROM v3
+)
+SELECT version, status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM tagged
+GROUP BY version, status
 ORDER BY version, status
 """
 

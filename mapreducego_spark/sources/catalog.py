@@ -518,7 +518,8 @@ def read_avro(
 
     files = (
         spark.read.format("binaryFile")
-        .load(os.path.join(path, "*.avro"))
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
         .select("content")
     )
 
@@ -1561,15 +1562,21 @@ def stage_pdf_files(sf_dir: str) -> str:
     """Stage the documents table as one real PDF per document —
     object/xref grammar, FlateDecode content streams (every third
     page of a doc left raw so both stream paths stay exercised),
-    escape-bearing footers. Idempotent via the _STAGED marker; the
-    dir suffix is the fixture VERSION."""
+    escape-bearing footers. The files CYCLE the three real-world
+    cross-reference shapes by doc_id % 3 (r15; r14 verdict #2):
+    0 = classic xref table, 1 = PDF 1.5 xref STREAM with the
+    non-stream objects packed into an object stream, 2 = classic
+    base plus an INCREMENTAL UPDATE revision (/Prev chain) that
+    re-compresses the last page and adds an /Info. Idempotent via
+    the _STAGED marker; the dir suffix is the fixture VERSION."""
     from mapreducego_spark.sources.pdfcodec import (
+        append_incremental_update,
         build_pdf,
         render_page_content,
     )
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/spark_graft_media/{tag}_pdfa"
+    out = f"/tmp/spark_graft_media/{tag}_pdfb"
     os.makedirs(out, exist_ok=True)
     marker = os.path.join(out, "_STAGED")
     if not os.path.exists(marker):
@@ -1589,8 +1596,15 @@ def stage_pdf_files(sf_dir: str) -> str:
                 ]
                 contents.append(render_page_content(lines, footer))
                 compress.append((doc_id + p) % 3 != 0)
+            form = doc_id % 3
+            if form == 1:
+                pdf = build_pdf(contents, compress, xref_form="stream")
+            else:
+                pdf = build_pdf(contents, compress)
+                if form == 2:
+                    pdf = append_incremental_update(pdf, f"doc {doc_id}")
             with open(os.path.join(out, f"doc_{doc_id:07d}.pdf"), "wb") as fh:
-                fh.write(build_pdf(contents, compress))
+                fh.write(pdf)
         with open(marker, "w") as fh:
             fh.write(str(len(docs)))
     return out
@@ -1599,11 +1613,14 @@ def stage_pdf_files(sf_dir: str) -> str:
 def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (r14; r13 verdict missing #1): PDF ingest — the
     highest-volume document format in real LLM training corpora.
-    Staged single-revision PDFs built from the documents table are
-    read through the distributed binaryFile scan and parsed inside
-    one Arrow-batched mapInPandas pass: header + startxref + classic
-    xref table (offsets VERIFIED against actual object positions),
-    trailer (/Encrypt and /Prev refuse loudly), page-tree walk with
+    Staged PDFs built from the documents table are read through the
+    distributed binaryFile scan and parsed inside one Arrow-batched
+    mapInPandas pass: header + startxref + cross-reference walk
+    (classic tables with offsets VERIFIED against actual object
+    positions, PDF 1.5 xref STREAMS with PNG-predictor rows and
+    object-stream type-2 entries, and /Prev incremental-update
+    chains — r15), trailer (/Encrypt refuses loudly), page-tree
+    walk (cycle-guarded) with
     /Count checked, per-page /Contents streams FlateDecoded (zlib;
     any other filter refuses), and the text-showing operator subset
     (BT/ET, Tj, TJ with kerning, ', Td/TD/T*) rebuilt into page text
@@ -1611,10 +1628,16 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wire in every fixture. Emits one row per page: doc id, page
     ordinal, page count, xref object count, whether the content
     stream was compressed, the whitespace-collapsed extracted text,
-    and its token count (computed JVM-side). The DuckDB oracle
-    rebuilds every column — page split, footer text, object-count
-    arithmetic, compression flag — closed-form from the documents
-    table, so a framing, escape, or operator error diverges.
+    and its token count (computed JVM-side). Since r15 the fixtures
+    cycle all three real-world cross-reference shapes (classic
+    table / 1.5 xref stream + object stream / incremental update
+    chain) and the row carries the xref_form the reader ACTUALLY
+    walked, so each wire path is itself hash-gated. The DuckDB
+    oracle rebuilds every column — page split, footer text,
+    per-form object-count arithmetic, compression flag (the
+    incremental revision re-compresses the last page), xref form —
+    closed-form from the documents table, so a framing, escape,
+    predictor, or operator error diverges.
     Reference analog: whole-file byte reads at master.go:77-89; this
     is that contract with the ISO 32000 grammar on top.
 
@@ -1656,6 +1679,7 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                             p,
                             n_pages,
                             parsed["n_objects"],
+                            parsed["xref_form"],
                             page["compressed"],
                             " ".join(page["text"].split()),
                         )
@@ -1664,14 +1688,14 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows,
                 columns=[
                     "doc_id", "page", "n_pages", "n_objects",
-                    "compressed", "text",
+                    "xref_form", "compressed", "text",
                 ],
             )
 
     out = files.mapInPandas(
         run,
         "doc_id long, page int, n_pages int, n_objects int,"
-        " compressed boolean, text string",
+        " xref_form string, compressed boolean, text string",
     )
     return out.withColumn(
         "n_tokens", F.size(F.split("text", " "))

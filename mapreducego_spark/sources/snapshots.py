@@ -22,18 +22,48 @@ Layout under ``table_dir``::
     _CURRENT                 the live version name, repointed with
                              os.replace (atomic on POSIX)
 
-Crash-safety is the same argument as the upsert sink: data is
-written first, the log entry second, the pointer last — a crash
-between any two steps leaves the table readable at its previous
-version, and the orphan data dir is overwritten by the retried
-commit (same next sequence number). Readers never see a partial
-table.
+Crash-safety (write order: data, log entry, pointer — the LOG ENTRY
+is the commit point, the pointer is a reconciled cache):
 
-At 100 TB the per-version rewrite is the knob, not the protocol:
-commit data dirs become manifest lists over immutable data files
-(append = new manifest referencing old files + new ones) while the
-log and pointer stay byte-identical — which is exactly the
-Iceberg/Delta design point this module mirrors on plain parquet.
+- crash after data, before log: the orphan data dir is invisible
+  (no log entry); the retried commit reuses the same sequence
+  number and overwrites the orphan.
+- crash after log, before pointer: the commit IS durable — its data
+  and log entry both landed — so readers derive the live version
+  from the log (``current_version`` trusts the log over a stale
+  pointer) and the next write repairs the pointer; the retried
+  commit gets the NEXT sequence number with the completed commit as
+  its parent, it never duplicates or clobbers.
+- log entries publish with an atomic create (``os.link`` from a
+  tmp file): a sequence collision — a concurrent committer, or a
+  retry racing its own crashed twin — raises loudly instead of
+  silently overwriting a committed version.
+
+Readers never see a partial table.
+
+At 100 TB the per-version rewrite is the knob, not the protocol —
+and since r15 the knob exists: ``commit_snapshot(mode="append")``
+and ``mode="merge"`` write ONLY the delta (a new immutable data dir,
+plus for merge a key-only equality-delete dir) and publish a
+MANIFEST (``_MANIFESTS/{seq}.json``) referencing the parent's
+immutable dirs + the new ones — commit cost is O(|delta|) files,
+pinned by pytest. Reads of a manifest version apply equality
+deletes to data dirs with a SMALLER commit sequence (the
+Iceberg-style merge-on-read rule: a later re-append of a deleted
+key survives) and union the surviving dirs. The log and pointer
+protocol is byte-identical across full and manifest commits.
+
+Layout additions for manifest commits::
+
+    d3/                      delta data for the append/merge at seq 3
+    x3/                      key-only equality-delete set for seq 3
+    _MANIFESTS/00000003.json {"data": [{dir, seq}...],
+                              "deletes": [{dir, seq, key}...]}
+
+Vacuuming a manifest version removes its manifest file and then
+garbage-collects delta dirs no LIVE version references — shared
+immutable dirs survive as long as any reachable manifest lists
+them.
 
 Reference analog: the reference has no catalog at all (its tables
 are whole files read at master.go:77-89); this tier is part of the
@@ -49,20 +79,74 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 _LOGDIR = "_LOG"
+_MANIFESTDIR = "_MANIFESTS"
 
 
 def _log_dir(table_dir: str) -> str:
     return os.path.join(table_dir, _LOGDIR)
 
 
+def _manifest_path(table_dir: str, seq: int) -> str:
+    return os.path.join(table_dir, _MANIFESTDIR, f"{seq:08d}.json")
+
+
+def _load_manifest(table_dir: str, version: int) -> dict | None:
+    path = _manifest_path(table_dir, version)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _version_data_exists(table_dir: str, version: int) -> bool:
+    """A version's data is live if its full dir OR its manifest is
+    still present (manifest versions own no dir of their own)."""
+    return os.path.isdir(
+        os.path.join(table_dir, f"v{version}")
+    ) or os.path.exists(_manifest_path(table_dir, version))
+
+
+def _parent_manifest_entries(
+    table_dir: str, parent: int | None
+) -> tuple[list[dict], list[dict]]:
+    """The (data, deletes) entry lists a child commit inherits: a
+    manifest parent contributes its own lists verbatim; a full-dir
+    parent contributes itself as a single data entry (manifests
+    compose over full commits); no parent contributes nothing."""
+    if parent is None:
+        return [], []
+    m = _load_manifest(table_dir, parent)
+    if m is not None:
+        return list(m["data"]), list(m["deletes"])
+    if not os.path.isdir(os.path.join(table_dir, f"v{parent}")):
+        raise ValueError(
+            f"parent version {parent} has no live data to extend"
+            " (vacuumed?)"
+        )
+    return [{"dir": f"v{parent}", "seq": parent}], []
+
+
 def _write_log_entry(table_dir: str, seq: int, entry: dict) -> None:
-    """Atomic log append: write-then-replace, like _CURRENT."""
+    """Atomic log append: write a tmp file, then PUBLISH with
+    os.link — an atomic CREATE that fails if the entry already
+    exists, so a sequence collision (concurrent committer, or a
+    retry racing its own crashed twin) raises instead of silently
+    clobbering a committed version (r14 ADVICE)."""
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     path = os.path.join(_log_dir(table_dir), f"{seq:08d}.json")
-    tmp = path + ".tmp"
+    tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump({"seq": seq, **entry}, f, sort_keys=True)
-    os.replace(tmp, path)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ValueError(
+            f"log sequence collision at {seq}: another committer"
+            " published this entry first (concurrent commit lost"
+            " the race; re-read the log and retry on top)"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def snapshots(table_dir: str) -> list[dict]:
@@ -88,15 +172,35 @@ def snapshots(table_dir: str) -> list[dict]:
     return entries
 
 
+def _log_live_version(log: list[dict]) -> int | None:
+    """The live version the LOG says is current: the last commit,
+    unless a later rollback repointed."""
+    live = None
+    for e in log:
+        if e["action"] == "commit":
+            live = e["version"]
+        elif e["action"] == "rollback":
+            live = e["to"]
+    return live
+
+
 def current_version(table_dir: str) -> int | None:
+    """Live version. The log entry is the COMMIT POINT; the
+    ``_CURRENT`` pointer is a cache that can lag by exactly one
+    entry after a crash between log publish and repoint — when they
+    disagree the log wins (readers are never rolled back by a stale
+    cache; the next write repairs the pointer). A malformed pointer
+    still refuses loudly — that is corruption, not lag."""
     marker = os.path.join(table_dir, "_CURRENT")
-    if not os.path.exists(marker):
-        return None
-    with open(marker) as f:
-        name = f.read().strip()
-    if not name.startswith("v"):
-        raise ValueError(f"corrupt _CURRENT pointer {name!r}")
-    return int(name[1:])
+    cached = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            name = f.read().strip()
+        if not name.startswith("v") or not name[1:].isdigit():
+            raise ValueError(f"corrupt _CURRENT pointer {name!r}")
+        cached = int(name[1:])
+    live = _log_live_version(snapshots(table_dir))
+    return cached if live is None else live
 
 
 def _repoint(table_dir: str, version: int) -> None:
@@ -106,16 +210,62 @@ def _repoint(table_dir: str, version: int) -> None:
     os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
 
 
-def commit_snapshot(df: DataFrame, table_dir: str) -> int:
+def commit_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "full",
+    key: str | None = None,
+) -> int:
     """Write ``df`` as the table's next version and make it current.
     Returns the new version number (== its log sequence number).
-    Write order: data, log entry, pointer — see module docstring."""
+
+    ``mode="full"`` rewrites the whole table into ``v{seq}/``.
+    ``mode="append"`` writes ONLY ``df`` into a new immutable delta
+    dir ``d{seq}/`` and publishes a manifest referencing the
+    parent's dirs + the new one — O(|delta|) files per commit, the
+    100 TB design point. ``mode="merge"`` is upsert-by-``key``: the
+    delta dir plus a key-only equality-delete dir ``x{seq}/``
+    (Iceberg-style merge-on-read; deletes apply to data dirs with a
+    smaller commit sequence, so a later re-append of the same key
+    survives).
+
+    Write order: data (+manifest), log entry, pointer — see module
+    docstring. A retry after a crash BEFORE the log publish reuses
+    the crashed sequence number and overwrites the orphan data dir;
+    a retry after a crash AFTER the log publish gets the NEXT
+    sequence with the completed commit as its parent (the log is
+    the commit point), and the final repoint repairs the lagging
+    pointer."""
     os.makedirs(table_dir, exist_ok=True)
     log = snapshots(table_dir)
     seq = len(log)
-    parent = current_version(table_dir)
-    vpath = os.path.join(table_dir, f"v{seq}")
-    df.write.mode("overwrite").parquet(vpath)
+    parent = _log_live_version(log)
+    if mode == "full":
+        df.write.mode("overwrite").parquet(
+            os.path.join(table_dir, f"v{seq}")
+        )
+    elif mode in ("append", "merge"):
+        data, deletes = _parent_manifest_entries(table_dir, parent)
+        ddir = f"d{seq}"
+        df.write.mode("overwrite").parquet(os.path.join(table_dir, ddir))
+        data.append({"dir": ddir, "seq": seq})
+        if mode == "merge":
+            if not key:
+                raise ValueError("mode='merge' needs a key column")
+            if key not in df.columns:
+                raise ValueError(f"merge key {key!r} not in {df.columns}")
+            xdir = f"x{seq}"
+            df.select(key).distinct().write.mode("overwrite").parquet(
+                os.path.join(table_dir, xdir)
+            )
+            deletes.append({"dir": xdir, "seq": seq, "key": key})
+        os.makedirs(os.path.join(table_dir, _MANIFESTDIR), exist_ok=True)
+        tmp = _manifest_path(table_dir, seq) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"data": data, "deletes": deletes}, f, sort_keys=True)
+        os.replace(tmp, _manifest_path(table_dir, seq))
+    else:
+        raise ValueError(f"unknown commit mode {mode!r}")
     _write_log_entry(
         table_dir,
         seq,
@@ -123,6 +273,7 @@ def commit_snapshot(df: DataFrame, table_dir: str) -> int:
             "action": "commit",
             "version": seq,
             "parent": -1 if parent is None else parent,
+            "mode": mode,
         },
     )
     _repoint(table_dir, seq)
@@ -148,12 +299,40 @@ def read_snapshot(
     if entry is None:
         raise ValueError(f"version {version} was never committed")
     vpath = os.path.join(table_dir, f"v{version}")
-    if not os.path.isdir(vpath):
+    if os.path.isdir(vpath):
+        return spark.read.parquet(vpath)
+    manifest = _load_manifest(table_dir, version)
+    if manifest is None:
         raise ValueError(
-            f"version {version} has been vacuumed (data dir gone;"
+            f"version {version} has been vacuumed (data gone;"
             " log entry retained)"
         )
-    return spark.read.parquet(vpath)
+    return _read_manifest(spark, table_dir, manifest)
+
+
+def _read_manifest(
+    spark: SparkSession, table_dir: str, manifest: dict
+) -> DataFrame:
+    """Merge-on-read over a manifest: each data dir is anti-joined
+    against every equality-delete set with a LARGER commit sequence
+    (a delete never reaches data committed after it — the rule that
+    lets a deleted key be re-appended), then the survivors union.
+    At 100 TB each delete set is a small key-only broadcast side and
+    the data dirs are never rewritten — the Iceberg merge-on-read
+    shape on plain parquet."""
+    out = None
+    for d in manifest["data"]:
+        part = spark.read.parquet(os.path.join(table_dir, d["dir"]))
+        for x in manifest["deletes"]:
+            if x["seq"] > d["seq"]:
+                keys = spark.read.parquet(
+                    os.path.join(table_dir, x["dir"])
+                )
+                part = part.join(keys, x["key"], "left_anti")
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("manifest lists no data dirs")
+    return out
 
 
 def rollback(table_dir: str, version: int) -> None:
@@ -166,7 +345,7 @@ def rollback(table_dir: str, version: int) -> None:
         e["action"] == "commit" and e["version"] == version for e in log
     ):
         raise ValueError(f"cannot roll back to uncommitted version {version}")
-    if not os.path.isdir(os.path.join(table_dir, f"v{version}")):
+    if not _version_data_exists(table_dir, version):
         raise ValueError(f"cannot roll back to vacuumed version {version}")
     _write_log_entry(
         table_dir,
@@ -186,14 +365,41 @@ def vacuum(table_dir: str, keep_last: int) -> list[int]:
         raise ValueError("keep_last must be >= 1")
     log = snapshots(table_dir)
     committed = [e["version"] for e in log if e["action"] == "commit"]
-    live = [
-        v for v in committed
-        if os.path.isdir(os.path.join(table_dir, f"v{v}"))
-    ]
+    live = [v for v in committed if _version_data_exists(table_dir, v)]
     cur = current_version(table_dir)
+    if cur is not None:
+        _repoint(table_dir, cur)  # repair a crash-lagged pointer cache
     drop = [v for v in live[:-keep_last] if v != cur]
+    # dirs still referenced by KEPT versions' manifests: a shared
+    # immutable dir (delta dir OR a full v-dir a manifest built on)
+    # survives while any reachable manifest lists it
+    referenced: set[str] = set()
+    for v in live:
+        if v in drop:
+            continue
+        m = _load_manifest(table_dir, v)
+        if m is not None:
+            referenced |= {e["dir"] for e in m["data"]}
+            referenced |= {e["dir"] for e in m["deletes"]}
+    # a full version whose v-dir a kept manifest references cannot
+    # actually be vacuumed — keeping it honest in the return value
+    drop = [v for v in drop if f"v{v}" not in referenced]
     for v in drop:
-        shutil.rmtree(os.path.join(table_dir, f"v{v}"))
+        vpath = os.path.join(table_dir, f"v{v}")
+        if os.path.isdir(vpath):
+            shutil.rmtree(vpath)
+        mpath = _manifest_path(table_dir, v)
+        if os.path.exists(mpath):
+            os.remove(mpath)
+    # GC delta dirs no live version references any more
+    for name in os.listdir(table_dir):
+        if (
+            name[0] in "dx"
+            and name[1:].isdigit()
+            and name not in referenced
+            and os.path.isdir(os.path.join(table_dir, name))
+        ):
+            shutil.rmtree(os.path.join(table_dir, name))
     _write_log_entry(
         table_dir,
         len(log),
@@ -370,6 +576,79 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents",
         )
         for v, parent in versions
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("version", "status")
+
+
+def snapshot_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (r15; r14 verdict #3): MANIFEST-BASED commits —
+    the O(|delta|)-files-per-commit layout a 100 TB lake actually
+    needs (each append/merge writes only its delta as new immutable
+    parquet plus a manifest JSON referencing the parent's dirs; the
+    log/pointer protocol is unchanged). From the orders table:
+    v0 = FULL commit (k, floor-cents, status); v1 = APPEND of
+    synthetic rows (k + 2e9, cents + 1, status 'A1') for k % 9 == 0;
+    v2 = MERGE (upsert by k) tripling cents / status 'M2' for
+    ORIGINAL keys k % 6 == 0 — an equality-delete set + delta, never
+    a rewrite of v0/v1 files; v3 = APPEND (k + 3e9, cents + 5, 'A3')
+    for k % 11 == 0. The readout aggregates every version via as-of
+    reads: (version, status, n_rows, sum_cents). The DuckDB oracle
+    rebuilds all four states closed-form, so a manifest-composition,
+    delete-sequencing, or merge-on-read error diverges. The
+    O(|delta|) commit-cost property itself is pinned by a
+    file-listing pytest (tests/test_snapshots.py)."""
+    import atexit
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreducego_spark.sources.catalog import load_table
+
+    workdir = tempfile.mkdtemp(prefix="snapshot_app_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    table = os.path.join(workdir, "orders_app")
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    commit_snapshot(base, table)  # v0, full
+    a1 = base.filter(F.col("k") % 9 == 0).select(
+        (F.col("k") + 2_000_000_000).alias("k"),
+        (F.col("cents") + 1).alias("cents"),
+        F.lit("A1").alias("status"),
+    )
+    commit_snapshot(a1, table, mode="append")  # v1
+    u2 = base.filter(F.col("k") % 6 == 0).select(
+        "k",
+        (F.col("cents") * 3).alias("cents"),
+        F.lit("M2").alias("status"),
+    )
+    commit_snapshot(u2, table, mode="merge", key="k")  # v2
+    a3 = base.filter(F.col("k") % 11 == 0).select(
+        (F.col("k") + 3_000_000_000).alias("k"),
+        (F.col("cents") + 5).alias("cents"),
+        F.lit("A3").alias("status"),
+    )
+    commit_snapshot(a3, table, mode="append")  # v3
+    per_version = [
+        read_snapshot(spark, table, v)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            F.lit(v).cast("long").alias("version"),
+            "status",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "sum_cents",
+        )
+        for v in (0, 1, 2, 3)
     ]
     out = per_version[0]
     for df in per_version[1:]:

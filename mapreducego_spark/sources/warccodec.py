@@ -285,7 +285,7 @@ def extract_html_text(doc: str) -> str:
                 if close < 0:
                     raise ValueError(f"unclosed <{name}> element")
                 after = close + 2 + len(name)
-                if after >= n or low[after] in "></ \t\n\r\f":
+                if after >= n or low[after] in ">/ \t\n\r\f":
                     break
                 scan = close + 2
             gt = doc.find(">", close)

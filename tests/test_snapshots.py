@@ -195,3 +195,174 @@ def test_snapshot_changes_classifies_and_filters_carried_rows(spark, tmp_path):
         snapshot_changes(spark, table, 2, 2, "k")
     with pytest.raises(ValueError, match="never committed"):
         snapshot_changes(spark, table, 0, 9, "k")
+
+
+def test_crash_after_log_before_repoint_commit_is_durable(spark, tmp_path):
+    """The log entry is the COMMIT POINT (r14 ADVICE): simulate a
+    crash between log publish and pointer repoint by rewinding the
+    _CURRENT file after a commit. Readers must see the COMMITTED
+    version (the log wins over the stale cache), the retried commit
+    must get the NEXT sequence with the completed commit as its
+    parent, and the write must repair the pointer."""
+    table = str(tmp_path / "t")
+    commit_snapshot(_mk(spark, [(1, "a")]), table)  # v0
+    commit_snapshot(_mk(spark, [(1, "b")]), table)  # v1
+    # crash window: log + data for v1 landed, pointer still on v0
+    with open(os.path.join(table, "_CURRENT"), "w") as f:
+        f.write("v0")
+    assert current_version(table) == 1  # log wins
+    assert read_snapshot(spark, table).collect()[0]["val"] == "b"
+    # the retry is a NEW commit on top of the durable one, never a
+    # clobber of it
+    v = commit_snapshot(_mk(spark, [(1, "c")]), table)
+    assert v == 2
+    log = snapshots(table)
+    assert (log[-1]["version"], log[-1]["parent"]) == (2, 1)
+    assert read_snapshot(spark, table, 1).collect()[0]["val"] == "b"
+    with open(os.path.join(table, "_CURRENT")) as f:
+        assert f.read().strip() == "v2"  # pointer repaired
+
+
+def test_crash_lagged_pointer_after_rollback_log_wins(spark, tmp_path):
+    """Same crash window on the ROLLBACK path: rollback's log entry
+    landed but the repoint did not — the log-derived current version
+    is the rollback target."""
+    table = str(tmp_path / "t")
+    commit_snapshot(_mk(spark, [(1, "a")]), table)  # v0
+    commit_snapshot(_mk(spark, [(1, "b")]), table)  # v1
+    rollback(table, 0)
+    with open(os.path.join(table, "_CURRENT")) as f:
+        assert f.read().strip() == "v0"
+    # crash window: rollback logged, pointer still on v1
+    with open(os.path.join(table, "_CURRENT"), "w") as f:
+        f.write("v1")
+    assert current_version(table) == 0
+    assert read_snapshot(spark, table).collect()[0]["val"] == "a"
+    # vacuum repairs the lagging cache as part of its write
+    vacuum(table, keep_last=5)
+    with open(os.path.join(table, "_CURRENT")) as f:
+        assert f.read().strip() == "v0"
+
+
+def test_log_sequence_collision_refuses_not_clobbers(spark, tmp_path):
+    """A concurrent committer (or a retry racing its crashed twin)
+    that lands on an already-published sequence number must raise,
+    not silently overwrite the committed entry (r14 ADVICE)."""
+    table = str(tmp_path / "t")
+    commit_snapshot(_mk(spark, [(1, "a")]), table)  # seq 0
+    # hand-publish seq 1, as a racing committer would
+    entry = {"seq": 1, "action": "commit", "version": 1, "parent": 0}
+    with open(os.path.join(table, "_LOG", "00000001.json"), "w") as f:
+        json.dump(entry, f, sort_keys=True)
+    os.makedirs(os.path.join(table, "v1"), exist_ok=True)
+    with pytest.raises(ValueError, match="sequence collision"):
+        # the loser computed seq=1 before the winner published; its
+        # own publish must refuse
+        from mapreducego_spark.sources.snapshots import _write_log_entry
+
+        _write_log_entry(table, 1, {"action": "commit", "version": 1,
+                                    "parent": 0})
+
+
+def _all_files(root):
+    out = {}
+    for dirpath, _, names in os.walk(root):
+        for n in names:
+            p = os.path.join(dirpath, n)
+            out[p] = os.stat(p).st_mtime_ns
+    return out
+
+
+def test_manifest_append_commit_cost_is_o_delta_files(spark, tmp_path):
+    """The 100 TB property itself (r14 verdict #3): an append commit
+    writes ONLY the delta dir + one manifest + one log entry +
+    pointer — every pre-existing data file is untouched (same path,
+    same mtime), no matter how large the table already is."""
+    table = str(tmp_path / "t")
+    big = spark.range(0, 10_000).selectExpr(
+        "id AS k", "id * 3 AS cents", "'B' AS status"
+    ).repartition(8)
+    commit_snapshot(big, table)  # v0 full, 8 data files
+    before = _all_files(table)
+    delta = spark.createDataFrame(
+        [(10_001, 1, "A")], "k long, cents long, status string"
+    ).coalesce(1)
+    from mapreducego_spark.sources.snapshots import commit_snapshot as cs
+
+    cs(delta, table, mode="append")  # v1
+    after = _all_files(table)
+    # nothing pre-existing was rewritten or removed (the _CURRENT
+    # pointer repoint is the protocol, not a data rewrite)
+    cur = os.path.join(table, "_CURRENT")
+    assert all(
+        after.get(p) == t for p, t in before.items() if p != cur
+    )
+    new = {p for p in after if p not in before}
+    # new files live ONLY under d1/, _MANIFESTS/, _LOG/, _CURRENT tmp
+    allowed = (
+        os.path.join(table, "d1"),
+        os.path.join(table, "_MANIFESTS"),
+        os.path.join(table, "_LOG"),
+        os.path.join(table, "_CURRENT"),
+    )
+    assert new and all(p.startswith(allowed) for p in new)
+    # and the delta dir holds O(|delta|) parquet, not a table copy
+    d1_parquet = [
+        p for p in new
+        if p.startswith(allowed[0]) and p.endswith(".parquet")
+    ]
+    assert len(d1_parquet) == 1
+    # both versions read correctly
+    assert read_snapshot(spark, table, 0).count() == 10_000
+    assert read_snapshot(spark, table, 1).count() == 10_001
+
+
+def test_manifest_merge_on_read_delete_sequencing(spark, tmp_path):
+    """Equality deletes apply only to data committed BEFORE them: a
+    merge's delete set must not swallow a LATER re-append of the
+    same key, and the merge upserts without rewriting old dirs."""
+    table = str(tmp_path / "t")
+    commit_snapshot(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]), table)
+    from mapreducego_spark.sources.snapshots import commit_snapshot as cs
+
+    cs(_mk(spark, [(2, "B2"), (4, "d")]), table, mode="merge", key="k")
+    got = {r["k"]: r["val"] for r in read_snapshot(spark, table).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # re-append a key the seq-1 delete set contains: it must survive
+    cs(_mk(spark, [(2, "B3")]), table, mode="append")
+    got = {r["k"]: r["val"] for r in read_snapshot(spark, table).collect()}
+    assert got[2] in ("B3",) or sorted(
+        r["val"] for r in read_snapshot(spark, table).collect()
+        if r["k"] == 2
+    ) == ["B2", "B3"]
+    # the as-of read of the MERGE version is unchanged by the append
+    got1 = {r["k"]: r["val"]
+            for r in read_snapshot(spark, table, 1).collect()}
+    assert got1 == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    with pytest.raises(ValueError, match="needs a key"):
+        cs(_mk(spark, [(9, "z")]), table, mode="merge")
+    with pytest.raises(ValueError, match="unknown commit mode"):
+        cs(_mk(spark, [(9, "z")]), table, mode="sideways")
+
+
+def test_manifest_vacuum_keeps_shared_dirs_alive(spark, tmp_path):
+    """Vacuuming a manifest chain removes only manifests nothing
+    reaches and delta dirs no live version references; a full v-dir
+    a kept manifest builds on survives even when its own version
+    leaves the retention window."""
+    table = str(tmp_path / "t")
+    commit_snapshot(_mk(spark, [(1, "a")]), table)  # v0 full
+    from mapreducego_spark.sources.snapshots import commit_snapshot as cs
+
+    cs(_mk(spark, [(2, "b")]), table, mode="append")  # v1
+    cs(_mk(spark, [(3, "c")]), table, mode="append")  # v2
+    removed = vacuum(table, keep_last=1)
+    # v1's manifest goes; v0's FULL dir is referenced by v2's
+    # manifest, so v0 cannot actually be vacuumed and is not claimed
+    assert removed == [1]
+    assert read_snapshot(spark, table, 2).count() == 3
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_snapshot(spark, table, 1)
+    # v1's delta dir d1 is still referenced by v2 -> alive
+    assert os.path.isdir(os.path.join(table, "d1"))
+    assert os.path.isdir(os.path.join(table, "v0"))

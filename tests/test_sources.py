@@ -966,6 +966,14 @@ def test_html_text_extraction_rules():
     # only lookalike closers, never the real one -> still loud
     with pytest.raises(ValueError, match="unclosed <style>"):
         extract_html_text("<body><style>a '</styles>' b</body>")
+    # '<' after the tag name is NOT an appropriate-end-tag follower
+    # (HTML5 13.2.5 allows only whitespace, '/', '>') — '</script<'
+    # in a raw-text body must not truncate the element (r14 ADVICE)
+    doc3 = (
+        "<body><p>x</p><script>a = '</script<b>'; c = 2;</script>"
+        "<p>y</p></body>"
+    )
+    assert extract_html_text(doc3) == "x y"
 
 
 def test_warc_extract_text_entry_matches_documents(spark, sf_dir):
@@ -1089,8 +1097,8 @@ def test_pdf_content_operator_semantics():
 
 def test_pdf_structural_refusals_are_loud():
     """Every declared scope boundary refuses instead of mis-reading:
-    encryption, incremental updates, xref streams, non-Flate
-    filters, predictors, drifted xref offsets, truncation."""
+    encryption, broken xref chains, non-Flate filters, content-
+    stream predictors, drifted xref offsets, truncation."""
     import pytest
 
     from mapreducego_spark.sources.pdfcodec import parse_pdf
@@ -1102,10 +1110,14 @@ def test_pdf_structural_refusals_are_loud():
         parse_pdf(pdf[:-40])
     with pytest.raises(NotImplementedError, match="encrypted"):
         parse_pdf(pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"))
-    with pytest.raises(NotImplementedError, match="incrementally updated"):
+    # a /Prev that points into the header is corruption, not a
+    # revision (incremental chains are SUPPORTED since r15 — the
+    # refusal is now for a broken chain, not for the feature)
+    with pytest.raises(ValueError, match="no object"):
         parse_pdf(pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Prev 5"))
-    # a digit where the 'xref' keyword belongs = PDF 1.5 xref stream
-    with pytest.raises(NotImplementedError, match="cross-reference stream"):
+    # a digit where the 'xref' keyword belongs parses as a 1.5 xref
+    # STREAM object — a non-/XRef object there is loud
+    with pytest.raises(ValueError, match="neither an xref table"):
         parse_pdf(pdf.replace(b"xref\n0 ", b"9 0 obj", 1))
     # same-length filter swaps keep every xref offset valid
     with pytest.raises(NotImplementedError, match="filter"):
@@ -1119,6 +1131,113 @@ def test_pdf_structural_refusals_are_loud():
     drifted[ent : ent + 10] = b"%010d" % (int(pdf[ent : ent + 10]) + 2)
     with pytest.raises(ValueError, match="does not point at it"):
         parse_pdf(bytes(drifted))
+
+
+def test_pdf_xref_stream_and_object_stream_round_trip():
+    """The PDF 1.5 majority shape (r14 verdict #2): xref STREAM with
+    PNG-Up-predicted /W-packed rows, non-stream objects packed into
+    a compressed OBJECT STREAM. Text identical to the classic form;
+    the two extra objects (ObjStm + XRef stream) are counted; the
+    reader reports the form it actually walked."""
+    import pytest
+    import zlib
+
+    from mapreducego_spark.sources.pdfcodec import build_pdf, parse_pdf
+
+    pdf, compress = _tiny_pdf()
+    classic = parse_pdf(pdf)
+    spdf = build_pdf(*_tiny_pdf_contents(), xref_form="stream")
+    parsed = parse_pdf(spdf)
+    assert spdf.startswith(b"%PDF-1.5")
+    assert parsed["xref_form"] == "stream"
+    assert parsed["n_objects"] == classic["n_objects"] + 2
+    assert [p["text"] for p in parsed["pages"]] == [
+        p["text"] for p in classic["pages"]
+    ]
+    assert [p["compressed"] for p in parsed["pages"]] == compress
+    # the TIFF predictor refuses loudly (PNG 10-15 only)
+    with pytest.raises(NotImplementedError, match="TIFF predictor"):
+        parse_pdf(spdf.replace(b"/Predictor 12", b"/Predictor 2 "))
+    # a tampered ObjStm header pair (object number mismatch vs the
+    # xref's type-2 entry) is loud, not a silently swapped object
+    k = spdf.index(b"/Type /ObjStm")
+    j = spdf.index(b"stream\n", k) + len(b"stream\n")
+    e = spdf.index(b"\nendstream", j)
+    data = zlib.decompress(spdf[j:e])
+    head, _, rest = data.partition(b"\n")
+    toks = head.split()
+    toks[0] = b"9" if toks[0] != b"9" else b"8"  # first pair's obj num
+    bad = zlib.compress(b" ".join(toks) + b"\n" + rest, 6)
+    # keep every later offset valid: pad to the original length
+    if len(bad) > e - j:
+        import pytest as _pytest
+
+        _pytest.skip("recompressed ObjStm grew; cannot patch in place")
+    bad = bad + b"\x00" * ((e - j) - len(bad))
+    with pytest.raises(ValueError, match="xref says"):
+        parse_pdf(spdf[:j] + bad + spdf[e:])
+
+
+def _tiny_pdf_contents(doc_id: int = 7, n_tokens: int = 90):
+    from mapreducego_spark.sources.catalog import _pdf_page_spec
+    from mapreducego_spark.sources.pdfcodec import render_page_content
+
+    text = " ".join(f"tok{k % 13}" for k in range(n_tokens))
+    contents, compress = [], []
+    for p, (body, footer) in enumerate(_pdf_page_spec(doc_id, text)):
+        toks = body.split(" ")
+        lines = [" ".join(toks[j : j + 8]) for j in range(0, len(toks), 8)]
+        contents.append(render_page_content(lines, footer))
+        compress.append((doc_id + p) % 3 != 0)
+    return contents, compress
+
+
+def test_pdf_incremental_update_round_trip():
+    """A /Prev incremental-update chain (r14 verdict #2): the update
+    revision re-compresses the LAST page under the same object
+    number and adds an /Info — the reader must resolve newest-first
+    (same text, last page now compressed, one more object), and a
+    /Prev cycle must refuse loudly."""
+    import re
+    import pytest
+
+    from mapreducego_spark.sources.pdfcodec import (
+        append_incremental_update,
+        parse_pdf,
+    )
+
+    base, compress = _tiny_pdf()
+    upd = append_incremental_update(base, "doc 7")
+    assert upd.startswith(base)  # original bytes untouched
+    b0, b1 = parse_pdf(base), parse_pdf(upd)
+    assert b1["xref_form"] == "incremental"
+    assert b1["n_objects"] == b0["n_objects"] + 1
+    assert [p["text"] for p in b1["pages"]] == [
+        p["text"] for p in b0["pages"]
+    ]
+    want = compress[:-1] + [True]  # last page re-compressed
+    assert [p["compressed"] for p in b1["pages"]] == want
+    # a /Prev pointing at its own revision's xref is a cycle
+    sx = int(re.search(rb"startxref[\s]+(\d+)", base[-256:]).group(1))
+    cyc = base.replace(b"/Root 1 0 R", b"/Root 1 0 R /Prev %d" % sx)
+    with pytest.raises(ValueError, match="cyclic /Prev"):
+        parse_pdf(cyc)
+
+
+def test_pdf_page_tree_cycle_refuses():
+    """A crafted /Pages node whose Kids reference itself must refuse
+    with a loud cyclic-page-tree error, never RecursionError (r14
+    ADVICE) — crawl corpora are untrusted."""
+    import pytest
+
+    from mapreducego_spark.sources.pdfcodec import parse_pdf
+
+    pdf, _ = _tiny_pdf(doc_id=7, n_tokens=30)  # single page
+    assert b"/Kids [4 0 R]" in pdf
+    # same byte length, so every xref offset stays valid
+    cyc = pdf.replace(b"/Kids [4 0 R]", b"/Kids [2 0 R]")
+    with pytest.raises(ValueError, match="cyclic page tree"):
+        parse_pdf(cyc)
 
 
 def test_pdf_extract_text_entry_matches_documents(spark, sf_dir):
@@ -1145,9 +1264,15 @@ def test_pdf_extract_text_entry_matches_documents(spark, sf_dir):
         n_pages = (len(toks) + 39) // 40
         assert len(pages) == n_pages == pages[0]["n_pages"]
         n_comp = sum((doc_id + p) % 3 != 0 for p in range(n_pages))
-        assert pages[0]["n_objects"] == 3 + 2 * n_pages + n_comp
+        form = ("classic", "stream", "incremental")[doc_id % 3]
+        extra = {"classic": 0, "stream": 2, "incremental": 1}[form]
+        assert pages[0]["xref_form"] == form
+        assert pages[0]["n_objects"] == 3 + 2 * n_pages + n_comp + extra
         for p, r in enumerate(pages):
             body = " ".join(toks[p * 40 : (p + 1) * 40])
             assert r["text"] == f"{body} (p. {p + 1}/{n_pages}) \\#{doc_id};"
-            assert r["compressed"] == ((doc_id + p) % 3 != 0)
+            want_comp = (doc_id + p) % 3 != 0 or (
+                form == "incremental" and p == n_pages - 1
+            )
+            assert r["compressed"] == want_comp
             assert r["n_tokens"] == len(r["text"].split(" "))
