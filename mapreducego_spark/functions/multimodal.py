@@ -4167,9 +4167,13 @@ _MP3_RATE_CYCLE = (44100, 48000, 32000)
 
 def _mp3_fixture_params(i: int) -> dict:
     """Closed-form MP3 fixture geometry, mirrored by the DuckDB
-    oracle: CBR MPEG-1 Layer III with cycling bitrate/rate/mode, an
+    oracle: MPEG-1 Layer III with cycling bitrate/rate/mode, an
     ID3v2 tag on 5 of every 6 files (deterministic padding size), an
-    ID3v1 trailer on even ids."""
+    ID3v1 trailer on even ids. Every fifth file (i % 5 == 3, r15) is
+    VBR — per-frame bitrate cycling _MP3_KBPS_CYCLE[(i + 2j) % 14]
+    under a Xing header, or a VBRI header when i % 10 == 8 — the
+    dominant real-world podcast/music encoding the r14 routing pass
+    refused."""
     return {
         "kbps": _MP3_KBPS_CYCLE[i % 14],
         "rate": _MP3_RATE_CYCLE[i % 3],
@@ -4177,6 +4181,8 @@ def _mp3_fixture_params(i: int) -> dict:
         "id3v2_pad": -1 if i % 6 == 5 else (i * 17) % 300,
         "mode": i % 4,
         "id3v1": i % 2 == 0,
+        "vbr": i % 5 == 3,
+        "vbr_kind": "VBRI" if i % 10 == 8 else "Xing",
     }
 
 
@@ -4191,8 +4197,25 @@ def _mp4_fixture_params(i: int) -> dict:
     every fifth file, an audio track on 6 of every 7, and the mdat
     written with a largesize header (i % 11 == 0) or the size-0
     to-end-of-file form (else i % 13 == 0) so all three box-size
-    encodings stay exercised."""
+    encodings stay exercised. Every fourth file (i % 4 == 1, r15) is
+    FRAGMENTED (moof/traf — the DASH / in-progress-recording shape):
+    2 + i % 4 fragments whose sample durations cycle the three
+    default levels by f % 3 (trun per-sample / tfhd default / trex
+    default), all closed-form in (i, f, s) for the oracle."""
     ts = (600, 1000, 90000)[i % 3]
+    fragmented = i % 4 == 1
+    frags = []
+    if fragmented:
+        for f in range(2 + i % 4):
+            samples = 8 + (i + f) % 6
+            mode = ("trun", "tfhd", "trex")[f % 3]
+            if mode == "trun":
+                dur = [40 + (i + f + s) % 9 for s in range(samples)]
+            elif mode == "tfhd":
+                dur = 50 + (i + f) % 7
+            else:
+                dur = None
+            frags.append({"samples": samples, "mode": mode, "dur": dur})
     return {
         "brand": _MP4_BRANDS[i % 2],
         "timescale": ts,
@@ -4205,52 +4228,75 @@ def _mp4_fixture_params(i: int) -> dict:
         "mdat_size": 100 + (i * 13) % 400,
         "mdat_largesize": i % 11 == 0,
         "mdat_to_eof": i % 11 != 0 and i % 13 == 0,
+        "fragmented": fragmented,
+        "fragments": frags,
+        "trex_default": 60 + i % 11,
     }
 
 
 def stage_mp3_media(sf_dir: str, n: int = 240) -> str:
-    from mapreducego_spark.functions.mediameta import build_mp3
+    from mapreducego_spark.functions.mediameta import (
+        build_mp3,
+        build_mp3_vbr,
+    )
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/spark_graft_media/{tag}_mp3a{n}"
+    out = f"/tmp/spark_graft_media/{tag}_mp3b{n}"
     os.makedirs(out, exist_ok=True)
     marker = os.path.join(out, "_STAGED")
     if not os.path.exists(marker):
         for i in range(n):
             p = _mp3_fixture_params(i)
-            with open(os.path.join(out, f"media_{i:05d}.mp3"), "wb") as fh:
-                fh.write(
-                    build_mp3(
-                        p["kbps"], p["rate"], p["n_frames"], p["mode"],
-                        p["id3v2_pad"], p["id3v1"], seed=i,
-                    )
+            if p["vbr"]:
+                data = build_mp3_vbr(
+                    p["rate"], p["n_frames"], p["mode"],
+                    p["id3v2_pad"], p["id3v1"], kind=p["vbr_kind"],
+                    kbps_fn=lambda j, i=i: _MP3_KBPS_CYCLE[(i + 2 * j) % 14],
+                    seed=i,
                 )
+            else:
+                data = build_mp3(
+                    p["kbps"], p["rate"], p["n_frames"], p["mode"],
+                    p["id3v2_pad"], p["id3v1"], seed=i,
+                )
+            with open(os.path.join(out, f"media_{i:05d}.mp3"), "wb") as fh:
+                fh.write(data)
         with open(marker, "w") as fh:
             fh.write(str(n))
     return out
 
 
 def stage_mp4_media(sf_dir: str, n: int = 240) -> str:
-    from mapreducego_spark.functions.mediameta import build_mp4
+    from mapreducego_spark.functions.mediameta import (
+        build_mp4,
+        build_mp4_fragmented,
+    )
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/spark_graft_media/{tag}_mp4a{n}"
+    out = f"/tmp/spark_graft_media/{tag}_mp4b{n}"
     os.makedirs(out, exist_ok=True)
     marker = os.path.join(out, "_STAGED")
     if not os.path.exists(marker):
         for i in range(n):
             p = _mp4_fixture_params(i)
-            with open(os.path.join(out, f"media_{i:05d}.mp4"), "wb") as fh:
-                fh.write(
-                    build_mp4(
-                        p["brand"].encode(), p["timescale"], p["duration"],
-                        p["width"], p["height"], p["vcodec"].encode(),
-                        None if p["acodec"] is None else p["acodec"].encode(),
-                        p["v1_times"], p["mdat_size"],
-                        mdat_largesize=p["mdat_largesize"],
-                        mdat_to_eof=p["mdat_to_eof"], seed=i,
-                    )
+            acodec = None if p["acodec"] is None else p["acodec"].encode()
+            if p["fragmented"]:
+                data = build_mp4_fragmented(
+                    p["brand"].encode(), p["timescale"], p["width"],
+                    p["height"], p["vcodec"].encode(), acodec,
+                    p["v1_times"], p["fragments"], p["trex_default"],
+                    seed=i,
                 )
+            else:
+                data = build_mp4(
+                    p["brand"].encode(), p["timescale"], p["duration"],
+                    p["width"], p["height"], p["vcodec"].encode(),
+                    acodec, p["v1_times"], p["mdat_size"],
+                    mdat_largesize=p["mdat_largesize"],
+                    mdat_to_eof=p["mdat_to_eof"], seed=i,
+                )
+            with open(os.path.join(out, f"media_{i:05d}.mp4"), "wb") as fh:
+                fh.write(data)
         with open(marker, "w") as fh:
             fh.write(str(n))
     return out
@@ -4279,17 +4325,21 @@ def multimodal_mp3_meta(
     """Registry entry (r14; r13 verdict missing #3): MP3 metadata
     routing — the cheap header-only first pass a media pipeline runs
     over the dominant real-world audio container before anything
-    touches samples. Staged CBR MPEG-1 Layer III files (cycling
+    touches samples. Staged MPEG-1 Layer III files (cycling
     bitrate/rate/channel mode, ID3v2 tags with syncsafe sizes, ID3v1
-    trailers, per-frame padding bits) scanned with the distributed
-    binaryFile source and frame-walked by mediameta.parse_mp3_meta
-    inside one Arrow crossing: every frame header re-verified (drift
-    = VBR = loud refusal), audio byte count and integer duration from
-    the walk. The DuckDB oracle rebuilds every column closed-form
-    from media_id, so a tag-skip, frame-size, or padding-count error
-    diverges. Full decode stays a loud refusal — the right posture
-    for a routing pass. Reference analog: opaque-bytes contract at
-    master.go:77-89.
+    trailers, per-frame padding bits; since r15 every fifth file is
+    VBR under a Xing or VBRI header, per-frame bitrates cycling)
+    scanned with the distributed binaryFile source and frame-walked
+    by mediameta.parse_mp3_meta inside one Arrow crossing: every
+    frame header re-verified, the VBR tag's declared frame/byte
+    counts verified against the stream (drift WITHOUT a tag still
+    refuses loudly), audio byte count, floor-mean VBR bitrate, and
+    integer duration from the walk. The DuckDB oracle rebuilds every
+    column closed-form from media_id — including the per-frame VBR
+    size sum — so a tag-skip, frame-size, padding-count, or
+    tag-offset error diverges. Full decode stays a loud refusal —
+    the right posture for a routing pass. Reference analog:
+    opaque-bytes contract at master.go:77-89.
 
     Scale shape: distributed scan, one Arrow crossing, no shuffle
     before the presentation sort."""
@@ -4306,15 +4356,16 @@ def multimodal_mp3_meta(
                     (
                         int(mid), m["tag_bytes"], m["bitrate_kbps"],
                         m["sample_rate"], m["channels"], m["n_frames"],
-                        m["audio_bytes"], m["has_id3v1"], m["duration_ms"],
+                        m["audio_bytes"], m["vbr"], m["has_id3v1"],
+                        m["duration_ms"],
                     )
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "tag_bytes", "bitrate_kbps", "sample_rate",
-                    "channels", "n_frames", "audio_bytes", "has_id3v1",
-                    "duration_ms",
+                    "channels", "n_frames", "audio_bytes", "vbr",
+                    "has_id3v1", "duration_ms",
                 ],
             )
 
@@ -4322,7 +4373,8 @@ def multimodal_mp3_meta(
         run,
         "media_id long, tag_bytes long, bitrate_kbps long,"
         " sample_rate long, channels long, n_frames long,"
-        " audio_bytes long, has_id3v1 boolean, duration_ms long",
+        " audio_bytes long, vbr boolean, has_id3v1 boolean,"
+        " duration_ms long",
     ).orderBy("media_id")
 
 
@@ -4334,10 +4386,17 @@ def multimodal_mp4_meta(
     video container: ftyp brand, moov descent (mvhd versions 0 AND 1,
     tkhd 16.16 dimensions, hdlr classification, stsd sample-entry
     fourcc), with all three box-size encodings (32-bit, largesize,
-    size-0-to-EOF) on the wire across the fixture set. Fragmented
-    files, compressed moov, and non-A/V handlers refuse loudly. The
-    DuckDB oracle rebuilds every column closed-form from media_id.
-    Reference analog: opaque-bytes contract at master.go:77-89.
+    size-0-to-EOF) on the wire across the fixture set. Since r15
+    every fourth file is FRAGMENTED (moof/traf — the DASH /
+    in-progress-recording shape): the walk verifies contiguous mfhd
+    sequence numbers and accumulates per-track durations through the
+    spec's three-level default chain (trun per-sample -> tfhd
+    default -> trex default), all three levels on the wire across
+    the fragments. Compressed moov, moof-without-mvex, and non-A/V
+    handlers refuse loudly. The DuckDB oracle rebuilds every column
+    closed-form from media_id — including the per-fragment duration
+    sums. Reference analog: opaque-bytes contract at
+    master.go:77-89.
 
     Scale shape: distributed scan, one Arrow crossing, no shuffle
     before the presentation sort — at production scale this pass
@@ -4357,6 +4416,7 @@ def multimodal_mp4_meta(
                         int(mid), m["brand"], m["timescale"], m["duration"],
                         m["duration_ms"], m["n_tracks"], m["width"],
                         m["height"], m["video_codec"], m["audio_codec"],
+                        m["fragmented"], m["n_fragments"],
                     )
                 )
             yield pd.DataFrame(
@@ -4364,7 +4424,8 @@ def multimodal_mp4_meta(
                 columns=[
                     "media_id", "brand", "timescale", "duration",
                     "duration_ms", "n_tracks", "width", "height",
-                    "video_codec", "audio_codec",
+                    "video_codec", "audio_codec", "fragmented",
+                    "n_fragments",
                 ],
             )
 
@@ -4372,7 +4433,8 @@ def multimodal_mp4_meta(
         run,
         "media_id long, brand string, timescale long, duration long,"
         " duration_ms long, n_tracks long, width long, height long,"
-        " video_codec string, audio_codec string",
+        " video_codec string, audio_codec string, fragmented boolean,"
+        " n_fragments long",
     ).orderBy("media_id")
 
 

@@ -1452,8 +1452,80 @@ _R14_WINDOW = [
     "stream_session_sink",
 ]
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
-QUERIES = {name: QUERIES[name] for name in _R14_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_R14_WINDOW)
+
+# The r15 window is tools/staleness.py's proposal with the standing
+# changed-entry carve-out: (1) snapshot_append, NEW in r15 (the
+# manifest-commit tier — birth-round slot); (2) the 12 r9-stale
+# entries the r14 verdict demand #1 names — after them every
+# registry entry is <= r10; (3) the FIVE entries whose code changed
+# in r15 and must re-prove under the driver's own hash
+# (pdf_extract_text: +xref_form column + 3-form fixtures;
+# multimodal_mp3_meta: +vbr column + VBR fixtures;
+# multimodal_mp4_meta: +fragmented/n_fragments + fMP4 fixtures;
+# snapshot_time_travel + snapshot_changes: the commit protocol
+# under them changed — log-is-commit-point, atomic log publish);
+# (4) the 32 alphabetically-first r10-stale entries (the carve-outs
+# displace from the r10 tail: scalar_subquery..set_union wait for
+# r16). Max staleness after this window: r10.
+_R15_WINDOW = [
+    # (1) never driver-tested (new in r15)
+    "snapshot_append",
+    # (2) the 12 r9-stale entries — the oldest driver evidence
+    "stream_sliding_sink",
+    "stream_tumbling_sink",
+    "string_functions2",
+    "text_stats",
+    "token_count",
+    "upsert_documents",
+    "vector_ann_ivf",
+    "vector_ann_lsh",
+    "window_session",
+    "window_sliding",
+    "window_tumbling",
+    "xml_round_trip",
+    # (3) changed in r15 — re-prove under the driver's own gate
+    "pdf_extract_text",
+    "multimodal_mp3_meta",
+    "multimodal_mp4_meta",
+    "snapshot_time_travel",
+    "snapshot_changes",
+    # (4) the 32 alphabetically-first r10-stale entries
+    "agg_stats",
+    "chunk_documents",
+    "cohort_retention",
+    "contamination_report",
+    "corpus_clean",
+    "corr_matrix",
+    "decontaminate",
+    "dedup_embedding",
+    "dedup_keep_best",
+    "doc_grep",
+    "dup_ngram_profile",
+    "entropy_score",
+    "event_transitions",
+    "funnel_conversion",
+    "gapfill_locf",
+    "hard_negatives",
+    "heavy_hitters",
+    "hybrid_rerank",
+    "inverted_index",
+    "job_wordcount_files",
+    "join_range_binned",
+    "kcore_peel",
+    "kmeans_embed",
+    "mine_image_text_pairs",
+    "mine_training_pairs",
+    "mode_per_group",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg_meta",
+    "mutual_information",
+    "scalar_functions",
+]
+assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R15_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R15_WINDOW)
 }
 
 
@@ -7281,20 +7353,39 @@ par AS (
     ([44100,48000,32000])[CAST(i % 3 AS INT) + 1] AS rate,
     30 + i % 50 AS n_frames,
     CASE WHEN i % 6 = 5 THEN 0 ELSE 10 + (i * 17) % 300 END AS tag_bytes,
-    i % 4 AS mode
+    i % 4 AS mode,
+    i % 5 = 3 AS vbr
   FROM m
+), vbrframes AS (
+  -- per-audio-frame sizes of the VBR files: bitrate cycles
+  -- (i + 2j) % 14, padding bit on every third frame
+  SELECT i, rate, n_frames, unnest(range(n_frames)) AS j
+  FROM par WHERE vbr
+), vbrbytes AS (
+  SELECT i,
+         SUM((144000 *
+              ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+                  [CAST((i + 2 * j) % 14 AS INT) + 1]) // rate
+             + CASE WHEN j % 3 = 2 THEN 1 ELSE 0 END) AS abytes
+  FROM vbrframes GROUP BY i
 )
-SELECT CAST(i AS BIGINT) AS media_id,
-       CAST(tag_bytes AS BIGINT) AS tag_bytes,
-       CAST(kbps AS BIGINT) AS bitrate_kbps,
-       CAST(rate AS BIGINT) AS sample_rate,
-       CAST(CASE WHEN mode = 3 THEN 1 ELSE 2 END AS BIGINT) AS channels,
-       CAST(n_frames AS BIGINT) AS n_frames,
-       CAST(n_frames * ((144000 * kbps) // rate) + n_frames // 3
-            AS BIGINT) AS audio_bytes,
-       i % 2 = 0 AS has_id3v1,
-       CAST((n_frames * 1152 * 1000) // rate AS BIGINT) AS duration_ms
-FROM par
+SELECT CAST(p.i AS BIGINT) AS media_id,
+       CAST(p.tag_bytes AS BIGINT) AS tag_bytes,
+       CAST(CASE WHEN p.vbr
+            THEN (v.abytes * 8 * p.rate) // (p.n_frames * 1152 * 1000)
+            ELSE p.kbps END AS BIGINT) AS bitrate_kbps,
+       CAST(p.rate AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN p.mode = 3 THEN 1 ELSE 2 END AS BIGINT) AS channels,
+       CAST(p.n_frames AS BIGINT) AS n_frames,
+       -- VBR audio_bytes include the 64 kbps Xing/VBRI tag frame
+       CAST(CASE WHEN p.vbr
+            THEN v.abytes + (144000 * 64) // p.rate
+            ELSE p.n_frames * ((144000 * p.kbps) // p.rate)
+                 + p.n_frames // 3 END AS BIGINT) AS audio_bytes,
+       p.vbr AS vbr,
+       p.i % 2 = 0 AS has_id3v1,
+       CAST((p.n_frames * 1152 * 1000) // p.rate AS BIGINT) AS duration_ms
+FROM par p LEFT JOIN vbrbytes v USING (i)
 ORDER BY media_id
 """
 
@@ -7310,24 +7401,50 @@ par AS (
   FROM m
 ), p2 AS (
   SELECT i, brand, ts,
-    ts * (3 + i % 20) + (i * 37) % ts AS duration,
+    ts * (3 + i % 20) + (i * 37) % ts AS plain_duration,
     320 + (i % 5) * 16 AS width,
     240 + (i % 4) * 16 AS height,
     (['avc1','hev1','vp09'])[CAST(i % 3 AS INT) + 1] AS video_codec,
     CASE WHEN i % 7 = 0 THEN NULL
          ELSE (['mp4a','Opus'])[CAST(i % 2 AS INT) + 1] END AS audio_codec,
-    CASE WHEN i % 7 = 0 THEN 1 ELSE 2 END AS n_tracks
+    CASE WHEN i % 7 = 0 THEN 1 ELSE 2 END AS n_tracks,
+    i % 4 = 1 AS fragmented,
+    CASE WHEN i % 4 = 1 THEN 2 + i % 4 ELSE 0 END AS n_fragments
   FROM par
+), fr AS (
+  -- per-fragment geometry of the fragmented files: sample count and
+  -- the duration-default level cycle (trun / tfhd / trex by f % 3)
+  SELECT i, unnest(range(2 + i % 4)) AS f FROM p2 WHERE fragmented
+), frd AS (
+  SELECT i, f, 8 + (i + f) % 6 AS samples,
+    CASE WHEN f % 3 = 1 THEN (8 + (i + f) % 6) * (50 + (i + f) % 7)
+         WHEN f % 3 = 2 THEN (8 + (i + f) % 6) * (60 + i % 11)
+         END AS dsum
+  FROM fr
+), truns AS (
+  SELECT i, f, SUM(40 + (i + f + s) % 9) AS dsum
+  FROM (SELECT i, f, unnest(range(samples)) AS s
+        FROM frd WHERE f % 3 = 0)
+  GROUP BY i, f
+), fragdur AS (
+  SELECT d.i, SUM(COALESCE(t.dsum, d.dsum)) AS dur
+  FROM frd d LEFT JOIN truns t ON d.i = t.i AND d.f = t.f
+  GROUP BY d.i
 )
-SELECT CAST(i AS BIGINT) AS media_id, brand,
-       CAST(ts AS BIGINT) AS timescale,
-       CAST(duration AS BIGINT) AS duration,
-       CAST((duration * 1000) // ts AS BIGINT) AS duration_ms,
-       CAST(n_tracks AS BIGINT) AS n_tracks,
-       CAST(width AS BIGINT) AS width,
-       CAST(height AS BIGINT) AS height,
-       video_codec, audio_codec
-FROM p2
+SELECT CAST(p.i AS BIGINT) AS media_id, p.brand,
+       CAST(p.ts AS BIGINT) AS timescale,
+       CAST(CASE WHEN p.fragmented THEN g.dur
+            ELSE p.plain_duration END AS BIGINT) AS duration,
+       CAST((CASE WHEN p.fragmented THEN g.dur
+             ELSE p.plain_duration END * 1000) // p.ts
+            AS BIGINT) AS duration_ms,
+       CAST(p.n_tracks AS BIGINT) AS n_tracks,
+       CAST(p.width AS BIGINT) AS width,
+       CAST(p.height AS BIGINT) AS height,
+       p.video_codec, p.audio_codec,
+       p.fragmented AS fragmented,
+       CAST(p.n_fragments AS BIGINT) AS n_fragments
+FROM p2 p LEFT JOIN fragdur g ON p.i = g.i
 ORDER BY media_id
 """
 

@@ -53,11 +53,13 @@ def test_mp3_refusals_are_loud():
     hdr[tag + 2] |= 0xF0
     with pytest.raises(ValueError, match="invalid bitrate"):
         parse_mp3_meta(bytes(hdr))
-    # VBR: change the SECOND frame's bitrate nibble
+    # bitrate drift WITHOUT a Xing/VBRI header: change the SECOND
+    # frame's bitrate nibble — still refuses (tagged VBR is the only
+    # accepted VBR shape)
     first_size = 144_000 * 128 // 44100
     hdr = bytearray(m)
     hdr[tag + first_size + 2] = (hdr[tag + first_size + 2] & 0x0F) | 0xA0
-    with pytest.raises(NotImplementedError, match="VBR"):
+    with pytest.raises(NotImplementedError, match="without a"):
         parse_mp3_meta(bytes(hdr))
     # truncated final frame / stray trailing bytes / lost sync
     with pytest.raises(ValueError, match="truncated final"):
@@ -93,8 +95,10 @@ def test_mp4_refusals_are_loud():
                   False, 50)
     with pytest.raises(ValueError, match="no leading ftyp"):
         parse_mp4_meta(b"\x00\x00\x00\x08free" + v[24:])
-    # fragmented: append a moof box
-    with pytest.raises(NotImplementedError, match="moof"):
+    # a moof on a file whose moov has no mvex is corrupt, not a
+    # fragmented file (fMP4 is SUPPORTED since r15 — the refusal is
+    # for the broken shape)
+    with pytest.raises(ValueError, match="without an mvex"):
         parse_mp4_meta(v + struct.pack(">I", 8) + b"moof")
     # compressed moov: smuggle a cmov box into moov (grow sizes)
     k = v.index(b"moov")
@@ -143,20 +147,142 @@ def test_mp3_mp4_meta_entries_match_closed_form(spark, sf_dir):
     for i in (0, 5, 13, 47, 239):
         p = _mp3_fixture_params(i)
         r = rows[i]
-        assert r["bitrate_kbps"] == p["kbps"]
+        assert r["vbr"] == p["vbr"]
+        if not p["vbr"]:
+            assert r["bitrate_kbps"] == p["kbps"]
         assert r["sample_rate"] == p["rate"]
         assert r["n_frames"] == p["n_frames"]
         assert r["tag_bytes"] == (0 if p["id3v2_pad"] < 0
                                   else 10 + p["id3v2_pad"])
         assert r["has_id3v1"] == p["id3v1"]
+    # a VBR file's mean bitrate matches the per-frame closed form
+    from mapreducego_spark.functions.multimodal import _MP3_KBPS_CYCLE
+
+    i = 13  # 13 % 5 == 3 -> VBR (Xing); 18 % 10 == 8 would be VBRI
+    p = _mp3_fixture_params(i)
+    ab = sum(
+        144000 * _MP3_KBPS_CYCLE[(i + 2 * j) % 14] // p["rate"]
+        + (1 if j % 3 == 2 else 0)
+        for j in range(p["n_frames"])
+    )
+    assert rows[i]["bitrate_kbps"] == (
+        ab * 8 * p["rate"] // (p["n_frames"] * 1152 * 1000)
+    )
+    assert rows[i]["audio_bytes"] == ab + 144000 * 64 // p["rate"]
     vrows = {r["media_id"]: r
              for r in multimodal_mp4_meta(spark, sf_dir).collect()}
     for i in (0, 7, 11, 13, 55, 239):
         p = _mp4_fixture_params(i)
         r = vrows[i]
         assert r["brand"] == p["brand"]
-        assert r["duration"] == p["duration"]
+        assert r["fragmented"] == p["fragmented"]
+        assert r["n_fragments"] == len(p["fragments"])
+        if p["fragmented"]:
+            want = 0
+            for f, spec in enumerate(p["fragments"]):
+                if spec["mode"] == "trun":
+                    want += sum(spec["dur"])
+                elif spec["mode"] == "tfhd":
+                    want += spec["samples"] * spec["dur"]
+                else:
+                    want += spec["samples"] * p["trex_default"]
+            assert r["duration"] == want
+        else:
+            assert r["duration"] == p["duration"]
         assert (r["width"], r["height"]) == (p["width"], p["height"])
         assert r["video_codec"] == p["vcodec"]
         assert r["audio_codec"] == p["acodec"]
         assert r["n_tracks"] == (1 if p["acodec"] is None else 2)
+
+
+def test_mp3_vbr_xing_and_vbri_round_trip():
+    """Tagged VBR (r14 verdict #5): Xing and VBRI headers at their
+    spec offsets, per-frame bitrate drift allowed, declared
+    frame/byte counts VERIFIED, floor-mean bitrate reported."""
+    from mapreducego_spark.functions.mediameta import (
+        _MP3_BITRATES,
+        build_mp3_vbr,
+    )
+
+    for kind in ("Xing", "VBRI"):
+        for mode in (0, 3):  # stereo and mono side-info offsets
+            b = build_mp3_vbr(44100, 25, mode, 80, True, kind=kind, seed=9)
+            d = parse_mp3_meta(b)
+            assert d["vbr"] and d["n_frames"] == 25
+            assert d["channels"] == (1 if mode == 3 else 2)
+            ab = sum(
+                144000 * _MP3_BITRATES[1 + j % 14] // 44100
+                + (1 if j % 3 == 2 else 0)
+                for j in range(25)
+            )
+            assert d["audio_bytes"] == ab + 144000 * 64 // 44100
+            assert d["bitrate_kbps"] == ab * 8 * 44100 // (25 * 1152 * 1000)
+            assert d["duration_ms"] == 25 * 1152 * 1000 // 44100
+    # declared-count tamper refuses
+    b = bytearray(build_mp3_vbr(48000, 12, 0, -1, False, kind="Xing"))
+    at = b.index(b"Xing") + 8
+    b[at : at + 4] = (13).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="declares 13 frames"):
+        parse_mp3_meta(bytes(b))
+    # declared-bytes tamper refuses
+    b = bytearray(build_mp3_vbr(48000, 12, 0, -1, False, kind="VBRI"))
+    at = b.index(b"VBRI") + 10
+    b[at : at + 4] = (1).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="audio bytes"):
+        parse_mp3_meta(bytes(b))
+    # sample-rate drift inside a tagged-VBR stream still refuses
+    from mapreducego_spark.functions.mediameta import _MP3_RATES
+
+    b = bytearray(build_mp3_vbr(44100, 9, 0, -1, False, kind="Xing"))
+    tag_size = 144_000 * 64 // 44100
+    first = tag_size  # first audio frame header
+    b[first + 2] = (b[first + 2] & ~0x0C) | (_MP3_RATES.index(32000) << 2)
+    with pytest.raises(ValueError, match="sample-rate drift"):
+        parse_mp3_meta(bytes(b))
+    # Xing without a frame count refuses (flags bit 0 clear)
+    b = bytearray(build_mp3_vbr(44100, 9, 0, -1, False, kind="Xing"))
+    at = b.index(b"Xing") + 4
+    b[at : at + 4] = (6).to_bytes(4, "big")  # bytes|TOC, no frames
+    with pytest.raises(ValueError, match="without a frame count"):
+        parse_mp3_meta(bytes(b))
+
+
+def test_mp4_fragmented_walk_duration_chain():
+    """fMP4 (r14 verdict #6): the three duration-default levels
+    (trun per-sample, tfhd default, trex default), mfhd sequence
+    verification, and per-track accumulation."""
+    from mapreducego_spark.functions.mediameta import build_mp4_fragmented
+
+    frags = [
+        {"samples": 3, "mode": "trun", "dur": [11, 13, 17]},
+        {"samples": 4, "mode": "tfhd", "dur": 23},
+        {"samples": 5, "mode": "trex", "dur": None},
+        {"samples": 2, "mode": "trun", "dur": [100, 1]},
+    ]
+    b = build_mp4_fragmented(
+        b"mp42", 1000, 640, 360, b"hev1", b"Opus", True, frags,
+        trex_default_duration=29, seed=4,
+    )
+    d = parse_mp4_meta(b)
+    want = (11 + 13 + 17) + 4 * 23 + 5 * 29 + (100 + 1)
+    assert d["fragmented"] and d["n_fragments"] == 4
+    assert d["duration"] == want
+    assert d["duration_ms"] == want * 1000 // 1000
+    assert d["brand"] == "mp42" and d["video_codec"] == "hev1"
+    assert (d["width"], d["height"]) == (640, 360)
+    # plain files report fragmented=False / 0 fragments
+    v = build_mp4(b"isom", 600, 3000, 320, 240, b"avc1", None, False, 8)
+    dp = parse_mp4_meta(v)
+    assert not dp["fragmented"] and dp["n_fragments"] == 0
+    # a sequence gap refuses
+    k = b.index(b"mfhd", b.index(b"moof"))
+    bad = bytearray(b)
+    bad[k + 8 : k + 12] = struct.pack(">I", 7)
+    with pytest.raises(ValueError, match="sequence gap"):
+        parse_mp4_meta(bytes(bad))
+    # a traf referencing an unknown track refuses
+    k = b.index(b"tfhd")
+    bad = bytearray(b)
+    bad[k + 8 : k + 12] = struct.pack(">I", 99)
+    with pytest.raises(ValueError, match="unknown track"):
+        parse_mp4_meta(bytes(bad))
