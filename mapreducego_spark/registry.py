@@ -300,6 +300,10 @@ QUERIES: dict[str, QueryFn] = {
     # commit (pytest-pinned), Iceberg-style equality-delete
     # merge-on-read, all four version states hash-gated
     "snapshot_append": SNAP.snapshot_append,
+    # Subtitle/caption ingest (r15): SRT + WebVTT sidecar files —
+    # counter/timestamp/settings grammars parsed for real, cue rows
+    # + timing arithmetic hash-gated closed-form
+    "subtitle_cues": CAT.subtitle_cues,
     "json_round_trip": CAT.json_round_trip,
     "csv_round_trip": CAT.csv_round_trip,
     "orc_round_trip": CAT.orc_round_trip,
@@ -1468,8 +1472,11 @@ assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
 # displace from the r10 tail: scalar_subquery..set_union wait for
 # r16). Max staleness after this window: r10.
 _R15_WINDOW = [
-    # (1) never driver-tested (new in r15)
+    # (1) never driver-tested (new in r15; subtitle_cues displaces
+    # scalar_functions from the r10 block — it waits for r16 with
+    # scalar_subquery..set_union)
     "snapshot_append",
+    "subtitle_cues",
     # (2) the 12 r9-stale entries — the oldest driver evidence
     "stream_sliding_sink",
     "stream_tumbling_sink",
@@ -1521,7 +1528,6 @@ _R15_WINDOW = [
     "multimodal_jpeg_decode",
     "multimodal_jpeg_meta",
     "mutual_information",
-    "scalar_functions",
 ]
 assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R15_WINDOW} | {
@@ -7219,6 +7225,37 @@ SELECT version, status,
 FROM tagged
 GROUP BY version, status
 ORDER BY version, status
+"""
+
+# Subtitle ingest (r15): every cue row rebuilt closed-form — the
+# 6-token cue split, the k*2000 + doc_id%997 timing base, the
+# (k%7)-cycled durations, and the vtt-only align:start settings on
+# every third cue. A counter, timestamp-grammar, or routing error
+# diverges.
+ORACLES["subtitle_cues"] = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), par AS (
+  SELECT doc_id, t, CAST((len(t) + 5) // 6 AS BIGINT) AS n_cues
+  FROM toks
+), cue AS (
+  SELECT doc_id, t, CAST(unnest(range(n_cues)) AS BIGINT) AS k
+  FROM par
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS format,
+       k AS cue_idx,
+       k * 2000 + doc_id % 997 AS start_ms,
+       k * 2000 + doc_id % 997 + 1500 + (k % 7) * 100 AS end_ms,
+       CAST(1500 + (k % 7) * 100 AS BIGINT) AS dur_ms,
+       CASE WHEN doc_id % 2 = 1 AND k % 3 = 0
+            THEN 'align:start' ELSE '' END AS settings,
+       array_to_string(t[k * 6 + 1 : k * 6 + 6], ' ') AS text,
+       CAST(len(t[k * 6 + 1 : k * 6 + 6]) AS INT) AS n_tokens
+FROM cue
+ORDER BY doc_id, cue_idx
 """
 
 # Snapshot CDC feed (r14): every feed row rebuilt from the same

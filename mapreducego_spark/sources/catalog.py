@@ -1700,3 +1700,130 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "n_tokens", F.size(F.split("text", " "))
     ).orderBy("doc_id", "page")
+
+
+_SUB_CUE_TOKENS = 6
+
+
+def stage_subtitle_files(sf_dir: str) -> str:
+    """Stage the documents table as subtitle sidecar files — SubRip
+    for even doc ids, WebVTT for odd (with a NOTE block, cue
+    identifiers, and align:start settings on every third cue, so the
+    reader's skip/id/settings paths all stay exercised). Cue k of a
+    doc holds its tokens [6k, 6k+6) and runs from
+    k*2000 + doc_id % 997 ms for 1500 + (k % 7)*100 ms — every
+    timestamp closed-form for the DuckDB oracle. Idempotent via the
+    _STAGED marker; the dir suffix is the fixture VERSION."""
+    from mapreducego_spark.sources.subtitlecodec import build_srt, build_vtt
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_media/{tag}_suba"
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        import duckdb
+
+        docs = duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+            f" ORDER BY doc_id"
+        ).fetchall()
+        for doc_id, text in docs:
+            toks = [t for t in text.split(" ") if t]
+            cues = []
+            for k in range(0, (len(toks) + 5) // 6):
+                body = " ".join(toks[k * 6 : k * 6 + 6])
+                start = k * 2000 + doc_id % 997
+                end = start + 1500 + (k % 7) * 100
+                cues.append((start, end, body))
+            if doc_id % 2 == 0:
+                data = build_srt(cues)
+                ext = "srt"
+            else:
+                data = build_vtt(
+                    cues, note=f"doc {doc_id}", with_ids=True,
+                    settings_every=3,
+                )
+                ext = "vtt"
+            path = os.path.join(out, f"doc_{doc_id:07d}.{ext}")
+            with open(path, "wb") as fh:
+                fh.write(data)
+        with open(marker, "w") as fh:
+            fh.write(str(len(docs)))
+    return out
+
+
+def subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (r15): subtitle/caption ingest — SRT and
+    WebVTT sidecar files, the aligned speech-transcript source a
+    training pipeline mines for timed text. Staged one file per
+    document (format cycling by doc id), read through the
+    distributed binaryFile scan and parsed in one Arrow-batched
+    mapInPandas pass by sources/subtitlecodec.py: SRT counter
+    verification (a gap refuses), exact timestamp grammars
+    (comma-ms vs dot-ms), VTT magic/NOTE/identifier/settings
+    handling with STYLE/REGION refusing loudly, end<=start refusing.
+    Emits one row per cue: doc id, format, cue ordinal, start/end/
+    duration ms, cue settings, text, token count. The DuckDB oracle
+    rebuilds every column closed-form from the documents table (the
+    6-token cue split and the timing arithmetic), so a framing,
+    timestamp, or routing error diverges. Reference analog:
+    whole-file byte reads at master.go:77-89.
+
+    Scale shape: files are the parallel unit (sidecar files are
+    small and per-media, matching the real corpus layout), one Arrow
+    crossing, no shuffle before the presentation sort."""
+    from collections.abc import Iterator as _Iterator
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapreducego_spark.sources.subtitlecodec import parse_subtitles
+
+    path = stage_subtitle_files(sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.*")
+        .load(path)
+        .select("path", "content")
+    )
+    id_re = _re.compile(r"/(doc_(\d+)\.(?:srt|vtt))$")
+
+    def run(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for fpath, payload in zip(batch["path"], batch["content"]):
+                m = id_re.search(fpath)
+                if m is None:
+                    raise ValueError(f"unexpected fixture path {fpath!r}")
+                doc_id = int(m.group(2))
+                fmt, cues = parse_subtitles(bytes(payload), m.group(1))
+                for c in cues:
+                    rows.append(
+                        (
+                            doc_id,
+                            fmt,
+                            c["idx"],
+                            c["start_ms"],
+                            c["end_ms"],
+                            c["end_ms"] - c["start_ms"],
+                            c["settings"],
+                            c["text"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "format", "cue_idx", "start_ms",
+                    "end_ms", "dur_ms", "settings", "text",
+                ],
+            )
+
+    out = files.mapInPandas(
+        run,
+        "doc_id long, format string, cue_idx long, start_ms long,"
+        " end_ms long, dur_ms long, settings string, text string",
+    )
+    return out.withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    ).orderBy("doc_id", "cue_idx")

@@ -408,6 +408,18 @@ def vacuum(table_dir: str, keep_last: int) -> list[int]:
     return drop
 
 
+def compact_snapshot(spark: SparkSession, table_dir: str) -> int:
+    """Rewrite the CURRENT version's merge-on-read state as a full
+    commit — the maintenance operation that bounds manifest-chain
+    length: after compaction the new version owns a plain data dir,
+    later appends build manifests on IT, and ``vacuum`` can reclaim
+    the old delta chain once the pre-compaction versions leave the
+    retention window. Read amplification (anti-joins per delete set)
+    resets to zero; at 100 TB this is Iceberg's rewrite_data_files /
+    Delta's OPTIMIZE in protocol terms."""
+    return commit_snapshot(read_snapshot(spark, table_dir), table_dir)
+
+
 def merge_into_snapshot(
     spark: SparkSession, table_dir: str, updates: DataFrame, key: str
 ) -> int:

@@ -366,3 +366,37 @@ def test_manifest_vacuum_keeps_shared_dirs_alive(spark, tmp_path):
     # v1's delta dir d1 is still referenced by v2 -> alive
     assert os.path.isdir(os.path.join(table, "d1"))
     assert os.path.isdir(os.path.join(table, "v0"))
+
+
+def test_compact_snapshot_bounds_manifest_chain(spark, tmp_path):
+    """Compaction rewrites the merge-on-read state as a full commit:
+    state identical, later vacuum reclaims the old delta chain, and
+    a post-compaction append builds its manifest on the compacted
+    full dir."""
+    from mapreducego_spark.sources.snapshots import (
+        commit_snapshot as cs,
+        compact_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    commit_snapshot(_mk(spark, [(1, "a"), (2, "b")]), table)      # v0
+    cs(_mk(spark, [(3, "c")]), table, mode="append")              # v1
+    cs(_mk(spark, [(2, "B"), (4, "d")]), table, mode="merge", key="k")  # v2
+    v = compact_snapshot(spark, table)                            # v3 full
+    assert v == 3
+    want = {1: "a", 2: "B", 3: "c", 4: "d"}
+    got = {r["k"]: r["val"] for r in read_snapshot(spark, table).collect()}
+    assert got == want
+    assert os.path.isdir(os.path.join(table, "v3"))  # full dir
+    # an append on top of the compacted version references v3 only
+    cs(_mk(spark, [(5, "e")]), table, mode="append")              # v4
+    m = json.load(open(os.path.join(table, "_MANIFESTS", "00000004.json")))
+    assert {e["dir"] for e in m["data"]} == {"v3", "d4"}
+    assert m["deletes"] == []
+    # vacuum now reclaims the whole pre-compaction delta chain
+    removed = vacuum(table, keep_last=2)
+    assert sorted(removed) == [0, 1, 2]
+    for name in ("d1", "d2", "x2"):
+        assert not os.path.exists(os.path.join(table, name)), name
+    got = {r["k"]: r["val"] for r in read_snapshot(spark, table).collect()}
+    assert got == {**want, 5: "e"}

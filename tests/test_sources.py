@@ -1276,3 +1276,116 @@ def test_pdf_extract_text_entry_matches_documents(spark, sf_dir):
             )
             assert r["compressed"] == want_comp
             assert r["n_tokens"] == len(r["text"].split(" "))
+
+
+# ------------------------------------------------------- subtitle tier
+
+
+def test_subtitle_codec_round_trips_and_grammars():
+    from mapreducego_spark.sources.subtitlecodec import (
+        build_srt,
+        build_vtt,
+        parse_srt,
+        parse_vtt,
+    )
+
+    cues = [
+        (0, 1500, "a b c"),
+        (2000, 3600, "d e f"),
+        (3_600_000 + 61_000, 3_600_000 + 62_345, "hour mark"),
+    ]
+    got = parse_srt(build_srt(cues))
+    assert [(c["start_ms"], c["end_ms"], c["text"]) for c in got] == cues
+    v = parse_vtt(build_vtt(cues, note="meta", with_ids=True,
+                            settings_every=2))
+    assert [(c["start_ms"], c["end_ms"], c["text"]) for c in v] == cues
+    # settings land on cues 0 and 2, never on 1; NOTE block skipped
+    assert [c["settings"] for c in v] == ["align:start", "", "align:start"]
+    # multi-line cue text survives
+    m = parse_srt(b"1\n00:00:00,000 --> 00:00:01,000\nline one\nline two\n")
+    assert m[0]["text"] == "line one\nline two"
+
+
+def test_subtitle_refusals_are_loud():
+    import pytest
+
+    from mapreducego_spark.sources.subtitlecodec import (
+        build_srt,
+        build_vtt,
+        parse_srt,
+        parse_subtitles,
+        parse_vtt,
+    )
+
+    cues = [(0, 1500, "a"), (2000, 3000, "b")]
+    srt, vtt = build_srt(cues), build_vtt(cues)
+    # SRT counter gap (cues lost upstream)
+    with pytest.raises(ValueError, match="counter gap"):
+        parse_srt(srt.replace(b"\n2\n", b"\n3\n"))
+    # zero/negative-duration cue
+    with pytest.raises(ValueError, match="at or before its start"):
+        parse_srt(build_srt([(1000, 1000, "x")]))
+    # malformed timestamps: dot ms in SRT, comma ms in VTT
+    with pytest.raises(ValueError, match="malformed SRT timestamp"):
+        parse_srt(srt.replace(b"00:00:00,000", b"00:00:00.000"))
+    with pytest.raises(ValueError, match="malformed VTT timestamp"):
+        parse_vtt(vtt.replace(b"00:00:00.000", b"00:00:00,000"))
+    # out-of-range seconds field
+    with pytest.raises(ValueError, match="out of range"):
+        parse_srt(srt.replace(b"00:00:01,500", b"00:00:61,500"))
+    # missing magic / content on the magic line
+    with pytest.raises(ValueError, match="WEBVTT magic"):
+        parse_vtt(srt)
+    with pytest.raises(ValueError, match="header block"):
+        parse_vtt(b"WEBVTT\nextra\n\n" + vtt[8:])
+    # STYLE blocks are a loud scope refusal, not a silent skip
+    with pytest.raises(NotImplementedError, match="STYLE"):
+        parse_vtt(vtt.replace(b"WEBVTT\n\n",
+                              b"WEBVTT\n\nSTYLE\n::cue { }\n\n"))
+    # SRT timing lines carry nothing after the end time
+    with pytest.raises(ValueError, match="trailing tokens"):
+        parse_srt(srt.replace(b"--> 00:00:01,500",
+                              b"--> 00:00:01,500 align:start"))
+    # timing line without the arrow
+    with pytest.raises(ValueError, match="-->"):
+        parse_srt(srt.replace(b"-->", b"- >"))
+    # unknown extension routing
+    with pytest.raises(ValueError, match="unknown subtitle extension"):
+        parse_subtitles(srt, "doc.ass")
+
+
+def test_subtitle_cues_entry_matches_documents(spark, sf_dir):
+    """End to end: the staged sidecar corpus parses back to exactly
+    the documents tokens in 6-token cues with the closed-form
+    timing, format routing by doc id parity, and vtt settings on
+    every third cue."""
+    import duckdb
+
+    from mapreducego_spark.sources.catalog import subtitle_cues
+
+    rows = subtitle_cues(spark, sf_dir).collect()
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id in list(docs)[:25]:
+        toks = [t for t in docs[doc_id].split(" ") if t]
+        cues = sorted(by_doc[doc_id], key=lambda r: r["cue_idx"])
+        assert len(cues) == (len(toks) + 5) // 6
+        for k, r in enumerate(cues):
+            assert r["format"] == ("srt" if doc_id % 2 == 0 else "vtt")
+            assert r["start_ms"] == k * 2000 + doc_id % 997
+            assert r["dur_ms"] == 1500 + (k % 7) * 100
+            assert r["end_ms"] == r["start_ms"] + r["dur_ms"]
+            assert r["text"] == " ".join(toks[k * 6 : k * 6 + 6])
+            want_set = (
+                "align:start"
+                if doc_id % 2 == 1 and k % 3 == 0
+                else ""
+            )
+            assert r["settings"] == want_set

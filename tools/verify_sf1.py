@@ -58,10 +58,15 @@ QUERIES = [
 # each round toward entries without a recent 10x row; r14 leads with
 # the round's own corpus-scaling births.
 ROTATED_SF01 = [
-    "pdf_extract_text",       # new r14, scales with documents
-    "snapshot_time_travel",   # new r14, scales with orders
-    "dedup_spans",            # documents-scaling, never 10x-checked
-    "quality_filter",         # documents-scaling, never 10x-checked
+    # r15 rotation (r14 verdict #8): the corpus-scaling entries
+    # never 10x-checked, plus the round's own corpus-scaling
+    # birth/changes (pdf_extract_text CHANGED: 3-form xref fixtures;
+    # snapshot_append NEW: manifest commits over orders)
+    "warc_link_graph",        # documents-scaling, never 10x-checked
+    "webdataset_pairs",       # documents-scaling, never 10x-checked
+    "snapshot_changes",       # orders-scaling, never 10x-checked
+    "pdf_extract_text",       # CHANGED r15 (xref-stream/incremental)
+    "snapshot_append",        # NEW r15, scales with orders
 ]
 SF01_DIR = "/root/testdata/sf0.1"
 
