@@ -71,6 +71,114 @@ def _unsyncsafe(b: bytes) -> int:
     return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
 
 
+# ----------------------------------------------------- ID3v2 frames
+
+
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 3: "utf-8"}
+
+
+def build_id3v2(frames: list[tuple[str, str, int]], version: int = 3,
+                pad: int = 0,
+                raw_frames: list[tuple[str, bytes]] | None = None) -> bytes:
+    """An ID3v2.3 or v2.4 tag with TEXT frames: (frame_id, text,
+    encoding) with encoding 0 = Latin-1, 1 = UTF-16 (BOM), 3 = UTF-8
+    (v2.4 only). v2.3 frame sizes are plain big-endian; v2.4 are
+    syncsafe — the wire difference the reader must route on.
+    ``raw_frames`` (e.g. a PRIV blob) are emitted FIRST so the
+    reader's size-skip path sits in front of every text frame."""
+    if version not in (3, 4):
+        raise ValueError(f"ID3v2.{version} not writable (3/4 only)")
+    body = bytearray()
+    for fid, payload in raw_frames or []:
+        size = (
+            _syncsafe(len(payload)) if version == 4
+            else struct.pack(">I", len(payload))
+        )
+        body += fid.encode("ascii") + size + b"\x00\x00" + payload
+    for fid, text, enc in frames:
+        if len(fid) != 4 or not fid.startswith("T"):
+            raise ValueError(f"not a text frame id {fid!r}")
+        if enc == 3 and version == 3:
+            raise ValueError("UTF-8 text encoding is v2.4-only")
+        payload = bytes([enc]) + text.encode(_ID3_ENCODINGS[enc])
+        size = (
+            _syncsafe(len(payload)) if version == 4
+            else struct.pack(">I", len(payload))
+        )
+        body += fid.encode("ascii") + size + b"\x00\x00" + payload
+    body += bytes(pad)  # ID3 padding is zero bytes by spec (§3.0)
+    return (
+        b"ID3" + bytes([version, 0, 0]) + _syncsafe(len(body)) + bytes(body)
+    )
+
+
+def parse_id3v2_frames(payload: bytes) -> tuple[int, list[dict]]:
+    """Walk an ID3v2.3/2.4 tag's TEXT frames. Returns (tag_bytes,
+    frames) with frames = [{frame_id, encoding, text}]. Non-text
+    frames are skipped by their declared size (their payloads are
+    opaque binary — APIC art, etc. — and skipping by size is the
+    spec's own forward-compat rule); compression/encryption frame
+    flags, unsynchronisation, and unknown text encodings refuse —
+    those change the BYTES and a size-skip would mis-frame
+    everything after."""
+    if payload[:3] != b"ID3":
+        raise ValueError("no ID3v2 tag")
+    version, revision, flags = payload[3], payload[4], payload[5]
+    if version not in (3, 4):
+        raise NotImplementedError(f"ID3v2.{version} (2.3/2.4 only)")
+    if flags & 0x80:
+        raise NotImplementedError("ID3v2 unsynchronisation")
+    size = _unsyncsafe(payload[6:10])
+    tag_bytes = 10 + size + (10 if flags & 0x10 else 0)
+    if len(payload) < tag_bytes:
+        raise ValueError("ID3v2 size runs past end of file")
+    pos, end = 10, 10 + size
+    if flags & 0x40:  # extended header, size-prefixed
+        ext = (
+            _unsyncsafe(payload[10:14]) if version == 4
+            else struct.unpack(">I", payload[10:14])[0] + 4
+        )
+        pos += ext
+    frames = []
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if not all(0x30 <= c <= 0x5A for c in fid):
+            raise ValueError(f"malformed frame id {fid!r} at byte {pos}")
+        fsize = (
+            _unsyncsafe(payload[pos + 4 : pos + 8]) if version == 4
+            else struct.unpack(">I", payload[pos + 4 : pos + 8])[0]
+        )
+        fflags = struct.unpack(">H", payload[pos + 8 : pos + 10])[0]
+        if pos + 10 + fsize > end:
+            raise ValueError(f"frame {fid!r} runs past the tag")
+        if fflags & (0x00C0 if version == 3 else 0x000C):
+            raise NotImplementedError(
+                f"compressed/encrypted frame {fid!r}"
+            )
+        data = payload[pos + 10 : pos + 10 + fsize]
+        pos += 10 + fsize
+        if not fid.startswith(b"T"):
+            continue  # non-text frame: size-skip is the spec rule
+        if not data:
+            raise ValueError(f"empty text frame {fid!r}")
+        enc = data[0]
+        if enc not in _ID3_ENCODINGS:
+            raise NotImplementedError(f"text encoding {enc} in {fid!r}")
+        if enc == 3 and version == 3:
+            raise ValueError("UTF-8 text encoding inside an ID3v2.3 tag")
+        text = data[1:].decode(_ID3_ENCODINGS[enc])
+        frames.append(
+            {
+                "frame_id": fid.decode("ascii"),
+                "encoding": enc,
+                "text": text.rstrip("\x00"),
+            }
+        )
+    return tag_bytes, frames
+
+
 # ------------------------------------------------------------ MP3
 
 

@@ -4438,6 +4438,126 @@ def multimodal_mp4_meta(
     ).orderBy("media_id")
 
 
+_ID3_FRAME_SPECS = (
+    ("TIT2", lambda i: f"Track {i} tok{i % 13}"),
+    ("TPE1", lambda i: f"Artist {i % 17}"),
+    ("TALB", lambda i: f"Album {i % 7}"),
+    ("TRCK", lambda i: str(1 + i % 12)),
+)
+
+
+def _mp3_tag_fixture_params(i: int) -> dict:
+    """Closed-form ID3 tag fixture geometry: ID3v2.3 on even ids,
+    v2.4 on odd (plain vs syncsafe frame sizes); per-frame text
+    encoding cycles Latin-1 / UTF-16 / (v2.4-only) UTF-8 by
+    (i + j) % 3; every fourth file leads with a PRIV binary frame
+    the reader must size-skip; deterministic padding."""
+    frames = []
+    for j, (fid, text_fn) in enumerate(_ID3_FRAME_SPECS):
+        if (i + j) % 3 == 0:
+            enc = 1  # UTF-16 with BOM
+        elif i % 2 == 1 and (i + j) % 3 == 1:
+            enc = 3  # UTF-8, v2.4 files only
+        else:
+            enc = 0  # Latin-1
+        frames.append((fid, text_fn(i), enc))
+    return {
+        "version": 3 if i % 2 == 0 else 4,
+        "frames": frames,
+        "priv": i % 4 == 0,
+        "pad": (i * 13) % 64,
+    }
+
+
+def stage_mp3_tag_media(sf_dir: str, n: int = 240) -> str:
+    from mapreducego_spark.functions.mediameta import (
+        _mp3_frame,
+        build_id3v2,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_media/{tag}_id3a{n}"
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        for i in range(n):
+            p = _mp3_tag_fixture_params(i)
+            raw = (
+                [("PRIV", b"owner\x00" + bytes((i + k) % 251
+                                               for k in range(20)))]
+                if p["priv"] else None
+            )
+            data = build_id3v2(
+                p["frames"], version=p["version"], pad=p["pad"],
+                raw_frames=raw,
+            )
+            # one real CBR audio frame so the file IS an MP3
+            data += _mp3_frame(
+                9, 0, 0, 0,
+                lambda sz, i=i: bytes((i + k) % 251 for k in range(sz)),
+            )
+            with open(os.path.join(out, f"media_{i:05d}.mp3"), "wb") as fh:
+                fh.write(data)
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+    return out
+
+
+def multimodal_mp3_tags(
+    spark: SparkSession, sf_dir: str, n: int = 240
+) -> DataFrame:
+    """Registry entry (r15): ID3v2 TEXT-frame extraction — the
+    metadata a media-corpus pipeline actually mines (titles,
+    artists, albums) after the routing pass says a file is worth
+    keeping. Staged real tags covering BOTH live tag versions
+    (ID3v2.3 plain frame sizes on even ids, v2.4 syncsafe on odd —
+    the wire difference the reader routes on), all three text
+    encodings (Latin-1 / UTF-16-with-BOM / v2.4-only UTF-8, cycling
+    per frame), a leading PRIV binary frame on every fourth file
+    that the reader must size-skip (the spec's forward-compat rule),
+    and deterministic padding. Unsynchronisation, compressed /
+    encrypted frames, and unknown encodings refuse loudly — they
+    change the bytes, and a size-skip would mis-frame everything
+    after. One row per text frame: media id, tag version, frame
+    ordinal, frame id, encoding, text. The DuckDB oracle rebuilds
+    every row closed-form from media_id. Reference analog:
+    opaque-bytes contract at master.go:77-89.
+
+    Scale shape: distributed scan, one Arrow crossing, no shuffle
+    before the presentation sort."""
+    from mapreducego_spark.functions.mediameta import parse_id3v2_frames
+
+    media = _media_df(spark, stage_mp3_tag_media(sf_dir, n), "mp3")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                payload = bytes(p)
+                version = payload[3]
+                _, frames = parse_id3v2_frames(payload)
+                for j, fr in enumerate(frames):
+                    rows.append(
+                        (
+                            int(mid), version, j, fr["frame_id"],
+                            fr["encoding"], fr["text"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "tag_version", "frame_idx", "frame_id",
+                    "encoding", "text",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, tag_version long, frame_idx long,"
+        " frame_id string, encoding long, text string",
+    ).orderBy("media_id", "frame_idx")
+
+
 # --------------------------------- r14: GIF disposal-methods tier
 
 def _gif_disposal_fixture_params(i: int):

@@ -760,6 +760,10 @@ QUERIES: dict[str, QueryFn] = {
     # syncsafe skip + CBR MPEG-1 Layer III frame walk (every header
     # re-verified; VBR refuses) — duration/bitrate without decode
     "multimodal_mp3_meta": M.multimodal_mp3_meta,
+    # ID3v2 text-frame extraction (r15): v2.3 AND v2.4 frame-size
+    # grammars, three text encodings, PRIV size-skip — the metadata
+    # mining pass after routing
+    "multimodal_mp3_tags": M.multimodal_mp3_tags,
     # MP4 / ISO BMFF metadata routing (r14): box walk with all three
     # size encodings, mvhd v0+v1, tkhd dims, hdlr + stsd fourcc
     "multimodal_mp4_meta": M.multimodal_mp4_meta,
@@ -1472,11 +1476,13 @@ assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
 # displace from the r10 tail: scalar_subquery..set_union wait for
 # r16). Max staleness after this window: r10.
 _R15_WINDOW = [
-    # (1) never driver-tested (new in r15; subtitle_cues displaces
-    # scalar_functions from the r10 block — it waits for r16 with
-    # scalar_subquery..set_union)
+    # (1) never driver-tested (new in r15; subtitle_cues and
+    # multimodal_mp3_tags displace scalar_functions and
+    # mutual_information from the r10 block — they wait for r16
+    # with scalar_subquery..set_union)
     "snapshot_append",
     "subtitle_cues",
+    "multimodal_mp3_tags",
     # (2) the 12 r9-stale entries — the oldest driver evidence
     "stream_sliding_sink",
     "stream_tumbling_sink",
@@ -1527,7 +1533,6 @@ _R15_WINDOW = [
     "multimodal_frames",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_meta",
-    "mutual_information",
 ]
 assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R15_WINDOW} | {
@@ -7225,6 +7230,29 @@ SELECT version, status,
 FROM tagged
 GROUP BY version, status
 ORDER BY version, status
+"""
+
+# ID3v2 text frames (r15): every row rebuilt closed-form — version
+# by id parity, the (i + j) % 3 encoding cycle (UTF-8 only inside
+# v2.4 tags), and the four frame texts. A frame-size-grammar
+# (plain vs syncsafe), encoding, or skip error diverges.
+ORACLES["multimodal_mp3_tags"] = """
+WITH m AS (SELECT unnest(range(240)) AS i),
+fr AS (SELECT i, unnest(range(4)) AS j FROM m)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(CASE WHEN i % 2 = 0 THEN 3 ELSE 4 END AS BIGINT)
+           AS tag_version,
+       CAST(j AS BIGINT) AS frame_idx,
+       (['TIT2','TPE1','TALB','TRCK'])[CAST(j AS INT) + 1] AS frame_id,
+       CAST(CASE WHEN (i + j) % 3 = 0 THEN 1
+                 WHEN i % 2 = 1 AND (i + j) % 3 = 1 THEN 3
+                 ELSE 0 END AS BIGINT) AS encoding,
+       CASE j WHEN 0 THEN 'Track ' || i || ' tok' || (i % 13)
+              WHEN 1 THEN 'Artist ' || (i % 17)
+              WHEN 2 THEN 'Album ' || (i % 7)
+              ELSE CAST(1 + i % 12 AS VARCHAR) END AS text
+FROM fr
+ORDER BY media_id, frame_idx
 """
 
 # Subtitle ingest (r15): every cue row rebuilt closed-form — the

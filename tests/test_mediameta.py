@@ -286,3 +286,94 @@ def test_mp4_fragmented_walk_duration_chain():
     bad[k + 8 : k + 12] = struct.pack(">I", 99)
     with pytest.raises(ValueError, match="unknown track"):
         parse_mp4_meta(bytes(bad))
+
+
+def test_id3v2_text_frames_both_versions_and_encodings():
+    """ID3v2.3 (plain frame sizes) and v2.4 (syncsafe) text frames,
+    all three encodings, a leading binary PRIV frame size-skipped,
+    zero-byte padding terminating the walk."""
+    from mapreducego_spark.functions.mediameta import (
+        build_id3v2,
+        parse_id3v2_frames,
+    )
+
+    frames = [("TIT2", "Tïtle — utf16", 1), ("TPE1", "Artist", 0)]
+    for version in (3, 4):
+        fs = frames + ([("TCON", "Genre", 3)] if version == 4 else [])
+        raw = [("PRIV", b"owner\x00\xff\xfe\x00binary")]
+        tag = build_id3v2(fs, version=version, pad=17, raw_frames=raw)
+        tb, got = parse_id3v2_frames(tag)
+        assert tb == len(tag)
+        assert [(f["frame_id"], f["text"], f["encoding"]) for f in got] == [
+            (fid, text, enc) for fid, text, enc in fs
+        ]
+    # a frame size large enough to cross the v2.3/v2.4 grammar line:
+    # 200 bytes of text — v2.4 syncsafe (0,0,1,72) vs v2.3 plain
+    # (0,0,0,200) differ on the wire; parsing one AS the other must
+    # not round-trip
+    big = build_id3v2([("TIT2", "x" * 200, 0)], version=4)
+    flipped = bytearray(big)
+    flipped[3] = 3  # claim v2.3 over syncsafe-sized frames
+    import pytest
+
+    with pytest.raises((ValueError, NotImplementedError)):
+        parse_id3v2_frames(bytes(flipped))
+
+
+def test_id3v2_refusals_are_loud():
+    import pytest
+
+    from mapreducego_spark.functions.mediameta import (
+        build_id3v2,
+        parse_id3v2_frames,
+    )
+
+    tag = build_id3v2([("TIT2", "t", 0)], version=3)
+    with pytest.raises(ValueError, match="no ID3v2 tag"):
+        parse_id3v2_frames(b"RIFF" + tag[4:])
+    with pytest.raises(NotImplementedError, match="ID3v2.2"):
+        parse_id3v2_frames(tag[:3] + b"\x02" + tag[4:])
+    # unsynchronisation flag
+    bad = bytearray(tag)
+    bad[5] |= 0x80
+    with pytest.raises(NotImplementedError, match="unsynchronisation"):
+        parse_id3v2_frames(bytes(bad))
+    # compressed-frame flag (v2.3: frame format flags byte, bit 7)
+    bad = bytearray(tag)
+    at = bad.index(b"TIT2") + 9
+    bad[at] |= 0x80
+    with pytest.raises(NotImplementedError, match="compressed/encrypted"):
+        parse_id3v2_frames(bytes(bad))
+    # frame running past the tag
+    bad = bytearray(tag)
+    at = bad.index(b"TIT2") + 4
+    bad[at : at + 4] = (10_000).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="runs past the tag"):
+        parse_id3v2_frames(bytes(bad))
+    # UTF-8 inside a v2.3 tag is a version violation
+    with pytest.raises(ValueError, match="v2.4-only"):
+        build_id3v2([("TIT2", "t", 3)], version=3)
+    hand = bytearray(build_id3v2([("TIT2", "ab", 0)], version=3))
+    hand[hand.index(b"TIT2") + 10] = 3  # encoding byte -> UTF-8
+    with pytest.raises(ValueError, match="inside an ID3v2.3"):
+        parse_id3v2_frames(bytes(hand))
+
+
+def test_mp3_tags_entry_matches_closed_form(spark, sf_dir):
+    from mapreducego_spark.functions.multimodal import (
+        _ID3_FRAME_SPECS,
+        _mp3_tag_fixture_params,
+        multimodal_mp3_tags,
+    )
+
+    rows = multimodal_mp3_tags(spark, sf_dir).collect()
+    assert len(rows) == 240 * 4
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in rows}
+    for i in (0, 1, 4, 13, 100, 239):
+        p = _mp3_tag_fixture_params(i)
+        for j, (fid, text_fn) in enumerate(_ID3_FRAME_SPECS):
+            r = by_key[(i, j)]
+            assert r["tag_version"] == p["version"]
+            assert r["frame_id"] == fid
+            assert r["text"] == text_fn(i)
+            assert r["encoding"] == p["frames"][j][2]
