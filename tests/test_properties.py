@@ -348,3 +348,162 @@ def test_png_decode_inverts_every_filter_randomized(dims, seed, filters):
         + _png_chunk(b"IEND", b"")
     )
     assert decode_png(png) == (w, h, px)
+
+
+# ---------------------------------------------- r15: codec properties
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3_600_000),
+            st.integers(min_value=1, max_value=120_000),
+            st.text(
+                alphabet=st.characters(
+                    codec="latin-1",
+                    exclude_characters="\r\n\x00",
+                    exclude_categories=("Cc",),
+                ),
+                min_size=1,
+                max_size=40,
+            ).map(str.strip).filter(bool),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_subtitle_round_trip_randomized(cue_specs):
+    """SRT and VTT writers/readers invert each other for arbitrary
+    cue timing and Latin-1 single-line text (the wire alphabet the
+    fixtures use; multi-line is covered by the unit tests)."""
+    from mapreducego_spark.sources.subtitlecodec import (
+        build_srt,
+        build_vtt,
+        parse_srt,
+        parse_vtt,
+    )
+
+    cues = [(start, start + dur, text) for start, dur, text in cue_specs]
+    got = parse_srt(build_srt(cues))
+    assert [(c["start_ms"], c["end_ms"], c["text"]) for c in got] == cues
+    got = parse_vtt(build_vtt(cues, with_ids=True, settings_every=2))
+    assert [(c["start_ms"], c["end_ms"], c["text"]) for c in got] == cues
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=3, max_value=4),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["TIT2", "TPE1", "TALB", "TCON", "TRCK"]),
+            st.text(min_size=0, max_size=60).map(
+                lambda s: s.replace("\x00", "")
+            ),
+            st.sampled_from([0, 1, 3]),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=0, max_value=130),
+)
+def test_id3v2_round_trip_randomized(version, specs, pad):
+    """build_id3v2 -> parse_id3v2_frames inverts for arbitrary frame
+    lists across both versions, all encodings, and padding sizes
+    that straddle the 127-byte syncsafe boundary. Latin-1-unsafe
+    text downgrades to UTF-16; UTF-8 downgrades to UTF-16 on v2.3
+    (the builder refuses it, which is itself the contract)."""
+    from mapreducego_spark.functions.mediameta import (
+        build_id3v2,
+        parse_id3v2_frames,
+    )
+
+    frames = []
+    for fid, text, enc in specs:
+        if enc == 3 and version == 3:
+            enc = 1
+        if enc == 0:
+            try:
+                text.encode("latin-1")
+            except UnicodeEncodeError:
+                enc = 1
+        frames.append((fid, text, enc))
+    tag = build_id3v2(frames, version=version, pad=pad)
+    tb, got = parse_id3v2_frames(tag)
+    assert tb == len(tag)
+    assert [(f["frame_id"], f["text"], f["encoding"]) for f in got] == [
+        (fid, text.rstrip("\x00"), enc) for fid, text, enc in frames
+    ]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.sampled_from([44100, 48000, 32000]),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=3),
+    st.sampled_from(["Xing", "VBRI"]),
+    st.integers(min_value=0, max_value=13),
+)
+def test_mp3_vbr_walk_randomized(rate, n_frames, mode, kind, phase):
+    """The VBR walk recovers exact frame counts, audio bytes, and
+    floor-mean bitrate for arbitrary per-frame bitrate cycles,
+    rates, channel modes, and both tag kinds."""
+    from mapreducego_spark.functions.mediameta import (
+        _MP3_BITRATES,
+        build_mp3_vbr,
+        parse_mp3_meta,
+    )
+
+    kbps_fn = lambda j: _MP3_BITRATES[1 + (phase + j) % 14]  # noqa: E731
+    b = build_mp3_vbr(rate, n_frames, mode, -1, False, kind=kind,
+                      kbps_fn=kbps_fn, seed=phase)
+    d = parse_mp3_meta(b)
+    ab = sum(
+        144_000 * kbps_fn(j) // rate + (1 if j % 3 == 2 else 0)
+        for j in range(n_frames)
+    )
+    assert d["vbr"] and d["n_frames"] == n_frames
+    assert d["audio_bytes"] == ab + 144_000 * 64 // rate
+    assert d["bitrate_kbps"] == ab * 8 * rate // (n_frames * 1152 * 1000)
+    assert d["channels"] == (1 if mode == 3 else 2)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["trun", "tfhd", "trex"]),
+            st.integers(min_value=1, max_value=12),
+            st.integers(min_value=1, max_value=500),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=400),
+    st.booleans(),
+)
+def test_mp4_fragment_duration_chain_randomized(specs, trex_dur, v1):
+    """Per-fragment duration accumulation matches the brute sum for
+    arbitrary mixes of the three default levels."""
+    from mapreducego_spark.functions.mediameta import (
+        build_mp4_fragmented,
+        parse_mp4_meta,
+    )
+
+    frags, want = [], 0
+    for mode, samples, dur in specs:
+        if mode == "trun":
+            durs = [dur + s for s in range(samples)]
+            frags.append({"samples": samples, "mode": mode, "dur": durs})
+            want += sum(durs)
+        elif mode == "tfhd":
+            frags.append({"samples": samples, "mode": mode, "dur": dur})
+            want += samples * dur
+        else:
+            frags.append({"samples": samples, "mode": mode, "dur": None})
+            want += samples * trex_dur
+    b = build_mp4_fragmented(
+        b"isom", 1000, 320, 240, b"avc1", None, v1, frags, trex_dur
+    )
+    d = parse_mp4_meta(b)
+    assert d["duration"] == want and d["n_fragments"] == len(frags)

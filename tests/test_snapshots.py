@@ -400,3 +400,68 @@ def test_compact_snapshot_bounds_manifest_chain(spark, tmp_path):
         assert not os.path.exists(os.path.join(table, name)), name
     got = {r["k"]: r["val"] for r in read_snapshot(spark, table).collect()}
     assert got == {**want, 5: "e"}
+
+
+def test_snapshot_random_op_sequences_match_dict_model(spark, tmp_path):
+    """Model-based check: random sequences of full / append / merge
+    commits, rollbacks, and a final compaction replay against a
+    plain-dict model; every committed version's as-of read must
+    equal the model's remembered state. Deterministic seeds (Spark
+    createDataFrame per op is ~100 ms, so this is a few focused
+    walks, not volume)."""
+    import random
+
+    from mapreducego_spark.sources.snapshots import (
+        commit_snapshot as cs,
+        compact_snapshot,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        table = str(tmp_path / f"t{seed}")
+        model: dict[int, str] = {}
+        states: dict[int, dict[int, str]] = {}
+        commit_snapshot(_mk(spark, [(1, "base")]), table)
+        model = {1: "base"}
+        states[0] = dict(model)
+        committed = [0]
+        for step in range(6):
+            op = rng.choice(["full", "append", "merge", "rollback"])
+            if op == "rollback" and len(committed) > 1:
+                target = rng.choice(committed[:-1])
+                rollback(table, target)
+                model = dict(states[target])
+                continue
+            rows = [
+                (rng.randrange(1, 9), f"s{seed}.{step}.{n}")
+                for n in range(rng.randrange(1, 4))
+            ]
+            if op == "full":
+                new = dict(model)
+                new.update({k: v for k, v in rows})
+                v = cs(_mk(spark, list(new.items())), table)
+                model = new
+            elif op == "append":
+                # appends may duplicate keys; keep model keys fresh
+                # by appending only unseen keys
+                rows = [(k, v) for k, v in rows if k not in model]
+                if not rows:
+                    continue
+                v = cs(_mk(spark, rows), table, mode="append")
+                model.update({k: v2 for k, v2 in rows})
+            else:
+                dedup = {k: v2 for k, v2 in rows}
+                v = cs(_mk(spark, list(dedup.items())), table,
+                       mode="merge", key="k")
+                model.update(dedup)
+            states[v] = dict(model)
+            committed.append(v)
+        v = compact_snapshot(spark, table)
+        states[v] = dict(model)
+        committed.append(v)
+        for ver in committed:
+            got = {
+                r["k"]: r["val"]
+                for r in read_snapshot(spark, table, ver).collect()
+            }
+            assert got == states[ver], (seed, ver)

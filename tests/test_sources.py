@@ -1389,3 +1389,57 @@ def test_subtitle_cues_entry_matches_documents(spark, sf_dir):
                 else ""
             )
             assert r["settings"] == want_set
+
+
+def test_pdf_nested_page_tree_walks_intermediate_nodes():
+    """ISO 32000 allows intermediate /Pages nodes; the walk must
+    traverse them in order (and the /Count check is the ROOT total).
+    Hand-assembled file: root Pages -> two intermediate Pages -> one
+    leaf Page each, exact xref."""
+    import zlib
+
+    from mapreducego_spark.sources.pdfcodec import parse_pdf
+
+    content = [
+        b"BT /F1 11 Tf 72 720 Td (page one) Tj ET",
+        b"BT /F1 11 Tf 72 720 Td (page two) Tj ET",
+    ]
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",                      # 1
+        b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",        # 2 root
+        b"<< /Type /Pages /Parent 2 0 R /Kids [6 0 R] /Count 1 >>",  # 3
+        b"<< /Type /Pages /Parent 2 0 R /Kids [8 0 R] /Count 1 >>",  # 4
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",  # 5
+        b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Font << /F1 5 0 R >> >> /Contents 7 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(content[0]), content[0]),                           # 7
+        b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Font << /F1 5 0 R >> >> /Contents 9 0 R >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(zlib.compress(content[1], 6)), zlib.compress(content[1], 6)),
+    ]
+    out = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")
+    offsets = []
+    for k, body in enumerate(objs):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % (k + 1) + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    parsed = parse_pdf(bytes(out))
+    assert parsed["xref_form"] == "classic"
+    assert [p["text"] for p in parsed["pages"]] == ["page one", "page two"]
+    assert [p["compressed"] for p in parsed["pages"]] == [False, True]
+    # a root /Count that disagrees with the LEAF total is loud
+    import pytest
+
+    bad = bytes(out).replace(b"/Kids [3 0 R 4 0 R] /Count 2",
+                             b"/Kids [3 0 R 4 0 R] /Count 3")
+    with pytest.raises(ValueError, match="Count"):
+        parse_pdf(bad)
