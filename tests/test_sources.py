@@ -1443,3 +1443,26 @@ def test_pdf_nested_page_tree_walks_intermediate_nodes():
                              b"/Kids [3 0 R 4 0 R] /Count 3")
     with pytest.raises(ValueError, match="Count"):
         parse_pdf(bad)
+
+
+def test_vtt_hour_optional_timestamps_and_bom():
+    """WebVTT allows MM:SS.mmm (hours optional) and a UTF-8 BOM
+    before the magic — both accepted; SRT's grammar stays strict
+    (hours mandatory)."""
+    import pytest
+
+    from mapreducego_spark.sources.subtitlecodec import parse_srt, parse_vtt
+
+    vtt = (
+        "﻿WEBVTT\n\n"
+        "01:02.500 --> 01:04.000\nshort form\n\n"
+        "01:00:00.000 --> 01:00:01.000\nlong form\n"
+    ).encode("utf-8")
+    cues = parse_vtt(vtt)
+    assert cues[0]["start_ms"] == 62_500
+    assert cues[0]["end_ms"] == 64_000
+    assert cues[1]["start_ms"] == 3_600_000
+    assert [c["text"] for c in cues] == ["short form", "long form"]
+    srt = b"1\n01:02,500 --> 01:04,000\nx\n"
+    with pytest.raises(ValueError, match="malformed SRT timestamp"):
+        parse_srt(srt)
