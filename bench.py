@@ -225,6 +225,12 @@ HEADLINE = [
     "multimodal_gif_disposal",
     "multimodal_png_lowdepth",
     "snapshot_changes",
+    # round 15 births (headline debt paid as r16's first source
+    # commit per NOTES_r15): manifest-based O(|delta|) snapshot
+    # commits, SRT/WebVTT subtitle ingest, ID3v2 text frames
+    "snapshot_append",
+    "subtitle_cues",
+    "multimodal_mp3_tags",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500
