@@ -17,17 +17,28 @@ Layout under ``table_dir``::
     _LOG/00000000.json ...   one entry per action (commit/rollback/
                              vacuum), sequence-numbered; commits own
                              a data version equal to their sequence
-    v0/ v1/ ...              parquet data, one dir per committed
-                             version (absent once vacuumed)
+    v0-1f2e.../ ...          parquet data, one TOKEN-SUFFIXED dir per
+                             committed full version (absent once
+                             vacuumed); the commit's log entry
+                             records the exact name
     _CURRENT                 the live version name, repointed with
                              os.replace (atomic on POSIX)
 
 Crash-safety (write order: data, log entry, pointer — the LOG ENTRY
 is the commit point, the pointer is a reconciled cache):
 
+- every per-commit artifact (full dir, delta dir, delete dir,
+  manifest file) is staged under a UNIQUE token-suffixed name that
+  only the commit's own log entry references, so the atomic-create
+  log publish is the ONLY same-name contention point: a concurrent
+  committer that loses the publish race has written only its own
+  uniquely-named files and can never have overwritten the winner's
+  (r15 ADVICE — with fixed names the loser clobbered the winner's
+  staged data BEFORE failing at the log).
 - crash after data, before log: the orphan data dir is invisible
-  (no log entry); the retried commit reuses the same sequence
-  number and overwrites the orphan.
+  (no log entry references it); the retried commit reuses the same
+  sequence number under a FRESH token, and ``vacuum`` sweeps
+  unreferenced token-suffixed orphans.
 - crash after log, before pointer: the commit IS durable — its data
   and log entry both landed — so readers derive the live version
   from the log (``current_version`` trusts the log over a stale
@@ -37,7 +48,8 @@ is the commit point, the pointer is a reconciled cache):
 - log entries publish with an atomic create (``os.link`` from a
   tmp file): a sequence collision — a concurrent committer, or a
   retry racing its own crashed twin — raises loudly instead of
-  silently overwriting a committed version.
+  silently overwriting a committed version, and the loser removes
+  its own staged artifacts before raising.
 
 Readers never see a partial table.
 
@@ -53,11 +65,13 @@ Iceberg-style merge-on-read rule: a later re-append of a deleted
 key survives) and union the surviving dirs. The log and pointer
 protocol is byte-identical across full and manifest commits.
 
-Layout additions for manifest commits::
+Layout additions for manifest commits (names token-suffixed like
+full dirs; the commit's log entry records the manifest file name)::
 
-    d3/                      delta data for the append/merge at seq 3
-    x3/                      key-only equality-delete set for seq 3
-    _MANIFESTS/00000003.json {"data": [{dir, seq}...],
+    d3-9a0b.../              delta data for the append/merge at seq 3
+    x3-9a0b.../              key-only equality-delete set for seq 3
+    _MANIFESTS/00000003-9a0b....json
+                             {"data": [{dir, seq}...],
                               "deletes": [{dir, seq, key}...]}
 
 Vacuuming a manifest version removes its manifest file and then
@@ -74,40 +88,69 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 _LOGDIR = "_LOG"
 _MANIFESTDIR = "_MANIFESTS"
+# every per-commit artifact name: kind prefix, sequence, unique token
+_ARTIFACT_RE = re.compile(r"^[dvx]\d+-[0-9a-f]+$")
 
 
 def _log_dir(table_dir: str) -> str:
     return os.path.join(table_dir, _LOGDIR)
 
 
-def _manifest_path(table_dir: str, seq: int) -> str:
-    return os.path.join(table_dir, _MANIFESTDIR, f"{seq:08d}.json")
+def _commit_entry(log: list[dict], version: int) -> dict | None:
+    return next(
+        (
+            e
+            for e in log
+            if e["action"] == "commit" and e["version"] == version
+        ),
+        None,
+    )
 
 
-def _load_manifest(table_dir: str, version: int) -> dict | None:
-    path = _manifest_path(table_dir, version)
+def _load_manifest(
+    table_dir: str, version: int, log: list[dict]
+) -> dict | None:
+    """The manifest of a manifest-mode commit, resolved through its
+    LOG ENTRY (the entry records the token-suffixed file name — the
+    name is never derived from the sequence number alone, so a
+    racing loser's staged manifest can never be mistaken for the
+    winner's). None for full commits and for vacuumed manifests."""
+    e = _commit_entry(log, version)
+    if e is None or "manifest" not in e:
+        return None
+    path = os.path.join(table_dir, _MANIFESTDIR, e["manifest"])
     if not os.path.exists(path):
         return None
     with open(path) as f:
         return json.load(f)
 
 
-def _version_data_exists(table_dir: str, version: int) -> bool:
-    """A version's data is live if its full dir OR its manifest is
-    still present (manifest versions own no dir of their own)."""
-    return os.path.isdir(
-        os.path.join(table_dir, f"v{version}")
-    ) or os.path.exists(_manifest_path(table_dir, version))
+def _version_data_exists(
+    table_dir: str, version: int, log: list[dict]
+) -> bool:
+    """A version's data is live if the dir / manifest its log entry
+    names is still present (manifest versions own no dir of their
+    own)."""
+    e = _commit_entry(log, version)
+    if e is None:
+        return False
+    if "manifest" in e:
+        return os.path.exists(
+            os.path.join(table_dir, _MANIFESTDIR, e["manifest"])
+        )
+    return os.path.isdir(os.path.join(table_dir, e["dir"]))
 
 
 def _parent_manifest_entries(
-    table_dir: str, parent: int | None
+    table_dir: str, parent: int | None, log: list[dict]
 ) -> tuple[list[dict], list[dict]]:
     """The (data, deletes) entry lists a child commit inherits: a
     manifest parent contributes its own lists verbatim; a full-dir
@@ -115,15 +158,16 @@ def _parent_manifest_entries(
     compose over full commits); no parent contributes nothing."""
     if parent is None:
         return [], []
-    m = _load_manifest(table_dir, parent)
+    m = _load_manifest(table_dir, parent, log)
     if m is not None:
         return list(m["data"]), list(m["deletes"])
-    if not os.path.isdir(os.path.join(table_dir, f"v{parent}")):
+    e = _commit_entry(log, parent)
+    if e is None or not os.path.isdir(os.path.join(table_dir, e["dir"])):
         raise ValueError(
             f"parent version {parent} has no live data to extend"
             " (vacuumed?)"
         )
-    return [{"dir": f"v{parent}", "seq": parent}], []
+    return [{"dir": e["dir"], "seq": parent}], []
 
 
 def _write_log_entry(table_dir: str, seq: int, entry: dict) -> None:
@@ -230,23 +274,32 @@ def commit_snapshot(
     survives).
 
     Write order: data (+manifest), log entry, pointer — see module
-    docstring. A retry after a crash BEFORE the log publish reuses
-    the crashed sequence number and overwrites the orphan data dir;
-    a retry after a crash AFTER the log publish gets the NEXT
-    sequence with the completed commit as its parent (the log is
-    the commit point), and the final repoint repairs the lagging
-    pointer."""
+    docstring. Every artifact is staged under a unique token-suffixed
+    name only this commit's log entry references, so a concurrent
+    committer that loses the atomic log publish has touched nothing
+    of the winner's (r15 ADVICE) — it removes its own staged files
+    and raises. A retry after a crash BEFORE the log publish reuses
+    the crashed sequence number under a fresh token (``vacuum``
+    sweeps the orphan); a retry after a crash AFTER the log publish
+    gets the NEXT sequence with the completed commit as its parent
+    (the log is the commit point), and the final repoint repairs the
+    lagging pointer."""
     os.makedirs(table_dir, exist_ok=True)
     log = snapshots(table_dir)
     seq = len(log)
     parent = _log_live_version(log)
+    token = uuid.uuid4().hex[:12]
+    staged_dirs: list[str] = []
+    staged_manifest: str | None = None
     if mode == "full":
-        df.write.mode("overwrite").parquet(
-            os.path.join(table_dir, f"v{seq}")
-        )
+        vdir = f"v{seq}-{token}"
+        staged_dirs.append(vdir)
+        df.write.mode("overwrite").parquet(os.path.join(table_dir, vdir))
+        extra = {"dir": vdir}
     elif mode in ("append", "merge"):
-        data, deletes = _parent_manifest_entries(table_dir, parent)
-        ddir = f"d{seq}"
+        data, deletes = _parent_manifest_entries(table_dir, parent, log)
+        ddir = f"d{seq}-{token}"
+        staged_dirs.append(ddir)
         df.write.mode("overwrite").parquet(os.path.join(table_dir, ddir))
         data.append({"dir": ddir, "seq": seq})
         if mode == "merge":
@@ -254,28 +307,43 @@ def commit_snapshot(
                 raise ValueError("mode='merge' needs a key column")
             if key not in df.columns:
                 raise ValueError(f"merge key {key!r} not in {df.columns}")
-            xdir = f"x{seq}"
+            xdir = f"x{seq}-{token}"
+            staged_dirs.append(xdir)
             df.select(key).distinct().write.mode("overwrite").parquet(
                 os.path.join(table_dir, xdir)
             )
             deletes.append({"dir": xdir, "seq": seq, "key": key})
         os.makedirs(os.path.join(table_dir, _MANIFESTDIR), exist_ok=True)
-        tmp = _manifest_path(table_dir, seq) + f".tmp.{os.getpid()}"
+        mname = f"{seq:08d}-{token}.json"
+        mpath = os.path.join(table_dir, _MANIFESTDIR, mname)
+        tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"data": data, "deletes": deletes}, f, sort_keys=True)
-        os.replace(tmp, _manifest_path(table_dir, seq))
+        os.replace(tmp, mpath)
+        staged_manifest = mpath
+        extra = {"manifest": mname}
     else:
         raise ValueError(f"unknown commit mode {mode!r}")
-    _write_log_entry(
-        table_dir,
-        seq,
-        {
-            "action": "commit",
-            "version": seq,
-            "parent": -1 if parent is None else parent,
-            "mode": mode,
-        },
-    )
+    try:
+        _write_log_entry(
+            table_dir,
+            seq,
+            {
+                "action": "commit",
+                "version": seq,
+                "parent": -1 if parent is None else parent,
+                "mode": mode,
+                **extra,
+            },
+        )
+    except ValueError:
+        # lost the publish race: our artifacts are uniquely named,
+        # the winner's are untouched — remove ours and re-raise
+        for d in staged_dirs:
+            shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+        if staged_manifest is not None and os.path.exists(staged_manifest):
+            os.remove(staged_manifest)
+        raise
     _repoint(table_dir, seq)
     return seq
 
@@ -292,22 +360,21 @@ def read_snapshot(
         if version is None:
             raise ValueError(f"{table_dir} has no current version")
     log = snapshots(table_dir)
-    entry = next(
-        (e for e in log if e["action"] == "commit" and e["version"] == version),
-        None,
-    )
+    entry = _commit_entry(log, version)
     if entry is None:
         raise ValueError(f"version {version} was never committed")
-    vpath = os.path.join(table_dir, f"v{version}")
-    if os.path.isdir(vpath):
-        return spark.read.parquet(vpath)
-    manifest = _load_manifest(table_dir, version)
-    if manifest is None:
-        raise ValueError(
-            f"version {version} has been vacuumed (data gone;"
-            " log entry retained)"
-        )
-    return _read_manifest(spark, table_dir, manifest)
+    if "manifest" not in entry:
+        vpath = os.path.join(table_dir, entry["dir"])
+        if os.path.isdir(vpath):
+            return spark.read.parquet(vpath)
+    else:
+        manifest = _load_manifest(table_dir, version, log)
+        if manifest is not None:
+            return _read_manifest(spark, table_dir, manifest)
+    raise ValueError(
+        f"version {version} has been vacuumed (data gone;"
+        " log entry retained)"
+    )
 
 
 def _read_manifest(
@@ -341,11 +408,9 @@ def rollback(table_dir: str, version: int) -> None:
     is a logged action, so lineage shows the next commit's parent is
     the rolled-back-to version."""
     log = snapshots(table_dir)
-    if not any(
-        e["action"] == "commit" and e["version"] == version for e in log
-    ):
+    if _commit_entry(log, version) is None:
         raise ValueError(f"cannot roll back to uncommitted version {version}")
-    if not _version_data_exists(table_dir, version):
+    if not _version_data_exists(table_dir, version, log):
         raise ValueError(f"cannot roll back to vacuumed version {version}")
     _write_log_entry(
         table_dir,
@@ -364,8 +429,12 @@ def vacuum(table_dir: str, keep_last: int) -> list[int]:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     log = snapshots(table_dir)
-    committed = [e["version"] for e in log if e["action"] == "commit"]
-    live = [v for v in committed if _version_data_exists(table_dir, v)]
+    commits = {
+        e["version"]: e for e in log if e["action"] == "commit"
+    }
+    live = [
+        v for v in commits if _version_data_exists(table_dir, v, log)
+    ]
     cur = current_version(table_dir)
     if cur is not None:
         _repoint(table_dir, cur)  # repair a crash-lagged pointer cache
@@ -377,26 +446,37 @@ def vacuum(table_dir: str, keep_last: int) -> list[int]:
     for v in live:
         if v in drop:
             continue
-        m = _load_manifest(table_dir, v)
+        m = _load_manifest(table_dir, v, log)
         if m is not None:
             referenced |= {e["dir"] for e in m["data"]}
             referenced |= {e["dir"] for e in m["deletes"]}
     # a full version whose v-dir a kept manifest references cannot
     # actually be vacuumed — keeping it honest in the return value
-    drop = [v for v in drop if f"v{v}" not in referenced]
+    drop = [v for v in drop if commits[v].get("dir") not in referenced]
     for v in drop:
-        vpath = os.path.join(table_dir, f"v{v}")
-        if os.path.isdir(vpath):
-            shutil.rmtree(vpath)
-        mpath = _manifest_path(table_dir, v)
-        if os.path.exists(mpath):
-            os.remove(mpath)
-    # GC delta dirs no live version references any more
+        e = commits[v]
+        if "dir" in e:
+            vpath = os.path.join(table_dir, e["dir"])
+            if os.path.isdir(vpath):
+                shutil.rmtree(vpath)
+        if "manifest" in e:
+            mpath = os.path.join(table_dir, _MANIFESTDIR, e["manifest"])
+            if os.path.exists(mpath):
+                os.remove(mpath)
+    # GC token-suffixed data dirs no live version references any
+    # more — dropped versions' deltas AND crash orphans a retried
+    # commit left behind (no log entry ever named them). Must not
+    # run concurrently with an in-flight commit, which stages its
+    # dirs before its log entry exists (the standard lake caveat).
+    keep_dirs = referenced | {
+        commits[v]["dir"]
+        for v in live
+        if v not in drop and "dir" in commits[v]
+    }
     for name in os.listdir(table_dir):
         if (
-            name[0] in "dx"
-            and name[1:].isdigit()
-            and name not in referenced
+            _ARTIFACT_RE.match(name)
+            and name not in keep_dirs
             and os.path.isdir(os.path.join(table_dir, name))
         ):
             shutil.rmtree(os.path.join(table_dir, name))

@@ -106,22 +106,74 @@ def test_crash_mid_commit_leaves_table_readable_and_retry_clean(
     spark, tmp_path
 ):
     """The commit order is data -> log -> pointer: simulate a crash
-    after the data write (orphan v1 dir, no log entry, pointer on
-    v0). Readers must still see v0; the retried commit must reuse
-    sequence 1, overwrite the orphan, and leave a consistent log."""
+    after the data write (an orphan token-suffixed dir, no log entry,
+    pointer on v0). Readers must still see v0; the retried commit
+    reuses sequence 1 under a FRESH token, the orphan stays invisible
+    (no log entry ever names it), and vacuum sweeps it."""
     table = str(tmp_path / "t")
     commit_snapshot(_mk(spark, [(1, "a")]), table)
-    # crash: data dir for the next version exists, log/pointer do not
-    _mk(spark, [(1, "PARTIAL")]).write.parquet(os.path.join(table, "v1"))
+    # crash: a staged data dir for the next version exists, its log
+    # entry (which would record the name) was never published
+    orphan = os.path.join(table, "v1-00dead00dead")
+    _mk(spark, [(1, "PARTIAL")]).write.parquet(orphan)
     assert current_version(table) == 0
     assert read_snapshot(spark, table).collect()[0]["val"] == "a"
     assert len(snapshots(table)) == 1  # orphan is invisible to the log
     with pytest.raises(ValueError, match="never committed"):
         read_snapshot(spark, table, 1)
-    # retry overwrites the orphan under the same sequence number
+    # retry commits the same sequence number under its own dir
     v = commit_snapshot(_mk(spark, [(1, "b")]), table)
     assert v == 1
     assert read_snapshot(spark, table, 1).collect()[0]["val"] == "b"
+    # the crash orphan is unreachable and vacuum garbage-collects it
+    assert os.path.isdir(orphan)
+    vacuum(table, keep_last=5)
+    assert not os.path.exists(orphan)
+    assert read_snapshot(spark, table, 1).collect()[0]["val"] == "b"
+
+
+def test_losing_concurrent_committer_never_touches_winner_files(
+    spark, tmp_path, monkeypatch
+):
+    """The r15 ADVICE race: two committers compute the same sequence;
+    the winner publishes first. The loser must (a) raise the
+    collision, (b) leave every winner byte untouched — with fixed
+    d{seq}/x{seq}/manifest names the loser used to overwrite the
+    winner's committed data BEFORE failing at the log — and (c)
+    clean up its own staged artifacts."""
+    import mapreducego_spark.sources.snapshots as S
+
+    table = str(tmp_path / "t")
+    commit_snapshot(_mk(spark, [(1, "a"), (2, "b")]), table)  # v0
+    S.commit_snapshot(
+        _mk(spark, [(3, "w")]), table, mode="append"
+    )  # v1: the winner
+    before = _all_files(table)
+    # the loser read the log BEFORE the winner published seq 1:
+    # simulate its stale view by hiding the last entry
+    real = S.snapshots
+    monkeypatch.setattr(S, "snapshots", lambda td: real(td)[:-1])
+    with pytest.raises(ValueError, match="sequence collision"):
+        S.commit_snapshot(_mk(spark, [(4, "l")]), table, mode="append")
+    monkeypatch.setattr(S, "snapshots", real)
+    # winner's files: same paths, same mtimes; loser's staging: gone
+    assert _all_files(table) == before
+    got = {r["k"]: r["val"] for r in read_snapshot(spark, table).collect()}
+    assert got == {1: "a", 2: "b", 3: "w"}
+    # same property on the merge path (delete dir + manifest staged)
+    S.commit_snapshot(
+        _mk(spark, [(2, "W2")]), table, mode="merge", key="k"
+    )  # v2
+    before = _all_files(table)
+    monkeypatch.setattr(S, "snapshots", lambda td: real(td)[:-1])
+    with pytest.raises(ValueError, match="sequence collision"):
+        S.commit_snapshot(
+            _mk(spark, [(2, "L2")]), table, mode="merge", key="k"
+        )
+    monkeypatch.setattr(S, "snapshots", real)
+    assert _all_files(table) == before
+    got = {r["k"]: r["val"] for r in read_snapshot(spark, table).collect()}
+    assert got == {1: "a", 2: "W2", 3: "w"}
 
 
 def test_log_gap_and_corrupt_pointer_refuse(spark, tmp_path):
@@ -273,6 +325,16 @@ def _all_files(root):
     return out
 
 
+def _art_dirs(table, prefix):
+    """Token-suffixed artifact dirs for a commit, e.g. d1-<token>:
+    the names are unique per attempt, so tests match by prefix."""
+    return [
+        os.path.join(table, n)
+        for n in os.listdir(table)
+        if n.startswith(prefix + "-")
+    ]
+
+
 def test_manifest_append_commit_cost_is_o_delta_files(spark, tmp_path):
     """The 100 TB property itself (r14 verdict #3): an append commit
     writes ONLY the delta dir + one manifest + one log entry +
@@ -298,9 +360,10 @@ def test_manifest_append_commit_cost_is_o_delta_files(spark, tmp_path):
         after.get(p) == t for p, t in before.items() if p != cur
     )
     new = {p for p in after if p not in before}
-    # new files live ONLY under d1/, _MANIFESTS/, _LOG/, _CURRENT tmp
+    # new files live ONLY under d1-*/, _MANIFESTS/, _LOG/, _CURRENT
+    (d1,) = _art_dirs(table, "d1")
     allowed = (
-        os.path.join(table, "d1"),
+        d1,
         os.path.join(table, "_MANIFESTS"),
         os.path.join(table, "_LOG"),
         os.path.join(table, "_CURRENT"),
@@ -363,9 +426,9 @@ def test_manifest_vacuum_keeps_shared_dirs_alive(spark, tmp_path):
     assert read_snapshot(spark, table, 2).count() == 3
     with pytest.raises(ValueError, match="vacuumed"):
         read_snapshot(spark, table, 1)
-    # v1's delta dir d1 is still referenced by v2 -> alive
-    assert os.path.isdir(os.path.join(table, "d1"))
-    assert os.path.isdir(os.path.join(table, "v0"))
+    # v1's delta dir d1-* is still referenced by v2 -> alive
+    assert len(_art_dirs(table, "d1")) == 1
+    assert len(_art_dirs(table, "v0")) == 1
 
 
 def test_compact_snapshot_bounds_manifest_chain(spark, tmp_path):
@@ -387,17 +450,24 @@ def test_compact_snapshot_bounds_manifest_chain(spark, tmp_path):
     want = {1: "a", 2: "B", 3: "c", 4: "d"}
     got = {r["k"]: r["val"] for r in read_snapshot(spark, table).collect()}
     assert got == want
-    assert os.path.isdir(os.path.join(table, "v3"))  # full dir
-    # an append on top of the compacted version references v3 only
+    (v3,) = _art_dirs(table, "v3")  # full dir
+    assert os.path.isdir(v3)
+    # an append on top of the compacted version references v3 only;
+    # the manifest file name is recorded in the commit's log entry
     cs(_mk(spark, [(5, "e")]), table, mode="append")              # v4
-    m = json.load(open(os.path.join(table, "_MANIFESTS", "00000004.json")))
-    assert {e["dir"] for e in m["data"]} == {"v3", "d4"}
+    e4 = next(e for e in snapshots(table)
+              if e["action"] == "commit" and e["version"] == 4)
+    m = json.load(open(os.path.join(table, "_MANIFESTS", e4["manifest"])))
+    dirs = {e["dir"] for e in m["data"]}
+    assert len(dirs) == 2
+    assert any(d.startswith("v3-") for d in dirs)
+    assert any(d.startswith("d4-") for d in dirs)
     assert m["deletes"] == []
     # vacuum now reclaims the whole pre-compaction delta chain
     removed = vacuum(table, keep_last=2)
     assert sorted(removed) == [0, 1, 2]
     for name in ("d1", "d2", "x2"):
-        assert not os.path.exists(os.path.join(table, name)), name
+        assert _art_dirs(table, name) == [], name
     got = {r["k"]: r["val"] for r in read_snapshot(spark, table).collect()}
     assert got == {**want, 5: "e"}
 
