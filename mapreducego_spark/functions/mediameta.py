@@ -255,7 +255,12 @@ def _mp3_vbr_tag(payload: bytes, pos: int, mode: int, size: int):
     bytes (fixture convention, pinned by round-trip)."""
     side = 17 if mode == 3 else 32
     at = pos + 4 + side
-    if payload[at : at + 4] == b"Xing" and at + 8 <= pos + size:
+    if payload[at : at + 4] == b"Xing":
+        # a matched magic whose declared fields overrun the first
+        # frame is corruption — falling through to the CBR walk
+        # would mis-route it silently (r15 ADVICE)
+        if at + 12 > pos + size:
+            raise ValueError("Xing tag truncated by its own frame")
         flags = int.from_bytes(payload[at + 4 : at + 8], "big")
         if not flags & 0x1:
             raise ValueError("Xing header without a frame count")
@@ -264,11 +269,15 @@ def _mp3_vbr_tag(payload: bytes, pos: int, mode: int, size: int):
         p += 4
         nbytes = None
         if flags & 0x2:
+            if p + 4 > pos + size:
+                raise ValueError("Xing tag truncated by its own frame")
             nbytes = int.from_bytes(payload[p : p + 4], "big")
         return ("Xing", frames, nbytes)
     at = pos + 36
-    if payload[at : at + 4] == b"VBRI" and at + 18 <= pos + size:
+    if payload[at : at + 4] == b"VBRI":
         # version(2) delay(2) quality(2) bytes(4) frames(4)
+        if at + 18 > pos + size:
+            raise ValueError("VBRI tag truncated by its own frame")
         nbytes = int.from_bytes(payload[at + 10 : at + 14], "big")
         frames = int.from_bytes(payload[at + 14 : at + 18], "big")
         return ("VBRI", frames, nbytes)

@@ -1472,9 +1472,10 @@ assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
 # multimodal_mp4_meta: +fragmented/n_fragments + fMP4 fixtures;
 # snapshot_time_travel + snapshot_changes: the commit protocol
 # under them changed — log-is-commit-point, atomic log publish);
-# (4) the 32 alphabetically-first r10-stale entries (the carve-outs
-# displace from the r10 tail: scalar_subquery..set_union wait for
-# r16). Max staleness after this window: r10.
+# (4) the 30 alphabetically-first r10-stale entries (32 minus the
+# two slots the r15 births displaced; the displaced tail
+# scalar_subquery..set_union waits for r16). Max staleness after
+# this window: r10.
 _R15_WINDOW = [
     # (1) never driver-tested (new in r15; subtitle_cues and
     # multimodal_mp3_tags displace scalar_functions and
@@ -1502,7 +1503,8 @@ _R15_WINDOW = [
     "multimodal_mp4_meta",
     "snapshot_time_travel",
     "snapshot_changes",
-    # (4) the 32 alphabetically-first r10-stale entries
+    # (4) the 30 alphabetically-first r10-stale entries (32 minus
+    # the two slots displaced by the r15 births)
     "agg_stats",
     "chunk_documents",
     "cohort_retention",

@@ -533,6 +533,11 @@ def _parse_classic_xref(buf: bytes, p: "_Parser"):
                 raise ValueError(f"malformed xref entry {ent!r}")
             if em.group(3) == b"n":
                 entries[start + k] = ("file", int(em.group(1)))
+            else:
+                # free entries are TOMBSTONES: in a /Prev chain the
+                # newest revision's deletion must mask an older
+                # in-use offset (ISO 32000 §7.5.6 — r15 ADVICE)
+                entries[start + k] = ("free",)
             p.i += 20
     trailer = p.value()
     if not isinstance(trailer, dict):
@@ -625,8 +630,10 @@ def _parse_xref_stream_obj(buf: bytes, at: int):
             t = fields[0] if w[0] else 1
             num = start + k
             if t == 0:
-                continue
-            if t == 1:
+                # tombstone, not a skip: a newer revision's free
+                # entry must shadow older in-use entries (§7.5.6)
+                entries[num] = ("free",)
+            elif t == 1:
                 entries[num] = ("file", fields[1])
             elif t == 2:
                 if w[2] == 0:
@@ -684,9 +691,16 @@ def _parse_xref(buf: bytes):
             raise ValueError(f"/Prev must be a direct integer, got {prev!r}")
         at = prev
     size = newest_trailer.get("Size")
+    # the extent counts free entries too (§7.5.4: /Size is one more
+    # than the highest object number USED, and free entries occupy
+    # slots) — computed before tombstones are dropped
     want = max(offsets) + 1 if offsets else 1
     if size != want:
         raise ValueError(f"trailer /Size {size} != xref extent {want}")
+    # drop tombstones: a surviving ("free",) means the newest
+    # revision that mentions the object DELETED it — resolving it
+    # through an older revision's offset would resurrect it
+    offsets = {k: v for k, v in offsets.items() if v[0] != "free"}
     form = (
         "incremental"
         if n_sections > 1

@@ -245,6 +245,19 @@ def test_mp3_vbr_xing_and_vbri_round_trip():
     b[at : at + 4] = (6).to_bytes(4, "big")  # bytes|TOC, no frames
     with pytest.raises(ValueError, match="without a frame count"):
         parse_mp3_meta(bytes(b))
+    # a matched tag magic whose declared fields overrun the frame
+    # raises instead of silently falling through to the CBR walk
+    # (r15 ADVICE; unreachable through valid MPEG-1 frame sizes, so
+    # exercised at the function level with a crafted tiny frame)
+    from mapreducego_spark.functions.mediameta import _mp3_vbr_tag
+
+    mono = bytes(21) + b"Xing" + bytes(16)
+    with pytest.raises(ValueError, match="Xing tag truncated"):
+        _mp3_vbr_tag(mono, 0, 3, 30)
+    assert _mp3_vbr_tag(bytes(41), 0, 3, 30) is None  # no magic: CBR
+    vbri = bytes(36) + b"VBRI" + bytes(20)
+    with pytest.raises(ValueError, match="VBRI tag truncated"):
+        _mp3_vbr_tag(vbri, 0, 0, 50)
 
 
 def test_mp4_fragmented_walk_duration_chain():

@@ -1224,6 +1224,54 @@ def test_pdf_incremental_update_round_trip():
         parse_pdf(cyc)
 
 
+def test_pdf_incremental_free_entry_deletes_not_resurrects():
+    """A newer revision's FREE xref entry must shadow an older
+    revision's in-use offset (ISO 32000 §7.5.6 newest-wins applies
+    to deletions too — r15 ADVICE): a third revision freeing the
+    /Info object removes it from the merged table, and resolving it
+    refuses instead of resurrecting the deleted object."""
+    import re
+    import pytest
+
+    from mapreducego_spark.sources.pdfcodec import (
+        _load_object,
+        _parse_xref,
+        append_incremental_update,
+        parse_pdf,
+    )
+
+    base, _ = _tiny_pdf()
+    upd = append_incremental_update(base, "doomed info")
+    b1 = parse_pdf(upd)
+    info_num = int(
+        re.search(rb"/Info (\d+) 0 R", upd[-256:]).group(1)
+    )
+    prev = int(
+        list(re.finditer(rb"startxref[\s]+(\d+)", upd[-256:]))[-1]
+        .group(1)
+    )
+    out = bytearray(upd)
+    xref_at = len(out)
+    out += b"xref\n"
+    out += b"0 1\n0000000000 65535 f \n"
+    out += b"%d 1\n0000000000 65535 f \n" % info_num
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (info_num + 1, prev, xref_at)
+    )
+    rev3 = bytes(out)
+    b2 = parse_pdf(rev3)
+    # the freed object is gone from the merged table, nothing else is
+    assert b2["n_objects"] == b1["n_objects"] - 1
+    assert [p["text"] for p in b2["pages"]] == [
+        p["text"] for p in b1["pages"]
+    ]
+    offsets, _, form = _parse_xref(rev3)
+    assert form == "incremental"
+    with pytest.raises(ValueError, match="not in xref table"):
+        _load_object(rev3, offsets, info_num, {})
+
+
 def test_pdf_page_tree_cycle_refuses():
     """A crafted /Pages node whose Kids reference itself must refuse
     with a loud cyclic-page-tree error, never RecursionError (r14
