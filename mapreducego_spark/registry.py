@@ -300,6 +300,11 @@ QUERIES: dict[str, QueryFn] = {
     # commit (pytest-pinned), Iceberg-style equality-delete
     # merge-on-read, all four version states hash-gated
     "snapshot_append": SNAP.snapshot_append,
+    # Manifest data skipping (r16, r15 verdict #6): selective reads
+    # prune whole files against commit-time per-file min/max stats;
+    # prune-invariance hash-gated here, the opens-fewer-files
+    # property pinned by an inputFiles() pytest
+    "snapshot_pruned_read": SNAP.snapshot_pruned_read,
     # Subtitle/caption ingest (r15): SRT + WebVTT sidecar files —
     # counter/timestamp/settings grammars parsed for real, cue rows
     # + timing arithmetic hash-gated closed-form
@@ -7232,6 +7237,44 @@ SELECT version, status,
 FROM tagged
 GROUP BY version, status
 ORDER BY version, status
+"""
+
+# Manifest data skipping (r16): the v2 state is the snapshot_append
+# math (v0 orders, v1 append A1 on k % 9, v2 merge M2 on original
+# k % 6); each prune predicate is re-applied as a plain filter —
+# a prune that drops a matching file or fails to re-filter a kept
+# one diverges.
+ORACLES["snapshot_pruned_read"] = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderstatus AS status
+  FROM orders
+), v1 AS (
+  SELECT k, cents, status FROM base
+  UNION ALL
+  SELECT k + 2000000000, cents + 1, 'A1' FROM base WHERE k % 9 = 0
+), v2 AS (
+  SELECT k,
+         CASE WHEN k < 2000000000 AND k % 6 = 0
+              THEN cents * 3 ELSE cents END AS cents,
+         CASE WHEN k < 2000000000 AND k % 6 = 0
+              THEN 'M2' ELSE status END AS status
+  FROM v1
+), tagged AS (
+  SELECT 'k_gt_2e9' AS pred, status, cents FROM v2
+  WHERE k > 2000000000
+  UNION ALL
+  SELECT 'k_le_2e9', status, cents FROM v2 WHERE k <= 2000000000
+  UNION ALL
+  SELECT 'status_eq_m2', status, cents FROM v2 WHERE status = 'M2'
+)
+SELECT pred, status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM tagged
+GROUP BY pred, status
+ORDER BY pred, status
 """
 
 # ID3v2 text frames (r15): every row rebuilt closed-form — version

@@ -149,13 +149,102 @@ def _version_data_exists(
     return os.path.isdir(os.path.join(table_dir, e["dir"]))
 
 
+def _dir_file_stats(table_dir: str, dirname: str) -> list[dict]:
+    """Per-file row counts and min/max column stats, read from the
+    parquet FOOTERS of a just-written data dir (metadata-only — no
+    data pages touched). This is the Iceberg design point that makes
+    the manifest layout pay off at 100 TB READS: a selective
+    ``read_snapshot`` prunes whole files against these stats instead
+    of scanning them. Columns whose footer stats are absent or not
+    JSON-representable simply carry no entry — such files are always
+    kept (pruning is an optimization, never a filter)."""
+    import pyarrow.parquet as pq
+
+    root = os.path.join(table_dir, dirname)
+    out = []
+    for name in sorted(os.listdir(root)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(root, name)).metadata
+        stats: dict[str, list] = {}
+        bad: set[str] = set()
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                cname = col.path_in_schema
+                st = col.statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or not isinstance(st.min, (int, float, str, bool))
+                    or not isinstance(st.max, (int, float, str, bool))
+                ):
+                    bad.add(cname)
+                    continue
+                if cname in stats:
+                    lo, hi = stats[cname]
+                    stats[cname] = [min(lo, st.min), max(hi, st.max)]
+                else:
+                    stats[cname] = [st.min, st.max]
+        for cname in bad:
+            stats.pop(cname, None)
+        out.append({"name": name, "rows": md.num_rows, "stats": stats})
+    return out
+
+
+def _prune_keep(stats: dict, prune: list[tuple]) -> bool:
+    """Whether a file can contain a row matching EVERY conjunct:
+    False only when the footer stats PROVE it cannot (all supported
+    ops reject NULL, so null-agnostic min/max bounds are safe)."""
+    for col, op, val in prune:
+        if col not in stats:
+            continue
+        lo, hi = stats[col]
+        if (
+            (op == "==" and not lo <= val <= hi)
+            or (op == "<=" and lo > val)
+            or (op == "<" and lo >= val)
+            or (op == ">=" and hi < val)
+            or (op == ">" and hi <= val)
+        ):
+            return False
+    return True
+
+
+def _prune_expr(prune: list[tuple]):
+    """The predicate as a real Column filter — a pruned read must
+    return exactly ``read_snapshot(...).filter(pred)``, so the
+    conjuncts are re-applied to the surviving files' rows."""
+    from pyspark.sql import functions as F
+
+    e = F.lit(True)
+    for col, op, val in prune:
+        c = F.col(col)
+        if op == "==":
+            e = e & (c == val)
+        elif op == "<=":
+            e = e & (c <= val)
+        elif op == "<":
+            e = e & (c < val)
+        elif op == ">=":
+            e = e & (c >= val)
+        elif op == ">":
+            e = e & (c > val)
+        else:
+            raise ValueError(f"unsupported prune op {op!r}")
+    return e
+
+
 def _parent_manifest_entries(
     table_dir: str, parent: int | None, log: list[dict]
 ) -> tuple[list[dict], list[dict]]:
     """The (data, deletes) entry lists a child commit inherits: a
-    manifest parent contributes its own lists verbatim; a full-dir
-    parent contributes itself as a single data entry (manifests
-    compose over full commits); no parent contributes nothing."""
+    manifest parent contributes its own lists verbatim (file stats
+    included — computed once, when each dir was committed); a
+    full-dir parent contributes itself as a single data entry with
+    freshly footer-read stats (manifests compose over full commits);
+    no parent contributes nothing."""
     if parent is None:
         return [], []
     m = _load_manifest(table_dir, parent, log)
@@ -167,7 +256,13 @@ def _parent_manifest_entries(
             f"parent version {parent} has no live data to extend"
             " (vacuumed?)"
         )
-    return [{"dir": e["dir"], "seq": parent}], []
+    return [
+        {
+            "dir": e["dir"],
+            "seq": parent,
+            "files": _dir_file_stats(table_dir, e["dir"]),
+        }
+    ], []
 
 
 def _write_log_entry(table_dir: str, seq: int, entry: dict) -> None:
@@ -301,7 +396,13 @@ def commit_snapshot(
         ddir = f"d{seq}-{token}"
         staged_dirs.append(ddir)
         df.write.mode("overwrite").parquet(os.path.join(table_dir, ddir))
-        data.append({"dir": ddir, "seq": seq})
+        data.append(
+            {
+                "dir": ddir,
+                "seq": seq,
+                "files": _dir_file_stats(table_dir, ddir),
+            }
+        )
         if mode == "merge":
             if not key:
                 raise ValueError("mode='merge' needs a key column")
@@ -349,12 +450,27 @@ def commit_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    prune: list[tuple] | None = None,
 ) -> DataFrame:
     """As-of read: the table exactly as committed at ``version``
     (default: current). Refuses loudly on an unknown version, a
     non-commit sequence number, or a vacuumed version — a silent
-    fallback to another version is how time travel lies."""
+    fallback to another version is how time travel lies.
+
+    ``prune`` is an optional conjunctive predicate — a list of
+    ``(column, op, literal)`` with op in {==, <=, <, >=, >} — that
+    the result is filtered by, with DATA SKIPPING: whole parquet
+    files whose manifest min/max stats prove no row can match are
+    never opened (the Iceberg read-side payoff of the manifest
+    layout at 100 TB). Pruning never changes results:
+    ``read_snapshot(..., prune=p)`` returns exactly
+    ``read_snapshot(...).filter(p)``; files without stats for a
+    referenced column are always read. Full (non-manifest) versions
+    read footer stats on demand — the manifest path is the one that
+    persists them."""
     if version is None:
         version = current_version(table_dir)
         if version is None:
@@ -366,19 +482,52 @@ def read_snapshot(
     if "manifest" not in entry:
         vpath = os.path.join(table_dir, entry["dir"])
         if os.path.isdir(vpath):
-            return spark.read.parquet(vpath)
+            if prune is None:
+                return spark.read.parquet(vpath)
+            files = _dir_file_stats(table_dir, entry["dir"])
+            return _read_pruned_dir(
+                spark, table_dir, entry["dir"], files, prune
+            ).filter(_prune_expr(prune))
     else:
         manifest = _load_manifest(table_dir, version, log)
         if manifest is not None:
-            return _read_manifest(spark, table_dir, manifest)
+            return _read_manifest(spark, table_dir, manifest, prune)
     raise ValueError(
         f"version {version} has been vacuumed (data gone;"
         " log entry retained)"
     )
 
 
+def _read_pruned_dir(
+    spark: SparkSession,
+    table_dir: str,
+    dirname: str,
+    files: list[dict],
+    prune: list[tuple],
+) -> DataFrame:
+    """The surviving files of one data dir under a prune predicate.
+    When every file is skipped, one file is read with a
+    never-matching filter — a footer-only touch that preserves the
+    schema without inventing one."""
+    from pyspark.sql import functions as F
+
+    keep = [
+        f["name"] for f in files if _prune_keep(f.get("stats", {}), prune)
+    ]
+    if keep:
+        return spark.read.parquet(
+            *[os.path.join(table_dir, dirname, n) for n in keep]
+        )
+    return spark.read.parquet(
+        os.path.join(table_dir, dirname, files[0]["name"])
+    ).filter(F.lit(False))
+
+
 def _read_manifest(
-    spark: SparkSession, table_dir: str, manifest: dict
+    spark: SparkSession,
+    table_dir: str,
+    manifest: dict,
+    prune: list[tuple] | None = None,
 ) -> DataFrame:
     """Merge-on-read over a manifest: each data dir is anti-joined
     against every equality-delete set with a LARGER commit sequence
@@ -386,10 +535,30 @@ def _read_manifest(
     lets a deleted key be re-appended), then the survivors union.
     At 100 TB each delete set is a small key-only broadcast side and
     the data dirs are never rewritten — the Iceberg merge-on-read
-    shape on plain parquet."""
+    shape on plain parquet. With ``prune``, files whose recorded
+    stats prove no match are skipped before the scan (a dir whose
+    files ALL skip contributes nothing), and the predicate is
+    re-applied to the survivors so results are prune-invariant."""
     out = None
+    schema_fallback = None
     for d in manifest["data"]:
-        part = spark.read.parquet(os.path.join(table_dir, d["dir"]))
+        if prune is not None and d.get("files"):
+            keep = [
+                f["name"]
+                for f in d["files"]
+                if _prune_keep(f.get("stats", {}), prune)
+            ]
+            if not keep:
+                if schema_fallback is None:
+                    schema_fallback = os.path.join(
+                        table_dir, d["dir"], d["files"][0]["name"]
+                    )
+                continue
+            part = spark.read.parquet(
+                *[os.path.join(table_dir, d["dir"], n) for n in keep]
+            )
+        else:
+            part = spark.read.parquet(os.path.join(table_dir, d["dir"]))
         for x in manifest["deletes"]:
             if x["seq"] > d["seq"]:
                 keys = spark.read.parquet(
@@ -398,7 +567,15 @@ def _read_manifest(
                 part = part.join(keys, x["key"], "left_anti")
         out = part if out is None else out.unionByName(part)
     if out is None:
-        raise ValueError("manifest lists no data dirs")
+        if schema_fallback is not None:
+            # every file pruned away: empty result, real schema
+            from pyspark.sql import functions as F
+
+            out = spark.read.parquet(schema_fallback).filter(F.lit(False))
+        else:
+            raise ValueError("manifest lists no data dirs")
+    if prune is not None:
+        out = out.filter(_prune_expr(prune))
     return out
 
 
@@ -746,6 +923,86 @@ def snapshot_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per_version[1:]:
         out = out.unionByName(df)
     return out.orderBy("version", "status")
+
+
+def snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (r16; r15 verdict #6): MANIFEST DATA SKIPPING —
+    selective reads prune whole parquet files against the per-file
+    min/max stats the manifest records at commit time (the Iceberg
+    read-side design point; the actually-opens-fewer-files property
+    is pinned by a ``.inputFiles()`` pytest, since pruning must be
+    invisible to results). Stages the snapshot_append v0..v2 state
+    with range-partitioned commits (disjoint per-file k ranges, the
+    layout that makes skipping bite), then reads v2 under three
+    prune predicates — k <= 2e9 (originals incl. merged rows),
+    k > 2e9 (appended A1 rows only), status == 'M2' (merge delta
+    only) — and aggregates each to (pred, status, n_rows,
+    sum_cents). The DuckDB oracle rebuilds the v2 state closed-form
+    and applies the same filters: a prune that DROPS a matching file
+    (or keeps a result-changing one) diverges."""
+    import atexit
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreducego_spark.sources.catalog import load_table
+
+    workdir = tempfile.mkdtemp(prefix="snapshot_prune_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    table = os.path.join(workdir, "orders_prune")
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartitionByRange(8, "k")
+    )
+    commit_snapshot(base, table)  # v0, full
+    a1 = (
+        base.filter(F.col("k") % 9 == 0)
+        .select(
+            (F.col("k") + 2_000_000_000).alias("k"),
+            (F.col("cents") + 1).alias("cents"),
+            F.lit("A1").alias("status"),
+        )
+        .repartitionByRange(4, "k")
+    )
+    commit_snapshot(a1, table, mode="append")  # v1
+    u2 = base.filter(F.col("k") % 6 == 0).select(
+        "k",
+        (F.col("cents") * 3).alias("cents"),
+        F.lit("M2").alias("status"),
+    )
+    commit_snapshot(u2, table, mode="merge", key="k")  # v2
+    preds = {
+        "k_gt_2e9": [("k", ">", 2_000_000_000)],
+        "k_le_2e9": [("k", "<=", 2_000_000_000)],
+        "status_eq_m2": [("status", "==", "M2")],
+    }
+    parts = [
+        read_snapshot(spark, table, 2, prune=p)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            F.lit(pid).alias("pred"),
+            "status",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "sum_cents",
+        )
+        for pid, p in sorted(preds.items())
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("pred", "status")
 
 
 def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -472,6 +472,70 @@ def test_compact_snapshot_bounds_manifest_chain(spark, tmp_path):
     assert got == {**want, 5: "e"}
 
 
+def test_manifest_stats_prune_selective_read_opens_fewer_files(
+    spark, tmp_path
+):
+    """Data skipping (r15 verdict #6): a selective read consults the
+    per-file min/max stats the manifest recorded at commit time and
+    OPENS fewer files (observed via .inputFiles()), while returning
+    exactly the unpruned read filtered by the same predicate."""
+    from mapreducego_spark.sources.snapshots import (
+        commit_snapshot as cs,
+        read_snapshot as rs,
+    )
+
+    table = str(tmp_path / "t")
+    base = spark.range(0, 8000).selectExpr(
+        "id AS k", "id * 2 AS cents", "'B' AS status"
+    ).repartitionByRange(8, "k")
+    commit_snapshot(base, table)  # v0 full, 8 range-disjoint files
+    delta = spark.range(20000, 24000).selectExpr(
+        "id AS k", "id AS cents", "'A' AS status"
+    ).repartitionByRange(4, "k")
+    cs(delta, table, mode="append")  # v1 manifest: v0 stats + d1
+    full = rs(spark, table)
+    assert len(full.inputFiles()) == 12
+    # point lookup in the delta: exactly one file survives
+    hit = rs(spark, table, prune=[("k", "==", 21_000)])
+    assert len(hit.inputFiles()) == 1
+    assert [(r["k"], r["cents"]) for r in hit.collect()] == [(21_000, 21_000)]
+    # range predicate across the base: a strict subset of files
+    lo = rs(spark, table, prune=[("k", "<", 1_000)])
+    assert 1 <= len(lo.inputFiles()) < 12
+    assert lo.count() == 1_000
+    # string-stats prune: the base is all 'B', the delta all 'A'
+    a_only = rs(spark, table, prune=[("status", "==", "A")])
+    assert len(a_only.inputFiles()) == 4
+    assert a_only.count() == 4_000
+    # prune-invariance: pruned == unpruned.filter(pred), exactly
+    want = sorted(
+        (r["k"], r["cents"]) for r in
+        full.filter("k >= 3000 AND k < 21000").collect()
+    )
+    got = sorted(
+        (r["k"], r["cents"]) for r in
+        rs(spark, table,
+           prune=[("k", ">=", 3_000), ("k", "<", 21_000)]).collect()
+    )
+    assert got == want
+    # every file pruned away: empty result, real schema
+    none = rs(spark, table, prune=[("k", ">", 10**9)])
+    assert none.count() == 0
+    assert none.columns == ["k", "cents", "status"]
+    # a merge version still applies its equality deletes to the
+    # surviving files (pruning composes with merge-on-read)
+    upd = spark.createDataFrame(
+        [(21_000, 7, "M")], "k long, cents long, status string"
+    )
+    cs(upd, table, mode="merge", key="k")  # v2
+    m = rs(spark, table, prune=[("k", "==", 21_000)])
+    assert [(r["cents"], r["status"]) for r in m.collect()] == [(7, "M")]
+    # full (non-manifest) versions prune via on-demand footer stats
+    p0 = rs(spark, table, 0, prune=[("k", "==", 5)])
+    assert len(p0.inputFiles()) == 1
+    assert p0.count() == 1
+
+
 def test_snapshot_random_op_sequences_match_dict_model(spark, tmp_path):
     """Model-based check: random sequences of full / append / merge
     commits, rollbacks, and a final compaction replay against a
