@@ -7129,18 +7129,24 @@ WITH toks AS (
   -- base: catalog + pages + font + per page (dict + stream) + one
   -- length int per BASE-compressed stream; the xref-stream form
   -- adds the ObjStm and XRef stream objects (+2); the incremental
-  -- form adds the /Info object (+1, replaced stream reuses its num)
+  -- form adds the /Info object (+1, replaced stream reuses its
+  -- num); the CID font form adds the descendant font and
+  -- /ToUnicode stream objects (+2)
   SELECT doc_id,
          CAST(3 + 2 * ANY_VALUE(n_pages)
               + SUM(CASE WHEN base_compressed THEN 1 ELSE 0 END)
               + CASE ANY_VALUE(doc_id) % 3
-                  WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS INT)
+                  WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END
+              + CASE WHEN (ANY_VALUE(doc_id) // 3) % 3 = 2
+                  THEN 2 ELSE 0 END AS INT)
              AS n_objects
   FROM body GROUP BY doc_id
 )
 SELECT b.doc_id, b.page, b.n_pages, o.n_objects,
        CASE b.doc_id % 3 WHEN 0 THEN 'classic' WHEN 1 THEN 'stream'
             ELSE 'incremental' END AS xref_form,
+       CASE (b.doc_id // 3) % 3 WHEN 0 THEN 'standard'
+            WHEN 1 THEN 'differences' ELSE 'cid' END AS font_form,
        b.compressed, b.text,
        CAST(len(string_split(b.text, ' ')) AS INT) AS n_tokens
 FROM body b JOIN objs o USING (doc_id)

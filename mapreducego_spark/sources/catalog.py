@@ -1567,8 +1567,14 @@ def stage_pdf_files(sf_dir: str) -> str:
     0 = classic xref table, 1 = PDF 1.5 xref STREAM with the
     non-stream objects packed into an object stream, 2 = classic
     base plus an INCREMENTAL UPDATE revision (/Prev chain) that
-    re-compresses the last page and adds an /Info. Idempotent via
-    the _STAGED marker; the dir suffix is the fixture VERSION."""
+    re-compresses the last page and adds an /Info. Since r16 the
+    files ALSO cycle the three real-world FONT shapes by
+    (doc_id // 3) % 3 — decorrelated from the xref cycle so every
+    (xref, font) pair occurs: 0 = standard WinAnsi Type1,
+    1 = Type1 with /Encoding /Differences remapping letter/digit
+    codes to glyph names, 2 = Type0 CID font (Identity-H 2-byte
+    codes through a /ToUnicode CMap). Idempotent via the _STAGED
+    marker; the dir suffix is the fixture VERSION."""
     from mapreducego_spark.sources.pdfcodec import (
         append_incremental_update,
         build_pdf,
@@ -1576,7 +1582,7 @@ def stage_pdf_files(sf_dir: str) -> str:
     )
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/spark_graft_media/{tag}_pdfb"
+    out = f"/tmp/spark_graft_media/{tag}_pdfc"
     os.makedirs(out, exist_ok=True)
     marker = os.path.join(out, "_STAGED")
     if not os.path.exists(marker):
@@ -1587,6 +1593,9 @@ def stage_pdf_files(sf_dir: str) -> str:
             f" ORDER BY doc_id"
         ).fetchall()
         for doc_id, text in docs:
+            font_form = ("standard", "differences", "cid")[
+                (doc_id // 3) % 3
+            ]
             contents, compress = [], []
             for p, (body, footer) in enumerate(_pdf_page_spec(doc_id, text)):
                 toks = body.split(" ")
@@ -1594,13 +1603,18 @@ def stage_pdf_files(sf_dir: str) -> str:
                     " ".join(toks[j : j + 8])
                     for j in range(0, len(toks), 8)
                 ]
-                contents.append(render_page_content(lines, footer))
+                contents.append(
+                    render_page_content(lines, footer, font_form)
+                )
                 compress.append((doc_id + p) % 3 != 0)
             form = doc_id % 3
             if form == 1:
-                pdf = build_pdf(contents, compress, xref_form="stream")
+                pdf = build_pdf(
+                    contents, compress, xref_form="stream",
+                    font_form=font_form,
+                )
             else:
-                pdf = build_pdf(contents, compress)
+                pdf = build_pdf(contents, compress, font_form=font_form)
                 if form == 2:
                     pdf = append_incremental_update(pdf, f"doc {doc_id}")
             with open(os.path.join(out, f"doc_{doc_id:07d}.pdf"), "wb") as fh:
@@ -1632,12 +1646,19 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     cycle all three real-world cross-reference shapes (classic
     table / 1.5 xref stream + object stream / incremental update
     chain) and the row carries the xref_form the reader ACTUALLY
-    walked, so each wire path is itself hash-gated. The DuckDB
-    oracle rebuilds every column — page split, footer text,
-    per-form object-count arithmetic, compression flag (the
-    incremental revision re-compresses the last page), xref form —
-    closed-form from the documents table, so a framing, escape,
-    predictor, or operator error diverges.
+    walked, so each wire path is itself hash-gated. Since r16 the
+    fixtures ALSO cycle the three FONT shapes on a decorrelated
+    (doc_id // 3) % 3 cycle — standard WinAnsi, /Differences glyph
+    remap, Type0 CID through /ToUnicode — string bytes on the wire
+    are font-ENCODED, the reader decodes through the actual font
+    machinery (r15 verdict #3), and the row carries font_form, so
+    each mapping path is hash-gated too. The DuckDB oracle rebuilds
+    every column — page split, footer text, per-form object-count
+    arithmetic (+2 objects for the CID descendant + /ToUnicode),
+    compression flag (the incremental revision re-compresses the
+    last page), xref form, font form — closed-form from the
+    documents table, so a framing, escape, predictor, operator, or
+    glyph-mapping error diverges.
     Reference analog: whole-file byte reads at master.go:77-89; this
     is that contract with the ISO 32000 grammar on top.
 
@@ -1680,6 +1701,7 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                             n_pages,
                             parsed["n_objects"],
                             parsed["xref_form"],
+                            parsed["font_form"],
                             page["compressed"],
                             " ".join(page["text"].split()),
                         )
@@ -1688,14 +1710,15 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows,
                 columns=[
                     "doc_id", "page", "n_pages", "n_objects",
-                    "xref_form", "compressed", "text",
+                    "xref_form", "font_form", "compressed", "text",
                 ],
             )
 
     out = files.mapInPandas(
         run,
         "doc_id long, page int, n_pages int, n_objects int,"
-        " xref_form string, compressed boolean, text string",
+        " xref_form string, font_form string, compressed boolean,"
+        " text string",
     )
     return out.withColumn(
         "n_tokens", F.size(F.split("text", " "))

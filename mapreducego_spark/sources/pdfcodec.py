@@ -50,56 +50,138 @@ def _esc_literal(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _render_line(j: int, line: str) -> str:
+def _esc_literal_bytes(b: bytes) -> bytes:
+    """Byte-level literal-string escaping — the string contents are
+    FONT-ENCODED bytes (r16), not characters, so escaping happens
+    after encoding."""
+    return (
+        b.replace(b"\\", rb"\\")
+        .replace(b"(", rb"\(")
+        .replace(b")", rb"\)")
+    )
+
+
+# --- font encoders (writer side): str -> encoded string bytes ------
+
+# /Differences fixture map: lowercase letters remapped to 0xA0+i
+# (glyph names /a../z), digits to 0xC0+i (/zero../nine); everything
+# else rides the WinAnsi base encoding
+_DIFF_LETTER_BASE = 0xA0
+_DIFF_DIGIT_BASE = 0xC0
+_DIFF_DIGIT_NAMES = [
+    "zero", "one", "two", "three", "four",
+    "five", "six", "seven", "eight", "nine",
+]
+
+# CID fixture map: three bfchar specials OUTSIDE the bfrange (so a
+# reader that only honors ranges diverges), the rest at ord+0x100
+# covered by one bfrange <0120> <017E> -> U+0020
+_CID_SPECIALS = {"a": 0x2001, "e": 0x2002, "t": 0x2003}
+
+
+def _encode_standard(s: str) -> bytes:
+    return s.encode("latin-1")
+
+
+def _encode_differences(s: str) -> bytes:
+    out = bytearray()
+    for ch in s:
+        if "a" <= ch <= "z":
+            out.append(_DIFF_LETTER_BASE + ord(ch) - 0x61)
+        elif "0" <= ch <= "9":
+            out.append(_DIFF_DIGIT_BASE + ord(ch) - 0x30)
+        else:
+            out += ch.encode("latin-1")
+    return bytes(out)
+
+
+def _encode_cid(s: str) -> bytes:
+    out = bytearray()
+    for ch in s:
+        cid = _CID_SPECIALS.get(ch, ord(ch) + 0x100)
+        out += cid.to_bytes(2, "big")
+    return bytes(out)
+
+
+_FONT_ENCODERS = {
+    "standard": _encode_standard,
+    "differences": _encode_differences,
+    "cid": _encode_cid,
+}
+
+
+def _render_line(j: int, line: str, enc) -> bytes:
     """One shown line of a content stream, cycling the three string
     syntaxes so the reader's literal-escape, kerned-array, and
     hex-string paths all stay exercised by every fixture:
-    j%3==0 -> literal Tj with the first char octal-escaped,
+    j%3==0 -> literal Tj with the first BYTE octal-escaped,
     j%3==1 -> TJ array split mid-line with a kerning number,
-    j%3==2 -> hex string Tj."""
+    j%3==2 -> hex string Tj. ``enc`` is the active font's encoder —
+    string contents are font-encoded bytes (escapes are byte-level,
+    and the TJ split lands on a character boundary so multi-byte
+    CID codes never straddle elements)."""
     style = j % 3
+    b = enc(line)
     if style == 0:
-        return "(\\%03o%s) Tj" % (ord(line[0]), _esc_literal(line[1:]))
+        return (
+            b"(" + (b"\\%03o" % b[0]) + _esc_literal_bytes(b[1:]) + b") Tj"
+        )
     if style == 1:
         cut = max(1, len(line) // 2)
-        return "[(%s) -18 (%s)] TJ" % (
-            _esc_literal(line[:cut]),
-            _esc_literal(line[cut:]),
+        return (
+            b"[("
+            + _esc_literal_bytes(enc(line[:cut]))
+            + b") -18 ("
+            + _esc_literal_bytes(enc(line[cut:]))
+            + b")] TJ"
         )
-    return "<%s> Tj" % line.encode("latin-1").hex()
+    return b"<" + b.hex().encode("ascii") + b"> Tj"
 
 
-def render_page_content(lines: list[str], footer: str) -> bytes:
+def render_page_content(
+    lines: list[str], footer: str, font_form: str = "standard"
+) -> bytes:
     """Content stream for one page: the body lines cycled through the
     three string syntaxes with ``T*`` line advances, then the footer
     shown through the ``'`` (next-line-and-show) operator with its
-    parens/backslash served as escape sequences and its ``#`` as an
-    octal code."""
-    ops = ["BT", "/F1 11 Tf", "14 TL", "72 720 Td"]
+    parens/backslash served as escape sequences and its ``#`` byte
+    as an octal code. ``font_form`` picks the string encoder
+    (standard WinAnsi / /Differences remap / 2-byte CID)."""
+    enc = _FONT_ENCODERS[font_form]
+    ops = [b"BT", b"/F1 11 Tf", b"14 TL", b"72 720 Td"]
     for j, line in enumerate(lines):
         if j:
-            ops.append("T*")
-        ops.append(_render_line(j, line))
-    foot = footer.replace("\\", "\\\\")
-    foot = foot.replace("(", r"\(").replace(")", r"\)").replace("#", r"\043")
-    ops.append("(%s) '" % foot)
-    ops.append("ET")
-    return "\n".join(ops).encode("latin-1")
+            ops.append(b"T*")
+        ops.append(_render_line(j, line, enc))
+    foot = _esc_literal_bytes(enc(footer)).replace(b"#", rb"\043")
+    ops.append(b"(" + foot + b") '")
+    ops.append(b"ET")
+    return b"\n".join(ops)
 
 
 def _build_objects(
-    page_contents: list[bytes], compress: list[bool]
+    page_contents: list[bytes],
+    compress: list[bool],
+    font_form: str = "standard",
 ) -> tuple[list[bytes], set[int]]:
     """Object bodies shared by both xref forms: catalog(1),
-    pages(2), Type1 font(3), then per page a page dict, a content
+    pages(2), font(3), then per page a page dict, a content
     stream, and (when compressed) an indirect /Length integer — the
     shape real writers emit, since the length is unknown until the
-    stream is written. Returns (objs, stream_nums) where objs[k] is
-    the body of object k+1 and stream_nums are the stream-bearing
-    object numbers (those must stay top-level: ISO 32000 §7.5.7
-    forbids streams inside object streams)."""
+    stream is written. ``font_form`` picks the /F1 font object:
+    "standard" = Type1 with plain /WinAnsiEncoding, "differences" =
+    Type1 with an /Encoding dict remapping letter/digit codes
+    through /Differences glyph names, "cid" = a Type0 composite
+    font (/Identity-H, CIDFontType2 descendant, /ToUnicode CMap
+    stream appended as the last two objects). Returns
+    (objs, stream_nums) where objs[k] is the body of object k+1 and
+    stream_nums are the stream-bearing object numbers (those must
+    stay top-level: ISO 32000 §7.5.7 forbids streams inside object
+    streams)."""
     if len(page_contents) != len(compress) or not page_contents:
         raise ValueError("pages/compress mismatch or empty PDF")
+    if font_form not in _FONT_ENCODERS:
+        raise ValueError(f"unknown font_form {font_form!r}")
     objs: list[bytes] = []
     stream_nums: set[int] = set()
 
@@ -110,10 +192,7 @@ def _build_objects(
     n_pages = len(page_contents)
     add(b"")  # 1: catalog, patched below
     add(b"")  # 2: pages, patched below
-    add(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
-        b" /Encoding /WinAnsiEncoding >>"
-    )
+    add(b"")  # 3: font, patched below (cid refs later objects)
     kids = []
     for p, (content, comp) in enumerate(zip(page_contents, compress)):
         data = zlib.compress(content, 6) if comp else content
@@ -142,23 +221,88 @@ def _build_objects(
         b" ".join(kids),
         n_pages,
     )
+    if font_form == "standard":
+        objs[2] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>"
+        )
+    elif font_form == "differences":
+        diffs = b" ".join(
+            [b"%d" % _DIFF_LETTER_BASE]
+            + [b"/%c" % (0x61 + i) for i in range(26)]
+            + [b"%d" % _DIFF_DIGIT_BASE]
+            + [b"/" + n.encode("ascii") for n in _DIFF_DIGIT_NAMES]
+        )
+        objs[2] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding << /Type /Encoding"
+            b" /BaseEncoding /WinAnsiEncoding"
+            b" /Differences [" + diffs + b"] >> >>"
+        )
+    else:  # cid
+        desc_num = add(
+            b"<< /Type /Font /Subtype /CIDFontType2"
+            b" /BaseFont /Synthetica"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> >>"
+        )
+        cmap = _tounicode_cmap()
+        tou_num = add(
+            b"<< /Length %d >>\nstream\n" % len(cmap)
+            + cmap
+            + b"\nendstream"
+        )
+        stream_nums.add(tou_num)
+        objs[2] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synthetica"
+            b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
+            b" /ToUnicode %d 0 R >>" % (desc_num, tou_num)
+        )
     return objs, stream_nums
+
+
+def _tounicode_cmap() -> bytes:
+    """The fixture /ToUnicode CMap: the standard Adobe wrapper, one
+    2-byte codespace, the three bfchar specials, and one bfrange
+    covering ord+0x100 for printable ASCII."""
+    chars = b"\n".join(
+        b"<%04x> <%04x>" % (cid, ord(ch))
+        for ch, cid in sorted(_CID_SPECIALS.items(), key=lambda kv: kv[1])
+    )
+    return (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin\nbegincmap\n"
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS)"
+        b" /Supplement 0 >> def\n"
+        b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"%d beginbfchar\n" % len(_CID_SPECIALS)
+        + chars
+        + b"\nendbfchar\n"
+        b"1 beginbfrange\n<0120> <017e> <0020>\nendbfrange\n"
+        b"endcmap\nCMapName currentdict /CMap defineresource pop\n"
+        b"end\nend"
+    )
 
 
 def build_pdf(
     page_contents: list[bytes],
     compress: list[bool],
     xref_form: str = "classic",
+    font_form: str = "standard",
 ) -> bytes:
     """Assemble a complete single-revision PDF: catalog, flat page
-    tree, one Type1 font, one content stream per page. With
-    ``xref_form="classic"`` the file is PDF 1.4 with a classic xref
-    table; with ``"stream"`` it is PDF 1.5 whose non-stream objects
-    live in a compressed OBJECT STREAM addressed through a
+    tree, one /F1 font (``font_form``: standard WinAnsi Type1 /
+    Type1 with /Differences / Type0 CID with /ToUnicode), one
+    content stream per page (whose strings must have been encoded
+    with the MATCHING encoder — render_page_content(font_form=...)).
+    With ``xref_form="classic"`` the file is PDF 1.4 with a classic
+    xref table; with ``"stream"`` it is PDF 1.5 whose non-stream
+    objects live in a compressed OBJECT STREAM addressed through a
     cross-reference STREAM (/W-packed, PNG-Up-predicted) — the
     majority shape of modern PDFs. Either way the xref and trailer
     are exact — the reader verifies every offset."""
-    objs, stream_nums = _build_objects(page_contents, compress)
+    objs, stream_nums = _build_objects(page_contents, compress, font_form)
     if xref_form == "classic":
         out = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")
         offsets = []
@@ -824,27 +968,200 @@ def _decode_stream(d: dict, raw: bytes) -> bytes:
     return data
 
 
+# ---- font decoding (r16; r15 verdict #3): the layer between the
+# string BYTES a content stream shows and the TEXT they mean. Simple
+# fonts map single bytes through a base encoding overridden by
+# /Differences glyph names; Type0 (CID) fonts map 2-byte Identity-H
+# codes through the /ToUnicode CMap. Unmapped codes refuse loudly —
+# a silent fallback is how extractors emit mojibake.
+
+# Adobe Glyph List subset: ASCII letters name themselves; the
+# punctuation/digit names cover the printable-ASCII row. uniXXXX
+# names resolve directly. Anything else refuses.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&",
+    "quotesingle": "'", "parenleft": "(", "parenright": ")",
+    "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "zero": "0", "one": "1", "two": "2",
+    "three": "3", "four": "4", "five": "5", "six": "6", "seven": "7",
+    "eight": "8", "nine": "9", "colon": ":", "semicolon": ";",
+    "less": "<", "equal": "=", "greater": ">", "question": "?",
+    "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~",
+}
+for _c in range(0x41, 0x5B):
+    _AGL[chr(_c)] = chr(_c)
+for _c in range(0x61, 0x7B):
+    _AGL[chr(_c)] = chr(_c)
+
+
+def _glyph_to_char(name: str) -> str:
+    """Glyph name -> character via the AGL subset or a uniXXXX
+    name. Unknown names are a loud refusal, not a dropped glyph."""
+    if name in _AGL:
+        return _AGL[name]
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    raise NotImplementedError(f"unmapped glyph name /{name}")
+
+
+def _simple_font_decoder(differences: dict[int, str]):
+    """Byte decoder for a simple font over WinAnsiEncoding:
+    /Differences overrides win, ASCII and the 0xA0-0xFF range agree
+    with Latin-1 (CP1252 == ISO 8859-1 there), and the 0x80-0x9F
+    CP1252 quotes/dashes region refuses unless /Differences remaps
+    it — decoding it as Latin-1 control characters would be wrong
+    silently."""
+
+    def dec(bs: bytes) -> str:
+        out = []
+        for b in bs:
+            if b in differences:
+                out.append(differences[b])
+            elif 0x80 <= b <= 0x9F:
+                raise NotImplementedError(
+                    f"WinAnsi byte 0x{b:02x} in the CP1252-specific"
+                    " 0x80-0x9F region (no /Differences override)"
+                )
+            else:
+                out.append(chr(b))
+        return "".join(out)
+
+    return dec
+
+
+def _parse_tounicode_cmap(data: bytes) -> dict[int, str]:
+    """The /ToUnicode CMap's code -> text mapping: 2-byte codespace
+    required (Identity-H), bfchar pairs and bfrange runs (both the
+    increment and the array destination forms), destinations decoded
+    as UTF-16BE. Declared section counts are verified."""
+    text = data.decode("latin-1")
+    space = re.findall(
+        r"begincodespacerange\s*(.*?)\s*endcodespacerange", text, re.S
+    )
+    if not space:
+        raise ValueError("/ToUnicode CMap without a codespacerange")
+    for block in space:
+        for lo, hi in re.findall(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block):
+            if len(lo) != 4 or len(hi) != 4:
+                raise NotImplementedError(
+                    "variable-width CMap codespace (Identity-H is"
+                    " 2-byte)"
+                )
+    cmap: dict[int, str] = {}
+
+    def _utf16(hexs: str) -> str:
+        if len(hexs) % 4:
+            raise ValueError(f"odd UTF-16BE destination <{hexs}>")
+        return bytes.fromhex(hexs).decode("utf-16-be")
+
+    for decl, block in re.findall(
+        r"(\d+)\s+beginbfchar\s*(.*?)\s*endbfchar", text, re.S
+    ):
+        pairs = re.findall(r"<([0-9A-Fa-f]{4})>\s*<([0-9A-Fa-f]+)>", block)
+        if len(pairs) != int(decl):
+            raise ValueError(
+                f"bfchar declares {decl} entries, found {len(pairs)}"
+            )
+        for src, dst in pairs:
+            cmap[int(src, 16)] = _utf16(dst)
+    for decl, block in re.findall(
+        r"(\d+)\s+beginbfrange\s*(.*?)\s*endbfrange", text, re.S
+    ):
+        runs = re.findall(
+            r"<([0-9A-Fa-f]{4})>\s*<([0-9A-Fa-f]{4})>\s*"
+            r"(<[0-9A-Fa-f]+>|\[[^\]]*\])",
+            block,
+        )
+        if len(runs) != int(decl):
+            raise ValueError(
+                f"bfrange declares {decl} entries, found {len(runs)}"
+            )
+        for lo_s, hi_s, dst in runs:
+            lo, hi = int(lo_s, 16), int(hi_s, 16)
+            if hi < lo:
+                raise ValueError(f"bfrange <{lo_s}> > <{hi_s}>")
+            if dst.startswith("["):
+                items = re.findall(r"<([0-9A-Fa-f]+)>", dst)
+                if len(items) != hi - lo + 1:
+                    raise ValueError(
+                        "bfrange array length != range size"
+                    )
+                for k, h in enumerate(items):
+                    cmap[lo + k] = _utf16(h)
+            else:
+                base = int(dst[1:-1], 16)
+                if len(dst) - 2 != 4:
+                    # multi-unit increment destinations are rare and
+                    # ambiguous; the spec increments the LAST unit
+                    raise NotImplementedError(
+                        "bfrange increment destination wider than one"
+                        " UTF-16 unit"
+                    )
+                for k in range(hi - lo + 1):
+                    cmap[lo + k] = chr(base + k)
+    return cmap
+
+
+def _cid_font_decoder(cmap: dict[int, str]):
+    """2-byte Identity-H decoder through a /ToUnicode map; odd
+    string lengths and unmapped CIDs refuse loudly."""
+
+    def dec(bs: bytes) -> str:
+        if len(bs) % 2:
+            raise ValueError(
+                f"odd-length string ({len(bs)} bytes) under a 2-byte"
+                " CID font"
+            )
+        out = []
+        for k in range(0, len(bs), 2):
+            cid = int.from_bytes(bs[k : k + 2], "big")
+            if cid not in cmap:
+                raise ValueError(
+                    f"CID {cid:#06x} unmapped by /ToUnicode"
+                )
+            out.append(cmap[cid])
+        return "".join(out)
+
+    return dec
+
+
 # text-showing + harmless graphics-state operators; anything else in
 # a content stream is outside the extractor's declared competence
 _SHOW_OPS = {"Tj", "TJ", "'"}
 _NEWLINE_OPS = {"Td", "TD", "T*", "Tm"}
 _NOOP_OPS = {
-    "BT", "ET", "Tf", "TL", "Tc", "Tw", "Tz", "Ts", "Tr",
+    "BT", "ET", "TL", "Tc", "Tw", "Tz", "Ts", "Tr",
     "q", "Q", "cm", "w", "re", "f", "S", "n", "g", "rg", "G", "RG", "gs",
 }
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 
 
-def extract_content_text(content: bytes) -> str:
+def extract_content_text(content: bytes, fonts: dict | None = None) -> str:
     """Walk a content stream's operator sequence and rebuild the
     shown text: Tj/TJ/' append (TJ kerning numbers are positioning,
     not text), Td/TD/T*/Tm start a new line, ' is T*-then-show.
     Unknown operators raise — a silent skip is how extractors eat
-    text."""
+    text.
+
+    ``fonts`` maps resource names (e.g. "F1") to string decoders
+    (r16): ``Tf`` selects the active decoder, and shown strings are
+    decoded through it — /Differences remaps, CID /ToUnicode maps.
+    An unknown font name, or text shown before any ``Tf``, refuses.
+    With ``fonts=None`` (direct/legacy callers) strings decode as
+    Latin-1, the pre-font behavior."""
     p = _Parser(content)
     lines: list[str] = []
     cur: list[str] = []
     operands: list = []
+    latin1 = None if fonts is not None else (
+        lambda bs: bs.decode("latin-1")
+    )
+    dec = latin1
 
     def newline() -> None:
         if cur:
@@ -871,6 +1188,8 @@ def extract_content_text(content: bytes) -> str:
             operands.append(op == "true")
             continue
         if op in _SHOW_OPS:
+            if dec is None:
+                raise ValueError("text shown before any Tf font select")
             if op == "'":
                 newline()
             arg = operands[-1] if operands else None
@@ -879,13 +1198,28 @@ def extract_content_text(content: bytes) -> str:
                     raise ValueError("TJ operand must be an array")
                 for e in arg:
                     if isinstance(e, bytes):
-                        cur.append(e.decode("latin-1"))
+                        cur.append(dec(e))
                     elif not isinstance(e, (int, float)):
                         raise ValueError(f"bad TJ element {e!r}")
             else:
                 if not isinstance(arg, bytes):
                     raise ValueError(f"{op} operand must be a string")
-                cur.append(arg.decode("latin-1"))
+                cur.append(dec(arg))
+        elif op == "Tf":
+            if fonts is not None:
+                if (
+                    len(operands) < 2
+                    or not isinstance(operands[-2], tuple)
+                    or operands[-2][0] != "name"
+                ):
+                    raise ValueError("Tf without a font name operand")
+                fname = operands[-2][1]
+                if fname not in fonts:
+                    raise ValueError(
+                        f"Tf selects /{fname}, not in the page's"
+                        " /Resources /Font"
+                    )
+                dec = fonts[fname]
         elif op in _NEWLINE_OPS:
             newline()
         elif op not in _NOOP_OPS:
@@ -895,11 +1229,70 @@ def extract_content_text(content: bytes) -> str:
     return "\n".join(lines)
 
 
+def _build_font_decoder(font: dict, deref, load_stream):
+    """One /Resources /Font entry -> (string decoder, form tag).
+    Simple fonts (Type1/TrueType/Type3): base WinAnsi/Standard with
+    /Differences overrides resolved through glyph names. Type0:
+    Identity-H only, decoded through the mandatory /ToUnicode CMap.
+    Every unsupported shape refuses loudly (r15 verdict #2: fonts
+    were the last silent gap between the extractor and real crawl
+    PDFs)."""
+    sub = font.get("Subtype")
+    if sub == ("name", "Type0"):
+        enc = font.get("Encoding")
+        if enc != ("name", "Identity-H"):
+            raise NotImplementedError(
+                f"Type0 encoding {enc!r} (Identity-H only)"
+            )
+        tou = font.get("ToUnicode")
+        if not (isinstance(tou, tuple) and tou[0] == "ref"):
+            raise NotImplementedError(
+                "CID font without a /ToUnicode stream (glyph IDs"
+                " would be uninterpretable)"
+            )
+        cmap = _parse_tounicode_cmap(load_stream(tou[1]))
+        return _cid_font_decoder(cmap), "cid"
+    if sub not in (
+        ("name", "Type1"), ("name", "TrueType"), ("name", "MMType1")
+    ):
+        raise NotImplementedError(f"font subtype {sub!r}")
+    enc = deref(font.get("Encoding"))
+    if enc is None or enc == ("name", "WinAnsiEncoding"):
+        return _simple_font_decoder({}), "standard"
+    if enc in (("name", "StandardEncoding"), ("name", "MacRomanEncoding")):
+        raise NotImplementedError(f"base encoding {enc[1]}")
+    if not isinstance(enc, dict):
+        raise ValueError(f"bad /Encoding {enc!r}")
+    base = enc.get("BaseEncoding")
+    if base not in (None, ("name", "WinAnsiEncoding")):
+        raise NotImplementedError(f"base encoding {base!r}")
+    differences: dict[int, str] = {}
+    code = None
+    for item in enc.get("Differences", []):
+        if isinstance(item, int):
+            code = item
+        elif isinstance(item, tuple) and item[0] == "name":
+            if code is None or not 0 <= code <= 255:
+                raise ValueError(
+                    f"/Differences glyph /{item[1]} without a valid"
+                    " code"
+                )
+            differences[code] = _glyph_to_char(item[1])
+            code += 1
+        else:
+            raise ValueError(f"bad /Differences item {item!r}")
+    form = "differences" if differences else "standard"
+    return _simple_font_decoder(differences), form
+
+
 def parse_pdf(payload: bytes) -> dict:
     """Full-file parse: header, xref (classic table, 1.5 xref
     stream, or incremental /Prev chain), trailer, page tree walk,
-    per-page content decode + text extraction. Returns {"version",
-    "n_objects", "xref_form", "pages": [{"text", "compressed"}]}."""
+    per-page content decode + FONT-DECODED text extraction. Returns
+    {"version", "n_objects", "xref_form", "font_form", "pages":
+    [{"text", "compressed"}]} — font_form is the single form all
+    fonts share ("standard" / "differences" / "cid"), or the sorted
+    '+'-joined set when pages mix forms."""
     m = re.match(rb"%PDF-(\d\.\d)", payload)
     if m is None:
         raise ValueError("not a PDF file")
@@ -947,9 +1340,32 @@ def parse_pdf(payload: bytes) -> dict:
         raise ValueError(
             f"/Count {declared} != {len(page_refs)} pages found"
         )
+    def load_stream(num: int) -> bytes:
+        d, raw = _load_object(payload, offsets, num, cache)
+        if raw is None:
+            raise ValueError(f"object {num} carries no stream")
+        return _decode_stream(d, raw)
+
+    font_cache: dict[int, tuple] = {}
+    forms: set[str] = set()
     pages = []
     for ref_num in page_refs:
         page, _ = _load_object(payload, offsets, ref_num, cache)
+        res = deref(page.get("Resources"))
+        fdict = deref(res.get("Font")) if isinstance(res, dict) else None
+        fonts: dict = {}
+        for fname, fref in (fdict or {}).items():
+            if isinstance(fref, tuple) and fref[0] == "ref":
+                key = fref[1]
+                if key not in font_cache:
+                    font_cache[key] = _build_font_decoder(
+                        deref(fref), deref, load_stream
+                    )
+                dec, form = font_cache[key]
+            else:
+                dec, form = _build_font_decoder(fref, deref, load_stream)
+            fonts[fname] = dec
+            forms.add(form)
         contents = page.get("Contents")
         refs = contents if isinstance(contents, list) else [contents]
         parts, compressed = [], False
@@ -961,11 +1377,12 @@ def parse_pdf(payload: bytes) -> dict:
                 raise ValueError("/Contents object carries no stream")
             compressed = compressed or "Filter" in d
             parts.append(_decode_stream(d, raw))
-        text = extract_content_text(b"\n".join(parts))
+        text = extract_content_text(b"\n".join(parts), fonts)
         pages.append({"text": text, "compressed": compressed})
     return {
         "version": version,
         "n_objects": len(offsets),
         "xref_form": xref_form,
+        "font_form": "+".join(sorted(forms)) if forms else "none",
         "pages": pages,
     }

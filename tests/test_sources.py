@@ -1288,6 +1288,114 @@ def test_pdf_page_tree_cycle_refuses():
         parse_pdf(cyc)
 
 
+def test_pdf_font_encoded_text_round_trips_and_refuses():
+    """Font-encoded text (r15 verdict #3): /Differences remaps and
+    Identity-H CID codes decode back to the exact source text
+    through the real font machinery, the wire bytes PROVE the
+    encoding happened (a Latin-1 reader would see mojibake), and
+    every unmapped shape refuses loudly."""
+    import pytest
+
+    from mapreducego_spark.sources.pdfcodec import (
+        _CID_SPECIALS,
+        build_pdf,
+        parse_pdf,
+        render_page_content,
+    )
+
+    lines = ["the quick brown fox 42", "jumps over lazy dogs 7"]
+    footer = "(p. 1/1) \\#9;"
+    want = "\n".join(lines) + "\n" + footer
+
+    # differences: letters/digits ride remapped codes on the wire
+    c = render_page_content(lines, footer, font_form="differences")
+    # 'h','e' of "the" ride remapped codes ('t' is octal-escaped as
+    # the line's first byte: \263)
+    assert b"the" not in c
+    assert rb"(\263" in c and bytes([0xA0 + 7, 0xA0 + 4]) in c
+    pdf = build_pdf([c], [False], font_form="differences")
+    d = parse_pdf(pdf)
+    assert d["font_form"] == "differences"
+    assert d["pages"][0]["text"] == want
+
+    # cid: 2-byte codes, bfchar specials actually exercised
+    c = render_page_content(lines, footer, font_form="cid")
+    assert (0x2001).to_bytes(2, "big") in c  # 'a' via bfchar
+    pdf = build_pdf([c], [True], font_form="cid")
+    d = parse_pdf(pdf)
+    assert d["font_form"] == "cid"
+    assert d["pages"][0]["text"] == want
+    # the bfchar specials are OUTSIDE the bfrange: a reader that
+    # only honors ranges could not have produced 'a'/'e'/'t'
+    assert set(_CID_SPECIALS) == {"a", "e", "t"}
+
+    # every (xref, font) pair round-trips (decorrelated cycles)
+    for xf in ("classic", "stream"):
+        for ff in ("standard", "differences", "cid"):
+            p = build_pdf(
+                [render_page_content(lines, footer, ff)], [True],
+                xref_form=xf, font_form=ff,
+            )
+            got = parse_pdf(p)
+            assert (got["xref_form"], got["font_form"]) == (xf, ff)
+            assert got["pages"][0]["text"] == want
+
+    # unmapped glyph name in /Differences refuses
+    pdf = build_pdf(
+        [render_page_content(lines, footer, "differences")], [False],
+        font_form="differences",
+    )
+    bad = pdf.replace(b"/zero", b"/zorp")
+    with pytest.raises(NotImplementedError, match="unmapped glyph"):
+        parse_pdf(bad)
+
+    # unmapped CID refuses; so does an odd-length CID string
+    raw = b"BT\n/F1 11 Tf\n<9999> Tj\nET"
+    pdf = build_pdf([raw], [False], font_form="cid")
+    with pytest.raises(ValueError, match="unmapped by /ToUnicode"):
+        parse_pdf(pdf)
+    raw = b"BT\n/F1 11 Tf\n<012001> Tj\nET"
+    pdf = build_pdf([raw], [False], font_form="cid")
+    with pytest.raises(ValueError, match="odd-length"):
+        parse_pdf(pdf)
+
+    # CID font without /ToUnicode refuses
+    pdf = build_pdf(
+        [render_page_content(lines, footer, "cid")], [False],
+        font_form="cid",
+    )
+    no_tou = pdf.replace(b"/ToUnicode", b"/ToUnicorn")
+    with pytest.raises(NotImplementedError, match="without a /ToUnicode"):
+        parse_pdf(no_tou)
+
+    # WinAnsi 0x80-0x9F without a /Differences override refuses
+    raw = b"BT\n/F1 11 Tf\n(\x93quoted\x94) Tj\nET"
+    pdf = build_pdf([raw], [False], font_form="standard")
+    with pytest.raises(NotImplementedError, match="0x80-0x9F"):
+        parse_pdf(pdf)
+
+    # Tf naming a font absent from /Resources refuses
+    raw = b"BT\n/F9 11 Tf\n(x) Tj\nET"
+    pdf = build_pdf([raw], [False])
+    with pytest.raises(ValueError, match="not in the page's"):
+        parse_pdf(pdf)
+
+    # text shown before any Tf refuses
+    raw = b"BT\n(x) Tj\nET"
+    pdf = build_pdf([raw], [False])
+    with pytest.raises(ValueError, match="before any Tf"):
+        parse_pdf(pdf)
+
+    # a corrupt bfchar count in the CMap refuses
+    c = render_page_content(lines, footer, font_form="cid")
+    pdf = build_pdf([c], [False], font_form="cid")
+    short = pdf.replace(b"3 beginbfchar", b"4 beginbfchar")
+    with pytest.raises(ValueError, match="declares 4"):
+        parse_pdf(short)
+    # (stream lengths: the count swap is same-length, offsets hold)
+    assert len(short) == len(pdf)
+
+
 def test_pdf_extract_text_entry_matches_documents(spark, sf_dir):
     """End to end: the staged corpus parses back to exactly the
     documents table's tokens in 40-token pages + footers, with the
@@ -1314,7 +1422,10 @@ def test_pdf_extract_text_entry_matches_documents(spark, sf_dir):
         n_comp = sum((doc_id + p) % 3 != 0 for p in range(n_pages))
         form = ("classic", "stream", "incremental")[doc_id % 3]
         extra = {"classic": 0, "stream": 2, "incremental": 1}[form]
+        fform = ("standard", "differences", "cid")[(doc_id // 3) % 3]
+        extra += 2 if fform == "cid" else 0
         assert pages[0]["xref_form"] == form
+        assert pages[0]["font_form"] == fform
         assert pages[0]["n_objects"] == 3 + 2 * n_pages + n_comp + extra
         for p, r in enumerate(pages):
             body = " ".join(toks[p * 40 : (p + 1) * 40])
