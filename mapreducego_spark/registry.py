@@ -780,6 +780,10 @@ QUERIES: dict[str, QueryFn] = {
     # run-length (runs, absolute mode, EOL/EOB escapes), bottom-up
     # rows, 4-byte alignment, BGR order
     "multimodal_bmp_decode": M.multimodal_bmp_decode,
+    # Baseline TIFF (r16, r15 verdict #5): the scanned-document
+    # format — II/MM byte orders, strip reassembly, PackBits,
+    # WhiteIsZero inversion, every wire path hash-gated
+    "multimodal_tiff_decode": M.multimodal_tiff_decode,
     # REAL image resize (new in r13): exact-integer 2x box
     # downsample fused into the decode pass, hash-gated — the
     # thumbnail slot of the decode/feature-extract/resize triple
@@ -7903,3 +7907,68 @@ FROM rows_hex
 GROUP BY i
 ORDER BY media_id
 """
+
+# Baseline TIFF (r16): every pixel rebuilt closed-form — the x//3
+# and y//2 plateaus (real PackBits runs), the RGB channel forms, the
+# WhiteIsZero family decoding back to the same gray closed form
+# (store-inverted, read-inverted), the II/MM alternation, and the
+# ceil(h/rps) strip count. A strip-reassembly, byte-order, PackBits,
+# or polarity error diverges.
+ORACLES["multimodal_tiff_decode"] = """
+WITH m AS (SELECT unnest(range(150)) AS i),
+par AS (
+  SELECT i,
+         CAST((i * 5) % 23 + 9 AS BIGINT) AS w,
+         CAST((i * 7) % 15 + 6 AS BIGINT) AS h,
+         CAST((i % 4) + 3 AS BIGINT) AS rps,
+         CASE i % 5 WHEN 0 THEN 'gray8' WHEN 1 THEN 'rgb24'
+              WHEN 2 THEN 'gray8pb' WHEN 3 THEN 'rgb24pb'
+              ELSE 'white0pb' END AS family,
+         CASE i % 2 WHEN 0 THEN 'II' ELSE 'MM' END AS byte_order
+  FROM m
+),
+px AS (
+  SELECT par.*, x.x AS x, y.y AS y
+  FROM par,
+       (SELECT unnest(range(32)) AS x) x,
+       (SELECT unnest(range(21)) AS y) y
+  WHERE x.x < w AND y.y < h
+),
+pix AS (
+  SELECT i, w, h, rps, family, byte_order, x, y,
+         CASE WHEN family LIKE 'rgb%' THEN
+                printf('%02x%02x%02x',
+                       (i * 4 + (x // 3) * 9 + y * 2) % 256,
+                       (i * 6 + x * 3 + (y // 2) * 8) % 256,
+                       (i * 9 + (x // 2) * 5 + y * 4) % 256)
+              ELSE printf('%02x',
+                          (i * 3 + (x // 3) * 5 + (y // 2) * 7) % 256)
+         END AS hx,
+         CASE WHEN family LIKE 'rgb%' THEN
+                (i * 4 + (x // 3) * 9 + y * 2) % 256
+                + (i * 6 + x * 3 + (y // 2) * 8) % 256
+                + (i * 9 + (x // 2) * 5 + y * 4) % 256
+              ELSE (i * 3 + (x // 3) * 5 + (y // 2) * 7) % 256
+         END AS s
+  FROM px
+),
+rows_hex AS (
+  SELECT i, w, h, rps, family, byte_order, y,
+         string_agg(hx, '' ORDER BY x) AS rowstr,
+         SUM(s) AS part_sum
+  FROM pix
+  GROUP BY i, w, h, rps, family, byte_order, y
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       MAX(w) AS width,
+       MAX(h) AS height,
+       MAX(family) AS family,
+       MAX(byte_order) AS byte_order,
+       CAST((MAX(h) + MAX(rps) - 1) // MAX(rps) AS BIGINT) AS n_strips,
+       CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+       md5(string_agg(rowstr, '' ORDER BY y)) AS feature_hash
+FROM rows_hex
+GROUP BY i
+ORDER BY media_id
+"""
+

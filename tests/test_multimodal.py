@@ -2020,3 +2020,168 @@ def test_png_lowdepth_entry_matches_closed_form(spark, sf_dir):
         assert r["feature_hash"] == hashlib.md5(
             bytes(rgba).hex().encode()
         ).hexdigest()
+
+
+# ------------------------------------------------------------ TIFF tier
+
+
+def test_tiff_round_trips_families_strips_and_byte_orders():
+    """Baseline TIFF (r16): gray/RGB x uncompressed/PackBits x II/MM
+    round-trip exactly through multi-strip layout, and the
+    WhiteIsZero polarity decodes back to BlackIsZero luminance."""
+    import numpy as np
+
+    from mapreducego_spark.functions.tiffcodec import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(11)
+    for bo in ("II", "MM"):
+        for pb in (False, True):
+            g = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+            meta, arr = decode_tiff(
+                encode_tiff(g, 1, bo, packbits=pb, rows_per_strip=4)
+            )
+            assert (arr == g).all()
+            assert meta["n_strips"] == 4 and meta["byte_order"] == bo
+            assert meta["family"] == ("gray8pb" if pb else "gray8")
+            # WhiteIsZero: stored inverted, decoded back upright
+            meta, arr = decode_tiff(
+                encode_tiff(
+                    (255 - g.astype(np.int16)).astype(np.uint8), 0,
+                    bo, packbits=pb, rows_per_strip=5,
+                )
+            )
+            assert (arr == g).all()
+            assert meta["family"].startswith("white0")
+            c = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+            meta, arr = decode_tiff(
+                encode_tiff(c, 2, bo, packbits=pb, rows_per_strip=3)
+            )
+            assert (arr == c).all()
+            assert meta["family"] == ("rgb24pb" if pb else "rgb24")
+    # PackBits actually compresses runs (plateaus -> run packets)
+    flat = np.zeros((6, 40), dtype=np.uint8)
+    flat[:, 10:20] = 200
+    blob = encode_tiff(flat, 1, "II", packbits=True)
+    assert len(blob) < 8 + 200 + flat.size
+    _, arr = decode_tiff(blob)
+    assert (arr == flat).all()
+
+
+def test_tiff_refusals_are_loud():
+    """Everything outside the declared baseline refuses with a named
+    error: LZW/JPEG/Deflate compression, palette color, 16-bit
+    samples, tiles, predictors, multi-page chains, planar config 2,
+    strip geometry lies, and PackBits framing errors."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mapreducego_spark.functions.tiffcodec import (
+        _packbits_decode,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    g = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    base = encode_tiff(g, 1, "II", packbits=False, rows_per_strip=3)
+
+    def patched(tag, new_value_le):
+        out = bytearray(base)
+        at = 10  # entry table after order/magic/off/count
+        for _ in range(9):
+            t = struct.unpack("<H", out[at : at + 2])[0]
+            if t == tag:
+                out[at + 8 : at + 12] = struct.pack("<I", new_value_le)
+                return bytes(out)
+            at += 12
+        raise AssertionError(f"tag {tag} not found")
+
+    with pytest.raises(NotImplementedError, match="LZW"):
+        decode_tiff(patched(259, 5))
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_tiff(patched(259, 7))
+    with pytest.raises(NotImplementedError, match="Deflate"):
+        decode_tiff(patched(259, 8))
+    with pytest.raises(NotImplementedError, match="palette"):
+        decode_tiff(patched(262, 3))
+    with pytest.raises(NotImplementedError, match="8-bit baseline"):
+        decode_tiff(patched(258, 16))
+    # strip byte-count lie (single-strip file: the count is inline)
+    single = encode_tiff(g, 1, "II")
+    out1 = bytearray(single)
+    at = 10
+    for _ in range(9):
+        if struct.unpack("<H", out1[at : at + 2])[0] == 279:
+            out1[at + 8 : at + 12] = struct.pack("<I", 10)
+        at += 12
+    with pytest.raises(ValueError, match="expected"):
+        decode_tiff(bytes(out1))
+    # a multi-strip count/offset table pointing past the file
+    with pytest.raises(ValueError, match="runs past the file"):
+        decode_tiff(patched(279, 10_000))
+    # multi-page: patch the next-IFD pointer (right after 9 entries)
+    out = bytearray(base)
+    out[10 + 9 * 12 : 10 + 9 * 12 + 4] = struct.pack("<I", 8)
+    with pytest.raises(NotImplementedError, match="multi-page"):
+        decode_tiff(bytes(out))
+    # bad magic / byte order
+    with pytest.raises(ValueError, match="byte order"):
+        decode_tiff(b"XX" + base[2:])
+    with pytest.raises(ValueError, match="magic"):
+        decode_tiff(base[:2] + b"\x2b\x00" + base[4:])
+    # encoder-side geometry guards
+    with pytest.raises(ValueError, match="photometric 0 or 1"):
+        encode_tiff(g, 2)
+    with pytest.raises(ValueError, match="photometric 2"):
+        encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8), 1)
+    # PackBits framing: short stream, overrun, truncated run
+    with pytest.raises(ValueError, match="inflated to"):
+        _packbits_decode(b"\x00a", 5)
+    with pytest.raises(ValueError, match="overruns"):
+        _packbits_decode(b"\x03abcd\x03abcd", 4)
+    with pytest.raises(ValueError, match="run packet truncated"):
+        _packbits_decode(b"\xfe", 3)
+
+
+def test_tiff_decode_entry_matches_closed_form(spark, sf_dir):
+    """The registry entry's first rows against an independent numpy
+    rebuild of the closed forms."""
+    import hashlib
+
+    import numpy as np
+
+    from mapreducego_spark.functions.multimodal import (
+        _tiff_fixture_params,
+        multimodal_tiff_decode,
+    )
+
+    rows = {r["media_id"]: r
+            for r in multimodal_tiff_decode(spark, sf_dir).collect()}
+    assert len(rows) == 150
+    for i in (0, 1, 2, 3, 4, 7, 11):
+        spec = _tiff_fixture_params(i)
+        r = rows[i]
+        assert (r["width"], r["height"]) == (spec["w"], spec["h"])
+        assert r["family"] == spec["family"]
+        assert r["byte_order"] == spec["byte_order"]
+        assert r["n_strips"] == -(-spec["h"] // spec["rps"])
+        if spec["family"].startswith("rgb"):
+            px = np.array(
+                [[spec["rgb"](x, y) for x in range(spec["w"])]
+                 for y in range(spec["h"])],
+                dtype=np.uint8,
+            )
+        else:
+            px = np.array(
+                [[spec["gray"](x, y) for x in range(spec["w"])]
+                 for y in range(spec["h"])],
+                dtype=np.uint8,
+            )
+        assert r["px_sum"] == int(px.astype(np.int64).sum())
+        assert r["feature_hash"] == hashlib.md5(
+            px.tobytes().hex().encode()
+        ).hexdigest()
