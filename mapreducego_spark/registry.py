@@ -784,6 +784,10 @@ QUERIES: dict[str, QueryFn] = {
     # format — II/MM byte orders, strip reassembly, PackBits,
     # WhiteIsZero inversion, every wire path hash-gated
     "multimodal_tiff_decode": M.multimodal_tiff_decode,
+    # WebP VP8L (r16, r15 verdict #4): canonical prefix codes, LZ77
+    # + 2D distance map, color cache, all four transforms; seven
+    # fixture families hash-gate every wire path
+    "multimodal_webp_decode": M.multimodal_webp_decode,
     # REAL image resize (new in r13): exact-integer 2x box
     # downsample fused into the decode pass, hash-gated — the
     # thumbnail slot of the decode/feature-extract/resize triple
@@ -7971,4 +7975,79 @@ FROM rows_hex
 GROUP BY i
 ORDER BY media_id
 """
+
+# WebP VP8L (r16): every RGBA pixel rebuilt closed-form per family —
+# the base channel forms (literal/subgreen/pred/ctrans families:
+# the transforms are invisible in the OUTPUT, the transforms column
+# is what gates them), the y%3 row repetition (lz77), the 7-color
+# lattice (cache), and the palette index form. A prefix-code, LZ77,
+# cache, transform-inverse, or bundling error diverges.
+ORACLES["multimodal_webp_decode"] = """
+WITH m AS (SELECT unnest(range(140)) AS i),
+par AS (
+  SELECT i,
+         CAST((i * 5) % 19 + 8 AS BIGINT) AS w,
+         CAST((i * 7) % 13 + 5 AS BIGINT) AS h,
+         CAST((i % 15) + 2 AS BIGINT) AS n_pal,
+         CASE i % 7 WHEN 0 THEN 'literal' WHEN 1 THEN 'lz77'
+              WHEN 2 THEN 'cache' WHEN 3 THEN 'subgreen'
+              WHEN 4 THEN 'pred' WHEN 5 THEN 'palette'
+              ELSE 'ctrans' END AS family
+  FROM m
+),
+px AS (
+  SELECT par.*, x.x AS x, y.y AS y
+  FROM par,
+       (SELECT unnest(range(27)) AS x) x,
+       (SELECT unnest(range(18)) AS y) y
+  WHERE x.x < w AND y.y < h
+),
+chan AS (
+  SELECT i, w, h, family, x, y,
+         CASE WHEN family = 'cache' THEN (x // 2 + y + i) % 7
+              WHEN family = 'palette' THEN (x + 2 * y + i) % n_pal
+              ELSE 0 END AS j,
+         CASE WHEN family = 'lz77' THEN y % 3 ELSE y END AS yy
+  FROM px
+),
+col AS (
+  SELECT i, w, h, family, x, y,
+         CASE WHEN family IN ('cache', 'palette')
+              THEN (i * 11 + j * 29) % 256
+              ELSE (i * 3 + x * 7 + yy * 11) % 256 END AS r,
+         CASE WHEN family IN ('cache', 'palette')
+              THEN (i * 13 + j * 31) % 256
+              ELSE (i * 5 + x * 2 + yy * 3) % 256 END AS g,
+         CASE WHEN family IN ('cache', 'palette')
+              THEN (i * 17 + j * 37) % 256
+              ELSE (i * 7 + x * 4 + yy * 9) % 256 END AS b,
+         CASE WHEN family = 'cache' THEN (j * 31 + 9) % 256
+              WHEN family = 'palette' THEN (j * 7 + 1) % 256
+              ELSE (i + x * 3 + yy * 5) % 256 END AS a
+  FROM chan
+),
+rows_hex AS (
+  SELECT i, w, h, family, y,
+         string_agg(printf('%02x%02x%02x%02x', r, g, b, a), ''
+                    ORDER BY x) AS rowstr,
+         SUM(r + g + b + a) AS part_sum
+  FROM col
+  GROUP BY i, w, h, family, y
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       MAX(w) AS width,
+       MAX(h) AS height,
+       CASE MAX(family) WHEN 'subgreen' THEN 'subtract_green'
+            WHEN 'pred' THEN 'predictor'
+            WHEN 'palette' THEN 'color_indexing'
+            WHEN 'ctrans' THEN 'color' ELSE 'none' END AS transforms,
+       CAST(CASE WHEN MAX(family) = 'cache' THEN 6 ELSE 0 END
+            AS BIGINT) AS cache_bits,
+       CAST(SUM(part_sum) AS BIGINT) AS px_sum,
+       md5(string_agg(rowstr, '' ORDER BY y)) AS feature_hash
+FROM rows_hex
+GROUP BY i
+ORDER BY media_id
+"""
+
 

@@ -2185,3 +2185,193 @@ def test_tiff_decode_entry_matches_closed_form(spark, sf_dir):
         assert r["feature_hash"] == hashlib.md5(
             px.tobytes().hex().encode()
         ).hexdigest()
+
+
+# ------------------------------------------------------------ WebP tier
+
+
+def test_vp8l_round_trips_all_families():
+    """VP8L (r16): literals, LZ77 row copies, color cache, and all
+    four transforms round-trip exactly, with the wire-path evidence
+    (n_refs / n_cache_hits / transforms) reported by the decoder."""
+    import numpy as np
+
+    from mapreducego_spark.functions.vp8lcodec import (
+        decode_webp,
+        encode_vp8l,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (11, 13, 4), dtype=np.uint8)
+    meta, arr = decode_webp(encode_vp8l(img))
+    assert (arr == img).all()
+    assert meta["transforms"] == "none" and meta["n_refs"] == 0
+
+    base = rng.integers(0, 256, (3, 17, 4), dtype=np.uint8)
+    img = np.vstack([base[[y % 3]] for y in range(14)])
+    meta, arr = decode_webp(encode_vp8l(img, lz77=True))
+    assert (arr == img).all() and meta["n_refs"] > 0
+
+    pal = rng.integers(0, 256, (7, 4), dtype=np.uint8)
+    img = pal[(np.add.outer(np.arange(12), np.arange(15) // 2)) % 7]
+    meta, arr = decode_webp(encode_vp8l(img, cache_bits=6))
+    assert (arr == img).all()
+    assert meta["cache_bits"] == 6 and meta["n_cache_hits"] > 0
+
+    img = rng.integers(0, 256, (9, 10, 4), dtype=np.uint8)
+    meta, arr = decode_webp(encode_vp8l(img, transform="subtract_green"))
+    assert (arr == img).all() and meta["transforms"] == "subtract_green"
+
+    img = rng.integers(0, 256, (13, 18, 4), dtype=np.uint8)
+    meta, arr = decode_webp(encode_vp8l(
+        img, transform="predictor", tile_bits=2,
+        predictor_mode_fn=lambda tx, ty: (0, 1, 2, 4, 7)[(tx + ty) % 5],
+    ))
+    assert (arr == img).all() and meta["transforms"] == "predictor"
+
+    img = rng.integers(0, 256, (10, 14, 4), dtype=np.uint8)
+    meta, arr = decode_webp(encode_vp8l(
+        img, transform="color", tile_bits=2,
+        color_cte_fn=lambda tx, ty: (tx * 37 + ty * 11) % 256
+        | ((tx + ty * 5) % 256) << 8 | ((tx * 3 + ty) % 256) << 16,
+    ))
+    assert (arr == img).all() and meta["transforms"] == "color"
+
+    # palette bundling at the 8-, 4-, 2-, and 1-pixel-per-byte sizes
+    for n in (2, 4, 16, 40):
+        pal = rng.integers(0, 256, (n, 4), dtype=np.uint8)
+        pal[:, 3] = (np.arange(n) * 7 + 1) % 256
+        img = pal[(np.add.outer(np.arange(9) * 2, np.arange(21))) % n]
+        palette = [
+            (int(p[3]) << 24) | (int(p[0]) << 16) | (int(p[1]) << 8)
+            | int(p[2]) for p in pal
+        ]
+        meta, arr = decode_webp(encode_vp8l(
+            img, transform="color_indexing", palette=palette
+        ))
+        assert (arr == img).all(), n
+        assert meta["transforms"] == "color_indexing"
+
+
+def test_vp8l_distance_map_and_prefix_values():
+    """The 120-entry 2D distance map starts with the spec's known
+    head ((0,1),(1,0),(1,1),(-1,1),(0,2),...) and the prefix
+    length/distance value coding is a bijection."""
+    from mapreducego_spark.functions.vp8lcodec import (
+        _BitReader,
+        _BitWriter,
+        _DIST_MAP,
+        _dist_from_wire,
+        _dist_to_wire,
+        _prefix_value_decode,
+        _prefix_value_encode,
+    )
+
+    assert len(_DIST_MAP) == 120
+    assert _DIST_MAP[:10] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2),
+        (-1, 2), (2, 1), (-2, 1),
+    ]
+    for v in list(range(1, 200)) + [4096, 12345]:
+        code, extra, ebits = _prefix_value_encode(v)
+        bw = _BitWriter()
+        bw.write(extra, ebits)
+        br = _BitReader(bw.finish() + b"\x00")
+        assert _prefix_value_decode(code, br) == v, v
+    # row-above and left-pixel distances ride 2D codes; others plain
+    assert _dist_to_wire(17, 17) == 1   # (0, 1)
+    assert _dist_to_wire(1, 17) == 2    # (1, 0)
+    assert _dist_from_wire(1, 17) == 17
+    assert _dist_from_wire(2, 17) == 1
+    assert _dist_from_wire(500, 17) == 380
+    assert _dist_to_wire(380, 17) == 500
+
+
+def test_vp8l_refusals_are_loud():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mapreducego_spark.functions.vp8lcodec import (
+        decode_webp,
+        encode_vp8l,
+    )
+
+    img = np.zeros((4, 5, 4), dtype=np.uint8)
+    good = encode_vp8l(img)
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(good[:12] + b"VP8 " + good[16:])
+    with pytest.raises(NotImplementedError, match="VP8X"):
+        decode_webp(good[:12] + b"VP8X" + good[16:])
+    with pytest.raises(ValueError, match="not a WebP"):
+        decode_webp(b"GIF89a" + good)
+    with pytest.raises(ValueError, match="RIFF size"):
+        decode_webp(good + b"x")
+    with pytest.raises(ValueError, match="signature"):
+        decode_webp(good[:20] + b"\x00" + good[21:])
+    # meta prefix codes refuse: flip the bit after the transform
+    # terminator. Layout past the header (40 bits): transforms bit 0,
+    # cache bit 0, then the meta bit — bit 42 of the VP8L payload.
+    bad = bytearray(good)
+    byte_at = 20 + (42 // 8)
+    bad[byte_at] ^= 1 << (42 % 8)
+    with pytest.raises(NotImplementedError, match="meta prefix"):
+        decode_webp(bytes(bad))
+    # version must be 0: bits 37..39 of the payload
+    bad = bytearray(good)
+    bad[20 + 37 // 8] ^= 1 << (37 % 8)
+    with pytest.raises(ValueError, match="version"):
+        decode_webp(bytes(bad))
+    # truncated bit stream: shrink both sizes consistently so only
+    # the VP8L payload itself runs dry
+    cut = good[:-6]
+    fixed = (
+        cut[:4] + struct.pack("<I", len(cut) - 8) + cut[8:16]
+        + struct.pack("<I", len(cut) - 20) + cut[20:]
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        decode_webp(fixed)
+
+
+def test_webp_decode_entry_matches_closed_form(spark, sf_dir):
+    """The registry entry's rows against an independent numpy
+    rebuild, plus wire-path evidence: the lz77 family files decode
+    with n_refs > 0 and the cache family with n_cache_hits > 0."""
+    import hashlib
+
+    import numpy as np
+
+    from mapreducego_spark.functions.multimodal import (
+        _webp_fixture_params,
+        multimodal_webp_decode,
+        stage_webp_media,
+    )
+    from mapreducego_spark.functions.vp8lcodec import decode_webp
+
+    rows = {r["media_id"]: r
+            for r in multimodal_webp_decode(spark, sf_dir).collect()}
+    assert len(rows) == 140
+    for i in range(14):
+        spec = _webp_fixture_params(i)
+        r = rows[i]
+        assert (r["width"], r["height"]) == (spec["w"], spec["h"])
+        assert r["transforms"] == spec["transforms"]
+        assert r["cache_bits"] == spec["cache_bits"]
+        px = np.array(
+            [[spec["rgba"](x, y) for x in range(spec["w"])]
+             for y in range(spec["h"])],
+            dtype=np.uint8,
+        )
+        assert r["px_sum"] == int(px.astype(np.int64).sum())
+        assert r["feature_hash"] == hashlib.md5(
+            px.tobytes().hex().encode()
+        ).hexdigest()
+    # wire-usage evidence straight off the staged files
+    import os
+
+    path = stage_webp_media(sf_dir)
+    for i, want in ((1, "n_refs"), (2, "n_cache_hits")):
+        with open(os.path.join(path, f"media_{i:05d}.webp"), "rb") as fh:
+            meta, _ = decode_webp(fh.read())
+        assert meta[want] > 0, (i, want, meta)
