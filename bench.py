@@ -231,6 +231,12 @@ HEADLINE = [
     "snapshot_append",
     "subtitle_cues",
     "multimodal_mp3_tags",
+    # round 16 births, in the headline in their birth round (the
+    # r15 lesson): stats-pruned snapshot reads, baseline TIFF, and
+    # WebP VP8L decode
+    "snapshot_pruned_read",
+    "multimodal_tiff_decode",
+    "multimodal_webp_decode",
 ]
 
 # The exact O(n^2) embedding baseline is benched at sf0.01 (500

@@ -1555,6 +1555,81 @@ QUERIES = {name: QUERIES[name] for name in _R15_WINDOW} | {
 }
 
 
+# The r16 window, standing policies applied: (1) the three r16
+# births (no driver row yet); (2) the FIVE entries whose code or
+# output schema changed in r16 (pdf_extract_text: +font_form column
+# + font-cycled fixtures; snapshot_append / snapshot_time_travel /
+# snapshot_changes: the commit protocol under them changed —
+# token-suffixed artifact staging, loser-cleans-up collisions;
+# multimodal_mp3_meta: the VBR-tag truncation guard); (3) ALL 20
+# r10-stale entries (the r15 verdict's missing #4 list, verbatim —
+# max registry staleness becomes r11); (4) the 22 alphabetically-
+# first r11-stale entries (the changed-entry carve-outs displace
+# hybrid_rerank_ann..ngram_jaccard to r17). The two r15 watch items
+# (cms_heavy_hitters, copurchase_triples) land fresh driver rows in
+# section 4.
+_R16_WINDOW = [
+    # (1) never driver-tested (new in r16)
+    "snapshot_pruned_read",
+    "multimodal_tiff_decode",
+    "multimodal_webp_decode",
+    # (2) changed in r16 — re-prove under the driver's own gate
+    "pdf_extract_text",
+    "snapshot_append",
+    "snapshot_time_travel",
+    "snapshot_changes",
+    "multimodal_mp3_meta",
+    # (3) the full r10-stale set — the oldest driver evidence
+    "mutual_information",
+    "scalar_functions",
+    "scalar_subquery",
+    "semantic_dedup",
+    "set_except",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union",
+    "set_union_all_counts",
+    "simhash_pairs",
+    "sort_global",
+    "stream_stateful_totals",
+    "topk",
+    "upsert_schema_evolution",
+    "vector_topk",
+    "window_distribution",
+    "window_lag_lead",
+    "window_rank",
+    "window_running",
+    "wordcount",
+    # (4) the 22 alphabetically-first r11-stale entries
+    "ab_test_lift",
+    "active_users_rolling",
+    "agg_skew_salted",
+    "attribution_last_touch",
+    "avro_round_trip",
+    "avro_schema_evolution",
+    "bitmap_distinct",
+    "bpe_apply",
+    "bpe_train",
+    "cdc_apply",
+    "clustering_coefficient",
+    "cms_heavy_hitters",
+    "concurrent_events",
+    "copurchase_pairs",
+    "copurchase_triples",
+    "dedup_clusters",
+    "dedup_eval",
+    "dedup_incremental",
+    "dedup_minhash",
+    "dedup_vs_reference",
+    "fuzzy_match_snm",
+    "gapfill_linear",
+]
+assert len(_R16_WINDOW) == 50, len(_R16_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R16_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R16_WINDOW)
+}
+
+
 # r5 window kept for the record (see NOTES_r05.md)
 _R5_WINDOW = [
     # (1) changed in r5

@@ -58,15 +58,16 @@ QUERIES = [
 # each round toward entries without a recent 10x row; r14 leads with
 # the round's own corpus-scaling births.
 ROTATED_SF01 = [
-    # r15 rotation (r14 verdict #8): the corpus-scaling entries
-    # never 10x-checked, plus the round's own corpus-scaling
-    # birth/changes (pdf_extract_text CHANGED: 3-form xref fixtures;
-    # snapshot_append NEW: manifest commits over orders)
-    "warc_link_graph",        # documents-scaling, never 10x-checked
-    "webdataset_pairs",       # documents-scaling, never 10x-checked
-    "snapshot_changes",       # orders-scaling, never 10x-checked
-    "pdf_extract_text",       # CHANGED r15 (xref-stream/incremental)
-    "snapshot_append",        # NEW r15, scales with orders
+    # r16 rotation (r15 verdict #7): the r15 corpus-scaling births
+    # that have never had a 10x row, the r16 corpus-scaling
+    # birth/change (snapshot_pruned_read NEW over orders;
+    # pdf_extract_text CHANGED again — font-encoded fixtures), and
+    # two r10-stale compute entries without any prior 10x row
+    "subtitle_cues",          # documents-scaling, never 10x-checked
+    "multimodal_mp3_tags",    # never 10x-checked (fixed-n but cheap)
+    "snapshot_pruned_read",   # NEW r16, orders-scaling, stats-pruned
+    "pdf_extract_text",       # CHANGED r16 (font-encoded text)
+    "vector_topk",            # r10-stale compute, no prior 10x row
 ]
 SF01_DIR = "/root/testdata/sf0.1"
 
