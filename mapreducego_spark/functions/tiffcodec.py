@@ -7,16 +7,23 @@ with ascending tag order, strip layout (RowsPerStrip < height so
 multi-strip reassembly is real), 8-bit grayscale (Photometric-
 Interpretation 1 = BlackIsZero AND 0 = WhiteIsZero, inverted on
 decode to the BlackIsZero convention) and 8-bit RGB (Photometric 2),
-uncompressed (Compression 1) and PackBits (Compression 32773,
+uncompressed (Compression 1), PackBits (Compression 32773,
 §9 — literal and run packets, the -128 noop, rows packed per
-scanline as the spec recommends).
+scanline as the spec recommends), and — r17; r16 verdict #3 — LZW
+(Compression 5, §13: MSB-first 9..12-bit codes with the early-
+change width rule, per-strip streams beginning with ClearCode,
+via functions/lzwcodec.py) with the optional horizontal-
+differencing Predictor (tag 317 = 2, §14, per-sample byte
+differencing inverted by a row cumsum) — the dominant real
+scanned-document shape.
 
-Scope (loud, not silent): LZW (5), JPEG-in-TIFF (6/7), and Deflate
-(8) compressions, palette color (Photometric 3), bilevel/4-bit/
+Scope (loud, not silent): JPEG-in-TIFF (6/7) and Deflate (8)
+compressions, palette color (Photometric 3), bilevel/4-bit/
 16-bit BitsPerSample, tiled layout (TileWidth/TileLength), planar
-configuration 2, Predictor != 1, alpha/extra samples, and
-multi-page IFD chains all raise NotImplementedError/ValueError —
-never a silently wrong raster. The IFD walk mirrors the Exif walk
+configuration 2, Predictor 2 outside LZW and Predictor 3
+(floating point), alpha/extra samples, and multi-page IFD chains
+all raise NotImplementedError/ValueError — never a silently wrong
+raster. The IFD walk mirrors the Exif walk
 (multimodal.py parse_exif) but verifies strip geometry exactly:
 every strip must decompress to rows_in_strip * width * samples
 bytes, and declared StripByteCounts are checked against the wire.
@@ -35,12 +42,12 @@ import numpy as np
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
 _COMPRESSION_NONE = 1
+_COMPRESSION_LZW = 5
 _COMPRESSION_PACKBITS = 32773
 _COMPRESSION_NAMES = {
     2: "CCITT Group 3 1D",
     3: "CCITT T.4",
     4: "CCITT T.6",
-    5: "LZW",
     6: "old-style JPEG",
     7: "JPEG",
     8: "Deflate",
@@ -119,15 +126,26 @@ def encode_tiff(
     byte_order: str = "II",
     packbits: bool = False,
     rows_per_strip: int | None = None,
+    lzw: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """Baseline TIFF bytes for an (h, w) grayscale or (h, w, 3) RGB
     uint8 raster. ``photometric`` is the stored interpretation (0 =
     WhiteIsZero — the SAMPLES passed here are stored as-is, callers
     invert beforehand —, 1 = BlackIsZero, 2 = RGB). The IFD sits at
     offset 8 with ascending tags; oversize values and strip data
-    follow it."""
+    follow it. ``lzw`` stores strips as TIFF §13 LZW streams;
+    ``predictor`` = 2 applies §14 horizontal differencing per row
+    and sample before compression (LZW only, as the spec scopes
+    it)."""
     if samples.dtype != np.uint8:
         raise ValueError("samples must be uint8")
+    if packbits and lzw:
+        raise ValueError("pick one of packbits / lzw")
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor {predictor} (1 or 2)")
+    if predictor == 2 and not lzw:
+        raise ValueError("predictor 2 is scoped to LZW (TIFF 6.0 §14)")
     if samples.ndim == 2:
         h, w = samples.shape
         spp = 1
@@ -148,18 +166,36 @@ def encode_tiff(
         raise ValueError("rows_per_strip must be >= 1")
     n_strips = (h + rps - 1) // rps
 
+    stored = samples
+    if predictor == 2:
+        # horizontal differencing: row[x] -= row[x-1] per sample
+        # channel, leftmost kept (TIFF 6.0 §14), byte arithmetic
+        wide = samples.reshape(h, w, spp).astype(np.int16)
+        wide[:, 1:, :] = wide[:, 1:, :] - samples.reshape(h, w, spp)[
+            :, :-1, :
+        ]
+        stored = (wide % 256).astype(np.uint8)
+
     strips: list[bytes] = []
-    flat = samples.reshape(h, w * spp)
+    flat = stored.reshape(h, w * spp)
     for s in range(n_strips):
         rows = flat[s * rps : (s + 1) * rps]
         if packbits:
             strips.append(
                 b"".join(_packbits_encode_row(r.tobytes()) for r in rows)
             )
+        elif lzw:
+            from mapreducego_spark.functions.lzwcodec import lzw_encode
+
+            strips.append(lzw_encode(rows.tobytes()))
         else:
             strips.append(rows.tobytes())
 
-    comp = _COMPRESSION_PACKBITS if packbits else _COMPRESSION_NONE
+    comp = (
+        _COMPRESSION_PACKBITS
+        if packbits
+        else _COMPRESSION_LZW if lzw else _COMPRESSION_NONE
+    )
     # entries: (tag, type, count, values)
     entries = [
         (256, 4, 1, [w]),
@@ -172,6 +208,8 @@ def encode_tiff(
         (278, 4, 1, [rps]),
         (279, 4, n_strips, [len(s) for s in strips]),
     ]
+    if predictor == 2:
+        entries.append((317, 3, 1, [2]))
     ifd_size = 2 + 12 * len(entries) + 4
     extra_off = 8 + ifd_size
     # oversize value area layout: walk entries, assign offsets
@@ -315,7 +353,9 @@ def decode_tiff(payload: bytes) -> tuple[dict, np.ndarray]:
             f"BitsPerSample {bits} (8-bit baseline only)"
         )
     comp = one(259, _COMPRESSION_NONE)
-    if comp not in (_COMPRESSION_NONE, _COMPRESSION_PACKBITS):
+    if comp not in (
+        _COMPRESSION_NONE, _COMPRESSION_PACKBITS, _COMPRESSION_LZW
+    ):
         name = _COMPRESSION_NAMES.get(comp, str(comp))
         raise NotImplementedError(f"TIFF compression {name}")
     photo = one(262)
@@ -329,8 +369,13 @@ def decode_tiff(payload: bytes) -> tuple[dict, np.ndarray]:
         )
     if one(284, 1) != 1:
         raise NotImplementedError("planar configuration 2")
-    if one(317, 1) != 1:
-        raise NotImplementedError("TIFF predictor != 1")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    if predictor == 2 and comp != _COMPRESSION_LZW:
+        raise NotImplementedError(
+            "predictor 2 outside LZW (TIFF 6.0 §14 scope)"
+        )
     rps = one(278, h)
     offs = tags.get(273)
     counts = tags.get(279)
@@ -352,6 +397,10 @@ def decode_tiff(payload: bytes) -> tuple[dict, np.ndarray]:
         expect = rows_here * rowbytes
         if comp == _COMPRESSION_PACKBITS:
             out += _packbits_decode(raw, expect)
+        elif comp == _COMPRESSION_LZW:
+            from mapreducego_spark.functions.lzwcodec import lzw_decode
+
+            out += lzw_decode(raw, expect)
         else:
             if cnt != expect:
                 raise ValueError(
@@ -359,6 +408,11 @@ def decode_tiff(payload: bytes) -> tuple[dict, np.ndarray]:
                 )
             out += raw
     arr = np.frombuffer(bytes(out), dtype=np.uint8)
+    if predictor == 2:
+        # invert horizontal differencing: cumulative sum per row and
+        # sample channel, byte arithmetic
+        acc = arr.reshape(h, w, spp).astype(np.int64)
+        arr = (np.cumsum(acc, axis=1) % 256).astype(np.uint8)
     arr = (
         arr.reshape(h, w) if spp == 1 else arr.reshape(h, w, 3)
     )
@@ -369,7 +423,11 @@ def decode_tiff(payload: bytes) -> tuple[dict, np.ndarray]:
         base = "gray8"
     else:
         base = "rgb24"
-    family = base + ("pb" if comp == _COMPRESSION_PACKBITS else "")
+    family = base + {
+        _COMPRESSION_PACKBITS: "pb",
+        _COMPRESSION_LZW: "lzw",
+        _COMPRESSION_NONE: "",
+    }[comp] + ("p" if predictor == 2 else "")
     meta = {
         "width": w,
         "height": h,

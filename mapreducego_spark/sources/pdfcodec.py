@@ -16,8 +16,12 @@ and type-2 entries into compressed OBJECT STREAMS (/Type /ObjStm) —
 the majority shape of modern PDFs — and incrementally UPDATED files
 (/Prev chains, newest revision wins per object, cycle-guarded).
 
-Scope (loud, not silent): FlateDecode and raw streams only — LZW,
-DCT, CCITT raise NotImplementedError; /DecodeParms predictors are
+Scope (loud, not silent): FlateDecode, LZWDecode (r17; r16 verdict
+#5 — the pre-1.2 stream filter, ISO 32000-1 §7.4.4: TIFF-style
+MSB-first early-change LZW via functions/lzwcodec.py; an
+/EarlyChange 0 stream refuses through the /DecodeParms refusal),
+and raw streams — DCT, CCITT, ASCIIHex/ASCII85, RunLength raise
+NotImplementedError; /DecodeParms predictors are
 decoded only where the spec puts them in the xref machinery (PNG
 predictors 10-15 over the xref stream; TIFF predictor 2 refuses)
 and refuse on CONTENT streams; encrypted PDFs (/Encrypt in any
@@ -195,11 +199,24 @@ def _build_objects(
     add(b"")  # 3: font, patched below (cid refs later objects)
     kids = []
     for p, (content, comp) in enumerate(zip(page_contents, compress)):
-        data = zlib.compress(content, 6) if comp else content
-        if comp:
+        # comp: False/"raw", True/"flate", or "lzw" (r17)
+        fname = {
+            False: None, "raw": None,
+            True: b"FlateDecode", "flate": b"FlateDecode",
+            "lzw": b"LZWDecode",
+        }[comp]
+        if fname == b"LZWDecode":
+            from mapreducego_spark.functions.lzwcodec import lzw_encode
+
+            data = lzw_encode(content)
+        elif fname is not None:
+            data = zlib.compress(content, 6)
+        else:
+            data = content
+        if fname is not None:
             length_num = len(objs) + 3  # page, stream, then length obj
             stream_dict = (
-                b"<< /Length %d 0 R /Filter /FlateDecode >>" % length_num
+                b"<< /Length %d 0 R /Filter /%s >>" % (length_num, fname)
             )
         else:
             stream_dict = b"<< /Length %d >>" % len(data)
@@ -208,7 +225,7 @@ def _build_objects(
             stream_dict + b"\nstream\n" + data + b"\nendstream"
         )
         stream_nums.add(content_num)
-        if comp:
+        if fname is not None:
             add(b"%d" % len(data))
         objs[page_num - 1] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
@@ -961,9 +978,16 @@ def _decode_stream(d: dict, raw: bytes) -> bytes:
                 data = zlib.decompress(data)
             except zlib.error as e:
                 raise ValueError(f"corrupt FlateDecode stream: {e}") from e
+        elif f == ("name", "LZWDecode"):
+            from mapreducego_spark.functions.lzwcodec import lzw_decode
+
+            try:
+                data = lzw_decode(data)
+            except ValueError as e:
+                raise ValueError(f"corrupt LZWDecode stream: {e}") from e
         else:
             raise NotImplementedError(
-                f"stream filter {f!r} (FlateDecode only)"
+                f"stream filter {f!r} (FlateDecode/LZWDecode only)"
             )
     return data
 
@@ -1369,6 +1393,7 @@ def parse_pdf(payload: bytes) -> dict:
         contents = page.get("Contents")
         refs = contents if isinstance(contents, list) else [contents]
         parts, compressed = [], False
+        filt_names: set[str] = set()
         for r in refs:
             if not (isinstance(r, tuple) and r[0] == "ref"):
                 raise ValueError("/Contents must be stream reference(s)")
@@ -1376,9 +1401,23 @@ def parse_pdf(payload: bytes) -> dict:
             if raw is None:
                 raise ValueError("/Contents object carries no stream")
             compressed = compressed or "Filter" in d
+            fd = d.get("Filter")
+            for f in (fd if isinstance(fd, list) else [fd]):
+                if f is None:
+                    filt_names.add("raw")
+                else:
+                    filt_names.add(
+                        {"FlateDecode": "flate", "LZWDecode": "lzw"}
+                        .get(f[1], f[1])
+                    )
             parts.append(_decode_stream(d, raw))
         text = extract_content_text(b"\n".join(parts), fonts)
-        pages.append({"text": text, "compressed": compressed})
+        pages.append({
+            "text": text,
+            "compressed": compressed,
+            # the filter the reader ACTUALLY inflated through (r17)
+            "stream_filter": "+".join(sorted(filt_names)),
+        })
     return {
         "version": version,
         "n_objects": len(offsets),

@@ -657,6 +657,18 @@ def vacuum(table_dir: str, keep_last: int) -> list[int]:
             and os.path.isdir(os.path.join(table_dir, name))
         ):
             shutil.rmtree(os.path.join(table_dir, name))
+    # GC orphan MANIFEST files too (r17; ADVICE): a crash between
+    # the manifest write (os.replace) and the log publish leaves a
+    # token-suffixed manifest (or its .tmp) that no log entry ever
+    # names — a permanent leak without this sweep. Same in-flight
+    # caveat as the data-dir GC above: an in-flight commit stages
+    # its manifest before its log entry exists.
+    mdir = os.path.join(table_dir, _MANIFESTDIR)
+    if os.path.isdir(mdir):
+        named = {e["manifest"] for e in log if "manifest" in e}
+        for name in os.listdir(mdir):
+            if name not in named:
+                os.remove(os.path.join(mdir, name))
     _write_log_entry(
         table_dir,
         len(log),

@@ -2072,9 +2072,11 @@ def test_tiff_round_trips_families_strips_and_byte_orders():
 
 def test_tiff_refusals_are_loud():
     """Everything outside the declared baseline refuses with a named
-    error: LZW/JPEG/Deflate compression, palette color, 16-bit
-    samples, tiles, predictors, multi-page chains, planar config 2,
-    strip geometry lies, and PackBits framing errors."""
+    error: JPEG/Deflate compression, palette color, 16-bit
+    samples, tiles, multi-page chains, planar config 2,
+    strip geometry lies, and PackBits framing errors. (LZW DECODES
+    since r17 — so a raw strip MISLABELED as LZW must refuse as a
+    corrupt stream, not silently pass.)"""
     import struct
 
     import numpy as np
@@ -2100,7 +2102,7 @@ def test_tiff_refusals_are_loud():
             at += 12
         raise AssertionError(f"tag {tag} not found")
 
-    with pytest.raises(NotImplementedError, match="LZW"):
+    with pytest.raises(ValueError):  # raw bytes are not an LZW stream
         decode_tiff(patched(259, 5))
     with pytest.raises(NotImplementedError, match="JPEG"):
         decode_tiff(patched(259, 7))
@@ -2310,14 +2312,8 @@ def test_vp8l_refusals_are_loud():
         decode_webp(good + b"x")
     with pytest.raises(ValueError, match="signature"):
         decode_webp(good[:20] + b"\x00" + good[21:])
-    # meta prefix codes refuse: flip the bit after the transform
-    # terminator. Layout past the header (40 bits): transforms bit 0,
-    # cache bit 0, then the meta bit — bit 42 of the VP8L payload.
-    bad = bytearray(good)
-    byte_at = 20 + (42 // 8)
-    bad[byte_at] ^= 1 << (42 % 8)
-    with pytest.raises(NotImplementedError, match="meta prefix"):
-        decode_webp(bytes(bad))
+    # (meta prefix codes DECODE since r17 — covered by the meta
+    # family round-trips in test_round17.py, no longer a refusal)
     # version must be 0: bits 37..39 of the payload
     bad = bytearray(good)
     bad[20 + 37 // 8] ^= 1 << (37 % 8)
@@ -2509,8 +2505,9 @@ def test_vp8l_decoder_wire_paths_not_reached_by_the_encoder():
 
 def test_tiff_structural_refusals_tiles_planar_predictor_order():
     """The remaining structural refusals: tiles, planar config 2,
-    predictor 2, photometric/spp disagreement, and out-of-order IFD
-    tags (TIFF 6.0 requires ascending order)."""
+    photometric/spp disagreement, and out-of-order IFD tags (TIFF
+    6.0 requires ascending order). (Predictor 2 decodes with LZW
+    since r17 — its scope refusals live in test_round17.py.)"""
     import struct
 
     import numpy as np
