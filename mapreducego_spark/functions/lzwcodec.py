@@ -56,12 +56,14 @@ def lzw_encode(data: bytes) -> bytes:
     table, nxt, width = fresh()
     emit(_CLEAR, width)
     cur = b""
+    n_since_clear = 0
     for b in data:
         cand = cur + bytes([b])
         if cand in table:
             cur = cand
             continue
         emit(table[cur], width)
+        n_since_clear += 1
         table[cand] = nxt
         nxt += 1
         # encoder widens at 2^width; the decoder's matching rule is
@@ -71,9 +73,20 @@ def lzw_encode(data: bytes) -> bytes:
         if nxt == _RESET_AT:
             emit(_CLEAR, width)
             table, nxt, width = fresh()
+            n_since_clear = 0
         cur = bytes([b])
     if cur:
         emit(table[cur], width)
+        n_since_clear += 1
+    # the decoder appends ONE more entry after the final data code
+    # (its additions lag the encoder's by one) and widens if that
+    # entry lands on 2^width - 1 — so EOD must go out at the width
+    # the decoder will be reading with. Only applies when the final
+    # code is not the first after a CLEAR (no append then). The GIF
+    # encoder needs the same endgame correction (gifcodec.py).
+    if n_since_clear >= 2:
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
     emit(_EOD, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)

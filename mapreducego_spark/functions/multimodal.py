@@ -4169,14 +4169,18 @@ def multimodal_bmp_decode(
 def _tiff_fixture_params(i: int):
     """Deterministic TIFF fixture spec (r16; r15 verdict #5): the
     families cycle 8-bit grayscale uncompressed, 24-bit RGB
-    uncompressed, grayscale PackBits, RGB PackBits, and
+    uncompressed, grayscale PackBits, RGB PackBits,
     WhiteIsZero-stored PackBits grayscale (the scanned-document
-    polarity, inverted on decode); byte order alternates II/MM and
-    RowsPerStrip cycles 3..6 so multi-strip reassembly is exercised
-    by every file. Pixels are closed-form for the DuckDB oracle;
-    the decoder-reported family/byte_order/n_strips hash-gate each
-    wire path. The x//3, y//2 plateaus give PackBits real runs."""
-    fam = ("gray8", "rgb24", "gray8pb", "rgb24pb", "white0pb")[i % 5]
+    polarity, inverted on decode), and — r17; r16 verdict #3 — LZW
+    with horizontal Predictor 2 (RGB) and plain LZW (grayscale),
+    the dominant real scanned-document compressions; byte order
+    alternates II/MM and RowsPerStrip cycles 3..6 so multi-strip
+    reassembly is exercised by every file. Pixels are closed-form
+    for the DuckDB oracle; the decoder-reported family/byte_order/
+    n_strips hash-gate each wire path. The x//3, y//2 plateaus give
+    PackBits real runs (and the predictor real small deltas)."""
+    fam = ("gray8", "rgb24", "gray8pb", "rgb24pb", "white0pb",
+           "rgb24lzwp", "gray8lzw")[i % 7]
 
     def gray(x: int, y: int) -> int:
         return (i * 3 + (x // 3) * 5 + (y // 2) * 7) % 256
@@ -4199,11 +4203,11 @@ def _tiff_fixture_params(i: int):
     }
 
 
-def stage_tiff_media(sf_dir: str, n: int = 150) -> str:
+def stage_tiff_media(sf_dir: str, n: int = 175) -> str:
     from mapreducego_spark.functions.tiffcodec import encode_tiff
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/spark_graft_media/{tag}_tiffA{n}"
+    out = f"/tmp/spark_graft_media/{tag}_tiffC{n}"
     os.makedirs(out, exist_ok=True)
     marker = os.path.join(out, "_STAGED")
     if not os.path.exists(marker):
@@ -4212,6 +4216,7 @@ def stage_tiff_media(sf_dir: str, n: int = 150) -> str:
             w, h = spec["w"], spec["h"]
             fam = spec["family"]
             pb = fam.endswith("pb")
+            lzw = "lzw" in fam
             if fam.startswith("rgb"):
                 px = np.array(
                     [[spec["rgb"](x, y) for x in range(w)]
@@ -4233,6 +4238,7 @@ def stage_tiff_media(sf_dir: str, n: int = 150) -> str:
             blob = encode_tiff(
                 px, photometric, spec["byte_order"],
                 packbits=pb, rows_per_strip=spec["rps"],
+                lzw=lzw, predictor=2 if fam.endswith("lzwp") else 1,
             )
             with open(os.path.join(out, f"media_{i:05d}.tif"), "wb") as fh:
                 fh.write(blob)
@@ -4242,7 +4248,7 @@ def stage_tiff_media(sf_dir: str, n: int = 150) -> str:
 
 
 def multimodal_tiff_decode(
-    spark: SparkSession, sf_dir: str, n: int = 150
+    spark: SparkSession, sf_dir: str, n: int = 175
 ) -> DataFrame:
     """Registry entry (r16; r15 verdict #5): baseline TIFF — the
     scanned-document format — as the FIFTH real image format, with
@@ -4250,14 +4256,18 @@ def multimodal_tiff_decode(
     wire (the Exif walk reads II/MM too, but never gated a raster),
     strip-segmented layout (RowsPerStrip < height, offsets/byte
     counts verified per strip), PackBits run-length rows, and the
-    WhiteIsZero polarity inverted on decode. Staged files cycle
-    gray/RGB x uncompressed/PackBits plus the white0 family; the
-    decode runs inside one Arrow-batched mapInPandas pass and the
-    row carries the decoder-reported family, byte_order, and
-    n_strips, so every wire path is hash-gated; px_sum and the
-    md5-over-hex raster hash gate each pixel. LZW / JPEG-in-TIFF /
-    palette / tiles / predictors refuse loudly (tiffcodec.py). The
-    DuckDB oracle rebuilds every pixel from the closed forms.
+    WhiteIsZero polarity inverted on decode. Since r17 (r16 verdict
+    #3) the families ALSO cycle LZW (TIFF 6.0 §13: MSB-first
+    9..12-bit codes, early-change width rule, per-strip streams) —
+    plain on grayscale and with the §14 horizontal-differencing
+    Predictor 2 on RGB — the dominant real scanned-document
+    compressions. Staged files cycle 7 families; the decode runs
+    inside one Arrow-batched mapInPandas pass and the row carries
+    the decoder-reported family, byte_order, and n_strips, so every
+    wire path is hash-gated; px_sum and the md5-over-hex raster
+    hash gate each pixel. JPEG-in-TIFF / palette / tiles /
+    predictor-outside-LZW refuse loudly (tiffcodec.py). The DuckDB
+    oracle rebuilds every pixel from the closed forms.
     Reference analog: the opaque-bytes input contract at
     master.go:82.
 
@@ -4314,17 +4324,23 @@ def multimodal_tiff_decode(
 
 
 def _webp_fixture_params(i: int):
-    """Deterministic VP8L fixture spec (r16; r15 verdict #4): seven
-    families cycle the bitstream's paths — plain literals, LZ77
-    backward references (row-repeated pixels), the color cache
-    (a 7-color lattice), and the four transforms: subtract-green,
-    predictor (modes 0/1/2/4/7 per 4x4 tile), color (per-tile
-    signed multipliers), and color-indexing (palettes of 2..16
-    colors, so 8-, 4-, and 2-pixel bundling all occur). All
-    channels closed-form for the DuckDB oracle."""
+    """Deterministic VP8L fixture spec (r16; r15 verdict #4): NINE
+    families (r17: was seven) cycle the bitstream's paths — plain
+    literals, LZ77 backward references (row-repeated pixels), the
+    color cache (a 7-color lattice), the four transforms:
+    subtract-green, predictor (modes 0/1/2/4/7 per 4x4 tile), color
+    (per-tile signed multipliers), color-indexing (palettes of
+    2..16 colors, so 8-, 4-, and 2-pixel bundling all occur) — and,
+    new in r17 (r16 verdict #4): META prefix codes (the spatial
+    code-group image, 2 or 3 groups per file, group count gated by
+    the n_groups column) and the all-modes predictor family
+    exercising every TR-dependent and spec-arithmetic mode
+    (3/5/6/8/9/10/11/12/13) including the right-border TR wrap.
+    All channels closed-form for the DuckDB oracle."""
     fam = ("literal", "lz77", "cache", "subgreen", "pred", "palette",
-           "ctrans")[i % 7]
+           "ctrans", "meta", "predtr")[i % 9]
     n_pal = (i % 15) + 2
+    n_groups = 2 + i % 2
 
     def base(x: int, y: int):
         return (
@@ -4360,15 +4376,25 @@ def _webp_fixture_params(i: int):
         "h": (i * 7) % 13 + 5,
         "family": fam,
         "n_pal": n_pal,
+        "n_groups": n_groups if fam == "meta" else 1,
         "rgba": rgba,
         "transforms": {
             "subgreen": "subtract_green",
             "pred": "predictor",
+            "predtr": "predictor",
             "palette": "color_indexing",
             "ctrans": "color",
         }.get(fam, "none"),
         "cache_bits": 6 if fam == "cache" else 0,
-        "mode_fn": lambda tx, ty: (0, 1, 2, 4, 7)[(tx + ty + i) % 5],
+        "mode_fn": (
+            # every TR-dependent + spec-arithmetic mode, incl. the
+            # right-border TR wrap (r17)
+            (lambda tx, ty: (3, 5, 6, 8, 9, 10, 11, 12, 13)
+             [(tx + ty + i) % 9])
+            if fam == "predtr"
+            else lambda tx, ty: (0, 1, 2, 4, 7)[(tx + ty + i) % 5]
+        ),
+        "group_fn": lambda tx, ty: (tx + ty + i) % n_groups,
         "cte_fn": lambda tx, ty: (
             (i + tx * 17 + ty * 3) % 256
             | ((i * 2 + tx * 5 + ty * 23) % 256) << 8
@@ -4377,11 +4403,11 @@ def _webp_fixture_params(i: int):
     }
 
 
-def stage_webp_media(sf_dir: str, n: int = 140) -> str:
+def stage_webp_media(sf_dir: str, n: int = 162) -> str:
     from mapreducego_spark.functions.vp8lcodec import encode_vp8l
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/spark_graft_media/{tag}_webpA{n}"
+    out = f"/tmp/spark_graft_media/{tag}_webpC{n}"
     os.makedirs(out, exist_ok=True)
     marker = os.path.join(out, "_STAGED")
     if not os.path.exists(marker):
@@ -4397,11 +4423,13 @@ def stage_webp_media(sf_dir: str, n: int = 140) -> str:
             kwargs: dict = {}
             if fam == "subgreen":
                 kwargs["transform"] = "subtract_green"
-            elif fam == "pred":
+            elif fam in ("pred", "predtr"):
                 kwargs.update(
                     transform="predictor", tile_bits=2,
                     predictor_mode_fn=spec["mode_fn"],
                 )
+            elif fam == "meta":
+                kwargs["meta"] = (2, spec["group_fn"])
             elif fam == "ctrans":
                 kwargs.update(
                     transform="color", tile_bits=2,
@@ -4429,7 +4457,7 @@ def stage_webp_media(sf_dir: str, n: int = 140) -> str:
 
 
 def multimodal_webp_decode(
-    spark: SparkSession, sf_dir: str, n: int = 140
+    spark: SparkSession, sf_dir: str, n: int = 162
 ) -> DataFrame:
     """Registry entry (r16; r15 verdict #4): WebP VP8L — the
     lossless half of the dominant modern web image format, decoded
@@ -4438,14 +4466,19 @@ def multimodal_webp_decode(
     references with the 2D near-pixel distance map, the color
     cache, and all four transforms (subtract-green, per-tile
     predictor, per-tile color multipliers, difference-coded palette
-    with sub-byte bundling). Seven fixture families cycle every
-    path; the decode runs inside one Arrow-batched mapInPandas pass
-    and the row carries the decoder-reported transform chain and
-    cache bits — so each wire path is hash-gated — plus px_sum and
-    the md5-over-hex RGBA raster hash gating every pixel. VP8
-    (lossy) and VP8X refuse loudly with the routing posture; the
-    LZ77/cache usage evidence (n_refs, n_cache_hits) is pinned by
-    pytest. The DuckDB oracle rebuilds every pixel closed-form.
+    with sub-byte bundling). NINE fixture families (r17: +meta
+    prefix codes — the spatial code-group image larger real VP8L
+    files use, 2 or 3 groups per file, gated by the n_groups
+    column — and +the all-modes predictor family covering every
+    TR-dependent and spec-arithmetic mode incl. the right-border TR
+    wrap) cycle every path; the decode runs inside one
+    Arrow-batched mapInPandas pass and the row carries the
+    decoder-reported transform chain, cache bits, and group count —
+    so each wire path is hash-gated — plus px_sum and the
+    md5-over-hex RGBA raster hash gating every pixel. VP8 (lossy)
+    and VP8X refuse loudly with the routing posture; the LZ77/cache
+    usage evidence (n_refs, n_cache_hits) is pinned by pytest. The
+    DuckDB oracle rebuilds every pixel closed-form.
     Reference analog: the opaque-bytes input contract at
     master.go:82.
 
@@ -4478,6 +4511,7 @@ def multimodal_webp_decode(
                         meta["height"],
                         meta["transforms"],
                         meta["cache_bits"],
+                        meta["n_groups"],
                         int(px.astype(np.int64).sum()),
                         hashlib.md5(
                             px.tobytes().hex().encode()
@@ -4488,14 +4522,15 @@ def multimodal_webp_decode(
                 rows,
                 columns=[
                     "media_id", "width", "height", "transforms",
-                    "cache_bits", "px_sum", "feature_hash",
+                    "cache_bits", "n_groups", "px_sum", "feature_hash",
                 ],
             )
 
     return media.mapInPandas(
         run,
         "media_id long, width long, height long, transforms string,"
-        " cache_bits long, px_sum long, feature_hash string",
+        " cache_bits long, n_groups long, px_sum long,"
+        " feature_hash string",
     ).orderBy("media_id")
 
 

@@ -7179,12 +7179,15 @@ FROM h
 ORDER BY doc_id
 """
 
-# PDF ingest (r14): the oracle rebuilds the exact page split
-# (40-token pages), the escape-bearing footer each page shows, the
-# xref object-count arithmetic (catalog + pages + font + 2 per page
-# + 1 indirect /Length object per COMPRESSED page), and the
-# closed-form compression flag — so a framing, escape-decode, or
-# operator error in the reader diverges.
+# PDF ingest (r14; stream filters cycled r17): the oracle rebuilds
+# the exact page split (40-token pages), the escape-bearing footer
+# each page shows, the xref object-count arithmetic (catalog +
+# pages + font + 2 per page + 1 indirect /Length object per
+# COMPRESSED page — flate AND lzw pages both carry one), the
+# closed-form compression flag, and the per-page stream_filter
+# (raw/flate/lzw by (doc_id + page) % 3, the incremental revision's
+# last page re-flated) — so a framing, escape-decode, operator, or
+# LZW-inflate error in the reader diverges.
 ORACLES["pdf_extract_text"] = """
 WITH toks AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -7206,6 +7209,12 @@ WITH toks AS (
          -- the LAST page, newest xref entry winning
          CASE WHEN doc_id % 3 = 2 AND page = n_pages - 1 THEN TRUE
               ELSE ((doc_id + page) % 3) <> 0 END AS compressed,
+         -- r17: pages cycle raw/flate/lzw; the update rewrites the
+         -- last page with FLATE whatever its original filter was
+         CASE WHEN doc_id % 3 = 2 AND page = n_pages - 1 THEN 'flate'
+              WHEN (doc_id + page) % 3 = 1 THEN 'flate'
+              WHEN (doc_id + page) % 3 = 2 THEN 'lzw'
+              ELSE 'raw' END AS stream_filter,
          ((doc_id + page) % 3) <> 0 AS base_compressed
   FROM pg
 ), objs AS (
@@ -7230,7 +7239,7 @@ SELECT b.doc_id, b.page, b.n_pages, o.n_objects,
             ELSE 'incremental' END AS xref_form,
        CASE (b.doc_id // 3) % 3 WHEN 0 THEN 'standard'
             WHEN 1 THEN 'differences' ELSE 'cid' END AS font_form,
-       b.compressed, b.text,
+       b.compressed, b.stream_filter, b.text,
        CAST(len(string_split(b.text, ' ')) AS INT) AS n_tokens
 FROM body b JOIN objs o USING (doc_id)
 ORDER BY doc_id, page
@@ -7987,22 +7996,27 @@ GROUP BY i
 ORDER BY media_id
 """
 
-# Baseline TIFF (r16): every pixel rebuilt closed-form — the x//3
-# and y//2 plateaus (real PackBits runs), the RGB channel forms, the
+# Baseline TIFF (r16; families extended r17): every pixel rebuilt
+# closed-form — the x//3 and y//2 plateaus (real PackBits runs and
+# real small predictor deltas), the RGB channel forms, the
 # WhiteIsZero family decoding back to the same gray closed form
 # (store-inverted, read-inverted), the II/MM alternation, and the
-# ceil(h/rps) strip count. A strip-reassembly, byte-order, PackBits,
-# or polarity error diverges.
+# ceil(h/rps) strip count. The rgb24lzwp/gray8lzw families put LZW
+# (and the horizontal predictor) on the wire — the decode output is
+# the SAME closed form, so an LZW width/early-change/predictor error
+# diverges on px_sum/feature_hash while the family column pins that
+# the compressed path actually ran.
 ORACLES["multimodal_tiff_decode"] = """
-WITH m AS (SELECT unnest(range(150)) AS i),
+WITH m AS (SELECT unnest(range(175)) AS i),
 par AS (
   SELECT i,
          CAST((i * 5) % 23 + 9 AS BIGINT) AS w,
          CAST((i * 7) % 15 + 6 AS BIGINT) AS h,
          CAST((i % 4) + 3 AS BIGINT) AS rps,
-         CASE i % 5 WHEN 0 THEN 'gray8' WHEN 1 THEN 'rgb24'
+         CASE i % 7 WHEN 0 THEN 'gray8' WHEN 1 THEN 'rgb24'
               WHEN 2 THEN 'gray8pb' WHEN 3 THEN 'rgb24pb'
-              ELSE 'white0pb' END AS family,
+              WHEN 4 THEN 'white0pb' WHEN 5 THEN 'rgb24lzwp'
+              ELSE 'gray8lzw' END AS family,
          CASE i % 2 WHEN 0 THEN 'II' ELSE 'MM' END AS byte_order
   FROM m
 ),
@@ -8051,23 +8065,29 @@ GROUP BY i
 ORDER BY media_id
 """
 
-# WebP VP8L (r16): every RGBA pixel rebuilt closed-form per family —
-# the base channel forms (literal/subgreen/pred/ctrans families:
-# the transforms are invisible in the OUTPUT, the transforms column
-# is what gates them), the y%3 row repetition (lz77), the 7-color
-# lattice (cache), and the palette index form. A prefix-code, LZ77,
-# cache, transform-inverse, or bundling error diverges.
+# WebP VP8L (r16; families extended r17): every RGBA pixel rebuilt
+# closed-form per family — the base channel forms (literal/subgreen/
+# pred/ctrans families: the transforms are invisible in the OUTPUT,
+# the transforms column is what gates them), the y%3 row repetition
+# (lz77), the 7-color lattice (cache), and the palette index form.
+# The r17 families: 'meta' puts META PREFIX CODES on the wire (2 or
+# 3 spatial code groups, pinned by the n_groups column) and 'predtr'
+# the all-modes predictor (TR-dependent modes 3/5/9/10 incl. the
+# right-border wrap plus the spec-arithmetic 11/12/13). A prefix-
+# code, LZ77, cache, transform-inverse, group-routing, or bundling
+# error diverges.
 ORACLES["multimodal_webp_decode"] = """
-WITH m AS (SELECT unnest(range(140)) AS i),
+WITH m AS (SELECT unnest(range(162)) AS i),
 par AS (
   SELECT i,
          CAST((i * 5) % 19 + 8 AS BIGINT) AS w,
          CAST((i * 7) % 13 + 5 AS BIGINT) AS h,
          CAST((i % 15) + 2 AS BIGINT) AS n_pal,
-         CASE i % 7 WHEN 0 THEN 'literal' WHEN 1 THEN 'lz77'
+         CASE i % 9 WHEN 0 THEN 'literal' WHEN 1 THEN 'lz77'
               WHEN 2 THEN 'cache' WHEN 3 THEN 'subgreen'
               WHEN 4 THEN 'pred' WHEN 5 THEN 'palette'
-              ELSE 'ctrans' END AS family
+              WHEN 6 THEN 'ctrans' WHEN 7 THEN 'meta'
+              ELSE 'predtr' END AS family
   FROM m
 ),
 px AS (
@@ -8114,10 +8134,13 @@ SELECT CAST(i AS BIGINT) AS media_id,
        MAX(h) AS height,
        CASE MAX(family) WHEN 'subgreen' THEN 'subtract_green'
             WHEN 'pred' THEN 'predictor'
+            WHEN 'predtr' THEN 'predictor'
             WHEN 'palette' THEN 'color_indexing'
             WHEN 'ctrans' THEN 'color' ELSE 'none' END AS transforms,
        CAST(CASE WHEN MAX(family) = 'cache' THEN 6 ELSE 0 END
             AS BIGINT) AS cache_bits,
+       CAST(CASE WHEN MAX(family) = 'meta' THEN 2 + i % 2
+            ELSE 1 END AS BIGINT) AS n_groups,
        CAST(SUM(part_sum) AS BIGINT) AS px_sum,
        md5(string_agg(rowstr, '' ORDER BY y)) AS feature_hash
 FROM rows_hex

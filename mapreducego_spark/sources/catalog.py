@@ -1560,9 +1560,11 @@ def _pdf_page_spec(doc_id: int, text: str) -> list[tuple[str, str]]:
 
 def stage_pdf_files(sf_dir: str) -> str:
     """Stage the documents table as one real PDF per document —
-    object/xref grammar, FlateDecode content streams (every third
-    page of a doc left raw so both stream paths stay exercised),
-    escape-bearing footers. The files CYCLE the three real-world
+    object/xref grammar, escape-bearing footers, and per-page
+    content-stream filters cycling (doc_id + page) % 3 = raw /
+    FlateDecode / LZWDecode (r17; r16 verdict #5 — pre-1.2 PDFs
+    carry TIFF-style LZW streams) so all three stream paths stay
+    exercised. The files CYCLE the three real-world
     cross-reference shapes by doc_id % 3 (r15; r14 verdict #2):
     0 = classic xref table, 1 = PDF 1.5 xref STREAM with the
     non-stream objects packed into an object stream, 2 = classic
@@ -1582,7 +1584,7 @@ def stage_pdf_files(sf_dir: str) -> str:
     )
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/spark_graft_media/{tag}_pdfc"
+    out = f"/tmp/spark_graft_media/{tag}_pdfe"
     os.makedirs(out, exist_ok=True)
     marker = os.path.join(out, "_STAGED")
     if not os.path.exists(marker):
@@ -1606,7 +1608,11 @@ def stage_pdf_files(sf_dir: str) -> str:
                 contents.append(
                     render_page_content(lines, footer, font_form)
                 )
-                compress.append((doc_id + p) % 3 != 0)
+                # (doc_id + p) % 3: 0 = raw, 1 = flate, 2 = lzw —
+                # the "compressed" flag semantics are unchanged
+                compress.append(
+                    (False, "flate", "lzw")[(doc_id + p) % 3]
+                )
             form = doc_id % 3
             if form == 1:
                 pdf = build_pdf(
@@ -1635,8 +1641,11 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     object-stream type-2 entries, and /Prev incremental-update
     chains — r15), trailer (/Encrypt refuses loudly), page-tree
     walk (cycle-guarded) with
-    /Count checked, per-page /Contents streams FlateDecoded (zlib;
-    any other filter refuses), and the text-showing operator subset
+    /Count checked, per-page /Contents streams inflated through the
+    filter they declare — FlateDecode (zlib) or, since r17 (r16
+    verdict #5), LZWDecode (TIFF-style MSB-first early-change LZW,
+    the pre-1.2 filter; any other filter refuses) — and the
+    text-showing operator subset
     (BT/ET, Tj, TJ with kerning, ', Td/TD/T*) rebuilt into page text
     — literal-string escapes, octal codes, and hex strings all on
     the wire in every fixture. Emits one row per page: doc id, page
@@ -1652,13 +1661,17 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     remap, Type0 CID through /ToUnicode — string bytes on the wire
     are font-ENCODED, the reader decodes through the actual font
     machinery (r15 verdict #3), and the row carries font_form, so
-    each mapping path is hash-gated too. The DuckDB oracle rebuilds
-    every column — page split, footer text, per-form object-count
-    arithmetic (+2 objects for the CID descendant + /ToUnicode),
-    compression flag (the incremental revision re-compresses the
-    last page), xref form, font form — closed-form from the
-    documents table, so a framing, escape, predictor, operator, or
-    glyph-mapping error diverges.
+    each mapping path is hash-gated too. Since r17 the pages CYCLE
+    all three stream filters (raw / FlateDecode / LZWDecode by
+    (doc_id + page) % 3) and the row carries the stream_filter the
+    reader ACTUALLY inflated through, hash-gating the LZW path. The
+    DuckDB oracle rebuilds every column — page split, footer text,
+    per-form object-count arithmetic (+2 objects for the CID
+    descendant + /ToUnicode), compression flag and stream filter
+    (the incremental revision re-compresses the last page with
+    Flate, whatever its original filter), xref form, font form —
+    closed-form from the documents table, so a framing, escape,
+    predictor, operator, filter, or glyph-mapping error diverges.
     Reference analog: whole-file byte reads at master.go:77-89; this
     is that contract with the ISO 32000 grammar on top.
 
@@ -1703,6 +1716,7 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                             parsed["xref_form"],
                             parsed["font_form"],
                             page["compressed"],
+                            page["stream_filter"],
                             " ".join(page["text"].split()),
                         )
                     )
@@ -1710,7 +1724,8 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows,
                 columns=[
                     "doc_id", "page", "n_pages", "n_objects",
-                    "xref_form", "font_form", "compressed", "text",
+                    "xref_form", "font_form", "compressed",
+                    "stream_filter", "text",
                 ],
             )
 
@@ -1718,7 +1733,7 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, page int, n_pages int, n_objects int,"
         " xref_form string, font_form string, compressed boolean,"
-        " text string",
+        " stream_filter string, text string",
     )
     return out.withColumn(
         "n_tokens", F.size(F.split("text", " "))

@@ -2163,8 +2163,10 @@ def test_tiff_decode_entry_matches_closed_form(spark, sf_dir):
 
     rows = {r["media_id"]: r
             for r in multimodal_tiff_decode(spark, sf_dir).collect()}
-    assert len(rows) == 150
-    for i in (0, 1, 2, 3, 4, 7, 11):
+    assert len(rows) == 175
+    # 0..6 covers all 7 families incl. the r17 LZW pair; 12/13 hit
+    # rgb24lzwp/gray8lzw again on the other byte order
+    for i in (0, 1, 2, 3, 4, 5, 6, 7, 11, 12, 13):
         spec = _tiff_fixture_params(i)
         r = rows[i]
         assert (r["width"], r["height"]) == (spec["w"], spec["h"])
@@ -2347,13 +2349,14 @@ def test_webp_decode_entry_matches_closed_form(spark, sf_dir):
 
     rows = {r["media_id"]: r
             for r in multimodal_webp_decode(spark, sf_dir).collect()}
-    assert len(rows) == 140
-    for i in range(14):
+    assert len(rows) == 162
+    for i in range(18):  # two full passes over the 9 families
         spec = _webp_fixture_params(i)
         r = rows[i]
         assert (r["width"], r["height"]) == (spec["w"], spec["h"])
         assert r["transforms"] == spec["transforms"]
         assert r["cache_bits"] == spec["cache_bits"]
+        assert r["n_groups"] == spec["n_groups"]
         px = np.array(
             [[spec["rgba"](x, y) for x in range(spec["w"])]
              for y in range(spec["h"])],

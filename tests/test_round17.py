@@ -240,6 +240,24 @@ def test_lzw_round_trips_and_table_reset():
     assert lzw_decode(lzw_encode(data), expect=len(data)) == data
 
 
+def test_lzw_endgame_width_at_every_length():
+    """The decoder appends one more table entry after the FINAL data
+    code and may widen before reading EOD; the encoder must emit EOD
+    at that width. Found by a 350-byte PDF fixture page whose last
+    code landed the table exactly on 511 — sweep every length
+    through the 9->10 boundary on text-like input so the endgame
+    lands on every possible table size."""
+    from mapreducego_spark.functions.lzwcodec import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    base = b"the quick brown fox jumps over 0123456789 " * 30
+    for n in range(len(base) + 1):
+        d = base[:n]
+        assert lzw_decode(lzw_encode(d), expect=n) == d, n
+
+
 def test_lzw_early_change_pinned_on_the_wire():
     """The early-change off-by-one, pinned independently: encoding
     the 255 distinct bytes 0..254 must emit CLEAR + 254 literals at

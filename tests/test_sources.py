@@ -1119,9 +1119,14 @@ def test_pdf_structural_refusals_are_loud():
     # STREAM object — a non-/XRef object there is loud
     with pytest.raises(ValueError, match="neither an xref table"):
         parse_pdf(pdf.replace(b"xref\n0 ", b"9 0 obj", 1))
-    # same-length filter swaps keep every xref offset valid
-    with pytest.raises(NotImplementedError, match="filter"):
+    # same-length filter swaps keep every xref offset valid.
+    # LZWDecode DECODES since r17 — so zlib bytes mislabeled as LZW
+    # must refuse as a corrupt stream, and an out-of-scope filter
+    # (DCT) still refuses by name
+    with pytest.raises(ValueError, match="corrupt LZWDecode"):
         parse_pdf(pdf.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode  "))
+    with pytest.raises(NotImplementedError, match="filter"):
+        parse_pdf(pdf.replace(b"/Filter /FlateDecode", b"/Filter /DCTDecode  "))
     with pytest.raises(NotImplementedError, match="DecodeParms"):
         parse_pdf(pdf.replace(b"/Filter /FlateDecode", b"/DP 0 /Filter /Flate"))
     # drift the first in-use xref entry: offsets are verified
