@@ -1630,6 +1630,83 @@ QUERIES = {name: QUERIES[name] for name in _R16_WINDOW} | {
 }
 
 
+# The r17 window, standing policies applied: (1) the THREE entries
+# whose code/output changed in r17 (multimodal_webp_decode: +meta
+# prefix codes, +all-modes predictor family, +n_groups column,
+# spec-exact modes 10/11/13 and the wire-order simple code;
+# multimodal_tiff_decode: +LZW and LZW+predictor families;
+# pdf_extract_text: +LZWDecode stream cycle, +stream_filter
+# column); (2) ALL 28 r11-stale entries — leading with the five
+# carve-out-displaced ones the _R16_WINDOW comment promised
+# (hybrid_rerank_ann..ngram_jaccard), then alphabetical — max
+# registry staleness becomes r12; (3) the 19 alphabetically-first
+# r12-stale entries (the carve-outs displace
+# multimodal_audio_stats / multimodal_decode / multimodal_dedup to
+# r18). snapshots.py also changed in r17 (vacuum's manifest-orphan
+# sweep) but no registry entry calls vacuum — its evidence is the
+# pytest tier (test_round17.py) and the snapshot entries stay on
+# their fresh r16 driver rows.
+_R17_WINDOW = [
+    # (1) changed in r17 — re-prove under the driver's own gate
+    "multimodal_webp_decode",
+    "multimodal_tiff_decode",
+    "pdf_extract_text",
+    # (2) all 28 r11-stale entries, displaced five first
+    "hybrid_rerank_ann",
+    "mine_image_text_pairs_semantic",
+    "multimodal_jpeg_decode_420",
+    "multimodal_jpeg_decode_rst",
+    "ngram_jaccard",
+    "outlier_mad",
+    "pack_shards",
+    "pii_scrub",
+    "q10_returned_items",
+    "q13_custdist",
+    "q14_promo_revenue",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q21_waiting_supplier",
+    "q22_cold_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "scd2_apply",
+    "source_cap",
+    "udtf_sentences",
+    "validate_quarantine",
+    "vector_range",
+    "vocab_coverage",
+    "winsorize",
+    # (3) the 19 alphabetically-first r12-stale entries
+    "agg_pivot",
+    "array_functions",
+    "compact_documents",
+    "csv_round_trip",
+    "curriculum_mix",
+    "date_functions",
+    "dedup_embedding_lsh",
+    "dedup_events",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "fingerprint",
+    "fuzzy_match_blocked",
+    "hist_equi_depth",
+    "ivm_join_view",
+    "jaccard_prefix_join",
+    "join_asof_tolerance",
+    "kfold_split",
+    "label_centroids",
+    "multimodal_audio_meta",
+]
+assert len(_R17_WINDOW) == 50, len(_R17_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R17_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R17_WINDOW)
+}
+
+
 # r5 window kept for the record (see NOTES_r05.md)
 _R5_WINDOW = [
     # (1) changed in r5
