@@ -83,7 +83,8 @@ def lzw_encode(data: bytes) -> bytes:
     # entry lands on 2^width - 1 — so EOD must go out at the width
     # the decoder will be reading with. Only applies when the final
     # code is not the first after a CLEAR (no append then). The GIF
-    # encoder needs the same endgame correction (gifcodec.py).
+    # encoder makes the same endgame correction at its own widen
+    # boundary (gifcodec.py, the r14 disposal-fixture find).
     if n_since_clear >= 2:
         if nxt == (1 << width) - 1 and width < 12:
             width += 1

@@ -4172,15 +4172,18 @@ def _tiff_fixture_params(i: int):
     uncompressed, grayscale PackBits, RGB PackBits,
     WhiteIsZero-stored PackBits grayscale (the scanned-document
     polarity, inverted on decode), and — r17; r16 verdict #3 — LZW
-    with horizontal Predictor 2 (RGB) and plain LZW (grayscale),
-    the dominant real scanned-document compressions; byte order
-    alternates II/MM and RowsPerStrip cycles 3..6 so multi-strip
-    reassembly is exercised by every file. Pixels are closed-form
-    for the DuckDB oracle; the decoder-reported family/byte_order/
-    n_strips hash-gate each wire path. The x//3, y//2 plateaus give
-    PackBits real runs (and the predictor real small deltas)."""
+    with horizontal Predictor 2 (RGB), plain LZW (grayscale), and
+    Deflate (Compression 8: RGB, plus a WhiteIsZero variant) — the
+    dominant scanned-document and modern-toolchain compressions;
+    byte order alternates II/MM (9 and 2 are coprime, so every
+    (family, order) pair occurs) and RowsPerStrip cycles 3..6 so
+    multi-strip reassembly is exercised by every file. Pixels are
+    closed-form for the DuckDB oracle; the decoder-reported family/
+    byte_order/n_strips hash-gate each wire path. The x//3, y//2
+    plateaus give PackBits real runs (and the predictor real small
+    deltas)."""
     fam = ("gray8", "rgb24", "gray8pb", "rgb24pb", "white0pb",
-           "rgb24lzwp", "gray8lzw")[i % 7]
+           "rgb24lzwp", "gray8lzw", "rgb24zip", "white0zip")[i % 9]
 
     def gray(x: int, y: int) -> int:
         return (i * 3 + (x // 3) * 5 + (y // 2) * 7) % 256
@@ -4203,11 +4206,11 @@ def _tiff_fixture_params(i: int):
     }
 
 
-def stage_tiff_media(sf_dir: str, n: int = 175) -> str:
+def stage_tiff_media(sf_dir: str, n: int = 180) -> str:
     from mapreducego_spark.functions.tiffcodec import encode_tiff
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/spark_graft_media/{tag}_tiffC{n}"
+    out = f"/tmp/spark_graft_media/{tag}_tiffD{n}"
     os.makedirs(out, exist_ok=True)
     marker = os.path.join(out, "_STAGED")
     if not os.path.exists(marker):
@@ -4217,6 +4220,7 @@ def stage_tiff_media(sf_dir: str, n: int = 175) -> str:
             fam = spec["family"]
             pb = fam.endswith("pb")
             lzw = "lzw" in fam
+            zip_ = "zip" in fam
             if fam.startswith("rgb"):
                 px = np.array(
                     [[spec["rgb"](x, y) for x in range(w)]
@@ -4238,7 +4242,8 @@ def stage_tiff_media(sf_dir: str, n: int = 175) -> str:
             blob = encode_tiff(
                 px, photometric, spec["byte_order"],
                 packbits=pb, rows_per_strip=spec["rps"],
-                lzw=lzw, predictor=2 if fam.endswith("lzwp") else 1,
+                lzw=lzw, deflate=zip_,
+                predictor=2 if fam.endswith("lzwp") else 1,
             )
             with open(os.path.join(out, f"media_{i:05d}.tif"), "wb") as fh:
                 fh.write(blob)
@@ -4248,7 +4253,7 @@ def stage_tiff_media(sf_dir: str, n: int = 175) -> str:
 
 
 def multimodal_tiff_decode(
-    spark: SparkSession, sf_dir: str, n: int = 175
+    spark: SparkSession, sf_dir: str, n: int = 180
 ) -> DataFrame:
     """Registry entry (r16; r15 verdict #5): baseline TIFF — the
     scanned-document format — as the FIFTH real image format, with
@@ -4261,7 +4266,9 @@ def multimodal_tiff_decode(
     9..12-bit codes, early-change width rule, per-strip streams) —
     plain on grayscale and with the §14 horizontal-differencing
     Predictor 2 on RGB — the dominant real scanned-document
-    compressions. Staged files cycle 7 families; the decode runs
+    compressions, plus Deflate (Compression 8, what modern scanners
+    and toolchains write; strict per-strip inflated-size check).
+    Staged files cycle 9 families; the decode runs
     inside one Arrow-batched mapInPandas pass and the row carries
     the decoder-reported family, byte_order, and n_strips, so every
     wire path is hash-gated; px_sum and the md5-over-hex raster

@@ -15,15 +15,17 @@ change width rule, per-strip streams beginning with ClearCode,
 via functions/lzwcodec.py) with the optional horizontal-
 differencing Predictor (tag 317 = 2, §14, per-sample byte
 differencing inverted by a row cumsum) — the dominant real
-scanned-document shape.
+scanned-document shape — and Deflate (Compression 8, plus the
+legacy 32946 alias; per-strip zlib streams, strict inflated-size
+check) — what modern scanners and image toolchains write.
 
-Scope (loud, not silent): JPEG-in-TIFF (6/7) and Deflate (8)
+Scope (loud, not silent): JPEG-in-TIFF (6/7) and CCITT (2/3/4)
 compressions, palette color (Photometric 3), bilevel/4-bit/
 16-bit BitsPerSample, tiled layout (TileWidth/TileLength), planar
-configuration 2, Predictor 2 outside LZW and Predictor 3
-(floating point), alpha/extra samples, and multi-page IFD chains
-all raise NotImplementedError/ValueError — never a silently wrong
-raster. The IFD walk mirrors the Exif walk
+configuration 2, Predictor 2 outside LZW (the §14 scoping) and
+Predictor 3 (floating point), alpha/extra samples, and multi-page
+IFD chains all raise NotImplementedError/ValueError — never a
+silently wrong raster. The IFD walk mirrors the Exif walk
 (multimodal.py parse_exif) but verifies strip geometry exactly:
 every strip must decompress to rows_in_strip * width * samples
 bytes, and declared StripByteCounts are checked against the wire.
@@ -43,6 +45,8 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
 _COMPRESSION_NONE = 1
 _COMPRESSION_LZW = 5
+_COMPRESSION_DEFLATE = 8
+_COMPRESSION_DEFLATE_LEGACY = 32946
 _COMPRESSION_PACKBITS = 32773
 _COMPRESSION_NAMES = {
     2: "CCITT Group 3 1D",
@@ -50,8 +54,6 @@ _COMPRESSION_NAMES = {
     4: "CCITT T.6",
     6: "old-style JPEG",
     7: "JPEG",
-    8: "Deflate",
-    32946: "Deflate (legacy)",
 }
 
 
@@ -127,6 +129,7 @@ def encode_tiff(
     packbits: bool = False,
     rows_per_strip: int | None = None,
     lzw: bool = False,
+    deflate: bool = False,
     predictor: int = 1,
 ) -> bytes:
     """Baseline TIFF bytes for an (h, w) grayscale or (h, w, 3) RGB
@@ -135,13 +138,13 @@ def encode_tiff(
     invert beforehand —, 1 = BlackIsZero, 2 = RGB). The IFD sits at
     offset 8 with ascending tags; oversize values and strip data
     follow it. ``lzw`` stores strips as TIFF §13 LZW streams;
-    ``predictor`` = 2 applies §14 horizontal differencing per row
-    and sample before compression (LZW only, as the spec scopes
-    it)."""
+    ``deflate`` as zlib streams (Compression 8); ``predictor`` = 2
+    applies §14 horizontal differencing per row and sample before
+    compression (LZW only, as the spec scopes it)."""
     if samples.dtype != np.uint8:
         raise ValueError("samples must be uint8")
-    if packbits and lzw:
-        raise ValueError("pick one of packbits / lzw")
+    if packbits + lzw + deflate > 1:
+        raise ValueError("pick one of packbits / lzw / deflate")
     if predictor not in (1, 2):
         raise ValueError(f"predictor {predictor} (1 or 2)")
     if predictor == 2 and not lzw:
@@ -188,13 +191,19 @@ def encode_tiff(
             from mapreducego_spark.functions.lzwcodec import lzw_encode
 
             strips.append(lzw_encode(rows.tobytes()))
+        elif deflate:
+            import zlib
+
+            strips.append(zlib.compress(rows.tobytes(), 6))
         else:
             strips.append(rows.tobytes())
 
     comp = (
         _COMPRESSION_PACKBITS
         if packbits
-        else _COMPRESSION_LZW if lzw else _COMPRESSION_NONE
+        else _COMPRESSION_LZW
+        if lzw
+        else _COMPRESSION_DEFLATE if deflate else _COMPRESSION_NONE
     )
     # entries: (tag, type, count, values)
     entries = [
@@ -353,8 +362,11 @@ def decode_tiff(payload: bytes) -> tuple[dict, np.ndarray]:
             f"BitsPerSample {bits} (8-bit baseline only)"
         )
     comp = one(259, _COMPRESSION_NONE)
+    if comp == _COMPRESSION_DEFLATE_LEGACY:
+        comp = _COMPRESSION_DEFLATE  # 32946: the pre-standard alias
     if comp not in (
-        _COMPRESSION_NONE, _COMPRESSION_PACKBITS, _COMPRESSION_LZW
+        _COMPRESSION_NONE, _COMPRESSION_PACKBITS, _COMPRESSION_LZW,
+        _COMPRESSION_DEFLATE,
     ):
         name = _COMPRESSION_NAMES.get(comp, str(comp))
         raise NotImplementedError(f"TIFF compression {name}")
@@ -401,6 +413,21 @@ def decode_tiff(payload: bytes) -> tuple[dict, np.ndarray]:
             from mapreducego_spark.functions.lzwcodec import lzw_decode
 
             out += lzw_decode(raw, expect)
+        elif comp == _COMPRESSION_DEFLATE:
+            import zlib
+
+            try:
+                inflated = zlib.decompress(raw)
+            except zlib.error as e:
+                raise ValueError(
+                    f"corrupt Deflate strip {s}: {e}"
+                ) from e
+            if len(inflated) != expect:
+                raise ValueError(
+                    f"Deflate strip {s} inflated to {len(inflated)}"
+                    f" bytes, expected {expect}"
+                )
+            out += inflated
         else:
             if cnt != expect:
                 raise ValueError(
@@ -426,6 +453,7 @@ def decode_tiff(payload: bytes) -> tuple[dict, np.ndarray]:
     family = base + {
         _COMPRESSION_PACKBITS: "pb",
         _COMPRESSION_LZW: "lzw",
+        _COMPRESSION_DEFLATE: "zip",
         _COMPRESSION_NONE: "",
     }[comp] + ("p" if predictor == 2 else "")
     meta = {

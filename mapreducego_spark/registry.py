@@ -8079,21 +8079,23 @@ ORDER BY media_id
 # WhiteIsZero family decoding back to the same gray closed form
 # (store-inverted, read-inverted), the II/MM alternation, and the
 # ceil(h/rps) strip count. The rgb24lzwp/gray8lzw families put LZW
-# (and the horizontal predictor) on the wire — the decode output is
-# the SAME closed form, so an LZW width/early-change/predictor error
-# diverges on px_sum/feature_hash while the family column pins that
-# the compressed path actually ran.
+# (and the horizontal predictor) on the wire and rgb24zip/white0zip
+# put Deflate there — the decode output is the SAME closed form, so
+# an LZW width/early-change/predictor or zlib-framing error diverges
+# on px_sum/feature_hash while the family column pins that the
+# compressed path actually ran.
 ORACLES["multimodal_tiff_decode"] = """
-WITH m AS (SELECT unnest(range(175)) AS i),
+WITH m AS (SELECT unnest(range(180)) AS i),
 par AS (
   SELECT i,
          CAST((i * 5) % 23 + 9 AS BIGINT) AS w,
          CAST((i * 7) % 15 + 6 AS BIGINT) AS h,
          CAST((i % 4) + 3 AS BIGINT) AS rps,
-         CASE i % 7 WHEN 0 THEN 'gray8' WHEN 1 THEN 'rgb24'
+         CASE i % 9 WHEN 0 THEN 'gray8' WHEN 1 THEN 'rgb24'
               WHEN 2 THEN 'gray8pb' WHEN 3 THEN 'rgb24pb'
               WHEN 4 THEN 'white0pb' WHEN 5 THEN 'rgb24lzwp'
-              ELSE 'gray8lzw' END AS family,
+              WHEN 6 THEN 'gray8lzw' WHEN 7 THEN 'rgb24zip'
+              ELSE 'white0zip' END AS family,
          CASE i % 2 WHEN 0 THEN 'II' ELSE 'MM' END AS byte_order
   FROM m
 ),

@@ -2072,11 +2072,11 @@ def test_tiff_round_trips_families_strips_and_byte_orders():
 
 def test_tiff_refusals_are_loud():
     """Everything outside the declared baseline refuses with a named
-    error: JPEG/Deflate compression, palette color, 16-bit
+    error: JPEG/CCITT compression, palette color, 16-bit
     samples, tiles, multi-page chains, planar config 2,
-    strip geometry lies, and PackBits framing errors. (LZW DECODES
-    since r17 — so a raw strip MISLABELED as LZW must refuse as a
-    corrupt stream, not silently pass.)"""
+    strip geometry lies, and PackBits framing errors. (LZW and
+    Deflate DECODE since r17 — so a raw strip MISLABELED as either
+    must refuse as a corrupt stream, not silently pass.)"""
     import struct
 
     import numpy as np
@@ -2106,8 +2106,10 @@ def test_tiff_refusals_are_loud():
         decode_tiff(patched(259, 5))
     with pytest.raises(NotImplementedError, match="JPEG"):
         decode_tiff(patched(259, 7))
-    with pytest.raises(NotImplementedError, match="Deflate"):
+    with pytest.raises(ValueError, match="corrupt Deflate"):
         decode_tiff(patched(259, 8))
+    with pytest.raises(NotImplementedError, match="CCITT"):
+        decode_tiff(patched(259, 4))
     with pytest.raises(NotImplementedError, match="palette"):
         decode_tiff(patched(262, 3))
     with pytest.raises(NotImplementedError, match="8-bit baseline"):
@@ -2163,10 +2165,10 @@ def test_tiff_decode_entry_matches_closed_form(spark, sf_dir):
 
     rows = {r["media_id"]: r
             for r in multimodal_tiff_decode(spark, sf_dir).collect()}
-    assert len(rows) == 175
-    # 0..6 covers all 7 families incl. the r17 LZW pair; 12/13 hit
-    # rgb24lzwp/gray8lzw again on the other byte order
-    for i in (0, 1, 2, 3, 4, 5, 6, 7, 11, 12, 13):
+    assert len(rows) == 180
+    # 0..8 covers all 9 families incl. the r17 LZW pair and Deflate
+    # pair; 14/15/16/17 hit them again on the other byte order
+    for i in (0, 1, 2, 3, 4, 5, 6, 7, 8, 11, 14, 15, 16, 17):
         spec = _tiff_fixture_params(i)
         r = rows[i]
         assert (r["width"], r["height"]) == (spec["w"], spec["h"])

@@ -368,6 +368,50 @@ def test_tiff_lzw_families_round_trip_with_predictor():
     assert (arr == grad).all()
 
 
+def test_tiff_deflate_families_round_trip():
+    """Compression 8 (what modern toolchains write): per-strip zlib
+    streams with a strict inflated-size check, both byte orders,
+    the WhiteIsZero polarity, and the legacy 32946 alias."""
+    import struct
+
+    from mapreducego_spark.functions.tiffcodec import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(9)
+    c = rng.integers(0, 256, (8, 12, 3), dtype=np.uint8)
+    for bo in ("II", "MM"):
+        meta, arr = decode_tiff(
+            encode_tiff(c, 2, bo, deflate=True, rows_per_strip=3)
+        )
+        assert (arr == c).all()
+        assert meta["family"] == "rgb24zip"
+        assert meta["byte_order"] == bo and meta["n_strips"] == 3
+    g = rng.integers(0, 256, (11, 9), dtype=np.uint8)
+    inv = (255 - g.astype(np.int16)).astype(np.uint8)
+    meta, arr = decode_tiff(
+        encode_tiff(inv, 0, "II", deflate=True, rows_per_strip=4)
+    )
+    assert (arr == g).all()
+    assert meta["family"] == "white0zip"
+    # legacy alias 32946 decodes identically (the pre-standard tag)
+    blob = bytearray(encode_tiff(g, 1, "II", deflate=True))
+    (n,) = struct.unpack("<H", blob[8:10])
+    at = 10
+    for _ in range(n):
+        if struct.unpack("<H", blob[at : at + 2])[0] == 259:
+            blob[at + 8 : at + 12] = struct.pack("<I", 32946)
+        at += 12
+    meta, arr = decode_tiff(bytes(blob))
+    assert (arr == g).all() and meta["family"] == "gray8zip"
+    # predictor 2 stays scoped to LZW — deflate + predictor refuses
+    with pytest.raises(ValueError, match="scoped to LZW"):
+        encode_tiff(g, 1, deflate=True, predictor=2)
+    with pytest.raises(ValueError, match="pick one"):
+        encode_tiff(g, 1, deflate=True, lzw=True)
+
+
 def test_tiff_lzw_scope_refusals():
     import struct
 

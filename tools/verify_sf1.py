@@ -58,16 +58,16 @@ QUERIES = [
 # each round toward entries without a recent 10x row; r14 leads with
 # the round's own corpus-scaling births.
 ROTATED_SF01 = [
-    # r16 rotation (r15 verdict #7): the r15 corpus-scaling births
-    # that have never had a 10x row, the r16 corpus-scaling
-    # birth/change (snapshot_pruned_read NEW over orders;
-    # pdf_extract_text CHANGED again — font-encoded fixtures), and
-    # two r10-stale compute entries without any prior 10x row
-    "subtitle_cues",          # documents-scaling, never 10x-checked
-    "multimodal_mp3_tags",    # never 10x-checked (fixed-n but cheap)
-    "snapshot_pruned_read",   # NEW r16, orders-scaling, stats-pruned
-    "pdf_extract_text",       # CHANGED r16 (font-encoded text)
-    "vector_topk",            # r10-stale compute, no prior 10x row
+    # r17 rotation (r16 verdict #7): the two r16 decode births never
+    # 10x-checked (both CHANGED again in r17 — LZW / meta-prefix
+    # families), pdf_extract_text (CHANGED in r17 — LZW stream
+    # cycle, corpus-scaling so the 10x run exercises ~9k pages), and
+    # two r11-stale compute entries without any prior 10x row
+    "multimodal_tiff_decode",  # r16 birth, +LZW families r17
+    "multimodal_webp_decode",  # r16 birth, +meta/predtr families r17
+    "pdf_extract_text",        # CHANGED r17 (raw/flate/lzw cycle)
+    "ngram_jaccard",           # r11-stale compute, no prior 10x row
+    "pack_shards",             # r11-stale compute, no prior 10x row
 ]
 SF01_DIR = "/root/testdata/sf0.1"
 
