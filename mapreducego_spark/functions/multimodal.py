@@ -38,6 +38,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from mapreducego_spark.operators.util import sort_once
+
 # Import-time probe: the real decoder activates automatically when an
 # image library is present; everywhere else the deterministic stub
 # keeps the Spark-side plumbing testable.
@@ -796,11 +798,11 @@ def multimodal_decode(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, width int, height int, px_sum long, "
         "feature_hash string",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 JPEG_SOI = b"\xff\xd8"
@@ -1217,12 +1219,12 @@ def multimodal_jpeg_meta(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, width int, height int, components int, "
         "precision int, progressive boolean, density_unit int, "
         "x_density int, y_density int",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def _jpeg_px_fixture_planes(i: int):
@@ -1340,11 +1342,11 @@ def multimodal_jpeg_decode(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, width int, height int, px_sum long, "
         "feature_hash string",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def multimodal_resize_box(
@@ -1416,11 +1418,11 @@ def multimodal_resize_box(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, width int, height int, px_sum long,"
         " feature_hash string",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def _jpeg_px_fixture_planes_420(i: int):
@@ -1540,11 +1542,11 @@ def multimodal_jpeg_decode_420(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, width int, height int, px_sum long, "
         "feature_hash string",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def _jpeg_px_fixture_planes_rst(i: int):
@@ -1652,11 +1654,11 @@ def multimodal_jpeg_decode_rst(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, width int, height int, px_sum long, "
         "feature_hash string",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def _jpeg_px_fixture_planes_prog(i: int):
@@ -1783,11 +1785,11 @@ def multimodal_jpeg_decode_progressive(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, width int, height int, px_sum long, "
         "feature_hash string",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def _jpeg_px_fixture_planes_422(i: int):
@@ -1900,11 +1902,11 @@ def multimodal_jpeg_decode_422(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, width int, height int, px_sum long, "
         "feature_hash string",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def _png_variants_fixture(i: int):
@@ -2021,11 +2023,11 @@ def multimodal_png_variants(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, width int, height int, px_sum long, "
         "feature_hash string",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def _png_depth_fixture(i: int):
@@ -2180,11 +2182,11 @@ def multimodal_png_depth(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, width int, height int, px_sum long, a_sum long,"
         " feature_hash string",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def _exif_fixture_params(i: int) -> dict:
@@ -2281,11 +2283,11 @@ def multimodal_jpeg_exif(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, byte_order string, orientation long, make string,"
         " model string, dt string, dt_original string",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def apply_exif_orientation(a: np.ndarray, orientation: int) -> np.ndarray:
@@ -2410,11 +2412,11 @@ def multimodal_decode_oriented(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, orientation long, width int, height int,"
         " px_sum long, feature_hash string",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def _wav_fixture_params(i: int):
@@ -2551,11 +2553,11 @@ def multimodal_audio_meta(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, sample_rate long, channels long, bits long,"
         " n_frames long, duration_us long",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def multimodal_audio_stats(
@@ -2608,11 +2610,11 @@ def multimodal_audio_stats(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, n_samples long, s_sum long, s_min long,"
         " s_max long, abs_sum long, sq_sum long, w_sum long",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def multimodal_audio_loudest_window(
@@ -2787,8 +2789,8 @@ def multimodal_video_frames(
     parallel decode with bounded per-frame fan-out (<= 6 rows/file);
     at production scale this is the frame-extraction pass feeding
     dedup/caption joins, and the frame rows carry the join key."""
-    return _video_frame_rows(spark, sf_dir, n).orderBy(
-        "media_id", "frame_idx"
+    return sort_once(
+        _video_frame_rows(spark, sf_dir, n), "media_id", "frame_idx"
     )
 
 
@@ -3038,12 +3040,12 @@ def multimodal_audio_formats(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, family string, bits long, channels long,"
         " n_frames long, n_samples long, q_sum long, q_min long,"
         " q_max long, q_wsum long",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def mine_image_text_pairs_semantic(
@@ -3170,7 +3172,7 @@ def mine_image_text_pairs_semantic(
         >= F.col("img_n2").cast("decimal(19,0)")
         * F.col("txt_n2").cast("decimal(19,0)")
     )
-    return (
+    return sort_once(
         joined.select(
             "media_id",
             "doc_id",
@@ -3184,8 +3186,8 @@ def mine_image_text_pairs_semantic(
                 & (F.col("width") * F.col("height") >= min_px)
                 & sem_ok
             ).alias("pair_ok"),
-        )
-        .orderBy("media_id")
+        ),
+        "media_id",
     )
 
 
@@ -3288,7 +3290,7 @@ def mine_image_text_pairs(
         F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("caption_chars"),
     )
-    return (
+    return sort_once(
         media.join(captions, media.media_id == captions.doc_id)
         .select(
             "media_id",
@@ -3302,8 +3304,8 @@ def mine_image_text_pairs(
                 (F.col("n_tokens") >= min_tokens)
                 & (F.col("width") * F.col("height") >= min_px)
             ).alias("pair_ok"),
-        )
-        .orderBy("media_id")
+        ),
+        "media_id",
     )
 
 
@@ -3460,12 +3462,12 @@ def multimodal_video_audio(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, n_frames long, us_per_frame long, width long,"
         " height long, v_px_sum long, sample_rate long, channels long,"
         " n_audio long, a_sum long, a_min long, a_max long, a_wsum long",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 # --- r13 second batch: GIF (LZW) tier ------------------------------
@@ -3586,11 +3588,11 @@ def multimodal_gif_decode(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, width long, height long, table_size long,"
         " interlaced boolean, px_sum long, feature_hash string",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def _gif_anim_fixture_params(i: int):
@@ -3748,11 +3750,11 @@ def multimodal_gif_frames(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, frame_idx long, n_frames long, delay_cs long,"
         " px_sum long, feature_hash string",
-    ).orderBy("media_id", "frame_idx")
+    ), "media_id", "frame_idx")
 
 
 # --- r13 second batch: WebDataset-style tar shards ------------------
@@ -3939,9 +3941,10 @@ def webdataset_pairs(
         "doc_id long, width int, height int, px_sum long,"
         " feature_hash string, caption string",
     )
-    return out.withColumn(
-        "n_tokens", F.size(F.split("caption", " "))
-    ).orderBy("doc_id")
+    return sort_once(
+        out.withColumn("n_tokens", F.size(F.split("caption", " "))),
+        "doc_id",
+    )
 
 
 def multimodal_audio_resample(
@@ -4002,11 +4005,11 @@ def multimodal_audio_resample(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, in_frames long, out_frames long, channels long,"
         " r_sum long, r_min long, r_max long, r_wsum long",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 # --- r13 second batch: BMP tier -------------------------------------
@@ -4159,11 +4162,11 @@ def multimodal_bmp_decode(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, width long, height long, family string,"
         " px_sum long, feature_hash string",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def _tiff_fixture_params(i: int):
@@ -4322,12 +4325,12 @@ def multimodal_tiff_decode(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, width long, height long, family string,"
         " byte_order string, n_strips long, px_sum long,"
         " feature_hash string",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def _webp_fixture_params(i: int):
@@ -4533,12 +4536,12 @@ def multimodal_webp_decode(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, width long, height long, transforms string,"
         " cache_bits long, n_groups long, px_sum long,"
         " feature_hash string",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 # -------------------------------------------------- MP3/MP4 meta tier
@@ -4752,13 +4755,13 @@ def multimodal_mp3_meta(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, tag_bytes long, bitrate_kbps long,"
         " sample_rate long, channels long, n_frames long,"
         " audio_bytes long, vbr boolean, has_id3v1 boolean,"
         " duration_ms long",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def multimodal_mp4_meta(
@@ -4812,13 +4815,13 @@ def multimodal_mp4_meta(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, brand string, timescale long, duration long,"
         " duration_ms long, n_tracks long, width long, height long,"
         " video_codec string, audio_codec string, fragmented boolean,"
         " n_fragments long",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 _ID3_FRAME_SPECS = (
@@ -4934,11 +4937,11 @@ def multimodal_mp3_tags(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, tag_version long, frame_idx long,"
         " frame_id string, encoding long, text string",
-    ).orderBy("media_id", "frame_idx")
+    ), "media_id", "frame_idx")
 
 
 # --------------------------------- r14: GIF disposal-methods tier
@@ -5084,11 +5087,11 @@ def multimodal_gif_disposal(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, frame_idx long, disposal long,"
         " px_sum long, feature_hash string",
-    ).orderBy("media_id", "frame_idx")
+    ), "media_id", "frame_idx")
 
 
 # --------------------------------- r14: PNG sub-8-bit depth tier
@@ -5218,8 +5221,8 @@ def multimodal_png_lowdepth(
                 ],
             )
 
-    return media.mapInPandas(
+    return sort_once(media.mapInPandas(
         run,
         "media_id long, width long, height long, px_sum long,"
         " a_sum long, feature_hash string",
-    ).orderBy("media_id")
+    ), "media_id")

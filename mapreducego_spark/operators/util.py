@@ -55,6 +55,33 @@ def guard_limit(n: Column, limit: int, message: Column) -> Column:
     ).otherwise(F.lit(True))
 
 
+def sort_once(df, *cols):
+    """Presentation sort without the hidden double execution.
+
+    A global ``orderBy`` plans a range exchange, and the range
+    partitioner runs a SAMPLING job over its child before the real
+    pass — so when nothing between the expensive work and the sort is
+    a shuffle boundary (the Python-decode tiers: scan -> mapInArrow/
+    mapInPandas -> project -> orderBy), the entire decode executes
+    TWICE (probe: 16 task invocations for an 8-partition mapInArrow
+    under orderBy; guide §2.4's "orderBy used only to make output
+    deterministic" cost). Materializing the decode OUTPUT once and
+    sorting the materialized rows keeps the result byte-identical
+    while halving the decode cost. At 100 TB the checkpoint holds
+    only the per-file stats/text rows — never the input payloads —
+    which is exactly the small side a presentation sort should run
+    over. Same audit-visible idiom as the PPJoin/graph checkpoints
+    (tools/plan_audit.py captures pre-checkpoint plans).
+
+    eager=False on purpose: the range partitioner's sampling job is
+    the FIRST job to touch the checkpoint and materializes every
+    partition as a side effect (RangePartitioner sketches all
+    partitions), so the real pass reads persisted rows — two jobs
+    total instead of eager's three (measured: pdf_extract_text
+    3.44s eager -> 3.05s lazy, multimodal_decode 0.85 -> 0.57)."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 def spread_scan(df):
     """Repartition an under-partitioned scan across the session's
     cores before CPU-heavy map-side work (tokenize/shingle/md5/

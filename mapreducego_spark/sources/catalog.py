@@ -14,6 +14,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreducego_spark.operators.util import sort_once, spread_scan
+
 # The driver-provisioned star schema + LLM-pipeline tables
 # (TESTDATA.md). One parquet file per table under <sf_dir>/.
 TABLES = (
@@ -555,7 +557,12 @@ def avro_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding round trip."""
     from pyspark.sql import functions as F
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # spread_scan: the per-value Python encoder runs inside
+    # mapInArrow at the SCAN's parallelism, and the sf fixtures are
+    # single-row-group parquet — one partition means the whole encode
+    # serializes onto one core (guide §2.5 input skew / §4). At
+    # cluster scale the scan has many splits and this no-ops.
+    docs = spread_scan(load_table(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "text",
         F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(
@@ -569,14 +576,17 @@ def avro_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{work}/docs_avro"
     write_avro(docs, path)
     back = read_avro(spark, path, schema=docs.schema)
-    return back.select(
+    return sort_once(
+        back.select(
+            "doc_id",
+            "text",
+            "lang",
+            "n_chars",
+            "score",
+            F.array_join("tags", ",").alias("tags"),
+        ),
         "doc_id",
-        "text",
-        "lang",
-        "n_chars",
-        "score",
-        F.array_join("tags", ",").alias("tags"),
-    ).orderBy("doc_id")
+    )
 
 
 def avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,7 +605,9 @@ def avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash gates the resolution semantics, not just the read."""
     from pyspark.sql import functions as F
 
-    docs_v1 = load_table(spark, sf_dir, "documents").select(
+    # spread_scan/sort_once: same single-partition-scan and
+    # double-execution fixes as avro_round_trip (see there).
+    docs_v1 = spread_scan(load_table(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang",
         F.col("n_chars").cast("int").alias("n_chars"),
@@ -619,7 +631,7 @@ def avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     back = read_avro(spark, path, avro_reader_schema=reader_v2)
-    return back.orderBy("doc_id")
+    return sort_once(back, "doc_id")
 
 
 def avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -663,7 +675,12 @@ def avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapreducego_spark.sources.avrocodec import spark_to_avro
 
-    ev = load_table(spark, sf_dir, "events").select(
+    # spread_scan: the logical-type encode path (datetime/Decimal
+    # construction per value) is the repo's slowest Python codec
+    # (~13k rows/s/core) and the events fixture arrives as ONE
+    # partition — serial encode was the entry's dominant cost
+    # (guide §2.5/§4; measured 8.1s -> see OPTIMIZATION_r17.md).
+    ev = spread_scan(load_table(spark, sf_dir, "events")).select(
         F.col("event_id").cast("long").alias("event_id"),
         "ts",
         F.date_from_unix_date(
@@ -694,14 +711,17 @@ def avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{work}/events_logical"
     write_avro(ev, path, avsc=avsc)
     back = read_avro(spark, path, schema=ev.schema)
-    return back.select(
+    return sort_once(
+        back.select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.unix_date("day").cast("long").alias("day_num"),
+            (F.col("amt") * F.lit(1000)).cast("long").alias("amt_milli"),
+            "event_type",
+            F.hex("tag").alias("tag_hex"),
+        ),
         "event_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.unix_date("day").cast("long").alias("day_num"),
-        (F.col("amt") * F.lit(1000)).cast("long").alias("amt_milli"),
-        "event_type",
-        F.hex("tag").alias("tag_hex"),
-    ).orderBy("event_id")
+    )
 
 
 def _typed_docs_round_trip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
@@ -1447,9 +1467,10 @@ def warc_extract_text(
         "doc_id long, url string, warc_date_s long, http_status int,"
         " mime string, body_bytes long, text string",
     )
-    return out.withColumn(
-        "n_tokens", F.size(F.split("text", " "))
-    ).orderBy("doc_id")
+    return sort_once(
+        out.withColumn("n_tokens", F.size(F.split("text", " "))),
+        "doc_id",
+    )
 
 
 def warc_link_graph(
@@ -1530,11 +1551,15 @@ def warc_link_graph(
                 ],
             )
 
-    return files.mapInPandas(
-        run,
-        "src_doc_id long, link_idx long, dst_doc_id long,"
-        " dst_source string, dst_url string, anchor string",
-    ).orderBy("src_doc_id", "link_idx")
+    return sort_once(
+        files.mapInPandas(
+            run,
+            "src_doc_id long, link_idx long, dst_doc_id long,"
+            " dst_source string, dst_url string, anchor string",
+        ),
+        "src_doc_id",
+        "link_idx",
+    )
 
 
 _PDF_PAGE_TOKENS = 8 * 5  # 5 rendered lines of 8 tokens per page
@@ -1735,9 +1760,11 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         " xref_form string, font_form string, compressed boolean,"
         " stream_filter string, text string",
     )
-    return out.withColumn(
-        "n_tokens", F.size(F.split("text", " "))
-    ).orderBy("doc_id", "page")
+    return sort_once(
+        out.withColumn("n_tokens", F.size(F.split("text", " "))),
+        "doc_id",
+        "page",
+    )
 
 
 _SUB_CUE_TOKENS = 6
@@ -1862,6 +1889,8 @@ def subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, format string, cue_idx long, start_ms long,"
         " end_ms long, dur_ms long, settings string, text string",
     )
-    return out.withColumn(
-        "n_tokens", F.size(F.split("text", " "))
-    ).orderBy("doc_id", "cue_idx")
+    return sort_once(
+        out.withColumn("n_tokens", F.size(F.split("text", " "))),
+        "doc_id",
+        "cue_idx",
+    )
