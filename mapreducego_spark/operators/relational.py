@@ -1524,13 +1524,22 @@ def copurchase_pairs(
         .select("p")
     )
     baskets = baskets.join(freq_items, "p")
-    # (2) loud basket-size guard
-    sizes = baskets.groupBy("o").agg(F.count(F.lit(1)).alias("__bn"))
-    baskets = (
-        baskets.join(sizes, "o")
+    # Pair generation rewritten off the self-join (r17, guide §2.3/
+    # §2.4): collect each basket's sorted item list ONCE (the same
+    # exchange the old plan paid anyway), emit the C(b,2) ordered
+    # pairs in-plan via nested array transforms (codegen, no Python),
+    # and feed them straight into the partial-combined support
+    # aggregate. The old shape exchanged the basket rows TWICE more
+    # (both self-join sides) plus an eager checkpoint; this one
+    # shuffles each basket row once and the pairs once — strictly
+    # fewer bytes at any scale, identical output (the size guard now
+    # reads the collected list's length — same count, same message).
+    lists = (
+        baskets.groupBy("o")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
         .filter(
             guard_limit(
-                F.col("__bn"),
+                F.size("ps"),
                 max_basket,
                 F.lit(
                     f"copurchase_pairs: basket over {max_basket} items goes "
@@ -1538,18 +1547,24 @@ def copurchase_pairs(
                 ),
             )
         )
-        .drop("__bn")
     )
-    # Both self-join sides read the pruned baskets; materialize once
-    # (|surviving basket rows|, bounded) instead of recomputing the
-    # distinct + two joins per side.
-    baskets = baskets.localCheckpoint(eager=True)
-    a = baskets.select("o", F.col("p").alias("part_a"))
-    b = baskets.select(F.col("o").alias("o2"), F.col("p").alias("part_b"))
+    pairs = lists.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x, i: F.transform(
+                        F.slice("ps", i + F.lit(2), F.size("ps")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
     return (
-        a.join(b, a.o == b.o2)
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        pairs.groupBy(
+            F.col("pr.a").alias("part_a"), F.col("pr.b").alias("part_b")
+        )
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= minsup)
         .select(
@@ -2403,12 +2418,29 @@ def copurchase_triples(
         .drop("__bn")
         .localCheckpoint(eager=True)
     )
-    a = baskets.select("o", F.col("p").alias("pa"))
-    b = baskets.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
+    # L2 pair counting via in-plan pair explosion over each basket's
+    # sorted item list (same rewrite as copurchase_pairs, r17): one
+    # exchange for the lists instead of two self-join exchanges of
+    # the basket rows; identical pair multiset by construction.
     pairs = (
-        a.join(b, a.o == b.o2)
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
+        baskets.groupBy("o")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x, i: F.transform(
+                            F.slice("ps", i + F.lit(2), F.size("ps")),
+                            lambda y: F.struct(
+                                x.alias("pa"), y.alias("pb")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("sup2"))
         .filter(F.col("sup2") >= minsup)
         .select("pa", "pb")
