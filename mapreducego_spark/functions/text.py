@@ -284,25 +284,68 @@ def corpus_clean(docs: DataFrame) -> DataFrame:
     (c) are the first occurrence of their normalized fingerprint —
     the compose-everything query a pretraining corpus run executes
     first. Output: surviving doc ids + the metrics that admitted
-    them. Each stage is one of the already-verified operators; the
-    composition adds one fingerprint shuffle and two key joins."""
+    them.
+
+    Plan shape (r17 rewrite, guide §2.4): quality_score / lang_id /
+    fingerprint / text_stats are all PER-ROW expression pipelines, so
+    the old four-scans-joined-on-doc_id form paid three extra corpus
+    scans (each re-tokenizing every document) and three join
+    exchanges for columns one projection can produce. Now ONE scan
+    computes every metric, the fingerprint first-occurrence window is
+    the only shuffle, and the quality/lang filters apply AFTER the
+    window — identical to the old inner joins (the window ran over
+    all docs there too; an inner join with a filtered side is a
+    filter). Output proven hash-identical by the shared oracle."""
     from pyspark.sql import Window
 
-    q = quality_score(docs).filter(F.col("quality_score") == 4)
-    lang = lang_id(docs).filter(F.col("pred_lang") == "en")
-    fp = fingerprint(docs)
-    w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
-    first_fp = (
-        fp.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "fingerprint")
+    toks = tokens_col(F.col("text"))
+    n_toks = F.size(toks)
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    distinct_toks = F.array_distinct(toks)
+    stop_hits = F.size(F.array_intersect(distinct_toks, en_stop))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
     )
-    stats = text_stats(docs).select("doc_id", "n_tokens")
+    avg_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double") / F.greatest(n_toks, F.lit(1)).cast("double")
+    checks = [
+        (n_toks >= 10) & (n_toks <= 100000),
+        n_punct.cast("double")
+        <= 0.2 * F.greatest(F.length("text"), F.lit(1)).cast("double"),
+        stop_hits >= 2,
+        (avg_len >= 2.0) & (avg_len <= 12.0),
+    ]
+    score = sum(F.when(c, 1).otherwise(0) for c in checks)
+    langs = sorted(LANG_STOPWORDS)
+    lang_scores = {
+        lang: F.size(
+            F.array_intersect(
+                distinct_toks, F.array(*[F.lit(w) for w in words])
+            )
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    }
+    best = F.greatest(*[lang_scores[lang] for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first (lexicographically) max wins
+        pred = pred.when(lang_scores[lang] == best, F.lit(lang))
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        score.alias("__q"),
+        pred.alias("__lang"),
+        best.cast("long").alias("best_score"),
+        n_toks.cast("long").alias("n_tokens"),
+        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
     return (
-        q.select("doc_id")
-        .join(lang.select("doc_id", "best_score"), "doc_id")
-        .join(first_fp, "doc_id")
-        .join(stats, "doc_id")
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("__q") == 4)
+            & (F.col("__lang") == "en")
+            & (F.col("rn") == 1)
+        )
         .select("doc_id", "best_score", "n_tokens", "fingerprint")
         .orderBy("doc_id")
     )
