@@ -2418,29 +2418,18 @@ def copurchase_triples(
         .drop("__bn")
         .localCheckpoint(eager=True)
     )
-    # L2 pair counting via in-plan pair explosion over each basket's
-    # sorted item list (same rewrite as copurchase_pairs, r17): one
-    # exchange for the lists instead of two self-join exchanges of
-    # the basket rows; identical pair multiset by construction.
+    # L2 pair counting stays the self-join over the CHECKPOINTED
+    # baskets (r17 note: the in-plan pair-explosion rewrite that wins
+    # in copurchase_pairs was tried here and measured +0.5s in a
+    # clean-band bench window — with baskets already materialized for
+    # the L3 counting joins, the extra collect_list aggregation costs
+    # more than the cheap checkpoint-fed self-join it replaces).
+    a = baskets.select("o", F.col("p").alias("pa"))
+    b = baskets.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
     pairs = (
-        baskets.groupBy("o")
-        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ps",
-                        lambda x, i: F.transform(
-                            F.slice("ps", i + F.lit(2), F.size("ps")),
-                            lambda y: F.struct(
-                                x.alias("pa"), y.alias("pb")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("pr")
-        )
-        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+        a.join(b, a.o == b.o2)
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("sup2"))
         .filter(F.col("sup2") >= minsup)
         .select("pa", "pb")
