@@ -972,25 +972,27 @@ def jaccard_prefix_pairs(
       order), and J >= t  <=>  overlap >= t/(1+t) * (n_a+n_b).
       Applied PER CONTRIBUTION ROW inside the join's codegen stage,
       so pruned contributions never leave it.
-    - VERIFY-ALL, distinct last (r8, −1.9s): the candidate-level
-      `.distinct()` cost a full shuffle+hash-aggregate of the
-      contribution stream (5.9M rows -> 3.5M pairs, 3.9s measured at
-      sf0.1) AND the verify path still re-shuffled its output. The
-      rewrite verifies every contribution row and moves the distinct
-      AFTER the J >= t filter, where it touches only the few hundred
-      surviving rows. Strictly fewer rows cross a shuffle (old:
-      contributions + candidates; new: contributions only), at the
-      price of duplicate intersects for multi-shingle pairs — the
-      positional filter keeps that duplication low (1.67x here;
-      bounded by prefix overlap, not by |doc|), so the trade holds
-      at scale whenever the duplication factor stays below the
-      ~2.5x where duplicate-intersect CPU would overtake the saved
-      aggregate.
+    - Candidate dedup on the verify exchange (r18; supersedes r8's
+      verify-all): contributions still cross exactly ONE exchange —
+      but that exchange is now keyed (doc_a, doc_b), so the distinct
+      aggregate reuses it for free and only UNIQUE pairs reach the
+      intersect (r8's objection was the *extra* shuffle its
+      candidate-level distinct paid back then; keying the already-
+      mandatory re-spread exchange on the pair removes the extra
+      shuffle while keeping the dedup). The 1.67x contribution
+      duplication (multi-shingle pairs) is pruned before the
+      expensive stage instead of after it.
     - Contributions are re-spread over the full core count before
-      the verification join: verification cost is CPU per pair
-      (array_intersect), not bytes, and WITHOUT this exchange the
-      intersect fuses into the prefix-join stage whose task count
-      AQE sized for join bytes — measured 43s vs 8s at sf0.1.
+      the verification join: verification cost is CPU per pair,
+      not bytes, and WITHOUT this exchange the intersect fuses into
+      the prefix-join stage whose task count AQE sized for join
+      bytes — measured 43s vs 8s at sf0.1.
+    - Overlap counting stays JVM array_intersect: an Arrow batch
+      kernel (searchsorted over the flat buffers) was measured both
+      as a post-join map (14.1s — the arrays crossing the Python
+      boundary dwarf the intersect) and as a broadcast-dict pair
+      kernel (5.9s) and lost to the 4.2-4.9s codegen form; see the
+      in-line note at the verify step.
     - Indexing-prefix (mid-prefix) asymmetry (Bayardo et al. WWW'07
       §3.1 / Xiao et al. WWW'08): orient every pair so A is the
       SMALLER record ((n, id) order); then O(A,B) >= t/(1+t) *
@@ -1016,7 +1018,19 @@ def jaccard_prefix_pairs(
 
     from mapreducego_spark.operators.twophase import two_phase_global_rank
 
-    shingled = shingle_docs(spread_scan(docs), n=2)
+    # Lazy checkpoint on the shingle table (r18, guide §2.4): the
+    # posting explode feeds TWO subtrees (the document-frequency
+    # aggregate and the sid join below), and Catalyst does not
+    # de-duplicate common subtrees — without this the whole
+    # tokenize+shingle pipeline executed twice (measured: sorted_docs
+    # build 2.97s -> 1.91s warm at sf0.1). Lazy, so the first stage
+    # to touch it materializes it as a side effect (the sort_once
+    # idiom); pre-explode, so the stored rows are one per doc, the
+    # same grain the eager sorted_docs checkpoint below already
+    # stores.
+    shingled = shingle_docs(spread_scan(docs), n=2).localCheckpoint(
+        eager=False
+    )
     posting = shingled.select(
         "doc_id", F.explode("shingles").alias("sh")
     )
@@ -1123,6 +1137,22 @@ def jaccard_prefix_pairs(
     sb = sorted_docs.select(
         F.col("doc_id").alias("doc_b"), F.col("sorted_sh").alias("sh_b")
     )
+    # Candidate dedup BEFORE verification (r18, guide §2.3): a pair
+    # contributes once per shared mid-prefix shingle (duplication
+    # factor 1.67x measured at sf0.1), and r8's verify-all argument
+    # only held while the intersect ran per contribution. The
+    # explicit repartition fixes the verify stage's parallelism (the
+    # r8 43s-vs-8s trap: without it AQE sizes the post-join stage
+    # for join bytes, not intersect CPU) AND is keyed on exactly the
+    # dedup aggregate's grouping columns, so the aggregate reuses
+    # the one exchange the old shape already paid (repartition by
+    # doc_a) — strictly fewer pairs reach the intersect for zero
+    # extra shuffles. The post-verify distinct() this obsoletes is
+    # dropped with it.
+    cands = cands.repartition(
+        n_cores * 2, "doc_a", "doc_b"
+    ).dropDuplicates()
+
     # Broadcast the per-doc array side: Spark cannot size-estimate a
     # localCheckpointed frame, so it planned BOTH verify joins as
     # SortMergeJoin — two extra exchanges + sorts of the multi-
@@ -1130,9 +1160,18 @@ def jaccard_prefix_pairs(
     # (Same trade as exact_jaccard: at 100 TB with an
     # unbroadcastable doc table, drop the hint and AQE picks the
     # shuffle join + skew split.)
+    # Verification stays a JVM codegen intersect ON PURPOSE (r18
+    # measured): an Arrow batch kernel was built and benchmarked two
+    # ways — joined-arrays (lists cross the Python boundary: 14.1s)
+    # and broadcast-dict (only the 16-byte pair rows cross, arrays
+    # gathered worker-side from a task-local store: 5.9s) — and both
+    # LOSE to the broadcast-join + array_intersect form (4.2-4.9s in
+    # the same session): for sorted long arrays of this length the
+    # boundary + gather overhead exceeds the hash-set cost the
+    # kernel removes. Recorded in OPTIMIZATION_r18.md; the win that
+    # survived measurement is the candidate dedup above.
     verified = (
-        cands.repartition(n_cores * 2, "doc_a")
-        .join(F.broadcast(sa), "doc_a")
+        cands.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .select(
             "doc_a",
@@ -1158,12 +1197,9 @@ def jaccard_prefix_pairs(
             F.greatest("doc_a", "doc_b").alias("doc_b"),
             F.round("__jac", 6).alias("jaccard"),
         )
-        # dedupe AFTER verification, on the surviving pairs only (a
-        # pair contributes once per shared prefix shingle; every
-        # contribution verifies to the identical output row). See the
-        # "verify-all" plan note in the docstring for why the
-        # candidate-level distinct was removed.
-        .distinct()
+        # candidates are already distinct (the exchange-reusing
+        # dropDuplicates above), so each surviving pair appears
+        # exactly once — no post-verify distinct needed
         # Materialize the (bounded: surviving pairs only) result
         # before the global ORDER BY: the range partitioner runs a
         # SAMPLING job over its child, and with the broadcast verify

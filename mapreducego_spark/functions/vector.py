@@ -1354,13 +1354,19 @@ def kmeans_assignments(
     # connected_components' edge checkpoint. The final assignment is
     # checkpointed too, so downstream self-joins (semantic_dedup)
     # and presentation sorts execute the iterations exactly once.
+    # eager=False + count (r18, guide §5 / r17 verdict item 5): the
+    # count job is the FIRST action to touch the lazy checkpoint and
+    # materializes every partition as a side effect (the sort_once
+    # idiom) — one job where eager=True + count() was two. Identical
+    # result: count() over a LogicalRDD computes the full rows (the
+    # checkpoint persists them), column pruning happens above the
+    # RDD boundary, not below it.
     vecs = spread_scan(_micro_vecs(spark, sf_dir)).localCheckpoint(
-        eager=True
+        eager=False
     )
     if k is None:
-        # corpus-scaled k (see TARGET_CLUSTER_SIZE): one count job on
-        # the materialized checkpoint — deterministic, partition-
-        # layout-independent
+        # corpus-scaled k (see TARGET_CLUSTER_SIZE): deterministic,
+        # partition-layout-independent
         k = max(K_MEANS_K, vecs.count() // TARGET_CLUSTER_SIZE)
     seeds = vecs.orderBy("vec_id").limit(k).collect()  # bounded: k rows
     centroids = [list(r["m"]) for r in seeds]

@@ -1534,6 +1534,15 @@ def copurchase_pairs(
     # shuffles each basket row once and the pairs once — strictly
     # fewer bytes at any scale, identical output (the size guard now
     # reads the collected list's length — same count, same message).
+    # Guard placement note (r17 ADVICE, low): the guard reads the
+    # COLLECTED list's size, so a pathological basket is buffered
+    # (linearly — b longs, not C(b,2) pairs) in the aggregation
+    # buffer before the guard raises. A pre-aggregation count guard
+    # would bound that buffering too, but costs a second full
+    # exchange + aggregate of the basket rows — the exact cost the
+    # r17 rewrite removed. The quadratic meltdown the guard exists
+    # to stop is the PAIR explosion, which still cannot start: the
+    # explode only runs on rows the guard already passed.
     lists = (
         baskets.groupBy("o")
         .agg(F.sort_array(F.collect_list("p")).alias("ps"))

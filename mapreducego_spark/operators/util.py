@@ -78,7 +78,46 @@ def sort_once(df, *cols):
     partition as a side effect (RangePartitioner sketches all
     partitions), so the real pass reads persisted rows — two jobs
     total instead of eager's three (measured: pdf_extract_text
-    3.44s eager -> 3.05s lazy, multimodal_decode 0.85 -> 0.57)."""
+    3.44s eager -> 3.05s lazy, multimodal_decode 0.85 -> 0.57).
+
+    Fault-tolerance trade (r17 verdict wrong #2 / ADVICE): a
+    localCheckpoint TRUNCATES lineage — on a multi-executor cluster,
+    losing an executor that held checkpointed partitions fails the
+    job instead of recomputing (plain orderBy recovers; so does
+    persist, which keeps lineage). On local[N] there is exactly one
+    executor, so the distinction cannot matter and the cheapest form
+    wins. Cluster deploys choose via SPARK_GRAFT_SORT_ONCE:
+      - "checkpoint" (default): lazy localCheckpoint — fastest,
+        non-replayable; right for single-node and for presentation
+        sorts where a job retry is acceptable.
+      - "persist": MEMORY_AND_DISK persist — lineage kept, executor
+        loss recomputes; one extra plan-construction no-op, same
+        two-job execution shape.
+      - "orderby": plain orderBy — no storage at all, at the cost of
+        re-executing the decode under the range sampler (the very
+        double execution this helper exists to remove).
+    Blocks from either storing mode are dropped when the DataFrame
+    is garbage-collected (ContextCleaner), the same lifecycle every
+    bench rep and the long-session REPL rely on; callers that hold
+    many sorted frames alive simultaneously should prefer "persist"
+    and unpersist explicitly.
+
+    The eager=False fusion relies on RangePartitioner's sampling job
+    materializing the lazily-checkpointed partitions as a side
+    effect — an undocumented Spark internal. A Spark upgrade that
+    samples differently would silently re-introduce the double
+    execution (a perf regression, never a correctness one);
+    tests/test_sort_once_probe.py pins the task-invocation count so
+    the upgrade surfaces it loudly instead."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_SORT_ONCE", "checkpoint")
+    if mode == "orderby":
+        return df.orderBy(*cols)
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK).orderBy(*cols)
     return df.localCheckpoint(eager=False).orderBy(*cols)
 
 

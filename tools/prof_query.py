@@ -53,10 +53,38 @@ def main() -> None:
         )
         if args.plan_dir:
             import contextlib
+            import inspect
             import io
 
             os.makedirs(args.plan_dir, exist_ok=True)
-            df = QUERIES[name](spark, args.sf)
+            # Capture the executed plan of every localCheckpointed
+            # intermediate too (plan_audit's wrapper): the tail plan
+            # of a checkpoint-materialized query is just `Sort <-
+            # Exchange <- Scan ExistingRDD`, which hides the stages
+            # the optimization rounds actually change.
+            try:
+                from pyspark.sql.classic.dataframe import DataFrame
+            except ImportError:
+                from pyspark.sql import DataFrame
+
+            orig_ckpt = DataFrame.localCheckpoint
+            captured: list[tuple[str, str]] = []
+
+            def capturing(self, *a, **kw):
+                caller = inspect.stack()[1]
+                tag = f"{os.path.basename(caller.filename)}:{caller.lineno}"
+                try:
+                    p = self._jdf.queryExecution().executedPlan().toString()
+                except Exception as ex:  # noqa: BLE001
+                    p = f"<plan unavailable: {ex}>"
+                captured.append((tag, p))
+                return orig_ckpt(self, *a, **kw)
+
+            DataFrame.localCheckpoint = capturing
+            try:
+                df = QUERIES[name](spark, args.sf)
+            finally:
+                DataFrame.localCheckpoint = orig_ckpt
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
@@ -64,6 +92,11 @@ def main() -> None:
             out = os.path.join(args.plan_dir, f"{name}_{args.suffix}.txt")
             with open(out, "w") as fh:
                 fh.write(plan)
+                for tag, p in captured:
+                    fh.write(
+                        f"\n\n=== checkpointed intermediate at {tag} ===\n"
+                    )
+                    fh.write(p)
             print(f"  plan -> {out}", flush=True)
         spark.sparkContext.setJobDescription(None)
 
