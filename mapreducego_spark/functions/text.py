@@ -551,11 +551,15 @@ def decontaminate(docs: DataFrame, n: int = 3) -> DataFrame:
     side streams through one semi-join to find contaminated doc ids,
     then one broadcast anti-join drops them. The corpus is never
     shuffled on n-grams."""
+    # Lazy checkpoint (r18, guide §2.4): this tokenized frame feeds
+    # THREE subtrees (benchmark grams, corpus grams, and the anti-
+    # join base), each of which re-derived the scan+tokenize without
+    # it — the first stage to run materializes it once.
     toks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang",
         tokens_col(F.col("text")).alias("t"),
-    )
+    ).localCheckpoint(eager=False)
     grams = toks.select(
         "doc_id", F.explode(_ngram_col(F.col("t"), n)).alias("gram")
     )
@@ -1240,7 +1244,15 @@ def prepare_corpus(docs: DataFrame) -> DataFrame:
     prefix sum, or shard budgets count dropped documents)."""
     cleaned = corpus_clean(docs)
     decon_ids = decontaminate(docs).select("doc_id")
-    survivors = cleaned.join(decon_ids, "doc_id")
+    # Lazy checkpoint (r18, guide §2.4): survivors is consumed by
+    # BOTH the packing base and the final readout join — uncached,
+    # the whole clean+decontaminate chain (the expensive metric
+    # projection, the fingerprint window, the trigram semi-join)
+    # re-executed once per consumer. Survivor rows are small (id +
+    # three metric columns).
+    survivors = cleaned.join(decon_ids, "doc_id").localCheckpoint(
+        eager=False
+    )
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     ).join(survivors.select("doc_id"), "doc_id")
@@ -1309,10 +1321,22 @@ def nb_classify(docs: DataFrame) -> DataFrame:
     standard choice, and the one a SQL twin can mirror exactly.
     Docs whose every token is OOV still score: prior-only rows are
     seeded from the doc x lang grid, not from token joins."""
-    base = spread_scan(docs).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "lang",
-        tokens_col(F.col("text")).alias("toks"),
+    # Lazy checkpoint (r18, guide §2.4): this base feeds EVERY model
+    # branch — train counts, vocab, vocab size, per-lang totals,
+    # train-doc count, priors, test tokens, the test grid — and
+    # Catalyst re-derives an uncached subtree once per reference
+    # (measured: 24 parquet scans / 78 Exchanges in the un-cached
+    # plan). Materializing the tokenized rows once collapses all of
+    # them to cached reads; the first stage to run materializes it
+    # (the sort_once idiom).
+    base = (
+        spread_scan(docs)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            tokens_col(F.col("text")).alias("toks"),
+        )
+        .localCheckpoint(eager=False)
     )
     train = base.filter(F.col("doc_id") % 5 != 0)
     test = base.filter(F.col("doc_id") % 5 == 0)
@@ -2005,13 +2029,19 @@ def prepare_corpus_mixed(docs: DataFrame, budget: int = 200) -> DataFrame:
     oracle chains the same CTEs, proving the four stages compose."""
     cleaned = corpus_clean(docs)
     decon_ids = decontaminate(docs).select("doc_id")
-    survivors = cleaned.join(decon_ids, "doc_id")
+    # survivors and mixed are each consumed by two subtrees — same
+    # lazy-checkpoint junction treatment as prepare_corpus (r18)
+    survivors = cleaned.join(decon_ids, "doc_id").localCheckpoint(
+        eager=False
+    )
     src = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), "source"
     )
     mixed = mix_sources(
         survivors.select("doc_id").join(src, "doc_id"), budget=budget
-    ).select("doc_id", "source", "rk", "quota")
+    ).select("doc_id", "source", "rk", "quota").localCheckpoint(
+        eager=False
+    )
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     ).join(mixed.select("doc_id"), "doc_id")
@@ -2060,7 +2090,10 @@ def _bpe_split_col(syms_col) -> "F.Column":
 
 
 def bpe_train(
-    spark: SparkSession, sf_dir: str, n_merges: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = 3,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """BPE tokenizer training, the real thing at word-count grain:
     pre-segment the corpus into a (word, count) table (exactly how
@@ -2085,9 +2118,15 @@ def bpe_train(
     learned merge."""
     from mapreducego_spark.sources.catalog import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    # ``toks``: an optional pre-tokenized (.., w) frame — bpe_apply
+    # passes its own checkpointed token stream so train+apply
+    # tokenize the corpus ONCE between them (r18, guide §2.4);
+    # standalone bpe_train derives it from the scan as before.
+    if toks is None:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("w"))
     words = (
-        docs.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        toks.select("w")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
@@ -2158,15 +2197,18 @@ def bpe_apply(
     combinable."""
     from mapreducego_spark.sources.catalog import load_table
 
-    merges = [
-        (r["pair"], r["merged"])
-        for r in bpe_train(spark, sf_dir, n_merges).collect()
-    ]
     docs = load_table(spark, sf_dir, "documents")
+    # One tokenize+explode for train AND apply (r18): the exploded
+    # token stream is lazily checkpointed — bpe_train's word-count
+    # job materializes it, the apply scan reads the persisted rows.
     toks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(tokens_col(F.col("text"))).alias("w"),
-    )
+    ).localCheckpoint(eager=False)
+    merges = [
+        (r["pair"], r["merged"])
+        for r in bpe_train(spark, sf_dir, n_merges, toks=toks).collect()
+    ]
     syms = _bpe_syms_col(F.col("w"))
     for pair, _merged in merges:
         pa, pb = pair.split(" ")
