@@ -572,7 +572,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: LSH-bucketed embedding near-dup (the 100 TB
-    path; rows-only — recall asserted vs the exact baseline in
+    path). Fully oracle-checked since r18: the md5-derived
+    hyperplanes make the sketch deterministic, so the DuckDB oracle
+    replays sketch -> bands -> bucket pairs -> exact cosine end to
+    end (recall vs the exact baseline additionally asserted in
     tests/test_vector.py)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("long").alias("vec_id"),
