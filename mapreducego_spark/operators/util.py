@@ -121,6 +121,32 @@ def sort_once(df, *cols):
     return df.localCheckpoint(eager=False).orderBy(*cols)
 
 
+def merge_small_splits(df, factor: int = 2):
+    """Coalesce a many-tiny-files scan down to ~``factor`` x cores
+    before a per-file Python decode (r18, guide §6 small files /
+    §2.2 fewer map tasks). binaryFile charges every file
+    ``openCostInBytes`` (4 MB), so 5000 sidecar files plan ~157
+    scan tasks of ~32 files each — per-task scheduling + Python
+    worker round-trip overhead then dwarfs the decode (measured:
+    subtitle_cues 2.7s -> 0.8s warm at sf0.1 just from this).
+    coalesce() merges WITHOUT a shuffle and never increases the
+    partition count, so large inputs at cluster scale — where the
+    listing produces byte-sized splits in the right count — pass
+    through untouched; the factor keeps a 2x task-to-core ratio for
+    load balancing. Only for cheap-per-byte decodes: a heavy decode
+    with per-file size skew should keep per-file tasks (see
+    multimodal.frame_sample_plan's repartition note)."""
+    try:
+        sc = df.sparkSession.sparkContext
+        target = sc.defaultParallelism * factor
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n_parts > target:
+        return df.coalesce(target)
+    return df
+
+
 def spread_scan(df):
     """Repartition an under-partitioned scan across the session's
     cores before CPU-heavy map-side work (tokenize/shingle/md5/

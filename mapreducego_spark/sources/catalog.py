@@ -14,7 +14,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mapreducego_spark.operators.util import sort_once, spread_scan
+from mapreducego_spark.operators.util import (
+    merge_small_splits,
+    sort_once,
+    spread_scan,
+)
 
 # The driver-provisioned star schema + LLM-pipeline tables
 # (TESTDATA.md). One parquet file per table under <sf_dir>/.
@@ -1424,7 +1428,7 @@ def warc_extract_text(
     )
 
     path = stage_warc_archives(sf_dir, n_files)
-    files = (
+    files = merge_small_splits(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "crawl_*.warc.gz")
         .load(path)
@@ -1502,7 +1506,7 @@ def warc_link_graph(
     from mapreducego_spark.sources.warccodec import parse_warc
 
     path = stage_warc_archives(sf_dir, n_files)
-    files = (
+    files = merge_small_splits(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "crawl_*.warc.gz")
         .load(path)
@@ -1713,7 +1717,7 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducego_spark.sources.pdfcodec import parse_pdf
 
     path = stage_pdf_files(sf_dir)
-    files = (
+    files = merge_small_splits(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "doc_*.pdf")
         .load(path)
@@ -1846,7 +1850,7 @@ def subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducego_spark.sources.subtitlecodec import parse_subtitles
 
     path = stage_subtitle_files(sf_dir)
-    files = (
+    files = merge_small_splits(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "doc_*.*")
         .load(path)
